@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{LlmOps, QuerySpec, Relational}
+
+/** Driver contract — see /root/repo/SURVEY.md §2.11 + §7.
+  *
+  * `queries` is assembled from per-module QuerySpec lists; each spec
+  * carries its own DuckDB oracle SQL (or None for ops whose semantics
+  * aren't portably SQL-expressible — the driver then records a weaker
+  * rows-only check).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  private def specs: Seq[QuerySpec] =
+    Relational.all ++ LlmOps.all
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Runs the TPC-H-Q1-shaped pricing aggregate — scan + filter + two-phase
+    * agg — the reference pipeline's analytical core. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q06.run(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    specs.map(sp => sp.name -> sp.run).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    specs.flatMap(sp => sp.oracle.map(sp.name -> _)).toMap
 }

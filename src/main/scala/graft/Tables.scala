@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Loaders for the driver's synthetic parquet tables (TESTDATA.md /
+  * FIXTURES.md §2) plus declared-schema contracts mirroring the reference's
+  * Glue DDL pattern (/root/reference/addons.tf:299-365 declares a fixed
+  * schema over crawled parquet; we do the same as cheap StructType checks).
+  *
+  * Scale note (100 TB design point): loaders return plain
+  * `spark.read.parquet` scans — no caching, no collect — so Catalyst can
+  * push filters/projections into the parquet reader and partition the scan
+  * by file splits regardless of input size.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Declared-schema contract for lineitem (mirrors the reference's
+    * fixed Glue DDL regime, SURVEY §1.2). Used by tests. */
+  val lineitemSchema: StructType = StructType(Seq(
+    StructField("l_orderkey", LongType, nullable = true),
+    StructField("l_partkey", LongType, nullable = true),
+    StructField("l_suppkey", LongType, nullable = true),
+    StructField("l_linenumber", IntegerType, nullable = true),
+    StructField("l_quantity", DoubleType, nullable = true),
+    StructField("l_extendedprice", DoubleType, nullable = true),
+    StructField("l_discount", DoubleType, nullable = true),
+    StructField("l_tax", DoubleType, nullable = true),
+    StructField("l_returnflag", StringType, nullable = true),
+    StructField("l_linestatus", StringType, nullable = true),
+    StructField("l_shipdate", TimestampType, nullable = true),
+  ))
+
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType, nullable = true),
+    StructField("embedding", ArrayType(FloatType, containsNull = true), nullable = true),
+    StructField("label", IntegerType, nullable = true),
+  ))
+}

@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorOps._
+import Det._
+
+/** Tier C — LLM-data-pipeline operators over `documents`/`embeddings`
+  * (SURVEY §2.3, §2.11 q19–q23): array explode math, exact dedup,
+  * text stats, top-k cosine similarity search, multimodal join.
+  */
+object LlmOps {
+
+  /** q19 — posexplode over the embedding array + per-position math.
+    * Raw float→double values carried unrounded: both engines read the
+    * same parquet floats, so products of identical operands are
+    * bit-identical. */
+  val q19 = QuerySpec(
+    "q19_explode_array",
+    (s, d) => {
+      import s.implicits._
+      Tables.embeddings(s, d)
+        .filter($"vec_id" < 50)
+        .select($"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
+        .select($"vec_id", $"pos",
+          $"v".cast("double").as("val"),
+          ($"v".cast("double") * ($"pos" + 1)).as("scaled"))
+        .orderBy($"vec_id", $"pos")
+    },
+    Some("""WITH ex AS (
+           |  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i, embedding
+           |  FROM embeddings WHERE vec_id < 50)
+           |SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+           |  CAST(embedding[i] AS DOUBLE) AS val,
+           |  CAST(embedding[i] AS DOUBLE) * i AS scaled
+           |FROM ex ORDER BY vec_id, pos""".stripMargin),
+  )
+
+  /** q20 — exact dedup: duplicate the customer table, dropDuplicates on
+    * the key. At scale this is a hash-shuffle on the dedup key with
+    * map-side partial dedup (Aggregate(first)) — no sort, no skew beyond
+    * the key distribution itself. */
+  val q20 = QuerySpec(
+    "q20_dedup_exact",
+    (s, d) => {
+      import s.implicits._
+      val c = Tables.customer(s, d)
+      c.unionAll(c)
+        .dropDuplicates("c_custkey")
+        .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT DISTINCT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           |FROM (SELECT * FROM customer UNION ALL SELECT * FROM customer)
+           |ORDER BY c_custkey""".stripMargin),
+  )
+
+  /** q21 — text stats per language: doc counts, char totals, token-count
+    * stats via regexp token extraction ('\S+'), over docs ≥ 50 chars.
+    * Token counting is per-row and codegen'd; the agg is two-phase. */
+  val q21 = QuerySpec(
+    "q21_text_stats",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .filter($"n_chars" >= 50)
+        .withColumn("n_tokens", size(regexp_extract_all($"text", lit("\\S+"), lit(0))))
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("total_chars"),
+          max($"n_chars").as("max_chars"),
+          min($"n_tokens").as("min_tokens"),
+          max($"n_tokens").as("max_tokens"),
+          (sum($"n_tokens").cast("double") / count(lit(1))).as("avg_tokens"))
+        .orderBy($"lang")
+    },
+    Some("""SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+           |  CAST(min(len(regexp_extract_all(text, '\S+'))) AS INT) AS min_tokens,
+           |  CAST(max(len(regexp_extract_all(text, '\S+'))) AS INT) AS max_tokens,
+           |  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS DOUBLE) / count(*) AS avg_tokens
+           |FROM documents WHERE n_chars >= 50
+           |GROUP BY lang ORDER BY lang""".stripMargin),
+  )
+
+  /** q22 — brute-force cosine top-k: query vector (vec_id=1) against all
+    * others, top-10 by rounded similarity. The 1-row query side is
+    * broadcast; at 100 TB this is a single pass over the embeddings with
+    * a TakeOrderedAndProject top-k (per-partition heaps, driver merges k
+    * rows) — no global sort, no shuffle of vectors. */
+  val q22 = QuerySpec(
+    "q22_similarity_topk",
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+      val qv = emb.filter($"vec_id" === 1).select($"embedding".as("q_emb"))
+      emb.filter($"vec_id" =!= 1)
+        .crossJoin(broadcast(qv))
+        .select($"vec_id", round(cosine($"embedding", $"q_emb"), 4).as("cos_sim"))
+        .orderBy($"cos_sim".desc, $"vec_id")
+        .limit(10)
+    },
+    Some("""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id = 1)
+           |SELECT vec_id,
+           |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q_emb), 4) AS cos_sim
+           |FROM embeddings, q WHERE vec_id <> 1
+           |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
+  )
+
+  /** q23 — multimodal join documents⋈embeddings by id + per-lang vector
+    * norm stats. Norms go through the exact-decimal accumulator (order-
+    * independent) since group sums of doubles aren't. */
+  val q23 = QuerySpec(
+    "q23_multimodal_join",
+    (s, d) => {
+      import s.implicits._
+      val doc = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      doc.join(emb, doc("doc_id") === emb("vec_id"))
+        .withColumn("norm", l2Norm($"embedding"))
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          dsum($"norm", 6).as("norm_sum"),
+          davg($"norm", 6).as("norm_avg"),
+          sum($"label").as("label_sum"))
+        .orderBy($"lang")
+    },
+    Some(s"""SELECT lang, count(*) AS n_docs,
+            |  ${sqlDsum("sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))", 6)} AS norm_sum,
+            |  ${sqlDavg("sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))", 6)} AS norm_avg,
+            |  CAST(sum(label) AS BIGINT) AS label_sum
+            |FROM documents JOIN embeddings ON doc_id = vec_id
+            |GROUP BY lang ORDER BY lang""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q19, q20, q21, q22, q23)
+}

@@ -1,0 +1,52 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One verifiable query: a Spark implementation plus (optionally) the
+  * equivalent DuckDB SQL the driver's oracle runs on the same parquet
+  * tables. `oracle = None` → the driver records a weaker rows-only check
+  * (used for ops whose hash functions aren't portable to DuckDB).
+  */
+final case class QuerySpec(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+)
+
+/** Determinism helpers for the DuckDB hash-compare gate (SURVEY §7.4).
+  *
+  * Floating-point sums are order-dependent, and Spark's shuffle order is
+  * not DuckDB's scan order — so every money/avg aggregate goes through an
+  * exact DECIMAL accumulator (order-independent, bit-exact on both
+  * engines) and is cast back to DOUBLE at the end. Per-row double→decimal
+  * conversion rounds identically on both sides (correct rounding of the
+  * same binary value), so the whole pipeline is engine-independent.
+  *
+  * Scale note: `sum(CAST(x AS DECIMAL))` is still a partial+final
+  * hash aggregate — map-side combine works, no extra shuffle; DECIMAL adds
+  * ~2× per-value cost over double-sum, acceptable for deterministic
+  * verification and irrelevant to shuffle volume at 100 TB.
+  */
+object Det {
+  /** Order-independent exact sum of a double expression, as double. */
+  def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(30, scale))).cast(DoubleType)
+
+  /** Order-independent avg: exact sum divided by count (identical IEEE
+    * division on both engines given identical operands). */
+  def davg(c: Column, scale: Int): Column =
+    dsum(c, scale) / count(lit(1))
+
+  /** DuckDB mirror of [[dsum]]. */
+  def sqlDsum(expr: String, scale: Int): String =
+    s"CAST(sum(CAST($expr AS DECIMAL(30,$scale))) AS DOUBLE)"
+
+  /** DuckDB mirror of [[davg]]. */
+  def sqlDavg(expr: String, scale: Int): String =
+    s"(${sqlDsum(expr, scale)} / count(*))"
+
+  /** Timestamp-at-midnight → 'yyyy-MM-dd' string (tz/precision-proof). */
+  def dstr(c: Column): Column = date_format(c, "yyyy-MM-dd")
+}

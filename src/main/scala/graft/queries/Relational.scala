@@ -1,0 +1,446 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import Det._
+
+/** Relational query surface (SURVEY §2.11 q01–q18).
+  *
+  * Tier A queries (q01–q04) re-express the reference's only executable
+  * program — the 66-line PySpark taxi ETL
+  * (/root/reference/workflow-examples/pyspark-taxi-trip.py:37-51) — as
+  * verifiable queries; Tier B (q05–q18) is the ANSI-SQL surface its
+  * Glue/Athena layer exists to serve (/root/reference/addons.tf:259-365).
+  *
+  * Every query: deterministic total ORDER BY, exact decimal sums (Det),
+  * dates as strings. Plans are declarative DataFrame ops end-to-end so
+  * Catalyst handles pushdown/pruning/join-selection; scale notes per query.
+  */
+object Relational {
+
+  /** q01 — Tier A1+A2: parquet scan + foldable literal timestamp column
+    * (reference appends driver wall-clock via `lit(datetime.now())`,
+    * pyspark-taxi-trip.py:40; fixed here for determinism, SURVEY §7.4).
+    * Scale: projection prunes to 3 columns at the scan (ReadSchema). */
+  val q01 = QuerySpec(
+    "q01_scan_project_lit",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .withColumn("current_ts", to_timestamp(lit("2022-01-01 00:00:00")))
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+          date_format($"current_ts", "yyyy-MM-dd HH:mm:ss").as("current_ts"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+           |  strftime(TIMESTAMP '2022-01-01 00:00:00', '%Y-%m-%d %H:%M:%S') AS current_ts
+           |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+  )
+
+  /** q02 — Tier A5: global count (pyspark-taxi-trip.py:48).
+    * Scale: partial count per split + single final combine. */
+  val q02 = QuerySpec(
+    "q02_count_global",
+    (s, d) => Tables.lineitem(s, d).agg(count(lit(1)).as("n_rows")),
+    Some("SELECT count(*) AS n_rows FROM lineitem"),
+  )
+
+  /** q03 — Tier A4: first-20 semantics of `show(20)`
+    * (pyspark-taxi-trip.py:46), made deterministic by a unique sort key. */
+  val q03 = QuerySpec(
+    "q03_limit_show",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+          $"l_extendedprice", $"l_returnflag", dstr($"l_shipdate").as("ship_date"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+        .limit(20)
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           |  l_returnflag, strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+           |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 20""".stripMargin),
+  )
+
+  /** q04 — Tier A6+A7: `repartition(2)` round-trip preserves the multiset
+    * (pyspark-taxi-trip.py:51) — checked via count + exact checksums that
+    * are invariant to the round-robin shuffle. */
+  val q04 = QuerySpec(
+    "q04_repartition_roundtrip",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d).repartition(2).agg(
+        count(lit(1)).as("n_rows"),
+        sum($"l_orderkey").as("key_sum"),
+        dsum($"l_extendedprice", 2).as("price_sum"))
+    },
+    Some(s"""SELECT count(*) AS n_rows, CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+            |  ${sqlDsum("l_extendedprice", 2)} AS price_sum FROM lineitem""".stripMargin),
+  )
+
+  /** q05 — predicate forms: range, IN, LIKE, null-check (Tier B; the
+    * reference itself has no filter anywhere — SURVEY §2.5).
+    * Scale: all four predicates push to the parquet scan (PushedFilters). */
+  val q05 = QuerySpec(
+    "q05_filter_predicates",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1996-01-01") && $"l_shipdate" < lit("1998-01-01"))
+        .filter($"l_quantity".isin(10.0, 20.0, 30.0, 40.0))
+        .filter($"l_returnflag".like("%A%"))
+        .filter($"l_discount".isNotNull)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag",
+          dstr($"l_shipdate").as("ship_date"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+           |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+           |  AND l_quantity IN (10.0, 20.0, 30.0, 40.0)
+           |  AND l_returnflag LIKE '%A%' AND l_discount IS NOT NULL
+           |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+  )
+
+  /** q06 — TPC-H Q1-shaped pricing summary: filter + groupBy + 8 aggregates.
+    * Scale: filter pushed to scan; two-phase hash agg (partial map-side
+    * combine → 6-group final), shuffle carries only 6 rows per mapper. */
+  val q06 = QuerySpec(
+    "q06_pricing_agg",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" <= lit("1998-12-01"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity", 2).as("sum_qty"),
+          dsum($"l_extendedprice", 2).as("sum_base_price"),
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6).as("sum_disc_price"),
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"), 6).as("sum_charge"),
+          davg($"l_quantity", 2).as("avg_qty"),
+          davg($"l_extendedprice", 2).as("avg_price"),
+          davg($"l_discount", 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    Some(s"""SELECT l_returnflag, l_linestatus,
+            |  ${sqlDsum("l_quantity", 2)} AS sum_qty,
+            |  ${sqlDsum("l_extendedprice", 2)} AS sum_base_price,
+            |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 6)} AS sum_disc_price,
+            |  ${sqlDsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)} AS sum_charge,
+            |  ${sqlDavg("l_quantity", 2)} AS avg_qty,
+            |  ${sqlDavg("l_extendedprice", 2)} AS avg_price,
+            |  ${sqlDavg("l_discount", 6)} AS avg_disc,
+            |  count(*) AS count_order
+            |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+            |GROUP BY l_returnflag, l_linestatus
+            |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+  )
+
+  /** q07 — dimension join chain customer⋈nation⋈region with explicit
+    * broadcast hints (nation=25, region=5 rows — the canonical small-dim
+    * broadcast; no shuffle of the customer side at any scale). */
+  val q07 = QuerySpec(
+    "q07_join_broadcast",
+    (s, d) => {
+      import s.implicits._
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_customers"), dsum($"c_acctbal", 2).as("acctbal_sum"))
+        .orderBy($"r_name", $"n_name")
+    },
+    Some(s"""SELECT r_name, n_name, count(*) AS n_customers,
+            |  ${sqlDsum("c_acctbal", 2)} AS acctbal_sum
+            |FROM customer
+            |JOIN nation ON c_nationkey = n_nationkey
+            |JOIN region ON n_regionkey = r_regionkey
+            |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin),
+  )
+
+  /** q08 — large fact-fact equi-join orders⋈lineitem, forced sort-merge
+    * (`hint("merge")`) — the strategy that survives when neither side
+    * broadcasts; both sides shuffle-partition on the join key only. */
+  val q08 = QuerySpec(
+    "q08_join_sortmerge",
+    (s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d).hint("merge")
+      val l = Tables.lineitem(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy($"o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_items"),
+          countDistinct($"o_orderkey").as("n_orders"),
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6).as("revenue"))
+        .orderBy($"o_orderpriority")
+    },
+    Some(s"""SELECT o_orderpriority, count(*) AS n_items,
+            |  count(DISTINCT o_orderkey) AS n_orders,
+            |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue
+            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+  )
+
+  /** q09 — left-semi (orders WITH lineitems) + left-anti (orders WITHOUT),
+    * tagged and unioned. Semi/anti never materialize the probe payload —
+    * at scale they shuffle only the join key. */
+  val q09 = QuerySpec(
+    "q09_join_semi_anti",
+    (s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val lKeys = Tables.lineitem(s, d).select($"l_orderkey")
+      val semi = o.join(lKeys, o("o_orderkey") === lKeys("l_orderkey"), "left_semi")
+        .agg(count(lit(1)).as("n_orders")).select(lit("semi").as("tag"), $"n_orders")
+      val anti = o.join(lKeys, o("o_orderkey") === lKeys("l_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_orders")).select(lit("anti").as("tag"), $"n_orders")
+      semi.unionAll(anti).orderBy($"tag")
+    },
+    Some("""SELECT 'anti' AS tag, count(*) AS n_orders FROM orders
+           |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+           |UNION ALL
+           |SELECT 'semi' AS tag, count(*) AS n_orders FROM orders
+           |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+           |ORDER BY tag""".stripMargin),
+  )
+
+  /** q10 — non-equi range join: lineitem × 7-row year-interval table on
+    * `l_shipdate ∈ [y_start, y_end)` → BroadcastNestedLoopJoin with the
+    * tiny side broadcast — the only NLJ shape that's sane at 100 TB. */
+  val q10 = QuerySpec(
+    "q10_join_theta_range",
+    (s, d) => {
+      import s.implicits._
+      val years = s.range(1995, 2002).select(
+        $"id".cast("int").as("yr"),
+        to_timestamp(concat($"id".cast("string"), lit("-01-01"))).as("y_start"),
+        to_timestamp(concat(($"id" + 1).cast("string"), lit("-01-01"))).as("y_end"))
+      val l = Tables.lineitem(s, d)
+      l.join(broadcast(years), l("l_shipdate") >= years("y_start") && l("l_shipdate") < years("y_end"))
+        .groupBy($"yr")
+        .agg(count(lit(1)).as("n_items"), dsum($"l_extendedprice", 2).as("price_sum"))
+        .orderBy($"yr")
+    },
+    Some(s"""WITH years AS (
+            |  SELECT CAST(y AS INT) AS yr,
+            |    CAST(CAST(y AS VARCHAR) || '-01-01' AS TIMESTAMP) AS y_start,
+            |    CAST(CAST(y+1 AS VARCHAR) || '-01-01' AS TIMESTAMP) AS y_end
+            |  FROM generate_series(1995, 2001) t(y))
+            |SELECT yr, count(*) AS n_items, ${sqlDsum("l_extendedprice", 2)} AS price_sum
+            |FROM lineitem JOIN years ON l_shipdate >= y_start AND l_shipdate < y_end
+            |GROUP BY yr ORDER BY yr""".stripMargin),
+  )
+
+  /** q11 — exact count(DISTINCT) per group (two-phase Expand-based
+    * distinct agg). The HLL `approx_count_distinct` twin lives in the
+    * non-oracle extras (estimates never hash-match — SURVEY §7.4). */
+  val q11 = QuerySpec(
+    "q11_agg_distinct_hll",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey").as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+           |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+  )
+
+  /** q12 — ROLLUP(n_name, o_orderpriority) over orders⋈customer⋈nation;
+    * rollup nulls normalized to '(all)' so ORDER BY is portable
+    * (Spark sorts NULLS FIRST, DuckDB NULLS LAST). */
+  val q12 = QuerySpec(
+    "q12_rollup_cube",
+    (s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .rollup($"n_name", $"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice", 2).as("total"))
+        .select(
+          coalesce($"n_name", lit("(all)")).as("nation"),
+          coalesce($"o_orderpriority", lit("(all)")).as("priority"),
+          $"n_orders", $"total")
+        .orderBy($"nation", $"priority")
+    },
+    Some(s"""SELECT coalesce(n_name, '(all)') AS nation,
+            |  coalesce(o_orderpriority, '(all)') AS priority,
+            |  count(*) AS n_orders, ${sqlDsum("o_totalprice", 2)} AS total
+            |FROM orders JOIN customer ON o_custkey = c_custkey
+            |JOIN nation ON c_nationkey = n_nationkey
+            |GROUP BY ROLLUP (n_name, o_orderpriority)
+            |ORDER BY nation, priority""".stripMargin),
+  )
+
+  /** q13 — ranking window: top-3 orders per customer by price, with
+    * row_number/rank/lag over the same spec. Partition-local sort only —
+    * no global shuffle beyond hash-by-customer. */
+  val q13 = QuerySpec(
+    "q13_window_rank",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rk", rank().over(w))
+        .withColumn("prev_price", lag($"o_totalprice", 1).over(w))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn", $"rk", $"prev_price")
+        .orderBy($"o_custkey", $"rn")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, prev_price FROM (
+           |  SELECT o_custkey, o_orderkey, o_totalprice,
+           |    CAST(row_number() OVER w AS INT) AS rn,
+           |    CAST(rank() OVER w AS INT) AS rk,
+           |    lag(o_totalprice, 1) OVER w AS prev_price
+           |  FROM orders
+           |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+           |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin),
+  )
+
+  /** q14 — running-sum frame: rowsBetween(unboundedPreceding, currentRow)
+    * per supplier in deterministic (shipdate, orderkey, linenumber) order.
+    * Quantities are integral doubles → prefix sums are exact. */
+  val q14 = QuerySpec(
+    "q14_window_frame_running",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d)
+        .withColumn("run_qty", sum($"l_quantity").over(w))
+        .select($"l_suppkey", dstr($"l_shipdate").as("ship_date"),
+          $"l_orderkey", $"l_linenumber", $"l_quantity", $"run_qty")
+        .orderBy($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber")
+    },
+    Some("""SELECT l_suppkey, strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+           |  l_orderkey, l_linenumber, l_quantity,
+           |  sum(l_quantity) OVER (PARTITION BY l_suppkey
+           |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty
+           |FROM lineitem
+           |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin),
+  )
+
+  /** q15 — global top-k: orderBy + limit. Spark plans TakeOrderedAndProject
+    * (per-partition heap + driver merge of k rows) — no global sort. */
+  val q15 = QuerySpec(
+    "q15_sort_topk",
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", dstr($"o_orderdate").as("order_date"))
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(10)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+           |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+           |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
+  )
+
+  /** q16 — set ops over two customer-key slices: UNION (distinct),
+    * INTERSECT, EXCEPT, reported as tagged counts. */
+  val q16 = QuerySpec(
+    "q16_setops",
+    (s, d) => {
+      import s.implicits._
+      val c = Tables.customer(s, d)
+      val a = c.filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      val b = c.filter($"c_acctbal" > 5000.0).select($"c_custkey")
+      def tagged(tag: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n")).select(lit(tag).as("op"), $"n")
+      tagged("except", a.except(b))
+        .unionAll(tagged("intersect", a.intersect(b)))
+        .unionAll(tagged("union", a.union(b).distinct()))
+        .orderBy($"op")
+    },
+    Some("""SELECT 'except' AS op, count(*) AS n FROM (
+           |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+           |  EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+           |UNION ALL
+           |SELECT 'intersect', count(*) FROM (
+           |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+           |  INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+           |UNION ALL
+           |SELECT 'union', count(*) FROM (
+           |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+           |  UNION SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+           |ORDER BY op""".stripMargin),
+  )
+
+  /** q17 — scalar-function sampler: regexp_extract, date_trunc, datediff,
+    * floor-math, CASE WHEN, nullif/coalesce. All codegen'd built-ins. */
+  val q17 = QuerySpec(
+    "q17_scalar_string_date_math",
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .select(
+          $"o_orderkey",
+          regexp_extract($"o_orderpriority", "(\\d+)", 1).cast("int").as("prio_num"),
+          date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM-dd").as("order_month"),
+          datediff($"o_orderdate", lit("1995-01-01")).as("days_since"),
+          when($"o_totalprice" > 250000.0, "big")
+            .when($"o_totalprice" > 100000.0, "mid")
+            .otherwise("small").as("price_bucket"),
+          floor($"o_totalprice" / 7.0).as("price_div7"),
+          coalesce(nullif($"o_orderstatus", lit("O")), lit("open")).as("status_or_open"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+           |  CAST(regexp_extract(o_orderpriority, '(\d+)', 1) AS INT) AS prio_num,
+           |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+           |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+           |  CASE WHEN o_totalprice > 250000.0 THEN 'big'
+           |       WHEN o_totalprice > 100000.0 THEN 'mid' ELSE 'small' END AS price_bucket,
+           |  CAST(floor(o_totalprice / 7.0) AS BIGINT) AS price_div7,
+           |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open
+           |FROM orders ORDER BY o_orderkey""".stripMargin),
+  )
+
+  /** q18 — JSON column: schema'd from_json over events.props + per-type
+    * aggregate. from_json parses once per row inside codegen; at scale
+    * prefer this over repeated get_json_object calls per field. */
+  val q18 = QuerySpec(
+    "q18_json_events",
+    (s, d) => {
+      import s.implicits._
+      val propsSchema = StructType(Seq(StructField("k", IntegerType)))
+      Tables.events(s, d)
+        .withColumn("k", from_json($"props", propsSchema).getField("k"))
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum($"k").as("k_sum"),
+          max($"k").as("k_max"),
+          davg($"value", 4).as("value_avg"))
+        .orderBy($"event_type")
+    },
+    Some(s"""SELECT event_type, count(*) AS n_events,
+            |  CAST(sum(CAST(json_extract_string(props, '$$.k') AS INT)) AS BIGINT) AS k_sum,
+            |  CAST(max(CAST(json_extract_string(props, '$$.k') AS INT)) AS INT) AS k_max,
+            |  ${sqlDavg("value", 4)} AS value_avg
+            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
+    q10, q11, q12, q13, q14, q15, q16, q17, q18)
+}

@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 check: read each Verify output parquet,
+run the matching oracle SQL in DuckDB over the same testdata tables, and
+compare row counts, schemas (loosely), and values (exactly, after sorting
+columns by name). Dev tool only — not part of the shipped library.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output");  n_fail += 1;  continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").df()
+        try:
+            exp = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}");  n_fail += 1;  continue
+        ok, msg = compare(got, exp)
+        if ok:
+            n_pass += 1
+            print(f"PASS {name} ({len(got)} rows)")
+        else:
+            n_fail += 1
+            print(f"FAIL {name}: {msg}")
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+def compare(got, exp):
+    if len(got) != len(exp):
+        return False, f"row count {len(got)} != {len(exp)}"
+    gc, ec = sorted(got.columns), sorted(exp.columns)
+    if gc != ec:
+        return False, f"columns {gc} != {ec}"
+    for c in gc:
+        g, e = got[c], exp[c]
+        try:
+            if g.dtype.kind == 'f' or e.dtype.kind == 'f':
+                ga = g.astype(float).to_numpy(); ea = e.astype(float).to_numpy()
+                same = (ga == ea) | (np.isnan(ga) & np.isnan(ea))
+                if not same.all():
+                    i = int(np.argmin(same))
+                    return False, f"col {c} row {i}: {ga[i]!r} != {ea[i]!r} (diff {ga[i]-ea[i]!r})"
+            else:
+                gs = g.astype(str).to_numpy(); es = e.astype(str).to_numpy()
+                if not (gs == es).all():
+                    i = int(np.argmin(gs == es))
+                    return False, f"col {c} row {i}: {gs[i]!r} != {es[i]!r} (dtypes {g.dtype}/{e.dtype})"
+        except Exception as ex:
+            return False, f"col {c}: compare error {ex} (dtypes {g.dtype}/{e.dtype})"
+    return True, ""
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
