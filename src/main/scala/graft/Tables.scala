@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Loaders for the driver's synthetic parquet tables (TESTDATA.md /
@@ -24,7 +25,14 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  /** events.parquet carries TIMESTAMP(NANOS), which our sessions read as
+    * long nanos (spark.sql.legacy.parquet.nanosAsLong). Re-derive a real
+    * timestamp at microsecond precision — the same truncation DuckDB
+    * applies when it coerces the nanos column to TIMESTAMP — so event-time
+    * queries (q34, streaming demo) see identical values on both engines. */
+  def events(s: SparkSession, d: String): DataFrame =
+    table(s, d, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

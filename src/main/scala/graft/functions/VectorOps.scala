@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
   * Spark's codegen'd higher-order functions (`zip_with`, `aggregate`,
   * `transform`) — no UDF boxing, stays inside WholeStageCodegen.
   *
-  * Accumulation is a sequential left fold in DOUBLE, matching DuckDB's
-  * list_dot_product/list_cosine_similarity semantics closely enough that
-  * round(·, 4) hash-compares (verified by the oracle harness).
+  * Accumulation is a sequential left fold in DOUBLE. The DuckDB oracles
+  * mirror it exactly with `list_reduce(list_prepend(0.0, …))`
+  * (graft.queries.Det.sqlDot/sqlNormSq) — same IEEE additions of the same
+  * operands in the same order — so rounded comparisons are bit-stable.
   *
   * Scale note: all per-row expressions — embarrassingly parallel, no
   * shuffle; dimension is bounded (64 here), so cost is O(rows × dim).

@@ -104,11 +104,11 @@ object LlmOps {
         .orderBy($"cos_sim".desc, $"vec_id")
         .limit(10)
     },
-    Some("""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id = 1)
-           |SELECT vec_id,
-           |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q_emb), 4) AS cos_sim
-           |FROM embeddings, q WHERE vec_id <> 1
-           |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
+    Some(s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id = 1),
+            |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id <> 1)
+            |SELECT vec_id, round(${sqlCosine("emb", "q_emb")}, 4) AS cos_sim
+            |FROM e, q
+            |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
   )
 
   /** q23 — multimodal join documents⋈embeddings by id + per-lang vector
@@ -130,12 +130,14 @@ object LlmOps {
           sum($"label").as("label_sum"))
         .orderBy($"lang")
     },
-    Some(s"""SELECT lang, count(*) AS n_docs,
-            |  ${sqlDsum("sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))", 6)} AS norm_sum,
-            |  ${sqlDavg("sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))", 6)} AS norm_avg,
+    Some(s"""WITH j AS (
+            |  SELECT lang, label, ${sqlL2Norm("CAST(embedding AS DOUBLE[])")} AS norm
+            |  FROM documents JOIN embeddings ON doc_id = vec_id)
+            |SELECT lang, count(*) AS n_docs,
+            |  ${sqlDsum("norm", 6)} AS norm_sum,
+            |  ${sqlDavg("norm", 6)} AS norm_avg,
             |  CAST(sum(label) AS BIGINT) AS label_sum
-            |FROM documents JOIN embeddings ON doc_id = vec_id
-            |GROUP BY lang ORDER BY lang""".stripMargin),
+            |FROM j GROUP BY lang ORDER BY lang""".stripMargin),
   )
 
   val all: Seq[QuerySpec] = Seq(q19, q20, q21, q22, q23)

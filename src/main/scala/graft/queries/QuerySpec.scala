@@ -49,4 +49,30 @@ object Det {
 
   /** Timestamp-at-midnight → 'yyyy-MM-dd' string (tz/precision-proof). */
   def dstr(c: Column): Column = date_format(c, "yyyy-MM-dd")
+
+  // ---- DuckDB mirrors of graft.functions.VectorOps -------------------
+  // Spark's `aggregate(xs, 0.0, _+_)` is a sequential left fold seeded
+  // with 0.0. `list_reduce` folds left from the first element, so we
+  // prepend the 0.0 seed — making the DuckDB sum bit-identical to
+  // Spark's (same IEEE additions of the same operands in the same
+  // order), which keeps round(·, n) stable at rounding boundaries.
+
+  /** Sequential left-fold sum of a DuckDB DOUBLE[] expression. */
+  def sqlFoldSum(listExpr: String): String =
+    s"list_reduce(list_prepend(0.0, $listExpr), (acc, x) -> acc + x)"
+
+  /** DuckDB mirror of VectorOps.dot (inputs must be DOUBLE[] exprs). */
+  def sqlDot(a: String, b: String): String =
+    sqlFoldSum(s"list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])")
+
+  /** DuckDB mirror of VectorOps.normSq. */
+  def sqlNormSq(v: String): String =
+    sqlFoldSum(s"list_transform($v, x -> x * x)")
+
+  /** DuckDB mirror of VectorOps.l2Norm. */
+  def sqlL2Norm(v: String): String = s"sqrt(${sqlNormSq(v)})"
+
+  /** DuckDB mirror of VectorOps.cosine. */
+  def sqlCosine(a: String, b: String): String =
+    s"(${sqlDot(a, b)} / (${sqlL2Norm(a)} * ${sqlL2Norm(b)}))"
 }

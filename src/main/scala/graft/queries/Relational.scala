@@ -395,7 +395,9 @@ object Relational {
       Tables.orders(s, d)
         .select(
           $"o_orderkey",
-          regexp_extract($"o_orderpriority", "(\\d+)", 1).cast("int").as("prio_num"),
+          // regexp_extract yields '' on no match, and CAST('' AS INT) throws
+          // under ANSI mode — nullif guards digit-less priorities → NULL.
+          nullif(regexp_extract($"o_orderpriority", "(\\d+)", 1), lit("")).cast("int").as("prio_num"),
           date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM-dd").as("order_month"),
           datediff($"o_orderdate", lit("1995-01-01")).as("days_since"),
           when($"o_totalprice" > 250000.0, "big")
@@ -406,7 +408,7 @@ object Relational {
         .orderBy($"o_orderkey")
     },
     Some("""SELECT o_orderkey,
-           |  CAST(regexp_extract(o_orderpriority, '(\d+)', 1) AS INT) AS prio_num,
+           |  CAST(nullif(regexp_extract(o_orderpriority, '(\d+)', 1), '') AS INT) AS prio_num,
            |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
            |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
            |  CASE WHEN o_totalprice > 250000.0 THEN 'big'

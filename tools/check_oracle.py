@@ -23,7 +23,7 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output");  n_fail += 1;  continue
         got = con.execute(
@@ -50,6 +50,13 @@ def compare(got, exp):
         return False, f"columns {gc} != {ec}"
     for c in gc:
         g, e = got[c], exp[c]
+        # A nullable integer column becomes float64 in pandas ('5.0' vs '5'
+        # under astype(str)); convert_dtypes restores Int64 where possible
+        # so the string compare below sees matching renderings.
+        if g.dtype.kind == 'f' and e.dtype.kind in 'iu':
+            g = g.convert_dtypes()
+        if e.dtype.kind == 'f' and g.dtype.kind in 'iu':
+            e = e.convert_dtypes()
         try:
             if g.dtype.kind == 'f' or e.dtype.kind == 'f':
                 ga = g.astype(float).to_numpy(); ea = e.astype(float).to_numpy()
