@@ -37,7 +37,8 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
   /** Declared-schema contract for lineitem (mirrors the reference's
-    * fixed Glue DDL regime, SURVEY §1.2). Used by tests. */
+    * fixed Glue DDL regime, SURVEY §1.2). Enforced by
+    * graft.SchemaContractsSpec. */
   val lineitemSchema: StructType = StructType(Seq(
     StructField("l_orderkey", LongType, nullable = true),
     StructField("l_partkey", LongType, nullable = true),
@@ -49,7 +50,8 @@ object Tables {
     StructField("l_tax", DoubleType, nullable = true),
     StructField("l_returnflag", StringType, nullable = true),
     StructField("l_linestatus", StringType, nullable = true),
-    StructField("l_shipdate", TimestampType, nullable = true),
+    // Parquet writes isAdjustedToUTC=false → Spark 4 surfaces NTZ.
+    StructField("l_shipdate", TimestampNTZType, nullable = true),
   ))
 
   val embeddingsSchema: StructType = StructType(Seq(

@@ -1,0 +1,55 @@
+package graft
+
+/** Every SparkEntry query must (a) run at sf0.001, (b) return rows, and
+  * (c) be deterministic — two executions collect identical sequences.
+  * Determinism is what makes the driver's DuckDB hash-compare meaningful
+  * (SURVEY §7.4); a flaky ORDER BY passes once and fails the next round.
+  */
+class QueriesSpec extends SparkTestBase {
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name: non-empty and deterministic at sf0.001") {
+      val first = fn(spark, sf).collect().toSeq
+      assert(first.nonEmpty, s"$name returned 0 rows")
+      val second = fn(spark, sf).collect().toSeq
+      assert(first === second, s"$name is non-deterministic across runs")
+    }
+  }
+
+  test("every query has either an oracle or a documented reason not to") {
+    // Names present in queries but absent from oracleSql get the driver's
+    // weaker rows-only check — keep that set intentional and small.
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty, s"queries without oracle SQL: $noOracle")
+  }
+
+  test("q02 counts all 6000 sf0.001 lineitems") {
+    val n = SparkEntry.queries("q02_count_global")(spark, sf).head().getLong(0)
+    assert(n === 6000L)
+  }
+
+  test("q15 returns exactly 10 rows in descending price order") {
+    val prices = SparkEntry.queries("q15_sort_topk")(spark, sf)
+      .collect().map(_.getDouble(2)).toSeq
+    assert(prices.length === 10)
+    assert(prices === prices.sorted.reverse)
+  }
+
+  test("q20 dedup returns each customer exactly once") {
+    val keys = SparkEntry.queries("q20_dedup_exact")(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    assert(keys.distinct.length === keys.length)
+    assert(keys.length === Tables.customer(spark, sf).count())
+  }
+
+  test("q22 similarities are within [-1, 1] and sorted descending") {
+    val sims = SparkEntry.queries("q22_similarity_topk")(spark, sf)
+      .collect().map(_.getDouble(1)).toSeq
+    assert(sims.forall(s => s >= -1.0 && s <= 1.0))
+    assert(sims === sims.sorted.reverse)
+  }
+
+  test("entry (flagship) returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One session for the whole forked test JVM — Spark local sessions are
+  * expensive to start and getOrCreate() shares the context across suites.
+  * Config mirrors graft.Verify (the driver's correctness gate) so tests
+  * observe the same semantics the gate does.
+  */
+object SharedSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+abstract class SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SharedSpark.spark
+  /** Smallest driver-generated scale factor — smoke/correctness data. */
+  val sf: String = "/root/testdata/sf0.001"
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps._
+
+class VectorOpsSpec extends SparkTestBase {
+  import org.apache.spark.sql.Row
+
+  private def vecs = {
+    import spark.implicits._
+    Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f)),
+      (2L, Seq(3.0f, 4.0f, 0.0f), Seq(3.0f, 4.0f, 0.0f)),
+      (3L, Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 4.0f, 4.0f)),
+    ).toDF("id", "a", "b")
+  }
+
+  test("dot: orthogonal is 0, parallel is |v|^2") {
+    val rows = vecs.select(col("id"), dot(col("a"), col("b")).as("d"))
+      .orderBy("id").collect()
+    assert(rows(0).getDouble(1) === 0.0)
+    assert(rows(1).getDouble(1) === 25.0)
+    assert(rows(2).getDouble(1) === 18.0)
+  }
+
+  test("l2Norm matches hand computation") {
+    val rows = vecs.select(col("id"), l2Norm(col("a")).as("n"))
+      .orderBy("id").collect()
+    assert(rows(0).getDouble(1) === 1.0)
+    assert(rows(1).getDouble(1) === 5.0)
+    assert(rows(2).getDouble(1) === 3.0)
+  }
+
+  test("cosine: orthogonal 0, identical 1, scaled copies 1") {
+    val rows = vecs.select(col("id"), cosine(col("a"), col("b")).as("c"))
+      .orderBy("id").collect()
+    assert(rows(0).getDouble(1) === 0.0)
+    assert(math.abs(rows(1).getDouble(1) - 1.0) < 1e-12)
+    assert(math.abs(rows(2).getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("null embedding yields null, not a crash") {
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[Seq[Float]]), (2L, Some(Seq(1.0f))))
+      .toDF("id", "v")
+    val out = df.select(col("id"), l2Norm(col("v")).as("n")).orderBy("id").collect()
+    assert(out(0).isNullAt(1))
+    assert(out(1).getDouble(1) === 1.0)
+  }
+}
