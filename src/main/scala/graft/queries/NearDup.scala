@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns._
+import graft.functions.VectorOps._
+import Det._
+
+/** Near-duplicate detection + ANN search (SURVEY §2.3 Tier C, driver
+  * north-star): MinHash+LSH, SimHash, exact n-gram Jaccard, embedding-
+  * cosine blocking, and IVF-style probed similarity search.
+  *
+  * Hash portability: every hash is md5 over an explicit string — hex
+  * output is identical in Spark and DuckDB, so all five queries get full
+  * value-level oracles (SURVEY §7.6's "hash functions not portable"
+  * caveat applied to xxhash64, not md5).
+  *
+  * Scale design (100 TB): all candidate generation is bucket-equi-join
+  * shaped — signatures/bands/nibbles are tiny per row, the only shuffles
+  * hash on band or nibble keys, and no operator ever pairs the full
+  * corpus quadratically (q27's blocked pair join is the deliberate
+  * exception, bounded by its block predicate; q24/q25 are the scale
+  * paths that replace it).
+  */
+object NearDup {
+
+  private val B = 4 // LSH bands
+  // Salted double-row band key: 2 minhashes per band, B bands total.
+
+  /** q24 — MinHash + LSH near-dup candidates: word-3-gram shingles →
+    * per-band 2-row minhash signature → bucket join on (band, key).
+    * Recall for Jaccard j is 1-(1-j²)⁴ (≈0.9998 at j=0.9); false
+    * positives are whatever collides — candidates, not verdicts (q26
+    * verifies exactly). Shuffle: one hash-join keyed on 32-char band
+    * keys, ~4 rows × ~70 B per doc — at 100 TB the bucket join touches
+    * signatures only, never document text. */
+  val q24 = QuerySpec(
+    "q24_dedup_minhash_lsh",
+    (s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", tokens($"text").as("t"))
+        .filter(size($"t") >= 3)
+      val sh = toks.select($"doc_id", shingles3("t").as("s"))
+      val sig = sh
+        .select($"doc_id", explode(sequence(lit(0), lit(B - 1))).as("b"), $"s")
+        .select($"doc_id", $"b",
+          concat(minhash("s", "2*b"), lit("|"), minhash("s", "2*b+1")).as("band_key"))
+      sig.as("a")
+        .join(sig.as("c"),
+          $"a.b" === $"c.b" && $"a.band_key" === $"c.band_key" && $"a.doc_id" < $"c.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"c.doc_id".as("doc_b"))
+        .distinct()
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+           |sh AS (SELECT doc_id, list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS s
+           |       FROM toks WHERE len(t) >= 3),
+           |sig AS (SELECT doc_id, b,
+           |        list_aggregate(list_transform(s, x -> md5(x || ':' || CAST(2*b AS VARCHAR))), 'min')
+           |        || '|' ||
+           |        list_aggregate(list_transform(s, x -> md5(x || ':' || CAST(2*b+1 AS VARCHAR))), 'min') AS band_key
+           |        FROM sh, generate_series(0, 3) g(b))
+           |SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+           |FROM sig a JOIN sig b2 ON a.b = b2.b AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id
+           |ORDER BY doc_a, doc_b""".stripMargin),
+  )
+
+  /** q25 — SimHash near-dup: 32-bit fingerprint from shingle md5 nibbles
+    * (bit j = sign of Σ ±1 over shingles by hex digit j), candidates
+    * blocked on 8-bit chunks (pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 chunks
+    * equal), verified by bit_count(xor) ≤ 3. Unigram features would
+    * collapse here — the corpus vocabulary is ~30 words, so shingles are
+    * the discriminative feature set. Per doc state is one long; the
+    * candidate join shuffles 4 × 12-byte rows per doc. */
+  val q25 = QuerySpec(
+    "q25_dedup_simhash",
+    (s, d) => {
+      import s.implicits._
+      val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", tokens($"text").as("t"))
+        .filter(size($"t") >= 3)
+      val grams = toks
+        .select($"doc_id", explode(shingles3("t")).as("w"))
+        .select($"doc_id", md5($"w").as("hx"))
+      val sums = (0 until 32).map(j =>
+        sum(when(substring($"hx", j + 1, 1).isin(hi: _*), 1).otherwise(-1)).as(s"s$j"))
+      val sim = grams.groupBy($"doc_id")
+        .agg(sums.head, sums.tail: _*)
+        .select($"doc_id",
+          (0 until 32).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+            .reduce(_ + _).cast("long").as("simhash"))
+      val nib = sim
+        .select($"doc_id", $"simhash", explode(sequence(lit(0), lit(3))).as("k"))
+        .withColumn("nv", expr("shiftright(simhash, 8*k) % 256"))
+      nib.as("a")
+        .join(nib.as("c"), $"a.k" === $"c.k" && $"a.nv" === $"c.nv" && $"a.doc_id" < $"c.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"c.doc_id".as("doc_b"),
+          expr("cast(bit_count(a.simhash ^ c.simhash) as int)").as("hamming"))
+        .distinct()
+        .filter($"hamming" <= 3)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some {
+      val hi = "('8','9','a','b','c','d','e','f')"
+      val sums = (0 until 32)
+        .map(j => s"sum(CASE WHEN substring(hx, ${j + 1}, 1) IN $hi THEN 1 ELSE -1 END) AS s$j")
+        .mkString(", ")
+      val bits = (0 until 32)
+        .map(j => s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
+         |sh0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS w
+         |        FROM toks WHERE len(t) >= 3),
+         |h AS (SELECT doc_id, md5(w) AS hx FROM sh0),
+         |b AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+         |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM b),
+         |nib AS (SELECT doc_id, simhash, k, (simhash >> (8*k)) & 255 AS nv FROM sh, generate_series(0,3) g(k)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa, b2.doc_id AS doc_b, b2.simhash AS sb
+         |         FROM nib a JOIN nib b2 ON a.k = b2.k AND a.nv = b2.nv AND a.doc_id < b2.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY doc_a, doc_b""".stripMargin
+    },
+  )
+
+  /** q26 — exact n-gram Jaccard: distinct 3-gram shingle sets, inverted-
+    * index self-join on shingle (only co-shingled pairs materialize),
+    * |A∩B| / (|A|+|B|−|A∩B|) ≥ 0.6. This is the exact verifier behind
+    * q24/q25's candidates. Scale: the shingle join is the classic
+    * inverted-index pattern — shuffle keyed on shingle; a stopword-like
+    * hot shingle would skew it (AQE skew-join handles moderate cases;
+    * frequency-capping shingles is the 100 TB mitigation). */
+  val q26 = QuerySpec(
+    "q26_dedup_ngram_jaccard",
+    (s, d) => {
+      import s.implicits._
+      val sh = Tables.documents(s, d)
+        .select($"doc_id", tokens($"text").as("t"))
+        .filter(size($"t") >= 3)
+        .select($"doc_id", array_distinct(shingles3("t")).as("s"))
+      val ex = sh.select($"doc_id", size($"s").as("sz"), explode($"s").as("g"))
+      ex.as("a")
+        .join(ex.as("c"), $"a.g" === $"c.g" && $"a.doc_id" < $"c.doc_id")
+        .groupBy($"a.doc_id".as("doc_a"), $"c.doc_id".as("doc_b"))
+        .agg(count(lit(1)).as("n_common"), min($"a.sz").as("size_a"), min($"c.sz").as("size_b"))
+        .withColumn("jaccard",
+          $"n_common" * lit(1.0) / ($"size_a" + $"size_b" - $"n_common"))
+        .filter($"jaccard" >= 0.6)
+        .select($"doc_a", $"doc_b", $"size_a".cast("int"), $"size_b".cast("int"),
+          $"n_common".cast("int").as("n_common"), round($"jaccard", 4).as("jaccard"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+           |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+           |       FROM toks WHERE len(t) >= 3),
+           |ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+           |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i, min(a.sz) AS sa, min(b.sz) AS sb
+           |          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, CAST(sa AS INT) AS size_a, CAST(sb AS INT) AS size_b, CAST(i AS INT) AS n_common,
+           |       round(i * 1.0 / (sa + sb - i), 4) AS jaccard
+           |FROM inter WHERE i * 1.0 / (sa + sb - i) >= 0.6 ORDER BY doc_a, doc_b""".stripMargin),
+  )
+
+  /** q27 — embedding-cosine near-dup: all pairs with cosine ≥ 0.45
+    * (this corpus's embeddings are near-orthogonal — max pair ≈ 0.51 —
+    * so 0.45 isolates the planted neighbors). Deliberately the exact
+    * quadratic baseline the LSH/IVF paths (q24/q28) exist to replace;
+    * at 100 TB you run THIS only inside blocks emitted by those. The
+    * pair join broadcasts the smaller side; cosines are sequential-fold
+    * doubles, bit-identical to the oracle, so the ≥ filter can't flake. */
+  val q27 = QuerySpec(
+    "q27_dedup_embedding_cosine",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", asDouble($"embedding").as("emb"))
+      e.as("a")
+        .join(e.as("c"), $"a.vec_id" < $"c.vec_id")
+        .withColumn("cos", cosine($"a.emb", $"c.emb"))
+        .filter($"cos" >= 0.45)
+        .select($"a.vec_id".as("vec_a"), $"c.vec_id".as("vec_b"),
+          round($"cos", 4).as("cos_sim"))
+        .orderBy($"vec_a", $"vec_b")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${sqlCosine("a.emb", "b.emb")} AS c
+            |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+            |SELECT vec_a, vec_b, round(c, 4) AS cos_sim FROM p WHERE c >= 0.45
+            |ORDER BY vec_a, vec_b""".stripMargin),
+  )
+
+  /** q28 — IVF-style probed ANN: 8 fixed centroids (vec_id 2–9), every
+    * vector assigned to its argmax-cosine centroid, query (vec_id 1)
+    * probes its 2 nearest centroids, top-10 by cosine within the probed
+    * partitions. The scale path for q22's brute-force scan: assignment
+    * is one broadcast pass (centroids are tiny), the probe touches
+    * ~2/8 of the corpus, and top-k is per-partition heaps + driver
+    * merge (TakeOrderedAndProject) — no global sort. Assignments are
+    * bit-identical to the oracle because cosines are. */
+  val q28 = QuerySpec(
+    "q28_ann_ivf_probe",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", asDouble($"embedding").as("emb"))
+      val cent = e.filter($"vec_id".between(2, 9))
+        .select($"vec_id".as("cid"), $"emb".as("cemb"))
+      val w = Window.partitionBy($"vec_id").orderBy($"c".desc, $"cid")
+      val assign = e.crossJoin(broadcast(cent))
+        .withColumn("c", cosine($"emb", $"cemb"))
+        .withColumn("rn", row_number().over(w))
+      val member = assign.filter($"rn" === 1).select($"vec_id", $"cid")
+      val probe = assign.filter($"vec_id" === 1 && $"rn" <= 2).select($"cid")
+      val qv = e.filter($"vec_id" === 1).select($"emb".as("qemb"))
+      member
+        .join(broadcast(probe), "cid", "left_semi")
+        .filter($"vec_id" =!= 1)
+        .join(e, "vec_id")
+        .crossJoin(broadcast(qv))
+        .select($"vec_id", $"cid".as("cluster_id"),
+          round(cosine($"emb", $"qemb"), 4).as("cos_sim"))
+        .orderBy($"cos_sim".desc, $"vec_id")
+        .limit(10)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            |cent AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id BETWEEN 2 AND 9),
+            |assign AS (SELECT vec_id, cid, c, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cid) AS rn
+            |           FROM (SELECT v.vec_id, c2.cid, ${sqlCosine("v.emb", "c2.cemb")} AS c FROM e v, cent c2)),
+            |member AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+            |q AS (SELECT emb AS qemb FROM e WHERE vec_id = 1),
+            |probe AS (SELECT cid FROM assign WHERE vec_id = 1 AND rn <= 2)
+            |SELECT m.vec_id AS vec_id, m.cid AS cluster_id, round(${sqlCosine("v.emb", "qemb")}, 4) AS cos_sim
+            |FROM member m JOIN e v ON m.vec_id = v.vec_id, q
+            |WHERE m.cid IN (SELECT cid FROM probe) AND m.vec_id <> 1
+            |ORDER BY cos_sim DESC, m.vec_id LIMIT 10""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q24, q25, q26, q27, q28)
+}
