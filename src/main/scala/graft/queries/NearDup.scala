@@ -31,12 +31,14 @@ object NearDup {
   // Salted double-row band key: 2 minhashes per band, B bands total.
 
   /** q24 — MinHash + LSH near-dup candidates: word-3-gram shingles →
-    * per-band 2-row minhash signature → bucket join on (band, key).
-    * Recall for Jaccard j is 1-(1-j²)⁴ (≈0.9998 at j=0.9); false
-    * positives are whatever collides — candidates, not verdicts (q26
-    * verifies exactly). Shuffle: one hash-join keyed on 32-char band
-    * keys, ~4 rows × ~70 B per doc — at 100 TB the bucket join touches
-    * signatures only, never document text. */
+    * per-band 2-row minhash signature → bucket on (band, key) → emit
+    * in-bucket pairs. Recall for Jaccard j is 1-(1-j²)⁴ (≈0.9998 at
+    * j=0.9); false positives are whatever collides — candidates, not
+    * verdicts (q26 verifies exactly). Pair generation is groupBy-collect
+    * (NOT a self-join): signatures are computed once and shuffled once,
+    * keyed on 32-char band keys, ~4 rows × ~70 B per doc — at 100 TB the
+    * bucket shuffle touches signatures only, never document text, and a
+    * frequency cap on bucket size bounds the in-bucket quadratic emit. */
   val q24 = QuerySpec(
     "q24_dedup_minhash_lsh",
     (s, d) => {
@@ -49,10 +51,14 @@ object NearDup {
         .select($"doc_id", explode(sequence(lit(0), lit(B - 1))).as("b"), $"s")
         .select($"doc_id", $"b",
           concat(minhash("s", "2*b"), lit("|"), minhash("s", "2*b+1")).as("band_key"))
-      sig.as("a")
-        .join(sig.as("c"),
-          $"a.b" === $"c.b" && $"a.band_key" === $"c.band_key" && $"a.doc_id" < $"c.doc_id")
-        .select($"a.doc_id".as("doc_a"), $"c.doc_id".as("doc_b"))
+      sig.groupBy($"b", $"band_key")
+        .agg(sort_array(collect_list($"doc_id")).as("ids"))
+        .filter(size($"ids") >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(0, size(ids)-2),
+            |  i -> transform(sequence(i+1, size(ids)-1),
+            |    j -> struct(ids[i] AS doc_a, ids[j] AS doc_b))))""".stripMargin)).as("p"))
+        .select($"p.doc_a", $"p.doc_b")
         .distinct()
         .orderBy($"doc_a", $"doc_b")
     },
@@ -75,7 +81,8 @@ object NearDup {
     * equal), verified by bit_count(xor) ≤ 3. Unigram features would
     * collapse here — the corpus vocabulary is ~30 words, so shingles are
     * the discriminative feature set. Per doc state is one long; the
-    * candidate join shuffles 4 × 12-byte rows per doc. */
+    * candidate stage shuffles 4 × 12-byte rows per doc into nibble
+    * buckets (groupBy-collect, one shuffle — no self-join recompute). */
   val q25 = QuerySpec(
     "q25_dedup_simhash",
     (s, d) => {
@@ -97,10 +104,15 @@ object NearDup {
       val nib = sim
         .select($"doc_id", $"simhash", explode(sequence(lit(0), lit(3))).as("k"))
         .withColumn("nv", expr("shiftright(simhash, 8*k) % 256"))
-      nib.as("a")
-        .join(nib.as("c"), $"a.k" === $"c.k" && $"a.nv" === $"c.nv" && $"a.doc_id" < $"c.doc_id")
-        .select($"a.doc_id".as("doc_a"), $"c.doc_id".as("doc_b"),
-          expr("cast(bit_count(a.simhash ^ c.simhash) as int)").as("hamming"))
+      nib.groupBy($"k", $"nv")
+        .agg(sort_array(collect_list(struct($"doc_id", $"simhash"))).as("xs"))
+        .filter(size($"xs") >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(0, size(xs)-2),
+            |  i -> transform(sequence(i+1, size(xs)-1),
+            |    j -> struct(xs[i].doc_id AS doc_a, xs[j].doc_id AS doc_b,
+            |                cast(bit_count(xs[i].simhash ^ xs[j].simhash) as int) AS hamming))))""".stripMargin)).as("p"))
+        .select($"p.doc_a", $"p.doc_b", $"p.hamming")
         .distinct()
         .filter($"hamming" <= 3)
         .orderBy($"doc_a", $"doc_b")
@@ -127,13 +139,14 @@ object NearDup {
     },
   )
 
-  /** q26 — exact n-gram Jaccard: distinct 3-gram shingle sets, inverted-
-    * index self-join on shingle (only co-shingled pairs materialize),
+  /** q26 — exact n-gram Jaccard: distinct 3-gram shingle sets, inverted
+    * index on shingle (only co-shingled pairs materialize),
     * |A∩B| / (|A|+|B|−|A∩B|) ≥ 0.6. This is the exact verifier behind
-    * q24/q25's candidates. Scale: the shingle join is the classic
-    * inverted-index pattern — shuffle keyed on shingle; a stopword-like
-    * hot shingle would skew it (AQE skew-join handles moderate cases;
-    * frequency-capping shingles is the 100 TB mitigation). */
+    * q24/q25's candidates. Scale: classic inverted-index pattern as a
+    * groupBy-collect on shingle (posting list) + in-list pair emit —
+    * shingle sets are computed once and shuffled once; a stopword-like
+    * hot shingle means a long posting list (frequency-capping shingles
+    * is the 100 TB mitigation; AQE handles moderate skew). */
   val q26 = QuerySpec(
     "q26_dedup_ngram_jaccard",
     (s, d) => {
@@ -143,10 +156,16 @@ object NearDup {
         .filter(size($"t") >= 3)
         .select($"doc_id", array_distinct(shingles3("t")).as("s"))
       val ex = sh.select($"doc_id", size($"s").as("sz"), explode($"s").as("g"))
-      ex.as("a")
-        .join(ex.as("c"), $"a.g" === $"c.g" && $"a.doc_id" < $"c.doc_id")
-        .groupBy($"a.doc_id".as("doc_a"), $"c.doc_id".as("doc_b"))
-        .agg(count(lit(1)).as("n_common"), min($"a.sz").as("size_a"), min($"c.sz").as("size_b"))
+      ex.groupBy($"g")
+        .agg(sort_array(collect_list(struct($"doc_id", $"sz"))).as("xs"))
+        .filter(size($"xs") >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(0, size(xs)-2),
+            |  i -> transform(sequence(i+1, size(xs)-1),
+            |    j -> struct(xs[i].doc_id AS doc_a, xs[j].doc_id AS doc_b,
+            |                xs[i].sz AS sa, xs[j].sz AS sb))))""".stripMargin)).as("p"))
+        .groupBy($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"))
+        .agg(count(lit(1)).as("n_common"), min($"p.sa").as("size_a"), min($"p.sb").as("size_b"))
         .withColumn("jaccard",
           $"n_common" * lit(1.0) / ($"size_a" + $"size_b" - $"n_common"))
         .filter($"jaccard" >= 0.6)
@@ -170,17 +189,19 @@ object NearDup {
     * so 0.45 isolates the planted neighbors). Deliberately the exact
     * quadratic baseline the LSH/IVF paths (q24/q28) exist to replace;
     * at 100 TB you run THIS only inside blocks emitted by those. The
-    * pair join broadcasts the smaller side; cosines are sequential-fold
-    * doubles, bit-identical to the oracle, so the ≥ filter can't flake. */
+    * pair join broadcasts the smaller side; norms are computed once per
+    * vector (not once per pair) and cosines are sequential-fold doubles,
+    * bit-identical to the oracle, so the ≥ filter can't flake. */
   val q27 = QuerySpec(
     "q27_dedup_embedding_cosine",
     (s, d) => {
       import s.implicits._
       val e = Tables.embeddings(s, d)
         .select($"vec_id", asDouble($"embedding").as("emb"))
+        .withColumn("nrm", l2Norm($"emb"))
       e.as("a")
         .join(e.as("c"), $"a.vec_id" < $"c.vec_id")
-        .withColumn("cos", cosine($"a.emb", $"c.emb"))
+        .withColumn("cos", dot($"a.emb", $"c.emb") / ($"a.nrm" * $"c.nrm"))
         .filter($"cos" >= 0.45)
         .select($"a.vec_id".as("vec_a"), $"c.vec_id".as("vec_b"),
           round($"cos", 4).as("cos_sim"))
@@ -207,22 +228,23 @@ object NearDup {
       import s.implicits._
       val e = Tables.embeddings(s, d)
         .select($"vec_id", asDouble($"embedding").as("emb"))
+        .withColumn("nrm", l2Norm($"emb"))
       val cent = e.filter($"vec_id".between(2, 9))
-        .select($"vec_id".as("cid"), $"emb".as("cemb"))
+        .select($"vec_id".as("cid"), $"emb".as("cemb"), $"nrm".as("cnrm"))
       val w = Window.partitionBy($"vec_id").orderBy($"c".desc, $"cid")
       val assign = e.crossJoin(broadcast(cent))
-        .withColumn("c", cosine($"emb", $"cemb"))
+        .withColumn("c", dot($"emb", $"cemb") / ($"nrm" * $"cnrm"))
         .withColumn("rn", row_number().over(w))
       val member = assign.filter($"rn" === 1).select($"vec_id", $"cid")
       val probe = assign.filter($"vec_id" === 1 && $"rn" <= 2).select($"cid")
-      val qv = e.filter($"vec_id" === 1).select($"emb".as("qemb"))
+      val qv = e.filter($"vec_id" === 1).select($"emb".as("qemb"), $"nrm".as("qnrm"))
       member
         .join(broadcast(probe), "cid", "left_semi")
         .filter($"vec_id" =!= 1)
         .join(e, "vec_id")
         .crossJoin(broadcast(qv))
         .select($"vec_id", $"cid".as("cluster_id"),
-          round(cosine($"emb", $"qemb"), 4).as("cos_sim"))
+          round(dot($"emb", $"qemb") / ($"nrm" * $"qnrm"), 4).as("cos_sim"))
         .orderBy($"cos_sim".desc, $"vec_id")
         .limit(10)
     },
