@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through unprefixed: the driver parses
+// Bench's one-line JSON from stdout, and sbt's default logger decorates
+// every line with [info]/[error], breaking that parse (BENCH_r01.json
+// recorded "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
