@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{LlmOps, NearDup, QuerySpec, Relational, TextMedia}
+import graft.queries.{LlmOps, NearDup, QuerySpec, Relational, StreamingOps, TextMedia}
 
 /** Driver contract — see /root/repo/SURVEY.md §2.11 + §7.
   *
@@ -13,7 +13,7 @@ import graft.queries.{LlmOps, NearDup, QuerySpec, Relational, TextMedia}
   */
 object SparkEntry {
   private def specs: Seq[QuerySpec] =
-    Relational.all ++ LlmOps.all ++ NearDup.all ++ TextMedia.all
+    Relational.all ++ LlmOps.all ++ NearDup.all ++ TextMedia.all ++ StreamingOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Runs the TPC-H-Q1-shaped pricing aggregate — scan + filter + two-phase

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -17,6 +17,17 @@ import org.apache.spark.sql.types._
 object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Fan a small scan out across all cores before CPU-bound per-row work
+    * (md5 shingling, pairwise cosine). The driver's test tables are one
+    * parquet file each → one input split, which would serialize hash-heavy
+    * stages onto a single core. Hash-partitioning on the row key keeps the
+    * fan-out deterministic; the shuffled payload here is a few hundred
+    * bytes per row. At 100 TB the scan already has thousands of splits and
+    * the same queries would skip this (the shuffle is still correct, just
+    * redundant — it moves signatures-to-be, never joined payloads). */
+  def fanOut(df: DataFrame, key: Column): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

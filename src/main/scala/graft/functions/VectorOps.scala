@@ -3,9 +3,12 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float|double>` embedding columns, built from
-  * Spark's codegen'd higher-order functions (`zip_with`, `aggregate`,
-  * `transform`) — no UDF boxing, stays inside WholeStageCodegen.
+/** Vector math over `array<float|double>` embedding columns, backed by
+  * the codegen'd [[DotProduct]] expression (ArrayMath.scala) — a tight
+  * generated loop over ArrayData, no UDF boxing, no per-row allocation.
+  * (The earlier `zip_with`+`aggregate` formulation was semantically
+  * identical but interpreted — higher-order lambdas don't codegen — and
+  * dominated pairwise-similarity benchmarks.)
   *
   * Accumulation is a sequential left fold in DOUBLE. The DuckDB oracles
   * mirror it exactly with `list_reduce(list_prepend(0.0, …))`
@@ -21,12 +24,13 @@ object VectorOps {
 
   /** Dot product of two equal-length numeric arrays, in double. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    ArrayMath.dotCodegen(asDouble(a), asDouble(b))
 
-  /** Squared L2 norm. */
+  /** Squared L2 norm (dot(v,v): the same x*x products folded in the same
+    * order as the previous transform-based formulation — bit-identical). */
   def normSq(v: Column): Column = {
     val dv = asDouble(v)
-    aggregate(transform(dv, x => x * x), lit(0.0), (acc, x) => acc + x)
+    ArrayMath.dotCodegen(dv, dv)
   }
 
   /** L2 norm. */

@@ -43,7 +43,7 @@ object NearDup {
     "q24_dedup_minhash_lsh",
     (s, d) => {
       import s.implicits._
-      val toks = Tables.documents(s, d)
+      val toks = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
         .select($"doc_id", tokens($"text").as("t"))
         .filter(size($"t") >= 3)
       val sh = toks.select($"doc_id", shingles3("t").as("s"))
@@ -88,7 +88,7 @@ object NearDup {
     (s, d) => {
       import s.implicits._
       val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-      val toks = Tables.documents(s, d)
+      val toks = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
         .select($"doc_id", tokens($"text").as("t"))
         .filter(size($"t") >= 3)
       val grams = toks
@@ -151,7 +151,7 @@ object NearDup {
     "q26_dedup_ngram_jaccard",
     (s, d) => {
       import s.implicits._
-      val sh = Tables.documents(s, d)
+      val sh = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
         .select($"doc_id", tokens($"text").as("t"))
         .filter(size($"t") >= 3)
         .select($"doc_id", array_distinct(shingles3("t")).as("s"))
@@ -196,7 +196,7 @@ object NearDup {
     "q27_dedup_embedding_cosine",
     (s, d) => {
       import s.implicits._
-      val e = Tables.embeddings(s, d)
+      val e = Tables.fanOut(Tables.embeddings(s, d), col("vec_id"))
         .select($"vec_id", asDouble($"embedding").as("emb"))
         .withColumn("nrm", l2Norm($"emb"))
       e.as("a")
@@ -226,7 +226,7 @@ object NearDup {
     "q28_ann_ivf_probe",
     (s, d) => {
       import s.implicits._
-      val e = Tables.embeddings(s, d)
+      val e = Tables.fanOut(Tables.embeddings(s, d), col("vec_id"))
         .select($"vec_id", asDouble($"embedding").as("emb"))
         .withColumn("nrm", l2Norm($"emb"))
       val cent = e.filter($"vec_id".between(2, 9))

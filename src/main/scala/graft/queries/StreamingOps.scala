@@ -1,0 +1,28 @@
+package graft.queries
+
+import graft.streaming.EventIngest
+import Det._
+
+/** Streaming surface, gated through the same oracle as the batch twin.
+  *
+  * The reference's "streaming" is job-level: one SQS message → one batch
+  * run (SURVEY §2.9). q35 runs that model in-engine: a checkpointed
+  * file-source stream drained with Trigger.AvailableNow, whose windowed
+  * state must equal the batch q34 aggregate over the same files — so the
+  * DuckDB oracle for q34 verifies the streaming path value-for-value.
+  */
+object StreamingOps {
+
+  /** q35 — streaming hourly window (Trigger.AvailableNow), verified
+    * against the batch oracle. Watermark (1h) bounds streaming state at
+    * scale; complete-mode memory sink is harness-only (see EventIngest). */
+  val q35 = QuerySpec(
+    "q35_stream_hourly_window",
+    (s, d) => EventIngest.runOnce(s, d),
+    Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+            |  count(*) AS n_events, ${sqlDsum("value", 4)} AS value_sum
+            |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q35)
+}

@@ -134,7 +134,7 @@ object TextMedia {
     "q32_text_fingerprint_winnow",
     (s, d) => {
       import s.implicits._
-      Tables.documents(s, d)
+      Tables.fanOut(Tables.documents(s, d), col("doc_id"))
         .filter(length($"text") >= 8)
         .select($"doc_id",
           expr("transform(sequence(1, length(text)-7), i -> md5(substring(text, i, 8)))").as("grams"))
@@ -205,5 +205,51 @@ object TextMedia {
             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q29, q30, q31, q32, q33, q34)
+  /** q36 — the multimodal decode path end-to-end (graft.multimodal
+    * .MediaPipeline): opaque binary payloads → batched per-partition
+    * decode stub (4-dim "thumbnail" features = per-quarter mean byte) →
+    * per-source feature rollup. The corpus is ASCII, so the DuckDB oracle
+    * reproduces the byte math with ord(); a real codec swap changes only
+    * decodeStub, not this plumbing. The typed mapPartitions stage is the
+    * engine's one imperative escape hatch — everything before/after stays
+    * declarative, and only fixed-width features reach the aggregate. */
+  val q36 = QuerySpec(
+    "q36_multimodal_decode_features",
+    (s, d) => {
+      import s.implicits._
+      import graft.multimodal.MediaPipeline
+      MediaPipeline.extractFeatures(MediaPipeline.documentsAsMedia(s, d)).toDF()
+        .select($"doc_id", $"source", $"n_bytes",
+          $"features"(0).as("f0"), $"features"(1).as("f1"),
+          $"features"(2).as("f2"), $"features"(3).as("f3"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_media"), sum($"n_bytes").as("bytes_sum"),
+          dsum($"f0", 6).as("f0_sum"), dsum($"f1", 6).as("f1_sum"),
+          dsum($"f2", 6).as("f2_sum"), dsum($"f3", 6).as("f3_sum"))
+        .orderBy($"source")
+    },
+    Some(s"""WITH q AS (
+            |  SELECT doc_id, source, length(text) AS n, qq,
+            |    (qq*length(text))//4 AS lo, ((qq+1)*length(text))//4 AS hi, text
+            |  FROM documents, generate_series(0, 3) g(qq)),
+            |feat AS (
+            |  SELECT doc_id, source, n, qq,
+            |    CASE WHEN hi <= lo THEN 0.0
+            |      ELSE ${sqlFoldSum("list_transform(generate_series(lo+1, hi), i -> ord(substring(text, i, 1)) * 1.0)")}
+            |           / (hi - lo) END AS fv
+            |  FROM q),
+            |doc AS (
+            |  SELECT doc_id, source, n,
+            |    max(CASE WHEN qq = 0 THEN fv END) AS f0,
+            |    max(CASE WHEN qq = 1 THEN fv END) AS f1,
+            |    max(CASE WHEN qq = 2 THEN fv END) AS f2,
+            |    max(CASE WHEN qq = 3 THEN fv END) AS f3
+            |  FROM feat GROUP BY doc_id, source, n)
+            |SELECT source, count(*) AS n_media, CAST(sum(n) AS BIGINT) AS bytes_sum,
+            |  ${sqlDsum("f0", 6)} AS f0_sum, ${sqlDsum("f1", 6)} AS f1_sum,
+            |  ${sqlDsum("f2", 6)} AS f2_sum, ${sqlDsum("f3", 6)} AS f3_sum
+            |FROM doc GROUP BY source ORDER BY source""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q29, q30, q31, q32, q33, q34, q36)
 }

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.LongType
+
+import graft.queries.Det._
+
+/** Structured-Streaming twin of the reference's event-driven batch model
+  * (SURVEY §2.9): the reference triggers a whole batch job per SQS
+  * "file landed" message (/root/reference/argo-events-manifests/
+  * eventsource-sqs.yaml:9-20 → workflow-examples/sensor-sqs-sparkjobs
+  * .yaml:21-89). Spark-first, that collapses into a file-source stream
+  * with `Trigger.AvailableNow` — "process everything that has arrived,
+  * then stop" — plus an event-time tumbling window with a watermark for
+  * the in-engine aggregation the reference defers to Athena.
+  *
+  * Scale notes (100 TB): the file source lists and checkpoints file
+  * names, so each micro-batch reads only new files; the windowed
+  * aggregate is a streaming-state hash agg keyed on (window,
+  * event_type) whose state size is bounded by watermark eviction, not
+  * by history length. The memory sink here is the verification harness
+  * only — a production deployment writes `writeStream.format("parquet")`
+  * with the same plan (checkpointed, exactly-once).
+  */
+object EventIngest {
+
+  /** Hourly event-type rollup as a streaming job over the events parquet
+    * (same result contract as batch q34). Returns the final result as a
+    * batch DataFrame after the stream drains.
+    *
+    * @param eventsPath parquet file/dir/glob for the events table
+    * @param checkpointDir fresh checkpoint location for this run
+    * @param sinkTable unique in-memory sink table name
+    */
+  def hourlyWindow(
+      spark: SparkSession,
+      eventsDir: String,
+      checkpointDir: String,
+      sinkTable: String): DataFrame = {
+    import spark.implicits._
+
+    // The file source streams a *directory* (files land, get picked up
+    // once, checkpointed by name); select the events table's files with a
+    // glob, mirroring the reference's "file arrived in the S3 prefix"
+    // trigger. Schema comes from the same footers a batch read sees (a
+    // deployment would pin a StructType).
+    val schema = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(eventsDir).schema
+
+    val raw = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(eventsDir)
+
+    // events.parquet carries TIMESTAMP(NANOS); under
+    // spark.sql.legacy.parquet.nanosAsLong the column arrives as long
+    // nanos — re-derive microsecond timestamps exactly as Tables.events.
+    val events =
+      if (schema("ts").dataType == LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+
+    val agg = events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), dsum($"value", 4).as("value_sum"))
+      .select(
+        date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        $"event_type", $"n_events", $"value_sum")
+
+    // Complete mode + memory sink: every window stays addressable for the
+    // equivalence check (append mode would hold back windows newer than
+    // the final watermark — correct for infinite streams, wrong for a
+    // drained verification run).
+    val query = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sinkTable)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+
+    spark.table(sinkTable).orderBy($"window_start", $"event_type")
+  }
+
+  /** One-shot convenience: unique checkpoint + sink per call. */
+  def runOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "")
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft_stream_ckpt_$tag"
+    hourlyWindow(spark, sfDir, ckpt, s"graft_stream_$tag")
+  }
+}
