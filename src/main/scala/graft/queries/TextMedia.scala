@@ -212,43 +212,57 @@ object TextMedia {
     * reproduces the byte math with ord(); a real codec swap changes only
     * decodeStub, not this plumbing. The typed mapPartitions stage is the
     * engine's one imperative escape hatch — everything before/after stays
-    * declarative, and only fixed-width features reach the aggregate. */
+    * declarative, and only fixed-width features reach the aggregate.
+    *
+    * The gate aggregates `featureSums` (exact per-quarter Long byte sums)
+    * plus the quarter lengths: Long sums are order-independent and
+    * engine-portable, and the per-source mean is ONE IEEE division of
+    * identical operands at the end — no double→decimal tie rounding
+    * anywhere (summing the per-doc mean doubles can land on a decimal
+    * rounding boundary that Spark and DuckDB break differently). */
   val q36 = QuerySpec(
     "q36_multimodal_decode_features",
     (s, d) => {
       import s.implicits._
       import graft.multimodal.MediaPipeline
-      MediaPipeline.extractFeatures(MediaPipeline.documentsAsMedia(s, d)).toDF()
-        .select($"doc_id", $"source", $"n_bytes",
-          $"features"(0).as("f0"), $"features"(1).as("f1"),
-          $"features"(2).as("f2"), $"features"(3).as("f3"))
+      def qlen(q: Int) = expr(s"(${q + 1}L * n_bytes) div 4 - (${q}L * n_bytes) div 4")
+      val perDoc = MediaPipeline.extractFeatures(MediaPipeline.documentsAsMedia(s, d)).toDF()
+        .select(Seq($"doc_id", $"source", $"n_bytes") ++
+          (0 to 3).map(q => $"featureSums" (q).as(s"s$q")) ++
+          (0 to 3).map(q => qlen(q).as(s"l$q")): _*)
+      val meanCols = (0 to 3).map { q =>
+        when(col(s"l${q}_sum") > 0,
+          col(s"s${q}_sum").cast("double") / col(s"l${q}_sum").cast("double"))
+          .otherwise(lit(0.0)).as(s"f${q}_mean")
+      }
+      val aggCols = Seq(count(lit(1)).as("n_media"), sum($"n_bytes").as("bytes_sum")) ++
+        (0 to 3).flatMap(q => Seq(
+          sum(col(s"s$q")).as(s"s${q}_sum"),
+          sum(col(s"l$q")).as(s"l${q}_sum")))
+      perDoc
         .groupBy($"source")
-        .agg(count(lit(1)).as("n_media"), sum($"n_bytes").as("bytes_sum"),
-          dsum($"f0", 6).as("f0_sum"), dsum($"f1", 6).as("f1_sum"),
-          dsum($"f2", 6).as("f2_sum"), dsum($"f3", 6).as("f3_sum"))
+        .agg(aggCols.head, aggCols.tail: _*)
+        .select(Seq($"source", $"n_media", $"bytes_sum") ++
+          (0 to 3).map(q => col(s"s${q}_sum")) ++ meanCols: _*)
         .orderBy($"source")
     },
-    Some(s"""WITH q AS (
-            |  SELECT doc_id, source, length(text) AS n, qq,
-            |    (qq*length(text))//4 AS lo, ((qq+1)*length(text))//4 AS hi, text
-            |  FROM documents, generate_series(0, 3) g(qq)),
-            |feat AS (
-            |  SELECT doc_id, source, n, qq,
-            |    CASE WHEN hi <= lo THEN 0.0
-            |      ELSE ${sqlFoldSum("list_transform(generate_series(lo+1, hi), i -> ord(substring(text, i, 1)) * 1.0)")}
-            |           / (hi - lo) END AS fv
-            |  FROM q),
-            |doc AS (
-            |  SELECT doc_id, source, n,
-            |    max(CASE WHEN qq = 0 THEN fv END) AS f0,
-            |    max(CASE WHEN qq = 1 THEN fv END) AS f1,
-            |    max(CASE WHEN qq = 2 THEN fv END) AS f2,
-            |    max(CASE WHEN qq = 3 THEN fv END) AS f3
-            |  FROM feat GROUP BY doc_id, source, n)
-            |SELECT source, count(*) AS n_media, CAST(sum(n) AS BIGINT) AS bytes_sum,
-            |  ${sqlDsum("f0", 6)} AS f0_sum, ${sqlDsum("f1", 6)} AS f1_sum,
-            |  ${sqlDsum("f2", 6)} AS f2_sum, ${sqlDsum("f3", 6)} AS f3_sum
-            |FROM doc GROUP BY source ORDER BY source""".stripMargin),
+    Some {
+      def s(q: Int) =
+        s"coalesce(list_aggregate(list_transform(generate_series(($q*n)//4+1, (${q + 1}*n)//4), i -> ord(substring(text, i, 1))), 'sum'), 0) AS s$q"
+      def l(q: Int) = s"(${q + 1}*n)//4 - ($q*n)//4 AS l$q"
+      val sums = (0 to 3).map(q => s"CAST(sum(s$q) AS BIGINT) AS s${q}_sum").mkString(", ")
+      val means = (0 to 3).map(q =>
+        s"CASE WHEN sum(l$q) > 0 THEN CAST(sum(s$q) AS DOUBLE) / CAST(sum(l$q) AS DOUBLE) ELSE 0.0 END AS f${q}_mean")
+        .mkString(", ")
+      s"""WITH d AS (SELECT doc_id, source, length(text) AS n, text FROM documents),
+         |f AS (SELECT doc_id, source, n,
+         |  ${(0 to 3).map(s).mkString(", ")},
+         |  ${(0 to 3).map(l).mkString(", ")}
+         |  FROM d)
+         |SELECT source, count(*) AS n_media, CAST(sum(n) AS BIGINT) AS bytes_sum,
+         |  $sums, $means
+         |FROM f GROUP BY source ORDER BY source""".stripMargin
+    },
   )
 
   val all: Seq[QuerySpec] = Seq(q29, q30, q31, q32, q33, q34, q36)
