@@ -30,6 +30,20 @@ object NearDup {
   private val B = 4 // LSH bands
   // Salted double-row band key: 2 minhashes per band, B bands total.
 
+  /** Bucket frequency caps — the 100 TB degenerate-data guard. A bucket
+    * (LSH band, SimHash nibble chunk, shingle posting list) larger than
+    * its cap is dropped BEFORE the in-bucket quadratic pair emit, so a
+    * pathological key — a mass-duplicated document, a stopword-like hot
+    * shingle — degrades to a dropped bucket instead of one task holding
+    * O(k) state and emitting O(k²) pairs. Caps sit well above the
+    * observed sf0.1 maxima (12 / 47 / 25), so current results are
+    * unchanged; NearDupCapSpec exercises an all-identical-docs corpus.
+    * Dropping a hot bucket is also semantically standard for dedup: a
+    * shingle shared by thousands of docs carries no pair signal. */
+  val MaxLshBucket = 64
+  val MaxSimhashBucket = 128
+  val MaxPostingList = 64
+
   /** q24 — MinHash + LSH near-dup candidates: word-3-gram shingles →
     * per-band 2-row minhash signature → bucket on (band, key) → emit
     * in-bucket pairs. Recall for Jaccard j is 1-(1-j²)⁴ (≈0.9998 at
@@ -37,8 +51,9 @@ object NearDup {
     * verdicts (q26 verifies exactly). Pair generation is groupBy-collect
     * (NOT a self-join): signatures are computed once and shuffled once,
     * keyed on 32-char band keys, ~4 rows × ~70 B per doc — at 100 TB the
-    * bucket shuffle touches signatures only, never document text, and a
-    * frequency cap on bucket size bounds the in-bucket quadratic emit. */
+    * bucket shuffle touches signatures only, never document text, and
+    * the [[MaxLshBucket]] frequency cap bounds the in-bucket quadratic
+    * emit. */
   val q24 = QuerySpec(
     "q24_dedup_minhash_lsh",
     (s, d) => {
@@ -53,7 +68,7 @@ object NearDup {
           concat(minhash("s", "2*b"), lit("|"), minhash("s", "2*b+1")).as("band_key"))
       sig.groupBy($"b", $"band_key")
         .agg(sort_array(collect_list($"doc_id")).as("ids"))
-        .filter(size($"ids") >= 2)
+        .filter(size($"ids").between(2, MaxLshBucket))
         .select(explode(expr(
           """flatten(transform(sequence(0, size(ids)-2),
             |  i -> transform(sequence(i+1, size(ids)-1),
@@ -69,9 +84,12 @@ object NearDup {
            |        list_aggregate(list_transform(s, x -> md5(x || ':' || CAST(2*b AS VARCHAR))), 'min')
            |        || '|' ||
            |        list_aggregate(list_transform(s, x -> md5(x || ':' || CAST(2*b+1 AS VARCHAR))), 'min') AS band_key
-           |        FROM sh, generate_series(0, 3) g(b))
+           |        FROM sh, generate_series(0, 3) g(b)),
+           |sigf AS (SELECT doc_id, b, band_key FROM (
+           |  SELECT doc_id, b, band_key, count(*) OVER (PARTITION BY b, band_key) AS bn FROM sig)
+           |  WHERE bn BETWEEN 2 AND 64)
            |SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-           |FROM sig a JOIN sig b2 ON a.b = b2.b AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id
+           |FROM sigf a JOIN sigf b2 ON a.b = b2.b AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id
            |ORDER BY doc_a, doc_b""".stripMargin),
   )
 
@@ -106,7 +124,7 @@ object NearDup {
         .withColumn("nv", expr("shiftright(simhash, 8*k) % 256"))
       nib.groupBy($"k", $"nv")
         .agg(sort_array(collect_list(struct($"doc_id", $"simhash"))).as("xs"))
-        .filter(size($"xs") >= 2)
+        .filter(size($"xs").between(2, MaxSimhashBucket))
         .select(explode(expr(
           """flatten(transform(sequence(0, size(xs)-2),
             |  i -> transform(sequence(i+1, size(xs)-1),
@@ -132,8 +150,11 @@ object NearDup {
          |b AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
          |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM b),
          |nib AS (SELECT doc_id, simhash, k, (simhash >> (8*k)) & 255 AS nv FROM sh, generate_series(0,3) g(k)),
+         |nibf AS (SELECT doc_id, simhash, k, nv FROM (
+         |  SELECT doc_id, simhash, k, nv, count(*) OVER (PARTITION BY k, nv) AS bn FROM nib)
+         |  WHERE bn BETWEEN 2 AND 128),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa, b2.doc_id AS doc_b, b2.simhash AS sb
-         |         FROM nib a JOIN nib b2 ON a.k = b2.k AND a.nv = b2.nv AND a.doc_id < b2.doc_id)
+         |         FROM nibf a JOIN nibf b2 ON a.k = b2.k AND a.nv = b2.nv AND a.doc_id < b2.doc_id)
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY doc_a, doc_b""".stripMargin
     },
@@ -145,8 +166,8 @@ object NearDup {
     * q24/q25's candidates. Scale: classic inverted-index pattern as a
     * groupBy-collect on shingle (posting list) + in-list pair emit —
     * shingle sets are computed once and shuffled once; a stopword-like
-    * hot shingle means a long posting list (frequency-capping shingles
-    * is the 100 TB mitigation; AQE handles moderate skew). */
+    * hot shingle means a long posting list, capped at [[MaxPostingList]]
+    * (AQE handles moderate skew below the cap). */
   val q26 = QuerySpec(
     "q26_dedup_ngram_jaccard",
     (s, d) => {
@@ -158,7 +179,7 @@ object NearDup {
       val ex = sh.select($"doc_id", size($"s").as("sz"), explode($"s").as("g"))
       ex.groupBy($"g")
         .agg(sort_array(collect_list(struct($"doc_id", $"sz"))).as("xs"))
-        .filter(size($"xs") >= 2)
+        .filter(size($"xs").between(2, MaxPostingList))
         .select(explode(expr(
           """flatten(transform(sequence(0, size(xs)-2),
             |  i -> transform(sequence(i+1, size(xs)-1),
@@ -177,8 +198,11 @@ object NearDup {
            |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
            |       FROM toks WHERE len(t) >= 3),
            |ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+           |exf AS (SELECT doc_id, sz, g FROM (
+           |  SELECT doc_id, sz, g, count(*) OVER (PARTITION BY g) AS bn FROM ex)
+           |  WHERE bn BETWEEN 2 AND 64),
            |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i, min(a.sz) AS sa, min(b.sz) AS sb
-           |          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+           |          FROM exf a JOIN exf b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
            |SELECT doc_a, doc_b, CAST(sa AS INT) AS size_a, CAST(sb AS INT) AS size_b, CAST(i AS INT) AS n_common,
            |       round(i * 1.0 / (sa + sb - i), 4) AS jaccard
            |FROM inter WHERE i * 1.0 / (sa + sb - i) >= 0.6 ORDER BY doc_a, doc_b""".stripMargin),
@@ -218,30 +242,42 @@ object NearDup {
     * vector assigned to its argmax-cosine centroid, query (vec_id 1)
     * probes its 2 nearest centroids, top-10 by cosine within the probed
     * partitions. The scale path for q22's brute-force scan: assignment
-    * is one broadcast pass (centroids are tiny), the probe touches
-    * ~2/8 of the corpus, and top-k is per-partition heaps + driver
-    * merge (TakeOrderedAndProject) — no global sort. Assignments are
-    * bit-identical to the oracle because cosines are. */
+    * is ONE full-corpus pass — broadcast centroids, then a single
+    * partition-local `max_by` aggregate that both picks the argmax
+    * centroid and carries emb/nrm through, so neither the corpus nor the
+    * assignment is ever recomputed downstream (the round-2 plan consumed
+    * `assign` twice and rescanned `e` four times). The probe and query
+    * vector are 8-row/1-row pushed-down scans; top-k is per-partition
+    * heaps + driver merge (TakeOrderedAndProject) — no global sort.
+    * Assignments are bit-identical to the oracle because cosines are. */
   val q28 = QuerySpec(
     "q28_ann_ivf_probe",
     (s, d) => {
       import s.implicits._
-      val e = Tables.fanOut(Tables.embeddings(s, d), col("vec_id"))
+      val base = Tables.embeddings(s, d)
         .select($"vec_id", asDouble($"embedding").as("emb"))
         .withColumn("nrm", l2Norm($"emb"))
-      val cent = e.filter($"vec_id".between(2, 9))
+      val e = Tables.fanOut(base, col("vec_id"))
+      val cent = base.filter($"vec_id".between(2, 9))
         .select($"vec_id".as("cid"), $"emb".as("cemb"), $"nrm".as("cnrm"))
-      val w = Window.partitionBy($"vec_id").orderBy($"c".desc, $"cid")
+      val qv = base.filter($"vec_id" === 1).select($"emb".as("qemb"), $"nrm".as("qnrm"))
+      // Argmax centroid per vector (ties → lowest cid), emb/nrm carried:
+      // fanOut already hash-partitions on vec_id and the broadcast join
+      // preserves it, so this aggregate needs no extra shuffle.
       val assign = e.crossJoin(broadcast(cent))
         .withColumn("c", dot($"emb", $"cemb") / ($"nrm" * $"cnrm"))
-        .withColumn("rn", row_number().over(w))
-      val member = assign.filter($"rn" === 1).select($"vec_id", $"cid")
-      val probe = assign.filter($"vec_id" === 1 && $"rn" <= 2).select($"cid")
-      val qv = e.filter($"vec_id" === 1).select($"emb".as("qemb"), $"nrm".as("qnrm"))
-      member
-        .join(broadcast(probe), "cid", "left_semi")
+        .groupBy($"vec_id")
+        .agg(max_by($"cid", struct($"c", -$"cid")).as("cid"),
+          first($"emb").as("emb"), first($"nrm").as("nrm"))
+      // The query's 2 nearest centroids — an 8-row computation.
+      val probe = cent.crossJoin(broadcast(qv))
+        .withColumn("c", dot($"cemb", $"qemb") / ($"cnrm" * $"qnrm"))
+        .orderBy($"c".desc, $"cid")
+        .limit(2)
+        .select($"cid")
+      assign
+        .join(broadcast(probe), Seq("cid"), "left_semi")
         .filter($"vec_id" =!= 1)
-        .join(e, "vec_id")
         .crossJoin(broadcast(qv))
         .select($"vec_id", $"cid".as("cluster_id"),
           round(dot($"emb", $"qemb") / ($"nrm" * $"qnrm"), 4).as("cos_sim"))
