@@ -22,9 +22,14 @@ object Bench {
     // Warm the JVM/codegen once so per-query numbers measure the engine,
     // not first-call classloading.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Measure via a noop sink, not count(): under a count() Catalyst may
+    // eliminate final sorts and unreferenced projections (q15's
+    // TakeOrderedAndProject, q01's global sort), under-measuring
+    // output-side work. The noop sink consumes every row of every column.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

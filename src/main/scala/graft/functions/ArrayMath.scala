@@ -22,8 +22,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Semantics match the built-in formulation bit-for-bit: a sequential
   * left fold of `a(i) * b(i)` in DOUBLE starting at 0.0 (same IEEE
   * additions of the same operands in the same order), so the DuckDB
-  * oracle mirror (Det.sqlDot) remains bit-identical. A null array or any
-  * null element yields null, exactly like the zip_with/aggregate chain.
+  * oracle mirror (Det.sqlDot) remains bit-identical. A null array, any
+  * null element, or MISMATCHED array lengths yields null — the zip_with
+  * chain null-pads the short side and the oracle's out-of-range index is
+  * NULL, so a silent partial dot over min(len) would be a plausible wrong
+  * number where both references return null (a corrupt embedding row must
+  * surface as null, not corrupt similarity rankings undetected).
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -44,7 +48,8 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -61,9 +66,10 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}

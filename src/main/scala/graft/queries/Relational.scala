@@ -215,7 +215,12 @@ object Relational {
 
   /** q10 — non-equi range join: lineitem × 7-row year-interval table on
     * `l_shipdate ∈ [y_start, y_end)` → BroadcastNestedLoopJoin with the
-    * tiny side broadcast — the only NLJ shape that's sane at 100 TB. */
+    * tiny side broadcast — the only NLJ shape that's sane at 100 TB.
+    * Scale: lineitem is pre-aggregated on l_shipdate (~2.5k distinct
+    * dates) BEFORE the theta join, so the NLJ evaluates its 7 range
+    * predicates per DATE, not per row (4.2M → 17.5k predicate evals at
+    * sf0.1) — the standard reduce-before-non-equi-join pattern; exact
+    * decimal partials re-aggregate associatively after the join. */
   val q10 = QuerySpec(
     "q10_join_theta_range",
     (s, d) => {
@@ -224,10 +229,15 @@ object Relational {
         $"id".cast("int").as("yr"),
         to_timestamp(concat($"id".cast("string"), lit("-01-01"))).as("y_start"),
         to_timestamp(concat(($"id" + 1).cast("string"), lit("-01-01"))).as("y_end"))
-      val l = Tables.lineitem(s, d)
-      l.join(broadcast(years), l("l_shipdate") >= years("y_start") && l("l_shipdate") < years("y_end"))
+      val byDate = Tables.lineitem(s, d)
+        .groupBy($"l_shipdate")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_extendedprice".cast(DecimalType(30, 2))).as("p"))
+      byDate
+        .join(broadcast(years),
+          byDate("l_shipdate") >= years("y_start") && byDate("l_shipdate") < years("y_end"))
         .groupBy($"yr")
-        .agg(count(lit(1)).as("n_items"), dsum($"l_extendedprice", 2).as("price_sum"))
+        .agg(sum($"n").as("n_items"), sum($"p").cast(DoubleType).as("price_sum"))
         .orderBy($"yr")
     },
     Some(s"""WITH years AS (

@@ -43,7 +43,7 @@ object TextMedia {
     "q29_text_langid",
     (s, d) => {
       import s.implicits._
-      val docs = Tables.documents(s, d)
+      val docs = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
       val lex = lexicon.toDF("w", "lg")
       val tok = docs.select($"doc_id", explode(tokens($"text")).as("w"))
       val hits = tok.join(broadcast(lex), "w")
@@ -77,7 +77,7 @@ object TextMedia {
     "q30_text_quality_score",
     (s, d) => {
       import s.implicits._
-      Tables.documents(s, d)
+      Tables.fanOut(Tables.documents(s, d), col("doc_id"))
         .select($"doc_id", tokens($"text").as("t"),
           length(regexp_replace($"text", "\\s", "")).as("letters"))
         .select($"doc_id", size($"t").as("n_tok"),
@@ -113,7 +113,7 @@ object TextMedia {
     "q31_text_token_census",
     (s, d) => {
       import s.implicits._
-      Tables.documents(s, d)
+      Tables.fanOut(Tables.documents(s, d), col("doc_id"))
         .select(explode(regexp_extract_all(lower($"text"),
           lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).as("token"))
         .groupBy($"token").agg(count(lit(1)).as("n"))

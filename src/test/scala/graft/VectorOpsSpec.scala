@@ -40,6 +40,22 @@ class VectorOpsSpec extends SparkTestBase {
     assert(math.abs(rows(2).getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("dot of mismatched-length arrays is null, not a partial sum") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import graft.functions.DotProduct
+    // Codegen'd path: through a query.
+    val df = Seq((1L, Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("id", "a", "b")
+    val gen = df.select(dot(col("a"), col("b")).as("d")).collect()
+    assert(gen(0).isNullAt(0))
+    // Interpreted path: nullSafeEval directly.
+    val lit3 = Literal.create(Array(1.0, 2.0, 3.0), ArrayType(DoubleType))
+    val lit2 = Literal.create(Array(1.0, 2.0), ArrayType(DoubleType))
+    assert(DotProduct(lit3, lit2).eval() == null)
+    assert(DotProduct(lit3, lit3).eval() == 14.0)
+  }
+
   test("null embedding yields null, not a crash") {
     import spark.implicits._
     val df = Seq((1L, Option.empty[Seq[Float]]), (2L, Some(Seq(1.0f))))
