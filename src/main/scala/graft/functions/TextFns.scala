@@ -19,10 +19,18 @@ object TextFns {
   def shingles3(tokExpr: String): Column =
     expr(s"transform(sequence(0, size($tokExpr)-3), i -> concat($tokExpr[i], ' ', $tokExpr[i+1], ' ', $tokExpr[i+2]))")
 
-  /** MinHash under salt `saltExpr`: min over the shingle array of
-    * md5(shingle || ':' || salt). Lexicographic min over fixed-width hex
-    * == numeric min over the 128-bit hash — one draw of a uniform hash
-    * family per salt. */
-  def minhash(shinglesExpr: String, saltExpr: String): Column =
-    expr(s"array_min(transform($shinglesExpr, x -> md5(concat(x, ':', cast($saltExpr as string)))))")
+  /** One salted md5 pass over a shingle array: 32 hex chars per shingle.
+    * Two salts give 2×128 = 256 digest bits per shingle, which
+    * [[chunkMin]] splits into eight independent 32-bit hash functions —
+    * 2 md5 evaluations per shingle instead of one per hash function
+    * (md5 dominated the round-2 q24 profile at 8 salted passes). */
+  def saltedHashes(shinglesExpr: String, salt: Int): Column =
+    expr(s"transform($shinglesExpr, x -> md5(concat(x, ':$salt')))")
+
+  /** 32-bit minhash: min over chunk `chunkExpr` (0-based, 8 hex chars) of
+    * each digest in a [[saltedHashes]] array. Disjoint digest chunks are
+    * independent uniform hashes; lexicographic min over fixed-width hex
+    * == numeric min. */
+  def chunkMin(hashArrExpr: String, chunkExpr: String): Column =
+    expr(s"array_min(transform($hashArrExpr, x -> substring(x, 1 + 8*($chunkExpr), 8)))")
 }

@@ -48,12 +48,15 @@ object NearDup {
     * per-band 2-row minhash signature → bucket on (band, key) → emit
     * in-bucket pairs. Recall for Jaccard j is 1-(1-j²)⁴ (≈0.9998 at
     * j=0.9); false positives are whatever collides — candidates, not
-    * verdicts (q26 verifies exactly). Pair generation is groupBy-collect
-    * (NOT a self-join): signatures are computed once and shuffled once,
-    * keyed on 32-char band keys, ~4 rows × ~70 B per doc — at 100 TB the
-    * bucket shuffle touches signatures only, never document text, and
-    * the [[MaxLshBucket]] frequency cap bounds the in-bucket quadratic
-    * emit. */
+    * verdicts (q26 verifies exactly). The 8 minhash functions are 8
+    * disjoint 32-bit chunks of TWO salted md5 digests per shingle (band b
+    * pairs chunk b of each salt), so hashing cost is 2 md5 passes, not 8
+    * (md5 dominated the round-2 profile). Pair generation is
+    * groupBy-collect (NOT a self-join): signatures are computed once and
+    * shuffled once, keyed on 17-char band keys, ~4 rows × ~40 B per doc —
+    * at 100 TB the bucket shuffle touches signatures only, never document
+    * text, and the [[MaxLshBucket]] frequency cap bounds the in-bucket
+    * quadratic emit. */
   val q24 = QuerySpec(
     "q24_dedup_minhash_lsh",
     (s, d) => {
@@ -63,9 +66,11 @@ object NearDup {
         .filter(size($"t") >= 3)
       val sh = toks.select($"doc_id", shingles3("t").as("s"))
       val sig = sh
-        .select($"doc_id", explode(sequence(lit(0), lit(B - 1))).as("b"), $"s")
+        .select($"doc_id",
+          saltedHashes("s", 0).as("h0"), saltedHashes("s", 1).as("h1"))
+        .select($"doc_id", explode(sequence(lit(0), lit(B - 1))).as("b"), $"h0", $"h1")
         .select($"doc_id", $"b",
-          concat(minhash("s", "2*b"), lit("|"), minhash("s", "2*b+1")).as("band_key"))
+          concat(chunkMin("h0", "b"), lit("|"), chunkMin("h1", "b")).as("band_key"))
       sig.groupBy($"b", $"band_key")
         .agg(sort_array(collect_list($"doc_id")).as("ids"))
         .filter(size($"ids").between(2, MaxLshBucket))
@@ -80,11 +85,14 @@ object NearDup {
     Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
            |sh AS (SELECT doc_id, list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS s
            |       FROM toks WHERE len(t) >= 3),
+           |hs AS (SELECT doc_id,
+           |        list_transform(s, x -> md5(x || ':0')) AS h0,
+           |        list_transform(s, x -> md5(x || ':1')) AS h1 FROM sh),
            |sig AS (SELECT doc_id, b,
-           |        list_aggregate(list_transform(s, x -> md5(x || ':' || CAST(2*b AS VARCHAR))), 'min')
+           |        list_aggregate(list_transform(h0, x -> substring(x, 1 + 8*b, 8)), 'min')
            |        || '|' ||
-           |        list_aggregate(list_transform(s, x -> md5(x || ':' || CAST(2*b+1 AS VARCHAR))), 'min') AS band_key
-           |        FROM sh, generate_series(0, 3) g(b)),
+           |        list_aggregate(list_transform(h1, x -> substring(x, 1 + 8*b, 8)), 'min') AS band_key
+           |        FROM hs, generate_series(0, 3) g(b)),
            |sigf AS (SELECT doc_id, b, band_key FROM (
            |  SELECT doc_id, b, band_key, count(*) OVER (PARTITION BY b, band_key) AS bn FROM sig)
            |  WHERE bn BETWEEN 2 AND 64)
@@ -167,7 +175,11 @@ object NearDup {
     * groupBy-collect on shingle (posting list) + in-list pair emit —
     * shingle sets are computed once and shuffled once; a stopword-like
     * hot shingle means a long posting list, capped at [[MaxPostingList]]
-    * (AQE handles moderate skew below the cap). */
+    * (AQE handles moderate skew below the cap). The pair emit is two
+    * chained codegen'd Generate (explode) stages, not a nested
+    * higher-order transform — this corpus's tiny vocabulary makes nearly
+    * every shingle co-shingled (1.27M pairs at sf0.1), and interpreted
+    * per-pair lambda dispatch dominated the round-2 profile. */
   val q26 = QuerySpec(
     "q26_dedup_ngram_jaccard",
     (s, d) => {
@@ -178,15 +190,13 @@ object NearDup {
         .select($"doc_id", array_distinct(shingles3("t")).as("s"))
       val ex = sh.select($"doc_id", size($"s").as("sz"), explode($"s").as("g"))
       ex.groupBy($"g")
-        .agg(sort_array(collect_list(struct($"doc_id", $"sz"))).as("xs"))
+        .agg(collect_list(struct($"doc_id", $"sz")).as("xs"))
         .filter(size($"xs").between(2, MaxPostingList))
-        .select(explode(expr(
-          """flatten(transform(sequence(0, size(xs)-2),
-            |  i -> transform(sequence(i+1, size(xs)-1),
-            |    j -> struct(xs[i].doc_id AS doc_a, xs[j].doc_id AS doc_b,
-            |                xs[i].sz AS sa, xs[j].sz AS sb))))""".stripMargin)).as("p"))
-        .groupBy($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"))
-        .agg(count(lit(1)).as("n_common"), min($"p.sa").as("size_a"), min($"p.sb").as("size_b"))
+        .select(explode($"xs").as("a"), $"xs")
+        .select($"a", explode($"xs").as("c"))
+        .filter($"a.doc_id" < $"c.doc_id")
+        .groupBy($"a.doc_id".as("doc_a"), $"c.doc_id".as("doc_b"))
+        .agg(count(lit(1)).as("n_common"), min($"a.sz").as("size_a"), min($"c.sz").as("size_b"))
         .withColumn("jaccard",
           $"n_common" * lit(1.0) / ($"size_a" + $"size_b" - $"n_common"))
         .filter($"jaccard" >= 0.6)

@@ -134,11 +134,13 @@ object TextMedia {
     "q32_text_fingerprint_winnow",
     (s, d) => {
       import s.implicits._
+      // length >= 11 ⟺ size(grams) = length-7 >= 4: a scan-pushable
+      // predicate on the raw column, instead of a size(grams) filter that
+      // pushdown would rewrite to re-evaluate the md5 gram array.
       Tables.fanOut(Tables.documents(s, d), col("doc_id"))
-        .filter(length($"text") >= 8)
+        .filter(length($"text") >= 11)
         .select($"doc_id",
           expr("transform(sequence(1, length(text)-7), i -> md5(substring(text, i, 8)))").as("grams"))
-        .filter(size($"grams") >= 4)
         .select($"doc_id", $"grams",
           expr("transform(sequence(1, size(grams)-3), j -> array_min(slice(grams, j, 4)))").as("wins"))
         .select($"doc_id",

@@ -11,14 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 object SharedSpark {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .getOrCreate()
+    val s = GraftSession.builder("4").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
