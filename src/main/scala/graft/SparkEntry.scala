@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{LlmOps, NearDup, QuerySpec, Relational, StreamingOps, TextMedia}
+import graft.queries.{Extras, LlmOps, NearDup, QuerySpec, Relational, SqlSurface, StreamingOps, TextMedia}
 
 /** Driver contract — see /root/repo/SURVEY.md §2.11 + §7.
   *
@@ -13,7 +13,8 @@ import graft.queries.{LlmOps, NearDup, QuerySpec, Relational, StreamingOps, Text
   */
 object SparkEntry {
   private def specs: Seq[QuerySpec] =
-    Relational.all ++ LlmOps.all ++ NearDup.all ++ TextMedia.all ++ StreamingOps.all
+    Relational.all ++ LlmOps.all ++ NearDup.all ++ TextMedia.all ++
+      StreamingOps.all ++ SqlSurface.all ++ Extras.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Runs the TPC-H-Q1-shaped pricing aggregate — scan + filter + two-phase

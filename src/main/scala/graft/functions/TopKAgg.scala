@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.Encoder
+
+/** Typed `Aggregator` (SURVEY §2.10): per-group top-k values with a
+  * bounded buffer — the state per group is ≤ k doubles no matter how
+  * large the group, unlike `collect_list`+`sort` whose state is O(group
+  * size). `reduce` keeps a descending-sorted prefix of length ≤ k;
+  * `merge` folds one buffer into the other, so partial (map-side)
+  * aggregation works and the shuffle carries at most k doubles per
+  * group per mapper — the same bounded-state contract that makes
+  * TakeOrderedAndProject safe globally, applied per key.
+  *
+  * Values are carried unmodified (no arithmetic), so results are exact
+  * and engine-portable: the DuckDB oracle mirrors with
+  * list_sort(..., 'DESC')[1:k], and a sorted multiset of equal values is
+  * deterministic under ties.
+  */
+case class TopK(k: Int) extends Aggregator[Double, Seq[Double], Seq[Double]] {
+  require(k > 0, s"k must be positive, got $k")
+
+  override def zero: Seq[Double] = Vector.empty
+
+  override def reduce(b: Seq[Double], a: Double): Seq[Double] = insert(b, a)
+
+  override def merge(x: Seq[Double], y: Seq[Double]): Seq[Double] =
+    y.foldLeft(x)(insert)
+
+  override def finish(r: Seq[Double]): Seq[Double] = r
+
+  private def insert(b: Seq[Double], v: Double): Seq[Double] = {
+    val idx = b.indexWhere(v > _)
+    val pos = if (idx < 0) b.size else idx
+    if (pos >= k) b
+    else (b.take(pos) :+ v) ++ b.drop(pos).take(k - pos - 1)
+  }
+
+  override def bufferEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
+  override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
+}

@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+import graft.Tables
+
+/** The engine's SQL entry point (SURVEY §1.5). The reference's whole
+  * downstream tier is SQL strings run by Athena over Glue-cataloged
+  * parquet (/root/reference/addons.tf:259-263 provisions the
+  * athena-queries/ prefix; addons.tf:299-365 declares the table DDL) —
+  * a user arriving from the reference writes SQL, not Scala. Here the
+  * catalog is session temp views over the same parquet scans the
+  * DataFrame API uses, and q37/q38 run the pricing-summary and rollup
+  * workloads as ANSI SQL text end-to-end through `spark.sql`, hints
+  * included — same Catalyst plans as their DataFrame twins (q06/q12),
+  * so everything pushdown/broadcast-related carries over unchanged.
+  */
+object SqlSurface {
+
+  /** Register every driver table as a session temp view (idempotent).
+    * Views wrap the plain parquet scans, so SQL text gets the same
+    * pushdown/pruning as the DataFrame surface. */
+  def registerViews(spark: SparkSession, sfDir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(t => Tables.table(spark, sfDir, t).createOrReplaceTempView(t))
+    Tables.events(spark, sfDir).createOrReplaceTempView("events")
+  }
+
+  /** q37 — the TPC-H-Q1-shaped pricing summary as SQL text (q06's twin).
+    * Exact decimal accumulators spelled directly in SQL. */
+  val q37 = QuerySpec(
+    "q37_sql_pricing_agg",
+    (s, d) => {
+      registerViews(s, d)
+      s.sql("""SELECT l_returnflag, l_linestatus,
+              |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+              |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
+              |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+              |  count(*) AS count_order
+              |FROM lineitem
+              |WHERE l_shipdate <= TIMESTAMP_NTZ '1998-12-01 00:00:00'
+              |GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    },
+    Some(s"""SELECT l_returnflag, l_linestatus,
+            |  ${Det.sqlDsum("l_quantity", 2)} AS sum_qty,
+            |  ${Det.sqlDsum("l_extendedprice", 2)} AS sum_base_price,
+            |  ${Det.sqlDsum("l_extendedprice * (1.0 - l_discount)", 6)} AS sum_disc_price,
+            |  count(*) AS count_order
+            |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+            |GROUP BY l_returnflag, l_linestatus
+            |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+  )
+
+  /** q38 — ROLLUP over the 3-table join as SQL text (q12's twin), with a
+    * BROADCAST hint proving hint syntax rides through the SQL surface. */
+  val q38 = QuerySpec(
+    "q38_sql_rollup",
+    (s, d) => {
+      registerViews(s, d)
+      s.sql("""SELECT /*+ BROADCAST(nation) */
+              |  coalesce(n_name, '(all)') AS nation,
+              |  coalesce(o_orderpriority, '(all)') AS priority,
+              |  count(*) AS n_orders,
+              |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |GROUP BY ROLLUP (n_name, o_orderpriority)
+              |ORDER BY nation, priority""".stripMargin)
+    },
+    Some(s"""SELECT coalesce(n_name, '(all)') AS nation,
+            |  coalesce(o_orderpriority, '(all)') AS priority,
+            |  count(*) AS n_orders, ${Det.sqlDsum("o_totalprice", 2)} AS total
+            |FROM orders JOIN customer ON o_custkey = c_custkey
+            |JOIN nation ON c_nationkey = n_nationkey
+            |GROUP BY ROLLUP (n_name, o_orderpriority)
+            |ORDER BY nation, priority""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q37, q38)
+}
