@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -92,5 +93,100 @@ object Extras {
            |ORDER BY o_custkey""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q39, q40, q41)
+  /** q42 — as-of join, an operator Spark has no built-in for (SURVEY
+    * §2.6 named it not-needed for the reference; it IS needed by any
+    * event pipeline): for each purchase, the latest click by the same
+    * user at-or-before the purchase time — classic attribution.
+    *
+    * Implemented with the scalable union+ordered-window pattern, NOT an
+    * inequality join: both sides union into one stream, one shuffle on
+    * user_id, one in-partition sort by (ts, side) with clicks ordered
+    * before purchases at equal timestamps, and `last(..., ignoreNulls)`
+    * over an unbounded-preceding frame carries the most recent click
+    * forward. Cost is O(n log n) per key vs the O(n·m) per key of a
+    * range-join + argmax; no BNLJ anywhere. Clicks are pre-deduped per
+    * (user, ts) with max(value) so the as-of pick is deterministic under
+    * ties. The DuckDB oracle is a native ASOF LEFT JOIN. */
+  val q42 = QuerySpec(
+    "q42_asof_join",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter($"event_type" === "click")
+        .groupBy($"user_id", $"ts").agg(max($"value").as("cv"))
+        .select($"user_id", $"ts", lit(0).as("side"),
+          lit(null).cast("long").as("event_id"),
+          lit(null).cast("double").as("pvalue"), $"cv")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", lit(1).as("side"), $"event_id",
+          $"value".as("pvalue"), lit(null).cast("double").as("cv"))
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("click_value", last($"cv", ignoreNulls = true).over(w))
+        .withColumn("click_ts", last(when($"side" === 0, $"ts"), ignoreNulls = true).over(w))
+        .filter($"side" === 1)
+        .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+          $"pvalue".as("purchase_value"),
+          unix_micros($"click_ts").as("click_ts_us"), $"click_value")
+        .orderBy($"event_id")
+    },
+    Some("""WITH c AS (SELECT user_id, ts, max(value) AS click_value FROM events
+           |           WHERE event_type = 'click' GROUP BY 1, 2),
+           |p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+           |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value AS purchase_value,
+           |  epoch_us(c.ts) AS click_ts_us, c.click_value
+           |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+           |ORDER BY event_id""".stripMargin),
+  )
+
+  /** Session gap shared by batch q43 and the streaming twin (q44):
+    * events ≤ 30 minutes apart per user belong to one session. */
+  val SessionGapUs: Long = 30L * 60 * 1000000
+
+  /** q43 — sessionization (batch): per-user 30-minute-gap sessions over
+    * events, the canonical event-pipeline operator. One shuffle on
+    * user_id, one in-partition sort, then lag + running-sum assigns
+    * session ids (a new session starts where the gap to the previous
+    * event exceeds 30 min) and a hash agg rolls sessions up. Both window
+    * phases share the (user_id | ts, event_id) sort. The streaming twin
+    * (q44, flatMapGroupsWithState) must produce value-identical sessions
+    * — SessionizeSpec asserts it. */
+  val q43 = QuerySpec(
+    "q43_sessionize",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, d)
+        .select($"user_id", $"event_id", $"ts", $"value")
+        .withColumn("prev", lag($"ts", 1).over(w))
+        .withColumn("ns",
+          when($"prev".isNull ||
+            unix_micros($"ts") - unix_micros($"prev") > SessionGapUs, 1).otherwise(0))
+        .withColumn("sid", sum($"ns").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"sid")
+        .agg(
+          min(unix_micros($"ts")).as("session_start_us"),
+          max(unix_micros($"ts")).as("session_end_us"),
+          count(lit(1)).as("n_events"),
+          dsum($"value", 4).as("value_sum"))
+        .select($"user_id", $"session_start_us", $"session_end_us",
+          $"n_events", $"value_sum")
+        .orderBy($"user_id", $"session_start_us")
+    },
+    Some(s"""WITH x AS (SELECT user_id, event_id, ts, value,
+            |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events),
+            |y AS (SELECT *, CASE WHEN prev IS NULL
+            |    OR epoch_us(ts) - epoch_us(prev) > ${SessionGapUs}::BIGINT THEN 1 ELSE 0 END AS ns FROM x),
+            |z AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            |        ROWS UNBOUNDED PRECEDING) AS sid FROM y)
+            |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+            |  epoch_us(max(ts)) AS session_end_us, count(*) AS n_events,
+            |  ${sqlDsum("value", 4)} AS value_sum
+            |FROM z GROUP BY user_id, sid
+            |ORDER BY user_id, session_start_us""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q39, q40, q41, q42, q43)
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.streaming.EventIngest
+import graft.streaming.{EventIngest, Sessionize}
 import Det._
 
 /** Streaming surface, gated through the same oracle as the batch twin.
@@ -24,5 +24,17 @@ object StreamingOps {
             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q35)
+  /** q44 — stateful streaming sessionization (flatMapGroupsWithState +
+    * event-time timeout), gated against batch q43's oracle: the stream's
+    * closed sessions over the drained file source must equal the batch
+    * lag/cumsum sessionization value-for-value (exact scaled-decimal
+    * sums make the totals bit-identical). See graft.streaming.Sessionize
+    * for the state contract and the heartbeat drain. */
+  val q44 = QuerySpec(
+    "q44_stream_sessionize",
+    (s, d) => Sessionize.runOnce(s, d),
+    Extras.q43.oracle,
+  )
+
+  val all: Seq[QuerySpec] = Seq(q35, q44)
 }

@@ -1,0 +1,155 @@
+package graft.streaming
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.LongType
+
+import graft.queries.Extras.SessionGapUs
+
+/** Stateful streaming sessionization — `flatMapGroupsWithState` with an
+  * event-time timeout, the custom-state tool Structured Streaming offers
+  * when windowed aggregation can't express the semantics (a session's
+  * extent depends on the data, not on a fixed grid).
+  *
+  * Contract: value-identical to batch q43 (same gap, same exact-decimal
+  * value sums — SessionizeSpec asserts equality, and q44 gates it
+  * against the same DuckDB oracle as q43).
+  *
+  * Scale notes (100 TB): state per user is ONE open session (4 longs),
+  * evicted by the event-time timeout as the watermark passes
+  * session_end + gap — bounded by active users, not history. Closed
+  * sessions emit incrementally (Append mode) to an append-only parquet
+  * sink, checkpointed exactly-once. The sort inside a group invocation
+  * is per-user-per-batch only.
+  *
+  * Draining: a finite verification run ends with sessions still open —
+  * no later event ever advances the watermark past their timeout. The
+  * harness closes them the same way a production pipeline would: a
+  * heartbeat event far past the last real timestamp (sentinel user -1,
+  * filtered from results) lands as a second file, the stream resumes
+  * from the checkpoint, the watermark jumps, and every real session
+  * times out and flushes.
+  */
+object Sessionize {
+
+  /** One emitted session. */
+  final case class Session(
+      user_id: Long,
+      session_start_us: Long,
+      session_end_us: Long,
+      n_events: Long,
+      value_sum: Double)
+
+  /** Open-session state: exact scaled-decimal sum (micro-units of the
+    * DECIMAL(30,4) accumulator batch q43 uses), so streaming and batch
+    * totals are bit-identical. */
+  final case class OpenSession(start: Long, end: Long, n: Long, sumScaled: Long)
+
+  /** Spark's double→DECIMAL(30,4) cast: HALF_UP at scale 4. */
+  private def scaled4(v: Double): Long =
+    new JBigDecimal(v).setScale(4, RoundingMode.HALF_UP).unscaledValue().longValue()
+
+  private def toSession(uid: Long, s: OpenSession): Session =
+    Session(uid, s.start, s.end, s.n, new JBigDecimal(
+      java.math.BigInteger.valueOf(s.sumScaled), 4).doubleValue())
+
+  /** Fold one batch of events for a user into session state, emitting
+    * sessions closed either by an in-batch gap or by timeout. */
+  def onUser(
+      uid: Long,
+      rows: Iterator[(Long, Long, Double)], // (user_id, ts_us, value)
+      state: GroupState[OpenSession]): Iterator[Session] = {
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(toSession(uid, _)).iterator
+      state.remove()
+      return out
+    }
+    val evs = rows.map { case (_, ts, v) => (ts, v) }.toArray.sortBy(_._1)
+    var open = state.getOption
+    val closed = Array.newBuilder[Session]
+    evs.foreach { case (ts, v) =>
+      open match {
+        case Some(s) if ts - s.end <= SessionGapUs =>
+          open = Some(OpenSession(s.start, math.max(s.end, ts), s.n + 1,
+            s.sumScaled + scaled4(v)))
+        case Some(s) =>
+          closed += toSession(uid, s)
+          open = Some(OpenSession(ts, ts, 1, scaled4(v)))
+        case None =>
+          open = Some(OpenSession(ts, ts, 1, scaled4(v)))
+      }
+    }
+    open.foreach { s =>
+      state.update(s)
+      // Close when the watermark passes end + gap (ms precision).
+      state.setTimeoutTimestamp(s.end / 1000 + SessionGapUs / 1000 + 1)
+    }
+    closed.result().iterator
+  }
+
+  /** Run sessionization as a stream over `eventsDir`, drain, flush via
+    * the sentinel heartbeat, and return the closed real sessions. */
+  def runOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "")
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_sessionize_$tag"
+    val inDir = s"$tmp/in"
+    val outDir = s"$tmp/out"
+    val ckpt = s"$tmp/ckpt"
+    Files.createDirectories(Paths.get(inDir))
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), Paths.get(s"$inDir/events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+
+    val schema = spark.read.parquet(inDir).schema
+    def startStream(): Unit = {
+      val raw = spark.readStream.schema(schema).parquet(inDir)
+      val events =
+        if (schema("ts").dataType == LongType)
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else raw
+      // Keep the watermarked ts column through to the stateful operator —
+      // a typed .map before groupByKey would sever the event-time tag and
+      // fail the EventTimeTimeout analysis.
+      val typed: Dataset[(Long, java.sql.Timestamp, Long, Double)] = events
+        .withWatermark("ts", "30 minutes")
+        .select($"user_id", $"ts", unix_micros($"ts").as("ts_us"), $"value")
+        .as[(Long, java.sql.Timestamp, Long, Double)]
+      val sessions = typed
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          (uid: Long, it: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+           state: GroupState[OpenSession]) =>
+            onUser(uid, it.map(t => (t._1, t._3, t._4)), state)
+        }
+      val q = sessions.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    startStream() // batch 1: all real events; trailing sessions stay open
+
+    // Heartbeat: one sentinel event 2 h past the last real timestamp.
+    val maxNanos = spark.read.parquet(inDir)
+      .agg(max($"ts")).head.getLong(0)
+    val sentinelNanos = maxNanos + 2L * 3600 * 1000000000L
+    val sentinel = spark.createDataFrame(
+      java.util.List.of(Row(-1L, sentinelNanos, -1L, "heartbeat", 0.0, "{}")),
+      schema)
+    sentinel.coalesce(1).write.mode("append").parquet(inDir)
+
+    startStream() // batch 2: watermark jumps; every real session times out
+
+    spark.read.parquet(outDir)
+      .filter($"user_id" >= 0)
+      .orderBy($"user_id", $"session_start_us")
+  }
+}
