@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** `SparkSessionExtensions` hook: registers the engine's custom Catalyst
+  * expressions as SQL functions, so the SQL surface (SqlSurface /
+  * spark.sql text — the way a reference user works) can call them the
+  * same way the DataFrame API does. Activate with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (GraftSession
+  * sets it for every entry point).
+  *
+  * `graft_dot(array<double>, array<double>)` is the codegen'd
+  * [[DotProduct]]; a SQL user writes
+  * `SELECT graft_dot(a.emb, b.emb) / (a.nrm * b.nrm) ...` and gets the
+  * same tight generated loop as the Scala surface — no UDF registry, no
+  * boxing.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"graft_dot expects 2 arguments, got ${children.size}")
+        DotProduct(children.head, children(1))
+      }))
+  }
+}

@@ -56,6 +56,13 @@ class VectorOpsSpec extends SparkTestBase {
     assert(DotProduct(lit3, lit3).eval() == 14.0)
   }
 
+  test("graft_dot is callable from SQL text via GraftExtensions") {
+    import spark.implicits._
+    Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b").createOrReplaceTempView("gdot_t")
+    val r = spark.sql("SELECT graft_dot(a, b) AS d FROM gdot_t").head.getDouble(0)
+    assert(r === 11.0)
+  }
+
   test("null embedding yields null, not a crash") {
     import spark.implicits._
     val df = Seq((1L, Option.empty[Seq[Float]]), (2L, Some(Seq(1.0f))))
