@@ -87,6 +87,49 @@ object MediaPipeline {
     }
   }
 
+  /** Resized "thumbnail" output: exact integer byte sums over `k` equal
+    * spans of the payload (generalizes [[quarterSums]]; a real image
+    * resize swaps the span-sum for a pixel kernel — the schema,
+    * batching, and exactness contract stay). */
+  final case class MediaThumb(doc_id: Long, source: String, n_bytes: Int, sums: Array[Long])
+
+  /** Exact integer byte sum per span, `buckets` spans. */
+  def bucketSums(media: Array[Byte], buckets: Int): Array[Long] = {
+    val n = media.length
+    Array.tabulate(buckets) { q =>
+      val lo = (q.toLong * n / buckets).toInt
+      val hi = ((q + 1).toLong * n / buckets).toInt
+      var s = 0L
+      var i = lo
+      while (i < hi) { s += media(i) & 0xff; i += 1 }
+      s
+    }
+  }
+
+  /** RESIZE stage: batched per-partition downsample to `buckets` spans. */
+  def resize(ds: Dataset[MediaRecord], buckets: Int): Dataset[MediaThumb] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap { batch =>
+        batch.map(r =>
+          MediaThumb(r.doc_id, r.source, r.media.length, bucketSums(r.media, buckets)))
+      }
+    }
+  }
+
+  /** FRAME-SAMPLE stage primitive: `n` frames of up to `frameBytes`
+    * bytes at even stride — the video analogue of quarter sums (a real
+    * build decodes container frames; the sampling geometry and bounded
+    * output contract stay). Empty payload → n empty frames. */
+  def sampleFrames(media: Array[Byte], n: Int, frameBytes: Int): Array[Array[Byte]] = {
+    val len = media.length
+    Array.tabulate(n) { j =>
+      val start = (j.toLong * len / n).toInt
+      media.slice(start, math.min(start + frameBytes, len))
+    }
+  }
+
   /** The documents table as a media corpus: text bytes stand in for
     * image/audio payloads (ASCII corpus → bytes == code points, which the
     * DuckDB oracle mirrors with ord()). */

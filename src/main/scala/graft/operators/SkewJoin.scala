@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Explicit key-salting for skewed equi-joins (SURVEY §4; driver
+  * mandate: "salting for skew").
+  *
+  * AQE's skew-join optimization already splits oversized sort-merge
+  * partitions at runtime, so REACH FOR THIS ONLY when AQE can't help:
+  * a shuffled hash join you must keep (AQE skew handling targets SMJ),
+  * a deterministic pre-partitioned write, or a key so hot a single
+  * partition exceeds executor memory before AQE sees sizes.
+  *
+  * Shape: the large/skewed side gains a salt in [0, salts); the small
+  * side is replicated `salts`× with every salt value; the join key
+  * becomes (key, salt). One hot key's probe rows now spread over
+  * `salts` reducers instead of one. Replication multiplies the small
+  * side's shuffle volume by `salts` — size it as (hot-key rows ÷
+  * target-partition rows), not "big".
+  *
+  * The salt derives from a hash of the large side's whole row (via
+  * every column), so it is deterministic for a given row — reruns and
+  * retries partition identically, which a random salt would not.
+  */
+object SkewJoin {
+
+  val SaltCol = "__graft_salt"
+
+  /** Inner/left-semi-style equi-join of a skewed `large` side against a
+    * `small` side on `key`, salted `salts` ways. Returns columns of both
+    * inputs (the salt is dropped). */
+  def saltedEquiJoin(
+      large: DataFrame,
+      small: DataFrame,
+      key: String,
+      salts: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    val l = large.withColumn(
+      SaltCol, pmod(hash(large.columns.map(col).toIndexedSeq: _*), lit(salts)))
+    val r = small
+      .withColumn(SaltCol, explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, Seq(key, SaltCol), joinType).drop(SaltCol)
+  }
+}

@@ -222,50 +222,84 @@ object TextMedia {
     * identical operands at the end — no double→decimal tie rounding
     * anywhere (summing the per-doc mean doubles can land on a decimal
     * rounding boundary that Spark and DuckDB break differently). */
+  /** Per-source rollup of per-media span sums: exact Long sums of the
+    * `sums` array elements plus span lengths (derived from n_bytes),
+    * means as one IEEE division at the end. Shared by q36 (4-span decode
+    * features) and q45 (8-span resize) — see q36's docstring for why the
+    * gate aggregates integers, not mean doubles. */
+  private def spanRollup(s: SparkSession, perMedia: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    def qlen(q: Int) = expr(s"(${q + 1}L * n_bytes) div $k - (${q}L * n_bytes) div $k")
+    val perDoc = perMedia
+      .select(Seq($"doc_id", $"source", $"n_bytes") ++
+        (0 until k).map(q => $"sums" (q).as(s"s$q")) ++
+        (0 until k).map(q => qlen(q).as(s"l$q")): _*)
+    val meanCols = (0 until k).map { q =>
+      when(col(s"l${q}_sum") > 0,
+        col(s"s${q}_sum").cast("double") / col(s"l${q}_sum").cast("double"))
+        .otherwise(lit(0.0)).as(s"f${q}_mean")
+    }
+    val aggCols = Seq(count(lit(1)).as("n_media"), sum($"n_bytes").as("bytes_sum")) ++
+      (0 until k).flatMap(q => Seq(
+        sum(col(s"s$q")).as(s"s${q}_sum"),
+        sum(col(s"l$q")).as(s"l${q}_sum")))
+    perDoc
+      .groupBy($"source")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(Seq($"source", $"n_media", $"bytes_sum") ++
+        (0 until k).map(q => col(s"s${q}_sum")) ++ meanCols: _*)
+      .orderBy($"source")
+  }
+
+  /** DuckDB mirror of [[spanRollup]] over the documents corpus. */
+  private def spanRollupOracle(k: Int): String = {
+    def s(q: Int) =
+      s"coalesce(list_aggregate(list_transform(generate_series(($q*n)//$k+1, (${q + 1}*n)//$k), i -> ord(substring(text, i, 1))), 'sum'), 0) AS s$q"
+    def l(q: Int) = s"(${q + 1}*n)//$k - ($q*n)//$k AS l$q"
+    val sums = (0 until k).map(q => s"CAST(sum(s$q) AS BIGINT) AS s${q}_sum").mkString(", ")
+    val means = (0 until k).map(q =>
+      s"CASE WHEN sum(l$q) > 0 THEN CAST(sum(s$q) AS DOUBLE) / CAST(sum(l$q) AS DOUBLE) ELSE 0.0 END AS f${q}_mean")
+      .mkString(", ")
+    s"""WITH d AS (SELECT doc_id, source, length(text) AS n, text FROM documents),
+       |f AS (SELECT doc_id, source, n,
+       |  ${(0 until k).map(s).mkString(", ")},
+       |  ${(0 until k).map(l).mkString(", ")}
+       |  FROM d)
+       |SELECT source, count(*) AS n_media, CAST(sum(n) AS BIGINT) AS bytes_sum,
+       |  $sums, $means
+       |FROM f GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val q36 = QuerySpec(
     "q36_multimodal_decode_features",
     (s, d) => {
       import s.implicits._
       import graft.multimodal.MediaPipeline
-      def qlen(q: Int) = expr(s"(${q + 1}L * n_bytes) div 4 - (${q}L * n_bytes) div 4")
-      val perDoc = MediaPipeline.extractFeatures(MediaPipeline.documentsAsMedia(s, d)).toDF()
-        .select(Seq($"doc_id", $"source", $"n_bytes") ++
-          (0 to 3).map(q => $"featureSums" (q).as(s"s$q")) ++
-          (0 to 3).map(q => qlen(q).as(s"l$q")): _*)
-      val meanCols = (0 to 3).map { q =>
-        when(col(s"l${q}_sum") > 0,
-          col(s"s${q}_sum").cast("double") / col(s"l${q}_sum").cast("double"))
-          .otherwise(lit(0.0)).as(s"f${q}_mean")
-      }
-      val aggCols = Seq(count(lit(1)).as("n_media"), sum($"n_bytes").as("bytes_sum")) ++
-        (0 to 3).flatMap(q => Seq(
-          sum(col(s"s$q")).as(s"s${q}_sum"),
-          sum(col(s"l$q")).as(s"l${q}_sum")))
-      perDoc
-        .groupBy($"source")
-        .agg(aggCols.head, aggCols.tail: _*)
-        .select(Seq($"source", $"n_media", $"bytes_sum") ++
-          (0 to 3).map(q => col(s"s${q}_sum")) ++ meanCols: _*)
-        .orderBy($"source")
+      val perMedia = MediaPipeline
+        .extractFeatures(MediaPipeline.documentsAsMedia(s, d)).toDF()
+        .withColumnRenamed("featureSums", "sums")
+      spanRollup(s, perMedia, 4)
     },
-    Some {
-      def s(q: Int) =
-        s"coalesce(list_aggregate(list_transform(generate_series(($q*n)//4+1, (${q + 1}*n)//4), i -> ord(substring(text, i, 1))), 'sum'), 0) AS s$q"
-      def l(q: Int) = s"(${q + 1}*n)//4 - ($q*n)//4 AS l$q"
-      val sums = (0 to 3).map(q => s"CAST(sum(s$q) AS BIGINT) AS s${q}_sum").mkString(", ")
-      val means = (0 to 3).map(q =>
-        s"CASE WHEN sum(l$q) > 0 THEN CAST(sum(s$q) AS DOUBLE) / CAST(sum(l$q) AS DOUBLE) ELSE 0.0 END AS f${q}_mean")
-        .mkString(", ")
-      s"""WITH d AS (SELECT doc_id, source, length(text) AS n, text FROM documents),
-         |f AS (SELECT doc_id, source, n,
-         |  ${(0 to 3).map(s).mkString(", ")},
-         |  ${(0 to 3).map(l).mkString(", ")}
-         |  FROM d)
-         |SELECT source, count(*) AS n_media, CAST(sum(n) AS BIGINT) AS bytes_sum,
-         |  $sums, $means
-         |FROM f GROUP BY source ORDER BY source""".stripMargin
-    },
+    Some(spanRollupOracle(4)),
   )
 
-  val all: Seq[QuerySpec] = Seq(q29, q30, q31, q32, q33, q34, q36)
+  /** q45 — the RESIZE stage end-to-end: batched mapPartitions downsample
+    * of each payload to an 8-span integer thumbnail
+    * (MediaPipeline.resize), rolled up per source with the same
+    * exact-integer gate as q36. Together with q36 (decode/feature) and
+    * the frame-sample primitive (MediaPipelineSpec), this covers the
+    * decode / feature-extract / resize / frame-sample multimodal stage
+    * set; only the kernel inside each stage is a stub. */
+  val q45 = QuerySpec(
+    "q45_multimodal_resize",
+    (s, d) => {
+      import graft.multimodal.MediaPipeline
+      val perMedia = MediaPipeline
+        .resize(MediaPipeline.documentsAsMedia(s, d), 8).toDF()
+      spanRollup(s, perMedia, 8)
+    },
+    Some(spanRollupOracle(8)),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q29, q30, q31, q32, q33, q34, q36, q45)
 }

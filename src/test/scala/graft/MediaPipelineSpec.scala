@@ -41,6 +41,40 @@ class MediaPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("bucketSums generalizes quarterSums and stays exact") {
+    val payload = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)
+    assert(MediaPipeline.bucketSums(payload, 4).toSeq == Seq(3L, 7L, 11L, 15L))
+    assert(MediaPipeline.bucketSums(payload, 8).toSeq == (1 to 8).map(_.toLong))
+    assert(MediaPipeline.bucketSums(payload, 4).toSeq ==
+      MediaPipeline.quarterSums(payload).toSeq)
+    // Sums over spans always total the full byte sum, any bucket count.
+    assert(MediaPipeline.bucketSums(payload, 3).sum == payload.map(_.toLong).sum)
+  }
+
+  test("resize stage: 8-span thumbnails for every record, exact sums") {
+    val media = MediaPipeline.documentsAsMedia(spark, sf)
+    val thumbs = MediaPipeline.resize(media, 8).collect()
+    val byId = media.collect().map(r => r.doc_id -> r).toMap
+    assert(thumbs.length == byId.size)
+    thumbs.foreach { t =>
+      assert(t.sums.length == 8)
+      assert(t.sums.toSeq == MediaPipeline.bucketSums(byId(t.doc_id).media, 8).toSeq)
+    }
+  }
+
+  test("sampleFrames: even stride, bounded frame size, empty-payload safe") {
+    val payload = (0 until 100).map(_.toByte).toArray
+    val frames = MediaPipeline.sampleFrames(payload, 4, 10)
+    assert(frames.length == 4)
+    // Strides land at 0, 25, 50, 75; each frame is 10 bytes.
+    assert(frames.map(_.head.toInt).toSeq == Seq(0, 25, 50, 75))
+    assert(frames.forall(_.length == 10))
+    // Tail frame truncates at payload end rather than overrunning.
+    val tail = MediaPipeline.sampleFrames(payload, 4, 40)
+    assert(tail.last.length == 25)
+    assert(MediaPipeline.sampleFrames(Array.emptyByteArray, 3, 8).forall(_.isEmpty))
+  }
+
   test("batched iteration is lazy: one batch in flight, order preserved") {
     import spark.implicits._
     val n = MediaPipeline.decodeBatchSize * 2 + 7
