@@ -85,6 +85,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(aggs >= 2, s"expected partial+final HashAggregate pair\n$p")
   }
 
+  test("q38: the SQL-surface BROADCAST hint survives into the physical plan") {
+    val p = plan("q38_sql_rollup")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q42: as-of join is window-over-union — no join operator at all") {
+    val p = plan("q42_asof_join")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), "as-of degraded to a join\n" + p)
+  }
+
   test("whole-stage codegen covers the scan->project hot path of q30") {
     // Under AQE codegen stages exist only in the executed final plan —
     // run the query, then look for per-node "codegen id" annotations.
