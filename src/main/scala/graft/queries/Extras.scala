@@ -188,5 +188,63 @@ object Extras {
             |ORDER BY user_id, session_start_us""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q39, q40, q41, q42, q43)
+  /** q46 — pivot (long→wide): hourly event-type value sums as one row
+    * per hour × one column per type. Spark's `pivot` with EXPLICIT
+    * values — at scale the values-discovery pass (a distinct scan) is
+    * the hidden cost, so the type list is pinned; the plan is then a
+    * plain two-phase hash agg over conditional sums, exactly what the
+    * oracle spells out. */
+  val q46 = QuerySpec(
+    "q46_pivot_hourly",
+    (s, d) => {
+      import s.implicits._
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, d)
+        .withColumn("h", hour($"ts"))
+        .groupBy($"h")
+        .pivot("event_type", types)
+        .agg(dsum($"value", 4))
+        .select($"h" +: types.map(t => col(t).as(s"${t}_sum")): _*)
+        .orderBy($"h")
+    },
+    Some {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cols = types.map(t =>
+        s"CAST(sum(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(30,4)) END) AS DOUBLE) AS ${t}_sum")
+        .mkString(",\n  ")
+      s"""SELECT CAST(extract(hour FROM ts) AS INT) AS h,
+         |  $cols
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+  )
+
+  /** q47 — percentiles: exact interpolated `percentile` (the
+    * sort-per-group aggregate; both engines implement the standard
+    * p·(n−1) linear interpolation) beside `percentile_approx`, whose
+    * sketch estimate gates like q39's HLL — a boolean asserting it lands
+    * within 5% of exact. Scale: exact percentile holds a group's values
+    * in memory (bounded groups only — 5 event types); the approx sketch
+    * is the unbounded-cardinality tool. */
+  val q47 = QuerySpec(
+    "q47_percentile",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"),
+          expr("percentile_approx(value, 0.9, 10000)").as("p90a"),
+          count(lit(1)).as("n_events"))
+        .select($"event_type", $"p50", $"p90", $"n_events",
+          (abs($"p90a" - $"p90") <= $"p90" * lit(0.05)).as("approx_within_5pct"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, quantile_cont(value, 0.5) AS p50,
+           |  quantile_cont(value, 0.9) AS p90, count(*) AS n_events,
+           |  TRUE AS approx_within_5pct
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q39, q40, q41, q42, q43, q46, q47)
 }
