@@ -48,4 +48,62 @@ class OperatorPropsSpec extends SparkTestBase {
       assert(once.dropDuplicates("v").count() === once.count())
     }
   }
+
+  test("TopK: any reduce/merge order equals sort-desc-take-k") {
+    import graft.functions.TopK
+    val dGen = Gen.listOfN(40, Gen.chooseNum(-1e6, 1e6))
+    samples(Gen.zip(dGen, Gen.chooseNum(1, 6)), 12).foreach { case (xs, k) =>
+      val agg = TopK(k)
+      val expected = xs.sorted(Ordering[Double].reverse).take(k)
+      // Straight left fold.
+      val folded = xs.foldLeft(agg.zero)(agg.reduce)
+      assert(folded.toList === expected)
+      // Random partition split + pairwise merges (map-side combine shape).
+      val parts = xs.grouped(7).map(p => p.foldLeft(agg.zero)(agg.reduce)).toList
+      val merged = parts.foldLeft(agg.zero)(agg.merge)
+      assert(merged.toList === expected)
+      // Merge is insensitive to argument order.
+      val mergedRev = parts.reverse.foldLeft(agg.zero)(agg.merge)
+      assert(mergedRev.toList === expected)
+    }
+  }
+
+  test("bucketSums: spans partition the payload exactly for any bucket count") {
+    import graft.multimodal.MediaPipeline
+    val bytesGen = Gen.listOfN(50, Gen.chooseNum(-128, 127)).map(_.map(_.toByte).toArray)
+    samples(Gen.zip(bytesGen, Gen.chooseNum(1, 12)), 10).foreach { case (m, k) =>
+      val sums = MediaPipeline.bucketSums(m, k)
+      assert(sums.length === k)
+      assert(sums.sum === m.map(_ & 0xff).map(_.toLong).sum,
+        "span sums must total the unsigned byte sum")
+    }
+  }
+
+  test("Sessionize.onUser: splitting a batch at an ordered point changes nothing") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.streaming.Sessionize
+    import graft.queries.Extras.SessionGapUs
+    val tsGen = Gen.listOfN(25, Gen.chooseNum(0L, 6L * SessionGapUs))
+    samples(Gen.zip(tsGen, Gen.chooseNum(1, 24)), 10).foreach { case (tsRaw, cut) =>
+      val ts = tsRaw.sorted
+      def run(batches: List[List[Long]]): (List[Sessionize.Session], Option[Sessionize.OpenSession]) = {
+        var state: Option[Sessionize.OpenSession] = None
+        val closed = List.newBuilder[Sessionize.Session]
+        batches.filter(_.nonEmpty).foreach { b =>
+          val gs = TestGroupState.create[Sessionize.OpenSession](
+            state.map(Optional.of[Sessionize.OpenSession])
+              .getOrElse(Optional.empty[Sessionize.OpenSession]()),
+            GroupStateTimeout.EventTimeTimeout, 0L,
+            Optional.of(java.lang.Long.valueOf(0L)), hasTimedOut = false)
+          closed ++= Sessionize.onUser(1L, b.iterator.map(t => (1L, t, 1.0)), gs)
+          state = if (gs.exists) Some(gs.get) else None
+        }
+        (closed.result(), state)
+      }
+      val whole = run(List(ts))
+      val split = run(List(ts.take(cut), ts.drop(cut)))
+      assert(split === whole, s"split at $cut diverged")
+    }
+  }
 }
