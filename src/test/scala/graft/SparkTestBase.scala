@@ -11,7 +11,13 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 object SharedSpark {
   lazy val spark: SparkSession = {
-    val s = GraftSession.builder("4").getOrCreate()
+    val s = GraftSession.builder("4")
+      // Unique warehouse per test JVM: managed tables (BucketingSpec)
+      // never collide with a stale on-disk location, and nothing lands
+      // in the repo tree.
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
+      .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
