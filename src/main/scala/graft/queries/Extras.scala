@@ -246,5 +246,67 @@ object Extras {
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q39, q40, q41, q42, q43, q46, q47)
+  /** q49 — full outer join: per-nation customer counts ⟗ per-nation
+    * supplier counts, preserving nations that appear on only one side
+    * (the one outer-join shape q07–q09 don't cover). Both inputs are
+    * pre-aggregated to one row per key before the join — full outer
+    * can't broadcast (both sides must survive), so shrinking both sides
+    * to key-level aggregates first is the scale move; the join then
+    * shuffles 25 rows a side instead of the base tables. */
+  val q49 = QuerySpec(
+    "q49_join_full_outer",
+    (s, d) => {
+      import s.implicits._
+      val c = Tables.customer(s, d).filter($"c_acctbal" > 9000.0)
+        .groupBy($"c_nationkey".as("nk")).agg(count(lit(1)).as("n_cust"))
+      val sup = Tables.supplier(s, d).filter($"s_acctbal" > 5000.0)
+        .groupBy($"s_nationkey".as("nk")).agg(count(lit(1)).as("n_supp"))
+      c.join(sup, Seq("nk"), "full_outer")
+        .select($"nk", coalesce($"n_cust", lit(0)).as("n_cust"),
+          coalesce($"n_supp", lit(0)).as("n_supp"))
+        .orderBy($"nk")
+    },
+    Some("""SELECT coalesce(c.nk, s.nk) AS nk,
+           |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+           |FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer
+           |      WHERE c_acctbal > 9000.0 GROUP BY 1) c
+           |FULL OUTER JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier
+           |      WHERE s_acctbal > 5000.0 GROUP BY 1) s USING (nk)
+           |ORDER BY nk""".stripMargin),
+  )
+
+  /** q50 — multiset (ALL) set operations, completing q16's distinct
+    * family: duplicates are preserved per bag semantics, so counts
+    * expose the difference (intersectAll keeps min(multiplicity),
+    * exceptAll subtracts). Spark plans these as aggregate+generate
+    * (replicate_rows), no sort. */
+  val q50 = QuerySpec(
+    "q50_setops_multiset",
+    (s, d) => {
+      import s.implicits._
+      val l = Tables.lineitem(s, d)
+      val a = l.filter($"l_quantity" >= 25.0).select($"l_orderkey")
+      val b = l.filter($"l_discount" >= 0.05).select($"l_orderkey")
+      def tagged(tag: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n")).select(lit(tag).as("op"), $"n")
+      tagged("except_all", a.exceptAll(b))
+        .unionAll(tagged("intersect_all", a.intersectAll(b)))
+        .unionAll(tagged("union_all", a.unionAll(b)))
+        .orderBy($"op")
+    },
+    Some("""SELECT 'except_all' AS op, count(*) AS n FROM (
+           |  SELECT l_orderkey FROM lineitem WHERE l_quantity >= 25.0
+           |  EXCEPT ALL SELECT l_orderkey FROM lineitem WHERE l_discount >= 0.05)
+           |UNION ALL
+           |SELECT 'intersect_all', count(*) FROM (
+           |  SELECT l_orderkey FROM lineitem WHERE l_quantity >= 25.0
+           |  INTERSECT ALL SELECT l_orderkey FROM lineitem WHERE l_discount >= 0.05)
+           |UNION ALL
+           |SELECT 'union_all', count(*) FROM (
+           |  SELECT l_orderkey FROM lineitem WHERE l_quantity >= 25.0
+           |  UNION ALL SELECT l_orderkey FROM lineitem WHERE l_discount >= 0.05)
+           |ORDER BY op""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q39, q40, q41, q42, q43, q46, q47, q49, q50)
 }
