@@ -26,5 +26,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, s"graft_dot expects 2 arguments, got ${children.size}")
         DotProduct(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_array_md5"),
+      new ExpressionInfo(classOf[ArrayMd5].getName, "graft_array_md5"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"graft_array_md5 expects 2 arguments, got ${children.size}")
+        ArrayMd5(children.head, children(1))
+      }))
   }
 }

@@ -23,9 +23,11 @@ object TextFns {
     * Two salts give 2×128 = 256 digest bits per shingle, which
     * [[chunkMin]] splits into eight independent 32-bit hash functions —
     * 2 md5 evaluations per shingle instead of one per hash function
-    * (md5 dominated the round-2 q24 profile at 8 salted passes). */
+    * (md5 dominated the round-2 q24 profile at 8 salted passes). Backed
+    * by the [[ArrayMd5]] expression: one compiled loop per row instead
+    * of an interpreted per-element transform lambda. */
   def saltedHashes(shinglesExpr: String, salt: Int): Column =
-    expr(s"transform($shinglesExpr, x -> md5(concat(x, ':$salt')))")
+    ArrayMd5.arrayMd5(expr(shinglesExpr), lit(s":$salt"))
 
   /** 32-bit minhash: min over chunk `chunkExpr` (0-based, 8 hex chars) of
     * each digest in a [[saltedHashes]] array. Disjoint digest chunks are

@@ -140,7 +140,9 @@ object TextMedia {
       Tables.fanOut(Tables.documents(s, d), col("doc_id"))
         .filter(length($"text") >= 11)
         .select($"doc_id",
-          expr("transform(sequence(1, length(text)-7), i -> md5(substring(text, i, 8)))").as("grams"))
+          graft.functions.ArrayMd5.arrayMd5(
+            expr("transform(sequence(1, length(text)-7), i -> substring(text, i, 8))"),
+            lit("")).as("grams"))
         .select($"doc_id", $"grams",
           expr("transform(sequence(1, size(grams)-3), j -> array_min(slice(grams, j, 4)))").as("wins"))
         .select($"doc_id",

@@ -79,6 +79,26 @@ class OperatorPropsSpec extends SparkTestBase {
     }
   }
 
+  test("ArrayMd5 equals the transform+md5 formulation byte-for-byte") {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    import spark.implicits._
+    val strGen = Gen.listOfN(15,
+      Gen.oneOf(Gen.alphaNumStr.map(_.take(12)), Gen.const(""), Gen.const("a b:c")))
+    samples(strGen, 6).foreach { xs =>
+      val df = Seq(Tuple1(xs)).toDF("s")
+      val fast = df.select(
+        graft.functions.ArrayMd5.arrayMd5(col("s"), lit(":7")).as("h")).head.getSeq[String](0)
+      val ref = df.select(
+        expr("transform(s, x -> md5(concat(x, ':7')))").as("h")).head.getSeq[String](0)
+      assert(fast === ref)
+    }
+    // Null elements pass through as null elements; null array -> null.
+    val dfN = Seq(Tuple1(Seq[String]("x", null))).toDF("s")
+    val outN = dfN.select(
+      graft.functions.ArrayMd5.arrayMd5(col("s"), lit("")).as("h")).head.getSeq[String](0)
+    assert(outN(1) == null && outN(0) != null)
+  }
+
   test("Sessionize.onUser: splitting a batch at an ordered point changes nothing") {
     import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
