@@ -114,5 +114,29 @@ object SqlSurface {
             |ORDER BY nation, status""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q37, q38, q48)
+  /** q51 — correlated scalar subquery through the SQL surface: orders
+    * priced above 1.5× their customer's average order price. Catalyst
+    * decorrelates this into an aggregate + join (no per-row subquery
+    * execution — the thing a naive engine would do and die at scale);
+    * the exact-decimal average keeps the comparison engine-portable. */
+  val q51 = QuerySpec(
+    "q51_sql_correlated_subquery",
+    (s, d) => {
+      registerViews(s, d)
+      s.sql("""SELECT o_custkey, o_orderkey, o_totalprice
+              |FROM orders o
+              |WHERE o_totalprice > 1.5 * (
+              |  SELECT CAST(avg(CAST(o2.o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+              |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+              |ORDER BY o_custkey, o_orderkey""".stripMargin)
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice
+           |FROM orders o
+           |WHERE o_totalprice > 1.5 * (
+           |  SELECT CAST(avg(CAST(o2.o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+           |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+           |ORDER BY o_custkey, o_orderkey""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q37, q38, q48, q51)
 }
