@@ -106,27 +106,24 @@ object NearDup {
     * blocked on 8-bit chunks (pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 chunks
     * equal), verified by bit_count(xor) ≤ 3. Unigram features would
     * collapse here — the corpus vocabulary is ~30 words, so shingles are
-    * the discriminative feature set. Per doc state is one long; the
-    * candidate stage shuffles 4 × 12-byte rows per doc into nibble
-    * buckets (groupBy-collect, one shuffle — no self-join recompute). */
+    * the discriminative feature set. The fingerprint is a PER-ROW pure
+    * function ([[graft.functions.SimHash32]] over an [[ArrayMd5]] pass):
+    * no gram explode, no shuffle, no 32-wide conditional aggregate (the
+    * round-2 plan shuffled ~50 gram rows per doc to compute it). Per doc
+    * state is one long; the candidate stage shuffles 4 × 12-byte rows
+    * per doc into nibble buckets (groupBy-collect, one shuffle). */
   val q25 = QuerySpec(
     "q25_dedup_simhash",
     (s, d) => {
       import s.implicits._
-      val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+      import graft.functions.SimHash32.simhash32
+      import graft.functions.ArrayMd5.arrayMd5
       val toks = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
         .select($"doc_id", tokens($"text").as("t"))
         .filter(size($"t") >= 3)
-      val grams = toks
-        .select($"doc_id", explode(shingles3("t")).as("w"))
-        .select($"doc_id", md5($"w").as("hx"))
-      val sums = (0 until 32).map(j =>
-        sum(when(substring($"hx", j + 1, 1).isin(hi: _*), 1).otherwise(-1)).as(s"s$j"))
-      val sim = grams.groupBy($"doc_id")
-        .agg(sums.head, sums.tail: _*)
-        .select($"doc_id",
-          (0 until 32).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-            .reduce(_ + _).cast("long").as("simhash"))
+      val sim = toks
+        .select($"doc_id", shingles3("t").as("s"))
+        .select($"doc_id", simhash32(arrayMd5($"s", lit(""))).as("simhash"))
       val nib = sim
         .select($"doc_id", $"simhash", explode(sequence(lit(0), lit(3))).as("k"))
         .withColumn("nv", expr("shiftright(simhash, 8*k) % 256"))
