@@ -23,11 +23,18 @@ object Tables {
     * parquet file each → one input split, which would serialize hash-heavy
     * stages onto a single core. Hash-partitioning on the row key keeps the
     * fan-out deterministic; the shuffled payload here is a few hundred
-    * bytes per row. At 100 TB the scan already has thousands of splits and
-    * the same queries would skip this (the shuffle is still correct, just
-    * redundant — it moves signatures-to-be, never joined payloads). */
-  def fanOut(df: DataFrame, key: Column): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+    * bytes per row.
+    *
+    * Scale-adaptive: when the source already has at least core-count
+    * files (any real 100 TB table), the reshuffle would be pure overhead
+    * and is skipped — the check reads file METADATA only, never data.
+    * Results are partitioning-invariant either way; only the fan-out
+    * changes. */
+  def fanOut(df: DataFrame, key: Column): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val files = try df.inputFiles.length catch { case _: Throwable => 0 }
+    if (files >= cores) df else df.repartition(cores, key)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
