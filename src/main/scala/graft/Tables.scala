@@ -32,7 +32,9 @@ object Tables {
     * changes. */
   def fanOut(df: DataFrame, key: Column): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    val files = try df.inputFiles.length catch { case _: Throwable => 0 }
+    val files =
+      try df.inputFiles.length
+      catch { case scala.util.control.NonFatal(_) => 0 }
     if (files >= cores) df else df.repartition(cores, key)
   }
 
@@ -47,10 +49,15 @@ object Tables {
     * long nanos (spark.sql.legacy.parquet.nanosAsLong). Re-derive a real
     * timestamp at microsecond precision — the same truncation DuckDB
     * applies when it coerces the nanos column to TIMESTAMP — so event-time
-    * queries (q34, streaming demo) see identical values on both engines. */
+    * queries (q34, streaming demo) see identical values on both engines.
+    * THE single truncation expression: the batch loader and both
+    * streaming readers (EventIngest, Sessionize) must share it, or the
+    * stream/batch twin-equality gates (q34/q35, q43/q44) drift apart. */
+  val nanosTsToMicros: String = "timestamp_micros(ts div 1000)"
+
   def events(s: SparkSession, d: String): DataFrame =
     table(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr(nanosTsToMicros))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

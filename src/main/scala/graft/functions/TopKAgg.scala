@@ -31,7 +31,10 @@ case class TopK(k: Int) extends Aggregator[Double, Seq[Double], Seq[Double]] {
   override def finish(r: Seq[Double]): Seq[Double] = r
 
   private def insert(b: Seq[Double], v: Double): Seq[Double] = {
-    val idx = b.indexWhere(v > _)
+    // Total order via Double.compare: NaN ranks ABOVE everything, like
+    // Spark's sort and DuckDB's list_sort DESC — IEEE `>` would silently
+    // drop NaN (NaN > x is false for all x).
+    val idx = b.indexWhere(x => java.lang.Double.compare(v, x) > 0)
     val pos = if (idx < 0) b.size else idx
     if (pos >= k) b
     else (b.take(pos) :+ v) ++ b.drop(pos).take(k - pos - 1)

@@ -37,6 +37,14 @@ object SkewJoin {
       salts: Int,
       joinType: String = "inner"): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
+    // Right/full outer would emit each unmatched small-side row once PER
+    // SALT REPLICA — silently wrong. Large-side-preserving types are fine
+    // (each large row carries exactly one salt).
+    val allowed = Set("inner", "cross", "left", "leftouter", "left_outer",
+      "leftsemi", "left_semi", "leftanti", "left_anti")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedEquiJoin supports inner/left-side join types, got '$joinType' " +
+        "(outer-preserving the replicated side would duplicate its unmatched rows)")
     val l = large.withColumn(
       SaltCol, pmod(hash(large.columns.map(col).toIndexedSeq: _*), lit(salts)))
     val r = small

@@ -52,7 +52,10 @@ object Extras {
     "q40_etl_roundtrip",
     (s, d) => {
       import s.implicits._
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_taxi_etl_out"
+      // Unique dir per invocation: a fixed path would race if two
+      // processes (e.g. a verify and a bench) ran q40 concurrently.
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_taxi_etl").toString + "/out"
       TaxiEtl.run(s, d, out)
       s.read.parquet(out)
         // input_file_name() is non-deterministic and may not sit inside
@@ -237,7 +240,7 @@ object Extras {
           expr("percentile_approx(value, 0.9, 10000)").as("p90a"),
           count(lit(1)).as("n_events"))
         .select($"event_type", $"p50", $"p90", $"n_events",
-          (abs($"p90a" - $"p90") <= $"p90" * lit(0.05)).as("approx_within_5pct"))
+          (abs($"p90a" - $"p90") <= abs($"p90") * lit(0.05)).as("approx_within_5pct"))
         .orderBy($"event_type")
     },
     Some("""SELECT event_type, quantile_cont(value, 0.5) AS p50,

@@ -59,7 +59,7 @@ object EventIngest {
     // nanos — re-derive microsecond timestamps exactly as Tables.events.
     val events =
       if (schema("ts").dataType == LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        raw.withColumn("ts", expr(graft.Tables.nanosTsToMicros))
       else raw
 
     val agg = events

@@ -49,9 +49,13 @@ object Sessionize {
     * totals are bit-identical. */
   final case class OpenSession(start: Long, end: Long, n: Long, sumScaled: Long)
 
-  /** Spark's double→DECIMAL(30,4) cast: HALF_UP at scale 4. */
+  /** Spark's double→DECIMAL(30,4) cast: HALF_UP at scale 4 over the
+    * SHORTEST decimal representation (Decimal(double) routes through
+    * BigDecimal.valueOf / Double.toString — the exact binary expansion
+    * `new BigDecimal(v)` would round half-boundary values differently
+    * and break the bit-identity with batch q43). */
   private def scaled4(v: Double): Long =
-    new JBigDecimal(v).setScale(4, RoundingMode.HALF_UP).unscaledValue().longValue()
+    JBigDecimal.valueOf(v).setScale(4, RoundingMode.HALF_UP).unscaledValue().longValue()
 
   private def toSession(uid: Long, s: OpenSession): Session =
     Session(uid, s.start, s.end, s.n, new JBigDecimal(
@@ -109,7 +113,7 @@ object Sessionize {
       val raw = spark.readStream.schema(schema).parquet(inDir)
       val events =
         if (schema("ts").dataType == LongType)
-          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          raw.withColumn("ts", expr(graft.Tables.nanosTsToMicros))
         else raw
       // Keep the watermarked ts column through to the stateful operator —
       // a typed .map before groupByKey would sever the event-time tag and
@@ -138,15 +142,29 @@ object Sessionize {
     startStream() // batch 1: all real events; trailing sessions stay open
 
     // Heartbeat: one sentinel event 2 h past the last real timestamp.
-    val maxNanos = spark.read.parquet(inDir)
-      .agg(max($"ts")).head.getLong(0)
-    val sentinelNanos = maxNanos + 2L * 3600 * 1000000000L
+    // The ts field mirrors whatever the source schema carries (long
+    // nanos under nanosAsLong, otherwise a real timestamp).
+    val isNanos = schema("ts").dataType == LongType
+    val sentinelTs: Any =
+      if (isNanos) {
+        spark.read.parquet(inDir).agg(max($"ts")).head.getLong(0) +
+          2L * 3600 * 1000000000L
+      } else {
+        val maxTs = spark.read.parquet(inDir)
+          .agg(max($"ts")).head.getTimestamp(0)
+        new java.sql.Timestamp(maxTs.getTime + 2L * 3600 * 1000)
+      }
     val sentinel = spark.createDataFrame(
-      java.util.List.of(Row(-1L, sentinelNanos, -1L, "heartbeat", 0.0, "{}")),
+      java.util.List.of(Row(-1L, sentinelTs, -1L, "heartbeat", 0.0, "{}")),
       schema)
     sentinel.coalesce(1).write.mode("append").parquet(inDir)
 
     startStream() // batch 2: watermark jumps; every real session times out
+
+    // The events copy is no longer needed once both runs have drained;
+    // out/ckpt stay — the returned DataFrame reads outDir lazily.
+    Files.list(Paths.get(inDir)).forEach(p => Files.deleteIfExists(p))
+    Files.deleteIfExists(Paths.get(inDir))
 
     spark.read.parquet(outDir)
       .filter($"user_id" >= 0)

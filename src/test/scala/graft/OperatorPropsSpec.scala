@@ -66,6 +66,11 @@ class OperatorPropsSpec extends SparkTestBase {
       val mergedRev = parts.reverse.foldLeft(agg.zero)(agg.merge)
       assert(mergedRev.toList === expected)
     }
+    // NaN ranks ABOVE everything (total order), matching Spark's sort
+    // and DuckDB list_sort DESC — IEEE > would silently drop it.
+    val agg2 = TopK(2)
+    val withNaN = List(5.0, Double.NaN, 3.0).foldLeft(agg2.zero)(agg2.reduce)
+    assert(withNaN.head.isNaN && withNaN(1) === 5.0)
   }
 
   test("bucketSums: spans partition the payload exactly for any bucket count") {

@@ -45,10 +45,13 @@ class PlanAuditSpec extends SparkTestBase {
   test("q10: range join is a broadcast NLJ over the pre-aggregated date domain") {
     val p = plan("q10_join_theta_range")
     assert(p.contains("BroadcastNestedLoopJoin"), p)
-    // The NLJ input must be the date-level aggregate, not raw lineitem:
-    // a HashAggregate keyed on l_shipdate sits below the join.
+    // The NLJ input must be the date-level aggregate, not raw lineitem: a
+    // HashAggregate must print BELOW the join in the tree (children print
+    // after parents), not just exist somewhere (the final yr aggregate
+    // above the join would satisfy a bare contains).
     val nlj = p.indexOf("BroadcastNestedLoopJoin")
-    assert(p.contains("HashAggregate"), "date pre-aggregation missing below the NLJ")
+    assert(p.indexOf("HashAggregate", nlj) > nlj,
+      "date pre-aggregation missing below the NLJ\n" + p)
   }
 
   test("q15: global top-k plans TakeOrderedAndProject, no global Sort+Exchange") {
