@@ -304,5 +304,44 @@ object NearDup {
             |ORDER BY cos_sim DESC, m.vec_id LIMIT 10""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q24, q25, q26, q27, q28)
+  /** q52 — candidate verification by edit distance: q24's LSH candidate
+    * pairs re-joined to their texts and kept where
+    * levenshtein ≤ 15% of the longer text. The standard second stage of
+    * a dedup pipeline — candidates are cheap and approximate, the O(n·m)
+    * edit distance runs ONLY on the candidate set (never all pairs), and
+    * the pair table is the small side: it broadcasts against the corpus
+    * for both text lookups, so document text still never shuffles. */
+  val q52 = QuerySpec(
+    "q52_dedup_edit_verify",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"text")
+      val cand = q24.run(s, d)
+      cand
+        .join(docs.select($"doc_id".as("doc_a"), $"text".as("ta")), Seq("doc_a"))
+        .join(docs.select($"doc_id".as("doc_b"), $"text".as("tb")), Seq("doc_b"))
+        .withColumn("dist", levenshtein($"ta", $"tb"))
+        .withColumn("max_len", greatest(length($"ta"), length($"tb")))
+        .filter($"dist" * lit(100) <= $"max_len" * lit(15))
+        .select($"doc_a", $"doc_b", $"dist".cast("int").as("edit_distance"),
+          $"max_len".cast("int").as("max_len"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+    // Built without stripMargin: the embedded q24 SQL contains lines
+    // beginning with the || concat operator, which stripMargin would eat.
+    q24.oracle.map(lshSql => Seq(
+      s"WITH cand AS (${lshSql.replace("ORDER BY doc_a, doc_b", "")}),",
+      "v AS (SELECT c.doc_a, c.doc_b,",
+      "        levenshtein(a.text, b.text) AS dist,",
+      "        greatest(length(a.text), length(b.text)) AS max_len",
+      "      FROM cand c",
+      "      JOIN documents a ON a.doc_id = c.doc_a",
+      "      JOIN documents b ON b.doc_id = c.doc_b)",
+      "SELECT doc_a, doc_b, CAST(dist AS INT) AS edit_distance,",
+      "  CAST(max_len AS INT) AS max_len",
+      "FROM v WHERE dist * 100 <= max_len * 15",
+      "ORDER BY doc_a, doc_b").mkString("\n")),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q24, q25, q26, q27, q28, q52)
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.streaming.{EventIngest, Sessionize}
+import graft.streaming.{EventIngest, Sessionize, StreamDedup}
 import Det._
 
 /** Streaming surface, gated through the same oracle as the batch twin.
@@ -36,5 +36,16 @@ object StreamingOps {
     Extras.q43.oracle,
   )
 
-  val all: Seq[QuerySpec] = Seq(q35, q44)
+  /** q53 — streaming dedup under duplicate delivery
+    * (dropDuplicatesWithinWatermark): the events table delivered twice
+    * must collapse back to single-copy per-type counts. See
+    * graft.streaming.StreamDedup. */
+  val q53 = QuerySpec(
+    "q53_stream_dedup",
+    (s, d) => StreamDedup.runOnce(s, d),
+    Some("""SELECT event_type, count(*) AS n_events
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q35, q44, q53)
 }
