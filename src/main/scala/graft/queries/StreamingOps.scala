@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.streaming.{EventIngest, Sessionize, StreamDedup}
+import graft.streaming.{EventIngest, Sessionize, StreamDedup, StreamJoin}
 import Det._
 
 /** Streaming surface, gated through the same oracle as the batch twin.
@@ -47,5 +47,20 @@ object StreamingOps {
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q35, q44, q53)
+  /** q54 — stream-stream interval join (clicks within the hour before
+    * each purchase, per user), gated against the equivalent batch join.
+    * Watermark + interval bound keep both sides' join state evictable.
+    * See graft.streaming.StreamJoin. */
+  val q54 = QuerySpec(
+    "q54_stream_interval_join",
+    (s, d) => StreamJoin.runOnce(s, d),
+    Some("""SELECT p.event_id AS purchase_id, count(*) AS n_clicks_prior_hour
+           |FROM events p JOIN events c
+           |  ON c.user_id = p.user_id
+           | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+           |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+           |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q35, q44, q53, q54)
 }
