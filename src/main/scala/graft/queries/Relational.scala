@@ -34,11 +34,13 @@ object Relational {
         .withColumn("current_ts", to_timestamp(lit("2022-01-01 00:00:00")))
         .select($"l_orderkey", $"l_linenumber", $"l_quantity",
           date_format($"current_ts", "yyyy-MM-dd HH:mm:ss").as("current_ts"))
-        .orderBy($"l_orderkey", $"l_linenumber")
+        // (l_orderkey, l_linenumber) is NOT unique in the fixtures —
+        // l_quantity completes a total order over the output columns.
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity")
     },
     Some("""SELECT l_orderkey, l_linenumber, l_quantity,
            |  strftime(TIMESTAMP '2022-01-01 00:00:00', '%Y-%m-%d %H:%M:%S') AS current_ts
-           |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+           |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin),
   )
 
   /** q02 — Tier A5: global count (pyspark-taxi-trip.py:48).
@@ -58,12 +60,17 @@ object Relational {
       Tables.lineitem(s, d)
         .select($"l_orderkey", $"l_linenumber", $"l_quantity",
           $"l_extendedprice", $"l_returnflag", dstr($"l_shipdate").as("ship_date"))
-        .orderBy($"l_orderkey", $"l_linenumber")
+        // Key pair isn't unique — order by every output column so the
+        // limit-20 cut is deterministic on both engines.
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity",
+          $"l_extendedprice", $"l_returnflag", $"ship_date")
         .limit(20)
     },
     Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
            |  l_returnflag, strftime(l_shipdate, '%Y-%m-%d') AS ship_date
-           |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 20""".stripMargin),
+           |FROM lineitem
+           |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           |  l_returnflag, ship_date LIMIT 20""".stripMargin),
   )
 
   /** q04 — Tier A6+A7: `repartition(2)` round-trip preserves the multiset
@@ -96,7 +103,8 @@ object Relational {
         .filter($"l_discount".isNotNull)
         .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag",
           dstr($"l_shipdate").as("ship_date"))
-        .orderBy($"l_orderkey", $"l_linenumber")
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity",
+          $"l_returnflag", $"ship_date")
     },
     Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
            |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date
@@ -104,7 +112,7 @@ object Relational {
            |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
            |  AND l_quantity IN (10.0, 20.0, 30.0, 40.0)
            |  AND l_returnflag LIKE '%A%' AND l_discount IS NOT NULL
-           |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+           |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag, ship_date""".stripMargin),
   )
 
   /** q06 — TPC-H Q1-shaped pricing summary: filter + groupBy + 8 aggregates.
@@ -326,28 +334,38 @@ object Relational {
   )
 
   /** q14 — running-sum frame: rowsBetween(unboundedPreceding, currentRow)
-    * per supplier in deterministic (shipdate, orderkey, linenumber) order.
-    * Quantities are integral doubles → prefix sums are exact. */
+    * per supplier in deterministic (shipdate, orderkey, linenumber,
+    * quantity) order — l_quantity is in BOTH the frame order and the
+    * final sort because (orderkey, linenumber) is not unique in the
+    * fixtures: a four-column tie would otherwise let the two engines
+    * fold the tied quantities into the prefix sums in different orders.
+    * Rows tying on all five keys have equal quantity, hence equal
+    * prefix sums — fully deterministic. Quantities are integral doubles
+    * → prefix sums are exact. */
   val q14 = QuerySpec(
     "q14_window_frame_running",
     (s, d) => {
       import s.implicits._
       val w = Window.partitionBy($"l_suppkey")
-        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.lineitem(s, d)
         .withColumn("run_qty", sum($"l_quantity").over(w))
         .select($"l_suppkey", dstr($"l_shipdate").as("ship_date"),
           $"l_orderkey", $"l_linenumber", $"l_quantity", $"run_qty")
-        .orderBy($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber")
+        // run_qty last: rows tying on all five keys still carry distinct
+        // prefix sums (prefix+q vs prefix+2q) — ordering by run_qty makes
+        // even that emission order identical on both engines.
+        .orderBy($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber",
+          $"l_quantity", $"run_qty")
     },
     Some("""SELECT l_suppkey, strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
            |  l_orderkey, l_linenumber, l_quantity,
            |  sum(l_quantity) OVER (PARTITION BY l_suppkey
-           |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+           |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty
            |FROM lineitem
-           |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin),
+           |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity, run_qty""".stripMargin),
   )
 
   /** q15 — global top-k: orderBy + limit. Spark plans TakeOrderedAndProject
