@@ -343,5 +343,69 @@ object NearDup {
       "ORDER BY doc_a, doc_b").mkString("\n")),
   )
 
-  val all: Seq[QuerySpec] = Seq(q24, q25, q26, q27, q28, q52)
+  /** q55 — random-hyperplane LSH (SRP) over embeddings: the third ANN
+    * path beside brute force (q22/q27) and IVF (q28). Signature bit i is
+    * sign(dot(v, h_i)) over 16 hyperplanes (vectors 2–17 serve as the
+    * fixed hyperplane set — deterministic and oracle-portable, where a
+    * seeded RNG would not be); P(bit match) = 1 − θ/π, so near-parallel
+    * vectors collide. Candidates block on the signature's two 8-bit
+    * chunks (pigeonhole over hamming ≤ 8), then exact cosine ≥ 0.45
+    * verifies. Same scale shape as q24/q25: one broadcast pass for
+    * signatures (fan-out partitioning carries through the aggregate —
+    * no extra shuffle), buckets capped, pairs verified by one
+    * broadcast-pair join against the corpus. */
+  val q55 = QuerySpec(
+    "q55_ann_srp_lsh",
+    (s, d) => {
+      import s.implicits._
+      val base = Tables.embeddings(s, d)
+        .select($"vec_id", asDouble($"embedding").as("emb"))
+        .withColumn("nrm", l2Norm($"emb"))
+      val e = Tables.fanOut(base, col("vec_id"))
+      val hyp = base.filter($"vec_id".between(2, 17))
+        .select($"vec_id".as("hid"), $"emb".as("hemb"))
+      val sig = e.crossJoin(broadcast(hyp))
+        .groupBy($"vec_id")
+        .agg(sum(when(dot($"emb", $"hemb") > 0,
+          expr("shiftleft(1L, cast(hid - 2 as int))")).otherwise(0L)).as("sig"))
+      val chunk = sig
+        .select($"vec_id", $"sig", explode(sequence(lit(0), lit(1))).as("k"))
+        .withColumn("cv", expr("shiftright(sig, 8*k) % 256"))
+      val cand = chunk.groupBy($"k", $"cv")
+        .agg(sort_array(collect_list($"vec_id")).as("ids"))
+        .filter(size($"ids").between(2, MaxSimhashBucket))
+        .select(explode($"ids").as("a"), $"ids")
+        .select($"a", explode($"ids").as("c"))
+        .filter($"a" < $"c")
+        .select($"a".as("vec_a"), $"c".as("vec_b"))
+        .distinct()
+      cand
+        .join(broadcast(base.select($"vec_id".as("vec_a"), $"emb".as("ea"), $"nrm".as("na"))), Seq("vec_a"))
+        .join(broadcast(base.select($"vec_id".as("vec_b"), $"emb".as("eb"), $"nrm".as("nb"))), Seq("vec_b"))
+        .withColumn("cos", dot($"ea", $"eb") / ($"na" * $"nb"))
+        .filter($"cos" >= 0.45)
+        .select($"vec_a", $"vec_b", round($"cos", 4).as("cos_sim"))
+        .orderBy($"vec_a", $"vec_b")
+    },
+    Some {
+      Seq(
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),",
+        "hyp AS (SELECT vec_id AS hid, emb AS hemb FROM e WHERE vec_id BETWEEN 2 AND 17),",
+        "sig AS (SELECT vec_id,",
+        s"  CAST(sum(CASE WHEN ${sqlDot("v.emb", "hemb")} > 0 THEN (1::BIGINT << (hid - 2)) ELSE 0 END) AS BIGINT) AS sig",
+        "  FROM e v, hyp GROUP BY vec_id),",
+        "chunk AS (SELECT vec_id, sig, k, (sig >> (8*k)) & 255 AS cv FROM sig, generate_series(0,1) g(k)),",
+        "chunkf AS (SELECT vec_id, k, cv FROM (",
+        "  SELECT vec_id, k, cv, count(*) OVER (PARTITION BY k, cv) AS bn FROM chunk)",
+        "  WHERE bn BETWEEN 2 AND 128),",
+        "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b",
+        "         FROM chunkf a JOIN chunkf b ON a.k = b.k AND a.cv = b.cv AND a.vec_id < b.vec_id),",
+        s"v AS (SELECT vec_a, vec_b, ${sqlCosine("x.emb", "y.emb")} AS cos",
+        "      FROM cand JOIN e x ON x.vec_id = vec_a JOIN e y ON y.vec_id = vec_b)",
+        "SELECT vec_a, vec_b, round(cos, 4) AS cos_sim FROM v WHERE cos >= 0.45",
+        "ORDER BY vec_a, vec_b").mkString("\n")
+    },
+  )
+
+  val all: Seq[QuerySpec] = Seq(q24, q25, q26, q27, q28, q52, q55)
 }
