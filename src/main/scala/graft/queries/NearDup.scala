@@ -10,8 +10,12 @@ import graft.functions.VectorOps._
 import Det._
 
 /** Near-duplicate detection + ANN search (SURVEY §2.3 Tier C, driver
-  * north-star): MinHash+LSH, SimHash, exact n-gram Jaccard, embedding-
-  * cosine blocking, and IVF-style probed similarity search.
+  * north-star): MinHash+LSH (Broder 1997, "On the resemblance and
+  * containment of documents"), SimHash and random-hyperplane LSH
+  * (Charikar 2002, "Similarity estimation techniques from rounding
+  * algorithms"), exact n-gram Jaccard, embedding-cosine blocking, and
+  * IVF-style probed similarity search (Jégou et al. 2011's
+  * inverted-file coarse quantizer, minus product quantization).
   *
   * Hash portability: every hash is md5 over an explicit string — hex
   * output is identical in Spark and DuckDB, so all five queries get full
