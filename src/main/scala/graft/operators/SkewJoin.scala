@@ -42,7 +42,7 @@ object SkewJoin {
     // (each large row carries exactly one salt).
     val allowed = Set("inner", "cross", "left", "leftouter", "left_outer",
       "leftsemi", "left_semi", "leftanti", "left_anti")
-    require(allowed.contains(joinType.toLowerCase.replace(" ", "")),
+    require(allowed.contains(joinType.toLowerCase(java.util.Locale.ROOT).replace(" ", "")),
       s"saltedEquiJoin supports inner/left-side join types, got '$joinType' " +
         "(outer-preserving the replicated side would duplicate its unmatched rows)")
     val l = large.withColumn(

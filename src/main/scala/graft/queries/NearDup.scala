@@ -321,8 +321,13 @@ object NearDup {
       import s.implicits._
       val docs = Tables.documents(s, d).select($"doc_id", $"text")
       val cand = q24.run(s, d)
-      cand
+      // Explicit broadcast pins the documented plan: the candidate-pair
+      // side is tiny, but Catalyst's static estimate for a
+      // post-aggregate relation is unknown — without the hint it could
+      // plan a sort-merge join that shuffles document text.
+      broadcast(cand)
         .join(docs.select($"doc_id".as("doc_a"), $"text".as("ta")), Seq("doc_a"))
+        .hint("broadcast")
         .join(docs.select($"doc_id".as("doc_b"), $"text".as("tb")), Seq("doc_b"))
         .withColumn("dist", levenshtein($"ta", $"tb"))
         .withColumn("max_len", greatest(length($"ta"), length($"tb")))

@@ -117,8 +117,12 @@ object SqlSurface {
   /** q51 — correlated scalar subquery through the SQL surface: orders
     * priced above 1.5× their customer's average order price. Catalyst
     * decorrelates this into an aggregate + join (no per-row subquery
-    * execution — the thing a naive engine would do and die at scale);
-    * the exact-decimal average keeps the comparison engine-portable. */
+    * execution — the thing a naive engine would do and die at scale).
+    * The average is spelled as exact-decimal-sum ÷ count rather than
+    * avg(): Spark's avg over DECIMAL rounds to scale+4 before the double
+    * cast while DuckDB's keeps full precision, a ~5e-7 divergence that
+    * could flip the 1.5× threshold on an unlucky order; sum-then-divide
+    * is the same IEEE division of identical operands on both engines. */
   val q51 = QuerySpec(
     "q51_sql_correlated_subquery",
     (s, d) => {
@@ -126,14 +130,14 @@ object SqlSurface {
       s.sql("""SELECT o_custkey, o_orderkey, o_totalprice
               |FROM orders o
               |WHERE o_totalprice > 1.5 * (
-              |  SELECT CAST(avg(CAST(o2.o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+              |  SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(30,2))) AS DOUBLE) / count(*)
               |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
               |ORDER BY o_custkey, o_orderkey""".stripMargin)
     },
     Some("""SELECT o_custkey, o_orderkey, o_totalprice
            |FROM orders o
            |WHERE o_totalprice > 1.5 * (
-           |  SELECT CAST(avg(CAST(o2.o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+           |  SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(30,2))) AS DOUBLE) / count(*)
            |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
            |ORDER BY o_custkey, o_orderkey""".stripMargin),
   )

@@ -1,11 +1,10 @@
 package graft.streaming
 
 import java.math.{BigDecimal => JBigDecimal, RoundingMode}
-import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.LongType
 
 import graft.queries.Extras.SessionGapUs
@@ -95,78 +94,48 @@ object Sessionize {
     closed.result().iterator
   }
 
-  /** Run sessionization as a stream over `eventsDir`, drain, flush via
-    * the sentinel heartbeat, and return the closed real sessions. */
+  /** Run sessionization as a stream over the staged events, drain, flush
+    * via the sentinel heartbeat, and return the closed real sessions. */
   def runOnce(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val tag = java.util.UUID.randomUUID.toString.replace("-", "")
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_sessionize_$tag"
-    val inDir = s"$tmp/in"
-    val outDir = s"$tmp/out"
-    val ckpt = s"$tmp/ckpt"
-    Files.createDirectories(Paths.get(inDir))
-    Files.copy(Paths.get(s"$sfDir/events.parquet"), Paths.get(s"$inDir/events.parquet"),
-      StandardCopyOption.REPLACE_EXISTING)
-
-    val schema = spark.read.parquet(inDir).schema
-    def startStream(): Unit = {
-      val raw = spark.readStream.schema(schema).parquet(inDir)
-      val events =
-        if (schema("ts").dataType == LongType)
-          raw.withColumn("ts", expr(graft.Tables.nanosTsToMicros))
-        else raw
+    val h = new StreamHarness(spark, sfDir, copies = 1, tag = "sessionize")
+    def sessionStream(): DataFrame = {
       // Keep the watermarked ts column through to the stateful operator —
       // a typed .map before groupByKey would sever the event-time tag and
       // fail the EventTimeTimeout analysis.
-      val typed: Dataset[(Long, java.sql.Timestamp, Long, Double)] = events
+      val typed: Dataset[(Long, java.sql.Timestamp, Long, Double)] = h.eventsStream()
         .withWatermark("ts", "30 minutes")
         .select($"user_id", $"ts", unix_micros($"ts").as("ts_us"), $"value")
         .as[(Long, java.sql.Timestamp, Long, Double)]
-      val sessions = typed
+      typed
         .groupByKey(_._1)
         .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
           (uid: Long, it: Iterator[(Long, java.sql.Timestamp, Long, Double)],
            state: GroupState[OpenSession]) =>
             onUser(uid, it.map(t => (t._1, t._3, t._4)), state)
-        }
-      val q = sessions.writeStream
-        .outputMode("append")
-        .format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+        }.toDF()
     }
 
-    startStream() // batch 1: all real events; trailing sessions stay open
+    h.drain(sessionStream()) // batch 1: real events; trailing sessions stay open
 
     // Heartbeat: one sentinel event 2 h past the last real timestamp.
     // The ts field mirrors whatever the source schema carries (long
     // nanos under nanosAsLong, otherwise a real timestamp).
-    val isNanos = schema("ts").dataType == LongType
     val sentinelTs: Any =
-      if (isNanos) {
-        spark.read.parquet(inDir).agg(max($"ts")).head.getLong(0) +
-          2L * 3600 * 1000000000L
-      } else {
-        val maxTs = spark.read.parquet(inDir)
-          .agg(max($"ts")).head.getTimestamp(0)
+      if (h.schema("ts").dataType == LongType)
+        h.stagedInput().agg(max($"ts")).head.getLong(0) + 2L * 3600 * 1000000000L
+      else {
+        val maxTs = h.stagedInput().agg(max($"ts")).head.getTimestamp(0)
         new java.sql.Timestamp(maxTs.getTime + 2L * 3600 * 1000)
       }
-    val sentinel = spark.createDataFrame(
+    h.appendInput(spark.createDataFrame(
       java.util.List.of(Row(-1L, sentinelTs, -1L, "heartbeat", 0.0, "{}")),
-      schema)
-    sentinel.coalesce(1).write.mode("append").parquet(inDir)
+      h.schema))
 
-    startStream() // batch 2: watermark jumps; every real session times out
+    h.drain(sessionStream()) // batch 2: watermark jumps; sessions time out
+    h.cleanupInput()
 
-    // The events copy is no longer needed once both runs have drained;
-    // out/ckpt stay — the returned DataFrame reads outDir lazily.
-    Files.list(Paths.get(inDir)).forEach(p => Files.deleteIfExists(p))
-    Files.deleteIfExists(Paths.get(inDir))
-
-    spark.read.parquet(outDir)
+    h.output()
       .filter($"user_id" >= 0)
       .orderBy($"user_id", $"session_start_us")
   }

@@ -1,11 +1,7 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.LongType
 
 /** Streaming exact deduplication — `dropDuplicatesWithinWatermark`, the
   * streaming twin of batch `dropDuplicates` (q20): each key's first
@@ -25,42 +21,12 @@ object StreamDedup {
 
   def runOnce(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val tag = java.util.UUID.randomUUID.toString.replace("-", "")
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_sdedup_$tag"
-    val inDir = s"$tmp/in"
-    val outDir = s"$tmp/out"
-    Files.createDirectories(Paths.get(inDir))
-    // Duplicate delivery: the same table lands twice.
-    Files.copy(Paths.get(s"$sfDir/events.parquet"),
-      Paths.get(s"$inDir/events_a.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    Files.copy(Paths.get(s"$sfDir/events.parquet"),
-      Paths.get(s"$inDir/events_b.parquet"), StandardCopyOption.REPLACE_EXISTING)
-
-    val schema = spark.read.parquet(inDir).schema
-    val raw = spark.readStream.schema(schema).parquet(inDir)
-    val events =
-      if (schema("ts").dataType == LongType)
-        raw.withColumn("ts", expr(graft.Tables.nanosTsToMicros))
-      else raw
-
-    val deduped = events
+    val h = new StreamHarness(spark, sfDir, copies = 2, tag = "sdedup")
+    h.drain(h.eventsStream()
       .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("event_id")
-
-    val q = deduped.writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-
-    // The duplicated input copies are no longer needed once drained.
-    Files.list(Paths.get(inDir)).forEach(p => Files.deleteIfExists(p))
-    Files.deleteIfExists(Paths.get(inDir))
-
-    spark.read.parquet(outDir)
+      .dropDuplicatesWithinWatermark("event_id"))
+    h.cleanupInput()
+    h.output()
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_events"))
       .orderBy($"event_type")

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Shared scaffold for the streaming verification harnesses
+  * (EventIngest-style drained runs): stages the events fixture into a
+  * watched dir, builds the file-source stream with the ONE shared
+  * nanos→micros ts conversion (Tables.nanosTsToMicros — three hand
+  * copies of that expression is how stream/batch parity breaks), drains
+  * to an append-only parquet sink with AvailableNow, and reads the sink
+  * back empty-safely (a run that emits nothing commits only
+  * _spark_metadata, which plain spark.read.parquet can't infer a schema
+  * from — the harness remembers the sink schema instead of crashing).
+  * All Files.list streams are closed (fd hygiene for long-lived
+  * drivers), and staged input copies are deletable once drained.
+  */
+private[streaming] final class StreamHarness(
+    val spark: SparkSession, sfDir: String, copies: Int, tag: String) {
+
+  private val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
+    java.util.UUID.randomUUID.toString.replace("-", "")
+  val inDir = s"$tmp/in"
+  private val outDir = s"$tmp/out"
+  private val ckpt = s"$tmp/ckpt"
+  Files.createDirectories(Paths.get(inDir))
+  (1 to copies).foreach { i =>
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      Paths.get(s"$inDir/events_$i.parquet"), StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Source schema as staged (ts is LongType nanos under nanosAsLong). */
+  val schema: StructType = spark.read.parquet(inDir).schema
+
+  @volatile private var outSchema: StructType = _
+
+  /** File-source stream over the staged events, ts normalized to
+    * microsecond timestamps exactly as Tables.events. */
+  def eventsStream(): DataFrame = {
+    val raw = spark.readStream.schema(schema).parquet(inDir)
+    if (schema("ts").dataType == LongType)
+      raw.withColumn("ts", expr(graft.Tables.nanosTsToMicros))
+    else raw
+  }
+
+  /** Batch view of the staged input (e.g. for sentinel computation). */
+  def stagedInput(): DataFrame = spark.read.parquet(inDir)
+
+  /** Land one more input file (e.g. a heartbeat sentinel row). */
+  def appendInput(df: DataFrame): Unit =
+    df.coalesce(1).write.mode("append").parquet(inDir)
+
+  /** Drain `df` to the parquet sink; resumes from the shared checkpoint,
+    * so a second call processes only newly landed files. */
+  def drain(df: DataFrame): Unit = {
+    outSchema = df.schema
+    val q = df.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Delete the staged input copies (no longer needed once drained). */
+  def cleanupInput(): Unit = {
+    val s = Files.list(Paths.get(inDir))
+    try s.forEach(p => Files.deleteIfExists(p))
+    finally s.close()
+    Files.deleteIfExists(Paths.get(inDir))
+  }
+
+  /** The sink contents — empty DataFrame (correct schema) if the run
+    * emitted no rows. */
+  def output(): DataFrame = {
+    require(outSchema != null, "output() before any drain()")
+    val dir = Paths.get(outDir)
+    val hasData = Files.exists(dir) && {
+      val s = Files.list(dir)
+      try s.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    if (hasData) spark.read.schema(outSchema).parquet(outDir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], outSchema)
+  }
+}
