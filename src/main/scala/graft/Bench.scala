@@ -13,8 +13,11 @@ object Bench {
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen once so per-query numbers measure the engine,
-    // not first-call classloading.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // not first-call classloading. Warms against the BENCHED data dir —
+    // entry()'s fixed sf0.001 path may not exist on a foreign host, and
+    // a silently failed warm-up would inflate the first query's cold time.
+    try graft.queries.Relational.q06.run(spark, sfDir).count()
+    catch { case scala.util.control.NonFatal(_) => () }
     // Measure via a noop sink, not count(): under a count() Catalyst may
     // eliminate final sorts and unreferenced projections (q15's
     // TakeOrderedAndProject, q01's global sort), under-measuring
@@ -25,15 +28,21 @@ object Bench {
     // rounds' methodology, and what `value` totals) and warm (steady
     // state — the number that scales to a long-running cluster, where
     // planning amortizes to nothing against 100 TB of IO).
-    def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failed query must not masquerade as a fast one: its
+    // time-to-failure still lands in the map (so totals stay comparable)
+    // but the name is ALSO reported in "errors" — an empty list is the
+    // bench's all-green signal.
+    val errors = scala.collection.mutable.LinkedHashSet[String]()
+    def run(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => errors += name }
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val cold = run(fn)
-      val warm = run(fn)
+      val cold = run(name, fn)
+      val warm = run(name, fn)
       (name, cold, warm)
     }
     def jmap(f: ((String, Double, Double)) => (String, Double)): String =
@@ -41,9 +50,10 @@ object Bench {
         .mkString("{", ",", "}")
     val qs = jmap { case (k, c, _) => (k, c) }
     val qw = jmap { case (k, _, w) => (k, w) }
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val totalWarm = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_warm":$totalWarm,"queries_warm":$qw,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_warm":$totalWarm,"queries_warm":$qw,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -33,5 +33,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, s"graft_array_md5 expects 2 arguments, got ${children.size}")
         ArrayMd5(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, s"graft_simhash32 expects 1 argument, got ${children.size}")
+        SimHash32(children.head)
+      }))
   }
 }

@@ -15,9 +15,15 @@ object TextFns {
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
   /** Word 3-gram shingles over a token array column named in `tokExpr`
-    * (Spark arrays are 0-based; the oracle's 1-based form is identical). */
+    * (Spark arrays are 0-based; the oracle's 1-based form is identical).
+    * Under 3 tokens → empty array: a bare sequence(0, size-3) would go
+    * DESCENDING for size < 3 (Spark sequence semantics) and emit
+    * null-concat garbage shingles for any caller that forgets the
+    * size filter. */
   def shingles3(tokExpr: String): Column =
-    expr(s"transform(sequence(0, size($tokExpr)-3), i -> concat($tokExpr[i], ' ', $tokExpr[i+1], ' ', $tokExpr[i+2]))")
+    expr(s"""IF(size($tokExpr) < 3, cast(array() as array<string>),
+            |transform(sequence(0, size($tokExpr)-3),
+            |  i -> concat($tokExpr[i], ' ', $tokExpr[i+1], ' ', $tokExpr[i+2])))""".stripMargin)
 
   /** One salted md5 pass over a shingle array: 32 hex chars per shingle.
     * Two salts give 2×128 = 256 digest bits per shingle, which

@@ -50,9 +50,11 @@ object MediaPipeline {
     * build swaps ONLY this function; every schema/partition/batch shape
     * around it stays. */
   def decodeStub(media: Array[Byte]): Array[Double] = {
-    val n = media.length
+    val n = media.length.toLong
     val sums = quarterSums(media)
     Array.tabulate(4) { q =>
+      // Long span math like bucketSums — Int (q+1)*n overflows at ~512 MB
+      // payloads, silently zeroing a quarter.
       val len = (q + 1) * n / 4 - q * n / 4
       if (len <= 0) 0.0 else sums(q).toDouble / len
     }
@@ -60,17 +62,7 @@ object MediaPipeline {
 
   /** Exact integer basis of [[decodeStub]]: unsigned byte sum per payload
     * quarter. */
-  def quarterSums(media: Array[Byte]): Array[Long] = {
-    val n = media.length
-    Array.tabulate(4) { q =>
-      val lo = q * n / 4
-      val hi = (q + 1) * n / 4
-      var s = 0L
-      var i = lo
-      while (i < hi) { s += media(i) & 0xff; i += 1 }
-      s
-    }
-  }
+  def quarterSums(media: Array[Byte]): Array[Long] = bucketSums(media, 4)
 
   /** Batched per-partition decode: iterator-in → iterator-out, payloads
     * grouped into [[decodeBatchSize]] batches (grouped() is lazy — one

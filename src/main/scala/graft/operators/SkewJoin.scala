@@ -45,8 +45,16 @@ object SkewJoin {
     require(allowed.contains(joinType.toLowerCase(java.util.Locale.ROOT).replace(" ", "")),
       s"saltedEquiJoin supports inner/left-side join types, got '$joinType' " +
         "(outer-preserving the replicated side would duplicate its unmatched rows)")
-    val l = large.withColumn(
-      SaltCol, pmod(hash(large.columns.map(col).toIndexedSeq: _*), lit(salts)))
+    require(!large.columns.contains(SaltCol) && !small.columns.contains(SaltCol),
+      s"inputs must not already carry a $SaltCol column")
+    // Salt from the hashable columns only — MapType can't be hashed and
+    // would fail analysis; determinism per row is what matters, not
+    // covering every column.
+    val hashable = large.schema.fields
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name)).toIndexedSeq
+    require(hashable.nonEmpty, "large side has no hashable columns to salt on")
+    val l = large.withColumn(SaltCol, pmod(hash(hashable: _*), lit(salts)))
     val r = small
       .withColumn(SaltCol, explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, Seq(key, SaltCol), joinType).drop(SaltCol)

@@ -64,7 +64,7 @@ object LlmOps {
     "q21_text_stats",
     (s, d) => {
       import s.implicits._
-      Tables.documents(s, d)
+      Tables.fanOut(Tables.documents(s, d), col("doc_id"))
         .filter($"n_chars" >= 50)
         .withColumn("n_tokens", size(regexp_extract_all($"text", lit("\\S+"), lit(0))))
         .groupBy($"lang")
@@ -96,7 +96,10 @@ object LlmOps {
     "q22_similarity_topk",
     (s, d) => {
       import s.implicits._
-      val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+      // fanOut: single-file fixture → one split would run every cosine
+      // on one core (the sibling vector queries q27/q28/q55 all fan out).
+      val emb = Tables.fanOut(
+        Tables.embeddings(s, d).select($"vec_id", $"embedding"), col("vec_id"))
       val qv = emb.filter($"vec_id" === 1).select($"embedding".as("q_emb"))
       emb.filter($"vec_id" =!= 1)
         .crossJoin(broadcast(qv))

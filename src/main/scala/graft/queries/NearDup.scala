@@ -358,8 +358,11 @@ object NearDup {
     * fixed hyperplane set — deterministic and oracle-portable, where a
     * seeded RNG would not be); P(bit match) = 1 − θ/π, so near-parallel
     * vectors collide. Candidates block on the signature's two 8-bit
-    * chunks (pigeonhole over hamming ≤ 8), then exact cosine ≥ 0.45
-    * verifies. Same scale shape as q24/q25: one broadcast pass for
+    * chunks: a shared bucket is GUARANTEED only for hamming ≤ 1
+    * (pigeonhole over two chunks); higher-hamming pairs collide
+    * probabilistically — the usual LSH recall/candidate trade, tuned by
+    * chunk count or extra hash tables. Exact cosine ≥ 0.45 then
+    * verifies candidates. Same scale shape as q24/q25: one broadcast pass for
     * signatures (fan-out partitioning carries through the aggregate —
     * no extra shuffle), buckets capped, pairs verified by one
     * broadcast-pair join against the corpus. */

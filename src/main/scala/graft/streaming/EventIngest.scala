@@ -83,7 +83,17 @@ object EventIngest {
       .start()
     query.awaitTermination()
 
-    spark.table(sinkTable).orderBy($"window_start", $"event_type")
+    // Materialize, then release the in-memory sink table and checkpoint
+    // so repeated invocations (bench loops) don't accumulate heap/tmp.
+    val sunk = spark.table(sinkTable).orderBy($"window_start", $"event_type")
+    val rows = sunk.collect()
+    val sinkSchema = sunk.schema
+    spark.catalog.dropTempView(sinkTable)
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(checkpointDir))
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), sinkSchema)
   }
 
   /** One-shot convenience: unique checkpoint + sink per call. */

@@ -76,8 +76,14 @@ private[streaming] final class StreamHarness(
     Files.deleteIfExists(Paths.get(inDir))
   }
 
-  /** The sink contents — empty DataFrame (correct schema) if the run
-    * emitted no rows. */
+  /** The sink contents, materialized EAGERLY so the whole tmp tree
+    * (sink + checkpoint) can be deleted before returning — a bench loop
+    * over the streaming queries must not accumulate events-sized sink
+    * copies. Emitted row counts here are session/window/pair rollup
+    * inputs (thousands), not raw events, so driver-side materialization
+    * is bounded. Empty runs (a no-match join commits no data files)
+    * yield an empty DataFrame with the sink schema instead of a schema-
+    * inference crash. */
   def output(): DataFrame = {
     require(outSchema != null, "output() before any drain()")
     val dir = Paths.get(outDir)
@@ -86,8 +92,20 @@ private[streaming] final class StreamHarness(
       try s.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
       finally s.close()
     }
-    if (hasData) spark.read.schema(outSchema).parquet(outDir)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], outSchema)
+    val result =
+      if (hasData) {
+        val rows = spark.read.schema(outSchema).parquet(outDir).collect()
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+      } else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+    deleteTree(Paths.get(tmp))
+    result
   }
+
+  private def deleteTree(root: java.nio.file.Path): Unit =
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
 }
