@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.CollectCapped.collectCapped
 import graft.functions.TextFns._
 import graft.functions.VectorOps._
 import Det._
@@ -36,14 +37,17 @@ object NearDup {
 
   /** Bucket frequency caps — the 100 TB degenerate-data guard. A bucket
     * (LSH band, SimHash nibble chunk, shingle posting list) larger than
-    * its cap is dropped BEFORE the in-bucket quadratic pair emit, so a
-    * pathological key — a mass-duplicated document, a stopword-like hot
-    * shingle — degrades to a dropped bucket instead of one task holding
-    * O(k) state and emitting O(k²) pairs. Caps sit well above the
-    * observed sf0.1 maxima (12 / 47 / 25), so current results are
-    * unchanged; NearDupCapSpec exercises an all-identical-docs corpus.
-    * Dropping a hot bucket is also semantically standard for dedup: a
-    * shingle shared by thousands of docs carries no pair signal. */
+    * its cap is dropped BEFORE the in-bucket quadratic pair emit, AND
+    * the aggregation state itself is bounded: buckets build via
+    * [[graft.functions.CollectCapped]], whose buffer stops at cap+1
+    * elements in every phase — a pathological key (mass-duplicated
+    * document, stopword-like hot shingle) costs O(cap) task memory, not
+    * O(k), and surfaces as a length-cap+1 bucket the size filter drops.
+    * Caps sit well above the observed sf0.1 maxima (12 / 47 / 25), so
+    * current results are unchanged; NearDupCapSpec exercises an
+    * all-identical-docs corpus. Dropping a hot bucket is also
+    * semantically standard for dedup: a shingle shared by thousands of
+    * docs carries no pair signal. */
   val MaxLshBucket = 64
   val MaxSimhashBucket = 128
   val MaxPostingList = 64
@@ -76,7 +80,7 @@ object NearDup {
         .select($"doc_id", $"b",
           concat(chunkMin("h0", "b"), lit("|"), chunkMin("h1", "b")).as("band_key"))
       sig.groupBy($"b", $"band_key")
-        .agg(sort_array(collect_list($"doc_id")).as("ids"))
+        .agg(sort_array(collectCapped($"doc_id", MaxLshBucket)).as("ids"))
         .filter(size($"ids").between(2, MaxLshBucket))
         .select(explode(expr(
           """flatten(transform(sequence(0, size(ids)-2),
@@ -132,7 +136,7 @@ object NearDup {
         .select($"doc_id", $"simhash", explode(sequence(lit(0), lit(3))).as("k"))
         .withColumn("nv", expr("shiftright(simhash, 8*k) % 256"))
       nib.groupBy($"k", $"nv")
-        .agg(sort_array(collect_list(struct($"doc_id", $"simhash"))).as("xs"))
+        .agg(sort_array(collectCapped(struct($"doc_id", $"simhash"), MaxSimhashBucket)).as("xs"))
         .filter(size($"xs").between(2, MaxSimhashBucket))
         .select(explode(expr(
           """flatten(transform(sequence(0, size(xs)-2),
@@ -191,7 +195,7 @@ object NearDup {
         .select($"doc_id", array_distinct(shingles3("t")).as("s"))
       val ex = sh.select($"doc_id", size($"s").as("sz"), explode($"s").as("g"))
       ex.groupBy($"g")
-        .agg(collect_list(struct($"doc_id", $"sz")).as("xs"))
+        .agg(collectCapped(struct($"doc_id", $"sz"), MaxPostingList).as("xs"))
         .filter(size($"xs").between(2, MaxPostingList))
         .select(explode($"xs").as("a"), $"xs")
         .select($"a", explode($"xs").as("c"))
@@ -384,7 +388,7 @@ object NearDup {
         .select($"vec_id", $"sig", explode(sequence(lit(0), lit(1))).as("k"))
         .withColumn("cv", expr("shiftright(sig, 8*k) % 256"))
       val cand = chunk.groupBy($"k", $"cv")
-        .agg(sort_array(collect_list($"vec_id")).as("ids"))
+        .agg(sort_array(collectCapped($"vec_id", MaxSimhashBucket)).as("ids"))
         .filter(size($"ids").between(2, MaxSimhashBucket))
         .select(explode($"ids").as("a"), $"ids")
         .select($"a", explode($"ids").as("c"))

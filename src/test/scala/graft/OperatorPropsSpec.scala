@@ -84,6 +84,27 @@ class OperatorPropsSpec extends SparkTestBase {
     }
   }
 
+  test("CollectCapped: exact below cap under any partitioning, cap+1 above") {
+    import org.apache.spark.sql.functions.{col, size, sort_array, collect_list}
+    import graft.functions.CollectCapped.collectCapped
+    import spark.implicits._
+    samples(Gen.zip(Gen.chooseNum(1, 30), Gen.chooseNum(2, 12)), 8).foreach { case (n, cap) =>
+      val df = (1 to n).map(i => ("g", i.toLong)).toDF("k", "v").repartition(5)
+      val capped = df.groupBy("k")
+        .agg(sort_array(collectCapped(col("v"), cap)).as("xs")).head.getSeq[Long](1)
+      if (n <= cap) {
+        // No truncation can occur at any stage: exact collect_list multiset.
+        val full = df.groupBy("k")
+          .agg(sort_array(collect_list(col("v"))).as("xs")).head.getSeq[Long](1)
+        assert(capped === full)
+      } else {
+        // Oversized groups surface as exactly cap+1 — the drop signal.
+        assert(capped.length === cap + 1)
+        assert(capped.toSet.subsetOf((1 to n).map(_.toLong).toSet))
+      }
+    }
+  }
+
   test("ArrayMd5 equals the transform+md5 formulation byte-for-byte") {
     import org.apache.spark.sql.functions.{col, expr, lit}
     import spark.implicits._
