@@ -49,6 +49,28 @@ class QueriesSpec extends SparkTestBase {
     assert(sims === sims.sorted.reverse)
   }
 
+  test("q42 as-of: every matched click is at-or-before its purchase") {
+    val rows = SparkEntry.queries("q42_asof_join")(spark, sf).collect()
+    rows.filter(!_.isNullAt(4)).foreach { r =>
+      assert(r.getLong(4) <= r.getLong(2),
+        s"click ${r.getLong(4)} after purchase ${r.getLong(2)}")
+    }
+  }
+
+  test("q43 sessions partition all events with > gap between sessions per user") {
+    import graft.queries.Extras.SessionGapUs
+    val sessions = SparkEntry.queries("q43_sessionize")(spark, sf).collect()
+    assert(sessions.map(_.getLong(3)).sum === Tables.events(spark, sf).count())
+    sessions.groupBy(_.getLong(0)).foreach { case (_, ss) =>
+      ss.sortBy(_.getLong(1)).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(1) - a.getLong(2) > SessionGapUs,
+            "adjacent sessions closer than the gap")
+        case _ => ()
+      }
+    }
+  }
+
   test("entry (flagship) returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
