@@ -142,5 +142,27 @@ object SqlSurface {
            |ORDER BY o_custkey, o_orderkey""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q37, q38, q48, q51)
+  /** q56 — ordered string aggregation (listagg WITHIN GROUP — new in
+    * Spark 4; Athena/Trino's listagg, DuckDB's string_agg): comma-joined
+    * nation rosters per region. The explicit WITHIN GROUP ordering is
+    * what makes a concatenation aggregate deterministic — unordered
+    * string_agg output depends on shuffle arrival order. */
+  val q56 = QuerySpec(
+    "q56_sql_listagg",
+    (s, d) => {
+      registerViews(s, d)
+      s.sql("""SELECT r_regionkey,
+              |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+              |  count(*) AS n_nations
+              |FROM nation JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY r_regionkey ORDER BY r_regionkey""".stripMargin)
+    },
+    Some("""SELECT r_regionkey,
+           |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           |  count(*) AS n_nations
+           |FROM nation JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY r_regionkey ORDER BY r_regionkey""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q37, q38, q48, q51, q56)
 }
