@@ -143,5 +143,48 @@ object LlmOps {
             |FROM j GROUP BY lang ORDER BY lang""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q19, q20, q21, q22, q23)
+  /** q57 — keep-BEST-duplicate dedup: the corpus plus an uppercased
+    * variant of every document (offset ids — the "same text, different
+    * casing" duplicates a crawl actually yields), grouped by a
+    * NORMALIZED content fingerprint (md5 of lowercased text), keeping
+    * the longest copy with ties to the lowest doc_id — the canonical
+    * training-data dedup policy, vs q20's keep-any `dropDuplicates`.
+    * One shuffle on the fingerprint; max_by carries the winner through
+    * a partial-aggregable max, no window sort. Emitted per group:
+    * winner + how many copies it beat — the dedup audit a pipeline
+    * logs. (Every group here has exactly 2 copies and resolves to the
+    * original id, which is the assertion.) */
+  val q57 = QuerySpec(
+    "q57_dedup_keep_best",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"text", $"n_chars")
+      val variants = docs.select(($"doc_id" + 1000000).as("doc_id"),
+        upper($"text").as("text"), $"n_chars")
+      docs.unionByName(variants)
+        .withColumn("fp", md5(lower($"text")))
+        .groupBy($"fp")
+        .agg(
+          max_by($"doc_id", struct($"n_chars", -$"doc_id")).as("kept_doc_id"),
+          max($"n_chars").as("n_chars"),
+          count(lit(1)).as("n_copies"))
+        .select($"kept_doc_id", $"n_chars", $"n_copies")
+        .orderBy($"kept_doc_id")
+    },
+    Some("""WITH corpus AS (
+           |  SELECT doc_id, text, n_chars FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, upper(text), n_chars FROM documents),
+           |w AS (SELECT md5(lower(text)) AS fp, doc_id, n_chars,
+           |        max(n_chars) OVER (PARTITION BY md5(lower(text))) AS mx,
+           |        count(*) OVER (PARTITION BY md5(lower(text))) AS cnt
+           |      FROM corpus)
+           |SELECT kept_doc_id, n_chars, n_copies FROM (
+           |  SELECT min(doc_id) FILTER (WHERE n_chars = mx) AS kept_doc_id,
+           |         mx AS n_chars, cnt AS n_copies
+           |  FROM w GROUP BY fp, mx, cnt)
+           |ORDER BY kept_doc_id""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q19, q20, q21, q22, q23, q57)
 }
