@@ -318,5 +318,43 @@ object Extras {
            |ORDER BY op""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q39, q40, q41, q42, q43, q46, q47, q49, q50)
+  /** q58 — calendar-spine gap fill: the hourly rollup (q34's shape)
+    * left-joined onto a generated hour spine so silent gaps become
+    * explicit zero rows — the completeness contract dashboards and
+    * SLA monitors need (an absent hour and a zero hour are different
+    * facts). The spine derives from the data's own min/max hour via
+    * sequence() on a 1-row aggregate — no driver-side collect; at
+    * scale the spine is tiny (one row per hour) and broadcasts onto
+    * the aggregated side, never the raw events. */
+  val q58 = QuerySpec(
+    "q58_events_gap_fill",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val bounds = ev.agg(
+        date_trunc("hour", min($"ts")).as("lo"),
+        date_trunc("hour", max($"ts")).as("hi"))
+      val spine = bounds.select(
+        explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+      val hourly = ev
+        .groupBy(date_trunc("hour", $"ts").as("h"))
+        .agg(count(lit(1)).as("n"), dsum($"value", 4).as("v"))
+      spine.join(hourly, Seq("h"), "left")
+        .select(
+          date_format($"h", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          coalesce($"n", lit(0L)).as("n_events"),
+          coalesce($"v", lit(0.0)).as("value_sum"))
+        .orderBy($"window_start")
+    },
+    Some(s"""WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events),
+            |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
+            |a AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n, ${sqlDsum("value", 4)} AS v
+            |      FROM events GROUP BY 1)
+            |SELECT strftime(spine.h, '%Y-%m-%d %H:%M:%S') AS window_start,
+            |  coalesce(n, 0) AS n_events, coalesce(v, 0.0) AS value_sum
+            |FROM spine LEFT JOIN a ON spine.h = a.h
+            |ORDER BY window_start""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q39, q40, q41, q42, q43, q46, q47, q49, q50, q58)
 }
