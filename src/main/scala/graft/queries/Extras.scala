@@ -339,7 +339,10 @@ object Extras {
       val hourly = ev
         .groupBy(date_trunc("hour", $"ts").as("h"))
         .agg(count(lit(1)).as("n"), dsum($"value", 4).as("v"))
-      spine.join(hourly, Seq("h"), "left")
+      // Both sides are hour-count-sized; broadcasting the aggregated
+      // side keeps the left join shuffle-free (Catalyst can't know the
+      // post-aggregate size statically).
+      spine.join(broadcast(hourly), Seq("h"), "left")
         .select(
           date_format($"h", "yyyy-MM-dd HH:mm:ss").as("window_start"),
           coalesce($"n", lit(0L)).as("n_events"),
