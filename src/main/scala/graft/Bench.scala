@@ -28,32 +28,40 @@ object Bench {
     // rounds' methodology, and what `value` totals) and warm (steady
     // state — the number that scales to a long-running cluster, where
     // planning amortizes to nothing against 100 TB of IO).
-    // A failed query must not masquerade as a fast one: its
-    // time-to-failure still lands in the map (so totals stay comparable)
-    // but the name is ALSO reported in "errors" — an empty list is the
-    // bench's all-green signal.
+    // A failed query must not masquerade as a fast one: a heavy query
+    // that starts failing FAST would otherwise LOWER the baseline-
+    // compared total, making a regression read as an improvement. So the
+    // headline "value"/"total_warm" sum ONLY successful runs; failed
+    // names land in "errors" and their time-to-failure is kept separately
+    // in "failed_secs" for diagnosis. An empty errors list is the
+    // bench's all-green signal — and the only state where "value" is
+    // comparable to prior rounds.
     val errors = scala.collection.mutable.LinkedHashSet[String]()
     def run(name: String,
-        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case scala.util.control.NonFatal(_) => errors += name }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        catch { case scala.util.control.NonFatal(_) => errors += name; false }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val cold = run(name, fn)
-      val warm = run(name, fn)
-      (name, cold, warm)
+      val (cold, okCold) = run(name, fn)
+      val (warm, okWarm) = run(name, fn)
+      (name, cold, warm, okCold && okWarm)
     }
-    def jmap(f: ((String, Double, Double)) => (String, Double)): String =
-      results.map(r => { val (k, v) = f(r); "\"" + k + "\":" + v })
+    def jmap(sel: Seq[(String, Double, Double, Boolean)],
+        f: ((String, Double, Double, Boolean)) => (String, Double)): String =
+      sel.map(r => { val (k, v) = f(r); "\"" + k + "\":" + v })
         .mkString("{", ",", "}")
-    val qs = jmap { case (k, c, _) => (k, c) }
-    val qw = jmap { case (k, _, w) => (k, w) }
+    val good = results.filter(_._4)
+    val qs = jmap(good, { case (k, c, _, _) => (k, c) })
+    val qw = jmap(good, { case (k, _, w, _) => (k, w) })
+    val failedSecs = jmap(results.filterNot(_._4), { case (k, c, _, _) => (k, c) })
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    val totalWarm = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_warm":$totalWarm,"queries_warm":$qw,"errors":$errs,"sf":"$sfDir"}""")
+    val total = good.map(_._2).sum
+    val totalWarm = good.map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_warm":$totalWarm,"queries_warm":$qw,"errors":$errs,"failed_secs":$failedSecs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,17 +25,21 @@ object Tables {
     * fan-out deterministic; the shuffled payload here is a few hundred
     * bytes per row.
     *
-    * Scale-adaptive: when the source already has at least core-count
-    * files (any real 100 TB table), the reshuffle would be pure overhead
-    * and is skipped — the check reads file METADATA only, never data.
+    * Scale-adaptive: when the scan already plans at least core-count
+    * SPLITS (any real 100 TB table), the reshuffle would be pure
+    * overhead and is skipped. The decision reads the planned partition
+    * count (`rdd.getNumPartitions` — computed from file metadata +
+    * maxPartitionBytes packing, no job runs), NOT the raw file count:
+    * Spark packs many small files into few splits and slices one large
+    * file into many, so file count misestimates in both directions.
     * Results are partitioning-invariant either way; only the fan-out
     * changes. */
   def fanOut(df: DataFrame, key: Column): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    val files =
-      try df.inputFiles.length
+    val splits =
+      try df.rdd.getNumPartitions
       catch { case scala.util.control.NonFatal(_) => 0 }
-    if (files >= cores) df else df.repartition(cores, key)
+    if (splits >= cores) df else df.repartition(cores, key)
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

@@ -19,13 +19,27 @@ import org.apache.spark.sql.functions._
   * side's shuffle volume by `salts` — size it as (hot-key rows ÷
   * target-partition rows), not "big".
   *
-  * The salt derives from a hash of the large side's whole row (via
-  * every column), so it is deterministic for a given row — reruns and
-  * retries partition identically, which a random salt would not.
+  * The salt derives from the row's POSITION (monotonically_increasing_id
+  * → round-robin over `salts`), not from row content: a content hash
+  * would send fully identical duplicate rows — the classic hot-key shape
+  * in dedup/event pipelines, exactly what this operator exists for — all
+  * to ONE salt, silently degrading the spread to a no-op while the small
+  * side still pays the `salts`× replication. Position-based salting
+  * spreads even bit-identical duplicates. It is deterministic for a
+  * fixed input split layout (ids are a pure function of partition id +
+  * in-partition offset, and a retried task recomputes its split
+  * identically), and the JOIN RESULT never depends on salt placement at
+  * all — every salt value sees the full replicated small side, so any
+  * assignment yields the same output multiset.
   */
 object SkewJoin {
 
   val SaltCol = "__graft_salt"
+
+  /** Position-derived salt in [0, salts) — see class doc for why this is
+    * not a content hash. Exposed for SkewJoinSpec. */
+  private[graft] def saltExpr(salts: Int) =
+    pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int")
 
   /** Inner/left-semi-style equi-join of a skewed `large` side against a
     * `small` side on `key`, salted `salts` ways. Returns columns of both
@@ -47,14 +61,7 @@ object SkewJoin {
         "(outer-preserving the replicated side would duplicate its unmatched rows)")
     require(!large.columns.contains(SaltCol) && !small.columns.contains(SaltCol),
       s"inputs must not already carry a $SaltCol column")
-    // Salt from the hashable columns only — MapType can't be hashed and
-    // would fail analysis; determinism per row is what matters, not
-    // covering every column.
-    val hashable = large.schema.fields
-      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
-      .map(f => col(f.name)).toIndexedSeq
-    require(hashable.nonEmpty, "large side has no hashable columns to salt on")
-    val l = large.withColumn(SaltCol, pmod(hash(hashable: _*), lit(salts)))
+    val l = large.withColumn(SaltCol, saltExpr(salts))
     val r = small
       .withColumn(SaltCol, explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, Seq(key, SaltCol), joinType).drop(SaltCol)

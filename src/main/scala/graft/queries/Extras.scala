@@ -53,27 +53,31 @@ object Extras {
     (s, d) => {
       import s.implicits._
       // Unique dir per invocation (a fixed path would race concurrent
-      // processes), deleted after the eager collect below — a bench
-      // loop must not accumulate lineitem-sized copies in tmp.
+      // processes), deleted in a finally — a bench loop must not
+      // accumulate lineitem-sized copies in tmp even when a run (or the
+      // eager collect) throws.
       val tmp = java.nio.file.Files.createTempDirectory("graft_taxi_etl")
-      val out = s"$tmp/out"
-      TaxiEtl.run(s, d, out)
-      val agg = s.read.parquet(out)
-        // input_file_name() is non-deterministic and may not sit inside
-        // an aggregate — project it to an attribute first.
-        .withColumn("fname", input_file_name())
-        .agg(
-          count(lit(1)).as("n_rows"),
-          sum($"l_orderkey").as("key_sum"),
-          dsum($"l_extendedprice", 2).as("price_sum"),
-          countDistinct(date_format($"current_ts", "yyyy-MM-dd HH:mm:ss")).as("n_ts"),
-          countDistinct($"fname").as("n_files"))
-      val row = agg.collect() // eager: the round-trip dir can be deleted
-      val walk = java.nio.file.Files.walk(tmp)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-      s.createDataFrame(java.util.Arrays.asList(row: _*), agg.schema)
+      try {
+        val out = s"$tmp/out"
+        TaxiEtl.run(s, d, out)
+        val agg = s.read.parquet(out)
+          // input_file_name() is non-deterministic and may not sit inside
+          // an aggregate — project it to an attribute first.
+          .withColumn("fname", input_file_name())
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum($"l_orderkey").as("key_sum"),
+            dsum($"l_extendedprice", 2).as("price_sum"),
+            countDistinct(date_format($"current_ts", "yyyy-MM-dd HH:mm:ss")).as("n_ts"),
+            countDistinct($"fname").as("n_files"))
+        val row = agg.collect() // eager: the round-trip dir can be deleted
+        s.createDataFrame(java.util.Arrays.asList(row: _*), agg.schema)
+      } finally {
+        val walk = java.nio.file.Files.walk(tmp)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
     },
     Some(s"""SELECT count(*) AS n_rows, CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
             |  ${sqlDsum("l_extendedprice", 2)} AS price_sum,

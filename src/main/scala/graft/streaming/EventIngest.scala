@@ -74,26 +74,34 @@ object EventIngest {
     // equivalence check (append mode would hold back windows newer than
     // the final watermark — correct for infinite streams, wrong for a
     // drained verification run).
-    val query = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(sinkTable)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    //
+    // The sink view and checkpoint dir are released in a finally: a run
+    // that throws mid-drain must not leak heap (memory-sink table) or
+    // tmp (checkpoint) across a bench loop's repeated invocations.
+    try {
+      val query = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(sinkTable)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
 
-    // Materialize, then release the in-memory sink table and checkpoint
-    // so repeated invocations (bench loops) don't accumulate heap/tmp.
-    val sunk = spark.table(sinkTable).orderBy($"window_start", $"event_type")
-    val rows = sunk.collect()
-    val sinkSchema = sunk.schema
-    spark.catalog.dropTempView(sinkTable)
-    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(checkpointDir))
-    try walk.sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p))
-    finally walk.close()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), sinkSchema)
+      val sunk = spark.table(sinkTable).orderBy($"window_start", $"event_type")
+      val rows = sunk.collect()
+      val sinkSchema = sunk.schema
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), sinkSchema)
+    } finally {
+      spark.catalog.dropTempView(sinkTable)
+      val ckpt = java.nio.file.Paths.get(checkpointDir)
+      if (java.nio.file.Files.exists(ckpt)) {
+        val walk = java.nio.file.Files.walk(ckpt)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    }
   }
 
   /** One-shot convenience: unique checkpoint + sink per call. */

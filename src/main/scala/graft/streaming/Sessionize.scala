@@ -99,6 +99,7 @@ object Sessionize {
   def runOnce(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val h = new StreamHarness(spark, sfDir, copies = 1, tag = "sessionize")
+    try {
     def sessionStream(): DataFrame = {
       // Keep the watermarked ts column through to the stateful operator —
       // a typed .map before groupByKey would sever the event-time tag and
@@ -138,5 +139,6 @@ object Sessionize {
     h.output()
       .filter($"user_id" >= 0)
       .orderBy($"user_id", $"session_start_us")
+    } finally h.cleanup()
   }
 }

@@ -22,13 +22,15 @@ object StreamDedup {
   def runOnce(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val h = new StreamHarness(spark, sfDir, copies = 2, tag = "sdedup")
-    h.drain(h.eventsStream()
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("event_id"))
-    h.cleanupInput()
-    h.output()
-      .groupBy($"event_type")
-      .agg(count(lit(1)).as("n_events"))
-      .orderBy($"event_type")
+    try {
+      h.drain(h.eventsStream()
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id"))
+      h.cleanupInput()
+      h.output()
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy($"event_type")
+    } finally h.cleanup()
   }
 }

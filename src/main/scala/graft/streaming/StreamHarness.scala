@@ -101,6 +101,14 @@ private[streaming] final class StreamHarness(
     result
   }
 
+  /** Idempotent whole-tree delete for callers' finally blocks: output()
+    * already removes the tree on the success path, but a drain that
+    * throws must not leak staged events copies + checkpoint into tmp
+    * (a bench loop whose streaming query starts erroring would
+    * accumulate them — the exact build-up this harness exists to
+    * prevent). */
+  def cleanup(): Unit = deleteTree(Paths.get(tmp))
+
   private def deleteTree(root: java.nio.file.Path): Unit =
     if (Files.exists(root)) {
       val walk = Files.walk(root)

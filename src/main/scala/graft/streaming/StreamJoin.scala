@@ -22,23 +22,25 @@ object StreamJoin {
   def runOnce(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val h = new StreamHarness(spark, sfDir, copies = 1, tag = "sjoin")
-    val clicks = h.eventsStream().filter($"event_type" === "click")
-      .select($"user_id".as("c_user"), $"ts".as("c_ts"))
-      .withWatermark("c_ts", "1 hour")
-    val purchases = h.eventsStream().filter($"event_type" === "purchase")
-      .select($"event_id".as("p_id"), $"user_id".as("p_user"), $"ts".as("p_ts"))
-      .withWatermark("p_ts", "1 hour")
+    try {
+      val clicks = h.eventsStream().filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"ts".as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = h.eventsStream().filter($"event_type" === "purchase")
+        .select($"event_id".as("p_id"), $"user_id".as("p_user"), $"ts".as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
 
-    h.drain(purchases.join(clicks,
-      $"c_user" === $"p_user" &&
-        $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") &&
-        $"c_ts" <= $"p_ts"))
-    h.cleanupInput()
+      h.drain(purchases.join(clicks,
+        $"c_user" === $"p_user" &&
+          $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") &&
+          $"c_ts" <= $"p_ts"))
+      h.cleanupInput()
 
-    h.output()
-      .groupBy($"p_id")
-      .agg(count(lit(1)).as("n_clicks_prior_hour"))
-      .select($"p_id".as("purchase_id"), $"n_clicks_prior_hour")
-      .orderBy($"purchase_id")
+      h.output()
+        .groupBy($"p_id")
+        .agg(count(lit(1)).as("n_clicks_prior_hour"))
+        .select($"p_id".as("purchase_id"), $"n_clicks_prior_hour")
+        .orderBy($"purchase_id")
+    } finally h.cleanup()
   }
 }

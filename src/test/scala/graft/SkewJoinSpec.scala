@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.operators.SkewJoin
 
 /** The salted join must be RESULT-identical to the plain equi-join while
-  * actually spreading a hot key over multiple shuffle partitions.
+  * actually spreading a hot key over multiple shuffle partitions — even
+  * when the hot key's rows are bit-identical duplicates (the shape a
+  * content-hash salt silently fails on).
   */
 class SkewJoinSpec extends SparkTestBase {
 
@@ -32,10 +34,24 @@ class SkewJoinSpec extends SparkTestBase {
 
   test("the hot key's rows spread across multiple shuffle partitions") {
     val salts = skewed
-      .withColumn(SkewJoin.SaltCol,
-        pmod(hash(skewed.columns.map(col).toIndexedSeq: _*), lit(8)))
+      .withColumn(SkewJoin.SaltCol, SkewJoin.saltExpr(8))
       .filter(col("k") === 1)
       .select(SkewJoin.SaltCol).distinct().count()
     assert(salts > 1, s"hot key stayed on $salts salt(s)")
+  }
+
+  test("bit-identical duplicate rows still spread (and join correctly)") {
+    import spark.implicits._
+    // Every row identical — a content-hash salt maps all of them to one
+    // salt value; the positional salt must use all 8.
+    val dups = Seq.fill(4000)((1L, "same")).toDF("k", "payload")
+      .repartition(8) // several input splits, like a real hot table
+    val salts = dups
+      .withColumn(SkewJoin.SaltCol, SkewJoin.saltExpr(8))
+      .select(SkewJoin.SaltCol).distinct().count()
+    assert(salts === 8L, s"identical duplicates spread over only $salts salt(s)")
+    val joined = SkewJoin.saltedEquiJoin(dups, dim, "k", salts = 8)
+    assert(joined.count() === 4000L)
+    assert(joined.select("name").distinct().head.getString(0) === "name1")
   }
 }
