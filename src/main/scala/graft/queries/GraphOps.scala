@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Dedup cluster resolution (SURVEY §2.3 Tier C): near-dup pair lists
+  * (q24–q26) name EDGES, but a dedup policy needs COMPONENTS — "keep one
+  * doc per duplicate cluster" requires resolving transitive chains
+  * (a~b, b~c ⇒ {a,b,c} is one cluster even if a and c never paired).
+  *
+  * q59 resolves q26's verified Jaccard pairs into connected components
+  * by iterative min-label propagation: every clustered doc converges to
+  * the minimum doc_id reachable from it, which is a unique fixed point —
+  * deterministic regardless of execution order, so the result is fully
+  * oracle-checkable (DuckDB computes the same fixed point via a
+  * recursive transitive-closure CTE).
+  */
+object GraphOps {
+
+  /** Iteration guard: near-dup clusters are shallow (duplicate families,
+    * not long chains), so propagation converges in a handful of rounds;
+    * the cap turns a surprise pathological graph into a loud error
+    * instead of an unbounded driver loop. */
+  private val MaxIters = 25
+
+  /** Minimum reachable label per node of an undirected edge list.
+    * One round = one shuffle-join of labels onto edges + one min-agg;
+    * rounds needed = component diameter. At 100 TB-scale graphs with
+    * long chains you'd switch to the alternating large-star/small-star
+    * algorithm (Kiveris et al. 2014, "Connected Components in MapReduce
+    * and Beyond" — O(log²​ n) rounds) or pointer doubling; for dedup
+    * families (diameter ≲ 5) plain propagation does fewer total shuffles.
+    * Each round's result is materialized via persist + count so the
+    * lineage stays one round deep (an uncached loop would re-execute
+    * every prior round per action, exponentially). */
+  private[queries] def minLabel(edges: DataFrame): DataFrame = {
+    val ss = edges.sparkSession
+    import ss.implicits._
+    // Symmetric closure once; scanned every round → persist.
+    val sym = edges.select($"src", $"dst")
+      .unionAll(edges.select($"dst".as("src"), $"src".as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select($"src".as("node")).distinct()
+      .withColumn("label", $"node")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iters = 0
+    while (!converged) {
+      iters += 1
+      require(iters <= MaxIters,
+        s"connected components did not converge in $MaxIters rounds")
+      // Labels flowing across edges, min-merged with each node's own.
+      val prop = sym.join(labels, $"dst" === $"node")
+        .select($"src".as("node"), $"label")
+      val next = labels.unionAll(prop)
+        .groupBy($"node").agg(min($"label").as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.as("n")
+        .join(labels.as("o"), "node")
+        .filter($"n.label" =!= $"o.label")
+        .count() // materializes `next`, keeps lineage one round deep
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+    }
+    sym.unpersist(blocking = false)
+    labels
+  }
+
+  /** q59 — near-dup cluster resolution: q26's verified pairs → connected
+    * components → one row per clustered doc with its cluster id (the
+    * component's min doc_id — the canonical "keep" representative under
+    * a keep-first policy) and the cluster size. Singleton docs (no
+    * near-dup pair) are by design absent: at 100 TB the pair list is
+    * millions of rows where the corpus is billions, and clustering only
+    * the paired minority keeps every shuffle pair-list-sized. */
+  val q59 = QuerySpec(
+    "q59_dedup_cluster_resolve",
+    (s, d) => {
+      import s.implicits._
+      val pairs = NearDup.q26.run(s, d)
+        .select($"doc_a".as("src"), $"doc_b".as("dst"))
+      val labels = minLabel(pairs)
+      val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
+      val out = labels.join(sizes, "label")
+        .select($"node".as("doc_id"), $"label".as("cluster_id"),
+          $"cluster_size".cast("int").as("cluster_size"))
+        .orderBy($"doc_id")
+      // Sever the result from the loop's persisted frames: materialize
+      // before unpersist so labels can be freed eagerly.
+      val rows = out.collect()
+      labels.unpersist(blocking = false)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    },
+    // Assembled via mkString, not stripMargin: the embedded q26 SQL
+    // contains || concat operators (stripMargin corrupts lines that
+    // START with ||; mkString sidesteps the class of bug entirely).
+    NearDup.q26.oracle.map(jacSql => Seq(
+      s"WITH RECURSIVE cand AS (${jacSql.replace("ORDER BY doc_a, doc_b", "")}),",
+      "edges AS (SELECT doc_a AS a, doc_b AS b FROM cand",
+      "          UNION ALL SELECT doc_b, doc_a FROM cand),",
+      "reach(src, node) AS (",
+      "  SELECT DISTINCT a, a FROM edges",
+      "  UNION",
+      "  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),",
+      "lbl AS (SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src),",
+      "sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY cluster_id)",
+      "SELECT l.doc_id, l.cluster_id, CAST(sz.cluster_size AS INT) AS cluster_size",
+      "FROM lbl l JOIN sz USING (cluster_id)",
+      "ORDER BY doc_id").mkString("\n")),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q59)
+}
