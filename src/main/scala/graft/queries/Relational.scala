@@ -471,6 +471,48 @@ object Relational {
             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
   )
 
+  /** q66 — the binned range join: q10's pure-inequality join family done
+    * the way it survives scale. A raw range join with no equi key plans
+    * as BroadcastNestedLoopJoin — every probe row × every build row. The
+    * standard fix (the same technique behind Databricks' range-join
+    * optimization and interval-join binning in stream processors) is to
+    * derive BIN KEYS: each lineitem lands in its month bin, each probe
+    * window (order date + 30 days) explodes into the 1–2 month bins it
+    * overlaps, the join becomes a plain broadcast HASH join on the bin
+    * with the exact range predicate as a residual filter. Work drops
+    * from |probe|×|build| comparisons to |build| + matched-bin pairs.
+    * Probes here are the handful of highest-value orders; at 100 TB the
+    * same plan holds for any probe side small enough to broadcast, and a
+    * shuffled hash join on the bin key otherwise. */
+  val q66 = QuerySpec(
+    "q66_range_join_binned",
+    (s, d) => {
+      import s.implicits._
+      val probes = Tables.orders(s, d)
+        .filter($"o_totalprice" >= 498000.0)
+        .select($"o_orderkey", $"o_orderdate",
+          ($"o_orderdate" + expr("INTERVAL 30 DAYS")).as("o_end"))
+        .withColumn("bin", explode(expr(
+          "sequence(date_trunc('MONTH', o_orderdate), date_trunc('MONTH', o_end), interval 1 month)")))
+      val li = Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_shipdate", $"l_extendedprice")
+        .withColumn("bin", date_trunc("MONTH", $"l_shipdate"))
+      li.join(broadcast(probes), Seq("bin"))
+        .filter($"l_shipdate" >= $"o_orderdate" && $"l_shipdate" < $"o_end")
+        .groupBy($"o_orderkey")
+        .agg(count(lit(1)).as("n_shipped_in_window"),
+          dsum($"l_extendedprice", 2).as("price_sum"))
+        .orderBy($"o_orderkey")
+    },
+    Some(s"""SELECT o_orderkey, count(*) AS n_shipped_in_window,
+            |  ${sqlDsum("l_extendedprice", 2)} AS price_sum
+            |FROM orders JOIN lineitem
+            |  ON l_shipdate >= o_orderdate
+            | AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+            |WHERE o_totalprice >= 498000.0
+            |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q66)
 }

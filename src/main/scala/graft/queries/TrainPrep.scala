@@ -116,5 +116,115 @@ object TrainPrep {
            |ORDER BY n_shared_grams DESC, doc_id LIMIT 20""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q60, q61, q62)
+  /** q63 — repeated-bigram quality signal (the Gopher-style repetition
+    * rule: heavily self-repeating documents are low-quality training
+    * text): per-doc duplicate word-2-gram fraction
+    * (total − distinct) / total. Pure per-row array math — the bigram
+    * array never explodes, so nothing shuffles but the output sort. The
+    * fraction is a single IEEE division of two exact ints, identical on
+    * both engines (q26's jaccard argument). */
+  val q63 = QuerySpec(
+    "q63_quality_repeat_ngrams",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", graft.functions.TextFns.tokens($"text").as("t"))
+        .filter(size($"t") >= 2)
+        .select($"doc_id",
+          expr("transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))").as("bg"))
+        .select($"doc_id",
+          size($"bg").as("n_bigrams"),
+          size(array_distinct($"bg")).as("n_distinct"))
+        .withColumn("dup_frac",
+          round(($"n_bigrams" - $"n_distinct") * lit(1.0) / $"n_bigrams", 4))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH bg AS (SELECT doc_id, list_transform(generate_series(1, len(t)-1),
+           |    i -> t[i] || ' ' || t[i+1]) AS bg
+           |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents)
+           |  WHERE len(t) >= 2)
+           |SELECT doc_id, CAST(len(bg) AS INT) AS n_bigrams,
+           |  CAST(len(list_distinct(bg)) AS INT) AS n_distinct,
+           |  round((len(bg) - len(list_distinct(bg))) * 1.0 / len(bg), 4) AS dup_frac
+           |FROM bg ORDER BY doc_id""".stripMargin),
+  )
+
+  /** q64 — salient terms per doc by integer-scaled tf/df relevance:
+    * score_ppm = tf · 10⁶ ÷ df (floor division — exact on both engines,
+    * sidestepping cross-engine log()-ulp drift that raw tf·idf would
+    * invite), top-2 terms per doc for the first 25 docs. Shape: one
+    * explode over tokens, tf and df as two hash aggregates (df is
+    * corpus-wide, joined back small-side-broadcast), ranking via a
+    * per-doc window — the inverted-index + ranking skeleton of any
+    * keyword-extraction pass. */
+  val q64 = QuerySpec(
+    "q64_tfdf_salient_terms",
+    (s, d) => {
+      import s.implicits._
+      val terms = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"doc_id", explode(graft.functions.TextFns.tokens($"text")).as("term"))
+        .filter(char_length($"term") > 0)
+      val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df = terms.select($"doc_id", $"term").distinct()
+        .groupBy($"term").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"score_ppm".desc, $"term")
+      tf.join(broadcast(df), "term")
+        .withColumn("score_ppm", expr("tf * 1000000L div df"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 2 && $"doc_id" < 25)
+        .select($"doc_id", $"rank", $"term", $"tf", $"df", $"score_ppm")
+        .orderBy($"doc_id", $"rank")
+    },
+    Some("""WITH terms AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+           |  FROM documents),
+           |t2 AS (SELECT doc_id, term FROM terms WHERE len(term) > 0),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1, 2),
+           |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t2 GROUP BY 1),
+           |scored AS (SELECT doc_id, term, tf, df, tf * 1000000 // df AS score_ppm,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY tf * 1000000 // df DESC, term) AS rank
+           |  FROM tf JOIN df USING (term))
+           |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf,
+           |  CAST(df AS BIGINT) AS df, CAST(score_ppm AS BIGINT) AS score_ppm
+           |FROM scored WHERE rank <= 2 AND doc_id < 25
+           |ORDER BY doc_id, rank""".stripMargin),
+  )
+
+  /** q65 — stratified deterministic sampling: per-language quotas via a
+    * salted md5-prefix threshold (en keeps ≈50%, zh ≈25%, the rest
+    * ≈12.5%) — how a pipeline rebalances a language-skewed corpus while
+    * keeping membership reproducible (same salt+key ⇒ same verdict on
+    * every rerun and engine; the salt decorrelates it from q60's split
+    * hash). Per-row hash + tiny per-stratum aggregate: no shuffle
+    * beyond the group-by. */
+  val q65 = QuerySpec(
+    "q65_stratified_sample",
+    (s, d) => {
+      import s.implicits._
+      val bucket = substring(
+        md5(concat(lit("s:"), $"doc_id".cast("string")).cast("binary")), 1, 2)
+      val keep = when($"lang" === "en", bucket < "80")
+        .when($"lang" === "zh", bucket < "40")
+        .otherwise(bucket < "20")
+      Tables.documents(s, d)
+        .withColumn("keep", keep)
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_total"),
+          count(when($"keep", 1)).as("n_sampled"),
+          sum(when($"keep", $"doc_id")).as("sampled_id_checksum"))
+        .orderBy($"lang")
+    },
+    Some("""SELECT lang, count(*) AS n_total,
+           |  count(*) FILTER (WHERE keep) AS n_sampled,
+           |  CAST(sum(doc_id) FILTER (WHERE keep) AS BIGINT) AS sampled_id_checksum
+           |FROM (SELECT lang, doc_id,
+           |    CASE WHEN lang = 'en' THEN substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+           |         WHEN lang = 'zh' THEN substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+           |         ELSE substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 2) < '20' END AS keep
+           |  FROM documents)
+           |GROUP BY lang ORDER BY lang""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q60, q61, q62, q63, q64, q65)
 }
