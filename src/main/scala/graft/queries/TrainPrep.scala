@@ -226,5 +226,81 @@ object TrainPrep {
            |GROUP BY lang ORDER BY lang""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q60, q61, q62, q63, q64, q65)
+  /** q67 — document chunking for training-sample prep: 64-char chunks
+    * on a 48-char stride (16-char overlap), the split-long-docs-into-
+    * context-windows stage before tokenization. Chunks stay an in-row
+    * array (no explode needed for the rollup): per-doc chunk count,
+    * total chunked chars (captures the overlap math exactly) and an
+    * md5 spot-check of the first chunk. Per-row substring loops —
+    * shuffle-free at any scale; real pipelines explode the same array
+    * straight into the tokenizer. */
+  val q67 = QuerySpec(
+    "q67_doc_chunking",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", expr(
+          "transform(sequence(0, cast((char_length(text) - 1) div 48 as int)), i -> substring(text, 1 + i*48, 64))"
+        ).as("ch"))
+        .select(
+          $"doc_id",
+          size($"ch").as("n_chunks"),
+          expr("aggregate(ch, 0, (acc, c) -> acc + char_length(c))").as("chunked_chars"),
+          substring(md5(expr("ch[0]").cast("binary")), 1, 8).as("first_chunk_md5"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH c AS (SELECT doc_id, list_transform(generate_series(0, (len(text) - 1) // 48),
+           |    i -> substr(text, 1 + i*48, 64)) AS ch
+           |  FROM documents)
+           |SELECT doc_id, CAST(len(ch) AS INT) AS n_chunks,
+           |  CAST(list_aggregate(list_transform(ch, c -> len(c)), 'sum') AS INT) AS chunked_chars,
+           |  substr(md5(ch[1]), 1, 8) AS first_chunk_md5
+           |FROM c ORDER BY doc_id""".stripMargin),
+  )
+
+  /** q68 — int8 embedding quantization: per-vector min/max affine
+    * quantization (the storage-shrink step before shipping vectors to an
+    * ANN index — 4× smaller than float32). q_i = round((x_i−min)·255 ∕
+    * range), all in-row higher-order array math over doubles whose IEEE
+    * evaluation is spelled identically on both engines; round() on a
+    * non-negative argument is half-away-from-zero on both. The
+    * reconstruction-error gate gets a safety margin so a boundary ulp
+    * can't flip it. Constant vectors (range 0) quantize to all-zero. */
+  val q68 = QuerySpec(
+    "q68_embedding_quantize",
+    (s, d) => {
+      import s.implicits._
+      Tables.fanOut(Tables.embeddings(s, d), col("vec_id"))
+        .select($"vec_id", graft.functions.VectorOps.asDouble($"embedding").as("emb"))
+        .withColumn("mn", array_min($"emb"))
+        .withColumn("rng", array_max($"emb") - $"mn")
+        .withColumn("q", expr(
+          "transform(emb, x -> IF(rng = 0.0D, 0L, cast(round((x - mn) * 255.0D / rng) as bigint)))"))
+        .withColumn("recon_err", expr(
+          """aggregate(zip_with(emb, q, (x, qi) ->
+            |  abs(x - (mn + qi * rng / 255.0D))), 0.0D, (acc, e) -> greatest(acc, e))""".stripMargin))
+        .select(
+          $"vec_id",
+          size($"emb").as("n_dims"),
+          expr("aggregate(q, 0L, (acc, x) -> acc + x)").as("qsum"),
+          expr("cast(q[0] as int)").as("q_first"),
+          ($"recon_err" <= $"rng" / 255.0 * 0.5000001 + 1e-12).as("recon_ok"))
+        .orderBy($"vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+           |m AS (SELECT vec_id, emb, list_aggregate(emb, 'min') AS mn,
+           |    list_aggregate(emb, 'max') - list_aggregate(emb, 'min') AS rng FROM e),
+           |qz AS (SELECT vec_id, emb, mn, rng,
+           |    list_transform(emb, x -> CASE WHEN rng = 0.0 THEN 0
+           |      ELSE CAST(round((x - mn) * 255.0 / rng) AS BIGINT) END) AS q FROM m)
+           |SELECT vec_id, CAST(len(emb) AS INT) AS n_dims,
+           |  CAST(list_aggregate(q, 'sum') AS BIGINT) AS qsum,
+           |  CAST(q[1] AS INT) AS q_first,
+           |  list_aggregate(list_transform(generate_series(1, len(emb)),
+           |    i -> abs(emb[i] - (mn + q[i] * rng / 255.0))), 'max')
+           |    <= rng / 255.0 * 0.5000001 + 1e-12 AS recon_ok
+           |FROM qz ORDER BY vec_id""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q60, q61, q62, q63, q64, q65, q67, q68)
 }
