@@ -34,7 +34,7 @@ object GraphOps {
     * Each round's result is materialized via persist + count so the
     * lineage stays one round deep (an uncached loop would re-execute
     * every prior round per action, exponentially). */
-  private[queries] def minLabel(edges: DataFrame): DataFrame = {
+  private[graft] def minLabel(edges: DataFrame): DataFrame = {
     val ss = edges.sparkSession
     import ss.implicits._
     // Symmetric closure once; scanned every round → persist.

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.GraphOps
+
+/** minLabel must converge to the min-reachable-id fixed point — the
+  * property that makes q59 deterministic — including on shapes that
+  * need multiple propagation rounds (chains) and on multi-component
+  * graphs that must NOT merge.
+  */
+class GraphOpsSpec extends SparkTestBase {
+
+  private def labelsOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val df = edges.toDF("src", "dst")
+    val out = GraphOps.minLabel(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out
+  }
+
+  test("a chain converges to the minimum id (multi-round propagation)") {
+    // 5-4, 4-3, 3-2, 2-1: label 1 must travel the whole chain.
+    val l = labelsOf(Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)))
+    assert(l === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("disjoint components keep distinct labels") {
+    val l = labelsOf(Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L)))
+    assert(l === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("edge direction does not matter (symmetric closure)") {
+    assert(labelsOf(Seq((7L, 3L), (3L, 9L))) ===
+      labelsOf(Seq((3L, 7L), (9L, 3L))))
+  }
+
+  test("q59 clusters are consistent: every cluster id is a member doc") {
+    val df = graft.queries.GraphOps.q59.run(spark, sf)
+    val rows = df.collect()
+    val ids = rows.map(_.getLong(0)).toSet
+    val clusters = rows.map(_.getLong(1)).toSet
+    assert(clusters.subsetOf(ids), "a cluster id must be one of the clustered docs")
+    // cluster id is the min member (keep-first canonical representative)
+    val minByCluster = rows.groupBy(_.getLong(1)).map { case (c, rs) =>
+      c -> rs.map(_.getLong(0)).min }
+    minByCluster.foreach { case (c, mn) => assert(c === mn) }
+  }
+}
