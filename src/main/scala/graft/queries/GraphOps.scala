@@ -44,6 +44,11 @@ object GraphOps {
     var labels = sym.select($"src".as("node")).distinct()
       .withColumn("label", $"node")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Convergence probe: per-node labels only ever DECREASE (min-merge),
+    // so Σlabel strictly decreases until the fixed point — comparing two
+    // longs replaces a per-round anti-join, and the agg is a partial
+    // (map-side) aggregate with no shuffle of its own.
+    var prevSum = labels.agg(sum($"label")).head.getLong(0)
     var converged = false
     var iters = 0
     while (!converged) {
@@ -56,13 +61,11 @@ object GraphOps {
       val next = labels.unionAll(prop)
         .groupBy($"node").agg(min($"label").as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.as("n")
-        .join(labels.as("o"), "node")
-        .filter($"n.label" =!= $"o.label")
-        .count() // materializes `next`, keeps lineage one round deep
+      val curSum = next.agg(sum($"label")).head.getLong(0)
       labels.unpersist(blocking = false)
       labels = next
-      converged = changed == 0
+      converged = curSum == prevSum
+      prevSum = curSum
     }
     sym.unpersist(blocking = false)
     labels

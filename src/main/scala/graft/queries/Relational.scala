@@ -494,8 +494,13 @@ object Relational {
           ($"o_orderdate" + expr("INTERVAL 30 DAYS")).as("o_end"))
         .withColumn("bin", explode(expr(
           "sequence(date_trunc('MONTH', o_orderdate), date_trunc('MONTH', o_end), interval 1 month)")))
-      val li = Tables.lineitem(s, d)
-        .select($"l_orderkey", $"l_shipdate", $"l_extendedprice")
+      // fanOut: the test fixture is a single parquet split, which would
+      // serialize the join + decimal partial-agg onto one core (a real
+      // table has many splits and fanOut skips itself).
+      val li = Tables.fanOut(
+        Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_shipdate", $"l_extendedprice"),
+        col("l_orderkey"))
         .withColumn("bin", date_trunc("MONTH", $"l_shipdate"))
       li.join(broadcast(probes), Seq("bin"))
         .filter($"l_shipdate" >= $"o_orderdate" && $"l_shipdate" < $"o_end")
