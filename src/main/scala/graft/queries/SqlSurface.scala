@@ -164,5 +164,55 @@ object SqlSurface {
            |GROUP BY r_regionkey ORDER BY r_regionkey""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q37, q38, q48, q51, q56)
+  /** q71 — SQL-surface table generator: LATERAL VIEW explode over the
+    * embeddings array column (the UDTF/generator category through SQL
+    * text, where q19 covers it via the DataFrame API). The generator
+    * runs inside the scan's codegen stage; the aggregate above it is the
+    * usual two-phase hash agg. Oracle is DuckDB's unnest of the same
+    * array, with the exact-decimal sum pattern on both engines. */
+  val q71 = QuerySpec(
+    "q71_sql_lateral_explode",
+    (s, d) => {
+      registerViews(s, d)
+      s.sql("""SELECT label, count(*) AS n_pos,
+              |  CAST(sum(CAST(cast(x AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS x_sum
+              |FROM embeddings LATERAL VIEW explode(embedding) t AS x
+              |WHERE x > 0 GROUP BY label ORDER BY label""".stripMargin)
+    },
+    Some("""SELECT label, count(*) AS n_pos,
+           |  CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS x_sum
+           |FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings)
+           |WHERE x > 0 GROUP BY label ORDER BY label""".stripMargin),
+  )
+
+  /** q72 — explicit GROUPING SETS via SQL text, completing the grouped-
+    * aggregation family (q12 rollup, q48 cube): exactly the three sets
+    * the report needs — (flag,status), (flag), grand total — instead of
+    * cube's 2ⁿ. At scale the Expand multiplies shuffle rows by the SET
+    * COUNT, which is why pinning sets beats defaulting to cube.
+    * grouping() disambiguates placeholder rows, as in q48. */
+  val q72 = QuerySpec(
+    "q72_sql_grouping_sets",
+    (s, d) => {
+      registerViews(s, d)
+      s.sql("""SELECT
+              |  CASE WHEN grouping(l_returnflag) = 1 THEN '(all)' ELSE l_returnflag END AS flag,
+              |  CASE WHEN grouping(l_linestatus) = 1 THEN '(all)' ELSE l_linestatus END AS status,
+              |  count(*) AS n_items,
+              |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS qty_sum
+              |FROM lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+              |ORDER BY flag, status""".stripMargin)
+    },
+    Some("""SELECT
+           |  CASE WHEN grouping(l_returnflag) = 1 THEN '(all)' ELSE l_returnflag END AS flag,
+           |  CASE WHEN grouping(l_linestatus) = 1 THEN '(all)' ELSE l_linestatus END AS status,
+           |  count(*) AS n_items,
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS qty_sum
+           |FROM lineitem
+           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+           |ORDER BY flag, status""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q37, q38, q48, q51, q56, q71, q72)
 }

@@ -303,5 +303,44 @@ object TextMedia {
     Some(spanRollupOracle(8)),
   )
 
-  val all: Seq[QuerySpec] = Seq(q29, q30, q31, q32, q33, q34, q36, q45)
+  /** q73 — content-addressed media dedup: exact duplicate detection on
+    * opaque binary payloads via md5 digests — the image/audio analogue
+    * of q20's row dedup (the FIRST stage of any media pipeline: dedup by
+    * content address before ever decoding). The corpus has no natural
+    * byte-identical payloads, so a tenth of the docs are re-ingested as
+    * a synthetic second delivery (q20's technique); the query must
+    * collapse exactly those. Digest-only shuffle: payloads reduce to
+    * 16-byte digests at the scan, the groupBy moves digests + metadata,
+    * never media bytes — at 100 TB THE property that makes media dedup
+    * tractable. */
+  val q73 = QuerySpec(
+    "q73_media_dedup_digest",
+    (s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select($"doc_id", $"source", $"text".cast("binary").as("media"))
+      val redelivered = media.filter($"doc_id" % 10 === 0)
+        .withColumn("doc_id", $"doc_id" + lit(1000000L))
+      media.unionAll(redelivered)
+        .groupBy(md5($"media").as("digest"))
+        .agg(
+          count(lit(1)).as("n_copies"),
+          min($"doc_id").as("canonical_doc"),
+          max(expr("octet_length(media)")).cast("long").as("payload_bytes"))
+        .filter($"n_copies" >= 2)
+        .orderBy($"canonical_doc")
+        .select($"digest", $"n_copies", $"canonical_doc", $"payload_bytes")
+    },
+    Some("""WITH media AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+           |SELECT md5(text) AS digest, count(*) AS n_copies,
+           |  CAST(min(doc_id) AS BIGINT) AS canonical_doc,
+           |  CAST(max(octet_length(encode(text))) AS BIGINT) AS payload_bytes
+           |FROM media GROUP BY 1 HAVING count(*) >= 2
+           |ORDER BY canonical_doc""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q29, q30, q31, q32, q33, q34, q36, q45, q73)
 }

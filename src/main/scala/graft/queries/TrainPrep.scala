@@ -302,5 +302,89 @@ object TrainPrep {
            |FROM qz ORDER BY vec_id""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q60, q61, q62, q63, q64, q65, q67, q68)
+  /** q69 — per-source quota capping (the C4/CC-pipeline "domain cap":
+    * no single domain may dominate the training mix): keep at most 20
+    * docs per source, chosen by a salted-hash rank so the kept subset is
+    * uniform-random yet fully reproducible (same property as q65's rate
+    * sample, but with an EXACT per-stratum count — rate sampling can't
+    * promise that). One window over (source | hash, doc_id); at scale
+    * this is one shuffle on the capped key, and the rank never
+    * materializes more than cap rows per group downstream. */
+  val q69 = QuerySpec(
+    "q69_source_quota_cap",
+    (s, d) => {
+      import s.implicits._
+      val h = md5(concat(lit("q:"), $"doc_id".cast("string")).cast("binary"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy(h.asc, $"doc_id".asc)
+      Tables.documents(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 20)
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_kept"),
+          sum($"doc_id").as("kept_id_checksum"),
+          sum($"n_chars").as("kept_chars"))
+        .orderBy($"source")
+    },
+    Some("""SELECT source, count(*) AS n_kept,
+           |  CAST(sum(doc_id) AS BIGINT) AS kept_id_checksum,
+           |  CAST(sum(n_chars) AS BIGINT) AS kept_chars
+           |FROM (SELECT source, doc_id, n_chars,
+           |    row_number() OVER (PARTITION BY source
+           |      ORDER BY md5('q:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           |  FROM documents)
+           |WHERE rk <= 20 GROUP BY source ORDER BY source""".stripMargin),
+  )
+
+  /** q70 — collocation mining by integer-scaled lift (PMI's ratio with
+    * the log dropped, ×10⁶ floor-divided — log ordering is monotone in
+    * the ratio, so top-k by lift IS top-k by PMI, without cross-engine
+    * log ulp drift): lift = c_xy · T ∕ (c_x · c_y) over word bigrams.
+    * Three hash aggregates (bigram counts, unigram counts, total) + two
+    * broadcast joins of the unigram table onto the bigram table — the
+    * classic co-occurrence-statistics shape; at 100 TB the unigram side
+    * is vocabulary-sized and broadcasts, the bigram table shuffles once
+    * on its own key. */
+  val q70 = QuerySpec(
+    "q70_collocation_lift",
+    (s, d) => {
+      import s.implicits._
+      val toks = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"doc_id", graft.functions.TextFns.tokens($"text").as("t"))
+        .filter(size($"t") >= 2)
+      val uni = toks.select(explode($"t").as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("c"))
+      val total = uni.agg(sum($"c").as("t_total"))
+      val bg = toks
+        .select(explode(expr(
+          "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("b"))
+        .groupBy($"b.w1", $"b.w2").agg(count(lit(1)).as("c_xy"))
+        .filter($"c_xy" >= 5)
+      bg
+        .join(broadcast(uni.select($"w".as("w1"), $"c".as("c_x"))), Seq("w1"))
+        .join(broadcast(uni.select($"w".as("w2"), $"c".as("c_y"))), Seq("w2"))
+        .crossJoin(broadcast(total))
+        .withColumn("lift_ppm", expr("c_xy * t_total * 1000000L div (c_x * c_y)"))
+        .select(concat($"w1", lit(" "), $"w2").as("bigram"),
+          $"c_xy", $"c_x", $"c_y", $"lift_ppm")
+        .orderBy($"lift_ppm".desc, $"bigram")
+        .limit(20)
+    },
+    Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+           |  FROM documents), t2 AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+           |uni AS (SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM t2) GROUP BY w),
+           |total AS (SELECT CAST(sum(c) AS BIGINT) AS t_total FROM uni),
+           |bg AS (SELECT b['w1'] AS w1, b['w2'] AS w2, count(*) AS c_xy
+           |  FROM (SELECT unnest(list_transform(generate_series(1, len(t)-1),
+           |      i -> {'w1': t[i], 'w2': t[i+1]})) AS b FROM t2)
+           |  GROUP BY 1, 2 HAVING count(*) >= 5)
+           |SELECT w1 || ' ' || w2 AS bigram, c_xy,
+           |  CAST(x.c AS BIGINT) AS c_x, CAST(y.c AS BIGINT) AS c_y,
+           |  CAST(c_xy * t_total * 1000000 // (x.c * y.c) AS BIGINT) AS lift_ppm
+           |FROM bg JOIN uni x ON bg.w1 = x.w JOIN uni y ON bg.w2 = y.w, total
+           |ORDER BY lift_ppm DESC, bigram LIMIT 20""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q60, q61, q62, q63, q64, q65, q67, q68, q69, q70)
 }

@@ -99,6 +99,26 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Join"), "as-of degraded to a join\n" + p)
   }
 
+  test("q66: binned range join is a broadcast HASH join, never a nested loop") {
+    val p = plan("q66_range_join_binned")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "bin keys lost — range join degraded to BNLJ\n" + p)
+    assert(!p.contains("SortMergeJoin"), "probe side stopped broadcasting\n" + p)
+  }
+
+  test("q62: the eval gram set broadcasts; the corpus side never sort-merges") {
+    val p = plan("q62_eval_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "corpus grams shuffled into a sort-merge join\n" + p)
+  }
+
+  test("q70: unigram tables broadcast onto the bigram table") {
+    val p = plan("q70_collocation_lift")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "vocabulary side stopped broadcasting\n" + p)
+  }
+
   test("whole-stage codegen covers the scan->project hot path of q30") {
     // Under AQE codegen stages exist only in the executed final plan —
     // run the query, then look for per-node "codegen id" annotations.
