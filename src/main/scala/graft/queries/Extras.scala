@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.Tables
 import graft.etl.TaxiEtl
@@ -363,5 +364,41 @@ object Extras {
             |ORDER BY window_start""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q39, q40, q41, q42, q43, q46, q47, q49, q50, q58)
+  /** q74 — incremental aggregate maintenance: the hourly rollup held as
+    * mergeable state (exact DECIMAL sums + counts), a new delivery's
+    * delta rolled up the same way, and the two MERGED by key — the
+    * incremental-view-maintenance pattern every always-on pipeline uses
+    * instead of recomputing 100 TB per batch. Exactness is the point:
+    * because the partial state is decimal (order-independent), merged
+    * state is bit-identical to a from-scratch rollup, which is precisely
+    * what the oracle asserts (it recomputes the whole table). The merge
+    * is a full-outer join of two key-level aggregates (both sides
+    * already tiny — q49's shape). */
+  val q74 = QuerySpec(
+    "q74_incremental_agg_merge",
+    (s, d) => {
+      import s.implicits._
+      val split = "2024-01-16 00:00:00"
+      val ev = Tables.events(s, d)
+      def state(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(date_trunc("hour", $"ts").as("h"))
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast(DecimalType(30, 4))).as("v"))
+      val old = state(ev.filter($"ts" < lit(split).cast("timestamp")))
+      val delta = state(ev.filter($"ts" >= lit(split).cast("timestamp")))
+      old.as("o").join(delta.as("dl"), Seq("h"), "full_outer")
+        .select(
+          date_format($"h", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          (coalesce($"o.n", lit(0L)) + coalesce($"dl.n", lit(0L))).as("n_events"),
+          (coalesce($"o.v", lit(BigDecimal(0)).cast(DecimalType(30, 4))) +
+            coalesce($"dl.v", lit(BigDecimal(0)).cast(DecimalType(30, 4))))
+            .cast(DoubleType).as("value_sum"))
+        .orderBy($"window_start")
+    },
+    Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+            |  count(*) AS n_events, ${sqlDsum("value", 4)} AS value_sum
+            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q39, q40, q41, q42, q43, q46, q47, q49, q50, q58, q74)
 }

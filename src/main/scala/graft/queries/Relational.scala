@@ -518,6 +518,69 @@ object Relational {
             |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin),
   )
 
+  /** q75 — distribution window functions (ntile / percent_rank /
+    * cume_dist), completing §2.8's ranking family (q13 covers
+    * row_number/rank/lag): order-quartiles and rank fractions per
+    * customer. The window ORDER BY is totally ordered (price ties broken
+    * by o_orderkey) so every rank fraction is deterministic; the
+    * fractions are single IEEE divisions of identical ints on both
+    * engines. One shuffle on the partition key, like any window. */
+  val q75 = QuerySpec(
+    "q75_window_distribution",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice", $"o_orderkey")
+      Tables.orders(s, d)
+        .filter($"o_custkey" < 20)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+           |  CAST(ntile(4) OVER w AS INT) AS quartile,
+           |  round(percent_rank() OVER w, 6) AS pct_rank,
+           |  round(cume_dist() OVER w, 6) AS cume
+           |FROM orders WHERE o_custkey < 20
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+           |ORDER BY o_custkey, o_orderkey""".stripMargin),
+  )
+
+  /** q76 — value-navigation window functions (first_value / last_value /
+    * nth_value) over an unbounded frame: each event annotated with its
+    * user-day's opening, closing, and second reading — the
+    * session-context enrichment shape. last/nth need the explicit
+    * UNBOUNDED FOLLOWING frame (the default frame stops at CURRENT ROW,
+    * where last_value degenerates to "this row"); ordering is total via
+    * (ts, event_id). */
+  val q76 = QuerySpec(
+    "q76_window_value_nav",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"day").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .filter($"user_id" < 5)
+        .withColumn("day", date_format(date_trunc("day", $"ts"), "yyyy-MM-dd"))
+        .select($"user_id", $"day", $"event_id", $"value",
+          first($"value").over(w).as("open_val"),
+          last($"value").over(w).as("close_val"),
+          nth_value($"value", 2).over(w).as("second_val"))
+        .orderBy($"user_id", $"day", $"event_id")
+    },
+    Some("""SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           |  event_id, value,
+           |  first_value(value) OVER w AS open_val,
+           |  last_value(value) OVER w AS close_val,
+           |  nth_value(value, 2) OVER w AS second_val
+           |FROM events WHERE user_id < 5
+           |WINDOW w AS (PARTITION BY user_id, strftime(date_trunc('day', ts), '%Y-%m-%d')
+           |  ORDER BY ts, event_id
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           |ORDER BY user_id, day, event_id""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q66)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q66, q75, q76)
 }
