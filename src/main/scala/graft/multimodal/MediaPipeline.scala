@@ -122,6 +122,34 @@ object MediaPipeline {
     }
   }
 
+  /** Per-payload frame-sample output: exact byte sums + lengths of the
+    * sampled frames (the verifiable basis, like featureSums/sums). */
+  final case class MediaFrameSums(
+      doc_id: Long,
+      source: String,
+      n_bytes: Int,
+      frameSums: Array[Long],
+      frameLens: Array[Int])
+
+  /** FRAME-SAMPLE stage: batched per-partition sampling of `n` frames ×
+    * `frameBytes` bytes via [[sampleFrames]], reduced to exact per-frame
+    * byte sums — video thumbnailing's geometry with the same
+    * bounded-output, payloads-never-shuffle contract as decode/resize. */
+  def frameSample(ds: Dataset[MediaRecord], n: Int, frameBytes: Int): Dataset[MediaFrameSums] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap { batch =>
+        batch.map { r =>
+          val frames = sampleFrames(r.media, n, frameBytes)
+          MediaFrameSums(r.doc_id, r.source, r.media.length,
+            frames.map(f => f.foldLeft(0L)((s, b) => s + (b & 0xff))),
+            frames.map(_.length))
+        }
+      }
+    }
+  }
+
   /** The documents table as a media corpus: text bytes stand in for
     * image/audio payloads (ASCII corpus → bytes == code points, which the
     * DuckDB oracle mirrors with ord()). */

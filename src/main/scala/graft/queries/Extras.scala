@@ -400,5 +400,40 @@ object Extras {
             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q39, q40, q41, q42, q43, q46, q47, q49, q50, q58, q74)
+  /** q77 — the salted skew join (graft.operators.SkewJoin) under the
+    * oracle gate: a synthetic hot key (every third lineitem collapses to
+    * key 0 — one reducer would take a third of the table) joined to a
+    * 100-row dim, salted 8 ways. Salting is pure placement: every salt
+    * replica sees the full small side, so the salted result is the SAME
+    * MULTISET as the plain equi-join — which is exactly what the oracle
+    * runs. The rollup's decimal sums are order-independent, so the gate
+    * is insensitive to which salt processed which row. */
+  val q77 = QuerySpec(
+    "q77_skew_salted_join",
+    (s, d) => {
+      import s.implicits._
+      val large = Tables.fanOut(
+        Tables.lineitem(s, d).select($"l_orderkey", $"l_quantity"),
+        $"l_orderkey")
+        .select(
+          when($"l_orderkey" % 3 === 0, 0L).otherwise($"l_orderkey" % 100).as("k"),
+          $"l_quantity")
+      val small = s.range(0, 100)
+        .select($"id".as("k"), concat(lit("grp"), ($"id" % 10).cast("string")).as("grp"))
+      graft.operators.SkewJoin.saltedEquiJoin(large, small, "k", salts = 8)
+        .groupBy($"grp")
+        .agg(count(lit(1)).as("n_items"), dsum($"l_quantity", 2).as("qty_sum"))
+        .orderBy($"grp")
+    },
+    Some(s"""WITH large AS (SELECT CASE WHEN l_orderkey % 3 = 0 THEN 0
+            |    ELSE l_orderkey % 100 END AS k, l_quantity FROM lineitem),
+            |small AS (SELECT r AS k, 'grp' || CAST(r % 10 AS VARCHAR) AS grp
+            |  FROM range(0, 100) t(r))
+            |SELECT grp, count(*) AS n_items, ${sqlDsum("l_quantity", 2)} AS qty_sum
+            |FROM large JOIN small USING (k)
+            |GROUP BY grp ORDER BY grp""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q39, q40, q41, q42, q43, q46, q47, q49, q50, q58,
+    q74, q77)
 }

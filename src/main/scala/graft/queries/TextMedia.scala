@@ -342,5 +342,47 @@ object TextMedia {
            |ORDER BY canonical_doc""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q29, q30, q31, q32, q33, q34, q36, q45, q73)
+  /** q78 — the FRAME-SAMPLE stage end-to-end (completing the multimodal
+    * stage set q36/q45 started): 3 frames × 16 bytes sampled at even
+    * stride from each payload (MediaPipeline.frameSample), rolled up per
+    * source as exact integer byte sums + frame lengths — the same
+    * integers the oracle derives with ord() over the ASCII corpus. */
+  val q78 = QuerySpec(
+    "q78_multimodal_framesample",
+    (s, d) => {
+      import s.implicits._
+      import graft.multimodal.MediaPipeline
+      val frames = MediaPipeline
+        .frameSample(MediaPipeline.documentsAsMedia(s, d), 3, 16).toDF()
+      frames
+        .select(Seq($"source", $"n_bytes") ++
+          (0 until 3).map(j => $"frameSums" (j).as(s"fs$j")) ++
+          (0 until 3).map(j => $"frameLens" (j).cast("long").as(s"fl$j")): _*)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_media"),
+          sum($"fs0").as("f0_sum"), sum($"fs1").as("f1_sum"), sum($"fs2").as("f2_sum"),
+          sum($"fl0").as("f0_len"), sum($"fl1").as("f1_len"), sum($"fl2").as("f2_len"))
+        .orderBy($"source")
+    },
+    Some {
+      // Frame j of an n-byte payload starts at (j*n)//3 (0-based) and
+      // spans min(16, n - start) bytes; ord() == byte on this ASCII corpus.
+      def fs(j: Int) =
+        s"coalesce(list_aggregate(list_transform(generate_series(($j*n)//3 + 1, least(($j*n)//3 + 16, n)), i -> ord(substring(text, i, 1))), 'sum'), 0) AS fs$j"
+      def fl(j: Int) = s"least(($j*n)//3 + 16, n) - ($j*n)//3 AS fl$j"
+      s"""WITH d AS (SELECT doc_id, source, length(text) AS n, text FROM documents),
+         |f AS (SELECT doc_id, source,
+         |  ${(0 until 3).map(fs).mkString(", ")},
+         |  ${(0 until 3).map(fl).mkString(", ")}
+         |  FROM d)
+         |SELECT source, count(*) AS n_media,
+         |  CAST(sum(fs0) AS BIGINT) AS f0_sum, CAST(sum(fs1) AS BIGINT) AS f1_sum,
+         |  CAST(sum(fs2) AS BIGINT) AS f2_sum,
+         |  CAST(sum(fl0) AS BIGINT) AS f0_len, CAST(sum(fl1) AS BIGINT) AS f1_len,
+         |  CAST(sum(fl2) AS BIGINT) AS f2_len
+         |FROM f GROUP BY source ORDER BY source""".stripMargin
+    },
+  )
+
+  val all: Seq[QuerySpec] = Seq(q29, q30, q31, q32, q33, q34, q36, q45, q73, q78)
 }
