@@ -78,7 +78,9 @@ object EventIngest {
     // The sink view and checkpoint dir are released in a finally: a run
     // that throws mid-drain must not leak heap (memory-sink table) or
     // tmp (checkpoint) across a bench loop's repeated invocations.
-    try {
+    // State partitions sized to harness state volume — see
+    // StreamHarness.withStreamingPartitions.
+    try StreamHarness.withStreamingPartitions(spark, 8) {
       val query = agg.writeStream
         .outputMode("complete")
         .format("memory")

@@ -99,7 +99,7 @@ object Sessionize {
   def runOnce(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val h = new StreamHarness(spark, sfDir, copies = 1, tag = "sessionize")
-    try {
+    try h.withStreamingPartitions(8) {
     def sessionStream(): DataFrame = {
       // Keep the watermarked ts column through to the stateful operator —
       // a typed .map before groupByKey would sever the event-time tag and

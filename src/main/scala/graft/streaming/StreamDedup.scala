@@ -21,6 +21,11 @@ object StreamDedup {
 
   def runOnce(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // No state-partition downsizing here, unlike the other harnesses:
+    // dedup state holds EVERY event id inside the watermark (key-count-
+    // scaled, not group-scaled), so concentrating it on fewer partitions
+    // costs more than the per-partition fixed overhead it saves — the
+    // "size state partitions to state volume" rule cuts both ways.
     val h = new StreamHarness(spark, sfDir, copies = 2, tag = "sdedup")
     try {
       h.drain(h.eventsStream()

@@ -19,6 +19,17 @@ import org.apache.spark.sql.types.{LongType, StructType}
   * All Files.list streams are closed (fd hygiene for long-lived
   * drivers), and staged input copies are deletable once drained.
   */
+private[streaming] object StreamHarness {
+  /** See the instance method's doc — usable by harnesses that don't
+    * stage through a StreamHarness (EventIngest's memory-sink run). */
+  def withStreamingPartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, old)
+  }
+}
+
 private[streaming] final class StreamHarness(
     val spark: SparkSession, sfDir: String, copies: Int, tag: String) {
 
@@ -100,6 +111,19 @@ private[streaming] final class StreamHarness(
     deleteTree(Paths.get(tmp))
     result
   }
+
+  /** Run `f` with the session's shuffle partitions pinned to `n`,
+    * restoring the prior value after. A streaming query FIXES its state
+    * partition count from this conf at first start, and every
+    * micro-batch then pays per-partition state-store overhead (open,
+    * snapshot, commit) regardless of data volume — so state partitions
+    * should be sized to STATE volume, not to the batch engine's scan
+    * parallelism. The drained verification harnesses hold thousands of
+    * state rows; 8 partitions bounds the fixed cost without changing
+    * any result (state partitioning is placement, not semantics). A
+    * production stream with 100 TB-scale state sizes this up, not down. */
+  def withStreamingPartitions[T](n: Int)(f: => T): T =
+    StreamHarness.withStreamingPartitions(spark, n)(f)
 
   /** Idempotent whole-tree delete for callers' finally blocks: output()
     * already removes the tree on the success path, but a drain that

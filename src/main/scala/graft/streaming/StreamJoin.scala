@@ -22,7 +22,7 @@ object StreamJoin {
   def runOnce(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val h = new StreamHarness(spark, sfDir, copies = 1, tag = "sjoin")
-    try {
+    try h.withStreamingPartitions(8) {
       val clicks = h.eventsStream().filter($"event_type" === "click")
         .select($"user_id".as("c_user"), $"ts".as("c_ts"))
         .withWatermark("c_ts", "1 hour")

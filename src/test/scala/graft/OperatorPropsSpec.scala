@@ -125,6 +125,43 @@ class OperatorPropsSpec extends SparkTestBase {
     assert(outN(1) == null && outN(0) != null)
   }
 
+  test("minLabel equals a reference union-find on random graphs") {
+    import spark.implicits._
+    val edgeGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 19L), Gen.chooseNum(0L, 19L)))
+        .map(_.filter { case (a, b) => a != b })
+        .suchThat(_.nonEmpty)
+    samples(edgeGen, 6).foreach { edges =>
+      // Reference: in-memory union-find, min id as representative.
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val keep = math.min(ra, rb); parent(math.max(ra, rb)) = keep }
+      }
+      val expected = parent.keys.map(v => v -> find(v)).toMap
+      val got = graft.queries.GraphOps.minLabel(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected)
+    }
+  }
+
+  test("quantization error is within half a step for any vector (q68's gate)") {
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-100.0, 100.0)).suchThat(_.nonEmpty)
+    samples(vecGen, 10).foreach { xs =>
+      val mn = xs.min; val rng = xs.max - mn
+      val q = xs.map(x => if (rng == 0.0) 0L else math.round((x - mn) * 255.0 / rng))
+      val err = xs.zip(q).map { case (x, qi) =>
+        math.abs(x - (mn + qi * rng / 255.0)) }.max
+      assert(err <= rng / 255.0 * 0.5000001 + 1e-12,
+        s"reconstruction error $err exceeds half a quantization step")
+      assert(q.forall(v => v >= 0L && v <= 255L), "quantized value out of int8 range")
+    }
+  }
+
   test("Sessionize.onUser: splitting a batch at an ordered point changes nothing") {
     import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
