@@ -434,6 +434,73 @@ object Extras {
             |GROUP BY grp ORDER BY grp""".stripMargin),
   )
 
+  /** q79 — Hive-style partitioned layout end-to-end: documents written
+    * `partitionBy(lang)` (the Glue/Athena partition convention the
+    * reference's catalog tier implies — one directory per partition
+    * value), re-read with a partition-column filter, aggregated, tmp
+    * cleaned in a finally. The filter prunes at PLANNING time — only
+    * `lang=en/` is ever listed or scanned, the difference between
+    * reading one partition and reading 100 TB (PartitionPruningSpec
+    * asserts PartitionFilters on exactly this layout's plan). The
+    * oracle applies the same predicate to the unpartitioned table —
+    * layout must never change semantics. */
+  val q79 = QuerySpec(
+    "q79_partitioned_write_prune",
+    (s, d) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_part_q79")
+      try {
+        val out = s"$tmp/documents_by_lang"
+        Tables.documents(s, d)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("lang").parquet(out)
+        val agg = s.read.parquet(out)
+          .filter($"lang" === "en")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars_sum"))
+          .orderBy($"source")
+        val rows = agg.collect() // eager: tmp is deleted in the finally
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+      } finally {
+        val walk = java.nio.file.Files.walk(tmp)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    },
+    Some("""SELECT source, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+           |FROM documents WHERE lang = 'en'
+           |GROUP BY source ORDER BY source""".stripMargin),
+  )
+
+  /** q80 — CDC compaction (latest-wins upsert): collapse an event
+    * changelog to one current row per key, newest (ts, event_id) wins —
+    * the batch form of what a merge-on-read table format does at
+    * compaction. One window over (user_id | ts desc, event_id desc)
+    * with rank=1; totally ordered, so the survivor is unique and
+    * engine-independent. At scale this is one shuffle on the key and
+    * the filter drops everything but one row per key before any
+    * downstream operator sees data. */
+  val q80 = QuerySpec(
+    "q80_cdc_latest_wins",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      Tables.events(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1)
+        .select($"user_id", $"event_id".as("last_event_id"),
+          unix_micros($"ts").as("last_ts_us"), $"value".as("last_value"))
+        .orderBy($"user_id")
+    },
+    Some("""SELECT user_id, event_id AS last_event_id,
+           |  epoch_us(ts) AS last_ts_us, value AS last_value
+           |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+           |    ORDER BY ts DESC, event_id DESC) AS rk FROM events)
+           |WHERE rk = 1 ORDER BY user_id""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q39, q40, q41, q42, q43, q46, q47, q49, q50, q58,
-    q74, q77)
+    q74, q77, q79, q80)
 }
