@@ -51,21 +51,30 @@ object GraphOps {
     var prevSum = labels.agg(sum($"label")).head.getLong(0)
     var converged = false
     var iters = 0
-    while (!converged) {
-      iters += 1
-      require(iters <= MaxIters,
-        s"connected components did not converge in $MaxIters rounds")
-      // Labels flowing across edges, min-merged with each node's own.
-      val prop = sym.join(labels, $"dst" === $"node")
-        .select($"src".as("node"), $"label")
-      val next = labels.unionAll(prop)
-        .groupBy($"node").agg(min($"label").as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val curSum = next.agg(sum($"label")).head.getLong(0)
-      labels.unpersist(blocking = false)
-      labels = next
-      converged = curSum == prevSum
-      prevSum = curSum
+    try {
+      while (!converged) {
+        iters += 1
+        require(iters <= MaxIters,
+          s"connected components did not converge in $MaxIters rounds")
+        // Labels flowing across edges, min-merged with each node's own.
+        val prop = sym.join(labels, $"dst" === $"node")
+          .select($"src".as("node"), $"label")
+        val next = labels.unionAll(prop)
+          .groupBy($"node").agg(min($"label").as("label"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val curSum = next.agg(sum($"label")).head.getLong(0)
+        labels.unpersist(blocking = false)
+        labels = next
+        converged = curSum == prevSum
+        prevSum = curSum
+      }
+    } catch {
+      // The iteration-cap (or any mid-round) failure must not leave the
+      // round's frames pinned in the block manager for the session's life.
+      case t: Throwable =>
+        labels.unpersist(blocking = false)
+        sym.unpersist(blocking = false)
+        throw t
     }
     sym.unpersist(blocking = false)
     labels
