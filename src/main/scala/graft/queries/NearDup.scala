@@ -423,5 +423,85 @@ object NearDup {
     },
   )
 
-  val all: Seq[QuerySpec] = Seq(q24, q25, q26, q27, q28, q52, q55)
+  /** q81 — IVF + int8 asymmetric distance (the PQ-style compressed-ANN
+    * composition of q28's probe path and q68's quantization): the corpus
+    * is held int8-quantized (4× smaller — at 100 TB the difference
+    * between memory-resident and not), the query stays full-precision,
+    * and candidate scoring reconstructs each probed vector affinely
+    * (mn + qᵢ·rng∕255) — "asymmetric" because only one side is
+    * compressed, the accuracy trick from the PQ literature (Jégou et
+    * al. 2011). Same one-pass assignment + 2/8 probe as q28; emits the
+    * approx AND exact cosine per hit so the gate also pins the
+    * compression error. All reconstruction math is the identical IEEE
+    * expression on both engines; folds are sequential-seeded like
+    * every VectorOps mirror. */
+  val q81 = QuerySpec(
+    "q81_ann_ivf_adc",
+    (s, d) => {
+      import s.implicits._
+      val base = Tables.embeddings(s, d)
+        .select($"vec_id", asDouble($"embedding").as("emb"))
+        .withColumn("nrm", l2Norm($"emb"))
+      val e = Tables.fanOut(base, col("vec_id"))
+      val cent = base.filter($"vec_id".between(2, 9))
+        .select($"vec_id".as("cid"), $"emb".as("cemb"), $"nrm".as("cnrm"))
+      val qv = base.filter($"vec_id" === 1).select($"emb".as("qemb"), $"nrm".as("qnrm"))
+      val assign = e.crossJoin(broadcast(cent))
+        .withColumn("c", dot($"emb", $"cemb") / ($"nrm" * $"cnrm"))
+        .groupBy($"vec_id")
+        .agg(max_by($"cid", struct($"c", -$"cid")).as("cid"),
+          first($"emb").as("emb"), first($"nrm").as("nrm"))
+      val probe = cent.crossJoin(broadcast(qv))
+        .withColumn("c", dot($"cemb", $"qemb") / ($"cnrm" * $"qnrm"))
+        .orderBy($"c".desc, $"cid")
+        .limit(2)
+        .select($"cid")
+      assign
+        .join(broadcast(probe), Seq("cid"), "left_semi")
+        .filter($"vec_id" =!= 1)
+        // int8 codes + affine reconstruction (q68's scheme). In a real
+        // index `qcode` IS the stored column and emb never loads; here
+        // both exist so the gate can emit approx & exact side by side.
+        .withColumn("mn", array_min($"emb"))
+        .withColumn("rng", array_max($"emb") - $"mn")
+        .withColumn("qcode", expr(
+          "transform(emb, x -> IF(rng = 0.0D, 0L, cast(round((x - mn) * 255.0D / rng) as bigint)))"))
+        .withColumn("recon", expr("transform(qcode, qi -> mn + qi * rng / 255.0D)"))
+        .crossJoin(broadcast(qv))
+        .select($"vec_id", $"cid".as("cluster_id"),
+          round(dot($"recon", $"qemb") / (l2Norm($"recon") * $"qnrm"), 4).as("cos_adc"),
+          round(dot($"emb", $"qemb") / ($"nrm" * $"qnrm"), 4).as("cos_exact"))
+        .orderBy($"cos_adc".desc, $"vec_id")
+        .limit(10)
+    },
+    Some {
+      val reconDot = sqlDot("recon", "qemb")
+      val reconNorm = sqlL2Norm("recon")
+      Seq(
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),",
+        "cent AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id BETWEEN 2 AND 9),",
+        "assign AS (SELECT vec_id, cid, rn FROM (SELECT vec_id, cid,",
+        s"    row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cid) AS rn",
+        s"  FROM (SELECT v.vec_id, c2.cid, ${sqlCosine("v.emb", "c2.cemb")} AS c FROM e v, cent c2))),",
+        "member AS (SELECT vec_id, cid FROM assign WHERE rn = 1),",
+        "q AS (SELECT emb AS qemb FROM e WHERE vec_id = 1),",
+        "probe AS (SELECT cid FROM assign WHERE vec_id = 1 AND rn <= 2),",
+        "hit AS (SELECT m.vec_id, m.cid, v.emb FROM member m JOIN e v ON m.vec_id = v.vec_id",
+        "        WHERE m.cid IN (SELECT cid FROM probe) AND m.vec_id <> 1),",
+        "qz AS (SELECT vec_id, cid, emb,",
+        "    list_aggregate(emb, 'min') AS mn,",
+        "    list_aggregate(emb, 'max') - list_aggregate(emb, 'min') AS rng FROM hit),",
+        "rc AS (SELECT vec_id, cid, emb,",
+        "    list_transform(list_transform(emb, x -> CASE WHEN rng = 0.0 THEN 0",
+        "        ELSE CAST(round((x - mn) * 255.0 / rng) AS BIGINT) END),",
+        "      qi -> mn + qi * rng / 255.0) AS recon",
+        "  FROM qz)",
+        s"SELECT vec_id, cid AS cluster_id, round($reconDot / ($reconNorm * ${sqlL2Norm("qemb")}), 4) AS cos_adc,",
+        s"  round(${sqlCosine("emb", "qemb")}, 4) AS cos_exact",
+        "FROM rc, q",
+        "ORDER BY cos_adc DESC, vec_id LIMIT 10").mkString("\n")
+    },
+  )
+
+  val all: Seq[QuerySpec] = Seq(q24, q25, q26, q27, q28, q52, q55, q81)
 }
