@@ -238,22 +238,31 @@ object TrainPrep {
     "q67_doc_chunking",
     (s, d) => {
       import s.implicits._
+      // Empty doc → ZERO chunks on both engines: Spark's `div` truncates
+      // toward zero ((0-1) div 48 = 0 → a phantom empty chunk) while
+      // DuckDB's // floors to -1 → an empty series — the IF pins the
+      // agreed semantics instead of leaning on the fixture having no
+      // empty docs.
       Tables.documents(s, d)
         .select($"doc_id", expr(
-          "transform(sequence(0, cast((char_length(text) - 1) div 48 as int)), i -> substring(text, 1 + i*48, 64))"
+          """IF(char_length(text) = 0, cast(array() as array<string>),
+            |transform(sequence(0, cast((char_length(text) - 1) div 48 as int)),
+            |  i -> substring(text, 1 + i*48, 64)))""".stripMargin
         ).as("ch"))
         .select(
           $"doc_id",
           size($"ch").as("n_chunks"),
           expr("aggregate(ch, 0, (acc, c) -> acc + char_length(c))").as("chunked_chars"),
-          substring(md5(expr("ch[0]").cast("binary")), 1, 8).as("first_chunk_md5"))
+          // get() is the ANSI-safe 0-based index (null past the end, so a
+          // zero-chunk doc yields null, matching DuckDB's ch[1] on []).
+          substring(md5(get($"ch", lit(0)).cast("binary")), 1, 8).as("first_chunk_md5"))
         .orderBy($"doc_id")
     },
     Some("""WITH c AS (SELECT doc_id, list_transform(generate_series(0, (len(text) - 1) // 48),
            |    i -> substr(text, 1 + i*48, 64)) AS ch
            |  FROM documents)
            |SELECT doc_id, CAST(len(ch) AS INT) AS n_chunks,
-           |  CAST(list_aggregate(list_transform(ch, c -> len(c)), 'sum') AS INT) AS chunked_chars,
+           |  CAST(coalesce(list_aggregate(list_transform(ch, c -> len(c)), 'sum'), 0) AS INT) AS chunked_chars,
            |  substr(md5(ch[1]), 1, 8) AS first_chunk_md5
            |FROM c ORDER BY doc_id""".stripMargin),
   )
