@@ -581,6 +581,38 @@ object Relational {
            |ORDER BY user_id, day, event_id""".stripMargin),
   )
 
+  /** q82 — null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): grouping
+    * keys with nulls must MATCH each other through a join, the semantics
+    * sentinel-key pipelines rely on (plain `=` silently drops every
+    * null-keyed row). Nulls are synthesized via nullif on a mod bucket
+    * (the fixture has none); both sides pre-aggregate before the join so
+    * the null bucket is one row per side, not a null-key hot spot — the
+    * standard mitigation for null-skewed joins at scale. */
+  val q82 = QuerySpec(
+    "q82_join_null_safe",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .withColumn("bucket", expr("nullif(user_id % 10, 5)"))
+      val clicks = ev.filter($"event_type" === "click")
+        .groupBy($"bucket").agg(count(lit(1)).as("n_clicks"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .groupBy($"bucket").agg(count(lit(1)).as("n_purchases"))
+      clicks.as("c")
+        .join(purchases.as("p"), $"c.bucket" <=> $"p.bucket")
+        .select($"c.bucket".as("bucket"), $"n_clicks", $"n_purchases")
+        .orderBy($"bucket".asc_nulls_first)
+    },
+    Some("""WITH ev AS (SELECT nullif(user_id % 10, 5) AS bucket, event_type FROM events),
+           |c AS (SELECT bucket, count(*) AS n_clicks FROM ev
+           |      WHERE event_type = 'click' GROUP BY bucket),
+           |p AS (SELECT bucket, count(*) AS n_purchases FROM ev
+           |      WHERE event_type = 'purchase' GROUP BY bucket)
+           |SELECT c.bucket, n_clicks, n_purchases
+           |FROM c JOIN p ON c.bucket IS NOT DISTINCT FROM p.bucket
+           |ORDER BY c.bucket NULLS FIRST""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q66, q75, q76)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q66, q75, q76, q82)
 }
