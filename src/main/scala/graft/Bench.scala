@@ -48,16 +48,17 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (cold, okCold) = run(name, fn)
       val (warm, okWarm) = run(name, fn)
-      (name, cold, warm, okCold && okWarm)
+      (name, cold, warm, okCold, okWarm)
     }
-    def jmap(sel: Seq[(String, Double, Double, Boolean)],
-        f: ((String, Double, Double, Boolean)) => (String, Double)): String =
-      sel.map(r => { val (k, v) = f(r); "\"" + k + "\":" + v })
-        .mkString("{", ",", "}")
-    val good = results.filter(_._4)
-    val qs = jmap(good, { case (k, c, _, _) => (k, c) })
-    val qw = jmap(good, { case (k, _, w, _) => (k, w) })
-    val failedSecs = jmap(results.filterNot(_._4), { case (k, c, _, _) => (k, c) })
+    def jmap(sel: Seq[(String, Double)]): String =
+      sel.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val good = results.filter(r => r._4 && r._5)
+    val qs = jmap(good.map(r => r._1 -> r._2))
+    val qw = jmap(good.map(r => r._1 -> r._3))
+    // Time of the run that actually FAILED (the cold one if both did) —
+    // not the other run's duration, which would misdirect diagnosis.
+    val failedSecs = jmap(results.filterNot(r => r._4 && r._5)
+      .map(r => r._1 -> (if (!r._4) r._2 else r._3)))
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = good.map(_._2).sum
     val totalWarm = good.map(_._3).sum

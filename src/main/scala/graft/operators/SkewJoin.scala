@@ -25,19 +25,28 @@ import org.apache.spark.sql.functions._
   * in dedup/event pipelines, exactly what this operator exists for — all
   * to ONE salt, silently degrading the spread to a no-op while the small
   * side still pays the `salts`× replication. Position-based salting
-  * spreads even bit-identical duplicates. It is deterministic for a
-  * fixed input split layout (ids are a pure function of partition id +
-  * in-partition offset, and a retried task recomputes its split
-  * identically), and the JOIN RESULT never depends on salt placement at
-  * all — every salt value sees the full replicated small side, so any
-  * assignment yields the same output multiset.
+  * spreads even bit-identical duplicates.
+  *
+  * RETRY SAFETY: when the large side sits directly above a shuffle, a
+  * partition's row ORDER depends on nondeterministic fetch order, so a
+  * positional id alone could assign different salts on a stage retry —
+  * already-finished reducers of the (key, salt) shuffle would then hold
+  * old-epoch rows while recomputed ones use new-epoch salts, silently
+  * dropping or duplicating join rows. The fix is the same one Spark
+  * itself applies to round-robin repartition (SPARK-23207): impose a
+  * deterministic in-partition order (local sort over the row's hashable
+  * columns) BEFORE assigning positions. A retried task recomputes the
+  * same partition CONTENT (hash-partitioned shuffle output is
+  * content-deterministic), sorts it into the same order, and therefore
+  * reproduces the same salts. Identical duplicate rows sort adjacent
+  * and still spread round-robin over the salt range.
   */
 object SkewJoin {
 
   val SaltCol = "__graft_salt"
 
-  /** Position-derived salt in [0, salts) — see class doc for why this is
-    * not a content hash. Exposed for SkewJoinSpec. */
+  /** Position-derived salt in [0, salts) — see class doc. Exposed for
+    * SkewJoinSpec. */
   private[graft] def saltExpr(salts: Int) =
     pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int")
 
@@ -61,7 +70,15 @@ object SkewJoin {
         "(outer-preserving the replicated side would duplicate its unmatched rows)")
     require(!large.columns.contains(SaltCol) && !small.columns.contains(SaltCol),
       s"inputs must not already carry a $SaltCol column")
-    val l = large.withColumn(SaltCol, saltExpr(salts))
+    // Deterministic in-partition order first (retry safety — class doc).
+    // MapType columns aren't orderable and are exceedingly rare on a
+    // join's large side; order by the sortable prefix.
+    val sortable = large.schema.fields
+      .filterNot(f => f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name)).toIndexedSeq
+    val ordered =
+      if (sortable.nonEmpty) large.sortWithinPartitions(sortable: _*) else large
+    val l = ordered.withColumn(SaltCol, saltExpr(salts))
     val r = small
       .withColumn(SaltCol, explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, Seq(key, SaltCol), joinType).drop(SaltCol)

@@ -73,12 +73,7 @@ object Extras {
             countDistinct($"fname").as("n_files"))
         val row = agg.collect() // eager: the round-trip dir can be deleted
         s.createDataFrame(java.util.Arrays.asList(row: _*), agg.schema)
-      } finally {
-        val walk = java.nio.file.Files.walk(tmp)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      }
+      } finally graft.Fs.deleteTree(tmp)
     },
     Some(s"""SELECT count(*) AS n_rows, CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
             |  ${sqlDsum("l_extendedprice", 2)} AS price_sum,
@@ -461,12 +456,7 @@ object Extras {
           .orderBy($"source")
         val rows = agg.collect() // eager: tmp is deleted in the finally
         s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
-      } finally {
-        val walk = java.nio.file.Files.walk(tmp)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      }
+      } finally graft.Fs.deleteTree(tmp)
     },
     Some("""SELECT source, count(*) AS n_docs,
            |  CAST(sum(n_chars) AS BIGINT) AS chars_sum

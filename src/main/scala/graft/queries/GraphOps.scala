@@ -47,10 +47,20 @@ object GraphOps {
     // Convergence probe: per-node labels only ever DECREASE (min-merge),
     // so Σlabel strictly decreases until the fixed point — comparing two
     // longs replaces a per-round anti-join, and the agg is a partial
-    // (map-side) aggregate with no shuffle of its own.
-    var prevSum = labels.agg(sum($"label")).head.getLong(0)
-    var converged = false
+    // (map-side) aggregate with no shuffle of its own. sum() over an
+    // EMPTY label set is null (an edgeless graph — a corpus with no
+    // near-dup pairs is normal, not an error), hence the 0L default.
+    def labelSum(df: DataFrame): Long = {
+      val cell = df.agg(sum($"label")).head
+      if (cell.isNullAt(0)) 0L else cell.getLong(0)
+    }
+    var prevSum = labelSum(labels)
+    var converged = labels.isEmpty // nothing to propagate on an empty graph
     var iters = 0
+    // Frames persisted by the loop that an exception must release: the
+    // current `labels` plus (transiently) the round's `next` before the
+    // swap — otherwise a mid-probe failure pins blocks for the session.
+    var pending: DataFrame = null
     try {
       while (!converged) {
         iters += 1
@@ -62,9 +72,11 @@ object GraphOps {
         val next = labels.unionAll(prop)
           .groupBy($"node").agg(min($"label").as("label"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val curSum = next.agg(sum($"label")).head.getLong(0)
+        pending = next
+        val curSum = labelSum(next)
         labels.unpersist(blocking = false)
         labels = next
+        pending = null
         converged = curSum == prevSum
         prevSum = curSum
       }
@@ -73,6 +85,7 @@ object GraphOps {
       // round's frames pinned in the block manager for the session's life.
       case t: Throwable =>
         labels.unpersist(blocking = false)
+        if (pending != null) pending.unpersist(blocking = false)
         sym.unpersist(blocking = false)
         throw t
     }

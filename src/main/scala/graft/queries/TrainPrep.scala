@@ -346,15 +346,21 @@ object TrainPrep {
            |WHERE rk <= 20 GROUP BY source ORDER BY source""".stripMargin),
   )
 
-  /** q70 — collocation mining by integer-scaled lift (PMI's ratio with
-    * the log dropped, ×10⁶ floor-divided — log ordering is monotone in
-    * the ratio, so top-k by lift IS top-k by PMI, without cross-engine
-    * log ulp drift): lift = c_xy · T ∕ (c_x · c_y) over word bigrams.
-    * Three hash aggregates (bigram counts, unigram counts, total) + two
-    * broadcast joins of the unigram table onto the bigram table — the
-    * classic co-occurrence-statistics shape; at 100 TB the unigram side
-    * is vocabulary-sized and broadcasts, the bigram table shuffles once
-    * on its own key. */
+  /** q70 — collocation mining by scaled lift (PMI's ratio with the log
+    * dropped — log ordering is monotone in the ratio, so top-k by lift
+    * IS top-k by PMI, without cross-engine log ulp drift): lift =
+    * c_xy · T ∕ (c_x · c_y) over word bigrams, in ppm. The lift is
+    * computed in DOUBLE with the multiplication order spelled
+    * identically on both engines (identical IEEE ops ⇒ identical
+    * doubles ⇒ identical round()): integer ×10⁶ math would overflow
+    * Long at corpus scale (T ~ 10¹³ tokens at 100 TB makes
+    * c_xy·T·10⁶ exceed 2⁶³ — Spark would wrap silently where DuckDB
+    * errors), while doubles carry the magnitude exactly where it
+    * matters for ordering. Three hash aggregates (bigram counts,
+    * unigram counts, total) + two broadcast joins of the unigram table
+    * onto the bigram table — the classic co-occurrence-statistics
+    * shape; at 100 TB the unigram side is vocabulary-sized and
+    * broadcasts, the bigram table shuffles once on its own key. */
   val q70 = QuerySpec(
     "q70_collocation_lift",
     (s, d) => {
@@ -374,7 +380,8 @@ object TrainPrep {
         .join(broadcast(uni.select($"w".as("w1"), $"c".as("c_x"))), Seq("w1"))
         .join(broadcast(uni.select($"w".as("w2"), $"c".as("c_y"))), Seq("w2"))
         .crossJoin(broadcast(total))
-        .withColumn("lift_ppm", expr("c_xy * t_total * 1000000L div (c_x * c_y)"))
+        .withColumn("lift_ppm",
+          round($"c_xy" * lit(1.0) * $"t_total" * lit(1000000.0) / ($"c_x" * $"c_y")))
         .select(concat($"w1", lit(" "), $"w2").as("bigram"),
           $"c_xy", $"c_x", $"c_y", $"lift_ppm")
         .orderBy($"lift_ppm".desc, $"bigram")
@@ -390,7 +397,7 @@ object TrainPrep {
            |  GROUP BY 1, 2 HAVING count(*) >= 5)
            |SELECT w1 || ' ' || w2 AS bigram, c_xy,
            |  CAST(x.c AS BIGINT) AS c_x, CAST(y.c AS BIGINT) AS c_y,
-           |  CAST(c_xy * t_total * 1000000 // (x.c * y.c) AS BIGINT) AS lift_ppm
+           |  round(c_xy * 1.0 * t_total * 1000000.0 / (x.c * y.c)) AS lift_ppm
            |FROM bg JOIN uni x ON bg.w1 = x.w JOIN uni y ON bg.w2 = y.w, total
            |ORDER BY lift_ppm DESC, bigram LIMIT 20""".stripMargin),
   )

@@ -96,13 +96,7 @@ object EventIngest {
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), sinkSchema)
     } finally {
       spark.catalog.dropTempView(sinkTable)
-      val ckpt = java.nio.file.Paths.get(checkpointDir)
-      if (java.nio.file.Files.exists(ckpt)) {
-        val walk = java.nio.file.Files.walk(ckpt)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      }
+      graft.Fs.deleteTree(checkpointDir)
     }
   }
 

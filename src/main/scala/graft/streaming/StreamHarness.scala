@@ -108,7 +108,7 @@ private[streaming] final class StreamHarness(
         val rows = spark.read.schema(outSchema).parquet(outDir).collect()
         spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
       } else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
-    deleteTree(Paths.get(tmp))
+    graft.Fs.deleteTree(tmp)
     result
   }
 
@@ -131,13 +131,5 @@ private[streaming] final class StreamHarness(
     * (a bench loop whose streaming query starts erroring would
     * accumulate them — the exact build-up this harness exists to
     * prevent). */
-  def cleanup(): Unit = deleteTree(Paths.get(tmp))
-
-  private def deleteTree(root: java.nio.file.Path): Unit =
-    if (Files.exists(root)) {
-      val walk = Files.walk(root)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-      finally walk.close()
-    }
+  def cleanup(): Unit = graft.Fs.deleteTree(tmp)
 }

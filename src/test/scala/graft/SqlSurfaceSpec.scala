@@ -44,11 +44,6 @@ class SqlSurfaceSpec extends SparkTestBase {
       // And back again (exercises the memo-update path, not just first set).
       SqlSurface.registerViews(spark, sf)
       assert(spark.sql("SELECT count(*) FROM customer").head.getLong(0) === n1)
-    } finally {
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(sf2))
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-    }
+    } finally graft.Fs.deleteTree(sf2)
   }
 }
