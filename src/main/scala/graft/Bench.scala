@@ -62,7 +62,19 @@ object Bench {
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = good.map(_._2).sum
     val totalWarm = good.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_warm":$totalWarm,"queries_warm":$qw,"errors":$errs,"failed_secs":$failedSecs,"sf":"$sfDir"}""")
+    // Full-precision detail line (full query names, cold + warm maps) —
+    // for local diagnosis; too long for the driver's capture window.
+    println(s"""{"metric":"detail","value":$total,"unit":"sec","queries":$qs,"total_warm":$totalWarm,"queries_warm":$qw,"errors":$errs,"failed_secs":$failedSecs,"sf":"$sfDir"}""")
+    // Final line is the one the driver parses, and it only keeps the LAST
+    // ~2000 chars of output (BENCH_r03.json's tail cut the r3 line mid-key
+    // → parsed:null). So the headline line must stay compact: per-query
+    // keys are the unique qNN prefix (q01_scan_project_lit → "q01"; scheme
+    // documented in BASELINE.md), values rounded to ms. ~13 bytes/query
+    // keeps even a 120-query line near 1.6 KB.
+    def short(name: String): String = name.takeWhile(_ != '_')
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qsShort = good.map(r => "\"" + short(r._1) + "\":" + r3(r._2)).mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"total_warm":${r3(totalWarm)},"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
