@@ -613,6 +613,96 @@ object Relational {
            |ORDER BY c.bucket NULLS FIRST""".stripMargin),
   )
 
+  /** q84 — shipping-priority star join (TPC-H Q3's shape): the canonical
+    * selective fact⋈fact⋈dim pipeline. customer filters to one market
+    * segment and BROADCASTS into a semi-join on orders (the dim never
+    * shuffles the fact); orders⋈lineitem is the one real shuffle
+    * (sort-merge on orderkey); revenue is an exact decimal sum so the
+    * top-10 ordering is engine-identical; the final sort is a
+    * TakeOrderedAndProject, never a global sort. At 100 TB both date
+    * filters push to the parquet scans, so each fact side reads a
+    * fraction of its files before any join runs. */
+  val q84 = QuerySpec(
+    "q84_star_join_topk",
+    (s, d) => {
+      import s.implicits._
+      val cut = "1998-07-01"
+      val c = Tables.customer(s, d)
+        .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      val o = Tables.orders(s, d)
+        .filter($"o_orderdate" < lit(cut))
+        .join(broadcast(c), $"o_custkey" === $"c_custkey", "left_semi")
+        .select($"o_orderkey", $"o_orderdate")
+      val l = Tables.lineitem(s, d)
+        .filter($"l_shipdate" > lit(cut))
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_orderkey", $"o_orderdate")
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6).as("revenue"))
+        .select($"l_orderkey", dstr($"o_orderdate").as("order_date"), $"revenue")
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    },
+    Some(s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+            |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue
+            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            |JOIN customer ON o_custkey = c_custkey
+            |WHERE c_mktsegment = 'BUILDING'
+            |  AND o_orderdate < TIMESTAMP '1998-07-01'
+            |  AND l_shipdate > TIMESTAMP '1998-07-01'
+            |GROUP BY l_orderkey, o_orderdate
+            |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+  )
+
+  /** q85 — local-supplier volume (TPC-H Q5's shape): the six-table join
+    * with the non-key constraint that supplier and customer share a
+    * nation. Join order is chosen for scale: region→nation prunes to one
+    * region's nations FIRST and broadcasts into customer (dims filter
+    * facts before facts meet facts — 4/5 of customers never leave the
+    * scan); customer⋈orders and orders⋈lineitem are the two real
+    * shuffles, each on its natural key; supplier and nation (genuinely
+    * small dims) broadcast. Revenue per nation via exact decimal sums;
+    * descending order is engine-identical because the doubles are. */
+  val q85 = QuerySpec(
+    "q85_region_nation_revenue",
+    (s, d) => {
+      import s.implicits._
+      val asianNations = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter($"r_name" === "ASIA")),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey", $"n_name")
+      val c = Tables.customer(s, d)
+        .join(broadcast(asianNations), $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey", $"c_nationkey")
+      val o = Tables.orders(s, d)
+        .filter($"o_orderdate" >= lit("1996-01-01") && $"o_orderdate" < lit("1999-01-01"))
+        .join(c, $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey", $"c_nationkey")
+      val ol = Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+        .join(o, $"l_orderkey" === $"o_orderkey")
+      ol.join(broadcast(Tables.supplier(s, d)),
+          $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(asianNations), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"revenue".desc, $"n_name")
+    },
+    Some(s"""SELECT n_name,
+            |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue,
+            |  count(*) AS n_items
+            |FROM customer JOIN orders ON c_custkey = o_custkey
+            |JOIN lineitem ON l_orderkey = o_orderkey
+            |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            |JOIN nation ON s_nationkey = n_nationkey
+            |JOIN region ON n_regionkey = r_regionkey
+            |WHERE r_name = 'ASIA'
+            |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+            |  AND o_orderdate < TIMESTAMP '1999-01-01'
+            |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q66, q75, q76, q82)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q66, q75, q76, q82, q84, q85)
 }

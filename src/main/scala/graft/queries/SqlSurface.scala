@@ -214,5 +214,33 @@ object SqlSurface {
            |ORDER BY flag, status""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q37, q38, q48, q51, q56, q71, q72)
+  /** q83 — correlated EXISTS / NOT EXISTS through the SQL surface,
+    * completing q51's scalar-subquery family: customers with at least
+    * one big order and no order still in 'F' status. Catalyst
+    * decorrelates the pair into a left-semi plus a left-anti join on
+    * c_custkey — set-membership tests as joins, never a per-row probe
+    * (the thing that separates a planner from a row-at-a-time
+    * interpreter at 100 TB). Both subqueries share the orders scan. */
+  val q83 = QuerySpec(
+    "q83_sql_exists_subquery",
+    (s, d) => {
+      registerViews(s, d)
+      s.sql("""SELECT c_custkey, c_name
+              |FROM customer c
+              |WHERE EXISTS (SELECT 1 FROM orders o
+              |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+              |  AND NOT EXISTS (SELECT 1 FROM orders o
+              |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+              |ORDER BY c_custkey""".stripMargin)
+    },
+    Some("""SELECT c_custkey, c_name
+           |FROM customer c
+           |WHERE EXISTS (SELECT 1 FROM orders o
+           |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+           |  AND NOT EXISTS (SELECT 1 FROM orders o
+           |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+           |ORDER BY c_custkey""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q37, q38, q48, q51, q56, q71, q72, q83)
 }
