@@ -402,5 +402,193 @@ object TrainPrep {
            |ORDER BY lift_ppm DESC, bigram LIMIT 20""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q60, q61, q62, q63, q64, q65, q67, q68, q69, q70)
+  /** q86 — per-doc token concentration (Herfindahl index): Σcᵢ² ·10⁶ ÷
+    * (Σcᵢ)² in pure integer arithmetic — a repetition/diversity signal
+    * (1e6 = the doc is one token over and over; low = diverse) used as a
+    * quality pre-filter beside q63's repeated-bigram fraction. Floor
+    * division keeps it exact on both engines (the q64 pattern — no
+    * doubles anywhere). One explode + two hash aggregates, map-side
+    * combinable; zero-token docs are naturally absent on both sides. */
+  val q86 = QuerySpec(
+    "q86_token_concentration",
+    (s, d) => {
+      import s.implicits._
+      Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"doc_id", explode(graft.functions.TextFns.tokens($"text")).as("term"))
+        .filter(char_length($"term") > 0)
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("n"))
+        .groupBy($"doc_id")
+        .agg(sum($"n").as("n_tokens"), count(lit(1)).as("n_types"),
+          expr("sum(n*n) * 1000000L div (sum(n) * sum(n))").as("hhi_ppm"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH t2 AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+           |  FROM documents),
+           |t AS (SELECT doc_id, term FROM t2 WHERE len(term) > 0),
+           |tc AS (SELECT doc_id, term, count(*) AS n FROM t GROUP BY 1, 2)
+           |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens, count(*) AS n_types,
+           |  CAST(sum(n*n) * 1000000 // (sum(n) * sum(n)) AS BIGINT) AS hhi_ppm
+           |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+  )
+
+  /** q87 — vocabulary pruning stats: corpus-wide document frequency and
+    * collection frequency per token, classified with SCALE-INVARIANT
+    * thresholds (relative to the corpus size, not absolute counts):
+    * drop_common when the token appears in ≥70% of docs (stopword),
+    * drop_rare when its total count is under 10% of the doc count
+    * (likely noise/typo tier), keep otherwise — the vocab-build pass a
+    * tokenizer pipeline runs before assigning merges. df's
+    * count(DISTINCT) expands per (term, doc) pair — bounded by corpus
+    * tokens, partial-aggregated before the shuffle; the 1-row corpus
+    * count broadcasts into the comparison. */
+  val q87 = QuerySpec(
+    "q87_vocab_prune",
+    (s, d) => {
+      import s.implicits._
+      val terms = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"doc_id", explode(graft.functions.TextFns.tokens($"text")).as("term"))
+        .filter(char_length($"term") > 0)
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      terms.groupBy($"term")
+        .agg(countDistinct($"doc_id").as("df"), count(lit(1)).as("cf"))
+        .crossJoin(broadcast(nDocs))
+        .select($"term", $"df", $"cf",
+          when($"df" * 10 >= $"n_docs" * 7, "drop_common")
+            .when($"cf" * 10 < $"n_docs", "drop_rare")
+            .otherwise("keep").as("action"))
+        .orderBy($"term")
+    },
+    Some("""WITH t2 AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+           |  FROM documents),
+           |t AS (SELECT doc_id, term FROM t2 WHERE len(term) > 0),
+           |v AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM t GROUP BY term),
+           |n AS (SELECT count(*) AS n_docs FROM documents)
+           |SELECT term, CAST(df AS BIGINT) AS df, cf,
+           |  CASE WHEN df * 10 >= n_docs * 7 THEN 'drop_common'
+           |       WHEN cf * 10 < n_docs THEN 'drop_rare'
+           |       ELSE 'keep' END AS action
+           |FROM v CROSS JOIN n ORDER BY term""".stripMargin),
+  )
+
+  /** q88 — quality-filter funnel: per-stage survivor counts for the
+    * standard document gauntlet (language allowlist → length band →
+    * minimum tokens → type-token-ratio floor), the observability rollup
+    * every production filter pipeline emits so a threshold change shows
+    * WHERE the corpus went. One scan computes per-doc flags (ratio
+    * compared in integers: n_types·1000 ≥ 350·n_tokens ⟺ TTR ≥ 0.35);
+    * conditional sums collapse to a 1-row aggregate; stack() unpivots to
+    * one row per stage. No shuffle beyond the single agg. */
+  val q88 = QuerySpec(
+    "q88_quality_filter_funnel",
+    (s, d) => {
+      import s.implicits._
+      val toks = graft.functions.TextFns.tokens($"text")
+      val flags = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"lang", $"n_chars",
+          size(filter(toks, t => char_length(t) > 0)).as("n_tok"),
+          size(array_distinct(filter(toks, t => char_length(t) > 0))).as("n_typ"))
+        .select(
+          ($"lang".isin("en", "es")).as("f1"),
+          ($"n_chars".between(100, 2000)).as("f2"),
+          ($"n_tok" >= 30).as("f3"),
+          ($"n_typ" * 1000 >= $"n_tok" * 350).as("f4"))
+      flags.agg(
+          count(lit(1)).as("s0"),
+          sum(when($"f1", 1L).otherwise(0L)).as("s1"),
+          sum(when($"f1" && $"f2", 1L).otherwise(0L)).as("s2"),
+          sum(when($"f1" && $"f2" && $"f3", 1L).otherwise(0L)).as("s3"),
+          sum(when($"f1" && $"f2" && $"f3" && $"f4", 1L).otherwise(0L)).as("s4"))
+        .select(expr("""stack(5,
+          |'0_all', s0, '1_lang', s1, '2_length', s2,
+          |'3_min_tokens', s3, '4_ttr', s4) AS (stage, survivors)""".stripMargin))
+        .orderBy($"stage")
+    },
+    Some("""WITH tok AS (
+           |  SELECT lang, n_chars,
+           |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS n_tok,
+           |    len(list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0))) AS n_typ
+           |  FROM documents),
+           |f AS (SELECT lang IN ('en','es') AS f1, n_chars BETWEEN 100 AND 2000 AS f2,
+           |             n_tok >= 30 AS f3, n_typ * 1000 >= n_tok * 350 AS f4 FROM tok),
+           |a AS (SELECT count(*) AS s0,
+           |  sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS s1,
+           |  sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS s2,
+           |  sum(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS s3,
+           |  sum(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS s4 FROM f)
+           |SELECT stage, survivors FROM (
+           |  SELECT '0_all' AS stage, s0 AS survivors FROM a
+           |  UNION ALL SELECT '1_lang', s1 FROM a
+           |  UNION ALL SELECT '2_length', s2 FROM a
+           |  UNION ALL SELECT '3_min_tokens', s3 FROM a
+           |  UNION ALL SELECT '4_ttr', s4 FROM a)
+           |ORDER BY stage""".stripMargin),
+  )
+
+  /** q89 — sequence packing (context-window batch prep): documents
+    * packed into fixed-budget bins (4000 chars) in deterministic
+    * doc_id order WITHIN each language shard — greedy sequential
+    * packing with overflow (a doc straddling the boundary stays in the
+    * bin it started in), the standard way training examples are packed
+    * into context windows. bin = exclusive-prefix-sum ÷ budget, all
+    * integer. Parallelism = shard count (the window partitions by
+    * lang); a real pipeline packs per shard/worker exactly so the
+    * prefix sum never becomes a global single-partition sort. */
+  val q89 = QuerySpec(
+    "q89_sequence_pack",
+    (s, d) => {
+      import s.implicits._
+      val budget = 4000L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select($"lang", $"doc_id", $"n_chars")
+        .withColumn("prior", coalesce(sum($"n_chars").over(w), lit(0L)))
+        .withColumn("bin", expr(s"prior div ${budget}L"))
+        .groupBy($"lang", $"bin")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars_sum"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .orderBy($"lang", $"bin")
+    },
+    Some("""WITH x AS (SELECT lang, doc_id, n_chars,
+           |    coalesce(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+           |  FROM documents)
+           |SELECT lang, CAST(prior // 4000 AS BIGINT) AS bin, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+           |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+           |FROM x GROUP BY lang, prior // 4000
+           |ORDER BY lang, bin""".stripMargin),
+  )
+
+  /** q90 — per-label embedding centroids: mean of each vector dimension
+    * per label — the k-means "update" half (q28/q81 probe fixed
+    * centroids; this computes them), also the class-prototype primitive
+    * behind nearest-centroid classification and dataset cartography.
+    * posexplode pivots vectors long (dim as attribute), then one hash
+    * aggregate per (label, dim): 640 groups regardless of corpus size,
+    * exact decimal sums ÷ non-null count (q71's proven float→decimal
+    * pattern) so the doubles are engine-identical. */
+  val q90 = QuerySpec(
+    "q90_embedding_centroids",
+    (s, d) => {
+      import s.implicits._
+      Tables.embeddings(s, d)
+        .select($"label", posexplode($"embedding").as(Seq("dim", "x")))
+        .groupBy($"label", $"dim")
+        .agg((Det.dsum($"x".cast("double"), 6) / count($"x")).as("centroid"),
+          count($"x").as("n"))
+        .orderBy($"label", $"dim")
+    },
+    Some("""SELECT label, CAST(i - 1 AS INT) AS dim,
+           |  CAST(sum(CAST(e[i] AS DECIMAL(30,6))) AS DOUBLE) / count(e[i]) AS centroid,
+           |  count(e[i]) AS n
+           |FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+           |CROSS JOIN generate_series(1, 64) AS t(i)
+           |WHERE i <= len(e)
+           |GROUP BY label, i ORDER BY label, dim""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q60, q61, q62, q63, q64, q65, q67, q68, q69, q70,
+    q86, q87, q88, q89, q90)
 }
