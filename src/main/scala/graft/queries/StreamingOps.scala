@@ -62,5 +62,17 @@ object StreamingOps {
            |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q35, q44, q53, q54)
+  /** q91 — streaming CDC upsert (foreachBatch MERGE, batch q80's twin):
+    * micro-batches merged latest-wins into a versioned parquet target
+    * under duplicate delivery (two staged copies, maxFilesPerTrigger=1
+    * forcing ≥2 merges). The oracle is q80's batch compaction — the
+    * streamed upsert state must equal compacting the whole changelog at
+    * once. See graft.streaming.StreamUpsert. */
+  val q91 = QuerySpec(
+    "q91_stream_cdc_upsert",
+    (s, d) => graft.streaming.StreamUpsert.runOnce(s, d),
+    Extras.q80.oracle,
+  )
+
+  val all: Seq[QuerySpec] = Seq(q35, q44, q53, q54, q91)
 }
