@@ -40,5 +40,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, s"graft_simhash32 expects 1 argument, got ${children.size}")
         SimHash32(children.head)
       }))
+    // Spark ships Bloom-filter expressions for its own runtime join
+    // filters (InjectRuntimeFilter) but leaves them out of the SQL
+    // registry. Registering them makes EXPLICIT semi-join reduction —
+    // build a Bloom filter over the small side's keys, pre-filter the
+    // big side before it shuffles — available to both surfaces (q93).
+    // The aggregate is commutative/mergeable (bitset OR), so it
+    // partial-aggregates like any sum.
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"graft_bloom_agg(xxhash64_col, est_items, num_bits) expects 3 arguments, got ${children.size}")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_might_contain(bloom, xxhash64_value) expects 2 arguments, got ${children.size}")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
+      }))
   }
 }

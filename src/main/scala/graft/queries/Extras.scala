@@ -491,6 +491,39 @@ object Extras {
            |WHERE rk = 1 ORDER BY user_id""".stripMargin),
   )
 
+  /** q92 — rolling time window via a RANGE frame: per event, the count
+    * and exact sum of the same user's events in the preceding hour —
+    * the batch form of a sliding-window metric (fraud velocity checks,
+    * rate limits) that q54 computes as a stream-stream join. RANGE
+    * frames bound by VALUE distance (here μs on the event-time axis),
+    * not row count — a frame rows-frames can't express when event
+    * spacing is irregular. One shuffle on user_id, one in-partition
+    * sort shared by both window aggregates; the frame sum is an exact
+    * decimal accumulator so in-frame order can't drift the double. */
+  val q92 = QuerySpec(
+    "q92_rolling_time_window",
+    (s, d) => {
+      import s.implicits._
+      val hourUs = 3600L * 1000000
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us")
+        .rangeBetween(-hourUs, 0)
+      Tables.events(s, d)
+        .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"), $"value")
+        .withColumn("n_prior_hour", count(lit(1)).over(w))
+        .withColumn("value_sum_hour",
+          sum($"value".cast(DecimalType(30, 4))).over(w).cast(DoubleType))
+        .select($"event_id", $"user_id", $"ts_us", $"n_prior_hour", $"value_sum_hour")
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           |  count(*) OVER w AS n_prior_hour,
+           |  CAST(sum(CAST(value AS DECIMAL(30,4))) OVER w AS DOUBLE) AS value_sum_hour
+           |FROM events
+           |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+           |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+           |ORDER BY event_id""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q39, q40, q41, q42, q43, q46, q47, q49, q50, q58,
-    q74, q77, q79, q80)
+    q74, q77, q79, q80, q92)
 }

@@ -136,5 +136,59 @@ object GraphOps {
       "ORDER BY doc_id").mkString("\n")),
   )
 
-  val all: Seq[QuerySpec] = Seq(q59)
+  /** q94 — semantic dedup with a keep policy (the SemDeDup shape:
+    * embedding-similarity clusters, one survivor each): q27's cosine
+    * pairs resolve to connected components (minLabel), and within each
+    * cluster the representative is the HIGHEST-ENERGY member (max
+    * squared L2 norm, ties to min vec_id) — "keep the most informative
+    * copy", the embedding-space analogue of q57's longest-copy policy.
+    * Norms are sequential-fold doubles computed identically on both
+    * engines, so the argmax never flakes. At 100 TB the pairs come from
+    * q24/q28 blocks, not the all-pairs join; everything downstream of
+    * the pair list is pair-count-sized (labels, sizes, one window over
+    * clusters). */
+  val q94 = QuerySpec(
+    "q94_semantic_dedup_keep",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.VectorOps.{asDouble, normSq}
+      val pairs = NearDup.q27.run(s, d)
+        .select($"vec_a".as("src"), $"vec_b".as("dst"))
+      val labels = minLabel(pairs)
+      val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
+      val energy = graft.Tables.embeddings(s, d)
+        .select($"vec_id", normSq(asDouble($"embedding")).as("energy"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"label").orderBy($"energy".desc, $"node")
+      val out = labels.join(sizes, "label")
+        .join(energy, $"node" === $"vec_id")
+        .withColumn("rk", row_number().over(w))
+        .select($"node".as("vec_id"), $"label".as("cluster_id"),
+          $"cluster_size".cast("int").as("cluster_size"),
+          ($"rk" === 1).as("kept"))
+        .orderBy($"vec_id")
+      val rows = out.collect()
+      labels.unpersist(blocking = false)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    },
+    NearDup.q27.oracle.map(cosSql => Seq(
+      s"WITH RECURSIVE cand AS (${cosSql.replace("ORDER BY vec_a, vec_b", "")}),",
+      "edges AS (SELECT vec_a AS a, vec_b AS b FROM cand",
+      "          UNION ALL SELECT vec_b, vec_a FROM cand),",
+      "reach(src, node) AS (",
+      "  SELECT DISTINCT a, a FROM edges",
+      "  UNION",
+      "  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),",
+      "lbl AS (SELECT src AS vec_id, min(node) AS cluster_id FROM reach GROUP BY src),",
+      "sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY cluster_id),",
+      s"en AS (SELECT vec_id, ${Det.sqlNormSq("CAST(embedding AS DOUBLE[])")} AS energy FROM embeddings),",
+      "rk AS (SELECT l.vec_id, l.cluster_id, sz.cluster_size, ",
+      "  row_number() OVER (PARTITION BY l.cluster_id ORDER BY en.energy DESC, l.vec_id) AS r",
+      "  FROM lbl l JOIN sz USING (cluster_id) JOIN en USING (vec_id))",
+      "SELECT vec_id, cluster_id, CAST(cluster_size AS INT) AS cluster_size,",
+      "  (r = 1) AS kept",
+      "FROM rk ORDER BY vec_id").mkString("\n")),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q59, q94)
 }

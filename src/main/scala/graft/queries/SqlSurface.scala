@@ -242,5 +242,38 @@ object SqlSurface {
            |ORDER BY c_custkey""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q37, q38, q48, q51, q56, q71, q72, q83)
+  /** q93 — explicit Bloom semi-join reduction: build a Bloom filter
+    * over the selective side's join keys (a scalar subquery — one tiny
+    * mergeable aggregate), pre-filter the fact scan with
+    * graft_might_contain BEFORE the shuffle, then run the exact join.
+    * This is the hand-rolled form of Spark's own runtime join filters
+    * (the expressions ship in Catalyst but aren't SQL-registered;
+    * GraftExtensions injects them) — at 100 TB it's the difference
+    * between shuffling the whole fact table and shuffling the ~1% that
+    * can possibly match. False positives are REMOVED by the exact join,
+    * so the result — and the oracle, which is the plain join — is
+    * byte-identical to the unfiltered plan. */
+  val q93 = QuerySpec(
+    "q93_sql_bloom_semi_reduction",
+    (s, d) => {
+      registerViews(s, d)
+      s.sql(s"""SELECT o_orderpriority, count(*) AS n_items,
+               |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+               |FROM (SELECT l_orderkey, l_extendedprice FROM lineitem
+               |      WHERE graft_might_contain(
+               |        (SELECT graft_bloom_agg(xxhash64(o_orderkey), 50000L, 400000L)
+               |         FROM orders WHERE o_totalprice > 400000),
+               |        xxhash64(l_orderkey))) l
+               |JOIN orders o ON l.l_orderkey = o.o_orderkey
+               |WHERE o.o_totalprice > 400000
+               |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
+    Some(s"""SELECT o_orderpriority, count(*) AS n_items,
+            |  ${Det.sqlDsum("l_extendedprice", 2)} AS revenue
+            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            |WHERE o_totalprice > 400000
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q37, q38, q48, q51, q56, q71, q72, q83, q93)
 }
