@@ -49,4 +49,14 @@ class GraphOpsSpec extends SparkTestBase {
       c -> rs.map(_.getLong(0)).min }
     minByCluster.foreach { case (c, mn) => assert(c === mn) }
   }
+
+  test("q94 keep policy: exactly one survivor per cluster, sizes consistent") {
+    val rows = graft.queries.GraphOps.q94.run(spark, sf).collect()
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (c, rs) =>
+      assert(rs.count(_.getBoolean(3)) === 1, s"cluster $c must keep exactly one")
+      assert(rs.forall(_.getInt(2) === rs.length), s"cluster $c size mismatch")
+      assert(rs.length >= 2, s"cluster $c: a near-dup cluster has >= 2 members")
+    }
+  }
 }

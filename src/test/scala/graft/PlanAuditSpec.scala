@@ -119,6 +119,41 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), "vocabulary side stopped broadcasting\n" + p)
   }
 
+  test("q84: segment dim broadcasts as a semi-join; top-10 is TakeOrderedAndProject") {
+    val p = plan("q84_star_join_topk")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "customer segment filter not a broadcast semi-join\n" + p)
+    assert(p.contains("TakeOrderedAndProject"), "top-10 degraded to global sort\n" + p)
+    assert(p.contains("PushedFilters:"), p)
+  }
+
+  test("q85: supplier/nation broadcast; no nested-loop anywhere in the 6-table join") {
+    val p = plan("q85_region_nation_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "a join lost its keys\n" + p)
+  }
+
+  test("q93: the bloom pre-filter sits below the join (scan side), not above it") {
+    val p = plan("q93_sql_bloom_semi_reduction")
+    assert(p.contains("might_contain"), p)
+    // The filter must apply before the join: in the formatted tree the
+    // lineitem scan's Filter node carrying might_contain prints after
+    // (deeper than) the join operator's own header.
+    val joinIdx = p.indexOf("Join")
+    val bloomIdx = p.indexOf("might_contain")
+    assert(joinIdx >= 0 && bloomIdx > joinIdx,
+      "bloom filter not on the scan side of the join\n" + p)
+  }
+
+  test("q92: both rolling-frame aggregates share one window sort") {
+    val p = plan("q92_rolling_time_window")
+    val sorts = "Sort ".r.findAllIn(p).size
+    // one in-partition sort for the window + one for the final ORDER BY
+    assert(sorts <= 2, s"window aggregates stopped sharing their sort\n$p")
+    assert(p.contains("Window"), p)
+  }
+
   test("whole-stage codegen covers the scan->project hot path of q30") {
     // Under AQE codegen stages exist only in the executed final plan —
     // run the query, then look for per-node "codegen id" annotations.
