@@ -74,5 +74,19 @@ object StreamingOps {
     Extras.q80.oracle,
   )
 
-  val all: Seq[QuerySpec] = Seq(q35, q44, q53, q54, q91)
+  /** q95 — stream-static enrichment join: events enriched per
+    * micro-batch against the static customer dimension via broadcast
+    * left join (stateless — no watermark, no join state), rolled up by
+    * the enriched attribute for the gate. See
+    * graft.streaming.StreamEnrich. */
+  val q95 = QuerySpec(
+    "q95_stream_static_enrich",
+    (s, d) => graft.streaming.StreamEnrich.runOnce(s, d),
+    Some(s"""SELECT coalesce(c_mktsegment, 'unknown') AS segment,
+            |  count(*) AS n_events, ${sqlDsum("value", 4)} AS value_sum
+            |FROM events LEFT JOIN customer ON user_id = c_custkey
+            |GROUP BY 1 ORDER BY 1""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q35, q44, q53, q54, q91, q95)
 }
