@@ -275,5 +275,42 @@ object SqlSurface {
             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q37, q38, q48, q51, q56, q71, q72, q83, q93)
+  /** q97 — UNPIVOT through the SQL surface: the wide hourly matrix
+    * (q46's pivot shape, rebuilt inline as conditional decimal sums)
+    * melted back to long form with ANSI UNPIVOT — the wide→long half of
+    * the reshaping pair, which Spark plans as an Expand (each input row
+    * fans to one row per measure column, nulls excluded by default).
+    * The oracle spells the same melt as UNION ALL branches — semantics,
+    * not syntax, are what's gated. Exact decimal sums carried through
+    * the unpivot, cast to double only at the end. */
+  val q97 = QuerySpec(
+    "q97_sql_unpivot",
+    (s, d) => {
+      registerViews(s, d)
+      s.sql("""WITH wide AS (
+              |  SELECT CAST(extract(HOUR FROM ts) AS INT) AS h,
+              |    sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(30,4)) END) AS click,
+              |    sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(30,4)) END) AS view,
+              |    sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(30,4)) END) AS purchase
+              |  FROM events GROUP BY 1)
+              |SELECT h, event_type, CAST(value_sum AS DOUBLE) AS value_sum
+              |FROM wide UNPIVOT (value_sum FOR event_type IN (click, view, purchase))
+              |ORDER BY h, event_type""".stripMargin)
+    },
+    Some("""WITH wide AS (
+           |  SELECT CAST(extract(HOUR FROM ts) AS INT) AS h,
+           |    sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(30,4)) END) AS click,
+           |    sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(30,4)) END) AS view,
+           |    sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(30,4)) END) AS purchase
+           |  FROM events GROUP BY 1),
+           |long AS (
+           |  SELECT h, 'click' AS event_type, click AS v FROM wide
+           |  UNION ALL SELECT h, 'view', view FROM wide
+           |  UNION ALL SELECT h, 'purchase', purchase FROM wide)
+           |SELECT h, event_type, CAST(v AS DOUBLE) AS value_sum
+           |FROM long WHERE v IS NOT NULL
+           |ORDER BY h, event_type""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q37, q38, q48, q51, q56, q71, q72, q83, q93, q97)
 }

@@ -589,6 +589,51 @@ object TrainPrep {
            |GROUP BY label, i ORDER BY label, dim""".stripMargin),
   )
 
+  /** q96 — bigram language-model score per doc: train transition counts
+    * on the corpus itself (c₂(w₁,w₂) and first-token counts c₁(w₁)),
+    * then score each doc by its mean transition probability in ppm —
+    * the integer-exact stand-in for the LM-perplexity quality filter
+    * (mean p is monotone where mean log p ranks smoothly; ppm floor
+    * division is bit-equal on both engines where log() drifts). Since
+    * c₂ ≤ c₁ each ratio ≤ 10⁶ and a doc's sum fits a Long; corpora
+    * with single-bigram counts beyond ~9·10¹² need q70's double-lift
+    * formulation instead. Shape: one bigram explode feeds both count
+    * tables (vocabulary-sized → broadcast back) and the per-doc join;
+    * the doc-side table shuffles once on its own key. */
+  val q96 = QuerySpec(
+    "q96_bigram_lm_score",
+    (s, d) => {
+      import s.implicits._
+      val toks = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"doc_id", graft.functions.TextFns.tokens($"text").as("t"))
+        .filter(size($"t") >= 2)
+      val docBg = toks.select($"doc_id", explode(expr(
+          "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("b"))
+        .select($"doc_id", $"b.w1", $"b.w2")
+      val first = docBg.groupBy($"w1").agg(count(lit(1)).as("c1"))
+      val bg = docBg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+      docBg
+        .join(broadcast(bg), Seq("w1", "w2"))
+        .join(broadcast(first), Seq("w1"))
+        .withColumn("p_ppm", expr("c2 * 1000000L div c1"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(p_ppm) div count(1)").as("mean_p_ppm"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+           |  FROM documents), t2 AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+           |docbg AS (SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2
+           |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+           |      i -> {'w1': t[i], 'w2': t[i+1]})) AS b FROM t2)),
+           |first AS (SELECT w1, count(*) AS c1 FROM docbg GROUP BY w1),
+           |bg AS (SELECT w1, w2, count(*) AS c2 FROM docbg GROUP BY w1, w2)
+           |SELECT doc_id, count(*) AS n_bigrams,
+           |  CAST(sum(c2 * 1000000 // c1) // count(*) AS BIGINT) AS mean_p_ppm
+           |FROM docbg JOIN bg USING (w1, w2) JOIN first USING (w1)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q60, q61, q62, q63, q64, q65, q67, q68, q69, q70,
-    q86, q87, q88, q89, q90)
+    q86, q87, q88, q89, q90, q96)
 }
