@@ -524,6 +524,105 @@ object Extras {
            |ORDER BY event_id""".stripMargin),
   )
 
+  /** q98 — schema evolution on read (mergeSchema): a table whose early
+    * files lack a column later files carry — the inevitable state of any
+    * long-lived parquet lake. Half the docs are written with the v1
+    * schema, half with v2 (+quality column); one mergeSchema read
+    * reconciles the union schema, v1 rows surfacing NULL quality. The
+    * rollup counts both generations and aggregates quality only where
+    * present — layout generations must never change row-level facts,
+    * which is exactly what the oracle (one query over the ORIGINAL
+    * table, simulating the generation split) checks. Scale: mergeSchema
+    * costs a footer-read per file at planning; steady-state lakes pin
+    * the merged schema in a catalog instead — semantics identical. */
+  val q98 = QuerySpec(
+    "q98_schema_evolution_read",
+    (s, d) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_evolve_q98")
+      try {
+        val out = s"$tmp/docs"
+        val docs = Tables.documents(s, d)
+        docs.filter($"doc_id" % 2 === 0)
+          .select($"doc_id", $"lang", $"n_chars")
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(out)
+        docs.filter($"doc_id" % 2 === 1)
+          .select($"doc_id", $"lang", $"n_chars",
+            ($"n_chars" % 100).as("quality"))
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(out)
+        val agg = s.read.option("mergeSchema", "true").parquet(out)
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_chars").as("chars_sum"),
+            count($"quality").as("n_with_quality"),
+            sum($"quality").as("quality_sum"))
+          .orderBy($"lang")
+        val rows = agg.collect() // eager: tmp deleted in the finally
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+      } finally graft.Fs.deleteTree(tmp)
+    },
+    Some("""SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+           |  count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_with_quality,
+           |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars % 100 END) AS BIGINT) AS quality_sum
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+  )
+
+  /** q99 — quarantine split (dead-letter pattern): one scan classifies
+    * every row, clean rows go to the main sink, rejects to a quarantine
+    * sink WITH a reason column — no row is ever dropped silently, and
+    * clean + quarantined must reconcile to the input exactly (the gate
+    * sums both sinks against the source). The classified frame is
+    * persisted so the two sink writes share ONE scan+classify pass —
+    * at 100 TB the alternative is reading the corpus twice. Reason
+    * codes are mutually exclusive and ordered (first failure wins) so
+    * the split is deterministic. */
+  val q99 = QuerySpec(
+    "q99_quarantine_split",
+    (s, d) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_quarantine_q99")
+      val classified = Tables.documents(s, d)
+        .withColumn("reason",
+          when(!$"lang".isin("en", "es", "de", "fr"), "lang_blocked")
+            .when($"n_chars" < 100, "too_short")
+            .otherwise(null))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val clean = s"$tmp/clean"
+        val rejects = s"$tmp/quarantine"
+        classified.filter($"reason".isNull).drop("reason")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(clean)
+        classified.filter($"reason".isNotNull)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(rejects)
+        val cleanAgg = s.read.parquet(clean)
+          .select(lit("clean").as("sink"), $"doc_id", $"n_chars",
+            lit("none").as("reason"))
+        val rejAgg = s.read.parquet(rejects)
+          .select(lit("quarantine").as("sink"), $"doc_id", $"n_chars", $"reason")
+        val agg = cleanAgg.unionByName(rejAgg)
+          .groupBy($"sink", $"reason")
+          .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("id_checksum"),
+            sum($"n_chars").as("chars_sum"))
+          .orderBy($"sink", $"reason")
+        val rows = agg.collect() // eager: both sinks live under tmp
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+      } finally {
+        classified.unpersist(blocking = false)
+        graft.Fs.deleteTree(tmp)
+      }
+    },
+    Some("""WITH c AS (SELECT doc_id, n_chars,
+           |    CASE WHEN lang NOT IN ('en','es','de','fr') THEN 'lang_blocked'
+           |         WHEN n_chars < 100 THEN 'too_short' END AS reason
+           |  FROM documents)
+           |SELECT CASE WHEN reason IS NULL THEN 'clean' ELSE 'quarantine' END AS sink,
+           |  coalesce(reason, 'none') AS reason, count(*) AS n_docs,
+           |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+           |FROM c GROUP BY 1, 2 ORDER BY sink, reason""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q39, q40, q41, q42, q43, q46, q47, q49, q50, q58,
-    q74, q77, q79, q80, q92)
+    q74, q77, q79, q80, q92, q98, q99)
 }
