@@ -634,6 +634,71 @@ object TrainPrep {
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
   )
 
+  /** q100 — the training-data pipeline END-TO-END: quality gauntlet
+    * (q88's criteria) → exact dedup keeping the first copy per
+    * normalized-text fingerprint (q20/q57's policy, md5 so the
+    * fingerprint is engine-portable) → deterministic hash split (q60's
+    * buckets) → per-split corpus stats. The capstone proves the stages
+    * COMPOSE: each one consumes the previous one's survivors, and the
+    * final stats are a pure function of the corpus (no ordering or
+    * partitioning effects anywhere in the chain). Scale shape: filters
+    * are scan-local, dedup is one shuffle on the fingerprint, the split
+    * is per-row hashing, the rollup is 3 groups — the whole pipeline is
+    * ONE shuffle wide regardless of corpus size. */
+  val q100 = QuerySpec(
+    "q100_train_pipeline",
+    (s, d) => {
+      import s.implicits._
+      val toks = graft.functions.TextFns.tokens($"text")
+      // Stage 1: quality gauntlet (lang allowlist, length band, min
+      // tokens, type-token ratio — integer compare).
+      val filtered = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .withColumn("n_tok", size(filter(toks, t => char_length(t) > 0)))
+        .withColumn("n_typ", size(array_distinct(filter(toks, t => char_length(t) > 0))))
+        .filter($"lang".isin("en", "es") && $"n_chars".between(100, 2000) &&
+          $"n_tok" >= 30 && $"n_typ" * 1000 >= $"n_tok" * 350)
+      // Stage 2: exact dedup, keep-first (min doc_id) per normalized
+      // fingerprint.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"fp").orderBy($"doc_id")
+      val deduped = filtered
+        .withColumn("fp", md5(lower($"text").cast("binary")))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1)
+      // Stage 3: deterministic hash split (q60's thresholds).
+      val bucket = substring(md5($"doc_id".cast("string").cast("binary")), 1, 2)
+      deduped
+        .withColumn("split",
+          when(bucket < "cd", "train").when(bucket < "e6", "val").otherwise("test"))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("chars_sum"),
+          sum($"n_tok").as("tokens_sum"),
+          sum($"doc_id").as("id_checksum"))
+        .orderBy($"split")
+    },
+    Some("""WITH tok AS (
+           |  SELECT doc_id, lang, n_chars, text,
+           |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS n_tok,
+           |    len(list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0))) AS n_typ
+           |  FROM documents),
+           |filtered AS (SELECT * FROM tok
+           |  WHERE lang IN ('en','es') AND n_chars BETWEEN 100 AND 2000
+           |    AND n_tok >= 30 AND n_typ * 1000 >= n_tok * 350),
+           |deduped AS (SELECT * FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rk
+           |    FROM filtered) WHERE rk = 1),
+           |split AS (SELECT *, CASE
+           |    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+           |    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+           |    ELSE 'test' END AS split FROM deduped)
+           |SELECT split, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+           |  CAST(sum(n_tok) AS BIGINT) AS tokens_sum,
+           |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+           |FROM split GROUP BY split ORDER BY split""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q60, q61, q62, q63, q64, q65, q67, q68, q69, q70,
-    q86, q87, q88, q89, q90, q96)
+    q86, q87, q88, q89, q90, q96, q100)
 }
