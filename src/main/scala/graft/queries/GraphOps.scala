@@ -35,8 +35,6 @@ object GraphOps {
     * lineage stays one round deep (an uncached loop would re-execute
     * every prior round per action, exponentially). */
   private[graft] def minLabel(edges: DataFrame): DataFrame = {
-    val ss = edges.sparkSession
-    import ss.implicits._
     // The propagation loop runs join+agg PER ROUND over a pair-list-
     // sized frame (thousands of rows at test scale; pair lists are
     // always corpus-sparse). At 32 shuffle partitions each round pays
@@ -45,11 +43,7 @@ object GraphOps {
     // without touching semantics. A 100 TB pair list sizes this UP —
     // the knob is frame volume, the same rule as streaming state
     // partitions (StreamHarness.withStreamingPartitions).
-    val key = "spark.sql.shuffle.partitions"
-    val prior = ss.conf.get(key)
-    ss.conf.set(key, "8")
-    try minLabelLoop(edges)
-    finally ss.conf.set(key, prior)
+    graft.Confs.withShufflePartitions(edges.sparkSession, 8)(minLabelLoop(edges))
   }
 
   private def minLabelLoop(edges: DataFrame): DataFrame = {

@@ -14,6 +14,15 @@ import graft.Tables
   */
 object TrainPrep {
 
+  /** THE train/val/test membership rule — one copy, used by q60 (the
+    * split operator) and q100 (the pipeline capstone, whose contract is
+    * "q60's thresholds"): bucket = first two hex chars of md5(id),
+    * train below 'cd' (≈80%), val below 'e6' (≈10%), else test. */
+  private def splitOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bucket = substring(md5(id.cast("string").cast("binary")), 1, 2)
+    when(bucket < "cd", "train").when(bucket < "e6", "val").otherwise("test")
+  }
+
   /** q60 — deterministic train/val/test split: bucket = the first two
     * hex chars of md5(doc_id), split at 'cd' (≈80%) and 'e6' (≈10%).
     * Hash-based splits are THE reproducibility primitive for training
@@ -26,10 +35,8 @@ object TrainPrep {
     "q60_train_split_hash",
     (s, d) => {
       import s.implicits._
-      val bucket = substring(md5($"doc_id".cast("string").cast("binary")), 1, 2)
       Tables.documents(s, d)
-        .withColumn("split",
-          when(bucket < "cd", "train").when(bucket < "e6", "val").otherwise("test"))
+        .withColumn("split", splitOf($"doc_id"))
         .groupBy($"split")
         .agg(
           count(lit(1)).as("n_docs"),
@@ -607,19 +614,28 @@ object TrainPrep {
       val toks = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
         .select($"doc_id", graft.functions.TextFns.tokens($"text").as("t"))
         .filter(size($"t") >= 2)
+      // docBg feeds THREE consumers (both count tables + the probe side
+      // of the join); without persist the tokenize+explode would run
+      // once per consumer — the q28 rescan anti-pattern.
       val docBg = toks.select($"doc_id", explode(expr(
           "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("b"))
         .select($"doc_id", $"b.w1", $"b.w2")
-      val first = docBg.groupBy($"w1").agg(count(lit(1)).as("c1"))
-      val bg = docBg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
-      docBg
-        .join(broadcast(bg), Seq("w1", "w2"))
-        .join(broadcast(first), Seq("w1"))
-        .withColumn("p_ppm", expr("c2 * 1000000L div c1"))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          expr("sum(p_ppm) div count(1)").as("mean_p_ppm"))
-        .orderBy($"doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val first = docBg.groupBy($"w1").agg(count(lit(1)).as("c1"))
+        val bg = docBg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+        val out = docBg
+          .join(broadcast(bg), Seq("w1", "w2"))
+          .join(broadcast(first), Seq("w1"))
+          .withColumn("p_ppm", expr("c2 * 1000000L div c1"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            expr("sum(p_ppm) div count(1)").as("mean_p_ppm"))
+          .orderBy($"doc_id")
+        // Eager: sever the result from the persisted frame before unpersist.
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally docBg.unpersist(blocking = false)
     },
     Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
            |  FROM documents), t2 AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
@@ -665,11 +681,9 @@ object TrainPrep {
         .withColumn("fp", md5(lower($"text").cast("binary")))
         .withColumn("rk", row_number().over(w))
         .filter($"rk" === 1)
-      // Stage 3: deterministic hash split (q60's thresholds).
-      val bucket = substring(md5($"doc_id".cast("string").cast("binary")), 1, 2)
+      // Stage 3: deterministic hash split (q60's rule, shared helper).
       deduped
-        .withColumn("split",
-          when(bucket < "cd", "train").when(bucket < "e6", "val").otherwise("test"))
+        .withColumn("split", splitOf($"doc_id"))
         .groupBy($"split")
         .agg(count(lit(1)).as("n_docs"),
           sum($"n_chars").as("chars_sum"),

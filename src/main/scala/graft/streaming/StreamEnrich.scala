@@ -36,8 +36,7 @@ object StreamEnrich {
       h.output()
         .groupBy($"segment")
         .agg(count(lit(1)).as("n_events"),
-          sum($"value".cast(org.apache.spark.sql.types.DecimalType(30, 4)))
-            .cast("double").as("value_sum"))
+          graft.queries.Det.dsum($"value", 4).as("value_sum"))
         .orderBy($"segment")
     } finally h.cleanup()
   }

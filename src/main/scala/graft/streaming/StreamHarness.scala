@@ -21,13 +21,10 @@ import org.apache.spark.sql.types.{LongType, StructType}
   */
 private[streaming] object StreamHarness {
   /** See the instance method's doc — usable by harnesses that don't
-    * stage through a StreamHarness (EventIngest's memory-sink run). */
-  def withStreamingPartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try f finally spark.conf.set(key, old)
-  }
+    * stage through a StreamHarness (EventIngest's memory-sink run).
+    * Delegates to the one shared conf-pinning idiom (graft.Confs). */
+  def withStreamingPartitions[T](spark: SparkSession, n: Int)(f: => T): T =
+    graft.Confs.withShufflePartitions(spark, n)(f)
 }
 
 private[streaming] final class StreamHarness(
@@ -50,9 +47,18 @@ private[streaming] final class StreamHarness(
   @volatile private var outSchema: StructType = _
 
   /** File-source stream over the staged events, ts normalized to
-    * microsecond timestamps exactly as Tables.events. */
-  def eventsStream(): DataFrame = {
-    val raw = spark.readStream.schema(schema).parquet(inDir)
+    * microsecond timestamps exactly as Tables.events.
+    * `maxFilesPerTrigger` > 0 rate-limits the source so AvailableNow
+    * delivers multiple micro-batches (StreamUpsert forces ≥2 merges
+    * this way) — an option here, not a re-built reader at the call
+    * site, so the ts normalization keeps its single copy. */
+  def eventsStream(maxFilesPerTrigger: Int = 0): DataFrame = {
+    val reader = spark.readStream.schema(schema)
+    val limited =
+      if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader
+    val raw = limited.parquet(inDir)
     if (schema("ts").dataType == LongType)
       raw.withColumn("ts", expr(graft.Tables.nanosTsToMicros))
     else raw

@@ -28,13 +28,17 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamUpsert {
 
-  /** One candidate row per key: latest by (ts, event_id), value carried
-    * in the same struct so max() picks the whole winning row at once. */
+  /** One candidate row per key: latest by (ts, event_id) — the SAME
+    * ordering key as batch q80's row_number window, so the two paths
+    * cannot diverge on a changelog that redelivers a (ts, event_id)
+    * with a corrected value. max_by carries the payload without letting
+    * it join the comparison. */
   private def latestPerKey(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
     df.groupBy($"user_id")
-      .agg(max(struct($"ts", $"event_id", $"value")).as("w"))
+      .agg(max_by(struct($"ts", $"event_id", $"value"),
+        struct($"ts", $"event_id")).as("w"))
       .select($"user_id", $"w.ts".as("ts"), $"w.event_id".as("event_id"),
         $"w.value".as("value"))
   }
@@ -50,14 +54,7 @@ object StreamUpsert {
       // state-free shuffle partitions beats 32 idle ones per batch.
       h.withStreamingPartitions(8) {
         @volatile var current: Option[String] = None
-        val source = {
-          val raw = spark.readStream.schema(h.schema)
-            .option("maxFilesPerTrigger", 1).parquet(h.inDir)
-          if (h.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-            raw.withColumn("ts", expr(graft.Tables.nanosTsToMicros))
-          else raw
-        }
-        val q = source
+        val q = h.eventsStream(maxFilesPerTrigger = 1)
           .select($"user_id", $"ts", $"event_id", $"value")
           .writeStream
           .foreachBatch { (batch: DataFrame, batchId: Long) =>

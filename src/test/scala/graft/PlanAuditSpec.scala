@@ -135,15 +135,21 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("q93: the bloom pre-filter sits below the join (scan side), not above it") {
-    val p = plan("q93_sql_bloom_semi_reduction")
-    assert(p.contains("might_contain"), p)
-    // The filter must apply before the join: in the formatted tree the
-    // lineitem scan's Filter node carrying might_contain prints after
-    // (deeper than) the join operator's own header.
-    val joinIdx = p.indexOf("Join")
-    val bloomIdx = p.indexOf("might_contain")
-    assert(joinIdx >= 0 && bloomIdx > joinIdx,
-      "bloom filter not on the scan side of the join\n" + p)
+    // Structural check on the optimized logical plan — string offsets in
+    // formatted explain can't distinguish tree position (node names print
+    // first, ALL conditions print later in the details block).
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val df = SparkEntry.queries("q93_sql_bloom_semi_reduction")(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan
+    val joins = optimized.collect { case j: Join => j }
+    assert(joins.nonEmpty, optimized.toString)
+    val bloomBelowAJoin = joins.exists(_.children.exists(side =>
+      side.collect {
+        case f: Filter if f.condition.exists(_.isInstanceOf[BloomFilterMightContain]) => f
+      }.nonEmpty))
+    assert(bloomBelowAJoin,
+      "bloom pre-filter is not on a join input side\n" + optimized)
   }
 
   test("q92: both rolling-frame aggregates share one window sort") {
