@@ -623,6 +623,32 @@ object Extras {
            |FROM c GROUP BY 1, 2 ORDER BY sink, reason""".stripMargin),
   )
 
+  /** q102 — event throttle/debounce: drop an event arriving within 5
+    * seconds of the same user+type's PREVIOUS RAW event (lag-based
+    * throttling — deterministic and windowable in one pass, unlike
+    * chain-debounce whose keep decision depends on prior keeps and
+    * needs q44-style stateful iteration). The dual of q53's exact-id
+    * dedup: q53 collapses redelivery of the SAME event, this collapses
+    * DISTINCT near-simultaneous events (double-clicks, sensor chatter).
+    * One shuffle on (user, type), one sort, a lag compare. */
+  val q102 = QuerySpec(
+    "q102_event_debounce",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
+      Tables.events(s, d)
+        .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+        .filter($"prev_us".isNull || unix_micros($"ts") - $"prev_us" > 5000000L)
+        .select($"event_id", $"user_id", $"event_type", unix_micros($"ts").as("ts_us"))
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+           |FROM (SELECT *, lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+           |        ORDER BY ts, event_id) AS prev_us FROM events)
+           |WHERE prev_us IS NULL OR epoch_us(ts) - prev_us > 5000000
+           |ORDER BY event_id""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q39, q40, q41, q42, q43, q46, q47, q49, q50, q58,
-    q74, q77, q79, q80, q92, q98, q99)
+    q74, q77, q79, q80, q92, q98, q99, q102)
 }

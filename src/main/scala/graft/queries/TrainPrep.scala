@@ -713,6 +713,37 @@ object TrainPrep {
            |FROM split GROUP BY split ORDER BY split""".stripMargin),
   )
 
+  /** q101 — feature hashing (the "hashing trick" vectorizer): tokens
+    * map to a FIXED 16-dim space via a portable hash (first md5 hex
+    * char → dimension), counts aggregated per (doc, dim) — how a
+    * featurizer bounds vocabulary size without a dictionary (collisions
+    * are the accepted trade). Emitted long-form (doc_id, dim, n): the
+    * sparse representation that scales — a dense array per doc would
+    * carry zeros. Hash, not dictionary ⇒ no global state, no second
+    * pass, membership stable under corpus growth (the q60 argument
+    * applied to features). One explode + one hash agg. */
+  val q101 = QuerySpec(
+    "q101_feature_hashing",
+    (s, d) => {
+      import s.implicits._
+      Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"doc_id", explode(graft.functions.TextFns.tokens($"text")).as("term"))
+        .filter(char_length($"term") > 0)
+        .withColumn("dim",
+          (instr(lit("0123456789abcdef"), substring(md5($"term".cast("binary")), 1, 1)) - 1)
+            .cast("int"))
+        .groupBy($"doc_id", $"dim").agg(count(lit(1)).as("n"))
+        .orderBy($"doc_id", $"dim")
+    },
+    Some("""WITH t2 AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+           |  FROM documents),
+           |t AS (SELECT doc_id, term FROM t2 WHERE len(term) > 0)
+           |SELECT doc_id,
+           |  CAST(strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1 AS INT) AS dim,
+           |  count(*) AS n
+           |FROM t GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q60, q61, q62, q63, q64, q65, q67, q68, q69, q70,
-    q86, q87, q88, q89, q90, q96, q100)
+    q86, q87, q88, q89, q90, q96, q100, q101)
 }
