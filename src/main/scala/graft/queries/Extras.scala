@@ -649,6 +649,141 @@ object Extras {
            |ORDER BY event_id""".stripMargin),
   )
 
+  /** q104 — MapType operators end-to-end (§2.8's one untouched complex
+    * type): per-user event-type counts built INTO a map
+    * (map_from_entries over a collect_list of structs), pruned in-row
+    * with map_filter (keep types seen ≥ 3 times), then exploded back to
+    * rows with each kept type's integer-ppm share of the user's total.
+    * The map is bounded by the event-type vocabulary (5 values), so the
+    * collect_list state is O(types) per user, not O(events) — the rule
+    * that makes map-building safe at 100 TB; the counts themselves come
+    * from an ordinary two-phase hash agg first. The oracle spells the
+    * same semantics relationally (GROUP BY + HAVING + join), proving
+    * the map round-trip loses nothing. */
+  val q104 = QuerySpec(
+    "q104_map_event_shares",
+    (s, d) => {
+      import s.implicits._
+      val counts = Tables.events(s, d)
+        .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("cnt"))
+      counts.groupBy($"user_id")
+        .agg(
+          map_from_entries(collect_list(struct($"event_type", $"cnt"))).as("by_type"),
+          sum($"cnt").as("total"))
+        .select($"user_id", $"total",
+          explode(map_filter($"by_type", (_, v) => v >= 3)).as(Seq("event_type", "cnt")))
+        .select($"user_id", $"event_type", $"cnt",
+          expr("cnt * 1000000L div total").as("share_ppm"))
+        .orderBy($"user_id", $"event_type")
+    },
+    Some("""WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+           |  FROM events GROUP BY 1, 2),
+           |t AS (SELECT user_id, CAST(sum(cnt) AS BIGINT) AS total FROM c GROUP BY 1)
+           |SELECT c.user_id, c.event_type, c.cnt, c.cnt * 1000000 // t.total AS share_ppm
+           |FROM c JOIN t USING (user_id) WHERE c.cnt >= 3
+           |ORDER BY user_id, event_type""".stripMargin),
+  )
+
+  /** q105 — equi-width histogram with cumulative distribution: bin
+    * l_extendedprice by 5 000-wide buckets, per-bin count + exact
+    * decimal sum, then the running cumulative share in integer ppm.
+    * The heavy pass is ONE partial+final hash agg over the fact scan
+    * (shuffle = bin count, ~20 rows); both windows — running and
+    * grand-total — run over the post-agg bin rows, so the unpartitioned
+    * window's single-reducer shape is irrelevant at any corpus size.
+    * This is the profiling primitive behind quantile sketches and
+    * range-partition planning (pick split points where cum_ppm crosses
+    * k/N). floor(x/5000.0) is the same IEEE division + floor on both
+    * engines — bin edges cannot drift. */
+  val q105 = QuerySpec(
+    "q105_histogram_bins",
+    (s, d) => {
+      import s.implicits._
+      val binned = Tables.lineitem(s, d)
+        .select(floor($"l_extendedprice" / 5000.0).cast("int").as("bin"),
+          $"l_extendedprice")
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n_items"), dsum($"l_extendedprice", 2).as("price_sum"))
+      val running = Window.orderBy($"bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.orderBy($"bin")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      binned
+        .withColumn("cum_items", sum($"n_items").over(running))
+        .withColumn("total_items", sum($"n_items").over(whole))
+        .select($"bin", $"n_items", $"price_sum",
+          expr("cum_items * 1000000L div total_items").as("cum_ppm"))
+        .orderBy($"bin")
+    },
+    Some(s"""WITH b AS (SELECT CAST(floor(l_extendedprice / 5000.0) AS INT) AS bin,
+            |    count(*) AS n_items, ${sqlDsum("l_extendedprice", 2)} AS price_sum
+            |  FROM lineitem GROUP BY 1)
+            |SELECT bin, n_items, price_sum,
+            |  CAST(sum(n_items) OVER (ORDER BY bin) AS BIGINT) * 1000000
+            |    // CAST(sum(n_items) OVER () AS BIGINT) AS cum_ppm
+            |FROM b ORDER BY bin""".stripMargin),
+  )
+
+  /** q107 — single-pass column profiler (the data-quality census every
+    * ingest runs before trusting a new drop): null count, exact distinct
+    * count, and min/max per column of orders, emitted long-form — one
+    * row per column. ONE scan computes every stat (a wide agg), then a
+    * driver-free `stack` pivots the single stats row into the long
+    * layout; the oracle spells the same census as per-column UNION ALL
+    * branches, proving the fused pass loses nothing. Numeric extremes
+    * stay DOUBLE and string extremes stay STRING (separate columns) —
+    * never cast through double→string, whose shortest-repr formatting
+    * is engine-specific. At 100 TB: the scan is the cost; the exact
+    * NDVs share one Expand (same family as count-distinct q11), and the
+    * profile's output is O(columns). */
+  val q107 = QuerySpec(
+    "q107_column_profile",
+    (s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val stats = o.agg(
+        count(lit(1)).as("n"),
+        count($"o_orderkey").as("nn_key"), countDistinct($"o_orderkey").as("ndv_key"),
+        min($"o_orderkey").cast(DoubleType).as("min_key"),
+        max($"o_orderkey").cast(DoubleType).as("max_key"),
+        count($"o_custkey").as("nn_cust"), countDistinct($"o_custkey").as("ndv_cust"),
+        min($"o_custkey").cast(DoubleType).as("min_cust"),
+        max($"o_custkey").cast(DoubleType).as("max_cust"),
+        count($"o_totalprice").as("nn_price"), countDistinct($"o_totalprice").as("ndv_price"),
+        min($"o_totalprice").as("min_price"), max($"o_totalprice").as("max_price"),
+        count($"o_orderstatus").as("nn_stat"), countDistinct($"o_orderstatus").as("ndv_stat"),
+        min($"o_orderstatus").as("min_stat"), max($"o_orderstatus").as("max_stat"),
+        count($"o_orderpriority").as("nn_prio"), countDistinct($"o_orderpriority").as("ndv_prio"),
+        min($"o_orderpriority").as("min_prio"), max($"o_orderpriority").as("max_prio"))
+      stats.selectExpr(
+        """stack(5,
+          |  'o_custkey',      n - nn_cust,  ndv_cust,  min_cust,  max_cust,  CAST(NULL AS STRING), CAST(NULL AS STRING),
+          |  'o_orderkey',     n - nn_key,   ndv_key,   min_key,   max_key,   CAST(NULL AS STRING), CAST(NULL AS STRING),
+          |  'o_orderpriority',n - nn_prio,  ndv_prio,  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min_prio, max_prio,
+          |  'o_orderstatus',  n - nn_stat,  ndv_stat,  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min_stat, max_stat,
+          |  'o_totalprice',   n - nn_price, ndv_price, min_price, max_price, CAST(NULL AS STRING), CAST(NULL AS STRING)
+          |) AS (col_name, n_null, ndv, min_num, max_num, min_str, max_str)""".stripMargin)
+        .orderBy($"col_name")
+    },
+    Some("""SELECT 'o_custkey' AS col_name, count(*) - count(o_custkey) AS n_null,
+           |  count(DISTINCT o_custkey) AS ndv, CAST(min(o_custkey) AS DOUBLE) AS min_num,
+           |  CAST(max(o_custkey) AS DOUBLE) AS max_num,
+           |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM orders
+           |UNION ALL
+           |SELECT 'o_orderkey', count(*) - count(o_orderkey), count(DISTINCT o_orderkey),
+           |  CAST(min(o_orderkey) AS DOUBLE), CAST(max(o_orderkey) AS DOUBLE), NULL, NULL FROM orders
+           |UNION ALL
+           |SELECT 'o_orderpriority', count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority),
+           |  NULL, NULL, min(o_orderpriority), max(o_orderpriority) FROM orders
+           |UNION ALL
+           |SELECT 'o_orderstatus', count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus),
+           |  NULL, NULL, min(o_orderstatus), max(o_orderstatus) FROM orders
+           |UNION ALL
+           |SELECT 'o_totalprice', count(*) - count(o_totalprice), count(DISTINCT o_totalprice),
+           |  min(o_totalprice), max(o_totalprice), NULL, NULL FROM orders
+           |ORDER BY col_name""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q39, q40, q41, q42, q43, q46, q47, q49, q50, q58,
-    q74, q77, q79, q80, q92, q98, q99, q102)
+    q74, q77, q79, q80, q92, q98, q99, q102, q104, q105, q107)
 }

@@ -312,5 +312,53 @@ object SqlSurface {
            |ORDER BY h, event_type""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q37, q38, q48, q51, q56, q71, q72, q83, q93, q97)
+  /** q103 — recursive CTE through the SQL surface (WITH RECURSIVE, new
+    * in Spark 4 — planned as UnionLoopExec): an exponential moving
+    * average of monthly order volume, EMA_i = (7·EMA_{i-1} + 3·x_i)/10.
+    * An EMA is *inherently sequential* — each month depends on the
+    * previous month's state — so it cannot be a window frame or a plain
+    * aggregate; recursion (or q44-style stateful streaming) is the only
+    * declarative form. Integer ppm arithmetic end-to-end: the update is
+    * exact floor division on both engines, zero float drift (the
+    * q64/q70 integer-ratio pattern). Scale shape: the recursion runs
+    * over the MONTH-level rollup (dozens of rows), not the fact table —
+    * the one big aggregate happens once in the anchor's input; each
+    * loop step is a tiny join. Depth = month count (~32 here), well
+    * under Spark's default 100-level recursion guard. */
+  val q103 = QuerySpec(
+    "q103_sql_recursive_ema",
+    (s, d) => {
+      registerViews(s, d)
+      s.sql("""WITH RECURSIVE m AS (
+              |  SELECT CAST(row_number() OVER (ORDER BY mon) AS BIGINT) AS i, mon, cnt
+              |  FROM (SELECT date_trunc('month', o_orderdate) AS mon, count(*) AS cnt
+              |        FROM orders
+              |        WHERE o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+              |        GROUP BY 1)),
+              |ema(i, mon, cnt, ema_ppm) AS (
+              |  SELECT i, mon, cnt, cnt * 1000000L FROM m WHERE i = 1
+              |  UNION ALL
+              |  SELECT m.i, m.mon, m.cnt, (e.ema_ppm * 7L + m.cnt * 3000000L) div 10L
+              |  FROM ema e JOIN m ON m.i = e.i + 1)
+              |SELECT date_format(mon, 'yyyy-MM') AS month, cnt AS n_orders, ema_ppm
+              |FROM ema ORDER BY month""".stripMargin)
+    },
+    Some("""WITH RECURSIVE m AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY mon) AS BIGINT) AS i, mon, cnt
+           |  FROM (SELECT date_trunc('month', o_orderdate) AS mon, count(*) AS cnt
+           |        FROM orders
+           |        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           |        GROUP BY 1)),
+           |ema(i, mon, cnt, ema_ppm) AS (
+           |  SELECT i, mon, cnt, cnt * 1000000 FROM m WHERE i = 1
+           |  UNION ALL
+           |  SELECT m.i, m.mon, m.cnt, (e.ema_ppm * 7 + m.cnt * 3000000) // 10
+           |  FROM ema e JOIN m ON m.i = e.i + 1)
+           |SELECT strftime(mon, '%Y-%m') AS month, cnt AS n_orders,
+           |  CAST(ema_ppm AS BIGINT) AS ema_ppm
+           |FROM ema ORDER BY month""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q37, q38, q48, q51, q56, q71, q72, q83, q93,
+    q97, q103)
 }

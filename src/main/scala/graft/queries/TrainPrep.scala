@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -744,6 +745,52 @@ object TrainPrep {
            |FROM t GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin),
   )
 
+  /** q106 — corpus-duplicated span fraction (the RefinedWeb/C4 metric
+    * q63 computes WITHIN a doc, lifted to ACROSS the corpus): tile each
+    * doc into non-overlapping word 8-gram spans, count every span's
+    * corpus-wide occurrences, and score each doc by the ppm fraction of
+    * its spans that are duplicated anywhere (cnt ≥ 2) — boilerplate and
+    * template text light up even when no whole-doc pair is a near-dup.
+    * Shape: one explode → ONE shuffle on the span string (the
+    * count-over-span window is the inverted index without a join-back
+    * recompute) → one per-doc agg. Non-overlapping tiling keeps span
+    * volume ≈ token volume / 8; at 100 TB you'd hash spans to 64-bit
+    * (xxhash64) before the shuffle so the exchange carries longs, not
+    * strings — same plan, smaller payload. Integer ppm end-to-end. */
+  val q106 = QuerySpec(
+    "q106_dup_span_fraction",
+    (s, d) => {
+      import s.implicits._
+      val spans = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"doc_id", split($"text", " ").as("w"))
+        .filter(size($"w") >= 8)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(0, size(w) div 8 - 1), k -> concat_ws(' ', slice(w, k * 8 + 1, 8)))"
+        )).as("g"))
+      val counted = spans.withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy($"g")))
+      counted.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when($"cnt" >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+        .select($"doc_id", $"n_spans", $"n_dup_spans",
+          expr("n_dup_spans * 1000000L div n_spans").as("dup_ppm"))
+        .orderBy($"dup_ppm".desc, $"doc_id")
+        .limit(20)
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |s AS (SELECT doc_id, unnest(list_transform(
+           |    generate_series(0, CAST(len(w) // 8 AS INT) - 1),
+           |    k -> array_to_string(list_slice(w, k * 8 + 1, k * 8 + 8), ' '))) AS g
+           |  FROM w WHERE len(w) >= 8),
+           |c AS (SELECT doc_id, count(*) OVER (PARTITION BY g) AS cnt FROM s),
+           |p AS (SELECT doc_id, count(*) AS n_spans,
+           |    CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+           |  FROM c GROUP BY doc_id)
+           |SELECT doc_id, n_spans, n_dup_spans,
+           |  n_dup_spans * 1000000 // n_spans AS dup_ppm
+           |FROM p ORDER BY dup_ppm DESC, doc_id LIMIT 20""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q60, q61, q62, q63, q64, q65, q67, q68, q69, q70,
-    q86, q87, q88, q89, q90, q96, q100, q101)
+    q86, q87, q88, q89, q90, q96, q100, q101, q106)
 }
