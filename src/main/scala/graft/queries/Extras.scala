@@ -784,6 +784,38 @@ object Extras {
            |ORDER BY col_name""".stripMargin),
   )
 
+  /** q109 — z-order clustering key (graft.operators.ZOrder under the
+    * gate): Morton-interleave two bucketed dimensions of lineitem and
+    * take the 20 smallest keys under a total output order. The gate
+    * pins the BIT ARITHMETIC — both engines must compute identical keys
+    * from the shared shift-mask ladder, which is what makes a layout
+    * written by this engine prunable by any other reader (the
+    * reference's Athena tier reading our parquet). The operational use
+    * is `df.repartitionByRange(col("z")).sortWithinPartitions("z")
+    * .write` — q79's partitioned-write path with z as the sort key;
+    * here the key computation itself is the verified unit. Per-row ALU
+    * work only, no shuffle beyond the top-k. */
+  val q109 = QuerySpec(
+    "q109_zorder_key",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.ZOrder
+      Tables.lineitem(s, d)
+        .select(
+          ZOrder.interleave(pmod($"l_partkey", lit(1024L)), pmod($"l_suppkey", lit(1024L)))
+            .as("zval"),
+          $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+        .orderBy($"zval", $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+        .limit(20)
+    },
+    Some(Seq(
+      s"SELECT ${graft.operators.ZOrder.interleaveSql("(l_partkey % 1024)", "(l_suppkey % 1024)")} AS zval,",
+      "  l_orderkey, l_linenumber, l_partkey, l_suppkey",
+      "FROM lineitem",
+      "ORDER BY zval, l_orderkey, l_linenumber, l_partkey, l_suppkey",
+      "LIMIT 20").mkString("\n")),
+  )
+
   val all: Seq[QuerySpec] = Seq(q39, q40, q41, q42, q43, q46, q47, q49, q50, q58,
-    q74, q77, q79, q80, q92, q98, q99, q102, q104, q105, q107)
+    q74, q77, q79, q80, q92, q98, q99, q102, q104, q105, q107, q109)
 }

@@ -88,5 +88,24 @@ object StreamingOps {
             |GROUP BY 1 ORDER BY 1""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q35, q44, q53, q54, q91, q95)
+  /** q108 — stream-stream LEFT OUTER interval join (q54's outer half):
+    * every purchase emits, clickless ones flushed as null-side rows only
+    * after the watermark proves no match can arrive (heartbeat-driven
+    * here, continuous in production). Gated against the batch left
+    * join — outer-null handling must be value-identical. See
+    * graft.streaming.StreamJoin.runLeftOuterOnce. */
+  val q108 = QuerySpec(
+    "q108_stream_outer_interval_join",
+    (s, d) => StreamJoin.runLeftOuterOnce(s, d),
+    Some("""SELECT p.event_id AS purchase_id,
+           |  CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_clicks_prior_hour
+           |FROM events p LEFT JOIN events c
+           |  ON c.user_id = p.user_id AND c.event_type = 'click'
+           | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+           |WHERE p.event_type = 'purchase'
+           |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q35, q44, q53, q54, q91, q95, q108)
 }

@@ -384,5 +384,48 @@ object TextMedia {
     },
   )
 
-  val all: Seq[QuerySpec] = Seq(q29, q30, q31, q32, q33, q34, q36, q45, q73, q78)
+  /** q111 — cross-modal nearest neighbors: media payloads get a stub
+    * 8-dim embedding (md5-derived per-dim ints — deterministic stand-in
+    * for a CLIP-style encoder; see graft.multimodal for why kernels are
+    * stubs here), and each probe's top-3 matches among the text
+    * embeddings (first 8 dims) are retrieved by cosine. The retrieval
+    * shape is the one that scales: the probe batch is tiny (media
+    * arriving in a micro-batch) → broadcast it; the embedding corpus
+    * streams through ONE scan with per-partition top-k heaps — no
+    * corpus shuffle, no pairwise blow-up; swap the scan for q28/q81's
+    * IVF probes when the corpus is indexed. Cosines are sequential-fold
+    * doubles (Det mirrors) rounded to 4 — rank-stable across engines. */
+  val q111 = QuerySpec(
+    "q111_media_crossmodal_nn",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.VectorOps.cosine
+      val probes = Tables.documents(s, d)
+        .filter($"doc_id" <= 5)
+        .select($"doc_id", $"text".cast("binary").as("media"))
+        .select($"doc_id", expr(
+          "transform(sequence(1, 8), i -> CAST(instr('0123456789abcdef', substring(md5(media), i, 1)) - 9 AS DOUBLE))"
+        ).as("mvec"))
+      val emb = Tables.fanOut(Tables.embeddings(s, d), col("vec_id"))
+        .select($"vec_id", expr(
+          "transform(slice(embedding, 1, 8), x -> CAST(x AS DOUBLE))").as("esl"))
+      val w = Window.partitionBy($"doc_id").orderBy($"cos_sim".desc, $"vec_id")
+      emb.crossJoin(broadcast(probes))
+        .select($"doc_id", $"vec_id", round(cosine($"mvec", $"esl"), 4).as("cos_sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"doc_id", $"vec_id", $"cos_sim")
+        .orderBy($"doc_id", $"cos_sim".desc, $"vec_id")
+    },
+    Some(s"""WITH p AS (SELECT doc_id, list_transform(generate_series(1, 8),
+            |    i -> CAST(strpos('0123456789abcdef', substr(md5(text), i, 1)) - 9 AS DOUBLE)) AS mvec
+            |  FROM documents WHERE doc_id <= 5),
+            |e AS (SELECT vec_id, list_slice(CAST(embedding AS DOUBLE[]), 1, 8) AS esl FROM embeddings),
+            |sc AS (SELECT doc_id, vec_id, round(${sqlCosine("mvec", "esl")}, 4) AS cos_sim FROM e, p),
+            |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cos_sim DESC, vec_id) AS r FROM sc)
+            |SELECT doc_id, vec_id, cos_sim FROM rk WHERE r <= 3
+            |ORDER BY doc_id, cos_sim DESC, vec_id""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q29, q30, q31, q32, q33, q34, q36, q45, q73, q78, q111)
 }

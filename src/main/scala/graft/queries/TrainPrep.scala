@@ -791,6 +791,59 @@ object TrainPrep {
            |FROM p ORDER BY dup_ppm DESC, doc_id LIMIT 20""".stripMargin),
   )
 
+  /** q110 — temperature-weighted source mixture (the multilingual-LLM
+    * sampling rule, α = 0.5: sample source s at rate ∝ n_s^(α−1), so
+    * small sources are up-weighted relative to their share): per-source
+    * keep rates are DERIVED FROM THE DATA — rate_s = √(n_min / n_s),
+    * scaled to a 20-bit integer threshold — where q65's quotas are
+    * fixed constants. Membership is the md5-prefix rule (reproducible
+    * on any engine/rerun; salt "t:" decorrelates from q60/q65). The
+    * sqrt runs on identical operands on both engines (exact bigint→
+    * double conversions), so the floor'd threshold is bit-stable; the
+    * hex compare is lowercase %05x on both. Shape: one tiny per-source
+    * count (20 rows) broadcast back onto the corpus — the rate table
+    * never shuffles the fact side; at 100 TB the second pass is the
+    * same scan with a map-side join. Docs whose 5-hex prefix is
+    * 'fffff' fall outside the capped threshold (1/16⁵, deterministic)
+    * — the cost of keeping the compare strict and 5 chars wide. */
+  val q110 = QuerySpec(
+    "q110_mixture_temperature",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_src"))
+      val nmin = counts.agg(min($"n_src").as("n_min"))
+      val rates = counts.crossJoin(nmin).withColumn("rate_u20",
+        least(
+          floor(sqrt($"n_min".cast("double") / $"n_src".cast("double")) * 1048576)
+            .cast("long"),
+          lit(1048575L)))
+      docs.join(broadcast(rates.drop("n_min")), "source")
+        .withColumn("keep",
+          substring(md5(concat(lit("t:"), $"doc_id".cast("string")).cast("binary")), 1, 5)
+            < format_string("%05x", $"rate_u20"))
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_total"),
+          max($"rate_u20").as("rate_u20"), // constant per source; max is the deterministic pick
+          count(when($"keep", 1)).as("n_sampled"),
+          sum(when($"keep", $"doc_id")).as("sampled_id_checksum"))
+        .orderBy($"source")
+    },
+    Some("""WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+           |m AS (SELECT min(n_src) AS n_min FROM c),
+           |r AS (SELECT source, least(CAST(floor(
+           |    sqrt(CAST(n_min AS DOUBLE) / CAST(n_src AS DOUBLE)) * 1048576) AS BIGINT),
+           |    1048575) AS rate_u20 FROM c, m),
+           |k AS (SELECT d.source, d.doc_id, r.rate_u20,
+           |    substr(md5('t:' || CAST(d.doc_id AS VARCHAR)), 1, 5) < printf('%05x', r.rate_u20) AS keep
+           |  FROM documents d JOIN r USING (source))
+           |SELECT source, count(*) AS n_total, rate_u20,
+           |  count(*) FILTER (WHERE keep) AS n_sampled,
+           |  CAST(sum(doc_id) FILTER (WHERE keep) AS BIGINT) AS sampled_id_checksum
+           |FROM k GROUP BY source, rate_u20 ORDER BY source""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q60, q61, q62, q63, q64, q65, q67, q68, q69, q70,
-    q86, q87, q88, q89, q90, q96, q100, q101, q106)
+    q86, q87, q88, q89, q90, q96, q100, q101, q106, q110)
 }

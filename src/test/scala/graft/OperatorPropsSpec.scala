@@ -189,4 +189,23 @@ class OperatorPropsSpec extends SparkTestBase {
       assert(split === whole, s"split at $cut diverged")
     }
   }
+
+  test("ZOrder.interleave is a bijection on 16-bit pairs and bounds its range") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pairGen = Gen.zip(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L))
+    val pairs = samples(pairGen, 300).distinct
+    val out = pairs.toDF("a", "b")
+      .select(graft.operators.ZOrder.interleave(col("a"), col("b")).as("z"),
+        col("a"), col("b"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // Distinct inputs → distinct keys (no bit collisions), range < 2^32.
+    assert(out.map(_._1).distinct.length === pairs.length)
+    assert(out.forall { case (z, _, _) => z >= 0L && z < (1L << 32) })
+    // Even bits recover a, odd bits recover b (the interleave contract).
+    def unspread(z: Long): Long =
+      (0 until 16).map(i => ((z >> (2 * i)) & 1L) << i).sum
+    assert(out.forall { case (z, a, b) => unspread(z) == a && unspread(z >> 1) == b })
+  }
 }
