@@ -816,6 +816,44 @@ object Extras {
       "LIMIT 20").mkString("\n")),
   )
 
+  /** q112 — sessionization via the BUILT-IN session_window (q43's
+    * declarative twin): groupBy(user, session_window(ts, 30 min))
+    * replaces the lag + running-sum assignment with Spark's native
+    * merging-session aggregate — fewer moving parts, and in streaming
+    * mode the same expression is incrementally maintainable where q43's
+    * window trick is batch-only. Boundary semantics differ from q43 BY
+    * CONTRACT: session_window opens a NEW session when the gap is ≥ 30
+    * min (an event at exactly start+gap is outside the half-open
+    * window), while q43's `> gap` merges it — the oracle spells the ≥
+    * rule, pinning the engine's actual boundary rather than papering
+    * over it. Same scale shape as q43: one shuffle on the group keys,
+    * sessions merged within partitions. */
+  val q112 = QuerySpec(
+    "q112_session_window_builtin",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), dsum($"value", 4).as("value_sum"))
+        .select($"user_id",
+          unix_micros($"sw.start").as("session_start_us"),
+          (unix_micros($"sw.end") - lit(SessionGapUs)).as("session_end_us"),
+          $"n_events", $"value_sum")
+        .orderBy($"user_id", $"session_start_us")
+    },
+    Some(s"""WITH x AS (SELECT user_id, event_id, ts, value,
+            |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events),
+            |y AS (SELECT *, CASE WHEN prev IS NULL
+            |    OR epoch_us(ts) - epoch_us(prev) >= ${SessionGapUs}::BIGINT THEN 1 ELSE 0 END AS ns FROM x),
+            |z AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            |        ROWS UNBOUNDED PRECEDING) AS sid FROM y)
+            |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+            |  epoch_us(max(ts)) AS session_end_us, count(*) AS n_events,
+            |  ${sqlDsum("value", 4)} AS value_sum
+            |FROM z GROUP BY user_id, sid
+            |ORDER BY user_id, session_start_us""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q39, q40, q41, q42, q43, q46, q47, q49, q50, q58,
-    q74, q77, q79, q80, q92, q98, q99, q102, q104, q105, q107, q109)
+    q74, q77, q79, q80, q92, q98, q99, q102, q104, q105, q107, q109, q112)
 }
