@@ -314,49 +314,61 @@ object SqlSurface {
 
   /** q103 — recursive CTE through the SQL surface (WITH RECURSIVE, new
     * in Spark 4 — planned as UnionLoopExec): an exponential moving
-    * average of monthly order volume, EMA_i = (7·EMA_{i-1} + 3·x_i)/10.
-    * An EMA is *inherently sequential* — each month depends on the
-    * previous month's state — so it cannot be a window frame or a plain
-    * aggregate; recursion (or q44-style stateful streaming) is the only
-    * declarative form. Integer ppm arithmetic end-to-end: the update is
-    * exact floor division on both engines, zero float drift (the
-    * q64/q70 integer-ratio pattern). Scale shape: the recursion runs
-    * over the MONTH-level rollup (dozens of rows), not the fact table —
-    * the one big aggregate happens once in the anchor's input; each
-    * loop step is a tiny join. Depth = month count (~32 here), well
-    * under Spark's default 100-level recursion guard. */
+    * average of quarterly order volume, EMA_i = (7·EMA_{i-1} + 3·x_i)/10.
+    * An EMA is *inherently sequential* — each quarter depends on the
+    * previous quarter's state — so it cannot be a window frame or a
+    * plain aggregate; recursion (or q44-style stateful streaming) is
+    * the only declarative form. Integer ppm arithmetic end-to-end: the
+    * update is exact floor division on both engines, zero float drift
+    * (the q64/q70 integer-ratio pattern).
+    *
+    * Two costs shape the plan. (1) UnionLoopExec re-plans and re-runs
+    * the recursive branch EVERY iteration, so the quarter rollup is
+    * materialized ONCE into a local-relation temp view before the
+    * recursion — a plain CTE over the orders scan would re-run the
+    * fact-table aggregate per step (68 scans, 23 s at sf0.1 when first
+    * measured); the rollup is calendar-bounded (one row per quarter at
+    * any corpus size), so driver-side materialization is O(quarters).
+    * (2) Each iteration is a fixed-overhead Spark job (~0.1 s
+    * regardless of data volume — same economics as q59's propagation
+    * rounds), so recursion DEPTH is the real budget: quarterly
+    * granularity (depth ~23) keeps the full date range at a third of
+    * monthly's depth. */
   val q103 = QuerySpec(
     "q103_sql_recursive_ema",
     (s, d) => {
       registerViews(s, d)
-      s.sql("""WITH RECURSIVE m AS (
-              |  SELECT CAST(row_number() OVER (ORDER BY mon) AS BIGINT) AS i, mon, cnt
-              |  FROM (SELECT date_trunc('month', o_orderdate) AS mon, count(*) AS cnt
-              |        FROM orders
-              |        WHERE o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
-              |        GROUP BY 1)),
-              |ema(i, mon, cnt, ema_ppm) AS (
-              |  SELECT i, mon, cnt, cnt * 1000000L FROM m WHERE i = 1
+      val m = s.sql(
+        """SELECT CAST(row_number() OVER (ORDER BY qtr) AS BIGINT) AS i, qtr, cnt
+          |FROM (SELECT date_trunc('quarter', o_orderdate) AS qtr, count(*) AS cnt
+          |      FROM orders
+          |      WHERE o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+          |      GROUP BY 1)""".stripMargin)
+      val rows = m.collect() // one row per calendar quarter — bounded at any SF
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), m.schema)
+        .createOrReplaceTempView("graft_quarter_counts")
+      s.sql("""WITH RECURSIVE ema(i, qtr, cnt, ema_ppm) AS (
+              |  SELECT i, qtr, cnt, cnt * 1000000L FROM graft_quarter_counts WHERE i = 1
               |  UNION ALL
-              |  SELECT m.i, m.mon, m.cnt, (e.ema_ppm * 7L + m.cnt * 3000000L) div 10L
-              |  FROM ema e JOIN m ON m.i = e.i + 1)
-              |SELECT date_format(mon, 'yyyy-MM') AS month, cnt AS n_orders, ema_ppm
-              |FROM ema ORDER BY month""".stripMargin)
+              |  SELECT m.i, m.qtr, m.cnt, (e.ema_ppm * 7L + m.cnt * 3000000L) div 10L
+              |  FROM ema e JOIN graft_quarter_counts m ON m.i = e.i + 1)
+              |SELECT date_format(qtr, 'yyyy-MM') AS quarter, cnt AS n_orders, ema_ppm
+              |FROM ema ORDER BY quarter""".stripMargin)
     },
     Some("""WITH RECURSIVE m AS (
-           |  SELECT CAST(row_number() OVER (ORDER BY mon) AS BIGINT) AS i, mon, cnt
-           |  FROM (SELECT date_trunc('month', o_orderdate) AS mon, count(*) AS cnt
+           |  SELECT CAST(row_number() OVER (ORDER BY qtr) AS BIGINT) AS i, qtr, cnt
+           |  FROM (SELECT date_trunc('quarter', o_orderdate) AS qtr, count(*) AS cnt
            |        FROM orders
            |        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
            |        GROUP BY 1)),
-           |ema(i, mon, cnt, ema_ppm) AS (
-           |  SELECT i, mon, cnt, cnt * 1000000 FROM m WHERE i = 1
+           |ema(i, qtr, cnt, ema_ppm) AS (
+           |  SELECT i, qtr, cnt, cnt * 1000000 FROM m WHERE i = 1
            |  UNION ALL
-           |  SELECT m.i, m.mon, m.cnt, (e.ema_ppm * 7 + m.cnt * 3000000) // 10
+           |  SELECT m.i, m.qtr, m.cnt, (e.ema_ppm * 7 + m.cnt * 3000000) // 10
            |  FROM ema e JOIN m ON m.i = e.i + 1)
-           |SELECT strftime(mon, '%Y-%m') AS month, cnt AS n_orders,
+           |SELECT strftime(qtr, '%Y-%m') AS quarter, cnt AS n_orders,
            |  CAST(ema_ppm AS BIGINT) AS ema_ppm
-           |FROM ema ORDER BY month""".stripMargin),
+           |FROM ema ORDER BY quarter""".stripMargin),
   )
 
   val all: Seq[QuerySpec] = Seq(q37, q38, q48, q51, q56, q71, q72, q83, q93,
