@@ -854,6 +854,39 @@ object Extras {
             |ORDER BY user_id, session_start_us""".stripMargin),
   )
 
+  /** q115 — observed metrics (`Dataset.observe` + `Observation`):
+    * pipeline telemetry collected DURING a pass — row counts and exact
+    * sums accumulate in the executors as the noop-sink write streams
+    * through, no second scan, no extra shuffle (the aggregates merge
+    * driver-side via the listener). This is how a production pipeline
+    * exports "rows kept after filter X" to its metrics system for free;
+    * the gate re-derives the same numbers relationally, proving the
+    * observed path sees every row exactly once. The noop sink is the
+    * action: all rows processed, nothing persisted. */
+  val q115 = QuerySpec(
+    "q115_observe_metrics",
+    (s, d) => {
+      import s.implicits._
+      val obs = new org.apache.spark.sql.Observation(
+        "graft_obs_" + java.util.UUID.randomUUID.toString.replace("-", ""))
+      Tables.lineitem(s, d)
+        .filter($"l_quantity" > 25.0)
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          dsum($"l_extendedprice", 2).as("price_sum"),
+          min($"l_quantity").as("qty_min"),
+          max($"l_quantity").as("qty_max"))
+        .write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      Seq((m("n_rows").asInstanceOf[Long], m("price_sum").asInstanceOf[Double],
+        m("qty_min").asInstanceOf[Double], m("qty_max").asInstanceOf[Double]))
+        .toDF("n_rows", "price_sum", "qty_min", "qty_max")
+    },
+    Some(s"""SELECT count(*) AS n_rows, ${sqlDsum("l_extendedprice", 2)} AS price_sum,
+            |  min(l_quantity) AS qty_min, max(l_quantity) AS qty_max
+            |FROM lineitem WHERE l_quantity > 25.0""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q39, q40, q41, q42, q43, q46, q47, q49, q50, q58,
-    q74, q77, q79, q80, q92, q98, q99, q102, q104, q105, q107, q109, q112)
+    q74, q77, q79, q80, q92, q98, q99, q102, q104, q105, q107, q109, q112, q115)
 }

@@ -110,5 +110,43 @@ object SourcesIO {
            |GROUP BY fmt ORDER BY fmt""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q113, q114)
+  /** q117 — XML source round-trip (Spark 4's built-in xml format,
+    * q114's third leg): nation written row-per-element under a rowTag,
+    * read back with the declared schema, checksummed against the
+    * parquet original. XML is the interchange format enterprise drops
+    * still arrive in; the source parallelizes by file and the declared
+    * schema keeps typing out of inference's hands, same as CSV/JSON. */
+  val q117 = QuerySpec(
+    "q117_xml_roundtrip",
+    (s, d) => {
+      import s.implicits._
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_xml_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      try {
+        val nation = Tables.nation(s, d)
+          .select($"n_nationkey", $"n_name", $"n_regionkey")
+        val schema = StructType(Seq(
+          StructField("n_nationkey", LongType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", LongType)))
+        nation.write.format("xml").option("rowTag", "nation").save(s"$tmp/xml")
+        val back = s.read.format("xml").option("rowTag", "nation")
+          .schema(schema).load(s"$tmp/xml")
+        val agg = back.agg(
+          count(lit(1)).as("n_rows"),
+          sum($"n_nationkey").as("key_checksum"),
+          sum(char_length($"n_name")).as("name_len_sum"),
+          sum($"n_regionkey" * $"n_nationkey").as("cross_checksum"))
+        val rows = agg.collect() // eager: staged xml lives under tmp
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+      } finally graft.Fs.deleteTree(tmp)
+    },
+    Some("""SELECT count(*) AS n_rows,
+           |  CAST(sum(n_nationkey) AS BIGINT) AS key_checksum,
+           |  CAST(sum(len(n_name)) AS BIGINT) AS name_len_sum,
+           |  CAST(sum(n_regionkey * n_nationkey) AS BIGINT) AS cross_checksum
+           |FROM nation""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q113, q114, q117)
 }

@@ -371,6 +371,30 @@ object SqlSurface {
            |FROM ema ORDER BY quarter""".stripMargin),
   )
 
+  /** q116 — the VARIANT semi-structured type (new in Spark 4): event
+    * props parsed ONCE into variant (a typed binary encoding — cheaper
+    * than per-access JSON string re-parsing, the engine-native
+    * answer to schemaless columns), then typed extraction via
+    * variant_get with a cast in the path. Where q18's from_json needs
+    * the schema declared up front, variant defers typing to the access
+    * site — the lakehouse pattern for heterogeneous event payloads.
+    * Parse + extract are per-row codegen-adjacent expressions; the
+    * aggregate above is the ordinary two-phase hash agg. */
+  val q116 = QuerySpec(
+    "q116_variant_json",
+    (s, d) => {
+      registerViews(s, d)
+      s.sql("""SELECT event_type, count(*) AS n_events,
+              |  CAST(sum(variant_get(parse_json(props), '$.k', 'bigint')) AS BIGINT) AS k_sum
+              |FROM events
+              |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    },
+    Some("""SELECT event_type, count(*) AS n_events,
+           |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+           |FROM events
+           |GROUP BY event_type ORDER BY event_type""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q37, q38, q48, q51, q56, q71, q72, q83, q93,
-    q97, q103)
+    q97, q103, q116)
 }
