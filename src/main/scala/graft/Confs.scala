@@ -15,10 +15,17 @@ object Confs {
     * depend on the partition count — callers pin it purely to trade
     * empty-partition task overhead against parallelism for a stage
     * whose volume they know. */
-  def withShufflePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try f finally spark.conf.set(key, old)
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(f: => T): T =
+    withConf(spark, "spark.sql.shuffle.partitions", n.toString)(f)
+
+  /** Run `f` with one session conf pinned, restoring the prior value
+    * (or unsetting, if it had none) after — every exit path. */
+  def withConf[T](spark: SparkSession, key: String, value: String)(f: => T): T = {
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try f finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 }

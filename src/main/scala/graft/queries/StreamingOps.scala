@@ -107,5 +107,19 @@ object StreamingOps {
            |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q35, q44, q53, q54, q91, q95, q108)
+  /** q122 — `transformWithState` (Spark 4 arbitrary state, RocksDB
+    * store): per-user running totals accumulated across micro-batches
+    * under duplicate delivery (feed staged twice, one file per
+    * trigger). The final per-user snapshot must equal exactly 2× the
+    * batch aggregate — stated directly by the oracle. See
+    * graft.streaming.StreamRunningTotals for the state contract. */
+  val q122 = QuerySpec(
+    "q122_stream_transform_with_state",
+    (s, d) => graft.streaming.StreamRunningTotals.runOnce(s, d),
+    Some("""SELECT user_id, 2 * count(*) AS n_events,
+           |  CAST(2 * sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS value_sum
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q35, q44, q53, q54, q91, q95, q108, q122)
 }
