@@ -40,6 +40,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, s"graft_simhash32 expects 1 argument, got ${children.size}")
         SimHash32(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "graft_cms_estimate"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_cms_estimate expects 2 arguments, got ${children.size}")
+        CmsEstimate(children.head, children(1))
+      }))
     // Spark ships Bloom-filter expressions for its own runtime join
     // filters (InjectRuntimeFilter) but leaves them out of the SQL
     // registry. Registering them makes EXPLICIT semi-join reduction —

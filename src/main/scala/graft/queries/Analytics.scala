@@ -266,5 +266,36 @@ object Analytics {
            |FROM filled ORDER BY hour""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q118, q119, q120, q121)
+  /** q123 — Count-Min heavy hitters: one global CMS over event_type
+    * (`count_min_sketch` — partial-aggregated map-side, the merge ships
+    * one ~100 KB sketch per partition), probed per candidate with the
+    * engine's [[graft.functions.CmsEstimate]] expression (Spark ships
+    * the sketch builder but no SQL-surface reader).
+    *
+    * The candidate set comes from a cheap exact pass here (5 values); at
+    * 100 TB candidates come from a sample or a prior day's list, and the
+    * sketch answers "how often does X occur" without regrouping the
+    * corpus — the sketch is reusable across any candidate list, which
+    * is the whole point over a plain groupBy. Width 2/eps ≫ distinct
+    * items ⇒ no collisions ⇒ estimates are exact and the count(*)
+    * oracle hash-matches; at real cardinalities the same plan gives
+    * ε-bounded overcounts at unchanged cost. */
+  val q123 = QuerySpec(
+    "q123_cms_heavy_hitters",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val sketch = ev.agg(
+        count_min_sketch($"event_type", lit(0.0001d), lit(0.999d), lit(42)).as("sk"))
+      val candidates = ev.select($"event_type").distinct()
+      candidates.join(broadcast(sketch))
+        .select($"event_type",
+          graft.functions.CmsProbe.cmsEstimate($"sk", $"event_type").as("est_count"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, count(*) AS est_count
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q118, q119, q120, q121, q123)
 }

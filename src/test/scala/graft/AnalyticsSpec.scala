@@ -63,6 +63,28 @@ class AnalyticsSpec extends SparkTestBase {
     assert(v > 0, "no users entered the funnel at sf0.001")
   }
 
+  test("cms: probe matches exact counts, unseen item estimates 0, SQL surface works") {
+    import spark.implicits._
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sk = Tables.events(spark, sf)
+      .agg(count_min_sketch(col("event_type"), lit(0.0001d), lit(0.999d), lit(42)).as("sk"))
+    sk.createOrReplaceTempView("cms_probe_sk")
+    // SQL-registered expression (GraftExtensions), probed per known type
+    // plus one value never added.
+    val probes = (exact.keys.toSeq.sorted :+ "never_seen").map { t =>
+      t -> spark.sql(
+        s"SELECT graft_cms_estimate(sk, '$t') FROM cms_probe_sk").head().getLong(0)
+    }.toMap
+    exact.foreach { case (t, n) => assert(probes(t) === n, s"type $t") }
+    assert(probes("never_seen") === 0L)
+    // Null intolerance: null item or null sketch → null.
+    assert(spark.sql(
+      "SELECT graft_cms_estimate(sk, CAST(NULL AS STRING)) FROM cms_probe_sk")
+      .head().isNullAt(0))
+  }
+
   test("q121: interpolated values lie between their bracketing neighbors") {
     val rows = Analytics.q121.run(spark, sf).collect()
     // Walk in hour order; for each interpolated (observed=false) row with
