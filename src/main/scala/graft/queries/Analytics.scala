@@ -297,5 +297,68 @@ object Analytics {
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q118, q119, q120, q121, q123)
+  /** q124 — referential-integrity audit across the star schema: orphan
+    * counts for every FK edge (lineitem→orders, lineitem→part,
+    * lineitem→supplier, orders→customer, customer→nation) in one
+    * result — the load-time data-quality gate every warehouse ETL runs
+    * before publishing a batch.
+    *
+    * Each edge is a LEFT ANTI join counting FK values with no parent.
+    * Dimension sides (nation/customer/supplier/part) broadcast; the two
+    * lineitem-keyed fact edges shuffle the fact's FK COLUMN only
+    * (project-before-join). n_checked counts non-null FKs so the
+    * orphan rate is well-defined under nullable keys. */
+  val q124 = QuerySpec(
+    "q124_referential_audit",
+    (s, d) => {
+      import s.implicits._
+      def edge(tag: String, fact: org.apache.spark.sql.DataFrame, fk: String,
+          dim: org.apache.spark.sql.DataFrame, pk: String,
+          broadcastDim: Boolean) = {
+        val keys = fact.select(col(fk)).where(col(fk).isNotNull)
+        val dimKeys = dim.select(col(pk))
+        val orphans = keys.join(
+          if (broadcastDim) broadcast(dimKeys) else dimKeys,
+          col(fk) === col(pk), "left_anti")
+        keys.agg(count(lit(1)).as("n_checked"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(tag).as("fk_edge"), $"n_checked", $"n_orphans")
+      }
+      val li = Tables.lineitem(s, d)
+      edge("customer->nation", Tables.customer(s, d), "c_nationkey",
+          Tables.nation(s, d), "n_nationkey", broadcastDim = true)
+        .unionAll(edge("lineitem->orders", li, "l_orderkey",
+          Tables.orders(s, d), "o_orderkey", broadcastDim = false))
+        .unionAll(edge("lineitem->part", li, "l_partkey",
+          Tables.part(s, d), "p_partkey", broadcastDim = true))
+        .unionAll(edge("lineitem->supplier", li, "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey", broadcastDim = true))
+        .unionAll(edge("orders->customer", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey", broadcastDim = true))
+        .orderBy($"fk_edge")
+    },
+    Some("""SELECT 'customer->nation' AS fk_edge,
+           |  (SELECT count(*) FROM customer WHERE c_nationkey IS NOT NULL) AS n_checked,
+           |  (SELECT count(*) FROM customer WHERE c_nationkey IS NOT NULL
+           |     AND c_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS n_orphans
+           |UNION ALL SELECT 'lineitem->orders',
+           |  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL),
+           |  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+           |     AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+           |UNION ALL SELECT 'lineitem->part',
+           |  (SELECT count(*) FROM lineitem WHERE l_partkey IS NOT NULL),
+           |  (SELECT count(*) FROM lineitem WHERE l_partkey IS NOT NULL
+           |     AND l_partkey NOT IN (SELECT p_partkey FROM part))
+           |UNION ALL SELECT 'lineitem->supplier',
+           |  (SELECT count(*) FROM lineitem WHERE l_suppkey IS NOT NULL),
+           |  (SELECT count(*) FROM lineitem WHERE l_suppkey IS NOT NULL
+           |     AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+           |UNION ALL SELECT 'orders->customer',
+           |  (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL),
+           |  (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+           |     AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+           |ORDER BY fk_edge""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q118, q119, q120, q121, q123, q124)
 }

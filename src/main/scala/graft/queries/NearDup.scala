@@ -503,5 +503,73 @@ object NearDup {
     },
   )
 
-  val all: Seq[QuerySpec] = Seq(q24, q25, q26, q27, q28, q52, q55, q81)
+  /** q125 — INCREMENTAL near-dup: dedup an arriving batch against the
+    * existing corpus without ever pairing the corpus with itself — the
+    * shape a continuously-ingesting training pipeline actually runs
+    * (q24 is the one-shot full-corpus pass; re-running it per batch
+    * would redo O(corpus²-bucketed) work for every delivery).
+    *
+    * Batch = doc_id ≡ 0 (mod 4), corpus = the rest. Both sides get q24's
+    * band signatures (in production the corpus side is precomputed and
+    * stored — signatures are tiny and persistable); corpus signatures
+    * collapse to capped band buckets ([[MaxLshBucket]] — a hot band is
+    * dropped, same degenerate-data guard as q24); the batch probes them
+    * with a band-key equi-join. Per batch doc: is_dup + the smallest
+    * matching corpus doc (deterministic evidence row). Cost at 100 TB:
+    * one shuffle of batch signatures + corpus BUCKETS keyed by band —
+    * the corpus text is never rescanned, never paired. */
+  val q125 = QuerySpec(
+    "q125_dedup_incremental",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"doc_id", tokens($"text").as("t"))
+        .filter(size($"t") >= 3)
+      def sigs(df: DataFrame) = df
+        .select($"doc_id", shingles3("t").as("s"))
+        .select($"doc_id",
+          saltedHashes("s", 0).as("h0"), saltedHashes("s", 1).as("h1"))
+        .select($"doc_id", explode(sequence(lit(0), lit(B - 1))).as("b"), $"h0", $"h1")
+        .select($"doc_id", $"b",
+          concat(chunkMin("h0", "b"), lit("|"), chunkMin("h1", "b")).as("band_key"))
+      val batch = sigs(docs.filter($"doc_id" % 4 === 0))
+      val corpusBuckets = sigs(docs.filter($"doc_id" % 4 =!= 0))
+        .groupBy($"b", $"band_key")
+        .agg(collectCapped($"doc_id", MaxLshBucket).as("ids"))
+        .filter(size($"ids") <= MaxLshBucket)
+      val matches = batch.join(corpusBuckets, Seq("b", "band_key"))
+        .select($"doc_id", explode($"ids").as("corpus_id"))
+        .groupBy($"doc_id")
+        .agg(min($"corpus_id").as("dup_of"))
+      docs.filter($"doc_id" % 4 === 0).select($"doc_id")
+        .join(matches, Seq("doc_id"), "left")
+        .select($"doc_id", $"dup_of".isNotNull.as("is_dup"), $"dup_of")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+           |docs AS (SELECT doc_id, t FROM toks WHERE len(t) >= 3),
+           |sh AS (SELECT doc_id, list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS s
+           |       FROM docs),
+           |hs AS (SELECT doc_id,
+           |        list_transform(s, x -> md5(x || ':0')) AS h0,
+           |        list_transform(s, x -> md5(x || ':1')) AS h1 FROM sh),
+           |sig AS (SELECT doc_id, b,
+           |        list_aggregate(list_transform(h0, x -> substring(x, 1 + 8*b, 8)), 'min')
+           |        || '|' ||
+           |        list_aggregate(list_transform(h1, x -> substring(x, 1 + 8*b, 8)), 'min') AS band_key
+           |        FROM hs, generate_series(0, 3) g(b)),
+           |corpus AS (SELECT b, band_key, doc_id FROM (
+           |  SELECT b, band_key, doc_id, count(*) OVER (PARTITION BY b, band_key) AS bn
+           |  FROM sig WHERE doc_id % 4 <> 0) WHERE bn <= 64),
+           |matches AS (
+           |  SELECT s2.doc_id, min(c.doc_id) AS dup_of
+           |  FROM sig s2 JOIN corpus c ON s2.b = c.b AND s2.band_key = c.band_key
+           |  WHERE s2.doc_id % 4 = 0 GROUP BY s2.doc_id)
+           |SELECT d.doc_id, m.dup_of IS NOT NULL AS is_dup, m.dup_of
+           |FROM (SELECT DISTINCT doc_id FROM docs WHERE doc_id % 4 = 0) d
+           |LEFT JOIN matches m ON d.doc_id = m.doc_id
+           |ORDER BY d.doc_id""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q24, q25, q26, q27, q28, q52, q55, q81, q125)
 }

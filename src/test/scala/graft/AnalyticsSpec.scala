@@ -85,6 +85,42 @@ class AnalyticsSpec extends SparkTestBase {
       .head().isNullAt(0))
   }
 
+  test("q124: clean fixture has zero orphans; doctored parents surface as orphans") {
+    val clean = Analytics.q124.run(spark, sf).collect()
+    assert(clean.length === 5)
+    clean.foreach(r => assert(r.getLong(2) === 0L, s"edge ${r.getString(0)}"))
+    // Doctor a copy: drop half the orders — lineitem->orders and
+    // orders->customer edges must now disagree in opposite ways
+    // (lineitem orphans appear; orders' checked count halves).
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ri").toString
+    try {
+      Seq("region", "nation", "customer", "supplier", "part", "lineitem", "events",
+        "documents", "embeddings").foreach { t =>
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$sf/$t.parquet"),
+          java.nio.file.Paths.get(s"$tmp/$t.parquet"))
+      }
+      Tables.orders(spark, sf).where(col("o_orderkey") % 2 === 0)
+        .write.parquet(s"$tmp/orders.parquet")
+      val doctored = Analytics.q124.run(spark, tmp).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(doctored("lineitem->orders")._2 > 0L, "expected lineitem orphans")
+      assert(doctored("customer->nation")._2 === 0L)
+    } finally graft.Fs.deleteTree(tmp)
+  }
+
+  test("q125: incremental dedup only attributes batch docs to corpus docs") {
+    val rows = graft.queries.NearDup.q125.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 4 === 0, "output must be batch docs only")
+      if (!r.isNullAt(2)) {
+        assert(r.getBoolean(1))
+        assert(r.getLong(2) % 4 !== 0, "dup_of must point into the corpus")
+      } else assert(!r.getBoolean(1))
+    }
+  }
+
   test("q121: interpolated values lie between their bracketing neighbors") {
     val rows = Analytics.q121.run(spark, sf).collect()
     // Walk in hour order; for each interpolated (observed=false) row with
