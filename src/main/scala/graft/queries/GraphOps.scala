@@ -202,5 +202,106 @@ object GraphOps {
       "FROM rk ORDER BY vec_id").mkString("\n")),
   )
 
-  val all: Seq[QuerySpec] = Seq(q59, q94)
+  /** PageRank sweep count: fixed (not convergence-probed) so the DuckDB
+    * oracle can unroll the same number of iterations. */
+  private val PrIters = 3
+
+  /** Fixed-point PageRank mass: 10¹⁵ integer units spread over the
+    * graph. 85·10¹⁵ stays far under Long.MaxValue, and unit-level
+    * truncation error after 3 sweeps is ≲ deg·iters units ≈ 1e-12 of
+    * total mass. */
+  private val PrUnits = 1000000000000000L
+
+  /** q126 — PageRank over the customer↔supplier trade graph (edges =
+    * distinct (customer, supplier) pairs through orders+lineitem, made
+    * symmetric so the chain has no dangling sinks): `PrIters` damped
+    * sweeps, PR₀ = 1/N, PRₖ₊₁(v) = 0.15/N + 0.85·Σᵤ→ᵥ PRₖ(u)/deg(u).
+    *
+    * Determinism across engines: rank is FIXED-POINT — integer units of
+    * 10⁻¹⁵ of the total mass ([[PrUnits]]), every step a BIGINT
+    * operation (`DIV`, `*`, `sum`) with identical truncation semantics
+    * in Spark and DuckDB, so results are exact integers and the oracle
+    * hash-match is unconditional. (The float formulation is NOT
+    * portable: casting a double to a high-scale DECIMAL rounds the
+    * shortest decimal representation in Spark but the exact binary
+    * expansion in DuckDB — 1-ulp divergence at scale ≥ ~17. Det.dsum's
+    * low-scale casts never see those digits; rank values do.)
+    *
+    * Scale: one shuffle per sweep (contributions groupBy dst), edges
+    * and degrees persisted across sweeps, each sweep's rank frame
+    * persisted and the previous unpersisted (lineage stays one sweep
+    * deep — GraphOps.minLabel's loop discipline). At 100 TB you'd add
+    * periodic checkpointing and switch the rank join to a co-partitioned
+    * layout so sweeps reuse one partitioning. */
+  val q126 = QuerySpec(
+    "q126_pagerank",
+    (s, d) => {
+      import s.implicits._
+      val li = graft.Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey")
+      val ord = graft.Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
+      val pairs = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .select(concat(lit("c:"), $"o_custkey").as("cust"),
+          concat(lit("s:"), $"l_suppkey").as("supp"))
+        .distinct()
+      val edges = pairs.select($"cust".as("src"), $"supp".as("dst"))
+        .unionAll(pairs.select($"supp".as("src"), $"cust".as("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val nodes = edges.select($"src".as("node")).distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val n = nodes.count()
+        val teleportUnits = (15L * (PrUnits / n)) / 100L
+        var pr = nodes.withColumn("pr_units", lit(PrUnits / n))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        (1 to PrIters).foreach { _ =>
+          val contribs = pr.join(deg, $"node" === $"src").drop("src")
+            .join(edges, pr("node") === edges("src"))
+            .select($"dst", expr("pr_units DIV deg").as("c"))
+            .groupBy($"dst").agg(sum($"c").as("csum"))
+          val next = nodes.join(contribs, $"node" === $"dst", "left")
+            .select($"node",
+              (lit(teleportUnits) +
+                expr("(85 * coalesce(csum, 0L)) DIV 100")).as("pr_units"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          next.count() // materialize before dropping the previous sweep
+          pr.unpersist(blocking = false)
+          pr = next
+        }
+        val out = pr.orderBy($"node")
+        val rows = out.collect()
+        Seq(deg, nodes, pr).foreach(_.unpersist(blocking = false))
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally edges.unpersist(blocking = false)
+    },
+    Some(Seq(
+      "WITH pairs AS (SELECT DISTINCT 'c:'||o_custkey AS cust, 's:'||l_suppkey AS supp",
+      "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),",
+      "edges AS (SELECT cust AS src, supp AS dst FROM pairs",
+      "          UNION ALL SELECT supp, cust FROM pairs),",
+      "nodes AS (SELECT DISTINCT src AS node FROM edges),",
+      "nn AS (SELECT count(*) AS n FROM nodes),",
+      "tele AS (SELECT (15 * (1000000000000000 // n)) // 100 AS t FROM nn),",
+      "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),",
+      "pr0 AS (SELECT node, (SELECT 1000000000000000 // n FROM nn) AS pr_units FROM nodes),",
+      "c1 AS (SELECT e.dst AS node, sum(p.pr_units // d.deg) AS csum",
+      "  FROM pr0 p JOIN deg d ON p.node = d.src JOIN edges e ON p.node = e.src GROUP BY e.dst),",
+      "pr1 AS (SELECT nd.node, (SELECT t FROM tele)",
+      "  + (85 * coalesce(c.csum, 0)) // 100 AS pr_units",
+      "  FROM nodes nd LEFT JOIN c1 c ON nd.node = c.node),",
+      "c2 AS (SELECT e.dst AS node, sum(p.pr_units // d.deg) AS csum",
+      "  FROM pr1 p JOIN deg d ON p.node = d.src JOIN edges e ON p.node = e.src GROUP BY e.dst),",
+      "pr2 AS (SELECT nd.node, (SELECT t FROM tele)",
+      "  + (85 * coalesce(c.csum, 0)) // 100 AS pr_units",
+      "  FROM nodes nd LEFT JOIN c2 c ON nd.node = c.node),",
+      "c3 AS (SELECT e.dst AS node, sum(p.pr_units // d.deg) AS csum",
+      "  FROM pr2 p JOIN deg d ON p.node = d.src JOIN edges e ON p.node = e.src GROUP BY e.dst),",
+      "pr3 AS (SELECT nd.node, (SELECT t FROM tele)",
+      "  + (85 * coalesce(c.csum, 0)) // 100 AS pr_units",
+      "  FROM nodes nd LEFT JOIN c3 c ON nd.node = c.node)",
+      "SELECT node, CAST(pr_units AS BIGINT) AS pr_units FROM pr3 ORDER BY node").mkString("\n")),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q59, q94, q126)
 }

@@ -50,6 +50,23 @@ class GraphOpsSpec extends SparkTestBase {
     minByCluster.foreach { case (c, mn) => assert(c === mn) }
   }
 
+  test("q126 pagerank: mass conserved within truncation, ranks positive, both node kinds") {
+    val rows = graft.queries.GraphOps.q126.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(1)).sum
+    // Integer truncation only ever LOSES units: per sweep ≤ 1 unit per
+    // edge-division plus ≤ 1 per damping step per node.
+    val units = 1000000000000000L
+    assert(total <= units, s"mass grew: $total > $units")
+    assert(total > units - units / 1000, s"lost >0.1% of mass: $total")
+    rows.foreach(r => assert(r.getLong(1) > 0L, s"${r.getString(0)} rank not positive"))
+    val kinds = rows.map(_.getString(0).takeWhile(_ != ':')).toSet
+    assert(kinds === Set("c", "s"))
+    // Ranks should differentiate: a supplier trading with many customers
+    // outranks the minimum.
+    assert(rows.map(_.getLong(1)).distinct.length > 1)
+  }
+
   test("q94 keep policy: exactly one survivor per cluster, sizes consistent") {
     val rows = graft.queries.GraphOps.q94.run(spark, sf).collect()
     val byCluster = rows.groupBy(_.getLong(1))
