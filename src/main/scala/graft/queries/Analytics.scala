@@ -360,5 +360,62 @@ object Analytics {
            |ORDER BY fk_edge""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q118, q119, q120, q121, q123, q124)
+  /** q127 — `approx_top_k` (Spark 4.1's frequent-items sketch,
+    * Misra-Gries style: deterministic, mergeable, no randomness): top
+    * event types with estimated counts, exploded to rows. With
+    * maxItemsTracked ≥ the distinct universe the estimates are exact,
+    * so the count(*) oracle hash-matches; at real cardinality the same
+    * plan returns ε-bounded counts for the true heavy hitters. k spans
+    * the full universe here so a count tie at the k-boundary can't make
+    * the returned SET nondeterministic (ordering is re-imposed by the
+    * query, not taken from the sketch). */
+  val q127 = QuerySpec(
+    "q127_approx_top_k",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .agg(expr("approx_top_k(event_type, 5, 100)").as("tk"))
+        .select(explode($"tk").as("e"))
+        .select($"e.item".as("event_type"), $"e.count".as("est_count"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, count(*) AS est_count
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+  )
+
+  /** q128 — error-safe scalar surface (`try_divide` / `try_cast`): the
+    * ingest-cleaning contract that malformed values become NULL instead
+    * of failing the job. Division by a zero bucket, a never-numeric
+    * string, a round-trip numeric string, and a synthesized date that
+    * is invalid for part of the domain (Feb 29-39) all flow through
+    * per-row codegen'd expressions — no shuffle, scan-shaped, trivially
+    * scale-safe. The DuckDB mirror states the same semantics with
+    * nullif/try_cast (fractional-string→int and overflow corners are
+    * deliberately excluded: the two engines genuinely disagree there,
+    * and a portability gate can only pin the agreed surface). */
+  val q128 = QuerySpec(
+    "q128_try_error_safe",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .filter($"user_id" < 30)
+        .select(
+          $"event_id",
+          round(expr("try_divide(value, user_id % 3)"), 6).as("per_bucket"),
+          expr("try_cast(event_type AS INT)").as("never_int"),
+          expr("try_cast(cast(event_id AS STRING) AS INT)").as("roundtrip_int"),
+          expr("""try_cast(concat('2026-02-', lpad(cast(event_id % 40 AS STRING), 2, '0'))
+                 AS DATE)""").as("maybe_date"))
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id,
+           |  round(value / nullif(user_id % 3, 0), 6) AS per_bucket,
+           |  try_cast(event_type AS INT) AS never_int,
+           |  try_cast(CAST(event_id AS VARCHAR) AS INT) AS roundtrip_int,
+           |  try_cast('2026-02-' || lpad(CAST(event_id % 40 AS VARCHAR), 2, '0')
+           |    AS DATE) AS maybe_date
+           |FROM events WHERE user_id < 30 ORDER BY event_id""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q118, q119, q120, q121, q123, q124, q127, q128)
 }
