@@ -160,6 +160,35 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("Window"), p)
   }
 
+  test("q118: nation dim broadcasts; sketches partial-aggregate before each exchange") {
+    val p = plan("q118_hll_sketch_union")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "nation join degraded to sort-merge\n" + p)
+    // Both sketch levels must be ObjectHashAggregate (map-side partial +
+    // merge), never SortAggregate fallback.
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("SortAggregate"), "sketch agg fell back to sort-based\n" + p)
+  }
+
+  test("q119: both SCD2 windows reuse one user_id shuffle") {
+    val p = plan("q119_scd2_dimension")
+    // One exchange for the windows (hashpartitioning on user_id) plus the
+    // final orderBy's range exchange — nothing else.
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 exchanges (window + sort), got $exchanges\n" + p)
+  }
+
+  test("q124: dimension edges broadcast their anti joins; no edge nested-loops") {
+    val p = plan("q124_referential_audit")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), "RI edge degraded to cartesian\n" + p)
+  }
+
+  test("q121: spine joins the broadcast hourly rollup, never raw events") {
+    val p = plan("q121_interpolate_linear")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("whole-stage codegen covers the scan->project hot path of q30") {
     // Under AQE codegen stages exist only in the executed final plan —
     // run the query, then look for per-node "codegen id" annotations.
