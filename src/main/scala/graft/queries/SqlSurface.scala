@@ -395,6 +395,63 @@ object SqlSurface {
            |GROUP BY event_type ORDER BY event_type""".stripMargin),
   )
 
+  /** q129 — SQL-defined scalar function (Spark 4 `CREATE TEMPORARY
+    * FUNCTION ... RETURN expr`): the quality-score heuristic packaged
+    * as a catalog function a SQL-only user can call — the Athena-style
+    * answer to "share scoring logic without shipping a jar". The body
+    * INLINES into the caller's plan (no UDF boundary, stays inside
+    * whole-stage codegen), so it costs the same as writing the
+    * expression by hand; the oracle states exactly that inlined
+    * expression. Everything is cast to DOUBLE before dividing — Spark
+    * and DuckDB disagree on decimal-literal division scales, doubles
+    * are IEEE-identical. */
+  val q129 = QuerySpec(
+    "q129_sql_udf_scalar",
+    (s, d) => {
+      registerViews(s, d)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_qscore(n_chars BIGINT, n_toks INT)
+              |RETURNS DOUBLE
+              |RETURN round(least(CAST(1.0 AS DOUBLE), CAST(n_toks AS DOUBLE) / 100.0)
+              |  * (CAST(n_chars AS DOUBLE) / greatest(n_toks, 1) / 8.0), 6)""".stripMargin)
+      s.sql("""SELECT doc_id,
+              |  graft_qscore(n_chars, size(split(lower(text), '\\s+'))) AS qscore
+              |FROM documents ORDER BY doc_id""".stripMargin)
+    },
+    Some("""SELECT doc_id,
+           |  round(least(CAST(1.0 AS DOUBLE),
+           |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS DOUBLE) / 100.0)
+           |  * (CAST(n_chars AS DOUBLE)
+           |     / greatest(len(regexp_split_to_array(lower(text), '\s+')), 1) / 8.0), 6)
+           |    AS qscore
+           |FROM documents ORDER BY doc_id""".stripMargin),
+  )
+
+  /** q130 — SQL table-valued function + correlated LATERAL: a chunking
+    * TVF (64-char stride) applied per document row — the SQL twin of
+    * q67's DataFrame chunker, and the first-class way a SQL user fans
+    * one row out to N. The TVF body is `explode(sequence(...))`, so the
+    * plan is a Generate over the scan — identical to hand-written
+    * explode, one task-local fan-out, no shuffle. greatest(n-1, 0)
+    * keeps empty documents at one chunk on BOTH engines (Spark's int
+    * `/` is truncating-toward-zero double division, DuckDB's `//`
+    * floors — they disagree at -1/64, agree at 0). */
+  val q130 = QuerySpec(
+    "q130_sql_table_function",
+    (s, d) => {
+      registerViews(s, d)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_chunks(n BIGINT)
+              |RETURNS TABLE(chunk_id INT)
+              |RETURN SELECT explode(sequence(0, CAST(greatest(n - 1, 0) / 64 AS INT)))""".stripMargin)
+      s.sql("""SELECT d.doc_id, count(*) AS n_chunks, max(t.chunk_id) AS last_chunk
+              |FROM documents d, LATERAL graft_chunks(d.n_chars) t
+              |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)
+    },
+    Some("""SELECT doc_id,
+           |  CAST(greatest(n_chars - 1, 0) // 64 AS BIGINT) + 1 AS n_chunks,
+           |  CAST(greatest(n_chars - 1, 0) // 64 AS INT) AS last_chunk
+           |FROM documents ORDER BY doc_id""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q37, q38, q48, q51, q56, q71, q72, q83, q93,
-    q97, q103, q116)
+    q97, q103, q116, q129, q130)
 }
