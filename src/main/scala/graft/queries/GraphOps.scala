@@ -227,12 +227,16 @@ object GraphOps {
     * expansion in DuckDB — 1-ulp divergence at scale ≥ ~17. Det.dsum's
     * low-scale casts never see those digits; rank values do.)
     *
-    * Scale: one shuffle per sweep (contributions groupBy dst), edges
-    * and degrees persisted across sweeps, each sweep's rank frame
-    * persisted and the previous unpersisted (lineage stays one sweep
-    * deep — GraphOps.minLabel's loop discipline). At 100 TB you'd add
-    * periodic checkpointing and switch the rank join to a co-partitioned
-    * layout so sweeps reuse one partitioning. */
+    * Scale: the (edge, degree) frame is built ONCE, hash-partitioned on
+    * dst ONCE, and persisted — each sweep then broadcasts the
+    * node-count-sized rank frame onto it and partial-aggregates
+    * contributions in place, so a sweep moves NO edge bytes at all
+    * (the only exchange is the node-sized rank update). Rank frames
+    * persist one sweep deep (minLabel's loop discipline). The broadcast
+    * holds while |nodes| ≪ |edges| — the usual PageRank regime; for a
+    * node set too big to broadcast, co-partition ranks on src and
+    * accept the classic one-shuffle-per-sweep, plus periodic
+    * checkpointing to truncate lineage. */
   val q126 = QuerySpec(
     "q126_pagerank",
     (s, d) => {
@@ -246,32 +250,38 @@ object GraphOps {
       val edges = pairs.select($"cust".as("src"), $"supp".as("dst"))
         .unionAll(pairs.select($"supp".as("src"), $"cust".as("dst")))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      try {
+      try graft.Confs.withShufflePartitions(s, 16) {
         val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+        // One edge frame with degree attached, laid out by dst so every
+        // sweep's contribution aggregate reuses this partitioning.
+        val edgesDeg = edges.join(deg, "src")
+          .repartition(16, $"dst")
           .persist(StorageLevel.MEMORY_AND_DISK)
         val nodes = edges.select($"src".as("node")).distinct()
           .persist(StorageLevel.MEMORY_AND_DISK)
         val n = nodes.count()
         val teleportUnits = (15L * (PrUnits / n)) / 100L
-        var pr = nodes.withColumn("pr_units", lit(PrUnits / n))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        (1 to PrIters).foreach { _ =>
-          val contribs = pr.join(deg, $"node" === $"src").drop("src")
-            .join(edges, pr("node") === edges("src"))
+        // Rank frames persist LAZILY: with a fixed sweep count the one
+        // final collect materializes each sweep exactly once through its
+        // persisted parent, so no per-sweep count() jobs are needed —
+        // each persist node still caps lineage at one sweep. (A
+        // convergence-probed loop would need the eager count back.)
+        val sweeps = Seq.iterate(
+          nodes.withColumn("pr_units", lit(PrUnits / n))
+            .persist(StorageLevel.MEMORY_AND_DISK),
+          PrIters + 1) { pr =>
+          val contribs = edgesDeg.join(broadcast(pr), $"src" === $"node")
             .select($"dst", expr("pr_units DIV deg").as("c"))
             .groupBy($"dst").agg(sum($"c").as("csum"))
-          val next = nodes.join(contribs, $"node" === $"dst", "left")
+          nodes.join(contribs, $"node" === $"dst", "left")
             .select($"node",
               (lit(teleportUnits) +
                 expr("(85 * coalesce(csum, 0L)) DIV 100")).as("pr_units"))
             .persist(StorageLevel.MEMORY_AND_DISK)
-          next.count() // materialize before dropping the previous sweep
-          pr.unpersist(blocking = false)
-          pr = next
         }
-        val out = pr.orderBy($"node")
+        val out = sweeps.last.orderBy($"node")
         val rows = out.collect()
-        Seq(deg, nodes, pr).foreach(_.unpersist(blocking = false))
+        (Seq(edgesDeg, nodes) ++ sweeps).foreach(_.unpersist(blocking = false))
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally edges.unpersist(blocking = false)
     },
