@@ -37,6 +37,17 @@ class NearDupCapSpec extends SparkTestBase {
     assert(NearDup.q26.run(spark, cloneDir).count() === 0L)
   }
 
+  test("q125 incremental dedup under a degenerate corpus: hot buckets drop, batch reports clean") {
+    // All 200 clones share every band; the corpus side's buckets exceed
+    // the cap and are dropped, so batch docs (doc_id % 4 == 0) must come
+    // back marked NOT duplicate — the documented degrade-not-OOM
+    // trade-off (a hot band carries no discriminating signal).
+    val rows = NearDup.q125.run(spark, cloneDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(!r.getBoolean(1),
+      s"doc ${r.getLong(0)} matched through a bucket the cap should drop"))
+  }
+
   test("caps sit above observed sf bucket maxima so real pairs survive") {
     // The planted near-dup pairs at sf0.001 still come out with caps on.
     assert(NearDup.q24.run(spark, sf).count() > 0L)
