@@ -417,5 +417,90 @@ object Analytics {
            |FROM events WHERE user_id < 30 ORDER BY event_id""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q118, q119, q120, q121, q123, q124, q127, q128)
+  /** q131 — 2-D Pareto skyline (orders maximizing totalprice while
+    * minimizing orderdate: "the frontier of big-and-early"): a point
+    * survives iff no other order has ≥ price AND ≤ date with one strict.
+    *
+    * The naive formulation is an O(n²) dominance anti-join; the 2-D
+    * skyline collapses to ONE window pass: sort by date (ties by price
+    * desc), keep rows strictly above the running price max of all
+    * earlier rows. That's a sort + linear scan — at 100 TB,
+    * range-partition by date and carry each partition's prefix-max as a
+    * tiny broadcast to stitch boundaries (the window here; the oracle
+    * spells the same semantics as the quadratic NOT EXISTS to prove the
+    * rewrite exact). Ties: equal (date, price) rows are mutually
+    * non-dominating — both survive — so the running-max comparison uses
+    * the PREVIOUS date's max only (range frame < current date on price
+    * max of earlier dates + intra-date max handling via two-level
+    * grouping: per-date max first — dominated intra-date rows fall to
+    * the per-date reduction, which is also what bounds the window state). */
+  val q131 = QuerySpec(
+    "q131_pareto_skyline",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // Per-date reduction first: within a date only the max price can
+      // be on the frontier (strictly-lower same-date rows are dominated).
+      val perDate = Tables.orders(s, d)
+        .groupBy($"o_orderdate".as("odate"))
+        .agg(max($"o_totalprice").as("best_price"))
+      val w = Window.orderBy($"odate")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      perDate
+        .withColumn("earlier_max", max($"best_price").over(w))
+        .where($"earlier_max".isNull || $"best_price" > $"earlier_max")
+        .select(dstr($"odate").as("order_date"), $"best_price")
+        .orderBy($"order_date")
+    },
+    Some("""WITH pd AS (
+           |  SELECT o_orderdate AS odate, max(o_totalprice) AS best_price
+           |  FROM orders GROUP BY 1
+           |)
+           |SELECT strftime(a.odate, '%Y-%m-%d') AS order_date, a.best_price
+           |FROM pd a
+           |WHERE NOT EXISTS (
+           |  SELECT 1 FROM pd b
+           |  WHERE b.odate < a.odate AND b.best_price >= a.best_price)
+           |ORDER BY order_date""".stripMargin),
+  )
+
+  /** q132 — A/B experiment readout from exact sufficient statistics:
+    * users split into variants by id parity, per-variant n / mean /
+    * population variance of purchase value derived from (n, Σx, Σx²)
+    * kept as exact decimals — ONE aggregation pass, no second moment
+    * shuffle, and the derived doubles are identical on both engines
+    * because the inputs to every division are identical. This is the
+    * sufficient-statistics pattern that makes experiment readouts
+    * mergeable across days/partitions at 100 TB (store the three sums,
+    * derive forever). */
+  val q132 = QuerySpec(
+    "q132_abtest_stats",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .where($"event_type" === "purchase")
+        .groupBy(($"user_id" % 2 === 0).as("variant_a"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum($"value", 4).as("sum_x"),
+          dsum($"value" * $"value", 8).as("sum_x2"))
+        .select($"variant_a", $"n",
+          round($"sum_x" / $"n", 6).as("mean"),
+          round($"sum_x2" / $"n" - ($"sum_x" / $"n") * ($"sum_x" / $"n"), 6)
+            .as("var_pop"))
+        .orderBy($"variant_a")
+    },
+    Some(s"""WITH s AS (
+            |  SELECT (user_id % 2 = 0) AS variant_a, count(*) AS n,
+            |    ${sqlDsum("value", 4)} AS sum_x,
+            |    ${sqlDsum("value * value", 8)} AS sum_x2
+            |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+            |)
+            |SELECT variant_a, n, round(sum_x / n, 6) AS mean,
+            |  round(sum_x2 / n - (sum_x / n) * (sum_x / n), 6) AS var_pop
+            |FROM s ORDER BY variant_a""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] =
+    Seq(q118, q119, q120, q121, q123, q124, q127, q128, q131, q132)
 }

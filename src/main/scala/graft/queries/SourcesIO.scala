@@ -148,5 +148,64 @@ object SourcesIO {
            |FROM nation""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q113, q114, q117)
+  /** q133 — small-file compaction planner: the planning half of the
+    * small-files problem every long-running ingest hits (q80 executes a
+    * compaction; this decides WHAT to compact). Forty staged object
+    * files are listed by the binaryFile source — content NEVER
+    * projected, the scan reads names and lengths only — and assigned to
+    * target-sized bins by next-fit-decreasing: sort (length desc,
+    * name), running byte cumsum, bin = preceding-bytes DIV target,
+    * target = total DIV 4 + 1. All-integer arithmetic → engine-exact.
+    *
+    * The staged files are documents' text bytes (q113's staging), so
+    * each file's length equals octet_length(text) BY CONSTRUCTION and
+    * the DuckDB oracle plans the identical bins straight from the
+    * documents table — the gate needs no filesystem access. At 100 TB
+    * the listing is the metadata scan: millions of files stay a
+    * driver-free DataFrame, the window runs over file-count rows, and
+    * bins ship to executors as compaction work units. */
+  val q133 = QuerySpec(
+    "q133_compaction_plan",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_compact_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      Files.createDirectories(Paths.get(tmp))
+      try {
+        Tables.documents(s, d).filter($"doc_id" < 40)
+          .select($"doc_id", $"text").collect()
+          .foreach { r =>
+            Files.write(Paths.get(f"$tmp/doc_${r.getLong(0)}%03d.bin"),
+              r.getString(1).getBytes("UTF-8"))
+          }
+        val files = s.read.format("binaryFile").load(tmp)
+          .select(element_at(split($"path", "/"), -1).as("file_name"), $"length")
+        val w = Window.orderBy($"length".desc, $"file_name")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val plan = files
+          .withColumn("target", expr("sum(length) OVER () DIV 4") + lit(1L))
+          .withColumn("before", coalesce(sum($"length").over(w), lit(0L)))
+          .select($"file_name", $"length",
+            expr("before DIV target").cast("int").as("bin"))
+          .orderBy($"file_name")
+        val rows = plan.collect() // eager: staged dir is about to be deleted
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), plan.schema)
+      } finally graft.Fs.deleteTree(tmp)
+    },
+    Some("""WITH f AS (
+           |  SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 3, '0') || '.bin' AS file_name,
+           |    CAST(octet_length(encode(text)) AS BIGINT) AS length
+           |  FROM documents WHERE doc_id < 40
+           |), t AS (
+           |  SELECT *, (sum(length) OVER ()) // 4 + 1 AS target,
+           |    coalesce(sum(length) OVER (ORDER BY length DESC, file_name
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+           |  FROM f
+           |)
+           |SELECT file_name, length, CAST(before // target AS INT) AS bin
+           |FROM t ORDER BY file_name""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q113, q114, q117, q133)
 }
