@@ -501,6 +501,81 @@ object Analytics {
             |FROM s ORDER BY variant_a""".stripMargin),
   )
 
+  /** q134 — point-in-time (AS OF event time) dimension join: each
+    * purchase event joined to the SCD2 run (q119's dimension) that was
+    * effective when the purchase happened — THE standard warehouse
+    * pattern for "what did the dimension say at fact time" (q42's as-of
+    * join picks the nearest prior EVENT; this picks the containing
+    * VALIDITY INTERVAL). Interval semantics: [from, to) — a fact at a
+    * boundary belongs to the newer run.
+    *
+    * Plan shape: equi-join on user_id with the interval predicate as a
+    * residual — per-user run counts are small (bounded by that user's
+    * type changes), so the residual scan after the hash match is short.
+    * At 100 TB both sides hash on user_id once; no time-binning needed
+    * unless one user's history itself is huge. */
+  val q134 = QuerySpec(
+    "q134_pit_dimension_join",
+    (s, d) => {
+      import s.implicits._
+      val dim = q119.run(s, d)
+        .select($"user_id".as("d_user"), $"version", $"event_type".as("run_type"),
+          $"effective_from", $"effective_to")
+      val purchases = Tables.events(s, d)
+        .where($"event_type" === "purchase")
+        .select($"event_id", $"user_id",
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+      purchases.join(dim,
+          $"user_id" === $"d_user" &&
+            $"ts_str" >= $"effective_from" &&
+            ($"effective_to".isNull || $"ts_str" < $"effective_to"))
+        .select($"event_id".as("purchase_id"), $"user_id", $"version", $"run_type")
+        .orderBy($"purchase_id")
+    },
+    q119.oracle.map(scd2 => Seq(
+      s"WITH dim AS (${scd2.replace("ORDER BY user_id, version", "")}),",
+      "p AS (SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str",
+      "      FROM events WHERE event_type = 'purchase')",
+      "SELECT p.event_id AS purchase_id, p.user_id, dim.version,",
+      "  dim.event_type AS run_type",
+      "FROM p JOIN dim ON p.user_id = dim.user_id",
+      " AND p.ts_str >= dim.effective_from",
+      " AND (dim.effective_to IS NULL OR p.ts_str < dim.effective_to)",
+      "ORDER BY purchase_id").mkString("\n")),
+  )
+
+  /** q137 — case-insensitive COLLATION grouping (Spark 4 collations):
+    * market segments are case-mangled by row parity, then grouped under
+    * UTF8_LCASE — the collation-aware grouping a warehouse uses for
+    * messy categorical columns WITHOUT rewriting every key (at scale
+    * the collated comparison happens in the shuffle/agg itself; no
+    * normalized shadow column materializes). The gate emits the
+    * normalized key + binary-min witness per group, which the oracle
+    * reproduces with explicit lower() — proving collated grouping ==
+    * normalize-then-group. */
+  val q137 = QuerySpec(
+    "q137_collation_group",
+    (s, d) => {
+      import s.implicits._
+      Tables.customer(s, d)
+        .withColumn("seg_mixed",
+          when($"c_custkey" % 2 === 0, upper($"c_mktsegment"))
+            .otherwise(lower($"c_mktsegment")))
+        .groupBy(expr("collate(seg_mixed, 'UTF8_LCASE')").as("k"))
+        .agg(min($"seg_mixed").as("seg_witness"), count(lit(1)).as("n"))
+        .select(lower($"k").cast("string").as("segment"), $"seg_witness", $"n")
+        .orderBy($"segment")
+    },
+    Some("""WITH m AS (
+           |  SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+           |              ELSE lower(c_mktsegment) END AS seg_mixed
+           |  FROM customer
+           |)
+           |SELECT lower(seg_mixed) AS segment, min(seg_mixed) AS seg_witness,
+           |  count(*) AS n
+           |FROM m GROUP BY lower(seg_mixed) ORDER BY segment""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q118, q119, q120, q121, q123, q124, q127, q128, q131, q132)
+    Seq(q118, q119, q120, q121, q123, q124, q127, q128, q131, q132, q134, q137)
 }

@@ -207,5 +207,29 @@ object SourcesIO {
            |FROM t ORDER BY file_name""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q113, q114, q117, q133)
+  /** q136 — hidden `_metadata` scan columns: per-file row counts and
+    * the 0-based dense `row_index` checksum over the lineitem scan —
+    * the lineage primitive behind "which file did this row come from"
+    * debugging and file-level incremental reprocessing. The oracle
+    * needs no filesystem access: the fixture is one file per table, so
+    * file_name is a constant and a dense 0..n-1 row_index must sum to
+    * n(n-1)/2 — which is exactly what pins the column's semantics. */
+  val q136 = QuerySpec(
+    "q136_metadata_columns",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select(
+          element_at(split(col("_metadata.file_name"), "/"), -1).as("file_name"),
+          col("_metadata.row_index").as("row_index"))
+        .groupBy($"file_name")
+        .agg(count(lit(1)).as("n"), sum($"row_index").as("row_index_sum"))
+        .orderBy($"file_name")
+    },
+    Some("""SELECT 'lineitem.parquet' AS file_name, count(*) AS n,
+           |  CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS row_index_sum
+           |FROM lineitem""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q113, q114, q117, q133, q136)
 }

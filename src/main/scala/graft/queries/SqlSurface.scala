@@ -452,6 +452,30 @@ object SqlSurface {
            |FROM documents ORDER BY doc_id""".stripMargin),
   )
 
+  /** q135 — SQL pipe syntax (Spark 4 `|>` operators): the pricing
+    * rollup written as a linear pipeline — FROM |> WHERE |> AGGREGATE
+    * |> ORDER BY — the readability-first SQL dialect for multi-step
+    * transforms (each stage parses to exactly the clause it names, so
+    * the plan is identical to the nested-SELECT form; the oracle states
+    * that equivalent standard SQL). */
+  val q135 = QuerySpec(
+    "q135_sql_pipe_syntax",
+    (s, d) => {
+      registerViews(s, d)
+      s.sql("""FROM lineitem
+              ||> WHERE l_quantity >= 30.0
+              ||> AGGREGATE
+              |     CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+              |     count(*) AS n
+              |   GROUP BY l_returnflag
+              ||> ORDER BY l_returnflag""".stripMargin)
+    },
+    Some(s"""SELECT l_returnflag, ${Det.sqlDsum("l_quantity", 2)} AS sum_qty,
+            |  count(*) AS n
+            |FROM lineitem WHERE l_quantity >= 30.0
+            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q37, q38, q48, q51, q56, q71, q72, q83, q93,
-    q97, q103, q116, q129, q130)
+    q97, q103, q116, q129, q130, q135)
 }

@@ -121,6 +121,15 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("q134: PIT join matches every purchase to exactly one validity interval") {
+    val rows = Analytics.q134.run(spark, sf).collect()
+    val nPurchases = Tables.events(spark, sf)
+      .where(col("event_type") === "purchase").count()
+    assert(rows.length.toLong === nPurchases,
+      "intervals must partition each user's timeline (no gaps, no overlaps)")
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+  }
+
   test("q121: interpolated values lie between their bracketing neighbors") {
     val rows = Analytics.q121.run(spark, sf).collect()
     // Walk in hour order; for each interpolated (observed=false) row with
