@@ -576,6 +576,43 @@ object Analytics {
            |FROM m GROUP BY lower(seg_mixed) ORDER BY segment""".stripMargin),
   )
 
+  /** q139 — event-type transition matrix (first-order Markov counts):
+    * per user, consecutive event pairs ordered by (ts, event_id),
+    * rolled up to (from_type, to_type, n, share_ppm of the from-type's
+    * outgoing edges) — the flow-mining readout behind funnel discovery
+    * (q120 checks ONE known path; this surfaces which paths exist).
+    * One lag window on the user_id shuffle, then a vocabulary-sized
+    * rollup; shares in integer ppm (BIGINT DIV — engine-exact). */
+  val q139 = QuerySpec(
+    "q139_event_transitions",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, d)
+        .withColumn("prev_type", lag($"event_type", 1).over(byUser))
+        .where($"prev_type".isNotNull)
+        .groupBy($"prev_type".as("from_type"), $"event_type".as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share_ppm",
+          expr("(n * 1000000) DIV sum(n) OVER (PARTITION BY from_type)"))
+        .orderBy($"from_type", $"to_type")
+    },
+    Some("""WITH p AS (
+           |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           |    AS from_type, event_type AS to_type
+           |  FROM events
+           |), c AS (
+           |  SELECT from_type, to_type, count(*) AS n
+           |  FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2
+           |)
+           |SELECT from_type, to_type, n,
+           |  CAST((n * 1000000) // (sum(n) OVER (PARTITION BY from_type)) AS BIGINT)
+           |    AS share_ppm
+           |FROM c ORDER BY from_type, to_type""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q118, q119, q120, q121, q123, q124, q127, q128, q131, q132, q134, q137)
+    Seq(q118, q119, q120, q121, q123, q124, q127, q128, q131, q132, q134, q137,
+      q139)
 }

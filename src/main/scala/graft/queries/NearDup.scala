@@ -571,5 +571,46 @@ object NearDup {
            |ORDER BY d.doc_id""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q24, q25, q26, q27, q28, q52, q55, q81, q125)
+  /** q138 — LSH quality report: q24's MinHash/LSH candidate pairs
+    * scored against q26's exact-Jaccard truth set — the calibration
+    * readout that tells a pipeline owner whether the banding config
+    * (8 hashes × 4 bands) is catching the duplicates it must catch
+    * BEFORE committing a 100 TB pass to it. One row: candidate count,
+    * truth count, hits, precision/recall in exact integer ppm (BIGINT
+    * DIV — engine-exact, no float ratios in the gate).
+    *
+    * Scale: both inputs are the bucket-shaped pair lists (corpus-sparse
+    * by construction); the hit join is pair-key equi — the report costs
+    * two pair-list shuffles on top of the runs it evaluates. */
+  val q138 = QuerySpec(
+    "q138_lsh_quality_report",
+    (s, d) => {
+      import s.implicits._
+      val cand = q24.run(s, d).select($"doc_a", $"doc_b")
+      val truth = q26.run(s, d).select($"doc_a", $"doc_b")
+      val hits = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .select($"n_candidates", $"n_true", $"n_hits",
+          expr("(n_hits * 1000000) DIV n_candidates").as("precision_ppm"),
+          expr("(n_hits * 1000000) DIV n_true").as("recall_ppm"))
+    },
+    (q24.oracle, q26.oracle) match {
+      case (Some(lshSql), Some(jacSql)) => Some(Seq(
+        s"WITH cand AS (${lshSql.replace("ORDER BY doc_a, doc_b", "")}),",
+        s"truth AS (SELECT doc_a, doc_b FROM (${jacSql.replace("ORDER BY doc_a, doc_b", "")})),",
+        "hits AS (SELECT doc_a, doc_b FROM cand INTERSECT SELECT doc_a, doc_b FROM truth),",
+        "c AS (SELECT count(*) AS n_candidates FROM cand),",
+        "t AS (SELECT count(*) AS n_true FROM truth),",
+        "h AS (SELECT count(*) AS n_hits FROM hits)",
+        "SELECT n_candidates, n_true, n_hits,",
+        "  CAST((n_hits * 1000000) // n_candidates AS BIGINT) AS precision_ppm,",
+        "  CAST((n_hits * 1000000) // n_true AS BIGINT) AS recall_ppm",
+        "FROM c, t, h").mkString("\n"))
+      case _ => None
+    },
+  )
+
+  val all: Seq[QuerySpec] = Seq(q24, q25, q26, q27, q28, q52, q55, q81, q125, q138)
 }
