@@ -429,6 +429,52 @@ object Extras {
             |GROUP BY grp ORDER BY grp""".stripMargin),
   )
 
+  /** q141 — bucketed co-located join (graft.operators.Bucketing) under
+    * the oracle gate: orders and lineitem both written as bucketed+sorted
+    * managed tables on the join key (8 buckets), then equi-joined and
+    * rolled up. Bucketing pre-partitions the data ON DISK — bucket i of
+    * each side reads into the same task, so the join plans with NO
+    * Exchange on either side (BucketingSpec pins that plan shape); at
+    * 100 TB the fact⋈fact shuffle is paid once at write time and
+    * amortized over every downstream query. Layout must never change
+    * semantics: the oracle runs the plain join on the raw parquet.
+    * Unique table names + DROP in finally keep the shared-session
+    * catalog and warehouse dir clean even when a run throws. */
+  val q141 = QuerySpec(
+    "q141_bucketed_colocated_join",
+    (s, d) => {
+      import s.implicits._
+      val sfx = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val (tblO, tblL) = (s"graft_bo_$sfx", s"graft_bl_$sfx")
+      try {
+        graft.operators.Bucketing.writeBucketed(
+          Tables.orders(s, d).select($"o_orderkey", $"o_orderpriority"),
+          tblO, "o_orderkey", buckets = 8)
+        graft.operators.Bucketing.writeBucketed(
+          Tables.lineitem(s, d)
+            .select($"l_orderkey", $"l_extendedprice", $"l_quantity"),
+          tblL, "l_orderkey", buckets = 8)
+        val agg = s.table(tblO)
+          .join(s.table(tblL), $"o_orderkey" === $"l_orderkey")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            dsum($"l_extendedprice", 2).as("price_sum"),
+            dsum($"l_quantity", 2).as("qty_sum"))
+          .orderBy($"o_orderpriority")
+        val rows = agg.collect() // eager: tables are dropped in finally
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $tblO")
+        s.sql(s"DROP TABLE IF EXISTS $tblL")
+      }
+    },
+    Some(s"""SELECT o_orderpriority, count(*) AS n_items,
+            |  ${sqlDsum("l_extendedprice", 2)} AS price_sum,
+            |  ${sqlDsum("l_quantity", 2)} AS qty_sum
+            |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+  )
+
   /** q79 — Hive-style partitioned layout end-to-end: documents written
     * `partitionBy(lang)` (the Glue/Athena partition convention the
     * reference's catalog tier implies — one directory per partition
@@ -888,5 +934,6 @@ object Extras {
   )
 
   val all: Seq[QuerySpec] = Seq(q39, q40, q41, q42, q43, q46, q47, q49, q50, q58,
-    q74, q77, q79, q80, q92, q98, q99, q102, q104, q105, q107, q109, q112, q115)
+    q74, q77, q79, q80, q92, q98, q99, q102, q104, q105, q107, q109, q112, q115,
+    q141)
 }

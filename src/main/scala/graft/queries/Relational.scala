@@ -703,6 +703,172 @@ object Relational {
             |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
   )
 
+  /** q143 — TPC-H-Q22-shaped "wealthy but gone quiet": customers whose
+    * account balance exceeds the global average AND who placed no
+    * orders in the recent window (since 2000-01-01 — Q22's "no orders
+    * in 7 years" test), rolled up per nation. The above-average test is
+    * exact on both engines by cross-multiplication in integer cents
+    * (cents × n_all > cents_all) — no float division, no tie drift.
+    * Scale: the global (n, Σ) pair is one scalar agg broadcast into the
+    * filter; the gone-quiet test is a left ANTI join against orders
+    * date-filtered and projected to the key column only (the orders
+    * side carries 8 bytes/row into the shuffle, and at 100 TB the anti
+    * join shuffles keys, never payloads). */
+  val q143 = QuerySpec(
+    "q143_above_avg_no_orders",
+    (s, d) => {
+      import s.implicits._
+      val cust = Tables.customer(s, d).select(
+        $"c_custkey", $"c_nationkey",
+        ($"c_acctbal".cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+      val stats = cust.agg(
+        count(lit(1)).as("n_all"), sum($"cents").as("cents_all"))
+      cust.crossJoin(broadcast(stats))
+        .where($"cents" * $"n_all" > $"cents_all")
+        .join(Tables.orders(s, d)
+          .where($"o_orderdate" >= lit("2000-01-01")).select($"o_custkey"),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_cust"), sum($"cents").as("cents_sum"))
+        .orderBy($"c_nationkey")
+    },
+    Some("""WITH c AS (
+           |  SELECT c_custkey, c_nationkey,
+           |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           |  FROM customer)
+           |SELECT c_nationkey, count(*) AS n_cust,
+           |  CAST(sum(cents) AS BIGINT) AS cents_sum
+           |FROM c
+           |WHERE cents * (SELECT count(*) FROM c) > (SELECT sum(cents) FROM c)
+           |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+           |    AND o_orderdate >= TIMESTAMP '2000-01-01')
+           |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+  )
+
+  /** q144 — TPC-H-Q14-shaped promo revenue share per ship-year:
+    * lineitem⋈part (part broadcasts — it is the dimension), discounted
+    * revenue in exact decimal, and the promo share in integer ppm via
+    * BIGINT floor division of cent totals — engine-exact, no float
+    * ratio in the gate. Scale: one fact scan, map-side conditional
+    * aggregation, shuffle bounded by |years|. */
+  val q144 = QuerySpec(
+    "q144_promo_rev_share",
+    (s, d) => {
+      import s.implicits._
+      val rev6 = ($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .cast(DecimalType(30, 6))
+      Tables.lineitem(s, d)
+        .select($"l_partkey", $"l_shipdate", rev6.as("rev6"))
+        .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_type")),
+          $"l_partkey" === $"p_partkey")
+        .groupBy(year($"l_shipdate").as("ship_year"))
+        .agg(
+          floor(sum(when($"p_type" === "PROMO", $"rev6").otherwise(lit(0)
+            .cast(DecimalType(30, 6)))) * 100).cast(LongType).as("promo_cents"),
+          floor(sum($"rev6") * 100).cast(LongType).as("total_cents"))
+        .select($"ship_year", $"promo_cents", $"total_cents",
+          expr("(promo_cents * 1000000) DIV total_cents").as("promo_ppm"))
+        .orderBy($"ship_year")
+    },
+    Some("""WITH r AS (
+           |  SELECT year(l_shipdate) AS ship_year, p_type,
+           |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6)) AS rev6
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+           |y AS (
+           |  SELECT ship_year,
+           |    CAST(floor(sum(CASE WHEN p_type = 'PROMO' THEN rev6
+           |      ELSE CAST(0 AS DECIMAL(30,6)) END) * 100) AS BIGINT) AS promo_cents,
+           |    CAST(floor(sum(rev6) * 100) AS BIGINT) AS total_cents
+           |  FROM r GROUP BY ship_year)
+           |SELECT ship_year, promo_cents, total_cents,
+           |  CAST((promo_cents * 1000000) // total_cents AS BIGINT) AS promo_ppm
+           |FROM y ORDER BY ship_year""".stripMargin),
+  )
+
+  /** q145 — TPC-H-Q18-shaped large-volume orders: orders whose total
+    * line quantity clears a threshold (HAVING over the fact rollup),
+    * joined back to customer for attribution. Quantities are integral
+    * doubles → cast to INT before summing, keeping the gate in exact
+    * integer arithmetic. Scale: the quantity rollup shuffles on
+    * o_orderkey once; the surviving handful of hot orders then joins to
+    * dimensions — filter-first, enrich-second, the Q18 plan shape. */
+  val q145 = QuerySpec(
+    "q145_big_volume_orders",
+    (s, d) => {
+      import s.implicits._
+      val qty = Tables.lineitem(s, d)
+        .groupBy($"l_orderkey")
+        .agg(sum($"l_quantity".cast(IntegerType)).as("qty_sum"))
+        .where($"qty_sum" >= 250)
+      qty.join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.customer(s, d)
+          .select($"c_custkey", $"c_mktsegment")), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey", $"c_mktsegment", $"qty_sum",
+          dstr($"o_orderdate").as("order_date"))
+        .orderBy($"qty_sum".desc, $"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, c_mktsegment, qty_sum,
+           |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+           |FROM (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS INTEGER)) AS BIGINT)
+           |        AS qty_sum FROM lineitem GROUP BY l_orderkey
+           |      HAVING qty_sum >= 250)
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |ORDER BY qty_sum DESC, o_orderkey""".stripMargin),
+  )
+
+  /** q146 — TPC-H-Q19-shaped disjunctive-predicate join: an equi-join
+    * on partkey whose residual is an OR of brand/size/quantity
+    * conjunctions. Catalyst keeps the equi key for a broadcast hash
+    * join and evaluates the disjunction as a residual filter — the OR
+    * never degrades the join to a nested loop. Branches are made
+    * disjoint with an ordered CASE so each match attributes to exactly
+    * one branch, identically on both engines. */
+  val q146 = QuerySpec(
+    "q146_disjunctive_pred_join",
+    (s, d) => {
+      import s.implicits._
+      val c1 = $"p_type" === "PROMO" && $"p_size".between(1, 15) &&
+        $"l_quantity".between(1, 25)
+      val c2 = $"p_type" === "ECONOMY" && $"p_size".between(10, 30) &&
+        $"l_quantity".between(20, 40)
+      val c3 = $"p_brand" === "Brand#4" && $"l_quantity" >= 40
+      Tables.lineitem(s, d)
+        .select($"l_partkey", $"l_quantity", $"l_extendedprice", $"l_discount")
+        .join(broadcast(Tables.part(s, d)
+          .select($"p_partkey", $"p_type", $"p_size", $"p_brand")),
+          $"l_partkey" === $"p_partkey" && (c1 || c2 || c3))
+        .select(
+          when(c1, "promo_small").when(c2, "economy_mid")
+            .otherwise("brand4_bulk").as("branch"),
+          $"l_extendedprice", $"l_discount", $"l_quantity")
+        .groupBy($"branch")
+        .agg(count(lit(1)).as("n_items"),
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6).as("revenue"),
+          sum($"l_quantity".cast(IntegerType)).as("qty_sum"))
+        .orderBy($"branch")
+    },
+    Some(s"""WITH m AS (
+            |  SELECT CASE
+            |      WHEN p_type = 'PROMO' AND p_size BETWEEN 1 AND 15
+            |        AND l_quantity BETWEEN 1 AND 25 THEN 'promo_small'
+            |      WHEN p_type = 'ECONOMY' AND p_size BETWEEN 10 AND 30
+            |        AND l_quantity BETWEEN 20 AND 40 THEN 'economy_mid'
+            |      ELSE 'brand4_bulk' END AS branch,
+            |    l_extendedprice, l_discount, l_quantity
+            |  FROM lineitem JOIN part ON l_partkey = p_partkey
+            |  WHERE (p_type = 'PROMO' AND p_size BETWEEN 1 AND 15
+            |      AND l_quantity BETWEEN 1 AND 25)
+            |    OR (p_type = 'ECONOMY' AND p_size BETWEEN 10 AND 30
+            |      AND l_quantity BETWEEN 20 AND 40)
+            |    OR (p_brand = 'Brand#4' AND l_quantity >= 40))
+            |SELECT branch, count(*) AS n_items,
+            |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue,
+            |  CAST(sum(CAST(l_quantity AS INTEGER)) AS BIGINT) AS qty_sum
+            |FROM m GROUP BY branch ORDER BY branch""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q66, q75, q76, q82, q84, q85)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q66, q75, q76, q82, q84, q85,
+    q143, q144, q145, q146)
 }

@@ -148,6 +148,43 @@ object SourcesIO {
            |FROM nation""".stripMargin),
   )
 
+  /** q140 — ORC round-trip (the format family's columnar second
+    * binary leg beside parquet): orders written as SNAPPY ORC, read
+    * back (ORC carries its own types — no declared schema needed,
+    * unlike q114's text formats), multiset checksums gated against the
+    * parquet original. ORC is the other lake columnar standard a
+    * crawler-fed catalog meets (SURVEY §1.2); the source is splittable
+    * and vectorized, so the read parallelizes by stripe like parquet
+    * does by row group. */
+  val q140 = QuerySpec(
+    "q140_orc_roundtrip",
+    (s, d) => {
+      import s.implicits._
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      try {
+        Tables.orders(s, d)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+            $"o_orderdate", $"o_orderstatus")
+          .write.option("compression", "snappy").orc(s"$tmp/orc")
+        val agg = s.read.orc(s"$tmp/orc").agg(
+          count(lit(1)).as("n_rows"),
+          sum($"o_orderkey").as("key_checksum"),
+          dsum($"o_totalprice", 2).as("price_sum"),
+          sum(char_length($"o_orderstatus")).as("status_len_sum"),
+          countDistinct(dstr($"o_orderdate")).as("n_days"))
+        val rows = agg.collect() // eager: staged orc lives under tmp
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+      } finally graft.Fs.deleteTree(tmp)
+    },
+    Some(s"""SELECT count(*) AS n_rows,
+            |  CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+            |  ${sqlDsum("o_totalprice", 2)} AS price_sum,
+            |  CAST(sum(len(o_orderstatus)) AS BIGINT) AS status_len_sum,
+            |  CAST(count(DISTINCT strftime(o_orderdate, '%Y-%m-%d')) AS BIGINT) AS n_days
+            |FROM orders""".stripMargin),
+  )
+
   /** q133 — small-file compaction planner: the planning half of the
     * small-files problem every long-running ingest hits (q80 executes a
     * compaction; this decides WHAT to compact). Forty staged object
@@ -231,5 +268,5 @@ object SourcesIO {
            |FROM lineitem""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q113, q114, q117, q133, q136)
+  val all: Seq[QuerySpec] = Seq(q113, q114, q117, q133, q136, q140)
 }

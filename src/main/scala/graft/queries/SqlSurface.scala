@@ -476,6 +476,37 @@ object SqlSurface {
             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
   )
 
+  /** q142 — TPC-H-Q11-shaped value concentration via SQL text: revenue
+    * per part type, keeping only types whose total clears a fraction of
+    * the GLOBAL total — a HAVING predicate against an uncorrelated
+    * scalar subquery. Catalyst plans the scalar as its own aggregate
+    * subtree and broadcasts the single value into the filter; the fact
+    * scan is shared via the CTE. Revenue stays in exact DECIMAL through
+    * the comparison (both engines multiply the same decimal operands),
+    * and the emitted total is integer cents — no float in the gate. */
+  val q142 = QuerySpec(
+    "q142_sql_having_scalar",
+    (s, d) => {
+      registerViews(s, d)
+      s.sql("""WITH r AS (
+              |  SELECT p_type,
+              |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6)) AS rev6
+              |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+              |SELECT p_type, CAST(floor(sum(rev6) * 100) AS BIGINT) AS rev_cents
+              |FROM r GROUP BY p_type
+              |HAVING sum(rev6) > (SELECT sum(rev6) FROM r) * 0.17
+              |ORDER BY rev_cents DESC, p_type""".stripMargin)
+    },
+    Some("""WITH r AS (
+           |  SELECT p_type,
+           |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6)) AS rev6
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+           |SELECT p_type, CAST(floor(sum(rev6) * 100) AS BIGINT) AS rev_cents
+           |FROM r GROUP BY p_type
+           |HAVING sum(rev6) > (SELECT sum(rev6) FROM r) * 0.17
+           |ORDER BY rev_cents DESC, p_type""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q37, q38, q48, q51, q56, q71, q72, q83, q93,
-    q97, q103, q116, q129, q130, q135)
+    q97, q103, q116, q129, q130, q135, q142)
 }
