@@ -612,7 +612,53 @@ object Analytics {
            |FROM c ORDER BY from_type, to_type""".stripMargin),
   )
 
+  /** q147 — per-nation OLS trend from exact sufficient statistics:
+    * order value (integer cents) regressed on days-since-epoch, emitting
+    * (n, Σx, Σy, Σxy, Σx²) as BIGINTs plus the slope in micro-cents/day
+    * via exact integer floor division (Spark DECIMAL(38,0) DIV ≡ DuckDB
+    * HUGEINT //; both truncate toward zero). The stats are MERGEABLE —
+    * two partitions' (n, Σ…) tuples add — so the regression
+    * distributes like a sum and never sees a float until the caller
+    * divides; this is q132's sufficient-statistics discipline applied
+    * to regression. Scale: one fact scan, broadcast dim join,
+    * |nations| output groups. */
+  val q147 = QuerySpec(
+    "q147_trend_suffstats",
+    (s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d).select(
+        $"o_custkey",
+        datediff($"o_orderdate", lit("1995-01-01")).cast("long").as("x"),
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("y"))
+      o.join(broadcast(Tables.customer(s, d).select($"c_custkey", $"c_nationkey")),
+          $"o_custkey" === $"c_custkey")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sx2"))
+        .select($"c_nationkey", $"n", $"sx", $"sy", $"sxy", $"sx2",
+          expr("""CAST(((CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000)
+                 DIV (CAST(n AS DECIMAL(38,0)) * sx2 - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)""")
+            .as("slope_ucents_day"))
+        .orderBy($"c_nationkey")
+    },
+    Some("""WITH o AS (
+           |  SELECT c_nationkey,
+           |    CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS x,
+           |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+           |  FROM orders JOIN customer ON o_custkey = c_custkey),
+           |g AS (
+           |  SELECT c_nationkey, count(*) AS n,
+           |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sx2
+           |  FROM o GROUP BY c_nationkey)
+           |SELECT c_nationkey, n, sx, sy, sxy, sx2,
+           |  CAST(((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 1000000)
+           |    // (CAST(n AS HUGEINT) * sx2 - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+           |    AS slope_ucents_day
+           |FROM g ORDER BY c_nationkey""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q118, q119, q120, q121, q123, q124, q127, q128, q131, q132, q134, q137,
-      q139)
+      q139, q147)
 }

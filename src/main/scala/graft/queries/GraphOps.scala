@@ -313,5 +313,63 @@ object GraphOps {
       "SELECT node, CAST(pr_units AS BIGINT) AS pr_units FROM pr3 ORDER BY node").mkString("\n")),
   )
 
-  val all: Seq[QuerySpec] = Seq(q59, q94, q126)
+  /** q148 — triangle census over the co-purchase graph: parts of one
+    * brand are nodes, an edge connects two parts appearing in the same
+    * order, and the count of edge-triangles measures how clique-ish
+    * co-purchasing is (the classic graph-analytics primitive behind
+    * community detection and recommendation neighborhoods). Plan shape:
+    * per-order part pairs (u < v, deduped) → wedges by joining edges on
+    * the shared middle vertex (u < v < w holds by construction, so each
+    * triangle is generated exactly once) → a LEFT SEMI probe of the
+    * closing edge. Scale: the brand filter bounds degree the way any
+    * real deployment caps hub vertices; edges partition by vertex for
+    * the wedge join and by (u,w) pair for the closing probe — both plain
+    * equi-shuffles, no cross product anywhere. The edge list persists:
+    * it feeds the node census, the wedge join (twice), and the semi
+    * probe, and recomputing the order-pair self-join per consumer is
+    * the q28 rescan anti-pattern. */
+  val q148 = QuerySpec(
+    "q148_graph_triangles",
+    (s, d) => {
+      import s.implicits._
+      val li = graft.Tables.lineitem(s, d)
+        .join(broadcast(graft.Tables.part(s, d)
+          .filter($"p_brand" === "Brand#4").select($"p_partkey")),
+          $"l_partkey" === $"p_partkey")
+        .select($"l_orderkey", $"l_partkey").distinct()
+      val e = li.as("a").join(li.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+        .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nodes = e.select($"u".as("p")).union(e.select($"v")).distinct()
+        val tri = e.as("e1").join(e.as("e2"), $"e1.v" === $"e2.u")
+          .select($"e1.u".as("wu"), $"e2.v".as("ww"))
+          .join(e.as("e3"), $"wu" === $"e3.u" && $"ww" === $"e3.v", "left_semi")
+        val agg = nodes.agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+          .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+        val rows = agg.collect() // eager: e is unpersisted in finally
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+      } finally { e.unpersist(); () }
+    },
+    Some("""WITH li AS (
+           |  SELECT DISTINCT l_orderkey, l_partkey
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey
+           |  WHERE p_brand = 'Brand#4'),
+           |e AS (
+           |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+           |    AND a.l_partkey < b.l_partkey),
+           |nodes AS (SELECT u AS p FROM e UNION SELECT v FROM e),
+           |tri AS (
+           |  SELECT e1.u, e2.v AS w FROM e e1 JOIN e e2 ON e1.v = e2.u
+           |  WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.u = e1.u AND e3.v = e2.v))
+           |SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+           |  (SELECT count(*) FROM e) AS n_edges,
+           |  (SELECT count(*) FROM tri) AS n_triangles""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q59, q94, q126, q148)
 }

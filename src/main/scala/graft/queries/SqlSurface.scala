@@ -507,6 +507,29 @@ object SqlSurface {
            |ORDER BY rev_cents DESC, p_type""".stripMargin),
   )
 
+  /** q151 — GROUP BY ALL / ORDER BY ALL: the analyst-ergonomics SQL
+    * sugar (group by every non-aggregate select item; order by every
+    * output column left-to-right) that Spark and DuckDB both speak —
+    * the resolver expands ALL at analysis time, so the plan is
+    * identical to the explicit form. ORDER BY ALL also makes the
+    * total-order determinism rule self-enforcing: every column is a
+    * sort key. */
+  val q151 = QuerySpec(
+    "q151_sql_group_by_all",
+    (s, d) => {
+      registerViews(s, d)
+      s.sql("""SELECT l_returnflag, l_linestatus, year(l_shipdate) AS ship_year,
+              |  count(*) AS n,
+              |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+              |FROM lineitem
+              |GROUP BY ALL ORDER BY ALL""".stripMargin)
+    },
+    Some(s"""SELECT l_returnflag, l_linestatus, year(l_shipdate) AS ship_year,
+            |  count(*) AS n, ${Det.sqlDsum("l_quantity", 2)} AS sum_qty
+            |FROM lineitem
+            |GROUP BY ALL ORDER BY ALL""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q37, q38, q48, q51, q56, q71, q72, q83, q93,
-    q97, q103, q116, q129, q130, q135, q142)
+    q97, q103, q116, q129, q130, q135, q142, q151)
 }

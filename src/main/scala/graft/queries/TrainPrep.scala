@@ -844,6 +844,123 @@ object TrainPrep {
            |FROM k GROUP BY source, rate_u20 ORDER BY source""".stripMargin),
   )
 
+  /** q149 — vocabulary coverage / OOV rate: the top-200 corpus tokens
+    * (q31's BPE-ish pre-tokenizer, tie-broken (count desc, token) for a
+    * total order) form the vocabulary; every doc's out-of-vocabulary
+    * token fraction rolls up per language in exact integer ppm. This is
+    * the tokenizer-fit readout a training pipeline runs before
+    * committing a vocab: high OOV in a language shard means the
+    * tokenizer fragments that language. Scale: the census shuffle is
+    * vocabulary-sized (map-side combine), the vocab (200 rows)
+    * broadcasts back, and per-doc counts shuffle on doc_id — corpus
+    * text never moves twice. The token table persists: it feeds both
+    * the census and the probe side. */
+  val q149 = QuerySpec(
+    "q149_vocab_oov_rate",
+    (s, d) => {
+      import s.implicits._
+      val toks = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"doc_id", $"lang", explode(regexp_extract_all(lower($"text"),
+          lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).as("token"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val vocab = toks.groupBy($"token").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"token").limit(200)
+          .select($"token", lit(1).as("in_vocab"))
+        val perDoc = toks
+          .join(broadcast(vocab), Seq("token"), "left")
+          .groupBy($"doc_id", $"lang")
+          .agg(count(lit(1)).as("n_tok"),
+            sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+        val agg = perDoc.groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_tok").as("tok_sum"), sum($"n_oov").as("oov_sum"))
+          .select($"lang", $"n_docs", $"tok_sum", $"oov_sum",
+            expr("(oov_sum * 1000000) DIV tok_sum").as("corpus_oov_ppm"))
+          .orderBy($"lang")
+        val rows = agg.collect() // eager: toks is unpersisted in finally
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+      } finally { toks.unpersist(); () }
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, lang,
+           |    unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS token
+           |  FROM documents),
+           |vocab AS (
+           |  SELECT token FROM (
+           |    SELECT token, count(*) AS n FROM toks GROUP BY token
+           |    ORDER BY n DESC, token LIMIT 200)),
+           |per_doc AS (
+           |  SELECT doc_id, lang, count(*) AS n_tok,
+           |    sum(CASE WHEN token IN (SELECT token FROM vocab) THEN 0 ELSE 1 END) AS n_oov
+           |  FROM toks GROUP BY doc_id, lang)
+           |SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+           |  CAST(sum(n_oov) AS BIGINT) AS oov_sum,
+           |  CAST((sum(n_oov) * 1000000) // sum(n_tok) AS BIGINT) AS corpus_oov_ppm
+           |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin),
+  )
+
+  /** q150 — nearest-centroid assignment (the k-means E-step, closing
+    * the loop q90 opened): every embedding is assigned to the nearest
+    * per-label centroid by squared L2, and the (label, assigned) counts
+    * form the confusion matrix — the clusterability readout for the
+    * label space. Determinism discipline: centroids are q90's exact
+    * decimal means (bit-identical doubles on both engines), each
+    * squared residual is rounded once to DECIMAL(30,12) (identical
+    * correct rounding of identical doubles), distances sum exactly, and
+    * the argmin tie-breaks on label — no float comparison anywhere in
+    * the gate. Scale: the long (vec, dim) table persists and feeds both
+    * the centroid build and the distance join; distances shuffle on
+    * (vec_id, candidate) and collapse to |labels|² output rows. */
+  val q150 = QuerySpec(
+    "q150_centroid_assign",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val long = Tables.fanOut(Tables.embeddings(s, d), col("vec_id"))
+        .select($"vec_id", $"label",
+          posexplode($"embedding").as(Seq("dim", "xf")))
+        .select($"vec_id", $"label", $"dim", $"xf".cast("double").as("x"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val cent = long.groupBy($"label".as("clabel"), $"dim")
+          .agg((Det.dsum($"x", 6) / count($"x")).as("c"))
+        val dist = long.join(broadcast(cent), Seq("dim"))
+          .groupBy($"vec_id", $"label", $"clabel")
+          .agg(sum((($"x" - $"c") * ($"x" - $"c")).cast("decimal(30,12)")).as("dist"))
+        val byVec = Window.partitionBy($"vec_id").orderBy($"dist", $"clabel")
+        val agg = dist
+          .withColumn("rn", row_number().over(byVec))
+          .where($"rn" === 1)
+          .groupBy($"label", $"clabel".as("assigned"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"label", $"assigned")
+        val rows = agg.collect() // eager: long is unpersisted in finally
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+      } finally { long.unpersist(); () }
+    },
+    Some("""WITH long AS (
+           |  SELECT vec_id, label, i - 1 AS dim, v[i] AS x
+           |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+           |  CROSS JOIN generate_series(1, 64) AS t(i) WHERE i <= len(v)),
+           |cent AS (
+           |  SELECT label AS clabel, dim,
+           |    CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / count(x) AS c
+           |  FROM long GROUP BY label, dim),
+           |dist AS (
+           |  SELECT vec_id, label, clabel,
+           |    sum(CAST((x - c) * (x - c) AS DECIMAL(30,12))) AS dist
+           |  FROM long JOIN cent USING (dim) GROUP BY vec_id, label, clabel),
+           |best AS (
+           |  SELECT vec_id, label, clabel,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn
+           |  FROM dist)
+           |SELECT label, clabel AS assigned, count(*) AS n
+           |FROM best WHERE rn = 1
+           |GROUP BY label, clabel ORDER BY label, assigned""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q60, q61, q62, q63, q64, q65, q67, q68, q69, q70,
-    q86, q87, q88, q89, q90, q96, q100, q101, q106, q110)
+    q86, q87, q88, q89, q90, q96, q100, q101, q106, q110, q149, q150)
 }
