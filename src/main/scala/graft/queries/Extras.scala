@@ -429,6 +429,50 @@ object Extras {
             |GROUP BY grp ORDER BY grp""".stripMargin),
   )
 
+  /** q152 — the typed Dataset API under the gate: per-user inter-event
+    * gap statistics via `groupByKey(...).mapGroups` over a typed
+    * Dataset[(Long, Long)] — SURVEY §1.5's "typed Dataset[T] where it
+    * helps" category as a verifiable query (q41 covers the typed
+    * Aggregator; this covers the imperative per-group escape hatch).
+    * Timestamps reduce to exact integer micros BEFORE typing, so the
+    * in-group sort and gap arithmetic are integer-exact; the oracle is
+    * the lag-window formulation of the same statistics.
+    * Scale: mapGroups materializes ONE user's events in memory —
+    * bounded by per-key volume, the honest contract of the typed
+    * escape hatch (unbounded keys belong in q43's window formulation);
+    * the shuffle is the same single user_id exchange the window pays. */
+  val q152 = QuerySpec(
+    "q152_typed_gap_stats",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"user_id", unix_micros($"ts"))
+        .as[(Long, Long)]
+      ev.groupByKey(_._1)
+        .mapGroups { (uid, it) =>
+          val us = it.map(_._2).toArray
+          java.util.Arrays.sort(us)
+          var maxGap = 0L; var sumGap = 0L; var i = 1
+          while (i < us.length) {
+            val g = us(i) - us(i - 1)
+            if (g > maxGap) maxGap = g
+            sumGap += g; i += 1
+          }
+          (uid, us.length.toLong, maxGap, sumGap)
+        }
+        .toDF("user_id", "n_events", "max_gap_us", "gap_sum_us")
+        .orderBy($"user_id")
+    },
+    Some("""WITH x AS (
+           |  SELECT user_id, epoch_us(ts) AS us,
+           |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+           |  FROM events)
+           |SELECT user_id, count(*) AS n_events,
+           |  CAST(coalesce(max(us - prev), 0) AS BIGINT) AS max_gap_us,
+           |  CAST(coalesce(sum(us - prev), 0) AS BIGINT) AS gap_sum_us
+           |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin),
+  )
+
   /** q141 — bucketed co-located join (graft.operators.Bucketing) under
     * the oracle gate: orders and lineitem both written as bucketed+sorted
     * managed tables on the join key (8 buckets), then equi-joined and
@@ -935,5 +979,5 @@ object Extras {
 
   val all: Seq[QuerySpec] = Seq(q39, q40, q41, q42, q43, q46, q47, q49, q50, q58,
     q74, q77, q79, q80, q92, q98, q99, q102, q104, q105, q107, q109, q112, q115,
-    q141)
+    q141, q152)
 }
