@@ -189,6 +189,40 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q143: the gone-quiet test is a broadcast anti join; stats broadcast into the filter") {
+    val p = plan("q143_above_avg_no_orders")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"), "anti join degraded from broadcast\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "scalar-stats crossJoin degraded to a real cartesian\n" + p)
+  }
+
+  test("q144/q146: part dimension broadcasts; the OR residual never degrades to a nested loop") {
+    val p144 = plan("q144_promo_rev_share")
+    assert(p144.contains("BroadcastHashJoin"), p144)
+    val p146 = plan("q146_disjunctive_pred_join")
+    assert(p146.contains("BroadcastHashJoin"), p146)
+    assert(!p146.contains("BroadcastNestedLoopJoin"),
+      "disjunctive residual pushed the join off the equi key\n" + p146)
+  }
+
+  test("q145: the quantity rollup aggregates BELOW the join (filter first, enrich second)") {
+    val p = plan("q145_big_volume_orders")
+    val join = p.indexOf("Join")
+    assert(join >= 0, p)
+    assert(p.indexOf("HashAggregate", join) > join,
+      "HAVING rollup not below the join — facts enriched before filtering\n" + p)
+    assert(p.contains("TakeOrderedAndProject") || p.contains("Sort"), p)
+  }
+
+  test("q147: customer dim broadcasts; sufficient statistics partial-aggregate before the exchange") {
+    val p = plan("q147_trend_suffstats")
+    assert(p.contains("BroadcastHashJoin"), p)
+    val ex = p.indexOf("Exchange")
+    assert(ex >= 0 && p.indexOf("HashAggregate", ex) > ex,
+      "no partial aggregate below the nation exchange\n" + p)
+  }
+
   test("whole-stage codegen covers the scan->project hot path of q30") {
     // Under AQE codegen stages exist only in the executed final plan —
     // run the query, then look for per-node "codegen id" annotations.
