@@ -658,7 +658,47 @@ object Analytics {
            |FROM g ORDER BY c_nationkey""".stripMargin),
   )
 
+  /** q153 — DataFrame.transpose (Spark 4's reshape API): a per-flag
+    * metrics table (3 rows × 3 measures) flipped so measures become
+    * rows and flag values become columns — the report orientation
+    * every BI handoff asks for. Transpose is driver-side over the
+    * already-aggregated relation (column names come from index VALUES,
+    * so the input must be small — the aggregate-first discipline the
+    * API's least-common-type contract enforces; all measures cast to
+    * BIGINT before the flip). The oracle builds the same wide rows by
+    * conditional aggregation. */
+  val q153 = QuerySpec(
+    "q153_transpose_report",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"l_quantity".cast("long")).as("qty_sum"),
+          countDistinct($"l_orderkey").as("n_orders"))
+        .select($"l_returnflag", $"n_rows".cast("long"),
+          $"qty_sum".cast("long"), $"n_orders".cast("long"))
+        .transpose($"l_returnflag")
+        .withColumnRenamed("key", "measure")
+        .orderBy($"measure")
+    },
+    Some("""SELECT measure,
+           |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN v END) AS BIGINT) AS A,
+           |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN v END) AS BIGINT) AS N,
+           |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN v END) AS BIGINT) AS R
+           |FROM (
+           |  SELECT l_returnflag, 'n_rows' AS measure, count(*) AS v
+           |  FROM lineitem GROUP BY l_returnflag
+           |  UNION ALL
+           |  SELECT l_returnflag, 'qty_sum', CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+           |  FROM lineitem GROUP BY l_returnflag
+           |  UNION ALL
+           |  SELECT l_returnflag, 'n_orders', count(DISTINCT l_orderkey)
+           |  FROM lineitem GROUP BY l_returnflag)
+           |GROUP BY measure ORDER BY measure""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q118, q119, q120, q121, q123, q124, q127, q128, q131, q132, q134, q137,
-      q139, q147)
+      q139, q147, q153)
 }

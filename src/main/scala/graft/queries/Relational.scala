@@ -868,7 +868,64 @@ object Relational {
             |FROM m GROUP BY branch ORDER BY branch""".stripMargin),
   )
 
+  /** q155 — calendar/interval scalar breadth (q17's date family
+    * completed): month-clamped interval addition (add_months ≡
+    * + INTERVAL, both clamp Jan 31 + 1mo → Feb 28), last_day, quarter,
+    * month-truncation — the derived-calendar projection every
+    * partitioned warehouse computes at ingest. Pure per-row projection
+    * over the distinct date domain; dates emitted as strings so
+    * timestamp precision never enters the hash. */
+  val q155 = QuerySpec(
+    "q155_date_scalar_breadth",
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .select(to_date($"o_orderdate").as("dt")).distinct()
+        .select(
+          date_format($"dt", "yyyy-MM-dd").as("order_date"),
+          date_format(add_months($"dt", 3), "yyyy-MM-dd").as("plus_3m"),
+          date_format(last_day($"dt"), "yyyy-MM-dd").as("month_end"),
+          quarter($"dt").as("qtr"),
+          date_format(date_trunc("month", $"dt"), "yyyy-MM-dd").as("month_start"),
+          datediff($"dt", lit("1995-01-01")).cast("long").as("epoch_day"))
+        .orderBy($"order_date")
+    },
+    Some("""SELECT strftime(dt, '%Y-%m-%d') AS order_date,
+           |  strftime(dt + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+           |  strftime(last_day(dt), '%Y-%m-%d') AS month_end,
+           |  quarter(dt) AS qtr,
+           |  strftime(date_trunc('month', dt), '%Y-%m-%d') AS month_start,
+           |  CAST(datediff('day', DATE '1995-01-01', dt) AS BIGINT) AS epoch_day
+           |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS dt FROM orders)
+           |ORDER BY order_date""".stripMargin),
+  )
+
+  /** q156 — bitwise aggregate family (bit_and / bit_or / bit_xor plus
+    * a popcount rollup): the fingerprint/mask algebra SimHash-style
+    * pipelines and permission-mask audits run. All-integer, and each
+    * aggregate is commutative+associative → partial aggregation and
+    * merge-anywhere hold by construction. */
+  val q156 = QuerySpec(
+    "q156_bitwise_agg",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          bit_and($"l_orderkey").as("mask_and"),
+          bit_or($"l_orderkey").as("mask_or"),
+          bit_xor($"l_orderkey").as("mask_xor"),
+          sum(bit_count($"l_orderkey").cast("long")).as("popcount_sum"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+           |  bit_and(l_orderkey) AS mask_and, bit_or(l_orderkey) AS mask_or,
+           |  bit_xor(l_orderkey) AS mask_xor,
+           |  CAST(sum(bit_count(l_orderkey)) AS BIGINT) AS popcount_sum
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q66, q75, q76, q82, q84, q85,
-    q143, q144, q145, q146)
+    q143, q144, q145, q146, q155, q156)
 }

@@ -530,6 +530,34 @@ object SqlSurface {
             |GROUP BY ALL ORDER BY ALL""".stripMargin),
   )
 
+  /** q154 — the standard aggregate FILTER clause: per-group conditional
+    * aggregation without CASE scaffolding, one scan feeding all four
+    * filtered aggregates (Catalyst compiles each FILTER into the
+    * aggregate's own predicate — no extra pass, partial aggregation
+    * intact). */
+  val q154 = QuerySpec(
+    "q154_sql_agg_filter",
+    (s, d) => {
+      registerViews(s, d)
+      s.sql("""SELECT l_returnflag,
+              |  count(*) AS n_all,
+              |  count(*) FILTER (WHERE l_quantity >= 25.0) AS n_big,
+              |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) FILTER (WHERE l_discount > 0.05) AS DOUBLE)
+              |    AS qty_discounted,
+              |  count(DISTINCT l_suppkey) FILTER (WHERE l_linestatus = 'F') AS n_supp_finished
+              |FROM lineitem
+              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+    Some("""SELECT l_returnflag,
+           |  count(*) AS n_all,
+           |  count(*) FILTER (WHERE l_quantity >= 25.0) AS n_big,
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) FILTER (WHERE l_discount > 0.05) AS DOUBLE)
+           |    AS qty_discounted,
+           |  count(DISTINCT l_suppkey) FILTER (WHERE l_linestatus = 'F') AS n_supp_finished
+           |FROM lineitem
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q37, q38, q48, q51, q56, q71, q72, q83, q93,
-    q97, q103, q116, q129, q130, q135, q142, q151)
+    q97, q103, q116, q129, q130, q135, q142, q151, q154)
 }
