@@ -698,7 +698,28 @@ object Analytics {
            |GROUP BY measure ORDER BY measure""".stripMargin),
   )
 
+  /** q157 — DataFrameStatFunctions.crosstab: the exact contingency
+    * table (pairwise frequency of two categorical columns, one
+    * distributed pass; missing combinations zero-filled) — the
+    * dependence check run before trusting a stratification key. Column
+    * names come from the second column's VALUES, so the same
+    * aggregate-first/bounded-domain discipline as q153's transpose
+    * applies. */
+  val q157 = QuerySpec(
+    "q157_stat_crosstab",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d).stat.crosstab("l_returnflag", "l_linestatus")
+        .orderBy($"l_returnflag_l_linestatus")
+    },
+    Some("""SELECT l_returnflag AS l_returnflag_l_linestatus,
+           |  count(*) FILTER (WHERE l_linestatus = 'F') AS F,
+           |  count(*) FILTER (WHERE l_linestatus = 'O') AS O
+           |FROM lineitem GROUP BY l_returnflag
+           |ORDER BY l_returnflag_l_linestatus""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q118, q119, q120, q121, q123, q124, q127, q128, q131, q132, q134, q137,
-      q139, q147, q153)
+      q139, q147, q153, q157)
 }

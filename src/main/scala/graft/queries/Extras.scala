@@ -977,7 +977,103 @@ object Extras {
             |FROM lineitem WHERE l_quantity > 25.0""".stripMargin),
   )
 
+  /** q158 — the DataFrameNaFunctions cleaning surface (na.fill /
+    * na.replace / na.drop) under the gate: a synthetically-dirtied
+    * lineitem (sentinel values nulled out, the shape malformed feeds
+    * arrive in) cleaned by the three na verbs — impute a numeric
+    * default, recode a categorical, drop rows missing the critical
+    * column — then rolled up in exact decimals. The oracle applies the
+    * equivalent CASE/COALESCE/WHERE pipeline; null grouping keys never
+    * reach the ORDER BY (Spark sorts nulls first, DuckDB last — the
+    * fill to 'UNKNOWN' is also the portability guard). All three verbs
+    * are pure per-row projections/filters — shuffle-free until the
+    * rollup. */
+  val q158 = QuerySpec(
+    "q158_na_cleaning",
+    (s, d) => {
+      import s.implicits._
+      val messy = Tables.lineitem(s, d).select(
+        when($"l_discount" === 0.0, lit(null)).otherwise($"l_discount").as("disc"),
+        when($"l_quantity" >= 45.0, lit(null)).otherwise($"l_quantity").as("qty"),
+        when($"l_returnflag" === "N", lit(null)).otherwise($"l_returnflag").as("flag"))
+      messy
+        .na.fill(Map("qty" -> 0.0, "flag" -> "UNKNOWN"))
+        .na.replace("flag", Map("A" -> "ACCEPT", "R" -> "RETURN"))
+        .na.drop(Seq("disc"))
+        .groupBy($"flag")
+        .agg(count(lit(1)).as("n"),
+          dsum($"qty", 2).as("qty_sum"), dsum($"disc", 2).as("disc_sum"))
+        .orderBy($"flag")
+    },
+    Some(s"""WITH messy AS (
+            |  SELECT CASE WHEN l_discount = 0.0 THEN NULL ELSE l_discount END AS disc,
+            |    CASE WHEN l_quantity >= 45.0 THEN NULL ELSE l_quantity END AS qty0,
+            |    CASE WHEN l_returnflag = 'N' THEN NULL ELSE l_returnflag END AS flag0
+            |  FROM lineitem),
+            |clean AS (
+            |  SELECT disc, coalesce(qty0, 0.0) AS qty,
+            |    CASE coalesce(flag0, 'UNKNOWN') WHEN 'A' THEN 'ACCEPT'
+            |      WHEN 'R' THEN 'RETURN' ELSE coalesce(flag0, 'UNKNOWN') END AS flag
+            |  FROM messy WHERE disc IS NOT NULL)
+            |SELECT flag, count(*) AS n, ${sqlDsum("qty", 2)} AS qty_sum,
+            |  ${sqlDsum("disc", 2)} AS disc_sum
+            |FROM clean GROUP BY flag ORDER BY flag""".stripMargin),
+  )
+
+  /** q159 — forward fill via IGNORE NULLS (q58's estimating sibling,
+    * q121's step-function alternative): the per-type hourly series on
+    * its full spine, gaps carried forward by `last(n, ignoreNulls)`
+    * over an unbounded-preceding frame — the last-observation-carried-
+    * forward imputation time-series stores apply before joins. Scale:
+    * the fill is one window over the (type, hour) rollup — spine-sized
+    * rows, never raw events; real deployments partition the window by
+    * series key exactly as here, so no global sort exists. */
+  val q159 = QuerySpec(
+    "q159_forward_fill",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val bounds = ev.agg(
+        date_trunc("hour", min($"ts")).as("lo"),
+        date_trunc("hour", max($"ts")).as("hi"))
+      val spine = bounds
+        .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+        .crossJoin(broadcast(ev.select($"event_type").distinct()))
+      val hourly = ev
+        .groupBy(date_trunc("hour", $"ts").as("h"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"event_type").orderBy($"h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(broadcast(hourly), Seq("h", "event_type"), "left")
+        .select($"event_type", $"h", $"n",
+          last($"n", ignoreNulls = true).over(w).as("locf"))
+        .select($"event_type",
+          date_format($"h", "yyyy-MM-dd HH:mm:ss").as("hour"),
+          coalesce($"n", lit(0L)).as("n_observed"),
+          coalesce($"locf", lit(0L)).as("n_filled"),
+          $"n".isNull.as("was_gap"))
+        .orderBy($"event_type", $"hour")
+    },
+    Some("""WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+           |    date_trunc('hour', max(ts)) AS hi FROM events),
+           |spine AS (
+           |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h, et
+           |  FROM b, (SELECT DISTINCT event_type AS et FROM events)),
+           |a AS (SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+           |      FROM events GROUP BY 1, 2),
+           |f AS (
+           |  SELECT spine.et AS event_type, spine.h, a.n,
+           |    last_value(a.n IGNORE NULLS) OVER (PARTITION BY spine.et
+           |      ORDER BY spine.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+           |  FROM spine LEFT JOIN a ON spine.h = a.h AND spine.et = a.event_type)
+           |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           |  coalesce(n, 0) AS n_observed, coalesce(locf, 0) AS n_filled,
+           |  (n IS NULL) AS was_gap
+           |FROM f ORDER BY event_type, hour""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q39, q40, q41, q42, q43, q46, q47, q49, q50, q58,
     q74, q77, q79, q80, q92, q98, q99, q102, q104, q105, q107, q109, q112, q115,
-    q141, q152)
+    q141, q152, q158, q159)
 }
