@@ -791,6 +791,75 @@ object TrainPrep {
            |FROM p ORDER BY dup_ppm DESC, doc_id LIMIT 20""".stripMargin),
   )
 
+  /** q160 — corpus-duplicated span SCRUB (q106's acting half, the
+    * RefinedWeb exact-substring removal): docs are re-tiled into the
+    * same non-overlapping word 8-gram spans, spans occurring ≥ 2 times
+    * corpus-wide are dropped, and the document is REBUILT from the
+    * surviving spans (in position order) plus the sub-span tail — the
+    * transform that actually removes boilerplate rather than scoring
+    * it. The gate is strong: md5 of every rebuilt text plus exact
+    * token/span counts, so a single mis-ordered or mis-dropped token
+    * flips the hash. Shape: one span shuffle (count-over-window as the
+    * inverted index), then the rebuild is a per-doc sorted
+    * re-aggregation — order restored by array_sort on (position, span),
+    * never by shuffle order. At 100 TB the span key becomes xxhash64
+    * and the rebuild joins hashes back to positions — same plan. */
+  val q160 = QuerySpec(
+    "q160_span_scrub",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"doc_id", split($"text", " ").as("w"))
+        .filter(size($"w") >= 8)
+        .select($"doc_id", $"w", expr("size(w) div 8").as("nspan"))
+      val spans = docs.select($"doc_id",
+        posexplode(expr(
+          "transform(sequence(0, nspan - 1), k -> concat_ws(' ', slice(w, k * 8 + 1, 8)))"))
+          .as(Seq("k", "g")))
+      val counted = spans.withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy($"g")))
+      val rebuilt = counted.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when($"cnt" >= 2, 1L).otherwise(0L)).as("n_dropped"),
+          concat_ws(" ", expr(
+            "transform(array_sort(collect_list(CASE WHEN cnt < 2 THEN struct(k, g) END)), x -> x.g)"))
+            .as("kept"))
+      rebuilt.join(docs.select($"doc_id", $"w", $"nspan"), Seq("doc_id"))
+        .select($"doc_id", $"n_spans", $"n_dropped",
+          concat_ws(" ",
+            when($"kept" === "", lit(null)).otherwise($"kept"),
+            expr("nullif(concat_ws(' ', slice(w, nspan * 8 + 1, size(w) - nspan * 8)), '')"))
+            .as("cleaned"))
+        .select($"doc_id", $"n_spans", $"n_dropped",
+          md5($"cleaned").as("cleaned_md5"), length($"cleaned").as("cleaned_len"))
+        .orderBy($"n_dropped".desc, $"doc_id")
+        .limit(20)
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, w, CAST(len(w) // 8 AS INT) AS nspan
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+           |  WHERE len(w) >= 8),
+           |s AS (
+           |  SELECT doc_id, k,
+           |    array_to_string(list_slice(w, k * 8 + 1, k * 8 + 8), ' ') AS g
+           |  FROM d, unnest(generate_series(0, nspan - 1)) AS t(k)),
+           |c AS (SELECT doc_id, k, g, count(*) OVER (PARTITION BY g) AS cnt FROM s),
+           |r AS (
+           |  SELECT doc_id, count(*) AS n_spans,
+           |    CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           |    string_agg(g, ' ' ORDER BY k) FILTER (WHERE cnt < 2) AS kept
+           |  FROM c GROUP BY doc_id),
+           |x AS (
+           |  SELECT r.doc_id, n_spans, n_dropped,
+           |    concat_ws(' ', kept,
+           |      nullif(array_to_string(list_slice(w, nspan * 8 + 1, len(w)), ' '), ''))
+           |      AS cleaned
+           |  FROM r JOIN d ON r.doc_id = d.doc_id)
+           |SELECT doc_id, n_spans, n_dropped, md5(cleaned) AS cleaned_md5,
+           |  CAST(length(cleaned) AS INT) AS cleaned_len
+           |FROM x ORDER BY n_dropped DESC, doc_id LIMIT 20""".stripMargin),
+  )
+
   /** q110 — temperature-weighted source mixture (the multilingual-LLM
     * sampling rule, α = 0.5: sample source s at rate ∝ n_s^(α−1), so
     * small sources are up-weighted relative to their share): per-source
@@ -962,5 +1031,5 @@ object TrainPrep {
   )
 
   val all: Seq[QuerySpec] = Seq(q60, q61, q62, q63, q64, q65, q67, q68, q69, q70,
-    q86, q87, q88, q89, q90, q96, q100, q101, q106, q110, q149, q150)
+    q86, q87, q88, q89, q90, q96, q100, q101, q106, q110, q149, q150, q160)
 }
