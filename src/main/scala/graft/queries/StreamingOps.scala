@@ -121,5 +121,26 @@ object StreamingOps {
            |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q35, q44, q53, q54, q91, q95, q108, q122)
+  /** q161 — streaming dead-letter split (batch q99's continuous twin):
+    * each micro-batch classified once and fanned to clean + quarantine
+    * append sinks via foreachBatch; duplicate delivery (feed staged
+    * twice) stays in the gate — every event lands exactly twice, which
+    * the oracle mirrors by doubling the source. Stateless per batch.
+    * See graft.streaming.StreamQuarantine. */
+  val q161 = QuerySpec(
+    "q161_stream_quarantine",
+    (s, d) => graft.streaming.StreamQuarantine.runOnce(s, d),
+    Some(s"""WITH e2 AS (SELECT * FROM events, (SELECT unnest([1, 2]) AS copy)),
+            |c AS (SELECT event_id, value,
+            |    CASE WHEN event_type = 'error' THEN 'error_type'
+            |         WHEN value < 1.0 THEN 'low_value' END AS reason
+            |  FROM e2)
+            |SELECT CASE WHEN reason IS NULL THEN 'clean' ELSE 'quarantine' END AS sink,
+            |  coalesce(reason, 'none') AS reason, count(*) AS n_events,
+            |  CAST(sum(event_id) AS BIGINT) AS id_checksum,
+            |  ${sqlDsum("value", 4)} AS value_sum
+            |FROM c GROUP BY 1, 2 ORDER BY sink, reason""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q35, q44, q53, q54, q91, q95, q108, q122, q161)
 }
