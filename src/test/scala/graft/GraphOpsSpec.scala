@@ -67,6 +67,27 @@ class GraphOpsSpec extends SparkTestBase {
     assert(rows.map(_.getLong(1)).distinct.length > 1)
   }
 
+  test("q148 triangles: K4 co-purchase graph counts 4 triangles, 6 edges, 4 nodes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tri_edge").toString
+    Seq((1L, "Brand#4"), (2L, "Brand#4"), (3L, "Brand#4"), (4L, "Brand#4"),
+      (5L, "Brand#1")) // off-brand node must not enter the graph
+      .toDF("p_partkey", "p_brand")
+      .coalesce(1).write.parquet(s"$dir/part.parquet")
+    // One order per K4 edge (plus one wiring the off-brand part in).
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L))
+    pairs.zipWithIndex
+      .flatMap { case ((u, v), i) => Seq((100L + i, u), (100L + i, v)) }
+      .toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val r = graft.queries.GraphOps.q148.run(spark, dir).head
+    assert(r.getLong(0) === 4L, "nodes")
+    assert(r.getLong(1) === 6L, "edges")
+    assert(r.getLong(2) === 4L, "K4 has exactly 4 triangles")
+    graft.Fs.deleteTree(dir)
+  }
+
   test("q94 keep policy: exactly one survivor per cluster, sizes consistent") {
     val rows = graft.queries.GraphOps.q94.run(spark, sf).collect()
     val byCluster = rows.groupBy(_.getLong(1))

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.{lit, md5}
+
 /** TrainPrep operators on degenerate documents the driver fixture never
   * contains (empty text, single char, exactly-one-gram) — the rows a
   * real crawl absolutely will contain. Expectations are hand-computed to
@@ -59,5 +61,34 @@ class TrainPrepEdgeSpec extends SparkTestBase {
     // the query must simply produce no rows rather than failing.
     val out = graft.queries.TrainPrep.q62.run(spark, dir).collect()
     assert(out.length === 0)
+  }
+
+  test("q160 span scrub: sub-8-token docs are excluded, not crashed on") {
+    assert(graft.queries.TrainPrep.q160.run(spark, dir).collect().isEmpty)
+  }
+
+  test("q160 span scrub: duplicated spans drop, tails and unique spans survive verbatim") {
+    import spark.implicits._
+    val d2 = Files.createTempDirectory("graft_scrub_edge").toString
+    // 10/11: identical 9-token docs — the one 8-gram span is corpus-
+    // duplicated and must drop, leaving only the sub-span tail.
+    // 12: unique 8-token doc, no tail — must survive unchanged.
+    Seq(
+      (10L, "a b c d e f g h tail", "en", "s", 20L),
+      (11L, "a b c d e f g h tail", "en", "s", 20L),
+      (12L, "p q r s t u v w", "en", "s", 15L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d2/documents.parquet")
+    val rows = graft.queries.TrainPrep.q160.run(spark, d2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getInt(4)))).toMap
+    val tailMd5 = spark.range(1)
+      .select(md5(lit("tail"))).head.getString(0)
+    val fullMd5 = spark.range(1)
+      .select(md5(lit("p q r s t u v w"))).head.getString(0)
+    assert(rows(10L) === ((1L, 1L, tailMd5, 4)))
+    assert(rows(11L) === ((1L, 1L, tailMd5, 4)))
+    assert(rows(12L) === ((1L, 0L, fullMd5, 15)))
+    graft.Fs.deleteTree(d2)
   }
 }
