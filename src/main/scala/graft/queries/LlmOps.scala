@@ -186,5 +186,52 @@ object LlmOps {
            |ORDER BY kept_doc_id""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q19, q20, q21, q22, q23, q57)
+  /** q162 — higher-order array function breadth (the lambda family
+    * q19/q22 use, exercised as a group): filter / exists / forall /
+    * zip_with + sequential-fold aggregate, per vector, rolled up per
+    * label. Every predicate compares the SAME parquet floats on both
+    * engines (bit-identical), and the one float fold (self ⊙ reversed
+    * self) mirrors Spark's seeded left fold with DuckDB's
+    * list_reduce-with-prepended-seed before a per-row decimal rounding
+    * — Det's proven pattern, so the label sums are exact. All in-row:
+    * shuffle is |labels| groups. */
+  val q162 = QuerySpec(
+    "q162_hof_array_breadth",
+    (s, d) => {
+      import s.implicits._
+      Tables.embeddings(s, d)
+        .select($"label",
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        .select($"label",
+          expr("size(filter(e, x -> x > 0.0D))").as("n_pos"),
+          expr("exists(e, x -> abs(x) > 2.0D)").as("has_big"),
+          expr("forall(e, x -> abs(x) < 4.0D)").as("all_bounded"),
+          expr("CAST(aggregate(zip_with(e, reverse(e), (a, b) -> a * b), 0.0D, (acc, x) -> acc + x) AS DECIMAL(30,12))")
+            .as("rev_dot"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum($"n_pos".cast("long")).as("pos_sum"),
+          sum(when($"has_big", 1L).otherwise(0L)).as("n_has_big"),
+          sum(when($"all_bounded", 1L).otherwise(0L)).as("n_all_bounded"),
+          sum($"rev_dot").cast("double").as("rev_dot_sum"))
+        .orderBy($"label")
+    },
+    Some(s"""WITH v AS (
+            |  SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            |p AS (
+            |  SELECT label,
+            |    len(list_filter(e, x -> x > 0.0)) AS n_pos,
+            |    len(list_filter(e, x -> abs(x) > 2.0)) > 0 AS has_big,
+            |    len(list_filter(e, x -> NOT (abs(x) < 4.0))) = 0 AS all_bounded,
+            |    CAST(${Det.sqlDot("e", "list_reverse(e)")} AS DECIMAL(30,12)) AS rev_dot
+            |  FROM v)
+            |SELECT label, count(*) AS n_vecs,
+            |  CAST(sum(n_pos) AS BIGINT) AS pos_sum,
+            |  CAST(sum(CASE WHEN has_big THEN 1 ELSE 0 END) AS BIGINT) AS n_has_big,
+            |  CAST(sum(CASE WHEN all_bounded THEN 1 ELSE 0 END) AS BIGINT) AS n_all_bounded,
+            |  CAST(sum(rev_dot) AS DOUBLE) AS rev_dot_sum
+            |FROM p GROUP BY label ORDER BY label""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q19, q20, q21, q22, q23, q57, q162)
 }

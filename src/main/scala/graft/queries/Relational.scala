@@ -925,7 +925,38 @@ object Relational {
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
   )
 
+  /** q164 — string scalar breadth (q17's string family completed):
+    * translate, lpad, reverse, left/right, ascii, repeat — the
+    * normalization/formatting verbs ingest mappings lean on. Pure
+    * per-row projection over part; every output is a plain string/int
+    * so the hash gate needs no determinism machinery. */
+  val q164 = QuerySpec(
+    "q164_string_scalar_breadth",
+    (s, d) => {
+      import s.implicits._
+      Tables.part(s, d)
+        .select($"p_partkey",
+          translate($"p_name", "aeiou", "12345").as("devoweled"),
+          lpad($"p_brand", 12, "*").as("padded"),
+          reverse($"p_name").as("reversed"),
+          expr("left(p_name, 4)").as("prefix4"),
+          expr("right(p_name, 4)").as("suffix4"),
+          ascii($"p_name").cast("long").as("first_byte"),
+          expr("repeat(p_type, 2)").as("doubled_type"))
+        .orderBy($"p_partkey")
+    },
+    Some("""SELECT p_partkey,
+           |  translate(p_name, 'aeiou', '12345') AS devoweled,
+           |  lpad(p_brand, 12, '*') AS padded,
+           |  reverse(p_name) AS reversed,
+           |  left(p_name, 4) AS prefix4,
+           |  right(p_name, 4) AS suffix4,
+           |  CAST(ascii(p_name) AS BIGINT) AS first_byte,
+           |  repeat(p_type, 2) AS doubled_type
+           |FROM part ORDER BY p_partkey""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q66, q75, q76, q82, q84, q85,
-    q143, q144, q145, q146, q155, q156)
+    q143, q144, q145, q146, q155, q156, q164)
 }

@@ -427,5 +427,42 @@ object TextMedia {
             |ORDER BY doc_id, cos_sim DESC, vec_id""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q29, q30, q31, q32, q33, q34, q36, q45, q73, q78, q111)
+  /** q163 — regexp scalar breadth (q21/q31 use extract_all; this gates
+    * the rest of the family): regexp_count, first-match regexp_substr
+    * (NULL on no match, normalized to '' — DuckDB's regexp_extract
+    * convention), global regexp_replace (Spark replaces all matches by
+    * default; DuckDB needs the explicit 'g' flag — THE dialect trap
+    * this query pins), and regexp_like as a filter count. Pure per-row
+    * projection; one |lang|-sized rollup. */
+  val q163 = QuerySpec(
+    "q163_regexp_breadth",
+    (s, d) => {
+      import s.implicits._
+      Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"lang",
+          regexp_count($"text", lit("data")).cast("long").as("n_data"),
+          coalesce(regexp_substr($"text", lit("k[a-z]+")), lit("")).as("first_k"),
+          length(regexp_replace($"text", lit("a[a-z]*"), lit("X"))).cast("long")
+            .as("replaced_len"),
+          when($"text".rlike("vector .* join"), 1L).otherwise(0L).as("has_span"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_data").as("data_mentions"),
+          sum(char_length($"first_k").cast("long")).as("first_k_len_sum"),
+          sum($"replaced_len").as("replaced_len_sum"),
+          sum($"has_span").as("n_span_docs"))
+        .orderBy($"lang")
+    },
+    Some("""SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(len(regexp_extract_all(text, 'data'))) AS BIGINT) AS data_mentions,
+           |  CAST(sum(len(regexp_extract(text, 'k[a-z]+'))) AS BIGINT) AS first_k_len_sum,
+           |  CAST(sum(length(regexp_replace(text, 'a[a-z]*', 'X', 'g'))) AS BIGINT)
+           |    AS replaced_len_sum,
+           |  CAST(sum(CASE WHEN regexp_matches(text, 'vector .* join') THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_span_docs
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q29, q30, q31, q32, q33, q34, q36, q45, q73, q78,
+    q111, q163)
 }
