@@ -719,7 +719,76 @@ object Analytics {
            |ORDER BY l_returnflag_l_linestatus""".stripMargin),
   )
 
+  /** q165 — rolling z-score anomaly detection with NO floats in the
+    * gate: events resampled to a 15-minute spine (absent buckets are
+    * honest zeros, not skipped rows), per-type trailing-8 window
+    * sufficient statistics (S, S²), and the |z| > 2 test evaluated by
+    * integer cross-multiplication — z² > 4 ⇔ (k·x − S)² > 4·(k·S2 − S²)
+    * after clearing denominators, so the anomaly verdict is BIGINT-
+    * exact on both engines (sqrt/stddev would drift). Ranked by the
+    * integer margin, top-20. Scale: windows run over the bucket
+    * rollup (spine-sized), partitioned by series key; raw events are
+    * touched once. */
+  val q165 = QuerySpec(
+    "q165_anomaly_zscore",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val bounds = ev.agg(
+        expr("unix_micros(min(ts)) DIV 900000000").as("lo"),
+        expr("unix_micros(max(ts)) DIV 900000000").as("hi"))
+      val spine = bounds
+        .select(explode(expr("sequence(lo, hi)")).as("b"))
+        .crossJoin(broadcast(ev.select($"event_type").distinct()))
+      val bucketed = ev
+        .groupBy(expr("unix_micros(ts) DIV 900000000").as("b"), $"event_type")
+        .agg(count(lit(1)).as("n0"))
+      val series = spine.join(broadcast(bucketed), Seq("b", "event_type"), "left")
+        .select($"event_type", $"b", coalesce($"n0", lit(0L)).as("x"))
+      val w8 = Window.partitionBy($"event_type").orderBy($"b")
+        .rowsBetween(-8, -1)
+      val cnt = Window.partitionBy($"event_type").orderBy($"b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      series
+        .withColumn("s", sum($"x").over(w8))
+        .withColumn("s2", sum($"x" * $"x").over(w8))
+        .withColumn("n_prev", count(lit(1)).over(cnt))
+        .where($"n_prev" >= 8)
+        .select($"event_type", $"b", $"x", $"s", $"s2",
+          ((lit(8L) * $"x" - $"s") * (lit(8L) * $"x" - $"s") -
+            lit(4L) * (lit(8L) * $"s2" - $"s" * $"s")).as("margin"))
+        .withColumn("is_anomaly", $"margin" > 0L)
+        .orderBy($"margin".desc, $"event_type", $"b")
+        .limit(20)
+    },
+    Some("""WITH e AS (SELECT event_type, epoch_us(ts) // 900000000 AS b FROM events),
+           |bounds AS (SELECT min(b) AS lo, max(b) AS hi FROM e),
+           |spine AS (
+           |  SELECT unnest(generate_series(lo, hi)) AS b, et
+           |  FROM bounds, (SELECT DISTINCT event_type AS et FROM e)),
+           |bucketed AS (SELECT b, event_type, count(*) AS n0 FROM e GROUP BY 1, 2),
+           |series AS (
+           |  SELECT spine.et AS event_type, spine.b, coalesce(n0, 0) AS x
+           |  FROM spine LEFT JOIN bucketed
+           |    ON spine.b = bucketed.b AND spine.et = bucketed.event_type),
+           |stats AS (
+           |  SELECT event_type, b, x,
+           |    sum(x) OVER w8 AS s, sum(x * x) OVER w8 AS s2,
+           |    count(*) OVER (PARTITION BY event_type ORDER BY b
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_prev
+           |  FROM series
+           |  WINDOW w8 AS (PARTITION BY event_type ORDER BY b
+           |    ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+           |SELECT event_type, CAST(b AS BIGINT) AS b, CAST(x AS BIGINT) AS x,
+           |  CAST(s AS BIGINT) AS s, CAST(s2 AS BIGINT) AS s2,
+           |  CAST((8 * x - s) * (8 * x - s) - 4 * (8 * s2 - s * s) AS BIGINT) AS margin,
+           |  ((8 * x - s) * (8 * x - s) - 4 * (8 * s2 - s * s)) > 0 AS is_anomaly
+           |FROM stats WHERE n_prev >= 8
+           |ORDER BY margin DESC, event_type, b LIMIT 20""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q118, q119, q120, q121, q123, q124, q127, q128, q131, q132, q134, q137,
-      q139, q147, q153, q157)
+      q139, q147, q153, q157, q165)
 }

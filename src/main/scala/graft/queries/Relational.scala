@@ -956,7 +956,40 @@ object Relational {
            |FROM part ORDER BY p_partkey""".stripMargin),
   )
 
+  /** q166 — explicit grouping sets through the DataFrame API (Spark 4's
+    * Dataset.groupingSets, q72's SQL form made declarative): three
+    * pinned sets — (status, priority), (status), () — one Expand of
+    * factor 3, grouping() flags disambiguating real NULLs from
+    * super-aggregate rows. NULL grouping keys never reach the ORDER BY
+    * (Spark sorts nulls first, DuckDB last): keys are coalesced to
+    * 'ALL' labels and the grouping flags lead the sort. */
+  val q166 = QuerySpec(
+    "q166_df_grouping_sets",
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq($"o_orderstatus", $"o_orderpriority"), Seq($"o_orderstatus"), Seq()),
+          $"o_orderstatus", $"o_orderpriority")
+        .agg(grouping($"o_orderstatus").cast("int").as("g_status"),
+          grouping($"o_orderpriority").cast("int").as("g_prio"),
+          count(lit(1)).as("n"), dsum($"o_totalprice", 2).as("price_sum"))
+        .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+          coalesce($"o_orderpriority", lit("ALL")).as("prio"),
+          $"g_status", $"g_prio", $"n", $"price_sum")
+        .orderBy($"g_status", $"g_prio", $"status", $"prio")
+    },
+    Some(s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+            |  coalesce(o_orderpriority, 'ALL') AS prio,
+            |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+            |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+            |  count(*) AS n, ${sqlDsum("o_totalprice", 2)} AS price_sum
+            |FROM orders
+            |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+            |ORDER BY g_status, g_prio, status, prio""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q66, q75, q76, q82, q84, q85,
-    q143, q144, q145, q146, q155, q156, q164)
+    q143, q144, q145, q146, q155, q156, q164, q166)
 }
