@@ -558,6 +558,41 @@ object SqlSurface {
            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
   )
 
+  /** q167 — IN / NOT IN subqueries, including the NULL trap: IN
+    * decorrelates to a semi join, null-free NOT IN to an anti join, and
+    * NOT IN against a subquery that CAN yield NULL must evaluate under
+    * three-valued logic (one NULL in the list makes NOT IN never-true →
+    * zero rows) — Spark plans the null-aware anti join for exactly this
+    * case, and the gate pins that both engines agree the count is 0.
+    * Misreading that semantics silently drops or keeps entire
+    * populations in retention queries, which is why it's pinned here. */
+  val q167 = QuerySpec(
+    "q167_sql_in_notin",
+    (s, d) => {
+      registerViews(s, d)
+      s.sql("""SELECT
+              |  (SELECT count(*) FROM customer WHERE c_custkey IN
+              |    (SELECT o_custkey FROM orders
+              |     WHERE o_orderdate >= TIMESTAMP_NTZ '2000-01-01')) AS n_recent_buyers,
+              |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+              |    (SELECT o_custkey FROM orders
+              |     WHERE o_orderdate >= TIMESTAMP_NTZ '2000-01-01')) AS n_quiet,
+              |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+              |    (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+              |            ELSE o_custkey END FROM orders)) AS n_not_in_nullable""".stripMargin)
+    },
+    Some("""SELECT
+           |  (SELECT count(*) FROM customer WHERE c_custkey IN
+           |    (SELECT o_custkey FROM orders
+           |     WHERE o_orderdate >= TIMESTAMP '2000-01-01')) AS n_recent_buyers,
+           |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+           |    (SELECT o_custkey FROM orders
+           |     WHERE o_orderdate >= TIMESTAMP '2000-01-01')) AS n_quiet,
+           |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+           |    (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+           |            ELSE o_custkey END FROM orders)) AS n_not_in_nullable""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q37, q38, q48, q51, q56, q71, q72, q83, q93,
-    q97, q103, q116, q129, q130, q135, q142, q151, q154)
+    q97, q103, q116, q129, q130, q135, q142, q151, q154, q167)
 }
