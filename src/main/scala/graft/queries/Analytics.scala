@@ -635,9 +635,12 @@ object Analytics {
         .groupBy($"c_nationkey")
         .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
           sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sx2"))
+        // nullif guards the zero-variance group (all of a nation's orders
+        // on one date → denominator 0): slope NULL, not a DIVIDE_BY_ZERO
+        // crash under ANSI mode. Mirrored in the oracle.
         .select($"c_nationkey", $"n", $"sx", $"sy", $"sxy", $"sx2",
           expr("""CAST(((CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000)
-                 DIV (CAST(n AS DECIMAL(38,0)) * sx2 - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)""")
+                 DIV nullif(CAST(n AS DECIMAL(38,0)) * sx2 - CAST(sx AS DECIMAL(38,0)) * sx, 0) AS BIGINT)""")
             .as("slope_ucents_day"))
         .orderBy($"c_nationkey")
     },
@@ -653,7 +656,7 @@ object Analytics {
            |  FROM o GROUP BY c_nationkey)
            |SELECT c_nationkey, n, sx, sy, sxy, sx2,
            |  CAST(((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 1000000)
-           |    // (CAST(n AS HUGEINT) * sx2 - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+           |    // nullif(CAST(n AS HUGEINT) * sx2 - CAST(sx AS HUGEINT) * sx, 0) AS BIGINT)
            |    AS slope_ucents_day
            |FROM g ORDER BY c_nationkey""".stripMargin),
   )

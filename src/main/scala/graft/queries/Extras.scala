@@ -71,8 +71,7 @@ object Extras {
             dsum($"l_extendedprice", 2).as("price_sum"),
             countDistinct(date_format($"current_ts", "yyyy-MM-dd HH:mm:ss")).as("n_ts"),
             countDistinct($"fname").as("n_files"))
-        val row = agg.collect() // eager: the round-trip dir can be deleted
-        s.createDataFrame(java.util.Arrays.asList(row: _*), agg.schema)
+        Eager(agg) // eager: the round-trip dir can be deleted
       } finally graft.Fs.deleteTree(tmp)
     },
     Some(s"""SELECT count(*) AS n_rows, CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
@@ -505,8 +504,7 @@ object Extras {
             dsum($"l_extendedprice", 2).as("price_sum"),
             dsum($"l_quantity", 2).as("qty_sum"))
           .orderBy($"o_orderpriority")
-        val rows = agg.collect() // eager: tables are dropped in finally
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+        Eager(agg) // eager: tables are dropped in finally
       } finally {
         s.sql(s"DROP TABLE IF EXISTS $tblO")
         s.sql(s"DROP TABLE IF EXISTS $tblL")
@@ -544,8 +542,7 @@ object Extras {
           .groupBy($"source")
           .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars_sum"))
           .orderBy($"source")
-        val rows = agg.collect() // eager: tmp is deleted in the finally
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+        Eager(agg) // eager: tmp is deleted in the finally
       } finally graft.Fs.deleteTree(tmp)
     },
     Some("""SELECT source, count(*) AS n_docs,
@@ -647,8 +644,7 @@ object Extras {
             count($"quality").as("n_with_quality"),
             sum($"quality").as("quality_sum"))
           .orderBy($"lang")
-        val rows = agg.collect() // eager: tmp deleted in the finally
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+        Eager(agg) // eager: tmp deleted in the finally
       } finally graft.Fs.deleteTree(tmp)
     },
     Some("""SELECT lang, count(*) AS n_docs,
@@ -695,8 +691,7 @@ object Extras {
           .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("id_checksum"),
             sum($"n_chars").as("chars_sum"))
           .orderBy($"sink", $"reason")
-        val rows = agg.collect() // eager: both sinks live under tmp
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+        Eager(agg) // eager: both sinks live under tmp
       } finally {
         classified.unpersist(blocking = false)
         graft.Fs.deleteTree(tmp)

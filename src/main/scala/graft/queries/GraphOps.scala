@@ -126,9 +126,9 @@ object GraphOps {
         .orderBy($"doc_id")
       // Sever the result from the loop's persisted frames: materialize
       // before unpersist so labels can be freed eagerly.
-      val rows = out.collect()
+      val result = Eager(out)
       labels.unpersist(blocking = false)
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      result
     },
     // Assembled via mkString, not stripMargin: the embedded q26 SQL
     // contains || concat operators (stripMargin corrupts lines that
@@ -179,9 +179,9 @@ object GraphOps {
           $"cluster_size".cast("int").as("cluster_size"),
           ($"rk" === 1).as("kept"))
         .orderBy($"vec_id")
-      val rows = out.collect()
+      val result = Eager(out)
       labels.unpersist(blocking = false)
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      result
     },
     NearDup.q27.oracle.map(cosSql => Seq(
       s"WITH RECURSIVE cand AS (${cosSql.replace("ORDER BY vec_a, vec_b", "")}),",
@@ -280,9 +280,9 @@ object GraphOps {
             .persist(StorageLevel.MEMORY_AND_DISK)
         }
         val out = sweeps.last.orderBy($"node")
-        val rows = out.collect()
+        val result = Eager(out)
         (Seq(edgesDeg, nodes) ++ sweeps).foreach(_.unpersist(blocking = false))
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+        result
       } finally edges.unpersist(blocking = false)
     },
     Some(Seq(
@@ -350,8 +350,7 @@ object GraphOps {
         val agg = nodes.agg(count(lit(1)).as("n_nodes"))
           .crossJoin(e.agg(count(lit(1)).as("n_edges")))
           .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
-        val rows = agg.collect() // eager: e is unpersisted in finally
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+        Eager(agg) // eager: e is unpersisted in finally
       } finally { e.unpersist(); () }
     },
     Some("""WITH li AS (

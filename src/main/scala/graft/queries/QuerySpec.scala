@@ -15,6 +15,18 @@ final case class QuerySpec(
     oracle: Option[String],
 )
 
+/** Materialize a (small, already-aggregated) result on the driver and
+  * sever it from persisted/temp state — THE idiom every scratch-staging
+  * query ends with, so its `finally` can drop tables, unpersist frames,
+  * and delete tmp trees before the DataFrame is returned. One named
+  * helper instead of N hand-rolled collect/createDataFrame pairs. */
+object Eager {
+  def apply(df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    df.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
+}
+
 /** Determinism helpers for the DuckDB hash-compare gate (SURVEY §7.4).
   *
   * Floating-point sums are order-dependent, and Spark's shuffle order is

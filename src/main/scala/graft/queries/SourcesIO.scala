@@ -54,8 +54,7 @@ object SourcesIO {
           sum(col("length")).as("total_bytes"),
           countDistinct(col("digest")).as("n_distinct"),
           sum(col("doc_id")).as("id_checksum"))
-        val rows = agg.collect() // eager: source dir is about to be deleted
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+        Eager(agg) // eager: source dir is about to be deleted
       } finally graft.Fs.deleteTree(tmp)
     },
     Some("""SELECT count(*) AS n_files,
@@ -98,8 +97,7 @@ object SourcesIO {
             sum(char_length($"n_name")).as("name_len_sum"),
             sum($"n_regionkey" * $"n_nationkey").as("cross_checksum"))
           .orderBy($"fmt")
-        val rows = agg.collect() // eager: staged formats live under tmp
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+        Eager(agg) // eager: staged formats live under tmp
       } finally graft.Fs.deleteTree(tmp)
     },
     Some("""SELECT fmt, count(*) AS n_rows,
@@ -137,8 +135,7 @@ object SourcesIO {
           sum($"n_nationkey").as("key_checksum"),
           sum(char_length($"n_name")).as("name_len_sum"),
           sum($"n_regionkey" * $"n_nationkey").as("cross_checksum"))
-        val rows = agg.collect() // eager: staged xml lives under tmp
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+        Eager(agg) // eager: staged xml lives under tmp
       } finally graft.Fs.deleteTree(tmp)
     },
     Some("""SELECT count(*) AS n_rows,
@@ -173,8 +170,7 @@ object SourcesIO {
           dsum($"o_totalprice", 2).as("price_sum"),
           sum(char_length($"o_orderstatus")).as("status_len_sum"),
           countDistinct(dstr($"o_orderdate")).as("n_days"))
-        val rows = agg.collect() // eager: staged orc lives under tmp
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+        Eager(agg) // eager: staged orc lives under tmp
       } finally graft.Fs.deleteTree(tmp)
     },
     Some(s"""SELECT count(*) AS n_rows,
@@ -226,8 +222,7 @@ object SourcesIO {
           .select($"file_name", $"length",
             expr("before DIV target").cast("int").as("bin"))
           .orderBy($"file_name")
-        val rows = plan.collect() // eager: staged dir is about to be deleted
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), plan.schema)
+        Eager(plan) // eager: staged dir is about to be deleted
       } finally graft.Fs.deleteTree(tmp)
     },
     Some("""WITH f AS (

@@ -344,8 +344,7 @@ object SqlSurface {
           |      FROM orders
           |      WHERE o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
           |      GROUP BY 1)""".stripMargin)
-      val rows = m.collect() // one row per calendar quarter — bounded at any SF
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), m.schema)
+      Eager(m) // one row per calendar quarter — bounded at any SF
         .createOrReplaceTempView("graft_quarter_counts")
       s.sql("""WITH RECURSIVE ema(i, qtr, cnt, ema_ppm) AS (
               |  SELECT i, qtr, cnt, cnt * 1000000L FROM graft_quarter_counts WHERE i = 1

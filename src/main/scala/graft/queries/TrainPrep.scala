@@ -633,9 +633,7 @@ object TrainPrep {
           .agg(count(lit(1)).as("n_bigrams"),
             expr("sum(p_ppm) div count(1)").as("mean_p_ppm"))
           .orderBy($"doc_id")
-        // Eager: sever the result from the persisted frame before unpersist.
-        val rows = out.collect()
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+        Eager(out) // sever the result from the persisted frame before unpersist
       } finally docBg.unpersist(blocking = false)
     },
     Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
@@ -808,32 +806,38 @@ object TrainPrep {
     "q160_span_scrub",
     (s, d) => {
       import s.implicits._
+      // docs feeds both the span explode and the rebuild join — persist,
+      // or the scan + tokenize runs twice (the q28 rescan anti-pattern).
       val docs = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
         .select($"doc_id", split($"text", " ").as("w"))
         .filter(size($"w") >= 8)
         .select($"doc_id", $"w", expr("size(w) div 8").as("nspan"))
-      val spans = docs.select($"doc_id",
-        posexplode(expr(
-          "transform(sequence(0, nspan - 1), k -> concat_ws(' ', slice(w, k * 8 + 1, 8)))"))
-          .as(Seq("k", "g")))
-      val counted = spans.withColumn("cnt",
-        count(lit(1)).over(Window.partitionBy($"g")))
-      val rebuilt = counted.groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_spans"),
-          sum(when($"cnt" >= 2, 1L).otherwise(0L)).as("n_dropped"),
-          concat_ws(" ", expr(
-            "transform(array_sort(collect_list(CASE WHEN cnt < 2 THEN struct(k, g) END)), x -> x.g)"))
-            .as("kept"))
-      rebuilt.join(docs.select($"doc_id", $"w", $"nspan"), Seq("doc_id"))
-        .select($"doc_id", $"n_spans", $"n_dropped",
-          concat_ws(" ",
-            when($"kept" === "", lit(null)).otherwise($"kept"),
-            expr("nullif(concat_ws(' ', slice(w, nspan * 8 + 1, size(w) - nspan * 8)), '')"))
-            .as("cleaned"))
-        .select($"doc_id", $"n_spans", $"n_dropped",
-          md5($"cleaned").as("cleaned_md5"), length($"cleaned").as("cleaned_len"))
-        .orderBy($"n_dropped".desc, $"doc_id")
-        .limit(20)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val spans = docs.select($"doc_id",
+          posexplode(expr(
+            "transform(sequence(0, nspan - 1), k -> concat_ws(' ', slice(w, k * 8 + 1, 8)))"))
+            .as(Seq("k", "g")))
+        val counted = spans.withColumn("cnt",
+          count(lit(1)).over(Window.partitionBy($"g")))
+        val rebuilt = counted.groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when($"cnt" >= 2, 1L).otherwise(0L)).as("n_dropped"),
+            concat_ws(" ", expr(
+              "transform(array_sort(collect_list(CASE WHEN cnt < 2 THEN struct(k, g) END)), x -> x.g)"))
+              .as("kept"))
+        val out = rebuilt.join(docs.select($"doc_id", $"w", $"nspan"), Seq("doc_id"))
+          .select($"doc_id", $"n_spans", $"n_dropped",
+            concat_ws(" ",
+              when($"kept" === "", lit(null)).otherwise($"kept"),
+              expr("nullif(concat_ws(' ', slice(w, nspan * 8 + 1, size(w) - nspan * 8)), '')"))
+              .as("cleaned"))
+          .select($"doc_id", $"n_spans", $"n_dropped",
+            md5($"cleaned").as("cleaned_md5"), length($"cleaned").as("cleaned_len"))
+          .orderBy($"n_dropped".desc, $"doc_id")
+          .limit(20)
+        Eager(out) // sever from the persisted frame before unpersist
+      } finally { docs.unpersist(); () }
     },
     Some("""WITH d AS (
            |  SELECT doc_id, w, CAST(len(w) // 8 AS INT) AS nspan
@@ -947,8 +951,7 @@ object TrainPrep {
           .select($"lang", $"n_docs", $"tok_sum", $"oov_sum",
             expr("(oov_sum * 1000000) DIV tok_sum").as("corpus_oov_ppm"))
           .orderBy($"lang")
-        val rows = agg.collect() // eager: toks is unpersisted in finally
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+        Eager(agg) // eager: toks is unpersisted in finally
       } finally { toks.unpersist(); () }
     },
     Some("""WITH toks AS (
@@ -1005,8 +1008,7 @@ object TrainPrep {
           .groupBy($"label", $"clabel".as("assigned"))
           .agg(count(lit(1)).as("n"))
           .orderBy($"label", $"assigned")
-        val rows = agg.collect() // eager: long is unpersisted in finally
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+        Eager(agg) // eager: long is unpersisted in finally
       } finally { long.unpersist(); () }
     },
     Some("""WITH long AS (

@@ -90,10 +90,8 @@ object EventIngest {
         .start()
       query.awaitTermination()
 
-      val sunk = spark.table(sinkTable).orderBy($"window_start", $"event_type")
-      val rows = sunk.collect()
-      val sinkSchema = sunk.schema
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), sinkSchema)
+      graft.queries.Eager(
+        spark.table(sinkTable).orderBy($"window_start", $"event_type"))
     } finally {
       spark.catalog.dropTempView(sinkTable)
       graft.Fs.deleteTree(checkpointDir)

@@ -35,11 +35,19 @@ object StreamQuarantine {
     val rej = s"$tmp/quarantine"
     val ckpt = s"$tmp/ckpt"
     try {
+      val classified = h.eventsStream(maxFilesPerTrigger = 1)
+        .withColumn("reason",
+          when($"event_type" === "error", "error_type")
+            .when($"value" < 1.0, "low_value"))
+      // Sink schemas remembered up front (StreamHarness.output()'s rule):
+      // a sink that receives zero rows commits no parquet data files, and
+      // schema INFERENCE over such a directory throws instead of
+      // returning an empty relation.
+      val rejSchema = classified.schema
+      val cleanSchema = org.apache.spark.sql.types.StructType(
+        rejSchema.filterNot(_.name == "reason"))
       h.withStreamingPartitions(8) {
-        val q = h.eventsStream(maxFilesPerTrigger = 1)
-          .withColumn("reason",
-            when($"event_type" === "error", "error_type")
-              .when($"value" < 1.0, "low_value"))
+        val q = classified
           .writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val b = batch.persist()
@@ -55,10 +63,10 @@ object StreamQuarantine {
           .start()
         q.awaitTermination()
       }
-      val cleanDf = spark.read.parquet(clean).select(
+      val cleanDf = spark.read.schema(cleanSchema).parquet(clean).select(
         lit("clean").as("sink"), lit("none").as("reason"),
         $"event_id", $"value")
-      val rejDf = spark.read.parquet(rej).select(
+      val rejDf = spark.read.schema(rejSchema).parquet(rej).select(
         lit("quarantine").as("sink"), $"reason", $"event_id", $"value")
       val agg = cleanDf.unionByName(rejDf)
         .groupBy($"sink", $"reason")
@@ -66,8 +74,7 @@ object StreamQuarantine {
           sum($"event_id").as("id_checksum"),
           graft.queries.Det.dsum($"value", 4).as("value_sum"))
         .orderBy($"sink", $"reason")
-      val rows = agg.collect() // eager: both sinks live under tmp
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+      graft.queries.Eager(agg) // eager: both sinks live under tmp
     } finally {
       h.cleanup()
       graft.Fs.deleteTree(tmp)

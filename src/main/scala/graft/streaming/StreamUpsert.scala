@@ -81,8 +81,7 @@ object StreamUpsert {
             unix_micros($"ts").as("last_ts_us"), $"value".as("last_value"))
           .orderBy($"user_id")
         // Eager: the versioned target dirs are deleted in the finally.
-        val rows = result.collect()
-        spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+        graft.queries.Eager(result)
       }
     } finally {
       h.cleanup()

@@ -218,9 +218,21 @@ class PlanAuditSpec extends SparkTestBase {
   test("q147: customer dim broadcasts; sufficient statistics partial-aggregate before the exchange") {
     val p = plan("q147_trend_suffstats")
     assert(p.contains("BroadcastHashJoin"), p)
-    val ex = p.indexOf("Exchange")
-    assert(ex >= 0 && p.indexOf("HashAggregate", ex) > ex,
-      "no partial aggregate below the nation exchange\n" + p)
+    // A bare indexOf("Exchange") would match the top-level ORDER BY
+    // range exchange, after which the FINAL aggregate always prints —
+    // vacuous. Assert the actual two-phase sandwich in the tree:
+    // HashAggregate(final) directly over Exchange directly over
+    // HashAggregate(partial), plus the exchange details naming
+    // hashpartitioning on the grouping key.
+    val nodes = p.linesIterator
+      .map(_.dropWhile(c => !c.isLetter))
+      .map(_.takeWhile(_ != ' '))
+      .filter(_.nonEmpty).toList
+    val sandwich = nodes.sliding(3).exists(
+      _ == List("HashAggregate", "Exchange", "HashAggregate"))
+    assert(sandwich, "no partial/final aggregate pair around an exchange\n" + p)
+    assert(p.contains("hashpartitioning(c_nationkey"),
+      "nation rollup exchange is not hash-partitioned on the key\n" + p)
   }
 
   test("whole-stage codegen covers the scan->project hot path of q30") {
