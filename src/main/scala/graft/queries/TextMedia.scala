@@ -463,6 +463,50 @@ object TextMedia {
            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
   )
 
+  /** q168 — binary/digest scalar breadth (the encode→digest→transport
+    * chain every media/content pipeline runs): UTF-8 encode, base64 and
+    * hex transport encodings with round-trip proof, and the sha256
+    * content digest (q33/q73 use md5; this adds the other standard).
+    * hex case differs across engines (Spark upper, DuckDB lower) —
+    * normalized with lower() on both sides, the kind of dialect pin
+    * this suite exists to record. Pure per-row projection, |lang|-sized
+    * rollup; the round-trip booleans are counted, so one corrupted
+    * byte anywhere in the corpus fails the gate. */
+  val q168 = QuerySpec(
+    "q168_binary_scalar_breadth",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"lang", $"text",
+          // Spark's base64 MIME-chunks at 76 chars with CRLF; DuckDB's
+          // to_base64 does not. Strip the chunking (unbase64 accepts
+          // both) so the transport string is the canonical form.
+          regexp_replace(base64(encode($"text", "UTF-8")), "[\\r\\n]", "").as("b64"),
+          lower(hex(encode($"text", "UTF-8"))).as("hx"),
+          sha2($"text", 256).as("sha"))
+        .select($"lang",
+          (decode(unbase64($"b64"), "UTF-8") === $"text").as("b64_ok"),
+          (decode(unhex($"hx"), "UTF-8") === $"text").as("hex_ok"),
+          char_length($"b64").cast("long").as("b64_len"),
+          $"sha")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"b64_ok", 1L).otherwise(0L)).as("n_b64_ok"),
+          sum(when($"hex_ok", 1L).otherwise(0L)).as("n_hex_ok"),
+          sum($"b64_len").as("b64_len_sum"),
+          countDistinct($"sha").as("n_digests"))
+        .orderBy($"lang")
+    },
+    Some("""SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN decode(from_base64(to_base64(encode(text)))) = text
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_b64_ok,
+           |  CAST(sum(CASE WHEN decode(unhex(lower(hex(encode(text))))) = text
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hex_ok,
+           |  CAST(sum(length(to_base64(encode(text)))) AS BIGINT) AS b64_len_sum,
+           |  count(DISTINCT sha256(text)) AS n_digests
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q29, q30, q31, q32, q33, q34, q36, q45, q73, q78,
-    q111, q163)
+    q111, q163, q168)
 }
