@@ -989,7 +989,75 @@ object Relational {
             |ORDER BY g_status, g_prio, status, prio""".stripMargin),
   )
 
+  /** q169 — explicit NULL placement in sorts: the engines' DEFAULTS
+    * disagree (Spark sorts nulls first ascending, DuckDB last), which is
+    * why every nullable sort key in this suite is either coalesced or
+    * pinned — this query pins the feature itself. Two top-10s over a
+    * nullable measure, one DESC NULLS LAST (nulls can never enter) and
+    * one ASC NULLS FIRST (nulls lead, tie-broken by key), both planned
+    * as TakeOrderedAndProject — no global sort materializes. */
+  val q169 = QuerySpec(
+    "q169_sort_null_placement",
+    (s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d).select($"o_orderkey",
+        when($"o_orderstatus" === "P", lit(null).cast("double"))
+          .otherwise($"o_totalprice").as("p"))
+      val last = o.orderBy($"p".desc_nulls_last, $"o_orderkey").limit(10)
+        .withColumn("variant", lit("desc_nulls_last"))
+      val first = o.orderBy($"p".asc_nulls_first, $"o_orderkey").limit(10)
+        .withColumn("variant", lit("asc_nulls_first"))
+      last.unionByName(first)
+        .select($"variant", $"o_orderkey", $"p")
+        .orderBy($"variant", $"o_orderkey")
+    },
+    Some("""WITH o AS (
+           |  SELECT o_orderkey,
+           |    CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END AS p
+           |  FROM orders),
+           |a AS (SELECT 'desc_nulls_last' AS variant, o_orderkey, p FROM o
+           |      ORDER BY p DESC NULLS LAST, o_orderkey LIMIT 10),
+           |b AS (SELECT 'asc_nulls_first' AS variant, o_orderkey, p FROM o
+           |      ORDER BY p ASC NULLS FIRST, o_orderkey LIMIT 10)
+           |SELECT * FROM a UNION ALL SELECT * FROM b
+           |ORDER BY variant, o_orderkey""".stripMargin),
+  )
+
+  /** q170 — timezone conversion (the reporting-local-time projection
+    * every global warehouse derives from UTC storage): event instants
+    * converted to three zones incl. a half-hour-offset one, emitted as
+    * wall-clock strings. Both engines resolve IANA zone rules — Spark
+    * via from_utc_timestamp, DuckDB via the session-independent
+    * timezone(zone, timezone('UTC', ts)) double application (a bare
+    * AT TIME ZONE would silently depend on the oracle session's zone).
+    * Pure per-row projection. */
+  val q170 = QuerySpec(
+    "q170_timezone_convert",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_id",
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("utc"),
+          date_format(from_utc_timestamp($"ts", "America/New_York"),
+            "yyyy-MM-dd HH:mm:ss").as("new_york"),
+          date_format(from_utc_timestamp($"ts", "Asia/Tokyo"),
+            "yyyy-MM-dd HH:mm:ss").as("tokyo"),
+          date_format(from_utc_timestamp($"ts", "Asia/Kolkata"),
+            "yyyy-MM-dd HH:mm:ss").as("kolkata"))
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id,
+           |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS utc,
+           |  strftime(timezone('America/New_York', timezone('UTC', CAST(ts AS TIMESTAMP))),
+           |    '%Y-%m-%d %H:%M:%S') AS new_york,
+           |  strftime(timezone('Asia/Tokyo', timezone('UTC', CAST(ts AS TIMESTAMP))),
+           |    '%Y-%m-%d %H:%M:%S') AS tokyo,
+           |  strftime(timezone('Asia/Kolkata', timezone('UTC', CAST(ts AS TIMESTAMP))),
+           |    '%Y-%m-%d %H:%M:%S') AS kolkata
+           |FROM events ORDER BY event_id""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q66, q75, q76, q82, q84, q85,
-    q143, q144, q145, q146, q155, q156, q164, q166)
+    q143, q144, q145, q146, q155, q156, q164, q166, q169, q170)
 }
