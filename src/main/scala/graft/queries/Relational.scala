@@ -1057,7 +1057,45 @@ object Relational {
            |FROM events ORDER BY event_id""".stripMargin),
   )
 
+  /** q171 — JSON construction (q18's parse direction reversed): typed
+    * columns serialized to JSON event payloads with to_json(struct(...)),
+    * then extracted back — the emit side of every JSON interchange
+    * pipeline. Both engines render the same canonical compact form for
+    * int/string/array fields (pinned by md5-ing every payload), and the
+    * extract leg proves serialize→extract is lossless. Doubles are
+    * deliberately EXCLUDED from the payload: float rendering
+    * ("1.0" vs "1") is the one place the canonical forms diverge. */
+  val q171 = QuerySpec(
+    "q171_json_construct",
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .select($"o_orderkey", $"o_orderstatus",
+          to_json(struct($"o_orderkey".as("id"), $"o_orderstatus".as("status"),
+            array(lit("p"), $"o_orderpriority").as("tags"))).as("j"))
+        .select($"o_orderstatus", $"j",
+          (get_json_object($"j", "$.id").cast("long") === $"o_orderkey").as("rt_ok"))
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(md5($"j")).as("n_payloads"),
+          sum(char_length($"j").cast("long")).as("json_len_sum"),
+          sum(when($"rt_ok", 1L).otherwise(0L)).as("n_roundtrip_ok"))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""WITH p AS (
+           |  SELECT o_orderstatus, o_orderkey,
+           |    to_json(struct_pack(id := o_orderkey, status := o_orderstatus,
+           |      tags := ['p', o_orderpriority])) AS j
+           |  FROM orders)
+           |SELECT o_orderstatus, count(*) AS n,
+           |  count(DISTINCT md5(CAST(j AS VARCHAR))) AS n_payloads,
+           |  CAST(sum(length(CAST(j AS VARCHAR))) AS BIGINT) AS json_len_sum,
+           |  CAST(sum(CASE WHEN CAST(j ->> 'id' AS BIGINT) = o_orderkey
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok
+           |FROM p GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q66, q75, q76, q82, q84, q85,
-    q143, q144, q145, q146, q155, q156, q164, q166, q169, q170)
+    q143, q144, q145, q146, q155, q156, q164, q166, q169, q170, q171)
 }
