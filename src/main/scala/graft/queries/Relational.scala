@@ -1095,7 +1095,35 @@ object Relational {
            |FROM p GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
   )
 
+  /** q172 — boolean aggregate family: every/any (data-quality
+    * invariants stated as aggregates — "all discounts within policy",
+    * "any max-size order") and count_if, per group. Spark's
+    * every/any/count_if ≡ DuckDB's bool_and/bool_or/count_if; all are
+    * commutative+associative so partial aggregation holds. The
+    * invariant-as-aggregate shape is how a 100 TB audit states checks
+    * without materializing violations. */
+  val q172 = QuerySpec(
+    "q172_boolean_agg",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          every($"l_discount" <= 0.1).as("all_disc_in_policy"),
+          some($"l_quantity" === 50.0).as("any_max_qty"),
+          every($"l_tax" >= 0.0).as("all_tax_nonneg"),
+          count_if($"l_quantity" >= 45.0).as("n_large"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+           |  bool_and(l_discount <= 0.1) AS all_disc_in_policy,
+           |  bool_or(l_quantity = 50.0) AS any_max_qty,
+           |  bool_and(l_tax >= 0.0) AS all_tax_nonneg,
+           |  count_if(l_quantity >= 45.0) AS n_large
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q66, q75, q76, q82, q84, q85,
-    q143, q144, q145, q146, q155, q156, q164, q166, q169, q170, q171)
+    q143, q144, q145, q146, q155, q156, q164, q166, q169, q170, q171, q172)
 }
