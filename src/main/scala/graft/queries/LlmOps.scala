@@ -233,5 +233,66 @@ object LlmOps {
             |FROM p GROUP BY label ORDER BY label""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q19, q20, q21, q22, q23, q57, q162)
+  /** q173 — array set-operation breadth (q162's lambda family joined by
+    * the set algebra): union / intersect / except / distinct / position
+    * / flatten over small per-row integer arrays, rolled up as size and
+    * element-sum checksums. Spark's set ops return DISTINCT elements in
+    * first-appearance order — every result is array_sort'd before the
+    * checksum so only set CONTENT is gated, and the DuckDB mirrors
+    * (list_distinct ∘ list_concat / list_intersect / list_filter) agree
+    * exactly in sorted form. All in-row; shuffle is |flags| groups. */
+  val q173 = QuerySpec(
+    "q173_array_set_ops",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select($"l_returnflag",
+          expr("array(l_orderkey % 7, l_partkey % 7, l_suppkey % 7)").as("a"),
+          expr("array(l_partkey % 7, CAST(l_linenumber AS BIGINT))").as("b"),
+          expr("l_partkey % 7").as("probe"))
+        .select($"l_returnflag",
+          expr("array_sort(array_union(a, b))").as("u"),
+          expr("array_sort(array_intersect(a, b))").as("i"),
+          expr("array_sort(array_except(a, b))").as("e"),
+          expr("size(array_distinct(a))").as("n_dist"),
+          expr("array_position(a, probe)").as("pos"),
+          expr("size(flatten(array(a, b)))").as("n_flat"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("size(u)")).as("u_size_sum"),
+          sum(expr("aggregate(u, 0L, (acc, x) -> acc + x)")).as("u_elem_sum"),
+          sum(expr("size(i)")).as("i_size_sum"),
+          sum(expr("aggregate(e, 0L, (acc, x) -> acc + x)")).as("e_elem_sum"),
+          sum($"n_dist".cast("long")).as("dist_sum"),
+          sum($"pos").as("pos_sum"),
+          sum($"n_flat".cast("long")).as("flat_sum"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""WITH r AS (
+           |  SELECT l_returnflag,
+           |    [l_orderkey % 7, l_partkey % 7, l_suppkey % 7] AS a,
+           |    [l_partkey % 7, CAST(l_linenumber AS BIGINT)] AS b,
+           |    l_partkey % 7 AS probe
+           |  FROM lineitem),
+           |x AS (
+           |  SELECT l_returnflag,
+           |    list_sort(list_distinct(list_concat(a, b))) AS u,
+           |    list_sort(list_distinct(list_intersect(a, b))) AS i,
+           |    list_sort(list_distinct(list_filter(a, v -> NOT list_contains(b, v)))) AS e,
+           |    len(list_distinct(a)) AS n_dist,
+           |    list_position(a, probe) AS pos,
+           |    len(flatten([a, b])) AS n_flat
+           |  FROM r)
+           |SELECT l_returnflag, count(*) AS n,
+           |  CAST(sum(len(u)) AS BIGINT) AS u_size_sum,
+           |  CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), u), (acc, v) -> acc + v)) AS BIGINT) AS u_elem_sum,
+           |  CAST(sum(len(i)) AS BIGINT) AS i_size_sum,
+           |  CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), e), (acc, v) -> acc + v)) AS BIGINT) AS e_elem_sum,
+           |  CAST(sum(n_dist) AS BIGINT) AS dist_sum,
+           |  CAST(sum(pos) AS BIGINT) AS pos_sum,
+           |  CAST(sum(n_flat) AS BIGINT) AS flat_sum
+           |FROM x GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q19, q20, q21, q22, q23, q57, q162, q173)
 }
