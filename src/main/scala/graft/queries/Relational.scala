@@ -1119,11 +1119,219 @@ object Relational {
            |  bool_and(l_discount <= 0.1) AS all_disc_in_policy,
            |  bool_or(l_quantity = 50.0) AS any_max_qty,
            |  bool_and(l_tax >= 0.0) AS all_tax_nonneg,
-           |  count_if(l_quantity >= 45.0) AS n_large
+           |  CAST(count_if(l_quantity >= 45.0) AS BIGINT) AS n_large
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+  )
+
+  /** q174 — schema-evolving union: `unionByName(allowMissingColumns)`
+    * fills absent columns with NULL and aligns by NAME, not position —
+    * the append pattern for a 100 TB lake where producers add columns
+    * over time (old partitions lack the new field). Positional `union`
+    * would silently mis-bind here. DuckDB mirror: UNION ALL BY NAME.
+    * Narrow per-row op: no shuffle beyond the final presentation sort. */
+  val q174 = QuerySpec(
+    "q174_union_by_name",
+    (s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val open = o.filter($"o_orderstatus" === "O")
+        .select($"o_orderkey".as("id"), lit("open").as("src"),
+          $"o_totalprice".as("price"))
+      val done = o.filter($"o_orderstatus" === "F")
+        .select($"o_orderkey".as("id"), lit("done").as("src"),
+          $"o_orderpriority".as("priority"))
+      open.unionByName(done, allowMissingColumns = true).orderBy($"id")
+    },
+    Some("""SELECT * FROM (
+           |  SELECT o_orderkey AS id, 'open' AS src, o_totalprice AS price
+           |  FROM orders WHERE o_orderstatus = 'O'
+           |  UNION ALL BY NAME
+           |  SELECT o_orderkey AS id, 'done' AS src, o_orderpriority AS priority
+           |  FROM orders WHERE o_orderstatus = 'F'
+           |) ORDER BY id""".stripMargin),
+  )
+
+  /** q175 — DISTINCT aggregates: sum(DISTINCT), avg(DISTINCT) (exact via
+    * decimal sum / distinct count), and multi-column count_distinct.
+    * Spark plans each distinct aggregate as an Expand + two-phase agg;
+    * multiple DISTINCTs in one groupBy share the Expand — one shuffle,
+    * not one per aggregate. Quantity is integral-valued in the data; the
+    * BIGINT cast makes the distinct set and its sum engine-exact.
+    * (count_distinct(a,b) skips rows with any NULL — suppkey/partkey are
+    * non-null here, matching DuckDB's row-tuple DISTINCT.) */
+  val q175 = QuerySpec(
+    "q175_distinct_agg",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          sum_distinct($"l_quantity".cast("bigint")).as("sum_dq"),
+          count_distinct($"l_quantity".cast("bigint")).as("n_dq"),
+          count_distinct($"l_suppkey", $"l_partkey").as("n_supp_part"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+           |  CAST(sum(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_dq,
+           |  count(DISTINCT CAST(l_quantity AS BIGINT)) AS n_dq,
+           |  count(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+  )
+
+  /** q176 — keyset-free pagination: global ORDER BY on a unique key +
+    * LIMIT/OFFSET (`Dataset.offset`, Spark ≥3.4). Spark plans the pair
+    * as a single GlobalLimit(offset+limit) over a TakeOrderedAndProject
+    * variant — only offset+limit rows ever reach the driver, so a page
+    * deep in a 100 TB result set still moves one page of data (though
+    * OFFSET cost grows linearly with depth; keyset pagination via
+    * WHERE id > last_seen — q15's top-k shape — is the constant-cost
+    * alternative for very deep scrolls). */
+  val q176 = QuerySpec(
+    "q176_sql_pagination",
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus")
+        .orderBy($"o_orderkey")
+        .offset(500).limit(100)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus
+           |FROM orders ORDER BY o_orderkey LIMIT 100 OFFSET 500""".stripMargin),
+  )
+
+  /** q177 — MapType pipeline: map_from_entries over a per-group
+    * collect_list, transform_values, map_filter, cardinality, then
+    * map_entries→explode back to rows. The map stays inside one row
+    * (no per-entry shuffle); the oracle states the same semantics
+    * relationally — proving the map algebra against plain SQL. Keys
+    * are made unique per order by a pre-aggregation over
+    * (l_orderkey, l_linenumber) — the synthetic data repeats line
+    * numbers within an order, and map_from_entries errors on
+    * duplicate keys rather than silently last-wins. */
+  val q177 = QuerySpec(
+    "q177_map_functions",
+    (s, d) => {
+      import s.implicits._
+      val m = Tables.lineitem(s, d)
+        .filter($"l_orderkey" <= 200)
+        .groupBy($"l_orderkey", $"l_linenumber")
+        .agg(sum($"l_quantity".cast("bigint") * $"l_linenumber").as("v"))
+        .groupBy($"l_orderkey")
+        .agg(map_from_entries(collect_list(struct(
+          $"l_linenumber", $"v"))).as("m"))
+        .select($"l_orderkey",
+          map_filter(col("m"), (_, v) => v >= 20L).as("m"))
+        .filter(cardinality($"m") > 0)
+        .select($"l_orderkey", cardinality($"m").as("n_entries"),
+          explode(map_entries($"m")).as("e"))
+      m.select($"l_orderkey", $"n_entries",
+          $"e.key".as("ln"), $"e.value".as("v"))
+        .orderBy($"l_orderkey", $"ln")
+    },
+    Some("""WITH f AS (
+           |  SELECT l_orderkey, l_linenumber AS ln,
+           |         CAST(sum(CAST(l_quantity AS BIGINT) * l_linenumber) AS BIGINT) AS v
+           |  FROM lineitem WHERE l_orderkey <= 200
+           |  GROUP BY l_orderkey, l_linenumber
+           |), g AS (SELECT * FROM f WHERE v >= 20)
+           |SELECT l_orderkey,
+           |       CAST(count(*) OVER (PARTITION BY l_orderkey) AS INT) AS n_entries,
+           |       ln, v
+           |FROM g ORDER BY l_orderkey, ln""".stripMargin),
+  )
+
+  /** q178 — robust central tendency: median / interpolated quantiles /
+    * mode per group. Exactness: the input is cast to BIGINT first, so
+    * both engines interpolate over exactly-representable integers
+    * (position (n-1)·q and lower + frac·(upper−lower) are exact for
+    * these magnitudes); mode is gated on data with a strictly unique
+    * per-group winner (verified), so tie-break order can't differ.
+    * All three are single-pass mergeable sketches over a sort — the
+    * group-local sort is the cost at 100 TB, not an extra shuffle. */
+  val q178 = QuerySpec(
+    "q178_median_mode",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          median($"l_quantity".cast("bigint")).as("med_qty"),
+          percentile($"l_quantity".cast("bigint"), lit(0.25)).as("p25_qty"),
+          percentile($"l_quantity".cast("bigint"), lit(0.75)).as("p75_qty"),
+          mode($"l_linenumber").as("mode_ln"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+           |  median(CAST(l_quantity AS BIGINT)) AS med_qty,
+           |  quantile_cont(CAST(l_quantity AS BIGINT), 0.25) AS p25_qty,
+           |  quantile_cont(CAST(l_quantity AS BIGINT), 0.75) AS p75_qty,
+           |  mode(l_linenumber) AS mode_ln
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+  )
+
+  /** q179 — URL decomposition: parse_url(HOST/PATH/QUERY key) over URLs
+    * synthesized from customer columns. The oracle doesn't parse — it
+    * states each component from the same source columns, so Spark's
+    * parser is validated against ground truth rather than another
+    * parser's quirks. Per-row scalar work, no shuffle: the clickstream
+    * normalization shape at 100 TB. */
+  val q179 = QuerySpec(
+    "q179_url_parse",
+    (s, d) => {
+      import s.implicits._
+      Tables.customer(s, d).filter($"c_custkey" <= 500)
+        .select($"c_custkey",
+          concat(lit("https://shop.example.com/seg/"), lower($"c_mktsegment"),
+            lit("?cust="), $"c_custkey", lit("&seg="), $"c_mktsegment").as("url"))
+        .select($"c_custkey",
+          parse_url($"url", lit("HOST")).as("host"),
+          parse_url($"url", lit("PATH")).as("path"),
+          parse_url($"url", lit("QUERY"), lit("cust")).as("cust"),
+          parse_url($"url", lit("QUERY"), lit("seg")).as("seg"))
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey,
+           |  'shop.example.com' AS host,
+           |  '/seg/' || lower(c_mktsegment) AS path,
+           |  CAST(c_custkey AS VARCHAR) AS cust,
+           |  c_mktsegment AS seg
+           |FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""".stripMargin),
+  )
+
+  /** q180 — key:value string parsing: str_to_map + element_at +
+    * map_keys round-trip, oracle-validated against the source columns
+    * the string was built from (same ground-truth pattern as q179).
+    * This is the log-line / header-blob ingestion shape: parse once
+    * per row, no shuffle, stays in whole-stage codegen. */
+  val q180 = QuerySpec(
+    "q180_kv_parse",
+    (s, d) => {
+      import s.implicits._
+      val kv = Tables.lineitem(s, d).filter($"l_orderkey" <= 100)
+        .select($"l_orderkey", $"l_linenumber",
+          concat(lit("qty:"), $"l_quantity".cast("bigint"),
+            lit(",flag:"), $"l_returnflag",
+            lit(",supp:"), $"l_suppkey").as("kvs"))
+        .select($"l_orderkey", $"l_linenumber",
+          str_to_map($"kvs", lit(","), lit(":")).as("m"))
+      kv.select($"l_orderkey", $"l_linenumber",
+          element_at($"m", "qty").cast("bigint").as("qty"),
+          element_at($"m", "flag").as("flag"),
+          element_at($"m", "supp").cast("bigint").as("supp"),
+          array_join(array_sort(map_keys($"m")), ",").as("keys_sorted"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+           |  CAST(l_quantity AS BIGINT) AS qty,
+           |  l_returnflag AS flag,
+           |  l_suppkey AS supp,
+           |  'flag,qty,supp' AS keys_sorted
+           |FROM lineitem WHERE l_orderkey <= 100
+           |ORDER BY l_orderkey, l_linenumber""".stripMargin),
   )
 
   val all: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q66, q75, q76, q82, q84, q85,
-    q143, q144, q145, q146, q155, q156, q164, q166, q169, q170, q171, q172)
+    q143, q144, q145, q146, q155, q156, q164, q166, q169, q170, q171, q172,
+    q174, q175, q176, q177, q178, q179, q180)
 }
