@@ -1330,8 +1330,63 @@ object Relational {
            |ORDER BY l_orderkey, l_linenumber""".stripMargin),
   )
 
+  /** q181 — multi-aggregate pivot: groupBy.pivot(values).agg(n, rev)
+    * produces the {value}_{alias} column matrix in ONE pass — one
+    * shuffle, partial aggregation intact, vs the naive N-queries+join.
+    * Explicit pivot values keep the plan static (no driver-side
+    * distinct scan to discover columns — the 100 TB rule for pivot).
+    * Oracle mirrors with FILTER/CASE conditional aggregation. */
+  val q181 = QuerySpec(
+    "q181_pivot_multi_agg",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(count(lit(1)).as("n"), dsum($"l_extendedprice", 2).as("rev"))
+        .orderBy($"l_linestatus")
+    },
+    Some("""SELECT l_linestatus,
+           |  count(*) FILTER (l_returnflag='A') AS "A_n",
+           |  CAST(sum(CASE WHEN l_returnflag='A' THEN CAST(l_extendedprice AS DECIMAL(30,2)) END) AS DOUBLE) AS "A_rev",
+           |  count(*) FILTER (l_returnflag='N') AS "N_n",
+           |  CAST(sum(CASE WHEN l_returnflag='N' THEN CAST(l_extendedprice AS DECIMAL(30,2)) END) AS DOUBLE) AS "N_rev",
+           |  count(*) FILTER (l_returnflag='R') AS "R_n",
+           |  CAST(sum(CASE WHEN l_returnflag='R' THEN CAST(l_extendedprice AS DECIMAL(30,2)) END) AS DOUBLE) AS "R_rev"
+           |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
+  )
+
+  /** q182 — outer generators: posexplode_outer keeps the parent row as
+    * a single (NULL, NULL) child when the array is NULL/empty — the
+    * difference between "document with no chunks disappears" and
+    * "document with no chunks survives the explode" in a flattening
+    * pipeline. Oracle mirrors with LEFT JOIN against the value domain.
+    * Within a key the output is either the one null row or non-null
+    * rows, so null-ordering dialects can't reorder it; pinned NULLS
+    * FIRST anyway. */
+  val q182 = QuerySpec(
+    "q182_explode_outer",
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d).filter($"o_orderkey" <= 300)
+        .select($"o_orderkey".as("k"), ($"o_orderkey" % 4).as("m"))
+        .select($"k",
+          when($"m" >= 2, sequence(lit(2L), $"m")).as("arr"))
+        .select($"k", posexplode_outer($"arr"))
+        .withColumnRenamed("col", "val")
+        .orderBy($"k", $"pos".asc_nulls_first)
+    },
+    Some("""WITH o AS (SELECT o_orderkey AS k, o_orderkey % 4 AS m
+           |           FROM orders WHERE o_orderkey <= 300)
+           |SELECT k,
+           |  CASE WHEN v.val IS NULL THEN NULL ELSE CAST(v.val - 2 AS INT) END AS pos,
+           |  CAST(v.val AS BIGINT) AS val
+           |FROM o LEFT JOIN (VALUES (2),(3)) v(val) ON v.val <= o.m
+           |ORDER BY k, pos NULLS FIRST""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q66, q75, q76, q82, q84, q85,
     q143, q144, q145, q146, q155, q156, q164, q166, q169, q170, q171, q172,
-    q174, q175, q176, q177, q178, q179, q180)
+    q174, q175, q176, q177, q178, q179, q180, q181, q182)
 }

@@ -592,6 +592,34 @@ object SqlSurface {
            |            ELSE o_custkey END FROM orders)) AS n_not_in_nullable""".stripMargin),
   )
 
+  /** q183 — SQL LATERAL correlated subquery join: each customer row
+    * drives an aggregate over its own orders, and the empty group
+    * still yields one row (count 0, NULL max) — the per-entity-profile
+    * idiom SQL users reach for before learning groupBy+outer-join.
+    * Catalyst decorrelates it into exactly that (one aggregate + one
+    * join, no per-row re-execution), so it scales as a plain shuffled
+    * join at 100 TB. */
+  val q183 = QuerySpec(
+    "q183_sql_lateral_join",
+    (s, d) => {
+      registerViews(s, d)
+      s.sql("""SELECT c.c_custkey, t.n_orders, t.max_price
+              |FROM customer c,
+              |LATERAL (SELECT count(*) AS n_orders,
+              |                max(o_totalprice) AS max_price
+              |         FROM orders o WHERE o.o_custkey = c.c_custkey) t
+              |WHERE c.c_custkey <= 300
+              |ORDER BY c.c_custkey""".stripMargin)
+    },
+    Some("""SELECT c.c_custkey, CAST(t.n_orders AS BIGINT) AS n_orders, t.max_price
+           |FROM customer c,
+           |LATERAL (SELECT count(*) AS n_orders,
+           |                max(o_totalprice) AS max_price
+           |         FROM orders o WHERE o.o_custkey = c.c_custkey) t
+           |WHERE c.c_custkey <= 300
+           |ORDER BY c.c_custkey""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q37, q38, q48, q51, q56, q71, q72, q83, q93,
-    q97, q103, q116, q129, q130, q135, q142, q151, q154, q167)
+    q97, q103, q116, q129, q130, q135, q142, q151, q154, q167, q183)
 }

@@ -235,6 +235,32 @@ class PlanAuditSpec extends SparkTestBase {
       "nation rollup exchange is not hash-partitioned on the key\n" + p)
   }
 
+  test("q175: the three DISTINCT aggregates share one Expand, one distinct shuffle") {
+    // Count tree nodes ("Expand (n)"), not the detail-section echoes.
+    val p = plan("q175_distinct_agg")
+    val expands = "Expand \\(".r.findAllIn(p).size
+    assert(expands == 1, s"expected exactly one shared Expand for the multi-DISTINCT agg\n$p")
+  }
+
+  test("q181: multi-agg pivot is one aggregation pass, not N queries + join") {
+    val p = plan("q181_pivot_multi_agg")
+    assert(!p.contains("Join"), "pivot plan must not contain a join\n" + p)
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 2, s"expected partial+final HashAggregate pair\n$p")
+  }
+
+  test("q183: LATERAL decorrelates to hash joins, no per-row subquery or nested loop") {
+    // Decorrelation plans two broadcast hash joins (the outer join to
+    // the per-key aggregate, plus the domain join-back that restores
+    // empty groups as count-0 rows) — what must NOT appear is any
+    // per-row re-execution shape: cartesian product or nested loop.
+    val p = plan("q183_sql_lateral_join")
+    val joins = "BroadcastHashJoin \\w+ Build".r.findAllIn(p).size
+    assert(joins == 2, s"expected the two-hash-join decorrelated shape\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "lateral must not plan a cartesian/nested-loop join\n" + p)
+  }
+
   test("whole-stage codegen covers the scan->project hot path of q30") {
     // Under AQE codegen stages exist only in the executed final plan —
     // run the query, then look for per-node "codegen id" annotations.
