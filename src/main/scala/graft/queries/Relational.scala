@@ -1385,8 +1385,76 @@ object Relational {
            |ORDER BY k, pos NULLS FIRST""".stripMargin),
   )
 
+  /** q184 — permissive JSON ingestion: from_json in PERMISSIVE mode
+    * with a columnNameOfCorruptRecord field keeps malformed rows (raw
+    * text preserved in the corrupt column) instead of nulling them
+    * invisibly or failing the batch — the triage gate of every messy
+    * 100 TB ingest: count good/bad per group, aggregate only rows that
+    * parsed. Malformation is injected deterministically (truncated
+    * JSON on l_orderkey % 50 == 0), so the oracle states the split
+    * from the modulo directly. Gate uses only corrupt-column presence
+    * — robust to Spark's partial-result parsing of truncated rows. */
+  val q184 = QuerySpec(
+    "q184_json_corrupt_record",
+    (s, d) => {
+      import s.implicits._
+      val payload = concat(lit("{\"qty\":"), $"l_quantity".cast("bigint"), lit("}"))
+      val truncated = concat(lit("{\"qty\":"), $"l_quantity".cast("bigint"))
+      Tables.lineitem(s, d).filter($"l_orderkey" <= 2000)
+        .select($"l_returnflag",
+          when($"l_orderkey" % 50 === 0, truncated).otherwise(payload).as("js"))
+        .select($"l_returnflag",
+          from_json($"js", StructType(Seq(
+            StructField("qty", LongType), StructField("_cr", StringType))),
+            Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_cr")).as("p"))
+        .groupBy($"l_returnflag")
+        .agg(
+          count(when($"p._cr".isNull, lit(1))).as("n_good"),
+          count($"p._cr").as("n_bad"),
+          sum(when($"p._cr".isNull, $"p.qty")).as("qty_good"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+           |  CAST(count(*) FILTER (l_orderkey % 50 <> 0) AS BIGINT) AS n_good,
+           |  CAST(count(*) FILTER (l_orderkey % 50 = 0) AS BIGINT) AS n_bad,
+           |  CAST(sum(CAST(l_quantity AS BIGINT)) FILTER (l_orderkey % 50 <> 0) AS BIGINT) AS qty_good
+           |FROM lineitem WHERE l_orderkey <= 2000
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+  )
+
+  /** q185 — numeric RANGE window frame: each row aggregates its value
+    * neighborhood (all rows within 5 quantity units below), not a row
+    * count — the "peers by value, not position" frame q14 (ROWS) and
+    * q92 (time RANGE) don't exercise. RANGE makes equal keys full
+    * peers, so duplicate quantities get identical outputs and the
+    * result is a deterministic multiset without a unique tiebreaker.
+    * One window sort per partition — same shuffle shape as any
+    * windowed aggregate at 100 TB. */
+  val q185 = QuerySpec(
+    "q185_range_frame_numeric",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"l_returnflag").orderBy($"qty")
+        .rangeBetween(-5L, 0L)
+      Tables.lineitem(s, d).filter($"l_orderkey" <= 500)
+        .select($"l_returnflag", $"l_quantity".cast("bigint").as("qty"))
+        .select($"l_returnflag", $"qty",
+          sum($"qty").over(w).as("near_sum"),
+          count(lit(1)).over(w).as("near_n"))
+        .orderBy($"l_returnflag", $"qty")
+    },
+    Some("""SELECT l_returnflag, qty,
+           |  CAST(sum(qty) OVER w AS BIGINT) AS near_sum,
+           |  CAST(count(*) OVER w AS BIGINT) AS near_n
+           |FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty
+           |      FROM lineitem WHERE l_orderkey <= 500)
+           |WINDOW w AS (PARTITION BY l_returnflag ORDER BY qty
+           |             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+           |ORDER BY l_returnflag, qty""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q66, q75, q76, q82, q84, q85,
     q143, q144, q145, q146, q155, q156, q164, q166, q169, q170, q171, q172,
-    q174, q175, q176, q177, q178, q179, q180, q181, q182)
+    q174, q175, q176, q177, q178, q179, q180, q181, q182, q184, q185)
 }
