@@ -1453,8 +1453,31 @@ object Relational {
            |ORDER BY l_returnflag, qty""".stripMargin),
   )
 
+  /** q186 — n-ary scalar comparison: greatest/least across three
+    * integer expressions — the row-local winner-pick that otherwise
+    * tempts a CASE ladder. Pure per-row codegen'd scalars, no shuffle;
+    * inputs are non-null bigints so both engines' NULL conventions are
+    * moot. Sort key includes the outputs: (orderkey, linenumber)
+    * repeats in the synthetic data. */
+  val q186 = QuerySpec(
+    "q186_greatest_least",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d).filter($"l_orderkey" <= 300)
+        .select($"l_orderkey", $"l_linenumber",
+          greatest($"l_quantity".cast("bigint"), $"l_suppkey" % 50, $"l_partkey" % 50).as("hi"),
+          least($"l_quantity".cast("bigint"), $"l_suppkey" % 50, $"l_partkey" % 50).as("lo"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"hi", $"lo")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+           |  greatest(CAST(l_quantity AS BIGINT), l_suppkey % 50, l_partkey % 50) AS hi,
+           |  least(CAST(l_quantity AS BIGINT), l_suppkey % 50, l_partkey % 50) AS lo
+           |FROM lineitem WHERE l_orderkey <= 300
+           |ORDER BY l_orderkey, l_linenumber, hi, lo""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q66, q75, q76, q82, q84, q85,
     q143, q144, q145, q146, q155, q156, q164, q166, q169, q170, q171, q172,
-    q174, q175, q176, q177, q178, q179, q180, q181, q182, q184, q185)
+    q174, q175, q176, q177, q178, q179, q180, q181, q182, q184, q185, q186)
 }
