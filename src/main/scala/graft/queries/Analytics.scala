@@ -713,6 +713,11 @@ object Analytics {
     (s, d) => {
       import s.implicits._
       Tables.lineitem(s, d).stat.crosstab("l_returnflag", "l_linestatus")
+        // Pin the expected column set: crosstab derives its columns from
+        // the collected distinct l_linestatus VALUES, so a domain drift
+        // would otherwise silently reshape the output — this select makes
+        // it fail loudly at analysis time instead.
+        .select($"l_returnflag_l_linestatus", $"F", $"O")
         .orderBy($"l_returnflag_l_linestatus")
     },
     Some("""SELECT l_returnflag AS l_returnflag_l_linestatus,

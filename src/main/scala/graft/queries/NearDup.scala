@@ -586,15 +586,25 @@ object NearDup {
     "q138_lsh_quality_report",
     (s, d) => {
       import s.implicits._
+      // Each parent pair list feeds TWO consumers (its count aggregate +
+      // one side of the hit semi-join); persisting both means each parent
+      // pipeline (the full q24 LSH / q26 Jaccard runs) executes exactly
+      // once instead of twice — pair lists are corpus-sparse, so the
+      // cached footprint is small.
       val cand = q24.run(s, d).select($"doc_a", $"doc_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val truth = q26.run(s, d).select($"doc_a", $"doc_b")
-      val hits = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
-      cand.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(truth.agg(count(lit(1)).as("n_true")))
-        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
-        .select($"n_candidates", $"n_true", $"n_hits",
-          expr("(n_hits * 1000000) DIV n_candidates").as("precision_ppm"),
-          expr("(n_hits * 1000000) DIV n_true").as("recall_ppm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val hits = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+        val out = cand.agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+          .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+          .select($"n_candidates", $"n_true", $"n_hits",
+            expr("(n_hits * 1000000) DIV n_candidates").as("precision_ppm"),
+            expr("(n_hits * 1000000) DIV n_true").as("recall_ppm"))
+        Eager(out) // sever from the persisted frames before unpersist
+      } finally { cand.unpersist(blocking = false); truth.unpersist(blocking = false); () }
     },
     (q24.oracle, q26.oracle) match {
       case (Some(lshSql), Some(jacSql)) => Some(Seq(

@@ -1344,6 +1344,14 @@ object Relational {
         .groupBy($"l_linestatus")
         .pivot("l_returnflag", Seq("A", "N", "R"))
         .agg(count(lit(1)).as("n"), dsum($"l_extendedprice", 2).as("rev"))
+        // Pivot emits NULL for a (group, value) combo with zero rows while
+        // the oracle's count(*) FILTER emits 0 — coalesce the counts so
+        // parity holds even if a fixture change empties a combo. The rev
+        // columns stay NULL on both engines (sum over empty is NULL).
+        .select($"l_linestatus",
+          coalesce($"A_n", lit(0L)).as("A_n"), $"A_rev",
+          coalesce($"N_n", lit(0L)).as("N_n"), $"N_rev",
+          coalesce($"R_n", lit(0L)).as("R_n"), $"R_rev")
         .orderBy($"l_linestatus")
     },
     Some("""SELECT l_linestatus,

@@ -519,10 +519,10 @@ object TrainPrep {
            |f AS (SELECT lang IN ('en','es') AS f1, n_chars BETWEEN 100 AND 2000 AS f2,
            |             n_tok >= 30 AS f3, n_typ * 1000 >= n_tok * 350 AS f4 FROM tok),
            |a AS (SELECT count(*) AS s0,
-           |  sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS s1,
-           |  sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS s2,
-           |  sum(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS s3,
-           |  sum(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS s4 FROM f)
+           |  CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+           |  CAST(sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+           |  CAST(sum(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+           |  CAST(sum(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS s4 FROM f)
            |SELECT stage, survivors FROM (
            |  SELECT '0_all' AS stage, s0 AS survivors FROM a
            |  UNION ALL SELECT '1_lang', s1 FROM a
@@ -588,13 +588,13 @@ object TrainPrep {
           count($"x").as("n"))
         .orderBy($"label", $"dim")
     },
-    Some("""SELECT label, CAST(i - 1 AS INT) AS dim,
-           |  CAST(sum(CAST(e[i] AS DECIMAL(30,6))) AS DOUBLE) / count(e[i]) AS centroid,
-           |  count(e[i]) AS n
-           |FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
-           |CROSS JOIN generate_series(1, 64) AS t(i)
-           |WHERE i <= len(e)
-           |GROUP BY label, i ORDER BY label, dim""".stripMargin),
+    Some("""WITH long AS (
+           |  SELECT label, CAST(unnest(range(len(e))) AS INT) AS dim, unnest(e) AS x
+           |  FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings))
+           |SELECT label, dim,
+           |  CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / count(x) AS centroid,
+           |  count(x) AS n
+           |FROM long GROUP BY label, dim ORDER BY label, dim""".stripMargin),
   )
 
   /** q96 — bigram language-model score per doc: train transition counts
@@ -1012,9 +1012,8 @@ object TrainPrep {
       } finally { long.unpersist(); () }
     },
     Some("""WITH long AS (
-           |  SELECT vec_id, label, i - 1 AS dim, v[i] AS x
-           |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-           |  CROSS JOIN generate_series(1, 64) AS t(i) WHERE i <= len(v)),
+           |  SELECT vec_id, label, CAST(unnest(range(len(v))) AS INT) AS dim, unnest(v) AS x
+           |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
            |cent AS (
            |  SELECT label AS clabel, dim,
            |    CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / count(x) AS c

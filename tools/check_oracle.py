@@ -29,9 +29,20 @@ def main(sf_dir, out_dir):
         got = con.execute(
             f"SELECT * FROM read_parquet({files!r})").df()
         try:
-            exp = con.execute(oracle[name]).df()
+            rel = con.sql(oracle[name])
+            # Dtype lint (the q88 trap): DuckDB widens sum(BIGINT) /
+            # count_if / FILTER-sums to HUGEINT, and pandas renders that
+            # as float64 ("500.0"), so the driver's value-hash diverges
+            # from Spark's BIGINT even though compare() below (via
+            # convert_dtypes) masks it. Fail LOUDLY here instead: any
+            # oracle column typed HUGEINT/DECIMAL while the Spark side
+            # is integral needs an explicit CAST(... AS BIGINT).
+            lint = dtype_lint(got, rel.columns, [str(t) for t in rel.types])
+            exp = rel.df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}");  n_fail += 1;  continue
+        if lint:
+            print(f"FAIL {name}: {lint}");  n_fail += 1;  continue
         ok, msg = compare(got, exp)
         if ok:
             n_pass += 1
@@ -41,6 +52,20 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: {msg}")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     return 1 if n_fail else 0
+
+def dtype_lint(got, ora_cols, ora_types):
+    bad = []
+    for col, typ in zip(ora_cols, ora_types):
+        if col not in got.columns:
+            continue  # column-set mismatch is compare()'s job
+        u = typ.upper()
+        widened = u == "HUGEINT" or u == "UHUGEINT" or u.startswith("DECIMAL")
+        if widened and got[col].dtype.kind in "iu":
+            bad.append(f"{col}: oracle {typ} vs spark {got[col].dtype}")
+    if bad:
+        return ("oracle type widening (driver hash WILL diverge; "
+                "CAST(... AS BIGINT) in the oracle SQL): " + "; ".join(bad))
+    return None
 
 def compare(got, exp):
     if len(got) != len(exp):
