@@ -263,5 +263,184 @@ object SourcesIO {
            |FROM lineitem""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q113, q114, q117, q133, q136, q140)
+  /** q187 — external-table round-trip (`CREATE TABLE ... USING parquet
+    * LOCATION`): the Glue-catalog semantic of the reference's addons
+    * tier (addons.tf:299-365 registers a Hive-style EXTERNAL table over
+    * an S3 prefix) exercised against Spark's session catalog. Nation is
+    * written to a warehouse-external parquet dir, registered by
+    * LOCATION, read back THROUGH the catalog, then dropped — and the
+    * gate proves the external contract: the table reports
+    * tableType=EXTERNAL, and after DROP TABLE the underlying files
+    * survive (n_rows_after_drop re-reads the raw path). A managed table
+    * would delete its data on drop; external must not. Unique table
+    * name + DROP IF EXISTS in finally keep the shared-session catalog
+    * clean even when a run throws. */
+  val q187 = QuerySpec(
+    "q187_external_table_roundtrip",
+    (s, d) => {
+      import s.implicits._
+      val tmp = Files.createTempDirectory("graft_ext_q187").toString
+      val sfx = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val tbl = s"graft_ext_$sfx"
+      try {
+        val loc = s"$tmp/nation_ext"
+        Tables.nation(s, d).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(loc)
+        s.sql(s"CREATE TABLE $tbl USING parquet LOCATION '$loc'")
+        val tableType = s.catalog.getTable(tbl).tableType
+        val viaCatalog = s.table(tbl).agg(
+          count(lit(1)).as("n_rows"),
+          sum($"n_nationkey".cast("long")).as("key_checksum"),
+          countDistinct($"n_regionkey").as("n_regions"))
+        val before = Eager(viaCatalog) // materialize before the drop below
+        s.sql(s"DROP TABLE $tbl")
+        val after = s.read.parquet(loc).agg(count(lit(1)).as("n_rows_after_drop"))
+        Eager(before
+          .withColumn("table_type", lit(tableType))
+          .crossJoin(after)) // eager: tmp dir is about to be deleted
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        graft.Fs.deleteTree(tmp)
+      }
+    },
+    Some("""SELECT count(*) AS n_rows,
+           |  CAST(sum(n_nationkey) AS BIGINT) AS key_checksum,
+           |  CAST(count(DISTINCT n_regionkey) AS BIGINT) AS n_regions,
+           |  'EXTERNAL' AS table_type,
+           |  count(*) AS n_rows_after_drop
+           |FROM nation""".stripMargin),
+  )
+
+  /** q188 — dynamic partition overwrite: the idempotent-reprocessing
+    * semantic the reference's retry policy (spark-operator-taxi.yaml:
+    * 37-42, OnFailure×3) implicitly relies on. Documents are laid out
+    * partitionBy(lang); then ONE partition (lang=en) is reprocessed
+    * (n_chars doubled) and rewritten in Overwrite mode with
+    * `partitionOverwriteMode=dynamic` — which replaces only the
+    * partitions present in the incoming frame. The gate aggregates the
+    * WHOLE table per lang afterwards: en carries the reprocessed
+    * values, every other lang must survive untouched. Under the
+    * default static mode the second write would truncate the entire
+    * table and the non-en groups would vanish — so the oracle parity
+    * here IS the proof of dynamic semantics. At 100 TB this is how a
+    * retried job rewrites yesterday's partition without touching the
+    * other 10,000. */
+  val q188 = QuerySpec(
+    "q188_dynamic_partition_overwrite",
+    (s, d) => {
+      import s.implicits._
+      val tmp = Files.createTempDirectory("graft_dpo_q188").toString
+      try {
+        val out = s"$tmp/docs_by_lang"
+        val docs = Tables.documents(s, d)
+          .select($"doc_id", $"source", $"n_chars", $"lang")
+        docs.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("lang").parquet(out)
+        docs.filter($"lang" === "en")
+          .withColumn("n_chars", $"n_chars" * 2)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("lang").parquet(out)
+        val agg = s.read.parquet(out)
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_chars").as("chars_sum"),
+            sum($"doc_id").as("id_checksum"))
+          .orderBy($"lang")
+        Eager(agg) // eager: tmp dir is about to be deleted
+      } finally graft.Fs.deleteTree(tmp)
+    },
+    Some("""SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN lang = 'en' THEN n_chars * 2 ELSE n_chars END) AS BIGINT) AS chars_sum,
+           |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+  )
+
+  /** q189 — compaction EXECUTED (q133 plans; this rewrites): the staged
+    * forty objects are binned by the identical next-fit-decreasing plan
+    * computed from a metadata-only listing (names+lengths — content is
+    * NOT projected in the planning pass), then each bin is physically
+    * compacted: members concatenated in file_name order into one
+    * object, written from the executors, and the compacted dir is
+    * re-listed for the gate. The invariant is byte-exactness end to
+    * end: per-bin file count, byte total, and the md5 of the compacted
+    * payload must equal what the documents table predicts (the staged
+    * bytes are documents' text BY CONSTRUCTION, so DuckDB states the
+    * digest as md5(string_agg(text ORDER BY file_name)) over the same
+    * bin assignment — plan → action → invariant, no filesystem access
+    * oracle-side). At 100 TB the plan is a metadata scan, each bin is
+    * an executor work unit reading its members once, and verification
+    * is a second metadata-cheap listing of the (much smaller) output. */
+  val q189 = QuerySpec(
+    "q189_compaction_execute",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_compex_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val staged = s"$tmp/staged"
+      val outDir = s"$tmp/compacted"
+      Files.createDirectories(Paths.get(staged))
+      Files.createDirectories(Paths.get(outDir))
+      try {
+        Tables.documents(s, d).filter($"doc_id" < 40)
+          .select($"doc_id", $"text").collect()
+          .foreach { r =>
+            Files.write(Paths.get(f"$staged/doc_${r.getLong(0)}%03d.bin"),
+              r.getString(1).getBytes("UTF-8"))
+          }
+        // Planning pass: metadata only (content column never projected).
+        val w = Window.orderBy($"length".desc, $"file_name")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val plan = s.read.format("binaryFile").load(staged)
+          .select(element_at(split($"path", "/"), -1).as("file_name"), $"length")
+          .withColumn("target", expr("sum(length) OVER () DIV 4") + lit(1L))
+          .withColumn("before", coalesce(sum($"length").over(w), lit(0L)))
+          .select($"file_name", expr("before DIV target").cast("int").as("bin"))
+        // Execution pass: content read ONCE, grouped per bin, members
+        // concatenated in file_name order (sort_array on the struct sorts
+        // by its first field), objects written executor-side.
+        val payloads = s.read.format("binaryFile").load(staged)
+          .select(element_at(split($"path", "/"), -1).as("file_name"), $"content")
+          .join(plan, Seq("file_name"))
+          .groupBy($"bin")
+          .agg(sort_array(collect_list(struct($"file_name", $"content"))).as("fs"))
+          .select($"bin", expr(
+            "aggregate(fs, CAST(X'' AS BINARY), (acc, f) -> concat(acc, f.content))").as("payload"))
+        payloads.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            Files.write(Paths.get(f"$outDir/bin_${r.getInt(0)}%02d.bin"),
+              r.getAs[Array[Byte]]("payload"))
+          }
+        }
+        // Gate: re-list the compacted output; join the plan's per-bin
+        // manifest (count) so the oracle checks plan AND action.
+        val counts = plan.groupBy($"bin").agg(count(lit(1)).as("n_files"))
+        val post = s.read.format("binaryFile").load(outDir)
+          .select(
+            regexp_extract($"path", "bin_(\\d+)\\.bin$", 1).cast("int").as("bin"),
+            $"length".as("bytes"), md5($"content").as("digest"))
+        Eager(post.join(counts, Seq("bin"))
+          .select($"bin", $"n_files", $"bytes", $"digest")
+          .orderBy($"bin")) // eager: tmp dir is about to be deleted
+      } finally graft.Fs.deleteTree(tmp)
+    },
+    Some("""WITH f AS (
+           |  SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 3, '0') || '.bin' AS file_name,
+           |    text, CAST(octet_length(encode(text)) AS BIGINT) AS length
+           |  FROM documents WHERE doc_id < 40
+           |), t AS (
+           |  SELECT *, (sum(length) OVER ()) // 4 + 1 AS target,
+           |    coalesce(sum(length) OVER (ORDER BY length DESC, file_name
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+           |  FROM f
+           |)
+           |SELECT CAST(before // target AS INT) AS bin, count(*) AS n_files,
+           |  CAST(sum(length) AS BIGINT) AS bytes,
+           |  md5(string_agg(text, '' ORDER BY file_name)) AS digest
+           |FROM t GROUP BY 1 ORDER BY bin""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] =
+    Seq(q113, q114, q117, q133, q136, q140, q187, q188, q189)
 }
