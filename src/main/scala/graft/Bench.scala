@@ -45,7 +45,15 @@ object Bench {
         catch { case scala.util.control.NonFatal(_) => errors += name; false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional subset (comma-separated name prefixes, same contract as
+    // Verify's third arg) — e.g. SPARK_GRAFT_QUERIES=q24,q59 for the
+    // scale-curve smoke. Unset = the full contract (driver mode).
+    val prefixes = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def selected(name: String): Boolean =
+      prefixes.forall(_.exists(name.startsWith))
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter(r => selected(r._1)).map { case (name, fn) =>
       val (cold, okCold) = run(name, fn)
       val (warm, okWarm) = run(name, fn)
       (name, cold, warm, okCold, okWarm)

@@ -333,7 +333,12 @@ object SqlSurface {
     * regardless of data volume — same economics as q59's propagation
     * rounds), so recursion DEPTH is the real budget: quarterly
     * granularity (depth ~23) keeps the full date range at a third of
-    * monthly's depth. */
+    * monthly's depth. Profiled in isolation (BASELINE.md "q103
+    * recursive-CTE cold-path profile"): cold ≈ 14 s / warm ≈ 3.5 s
+    * IDENTICAL at sf0.01 and sf0.1 — all fixed UnionLoopExec
+    * re-planning overhead, zero data-volume term; codegen and AQE
+    * each contribute only ~2 s cold, so no config flag moves the
+    * floor. Accepted as the Spark 4 recursive-CTE tax. */
   val q103 = QuerySpec(
     "q103_sql_recursive_ema",
     (s, d) => {
