@@ -796,7 +796,59 @@ object Analytics {
            |ORDER BY margin DESC, event_type, b LIMIT 20""".stripMargin),
   )
 
+  /** q191 — snapshot diff (CDC DERIVATION, the inverse of q91's CDC
+    * apply): two versions of the orders table are reconciled by a full
+    * outer join on the key plus a row fingerprint (md5 over the
+    * stable-rendered attribute columns), classifying every key as
+    * added / deleted / modified / unchanged — the change-data feed a
+    * lake derives when the upstream can't emit one. v2 is built from v1
+    * by deterministic arithmetic (keys ≡0 mod 97 deleted; else ≡0 mod
+    * 31 status-rewritten; copies of keys ≡0 mod 89 re-keyed +10⁷ as
+    * inserts), so the oracle states the expected classes straight from
+    * the modulos — the join+fingerprint machinery must rediscover them.
+    * Scale: one shuffle each side on the key; fingerprints are computed
+    * in the scan projection, so the join carries (key, 32-byte hash),
+    * not the row — the standard way to diff 100 TB snapshots without
+    * moving the payload twice. Fingerprints use only int/string columns
+    * (double/timestamp renderings aren't portable — the q171 rule). */
+  val q191 = QuerySpec(
+    "q191_snapshot_diff",
+    (s, d) => {
+      import s.implicits._
+      def fp(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        df.select($"o_orderkey".as("k"),
+        md5(concat_ws("|", $"o_custkey", $"o_orderstatus", $"o_orderpriority")).as("fp"))
+      val v1 = Tables.orders(s, d)
+      val v2base = v1.filter($"o_orderkey" % 97 =!= 0)
+        .withColumn("o_orderstatus",
+          when($"o_orderkey" % 31 === 0, lit("X")).otherwise($"o_orderstatus"))
+      val v2adds = v1.filter($"o_orderkey" % 89 === 0)
+        .withColumn("o_orderkey", $"o_orderkey" + 10000000L)
+      val v2 = v2base.unionByName(v2adds)
+      val left = fp(v1).withColumnRenamed("fp", "fp1")
+      val right = fp(v2).withColumnRenamed("fp", "fp2")
+      left.join(right, Seq("k"), "full_outer")
+        .select($"k", when($"fp1".isNull, "added")
+          .when($"fp2".isNull, "deleted")
+          .when($"fp1" =!= $"fp2", "modified")
+          .otherwise("unchanged").as("change_type"))
+        .groupBy($"change_type")
+        .agg(count(lit(1)).as("n"), sum($"k").as("key_checksum"))
+        .orderBy($"change_type")
+    },
+    Some("""SELECT 'added' AS change_type, count(*) AS n,
+           |  CAST(sum(o_orderkey + 10000000) AS BIGINT) AS key_checksum
+           |FROM orders WHERE o_orderkey % 89 = 0
+           |UNION ALL SELECT 'deleted', count(*), CAST(sum(o_orderkey) AS BIGINT)
+           |FROM orders WHERE o_orderkey % 97 = 0
+           |UNION ALL SELECT 'modified', count(*), CAST(sum(o_orderkey) AS BIGINT)
+           |FROM orders WHERE o_orderkey % 97 <> 0 AND o_orderkey % 31 = 0
+           |UNION ALL SELECT 'unchanged', count(*), CAST(sum(o_orderkey) AS BIGINT)
+           |FROM orders WHERE o_orderkey % 97 <> 0 AND o_orderkey % 31 <> 0
+           |ORDER BY change_type""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q118, q119, q120, q121, q123, q124, q127, q128, q131, q132, q134, q137,
-      q139, q147, q153, q157, q165)
+      q139, q147, q153, q157, q165, q191)
 }

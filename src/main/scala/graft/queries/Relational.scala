@@ -1484,8 +1484,46 @@ object Relational {
            |ORDER BY l_orderkey, l_linenumber, hi, lo""".stripMargin),
   )
 
+  /** q190 — bloom runtime-filter join (graft.operators.RuntimeFilter +
+    * the codegen'd BloomMightContain expression): the urgent-orders key
+    * set is aggregated into a bloom (distributed treeAggregate; the
+    * driver holds only the final bitset), the lineitem probe side is
+    * prefiltered by the bloom BEFORE any join machinery, and the exact
+    * join + rollup runs on the survivors. At 100 TB this is the rewrite
+    * for a dimension too big to broadcast-hash but whose key bloom
+    * ships in the plan: ~99% of dead probe rows never enter the
+    * shuffle. Semantics are unchanged by construction — blooms have no
+    * false negatives and the exact join drops false positives — which
+    * is exactly what the oracle (the PLAIN join, no bloom) certifies. */
+  val q190 = QuerySpec(
+    "q190_bloom_runtime_filter_join",
+    (s, d) => {
+      import s.implicits._
+      val dim = Tables.orders(s, d)
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey", $"o_orderstatus")
+      val probe = graft.operators.RuntimeFilter.prefilter(
+        Tables.lineitem(s, d), "l_orderkey", dim, "o_orderkey",
+        expectedItems = dim.count(), fpp = 0.01)
+      probe.join(dim, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus", $"l_linestatus")
+        .agg(count(lit(1)).as("n_items"),
+          sum($"l_quantity".cast("bigint")).as("qty_sum"),
+          dsum($"l_extendedprice", 2).as("price_sum"))
+        .orderBy($"o_orderstatus", $"l_linestatus")
+    },
+    Some(s"""SELECT o_orderstatus, l_linestatus, count(*) AS n_items,
+            |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+            |  ${Det.sqlDsum("l_extendedprice", 2)} AS price_sum
+            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            |WHERE o_orderpriority = '1-URGENT'
+            |GROUP BY o_orderstatus, l_linestatus
+            |ORDER BY o_orderstatus, l_linestatus""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q66, q75, q76, q82, q84, q85,
     q143, q144, q145, q146, q155, q156, q164, q166, q169, q170, q171, q172,
-    q174, q175, q176, q177, q178, q179, q180, q181, q182, q184, q185, q186)
+    q174, q175, q176, q177, q178, q179, q180, q181, q182, q184, q185, q186,
+    q190)
 }

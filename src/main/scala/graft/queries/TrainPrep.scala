@@ -1031,6 +1031,53 @@ object TrainPrep {
            |GROUP BY label, clabel ORDER BY label, assigned""".stripMargin),
   )
 
+  /** q192 — per-group winsorization: document lengths clipped at the
+    * discrete 2nd/98th percentile WITHIN each language — the outlier
+    * clamp run before length-based curriculum/packing decisions so one
+    * pathological document can't skew a shard's budget. percentile_disc
+    * (not _cont) keeps the whole gate in integers: the cut points are
+    * actual data values ("smallest value with cume_dist ≥ p" — mirrored
+    * first-principles in the oracle via a cume_dist window, so Spark's
+    * builtin is certified against the definition, not against DuckDB's
+    * builtin). Two passes over a lang-bucketed aggregate: cut points are
+    * one 5-row frame broadcast back; the clamp is a per-row projection.
+    * Casts to BIGINT everywhere — percentile_disc surfaces as double,
+    * and integral doubles are exact well past any corpus size. */
+  val q192 = QuerySpec(
+    "q192_winsorize_lengths",
+    (s, d) => {
+      import s.implicits._
+      val cuts = Tables.documents(s, d).groupBy($"lang").agg(
+        expr("CAST(percentile_disc(0.02) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)").as("lo"),
+        expr("CAST(percentile_disc(0.98) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)").as("hi"))
+      Tables.documents(s, d)
+        .join(broadcast(cuts), Seq("lang"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"n_chars" < $"lo", 1L).otherwise(0L)).as("n_clip_lo"),
+          sum(when($"n_chars" > $"hi", 1L).otherwise(0L)).as("n_clip_hi"),
+          sum(greatest($"lo", least($"hi", $"n_chars"))).as("wsum"),
+          max($"lo").as("lo"), max($"hi").as("hi"))
+        .orderBy($"lang")
+    },
+    Some("""WITH c AS (
+           |  SELECT lang, n_chars,
+           |    cume_dist() OVER (PARTITION BY lang ORDER BY n_chars) AS cd
+           |  FROM documents),
+           |b AS (
+           |  SELECT lang, min(n_chars) FILTER (cd >= 0.02) AS lo,
+           |    min(n_chars) FILTER (cd >= 0.98) AS hi
+           |  FROM c GROUP BY lang)
+           |SELECT d.lang, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN d.n_chars < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+           |  CAST(sum(CASE WHEN d.n_chars > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+           |  CAST(sum(greatest(b.lo, least(b.hi, d.n_chars))) AS BIGINT) AS wsum,
+           |  CAST(max(b.lo) AS BIGINT) AS lo, CAST(max(b.hi) AS BIGINT) AS hi
+           |FROM documents d JOIN b ON d.lang = b.lang
+           |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q60, q61, q62, q63, q64, q65, q67, q68, q69, q70,
-    q86, q87, q88, q89, q90, q96, q100, q101, q106, q110, q149, q150, q160)
+    q86, q87, q88, q89, q90, q96, q100, q101, q106, q110, q149, q150, q160,
+    q192)
 }
