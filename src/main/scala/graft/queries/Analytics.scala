@@ -848,7 +848,48 @@ object Analytics {
            |ORDER BY change_type""".stripMargin),
   )
 
+  /** q193 — cohort retention matrix: users bucketed by first-active
+    * week (the cohort), then distinct-user counts per (cohort, week
+    * offset) — THE product-analytics readout behind every retention
+    * curve, and a shape q120's funnel doesn't cover (funnel orders
+    * event TYPES; retention orders calendar RE-APPEARANCES). All-integer
+    * gate: week = date_trunc (Monday-start on both engines, UTC
+    * session), offset = truncated-epoch difference DIV 604800 (exact —
+    * both operands are week boundaries). Scale: one (user,week)
+    * distinct + one per-user min + one matrix aggregate — every shuffle
+    * is key-sized; the matrix is calendar² rows at any corpus size. */
+  val q193 = QuerySpec(
+    "q193_cohort_retention",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"user_id", date_trunc("week", $"ts").as("w"))
+      val cohorts = ev.groupBy($"user_id").agg(min($"w").as("cw"))
+      val active = ev.distinct()
+      active.join(cohorts, Seq("user_id"))
+        .select($"cw",
+          expr("(unix_timestamp(w) - unix_timestamp(cw)) div 604800").as("offset_w"),
+          $"user_id")
+        .groupBy($"cw", $"offset_w")
+        .agg(countDistinct($"user_id").as("n_users"))
+        .select(date_format($"cw", "yyyy-MM-dd").as("cohort_week"),
+          $"offset_w", $"n_users")
+        .orderBy($"cohort_week", $"offset_w")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS w
+           |  FROM events),
+           |f AS (SELECT user_id, min(w) AS cw FROM e GROUP BY user_id),
+           |a AS (SELECT DISTINCT user_id, w FROM e)
+           |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+           |  CAST((epoch_us(w) - epoch_us(cw)) // 604800000000 AS BIGINT) AS offset_w,
+           |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+           |FROM a JOIN f ON a.user_id = f.user_id
+           |GROUP BY cw, (epoch_us(w) - epoch_us(cw)) // 604800000000
+           |ORDER BY cohort_week, offset_w""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q118, q119, q120, q121, q123, q124, q127, q128, q131, q132, q134, q137,
-      q139, q147, q153, q157, q165, q191)
+      q139, q147, q153, q157, q165, q191, q193)
 }

@@ -1077,7 +1077,52 @@ object TrainPrep {
            |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
   )
 
+  /** q194 — mixture-drift monitor: per-source total-variation distance
+    * (TVD) between each source's language distribution and the corpus
+    * mixture, in exact integer ppm — the drift gate a training-data
+    * ingest runs per upstream so one source silently flipping language
+    * mix trips an alert BEFORE it skews the blend q110 targets. TVD
+    * (½·Σ|p−q|) rather than KL: it needs no log(), so floor-div ppm
+    * shares keep the verdict BIGINT-exact on both engines (the q64/q70
+    * integer-ratio rule). Missing (source,lang) combos enter as honest
+    * zeros via the dims×sources grid — absence IS drift. Scale: three
+    * key-sized aggregates; the grid is |sources|×|langs| rows at any
+    * corpus size; the 1-row total broadcasts. */
+  val q194 = QuerySpec(
+    "q194_mixture_drift_tvd",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val bySrcLang = docs.groupBy($"source", $"lang").agg(count(lit(1)).as("n"))
+      val bySrc = docs.groupBy($"source").agg(count(lit(1)).as("n_src"))
+      val byLang = docs.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
+      val total = docs.agg(count(lit(1)).as("n_tot"))
+      bySrc.crossJoin(broadcast(byLang))
+        .join(bySrcLang, Seq("source", "lang"), "left")
+        .na.fill(0L, Seq("n"))
+        .crossJoin(broadcast(total))
+        .select($"source", $"n_src",
+          expr("n * 1000000L div n_src").as("share_s"),
+          expr("n_lang * 1000000L div n_tot").as("share_g"))
+        .groupBy($"source")
+        .agg(max($"n_src").as("n_docs"),
+          expr("sum(abs(share_s - share_g)) div 2").as("tvd_ppm"))
+        .orderBy($"source")
+    },
+    Some("""WITH sl AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+           |s AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+           |l AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+           |t AS (SELECT count(*) AS n_tot FROM documents),
+           |grid AS (
+           |  SELECT s.source, l.lang, coalesce(sl.n, 0) AS n, s.n_src, l.n_lang, t.n_tot
+           |  FROM s CROSS JOIN l CROSS JOIN t
+           |  LEFT JOIN sl ON sl.source = s.source AND sl.lang = l.lang)
+           |SELECT source, CAST(max(n_src) AS BIGINT) AS n_docs,
+           |  CAST(sum(abs(n * 1000000 // n_src - n_lang * 1000000 // n_tot)) // 2 AS BIGINT) AS tvd_ppm
+           |FROM grid GROUP BY source ORDER BY source""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q60, q61, q62, q63, q64, q65, q67, q68, q69, q70,
     q86, q87, q88, q89, q90, q96, q100, q101, q106, q110, q149, q150, q160,
-    q192)
+    q192, q194)
 }
