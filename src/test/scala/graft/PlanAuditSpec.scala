@@ -261,6 +261,40 @@ class PlanAuditSpec extends SparkTestBase {
       "lateral must not plan a cartesian/nested-loop join\n" + p)
   }
 
+  test("q190: bloom probe filters BELOW the join, on the probe side") {
+    val p = plan("q190_bloom_runtime_filter_join")
+    val joinAt = math.max(p.indexOf("SortMergeJoin"), p.indexOf("BroadcastHashJoin"))
+    assert(joinAt >= 0, "expected an equi-join\n" + p)
+    // The bloom must prefilter the probe INPUT — its Filter node prints
+    // below the join node (children print after parents in formatted
+    // mode), not above it as a post-join residual.
+    val bloomAt = p.indexOf("graft_bloom_might_contain")
+    assert(bloomAt > joinAt, "bloom probe missing or not below the join\n" + p)
+  }
+
+  test("q191: fingerprints compute below the join; scans prune to the 4 diff columns") {
+    val p = plan("q191_snapshot_diff")
+    // The full-outer join must carry (key, md5) only — the md5 Project
+    // sits below the join and the scan reads just the fingerprint inputs.
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint," +
+      "o_orderstatus:string,o_orderpriority:string>"), p)
+    val joinAt = p.indexOf("SortMergeJoin")
+    assert(joinAt >= 0, "expected a sort-merge full outer join\n" + p)
+    assert(p.indexOf("md5", joinAt) > joinAt, "md5 not computed below the join\n" + p)
+  }
+
+  test("q192: percentile cut points broadcast back; no sort-merge join") {
+    val p = plan("q192_winsorize_lengths")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "5-row cut-point frame degraded to SMJ")
+  }
+
+  test("q194: dims and total broadcast; no cartesian beyond the tiny grid cross joins") {
+    val p = plan("q194_mixture_drift_tvd")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), "grid join degraded to SMJ\n" + p)
+  }
+
   test("whole-stage codegen covers the scan->project hot path of q30") {
     // Under AQE codegen stages exist only in the executed final plan —
     // run the query, then look for per-node "codegen id" annotations.
