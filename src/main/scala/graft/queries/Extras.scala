@@ -1068,7 +1068,84 @@ object Extras {
            |FROM f ORDER BY event_type, hour""".stripMargin),
   )
 
+  /** q195 — in-flight pipeline metrics (`Dataset.observe`): the
+    * data-quality counters every production run publishes (row count,
+    * exact value sum, null-key count, high-water mark) collected DURING
+    * the pass — zero extra scans, zero extra shuffles; the metrics ride
+    * the noop-sink action as accumulator-style aggregates and surface
+    * through the Observation handle when the action completes. This is
+    * the engine-native replacement for the reference's CloudWatch-side
+    * job metrics: observe on the frame, alert on the handle. The gate
+    * re-states the same aggregates relationally — what the listener
+    * reported must equal what a dedicated aggregation pass computes.
+    * Distinct-style aggregates are disallowed inside observe; the
+    * metric set here is the allowed accumulator family. */
+  val q195 = QuerySpec(
+    "q195_observe_metrics",
+    (s, d) => {
+      import s.implicits._
+      val obs = org.apache.spark.sql.Observation(
+        "gate_" + java.util.UUID.randomUUID.toString.replace("-", "").take(12))
+      Tables.events(s, d)
+        .observe(obs,
+          count(lit(1)).as("n_events"),
+          Det.dsum($"value", 4).as("value_sum"),
+          sum(when($"user_id".isNull, 1L).otherwise(0L)).as("n_null_user"),
+          max($"event_id").as("max_event_id"))
+        .write.mode("overwrite").format("noop").save()
+      val m = obs.get
+      Seq((m("n_events").asInstanceOf[Long],
+        m("value_sum").asInstanceOf[Double],
+        m("n_null_user").asInstanceOf[Long],
+        m("max_event_id").asInstanceOf[Long]))
+        .toDF("n_events", "value_sum", "n_null_user", "max_event_id")
+    },
+    Some(s"""SELECT count(*) AS n_events,
+            |  ${Det.sqlDsum("value", 4)} AS value_sum,
+            |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_user,
+            |  max(event_id) AS max_event_id
+            |FROM events""".stripMargin),
+  )
+
+  /** q197 — typed cogroup reconciliation (KeyValueGroupedDataset
+    * .cogroup — the per-key two-sided custom logic the relational
+    * surface can't express in one operator): orders and lineitem keys
+    * cogrouped, each key's two iterators inspected imperatively, and
+    * presence mismatches emitted (order with no lines / line with no
+    * order — the referential-integrity audit of every fact pair).
+    * Relationally this is TWO anti joins; cogroup does it in ONE
+    * co-partitioned pass — both sides shuffle once on the key (same
+    * exchange budget as a sort-merge join) and the lambda sees each
+    * key exactly once. The oracle states the anti-join form — the
+    * typed path must reproduce set-algebra semantics exactly. */
+  val q197 = QuerySpec(
+    "q197_cogroup_reconcile",
+    (s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d).select($"o_orderkey").as[Long]
+      val l = Tables.lineitem(s, d).select($"l_orderkey").as[Long]
+      o.groupByKey(identity).cogroup(l.groupByKey(identity)) { (k, os, ls) =>
+        val hasO = os.nonEmpty
+        val hasL = ls.nonEmpty
+        if (hasO && !hasL) Iterator(("orders_only", k))
+        else if (!hasO && hasL) Iterator(("lineitem_only", k))
+        else Iterator.empty
+      }.toDF("side", "k")
+        .groupBy($"side")
+        .agg(count(lit(1)).as("n_keys"), sum($"k").as("key_checksum"))
+        .orderBy($"side")
+    },
+    Some("""SELECT side, count(*) AS n_keys, CAST(sum(k) AS BIGINT) AS key_checksum
+           |FROM (
+           |  SELECT DISTINCT 'lineitem_only' AS side, l_orderkey AS k FROM lineitem
+           |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+           |  UNION ALL
+           |  SELECT DISTINCT 'orders_only', o_orderkey FROM orders
+           |  WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey))
+           |GROUP BY side ORDER BY side""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q39, q40, q41, q42, q43, q46, q47, q49, q50, q58,
     q74, q77, q79, q80, q92, q98, q99, q102, q104, q105, q107, q109, q112, q115,
-    q141, q152, q158, q159)
+    q141, q152, q158, q159, q195, q197)
 }

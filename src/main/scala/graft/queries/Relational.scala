@@ -1521,9 +1521,38 @@ object Relational {
             |ORDER BY o_orderstatus, l_linestatus""".stripMargin),
   )
 
+  /** q196 — shuffled-hash join via hint: the third join strategy, for
+    * the side that is too big to broadcast but small enough to HASH in
+    * memory per partition — SHJ skips BOTH sort phases of sort-merge
+    * (orders builds a per-partition hash table; lineitem streams), the
+    * right call when the build side is mid-size and memory budgets
+    * allow. Spark won't pick SHJ unprompted in most shapes (sort-merge
+    * is the safe default), so the hint IS the operator here; the plan
+    * audit pins ShuffledHashJoin and the oracle certifies the hint
+    * changed nothing semantically. At 100 TB: same single exchange per
+    * side as SMJ, minus two sorts — but the build side must fit
+    * per-partition memory, so it composes with AQE skew splitting. */
+  val q196 = QuerySpec(
+    "q196_shuffled_hash_join",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).hint("shuffle_hash"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum($"l_quantity".cast("bigint")).as("qty_sum"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_items,
+           |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q66, q75, q76, q82, q84, q85,
     q143, q144, q145, q146, q155, q156, q164, q166, q169, q170, q171, q172,
     q174, q175, q176, q177, q178, q179, q180, q181, q182, q184, q185, q186,
-    q190)
+    q190, q196)
 }

@@ -295,6 +295,12 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), "grid join degraded to SMJ\n" + p)
   }
 
+  test("q196: the hint actually plans a shuffled hash join, not sort-merge") {
+    val p = plan("q196_shuffled_hash_join")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "hint ignored — degraded to SMJ\n" + p)
+  }
+
   test("whole-stage codegen covers the scan->project hot path of q30") {
     // Under AQE codegen stages exist only in the executed final plan —
     // run the query, then look for per-node "codegen id" annotations.
