@@ -889,7 +889,79 @@ object Analytics {
            |ORDER BY cohort_week, offset_w""".stripMargin),
   )
 
+  /** q198 — incremental aggregate refresh (materialized-view
+    * maintenance): yesterday's aggregate is PERSISTED to parquet, and
+    * today's refresh merges it with the delta's partial aggregate —
+    * touching only delta-sized input — instead of recomputing over
+    * history. The gate is the algebra itself: merged(partials) must
+    * equal the full recompute (the oracle aggregates the whole table).
+    * The money sum stays DECIMAL(30,2) THROUGH the parquet round-trip
+    * and the merge — partials cast to double would re-order IEEE
+    * additions and drift off the full recompute; decimal merge is
+    * associative-exact, cast to double only at the very end (Det's rule
+    * applied across materialization boundaries). At 100 TB this is the
+    * difference between a daily 100 TB scan and a daily 100 GB one. */
+  val q198 = QuerySpec(
+    "q198_incremental_agg_refresh",
+    (s, d) => {
+      import s.implicits._
+      val cutoff = "1997-01-01"
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mv_q198").toString
+      try {
+        val part = (df: org.apache.spark.sql.DataFrame) => df
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            sum($"o_totalprice".cast("decimal(30,2)")).as("price_dec"))
+        val mv = s"$tmp/agg_history"
+        part(Tables.orders(s, d).filter($"o_orderdate" < lit(cutoff)))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(mv)
+        val delta = part(Tables.orders(s, d).filter($"o_orderdate" >= lit(cutoff)))
+        val refreshed = s.read.parquet(mv).unionByName(delta)
+          .groupBy($"o_orderpriority")
+          .agg(sum($"n_orders").as("n_orders"),
+            sum($"price_dec").cast("double").as("price_sum"))
+          .orderBy($"o_orderpriority")
+        Eager(refreshed) // eager: tmp dir is about to be deleted
+      } finally graft.Fs.deleteTree(tmp)
+    },
+    Some(s"""SELECT o_orderpriority, count(*) AS n_orders,
+            |  ${Det.sqlDsum("o_totalprice", 2)} AS price_sum
+            |FROM orders GROUP BY o_orderpriority
+            |ORDER BY o_orderpriority""".stripMargin),
+  )
+
+  /** q199 — sliding time windows (batch `window(ts, 30 min, slide 15
+    * min)`): each event lands in duration/slide = 2 overlapping
+    * windows — the smoothing rollup behind every rate dashboard, and a
+    * semantic q35's tumbling windows don't cover. Spark expands the
+    * windows with a generator at the scan (no self-join); the oracle
+    * states the same containment arithmetic on truncated epochs (slide
+    * divides duration, so both shifted buckets contain the event
+    * unconditionally). Window identity crosses the gate as epoch
+    * SECONDS — integer-exact, timezone-free. Scale: output is
+    * calendar×types rows; the expansion is 2× the scan, not a join. */
+  val q199 = QuerySpec(
+    "q199_sliding_windows",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(window($"ts", "30 minutes", "15 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_timestamp($"window.start").as("w_start_s"),
+          $"event_type", $"n_events")
+        .orderBy($"w_start_s", $"event_type")
+    },
+    Some("""WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+           |b AS (
+           |  SELECT event_type, (us // 900000000) * 900 AS w FROM e
+           |  UNION ALL
+           |  SELECT event_type, ((us // 900000000) - 1) * 900 AS w FROM e)
+           |SELECT CAST(w AS BIGINT) AS w_start_s, event_type,
+           |  count(*) AS n_events
+           |FROM b GROUP BY w, event_type ORDER BY w_start_s, event_type""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q118, q119, q120, q121, q123, q124, q127, q128, q131, q132, q134, q137,
-      q139, q147, q153, q157, q165, q191, q193)
+      q139, q147, q153, q157, q165, q191, q193, q198, q199)
 }

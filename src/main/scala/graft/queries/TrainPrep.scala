@@ -1122,7 +1122,46 @@ object TrainPrep {
            |FROM grid GROUP BY source ORDER BY source""".stripMargin),
   )
 
+  /** q200 — approx_percentile with a tolerance gate (q39's HLL
+    * convention applied to quantiles): the sketch-based percentile is
+    * the 100 TB path — exact per-group percentiles distribute the whole
+    * column through a sort/collect per group, while the Greenwald-Khanna
+    * style sketch is one mergeable pass with bounded state. Sketch
+    * outputs never hash-match across engines, so the gate follows q39:
+    * the EXACT discrete percentiles cross the oracle as values, and the
+    * approx estimates gate as booleans (|approx − exact| within the
+    * accuracy-implied band, here ±2% of the group's value range —
+    * generous vs the 1/accuracy=1e-4 rank guarantee). The oracle states
+    * the booleans' expected value (true) and recomputes the exact cut
+    * points first-principles (q192's cume_dist mirror). */
+  val q200 = QuerySpec(
+    "q200_approx_percentile_gate",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .groupBy($"lang")
+        .agg(
+          expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)").as("p50"),
+          expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)").as("p90"),
+          expr("approx_percentile(n_chars, array(0.5D, 0.9D), 10000)").as("ap"),
+          ((max($"n_chars") - min($"n_chars")) / 50).as("tol"))
+        .select($"lang", $"p50", $"p90",
+          (abs($"ap".getItem(0) - $"p50") <= $"tol").as("ok_p50"),
+          (abs($"ap".getItem(1) - $"p90") <= $"tol").as("ok_p90"))
+        .orderBy($"lang")
+    },
+    Some("""WITH c AS (
+           |  SELECT lang, n_chars,
+           |    cume_dist() OVER (PARTITION BY lang ORDER BY n_chars) AS cd
+           |  FROM documents)
+           |SELECT lang,
+           |  CAST(min(n_chars) FILTER (cd >= 0.5) AS BIGINT) AS p50,
+           |  CAST(min(n_chars) FILTER (cd >= 0.9) AS BIGINT) AS p90,
+           |  true AS ok_p50, true AS ok_p90
+           |FROM c GROUP BY lang ORDER BY lang""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q60, q61, q62, q63, q64, q65, q67, q68, q69, q70,
     q86, q87, q88, q89, q90, q96, q100, q101, q106, q110, q149, q150, q160,
-    q192, q194)
+    q192, q194, q200)
 }
