@@ -301,6 +301,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), "hint ignored — degraded to SMJ\n" + p)
   }
 
+  test("AQE coalesces undersized shuffle partitions at runtime") {
+    // The 100 TB config stance: shuffle.partitions is sized for the big
+    // stages, and AQE shrinks the small ones back — verify the runtime
+    // re-plan actually engages on a fixture-sized aggregate instead of
+    // leaving 32 near-empty reducers.
+    val df = SparkEntry.queries("q06_pricing_agg")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("AQEShuffleRead"), p)
+    assert(p.contains("coalesced"), "AQE did not coalesce the tiny shuffle\n" + p)
+  }
+
   test("whole-stage codegen covers the scan->project hot path of q30") {
     // Under AQE codegen stages exist only in the executed final plan —
     // run the query, then look for per-node "codegen id" annotations.
