@@ -1,0 +1,277 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.queries.Det._
+
+/** Round-5 decision-support additions: the classic TPC-H ad-hoc query
+  * shapes (Q13/Q15/Q17/Q21/Q8/Q16 analogues, adapted to the synthetic
+  * star schema's columns) that a warehouse user of the reference's
+  * Athena/Glue layer would run over the ETL output. Each query is the
+  * canonical instance of a DISTINCT physical-plan shape — outer-join
+  * fan-out aggregation, scalar-max equality join, per-group-threshold
+  * semi-reduction, only-one-offender anti-semantics, conditional share
+  * rollup, and anti-filtered distinct counting — so together they pin
+  * the join/agg strategy space a 100 TB ad-hoc workload exercises.
+  */
+object DecisionSupport {
+
+  /** q201 — customer order-count distribution (TPC-H Q13 shape): LEFT
+    * OUTER join with an extra non-key predicate ON THE JOIN (not a
+    * post-filter — filtering after the join would turn absent orders
+    * into dropped customers instead of c_count=0), then a two-level
+    * aggregation: per-customer count, then a histogram of those counts.
+    * Scale: the outer join shuffles both sides on custkey; the first
+    * aggregate reuses that clustering (no extra exchange); the second
+    * aggregate's domain is |distinct counts| — tiny at any corpus size.
+    * The (custdist DESC, c_count DESC) sort is total because c_count is
+    * the group key. */
+  val q201 = QuerySpec(
+    "q201_custdist",
+    (s, d) => {
+      import s.implicits._
+      val c = Tables.customer(s, d).select($"c_custkey")
+      val o = Tables.orders(s, d).select($"o_custkey", $"o_orderkey", $"o_orderpriority")
+      c.join(o, $"c_custkey" === $"o_custkey" && $"o_orderpriority" =!= "1-URGENT",
+          "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("c_count"))
+        .groupBy($"c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy($"custdist".desc, $"c_count".desc)
+    },
+    Some("""SELECT c_count, count(*) AS custdist FROM (
+           |  SELECT c_custkey, count(o_orderkey) AS c_count
+           |  FROM customer LEFT OUTER JOIN orders
+           |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           |  GROUP BY c_custkey)
+           |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin),
+  )
+
+  /** q202 — small-quantity revenue (TPC-H Q17 shape): lineitems of one
+    * brand whose quantity is below HALF the part's average quantity —
+    * a per-group threshold computed from the same fact rows that are
+    * then filtered by it. The per-part stats frame is |parts-in-brand|
+    * rows → broadcast back to the fact side; at 100 TB the brand filter
+    * prunes the part dim first and only surviving partkeys' lineitems
+    * are touched (the part join is itself a broadcast semi-reduction).
+    * Determinism: the threshold compare runs entirely in DECIMAL with
+    * pinned widths — (12,2)·(2,0)·(18,0) = (33,2) stays under both
+    * engines' 38-digit ceiling, so no precision-loss rescale fires and
+    * the comparison is bit-exact cross-engine. */
+  val q202 = QuerySpec(
+    "q202_small_qty_revenue",
+    (s, d) => {
+      import s.implicits._
+      val p = Tables.part(s, d).filter($"p_brand" === "Brand#1").select($"p_partkey")
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(p), $"l_partkey" === $"p_partkey")
+        .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+      val st = li.groupBy($"l_partkey".as("pk"))
+        .agg(sum($"l_quantity".cast(DecimalType(12, 2))).as("qty_sum"),
+          count(lit(1)).as("n"))
+      li.join(broadcast(st), $"l_partkey" === $"pk")
+        .filter($"l_quantity".cast(DecimalType(12, 2))
+          * lit(2).cast(DecimalType(2, 0))
+          * $"n".cast(DecimalType(18, 0)) < $"qty_sum")
+        .agg(count(lit(1)).as("n_small"),
+          (dsum($"l_extendedprice", 2) / 7.0).as("avg_yearly"))
+    },
+    Some(s"""WITH li AS (
+            |  SELECT l_partkey, l_quantity, l_extendedprice
+            |  FROM lineitem JOIN part ON l_partkey = p_partkey
+            |  WHERE p_brand = 'Brand#1'),
+            |st AS (SELECT l_partkey AS pk,
+            |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty_sum,
+            |  count(*) AS n FROM li GROUP BY 1)
+            |SELECT count(*) AS n_small,
+            |  CAST(${Det.sqlDsum("l_extendedprice", 2)} / 7.0 AS DOUBLE) AS avg_yearly
+            |FROM li JOIN st ON l_partkey = pk
+            |WHERE CAST(l_quantity AS DECIMAL(12,2))
+            |  * CAST(2 AS DECIMAL(2,0)) * CAST(n AS DECIMAL(18,0)) < qty_sum""".stripMargin),
+  )
+
+  /** q203 — suppliers who kept orders waiting (TPC-H Q21 shape,
+    * adapted: the schema has no commit/receipt dates, so "late" is
+    * shipping > 400 days after the order date): for finished orders
+    * with at least two suppliers, count per supplier the orders where
+    * that supplier was late and NO OTHER supplier was. The Spark side
+    * states it as ONE aggregation cascade — per-(order,supplier) late
+    * flag, per-order supplier/late tallies, join back, filter
+    * `late ∧ n_supp≥2 ∧ n_late=1` — while the oracle states the
+    * textbook EXISTS / NOT EXISTS double correlated subquery; the gate
+    * certifies the aggregate formulation ≡ the exists formulation.
+    * Scale: the cascade is two key-clustered aggregates plus one
+    * key-sized self-join — no correlated per-row probing, which is
+    * exactly why the aggregate form is the 100 TB rewrite of Q21. */
+  val q203 = QuerySpec(
+    "q203_waiting_supplier",
+    (s, d) => {
+      import s.implicits._
+      val f = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).filter($"o_orderstatus" === "F")
+          .select($"o_orderkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_orderkey", $"l_suppkey")
+        .agg(max(when($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 400 DAYS"), 1)
+          .otherwise(0)).as("late"))
+      val perOrder = f.groupBy($"l_orderkey".as("k"))
+        .agg(count(lit(1)).as("n_supp"), sum($"late").as("n_late"))
+      f.join(perOrder, $"l_orderkey" === $"k")
+        .filter($"late" === 1 && $"n_supp" >= 2 && $"n_late" === 1)
+        .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy($"numwait".desc, $"s_name")
+        .limit(20)
+    },
+    Some("""WITH f AS (
+           |  SELECT l_orderkey, l_suppkey,
+           |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 400 DAY
+           |        THEN 1 ELSE 0 END) AS late
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  WHERE o_orderstatus = 'F'
+           |  GROUP BY 1, 2)
+           |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+           |FROM f l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+           |WHERE l1.late = 1
+           |  AND EXISTS (SELECT 1 FROM f l2
+           |    WHERE l2.l_orderkey = l1.l_orderkey
+           |      AND l2.l_suppkey <> l1.l_suppkey)
+           |  AND NOT EXISTS (SELECT 1 FROM f l3
+           |    WHERE l3.l_orderkey = l1.l_orderkey
+           |      AND l3.l_suppkey <> l1.l_suppkey AND l3.late = 1)
+           |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin),
+  )
+
+  /** q204 — top supplier by quarter revenue (TPC-H Q15 shape): revenue
+    * per supplier over one ship-date quarter, then the supplier(s)
+    * whose revenue EQUALS the global max — a scalar-subquery equality
+    * that only works because revenue stays an exact DECIMAL from the
+    * partial sums through the max and the equality join (doubles would
+    * make "equals the max" order-dependent). The 1-row max frame is
+    * cross-joined (broadcast) against the per-supplier frame — the
+    * standard Spark rewrite of an uncorrelated scalar subquery.
+    * Scale: one quarter-pruned scan, one suppkey-clustered aggregate
+    * (|suppliers| rows), one 1-row broadcast — nothing grows with the
+    * fact table except the pruned scan itself. */
+  val q204 = QuerySpec(
+    "q204_top_supplier",
+    (s, d) => {
+      import s.implicits._
+      val rev = Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1997-01-01") && $"l_shipdate" < lit("1997-04-01"))
+        .groupBy($"l_suppkey".as("sk"))
+        .agg(sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
+          .cast(DecimalType(30, 4))).as("total"))
+      val mx = rev.agg(max($"total").as("mx"))
+      rev.join(broadcast(mx), $"total" === $"mx")
+        .join(broadcast(Tables.supplier(s, d)), $"sk" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name", $"total".cast("double").as("total_rev"))
+        .orderBy($"s_suppkey")
+    },
+    Some("""WITH rev AS (
+           |  SELECT l_suppkey AS sk,
+           |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS total
+           |  FROM lineitem
+           |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           |    AND l_shipdate < TIMESTAMP '1997-04-01'
+           |  GROUP BY 1)
+           |SELECT s_suppkey, s_name, CAST(total AS DOUBLE) AS total_rev
+           |FROM rev JOIN supplier ON sk = s_suppkey
+           |WHERE total = (SELECT max(total) FROM rev)
+           |ORDER BY s_suppkey""".stripMargin),
+  )
+
+  /** q205 — national market share (TPC-H Q8 shape): for orders placed
+    * by customers in one REGION, the yearly revenue share delivered by
+    * suppliers of one NATION — a 6-table star join (fact + two
+    * independent dimension chains) feeding a conditional-share rollup.
+    * All five dimension chains are broadcast (region→nation→customer
+    * collapses to a semi-filter before touching orders); the only big
+    * shuffle is lineitem⋈orders on orderkey. Share = exact DECIMAL
+    * conditional sum ÷ exact DECIMAL total, divided once in DOUBLE —
+    * identical operands cross-engine, so the quotient is bit-identical
+    * (Det's division rule). */
+  val q205 = QuerySpec(
+    "q205_market_share",
+    (s, d) => {
+      import s.implicits._
+      val asiaNations = Tables.nation(s, d)
+        .join(Tables.region(s, d).filter($"r_name" === "ASIA"),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey")
+      val cust = Tables.customer(s, d)
+        .join(broadcast(asiaNations), $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey")
+      val ord = Tables.orders(s, d)
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey", year($"o_orderdate").cast("bigint").as("o_year"))
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).select($"n_nationkey", $"n_name")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name".as("s_nation"))
+      val vol = ($"l_extendedprice" * (lit(1) - $"l_discount")).cast(DecimalType(30, 4))
+      Tables.lineitem(s, d)
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"o_year")
+        .agg((sum(when($"s_nation" === "NATION_7", vol)
+            .otherwise(lit(0).cast(DecimalType(30, 4)))).cast("double")
+          / sum(vol).cast("double")).as("mkt_share"))
+        .orderBy($"o_year")
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           |  CAST(CAST(sum(CASE WHEN sn.n_name = 'NATION_7'
+           |        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))
+           |        ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE)
+           |    / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4)))
+           |        AS DOUBLE) AS DOUBLE) AS mkt_share
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation cn ON c_nationkey = cn.n_nationkey
+           |JOIN region ON cn.n_regionkey = r_regionkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation sn ON s_nationkey = sn.n_nationkey
+           |WHERE r_name = 'ASIA'
+           |GROUP BY year(o_orderdate) ORDER BY o_year""".stripMargin),
+  )
+
+  /** q206 — supplier census by part type (TPC-H Q16 shape): distinct
+    * suppliers per (p_type, size band), excluding a denylisted supplier
+    * set (negative account balance) via NOT IN — which Spark plans as a
+    * null-aware anti join; s_suppkey is non-nullable so the
+    * three-valued-logic trap (q167) does not bite. The distinct count
+    * dedups (type, band, suppkey) BEFORE counting — a two-shuffle
+    * expand-dedup-count, Spark's standard exact-distinct plan. Scale:
+    * the denylist is |suppliers| at worst → broadcast anti join; the
+    * distinct's key space is |types|·|bands|·|suppliers| — dimension-
+    * sized, not fact-sized. */
+  val q206 = QuerySpec(
+    "q206_supplier_census",
+    (s, d) => {
+      import s.implicits._
+      val deny = Tables.supplier(s, d).filter($"s_acctbal" < 0).select($"s_suppkey")
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_type", $"p_size")),
+          $"l_partkey" === $"p_partkey")
+        .join(broadcast(deny), $"l_suppkey" === $"s_suppkey", "left_anti")
+        .select($"p_type", expr("p_size div 10").cast("bigint").as("size_band"),
+          $"l_suppkey")
+        .groupBy($"p_type", $"size_band")
+        .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+        .orderBy($"p_type", $"size_band")
+    },
+    Some("""SELECT p_type, CAST(p_size // 10 AS BIGINT) AS size_band,
+           |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+           |GROUP BY p_type, p_size // 10
+           |ORDER BY p_type, size_band""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q201, q202, q203, q204, q205, q206)
+}

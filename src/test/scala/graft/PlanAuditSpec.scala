@@ -301,6 +301,59 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), "hint ignored — degraded to SMJ\n" + p)
   }
 
+  test("q201: priority predicate stays IN the outer join; shuffle budget holds") {
+    val p = plan("q201_custdist")
+    // At fixture scale the orders side broadcasts (LeftOuter BuildRight);
+    // at 100 TB the same plan degrades gracefully to SMJ on custkey —
+    // either way it must stay an equi-outer-join, never a nested loop,
+    // and the filter must sit below the join (ON-clause semantics), not
+    // above it (which would drop customers instead of zeroing counts).
+    assert(p.contains("LeftOuter"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    val joinAt = p.indexOf("LeftOuter")
+    assert(p.indexOf("Filter", joinAt) > joinAt, "priority filter not below the join\n" + p)
+    // Tree-node form only — the formatted details section repeats names.
+    val exchanges = "[+:]- Exchange \\(".r.findAllIn(p).length
+    assert(exchanges <= 4, s"expected <=4 shuffle exchanges, got $exchanges\n" + p)
+  }
+
+  test("q202: per-part stats and brand dim both broadcast; no sort-merge") {
+    val p = plan("q202_small_qty_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "threshold frame degraded to SMJ\n" + p)
+    assert(p.contains("EqualTo(p_brand,Brand#1)"),
+      "brand filter not pushed to the part scan\n" + p)
+  }
+
+  test("q203: no correlated probing — aggregate cascade, supplier broadcast") {
+    val p = plan("q203_waiting_supplier")
+    assert(p.contains("BroadcastHashJoin"), "supplier dim not broadcast\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "exists-shape leaked a nested-loop join\n" + p)
+    assert(p.contains("TakeOrderedAndProject"), "top-20 degraded to global sort\n" + p)
+  }
+
+  test("q204: max-equality is a 1-row broadcast, quarter filter pushed") {
+    val p = plan("q204_top_supplier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "scalar-max join degraded to SMJ\n" + p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "quarter range not pushed to the lineitem scan\n" + p)
+  }
+
+  test("q205: one fact-fact shuffle join; every dimension chain broadcasts") {
+    val p = plan("q205_market_share")
+    val smj = "SortMergeJoin".r.findAllIn(p).length
+    assert(smj <= 1, s"expected <=1 sort-merge join (lineitem⋈orders), got $smj\n" + p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q206: denylist is a broadcast anti join; part dim broadcasts") {
+    val p = plan("q206_supplier_census")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), "dim/denylist join degraded to SMJ\n" + p)
+  }
+
   test("AQE coalesces undersized shuffle partitions at runtime") {
     // The 100 TB config stance: shuffle.partitions is sized for the big
     // stages, and AQE shrinks the small ones back — verify the runtime
