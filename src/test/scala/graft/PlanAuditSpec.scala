@@ -354,6 +354,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), "dim/denylist join degraded to SMJ\n" + p)
   }
 
+  test("q209: no single-partition global sort — ids come from range partitions + offsets") {
+    val p = plan("q209_global_row_ids")
+    // The anti-pattern this operator replaces plans Window with a
+    // SinglePartition exchange over the DATA. Our plan's only
+    // single-partition exchange may carry the numParts-sized counts
+    // frame; the data path must show rangepartitioning.
+    assert(p.contains("rangepartitioning"), "range repartition missing\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "offsets not broadcast back\n" + p)
+  }
+
+  test("q210: digest is scan + partial agg only — no join, no sort before the rollup") {
+    val p = plan("q210_table_digest")
+    assert(!p.contains("Join"), "digest must not join\n" + p)
+    val smallAggs = "HashAggregate".r.findAllIn(p).length
+    assert(smallAggs >= 2, "expected partial+final aggregate\n" + p)
+  }
+
   test("AQE coalesces undersized shuffle partitions at runtime") {
     // The 100 TB config stance: shuffle.partitions is sized for the big
     // stages, and AQE shrinks the small ones back — verify the runtime
