@@ -1550,9 +1550,104 @@ object Relational {
            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
   )
 
+  /** q212 — Spark-3.4/3.5 collection-function breadth (array_compact /
+    * array_prepend / array_append / try_element_at / array_position /
+    * slice): per-row array surgery on synthesized 4-element arrays with
+    * an embedded NULL, rolled up to integer checksums. try_element_at
+    * past the end must be NULL (not an ANSI error — the try_ contract);
+    * array_position's not-found is 0 on Spark vs NULL on DuckDB, pinned
+    * by the coalesce in the oracle. All lambda/array work is per-row and
+    * codegen'd — shuffle-free until the final 1-row rollup. */
+  val q212 = QuerySpec(
+    "q212_collection_fn_breadth",
+    (s, d) => {
+      import s.implicits._
+      val b = Tables.orders(s, d).filter($"o_orderkey" % 100 === 0)
+        .select($"o_orderkey".as("k"),
+          array($"o_orderkey" % 7, lit(null).cast("long"),
+            $"o_orderkey" % 5, $"o_orderkey" % 3).as("a"))
+      b.select($"k",
+          array_append(array_prepend(array_compact($"a"), $"k" % 2), $"k" % 11).as("built"),
+          try_element_at($"a", lit(6)).as("oob"),
+          array_position($"a", $"k" % 5).as("pos5"),
+          slice($"a", 2, 2).as("mid"))
+        .agg(sum(size($"built")).cast("long").as("built_len_sum"),
+          sum(expr("aggregate(built, 0L, (x, y) -> x + y)")).as("built_sum"),
+          sum(when($"oob".isNull, 1L).otherwise(0L)).as("n_oob_null"),
+          sum($"pos5").as("pos5_sum"),
+          sum(size($"mid")).cast("long").as("mid_len_sum"))
+    },
+    Some("""WITH b AS (
+           |  SELECT o_orderkey AS k,
+           |    [o_orderkey % 7, NULL, o_orderkey % 5, o_orderkey % 3] AS a
+           |  FROM orders WHERE o_orderkey % 100 = 0),
+           |t AS (
+           |  SELECT k,
+           |    list_append(list_prepend(k % 2, list_filter(a, x -> x IS NOT NULL)), k % 11) AS built,
+           |    a[2 + len(a)] AS oob,
+           |    list_position(a, k % 5) AS pos5,
+           |    a[2:3] AS mid
+           |  FROM b)
+           |SELECT CAST(sum(len(built)) AS BIGINT) AS built_len_sum,
+           |  CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), built),
+           |    (x, y) -> x + y)) AS BIGINT) AS built_sum,
+           |  CAST(sum(CASE WHEN oob IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oob_null,
+           |  CAST(sum(coalesce(pos5, 0)) AS BIGINT) AS pos5_sum,
+           |  CAST(sum(len(mid)) AS BIGINT) AS mid_len_sum
+           |FROM t""".stripMargin),
+  )
+
+  /** q213 — calendar edge semantics: month-end CLAMPING under
+    * add_months (Jan 31 + 1 m = Feb 28; + 13 m lands on leap Feb 29),
+    * ISO week AND ISO year-of-week (the year boundary where early
+    * January belongs to the previous ISO year), and next_day's
+    * strictly-after contract — the three date traps that silently skew
+    * calendar rollups. Dates are constructed (month ends via last_day,
+    * mid-month via make_date) rather than sampled, so the edges are
+    * guaranteed present; DuckDB mirrors next_day with isodow modular
+    * arithmetic since it has no such function. */
+  val q213 = QuerySpec(
+    "q213_calendar_edges",
+    (s, d) => {
+      import s.implicits._
+      val y = (lit(1995) + $"o_orderkey" % 5).cast("int")
+      val m = (lit(1) + $"o_orderkey" % 12).cast("int")
+      Tables.orders(s, d).filter($"o_orderkey" % 449 < 8)
+        .select(when($"o_orderkey" % 2 === 0, last_day(make_date(y, m, lit(1))))
+          .otherwise(make_date(y, m, (lit(1) + $"o_orderkey" % 28).cast("int"))).as("dt"))
+        .groupBy($"dt").agg(count(lit(1)).as("n"))
+        .select(date_format($"dt", "yyyy-MM-dd").as("dt"),
+          date_format(add_months($"dt", 1), "yyyy-MM-dd").as("plus_1m"),
+          date_format(add_months($"dt", 13), "yyyy-MM-dd").as("plus_13m"),
+          weekofyear($"dt").cast("long").as("iso_week"),
+          expr("extract(YEAROFWEEK FROM dt)").cast("long").as("iso_year"),
+          date_format(next_day($"dt", "Tuesday"), "yyyy-MM-dd").as("next_tue"),
+          $"n")
+        .orderBy($"dt")
+    },
+    Some("""WITH d AS (
+           |  SELECT CASE WHEN o_orderkey % 2 = 0
+           |      THEN last_day(make_date(1995 + o_orderkey % 5, 1 + o_orderkey % 12, 1))
+           |      ELSE make_date(1995 + o_orderkey % 5, 1 + o_orderkey % 12,
+           |                     1 + o_orderkey % 28)
+           |    END AS dt0
+           |  FROM orders WHERE o_orderkey % 449 < 8),
+           |g AS (SELECT dt0 AS dt, count(*) AS n FROM d GROUP BY dt0)
+           |SELECT strftime(dt, '%Y-%m-%d') AS dt,
+           |  strftime(dt + INTERVAL 1 MONTH, '%Y-%m-%d') AS plus_1m,
+           |  strftime(dt + INTERVAL 13 MONTH, '%Y-%m-%d') AS plus_13m,
+           |  CAST(week(dt) AS BIGINT) AS iso_week,
+           |  CAST(isoyear(dt) AS BIGINT) AS iso_year,
+           |  strftime(dt + (CASE WHEN ((2 - isodow(dt)) % 7 + 7) % 7 = 0 THEN 7
+           |      ELSE ((2 - isodow(dt)) % 7 + 7) % 7 END) * INTERVAL 1 DAY,
+           |    '%Y-%m-%d') AS next_tue,
+           |  n
+           |FROM g ORDER BY dt""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q66, q75, q76, q82, q84, q85,
     q143, q144, q145, q146, q155, q156, q164, q166, q169, q170, q171, q172,
     q174, q175, q176, q177, q178, q179, q180, q181, q182, q184, q185, q186,
-    q190, q196)
+    q190, q196, q212, q213)
 }

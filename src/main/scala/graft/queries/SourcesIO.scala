@@ -441,6 +441,61 @@ object SourcesIO {
            |FROM t GROUP BY 1 ORDER BY bin""".stripMargin),
   )
 
+  /** q216 — compression-codec round-trip (zstd vs snappy): the same
+    * slice written under both codecs must read back content-identical,
+    * certified by q210's order-independent digest (Σ first-32-md5-bits
+    * over the stable row rendering) computed on the source AND on each
+    * round-trip — codec choice is THE storage/CPU trade at 100 TB
+    * (zstd ≈ 30-40% smaller, snappy faster to decode) and the digest
+    * gate proves it is content-neutral, so the decision can be made on
+    * economics alone. The oracle restates the digest from the raw
+    * table; the equality booleans cross the gate explicitly. */
+  val q216 = QuerySpec(
+    "q216_codec_roundtrip",
+    (s, d) => {
+      import s.implicits._
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_codec_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      def digest(df: org.apache.spark.sql.DataFrame) =
+        df.select(conv(substring(md5(concat_ws("|",
+            $"l_orderkey".cast("string"), $"l_linenumber".cast("string"),
+            $"l_returnflag", $"l_linestatus").cast("binary")), 1, 8), 16, 10)
+            .cast("long").as("h32"))
+          .agg(count(lit(1)).as("n_rows"), sum($"h32").as("digest"))
+      try {
+        val slice = Tables.lineitem(s, d).filter($"l_orderkey" % 20 === 0)
+          .select($"l_orderkey", $"l_linenumber", $"l_returnflag", $"l_linestatus")
+        slice.write.option("compression", "zstd").parquet(s"$tmp/zstd")
+        slice.write.option("compression", "snappy").parquet(s"$tmp/snappy")
+        val src = digest(slice).select($"n_rows", $"digest")
+        val z = digest(s.read.parquet(s"$tmp/zstd"))
+          .select($"n_rows".as("n_z"), $"digest".as("d_z"))
+        val sn = digest(s.read.parquet(s"$tmp/snappy"))
+          .select($"n_rows".as("n_s"), $"digest".as("d_s"))
+        val out = src.crossJoin(broadcast(z)).crossJoin(broadcast(sn))
+          .select($"n_rows", $"digest",
+            ($"n_z" === $"n_rows" && $"d_z" === $"digest").as("zstd_ok"),
+            ($"n_s" === $"n_rows" && $"d_s" === $"digest").as("snappy_ok"))
+        Eager(out) // eager: staged parquet lives under tmp
+      } finally graft.Fs.deleteTree(tmp)
+    },
+    Some("""WITH f AS (
+           |  SELECT md5(concat_ws('|', CAST(l_orderkey AS VARCHAR),
+           |      CAST(l_linenumber AS VARCHAR), l_returnflag, l_linestatus)) AS hx
+           |  FROM lineitem WHERE l_orderkey % 20 = 0),
+           |v AS (
+           |  SELECT list_reduce(list_transform(generate_series(1, 8),
+           |      i -> CAST(CASE WHEN ascii(substr(hx, i, 1)) >= 97
+           |            THEN ascii(substr(hx, i, 1)) - 87
+           |            ELSE ascii(substr(hx, i, 1)) - 48 END AS BIGINT)
+           |        * CAST(power(16, 8 - i) AS BIGINT)),
+           |      (a, b) -> a + b) AS h32
+           |  FROM f)
+           |SELECT count(*) AS n_rows, CAST(sum(h32) AS BIGINT) AS digest,
+           |  true AS zstd_ok, true AS snappy_ok
+           |FROM v""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q113, q114, q117, q133, q136, q140, q187, q188, q189)
+    Seq(q113, q114, q117, q133, q136, q140, q187, q188, q189, q216)
 }

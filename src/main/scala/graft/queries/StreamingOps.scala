@@ -142,5 +142,28 @@ object StreamingOps {
             |FROM c GROUP BY 1, 2 ORDER BY sink, reason""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q35, q44, q53, q54, q91, q95, q108, q122, q161)
+  /** q211 — update output mode: cumulative per-key re-emission across
+    * micro-batches, folded by a foreachBatch upsert sink that also
+    * COUNTS the re-emissions. Two mtime-ordered batches split at the
+    * corpus-midpoint hour → exactly the split day upserts twice (once
+    * per half with data), every other day once, and the final counts
+    * equal the batch rollup. The oracle restates n_upserts as the
+    * number of halves each day has events in — robust even when the
+    * split lands on a day boundary. See graft.streaming.StreamUpdateMode. */
+  val q211 = QuerySpec(
+    "q211_stream_update_mode",
+    (s, d) => graft.streaming.StreamUpdateMode.runOnce(s, d),
+    Some("""WITH c AS (
+           |  SELECT date_trunc('hour',
+           |    make_timestamp((epoch_us(min(ts)) + epoch_us(max(ts))) // 2)) AS cut
+           |  FROM events)
+           |SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           |  count(*) AS n_events,
+           |  CAST(count(DISTINCT CASE WHEN ts >= cut THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_upserts
+           |FROM events, c GROUP BY 1 ORDER BY 1""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] =
+    Seq(q35, q44, q53, q54, q91, q95, q108, q122, q161, q211)
 }

@@ -1161,7 +1161,86 @@ object TrainPrep {
            |FROM c GROUP BY lang ORDER BY lang""".stripMargin),
   )
 
+  /** q214 — PII pseudonymization: `mask()` (structure-preserving
+    * redaction: upper→X, lower→x, digit→n, punctuation kept) plus a
+    * deterministic pseudonym (first 8 hex of sha256) — the release-
+    * pipeline pair: masked fields stay debuggable, pseudonyms stay
+    * joinable across tables WITHOUT a lookup table to secure. The gate
+    * groups by masked pattern and pins pseudonym-set cardinality ==
+    * name cardinality (no collisions at this scale, and collisions
+    * would be deterministic cross-engine anyway) plus min/max pseudonym
+    * as content witnesses. Per-row scalar work — shuffle-free until the
+    * pattern rollup. */
+  val q214 = QuerySpec(
+    "q214_pii_pseudonymize",
+    (s, d) => {
+      import s.implicits._
+      Tables.customer(s, d)
+        .select($"c_name",
+          mask($"c_name").as("pattern"),
+          substring(sha2($"c_name", 256), 1, 8).as("pseud"))
+        .groupBy($"pattern")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"c_name").as("n_names"),
+          countDistinct($"pseud").as("n_pseud"),
+          min($"pseud").as("pseud_min"),
+          max($"pseud").as("pseud_max"))
+        .orderBy($"pattern")
+    },
+    Some("""WITH p AS (
+           |  SELECT c_name,
+           |    regexp_replace(regexp_replace(regexp_replace(c_name,
+           |      '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS pattern,
+           |    substr(sha256(c_name), 1, 8) AS pseud
+           |  FROM customer)
+           |SELECT pattern, count(*) AS n,
+           |  CAST(count(DISTINCT c_name) AS BIGINT) AS n_names,
+           |  CAST(count(DISTINCT pseud) AS BIGINT) AS n_pseud,
+           |  min(pseud) AS pseud_min, max(pseud) AS pseud_max
+           |FROM p GROUP BY pattern ORDER BY pattern""".stripMargin),
+  )
+
+  /** q215 — distributed equal-frequency binning: exact ntile(10)
+    * semantics (first N mod k bins take the extra row) WITHOUT the
+    * single-partition window — bin = arithmetic on the dense global
+    * row id from [[graft.operators.StableIds]] (range partitions +
+    * offsets), so the corpus-wide sort parallelizes. The oracle IS
+    * DuckDB's native ntile over the same total order: the gate proves
+    * the closed-form bin assignment reproduces ntile's remainder
+    * distribution exactly. Per-bin lo/hi make the cut points visible
+    * (feature-discretization readout). */
+  val q215 = QuerySpec(
+    "q215_equal_freq_binning",
+    (s, d) => {
+      import s.implicits._
+      val ids = graft.operators.StableIds.withGlobalRowIds(
+        Tables.documents(s, d).select($"doc_id", $"n_chars"),
+        numParts = 8, $"n_chars", $"doc_id")
+      val n = ids.count()
+      val k = 10L
+      val q = n / k
+      val r = n % k
+      ids.select($"doc_id", $"n_chars",
+          (when($"row_id" < (q + 1L) * r, expr(s"row_id div ${q + 1L}"))
+            .otherwise(lit(r) + expr(s"(row_id - ${(q + 1L) * r}) div $q"))
+            + 1L).as("bin"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"n_chars").as("lo"), max($"n_chars").as("hi"),
+          sum($"doc_id").as("id_checksum"))
+        .orderBy($"bin")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, n_chars,
+           |    ntile(10) OVER (ORDER BY n_chars, doc_id) AS bin
+           |  FROM documents)
+           |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+           |  CAST(min(n_chars) AS BIGINT) AS lo, CAST(max(n_chars) AS BIGINT) AS hi,
+           |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+           |FROM t GROUP BY bin ORDER BY bin""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q60, q61, q62, q63, q64, q65, q67, q68, q69, q70,
     q86, q87, q88, q89, q90, q96, q100, q101, q106, q110, q149, q150, q160,
-    q192, q194, q200)
+    q192, q194, q200, q214, q215)
 }
