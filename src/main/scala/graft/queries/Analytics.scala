@@ -961,7 +961,46 @@ object Analytics {
            |FROM b GROUP BY w, event_type ORDER BY w_start_s, event_type""".stripMargin),
   )
 
+  /** q217 — EXACT distinct counts via bitmap aggregates (Spark 3.5
+    * bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg /
+    * bitmap_or_agg / bitmap_count): q118's two-level rollup shape with
+    * bitmaps instead of HLL — per-(priority, bucket) bitmaps roll up to
+    * per-priority counts, and the SAME bitmaps OR-merge into the global
+    * count without touching raw rows again. The trade vs HLL: exact
+    * answers, state = domain/8 bits per bucket instead of a fixed
+    * sketch — the right call for dense integer keys (user ids, order
+    * keys) at any scale; bitmaps partial-aggregate map-side like any
+    * hash agg. Gate: DuckDB count(DISTINCT) per level, 'ALL' row last
+    * by ASCII order on both engines. */
+  val q217 = QuerySpec(
+    "q217_bitmap_distinct",
+    (s, d) => {
+      import s.implicits._
+      val lvl1 = Tables.orders(s, d)
+        .select($"o_orderpriority",
+          expr("bitmap_bucket_number(o_custkey)").as("bkt"),
+          expr("bitmap_bit_position(o_custkey)").as("pos"))
+        .groupBy($"o_orderpriority", $"bkt")
+        .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+        .persist()
+      try {
+        val per = lvl1.groupBy($"o_orderpriority")
+          .agg(sum(expr("bitmap_count(bm)")).as("n_distinct"))
+        val merged = lvl1.groupBy($"bkt")
+          .agg(expr("bitmap_or_agg(bm)").as("bm"))
+          .agg(sum(expr("bitmap_count(bm)")).as("n_distinct"))
+          .select(lit("ALL").as("o_orderpriority"), $"n_distinct")
+        Eager(per.unionByName(merged).orderBy($"o_orderpriority"))
+      } finally { lvl1.unpersist(); () }
+    },
+    Some("""SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+           |FROM orders GROUP BY o_orderpriority
+           |UNION ALL
+           |SELECT 'ALL', CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+           |ORDER BY o_orderpriority""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q118, q119, q120, q121, q123, q124, q127, q128, q131, q132, q134, q137,
-      q139, q147, q153, q157, q165, q191, q193, q198, q199)
+      q139, q147, q153, q157, q165, q191, q193, q198, q199, q217)
 }

@@ -1645,9 +1645,67 @@ object Relational {
            |FROM g ORDER BY dt""".stripMargin),
   )
 
+  /** q218 — map higher-order functions (transform_keys / map_zip_with)
+    * plus array_sort with a CUSTOM comparator — the map-algebra half
+    * q177 left open. Per-priority status→count and status→amount maps
+    * (keys pre-aggregated unique, q177's rule) are zipped into
+    * avg-cents-per-order (exact decimal→BIGINT cents, truncating div on
+    * both engines), keys are rewritten by transform_keys, and the top
+    * entry is selected by a comparator lambda (value DESC, key ASC) —
+    * a total order, so the pick is deterministic. The DuckDB oracle
+    * computes the same readout relationally (maps are Spark-side
+    * representation; the GATE is on values). Per-group maps are
+    * |statuses|-sized — dimension-bounded at any corpus scale. */
+  val q218 = QuerySpec(
+    "q218_map_hof_breadth",
+    (s, d) => {
+      import s.implicits._
+      val base = Tables.orders(s, d)
+        .groupBy($"o_orderpriority", $"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast(DecimalType(30, 2))).as("amt"))
+      base.groupBy($"o_orderpriority")
+        .agg(map_from_entries(array_sort(collect_list(struct($"o_orderstatus", $"n"))))
+            .as("cnts"),
+          map_from_entries(array_sort(collect_list(struct($"o_orderstatus", $"amt"))))
+            .as("amts"))
+        .select($"o_orderpriority",
+          expr("map_zip_with(cnts, amts, (k, c, a) -> CAST(a * 100 AS BIGINT) div c)")
+            .as("cents_per"),
+          expr("transform_keys(cnts, (k, v) -> concat('s_', lower(k)))").as("cnts2"))
+        .select($"o_orderpriority",
+          cardinality($"cents_per").cast("long").as("n_statuses"),
+          expr("""array_sort(map_entries(cents_per), (l, r) ->
+                 |  CASE WHEN l.value > r.value THEN -1 WHEN l.value < r.value THEN 1
+                 |       WHEN l.key < r.key THEN -1 WHEN l.key > r.key THEN 1
+                 |       ELSE 0 END)[0]""".stripMargin).as("top"),
+          expr("aggregate(map_keys(cnts2), 0L, (acc, k) -> acc + length(k))")
+            .as("keylen_sum"))
+        .select($"o_orderpriority", $"n_statuses",
+          $"top.key".as("top_status"), $"top.value".as("top_cents"),
+          $"keylen_sum")
+        .orderBy($"o_orderpriority")
+    },
+    Some("""WITH g AS (
+           |  SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+           |    CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) * 100 AS BIGINT) AS cents
+           |  FROM orders GROUP BY 1, 2),
+           |r AS (
+           |  SELECT o_orderpriority, o_orderstatus, n, cents // n AS avg_cents,
+           |    row_number() OVER (PARTITION BY o_orderpriority
+           |      ORDER BY cents // n DESC, o_orderstatus) AS rk
+           |  FROM g)
+           |SELECT o_orderpriority,
+           |  CAST(count(*) AS BIGINT) AS n_statuses,
+           |  max(CASE WHEN rk = 1 THEN o_orderstatus END) AS top_status,
+           |  CAST(max(CASE WHEN rk = 1 THEN avg_cents END) AS BIGINT) AS top_cents,
+           |  CAST(sum(len('s_' || lower(o_orderstatus))) AS BIGINT) AS keylen_sum
+           |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q66, q75, q76, q82, q84, q85,
     q143, q144, q145, q146, q155, q156, q164, q166, q169, q170, q171, q172,
     q174, q175, q176, q177, q178, q179, q180, q181, q182, q184, q185, q186,
-    q190, q196, q212, q213)
+    q190, q196, q212, q213, q218)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{count, lit, sum}
 
 import graft.Tables
 
@@ -625,6 +626,76 @@ object SqlSurface {
            |ORDER BY c.c_custkey""".stripMargin),
   )
 
+  /** q219 — parameterized SQL (named markers) + lateral column aliases:
+    * `spark.sql(text, args)` binds `:cut` as a LITERAL in the analyzed
+    * plan — injection-proof by construction and plan-cache-friendly
+    * (the parameter is a literal, so pushdown sees a plain predicate);
+    * the projection chains aliases laterally (n → n_doubled → n_plus,
+    * Spark 3.4 lateral column alias resolution) instead of repeating the
+    * aggregate expression. DuckDB supports the same lateral alias
+    * reuse, so the oracle is nearly the same text with the parameter
+    * inlined — which is exactly the semantic claim: binding ≡ inlining. */
+  val q219 = QuerySpec(
+    "q219_parameterized_sql",
+    (s, d) => {
+      registerViews(s, d)
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n, n * 2 AS n_doubled,
+          |  n_doubled + 1 AS n_plus
+          |FROM orders WHERE o_orderdate >= :cut
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+        Map("cut" -> "1997-06-01"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n, n * 2 AS n_doubled,
+           |  n_doubled + 1 AS n_plus
+           |FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01'
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+  )
+
+  /** q220 — DDL column DEFAULTs: a catalog parquet table declared with
+    * per-column defaults, filled by INSERTs that OMIT columns — the
+    * schema-evolution idiom that lets a 100 TB table gain a column
+    * without rewriting history (new writes carry the default; the
+    * old-file read path fills it at scan). Two partial-column INSERT
+    * ... SELECTs exercise both the all-defaults and the
+    * partial-override paths; the gate restates the expected
+    * (status, score) blocks from the same key filters. Catalog state
+    * is session-scoped and dropped in finally (q187's discipline). */
+  val q220 = QuerySpec(
+    "q220_column_defaults",
+    (s, d) => {
+      import s.implicits._
+      registerViews(s, d)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dflt_q220").toString
+      val tbl = "graft_defaults_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      try {
+        s.sql(s"""CREATE TABLE $tbl (
+                 |  k BIGINT,
+                 |  status STRING DEFAULT 'NEW',
+                 |  score BIGINT DEFAULT 100)
+                 |USING parquet LOCATION '$tmp/t'""".stripMargin)
+        s.sql(s"INSERT INTO $tbl (k) SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0")
+        s.sql(s"INSERT INTO $tbl (k, status) SELECT o_orderkey, 'OLD' FROM orders WHERE o_orderkey % 89 = 0")
+        Eager(s.table(tbl)
+          .groupBy($"status", $"score")
+          .agg(count(lit(1)).as("n"), sum($"k").as("k_checksum"))
+          .orderBy($"status", $"score"))
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        graft.Fs.deleteTree(tmp)
+      }
+    },
+    Some("""SELECT 'NEW' AS status, CAST(100 AS BIGINT) AS score, count(*) AS n,
+           |  CAST(sum(o_orderkey) AS BIGINT) AS k_checksum
+           |FROM orders WHERE o_orderkey % 97 = 0
+           |UNION ALL
+           |SELECT 'OLD', 100, count(*), CAST(sum(o_orderkey) AS BIGINT)
+           |FROM orders WHERE o_orderkey % 89 = 0
+           |ORDER BY status, score""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q37, q38, q48, q51, q56, q71, q72, q83, q93,
-    q97, q103, q116, q129, q130, q135, q142, q151, q154, q167, q183)
+    q97, q103, q116, q129, q130, q135, q142, q151, q154, q167, q183,
+    q219, q220)
 }
