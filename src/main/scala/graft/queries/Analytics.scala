@@ -1000,7 +1000,61 @@ object Analytics {
            |ORDER BY o_orderpriority""".stripMargin),
   )
 
+  /** q222 — native regression/correlation aggregates (corr,
+    * covar_samp, regr_slope / regr_intercept / regr_r2 / regr_count)
+    * gated by q39's tolerance-boolean convention: double-sum internals
+    * make the natives order-dependent in the last bits, so the gate
+    * compares each against the EXACT decimal sufficient-statistics
+    * computation (q147's machinery) and ships the boolean — the native
+    * must sit within 1e-6 relative of the exact value (the reference's
+    * own decimal rounding costs ~1e-9 under numerator cancellation, so
+    * 1e-9 would gate the reference, not the native). x = hour-of-day
+    * (exact small int, integer-exact moments), y = value. regr_count
+    * is integer-exact and crosses directly. */
+  val q222 = QuerySpec(
+    "q222_regr_agg_gate",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val e = Tables.events(s, d)
+        .select($"event_type", hour($"ts").cast("long").as("x"),
+          $"value".as("y"), $"value".cast(DecimalType(30, 10)).as("yd"))
+      val base = e.groupBy($"event_type").agg(
+        count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"x" * $"x").as("sxx"),
+        sum($"yd").as("sy"), sum($"yd" * $"yd").as("syy"),
+        sum($"yd" * $"x").as("sxy"),
+        corr($"x", $"y").as("corr_n"),
+        covar_samp($"x", $"y").as("cov_n"),
+        expr("regr_slope(y, x)").as("slope_n"),
+        expr("regr_intercept(y, x)").as("icept_n"),
+        expr("regr_r2(y, x)").as("r2_n"),
+        expr("regr_count(y, x)").as("regr_n"))
+      def close(native: org.apache.spark.sql.Column,
+                exact: org.apache.spark.sql.Column) =
+        abs(native - exact) <= lit(1e-6) * greatest(abs(exact), lit(1.0))
+      base.select($"event_type", $"n", $"regr_n",
+          close($"slope_n", (($"n" * $"sxy" - $"sx" * $"sy") /
+            ($"n" * $"sxx" - $"sx" * $"sx")).cast("double")).as("slope_ok"),
+          close($"icept_n", (($"sy" - (($"n" * $"sxy" - $"sx" * $"sy") /
+            ($"n" * $"sxx" - $"sx" * $"sx")) * $"sx") / $"n").cast("double"))
+            .as("icept_ok"),
+          close($"corr_n", (($"n" * $"sxy" - $"sx" * $"sy") /
+            (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
+              sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double")))).cast("double"))
+            .as("corr_ok"),
+          close($"cov_n", (($"sxy" - $"sx" * $"sy" / $"n") / ($"n" - 1))
+            .cast("double")).as("cov_ok"),
+          ($"r2_n" >= 0.0 && $"r2_n" <= 1.0).as("r2_in_range"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n, count(*) AS regr_n,
+           |  true AS slope_ok, true AS icept_ok, true AS corr_ok, true AS cov_ok,
+           |  true AS r2_in_range
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q118, q119, q120, q121, q123, q124, q127, q128, q131, q132, q134, q137,
-      q139, q147, q153, q157, q165, q191, q193, q198, q199, q217)
+      q139, q147, q153, q157, q165, q191, q193, q198, q199, q217, q222)
 }

@@ -164,6 +164,32 @@ object StreamingOps {
            |FROM events, c GROUP BY 1 ORDER BY 1""".stripMargin),
   )
 
+  /** q221 — stream-stream FULL OUTER interval join (q54/q108's third
+    * mode): both orphan kinds — clickless purchases AND purchase-less
+    * clicks — flush on watermark proof. The oracle decomposes batch
+    * full-outer into the per-purchase left half plus the NOT EXISTS
+    * click-only half. See StreamJoin.runFullOuterOnce. */
+  val q221 = QuerySpec(
+    "q221_stream_full_outer_join",
+    (s, d) => StreamJoin.runFullOuterOnce(s, d),
+    Some("""SELECT 'purchase' AS kind, p.event_id AS k,
+           |  CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n
+           |FROM events p LEFT JOIN events c
+           |  ON c.user_id = p.user_id AND c.event_type = 'click'
+           | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+           |WHERE p.event_type = 'purchase'
+           |GROUP BY p.event_id
+           |UNION ALL
+           |SELECT 'click_only', c.user_id, count(*)
+           |FROM events c
+           |WHERE c.event_type = 'click' AND NOT EXISTS (
+           |  SELECT 1 FROM events p
+           |  WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+           |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+           |GROUP BY c.user_id
+           |ORDER BY kind, k""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q35, q44, q53, q54, q91, q95, q108, q122, q161, q211)
+    Seq(q35, q44, q53, q54, q91, q95, q108, q122, q161, q211, q221)
 }
