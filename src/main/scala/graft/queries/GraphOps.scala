@@ -370,5 +370,72 @@ object GraphOps {
            |  (SELECT count(*) FROM tri) AS n_triangles""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q59, q94, q126, q148)
+  /** q226 — BFS shortest-path distances by frontier expansion (the
+    * fourth graph algorithm family after components/PageRank/triangles):
+    * supplier-to-supplier distances through shared orders (bipartite
+    * two-hop = distance 2) from a single source, four sweeps (≤ 8).
+    * Each sweep is two key-sized equi-joins (frontier⋈edges on s,
+    * result⋈edges on o) plus an anti join against the visited set —
+    * rows moved per round are O(frontier·degree), never O(V·E), which
+    * is THE property that lets BFS run on a 100 TB edge list; the edge
+    * frame is computed once, persisted, and reused by all sweeps, and
+    * the frontier/visited sides of every join are BROADCAST — the edge
+    * list never re-shuffles across sweeps (broadcast is right while
+    * frontier ≪ edges, the BFS norm; a shuffle join is the documented
+    * fallback for adversarial frontier blow-ups). Shuffle partitions
+    * sized to the loop's frame sizes (q59's discipline). First-visit
+    * distance is minimal by BFS invariant, so the result is the unique
+    * fixed point the oracle's recursive CTE computes. */
+  val q226 = QuerySpec(
+    "q226_bfs_distances",
+    (s, d) => {
+      import s.implicits._
+      val e = graft.Tables.lineitem(s, d)
+        .filter($"l_orderkey" % 199 === 0)
+        .select($"l_orderkey".as("o"), $"l_suppkey".as("sk"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try graft.Confs.withShufflePartitions(s, 8) {
+        // Each round's frontier is persisted once; `best` stays a LAZY
+        // union of those cached pieces — no re-materialization per
+        // round, and the anti join still reads only cached partitions.
+        val seed = Seq((1L, 0L)).toDF("node", "dist")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        var rounds = List(seed)
+        var frontier = seed
+        for (i <- 1 to 4) {
+          val best = rounds.reduce(_ unionByName _)
+          val hitOrders = e.join(broadcast(frontier), $"node" === $"sk")
+            .select($"o").distinct()
+          val nxt = e.join(broadcast(hitOrders), Seq("o"))
+            .select($"sk".as("node")).distinct()
+            .join(broadcast(best), Seq("node"), "left_anti")
+            .select($"node", lit(2L * i).as("dist"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          rounds = nxt :: rounds
+          frontier = nxt
+        }
+        val out = Eager(rounds.reduce(_ unionByName _).groupBy($"dist")
+          .agg(count(lit(1)).as("n_nodes"), sum($"node").as("node_checksum"))
+          .orderBy($"dist"))
+        rounds.foreach(_.unpersist())
+        out
+      } finally { e.unpersist(); () }
+    },
+    Some("""WITH RECURSIVE e AS (
+           |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+           |  WHERE l_orderkey % 199 = 0),
+           |bfs(node, dist) AS (
+           |  SELECT CAST(1 AS BIGINT), 0
+           |  UNION
+           |  SELECT e2.s, bfs.dist + 2
+           |  FROM bfs, e e1, e e2
+           |  WHERE e1.s = bfs.node AND e2.o = e1.o AND bfs.dist < 8),
+           |best AS (SELECT node, min(dist) AS dist FROM bfs GROUP BY node)
+           |SELECT CAST(dist AS BIGINT) AS dist, count(*) AS n_nodes,
+           |  CAST(sum(node) AS BIGINT) AS node_checksum
+           |FROM best GROUP BY dist ORDER BY dist""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q59, q94, q126, q148, q226)
 }

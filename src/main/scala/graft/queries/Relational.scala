@@ -1703,9 +1703,105 @@ object Relational {
            |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
   )
 
+  /** q223 — URL canonicalization: the pretraining-corpus dedup key
+    * (lowercase scheme/host, strip default ports, drop fragments, trim
+    * trailing path slash, SORT query params) applied to four messy
+    * variants per logical URL built from customer rows — variants 0/1
+    * must collapse to the same canonical form; 2/3 differ by real
+    * port/scheme and must survive. The oracle states the expected
+    * canonical STRINGS from the construction arithmetic (ground truth,
+    * not a second parser — q179's rule), so n_canonical AND the exact
+    * canonical byte length cross the gate. Per-row parse_url + regexp +
+    * array_sort work, shuffle-free until the 1-row rollup — the 100 TB
+    * URL-dedup preprocessing shape. */
+  val q223 = QuerySpec(
+    "q223_url_canonicalize",
+    (s, d) => {
+      import s.implicits._
+      val b = Tables.customer(s, d).filter($"c_custkey" <= 800)
+        .select($"c_custkey".as("k"), ($"c_custkey" % 4).as("v"),
+          expr("c_custkey div 4").as("grp"), lower($"c_mktsegment").as("seg"))
+      val messy = b.select($"k",
+        when($"v" === 0, concat(lit("HTTPS://Shop.Example.COM:443/cat/"), $"seg",
+            lit("/?b="), $"grp", lit("&a="), $"seg", lit("#top")))
+          .when($"v" === 1, concat(lit("https://shop.example.com/cat/"), $"seg",
+            lit("?a="), $"seg", lit("&b="), $"grp"))
+          .when($"v" === 2, concat(lit("http://SHOP.example.com:8080/cat/"), $"seg",
+            lit("?b="), $"grp", lit("&a="), $"seg"))
+          .otherwise(concat(lit("https://shop.example.com:8443/cat/"), $"seg",
+            lit("/?a="), $"seg", lit("&b="), $"grp", lit("#x"))).as("url"))
+      val canon = messy.select($"k",
+          lower(regexp_extract($"url", "^([A-Za-z]+)://", 1)).as("scheme"),
+          lower(parse_url($"url", lit("HOST"))).as("host"),
+          regexp_extract($"url", "^[A-Za-z]+://[^/?#]*:(\\d+)", 1).as("port"),
+          regexp_replace(parse_url($"url", lit("PATH")), "/$", "").as("path"),
+          array_join(array_sort(split(parse_url($"url", lit("QUERY")), "&")), "&")
+            .as("q"))
+        .select($"k", concat($"scheme", lit("://"), $"host",
+          when($"port" === "" ||
+            ($"scheme" === "https" && $"port" === "443") ||
+            ($"scheme" === "http" && $"port" === "80"), lit(""))
+            .otherwise(concat(lit(":"), $"port")),
+          $"path",
+          when($"q" === "", lit("")).otherwise(concat(lit("?"), $"q"))).as("cu"))
+      canon.agg(count(lit(1)).as("n_urls"),
+        countDistinct($"cu").as("n_canonical"),
+        (count(lit(1)) - countDistinct($"cu")).as("n_collapsed"),
+        sum(length($"cu")).cast("long").as("canon_len_sum"))
+    },
+    Some("""WITH b AS (
+           |  SELECT c_custkey AS k, c_custkey % 4 AS v, c_custkey // 4 AS grp,
+           |    lower(c_mktsegment) AS seg
+           |  FROM customer WHERE c_custkey <= 800),
+           |canon AS (
+           |  SELECT k,
+           |    CASE WHEN v IN (0, 1)
+           |      THEN 'https://shop.example.com/cat/' || seg || '?a=' || seg || '&b=' || grp
+           |      WHEN v = 2
+           |      THEN 'http://shop.example.com:8080/cat/' || seg || '?a=' || seg || '&b=' || grp
+           |      ELSE 'https://shop.example.com:8443/cat/' || seg || '?a=' || seg || '&b=' || grp
+           |    END AS cu
+           |  FROM b)
+           |SELECT count(*) AS n_urls,
+           |  CAST(count(DISTINCT cu) AS BIGINT) AS n_canonical,
+           |  CAST(count(*) - count(DISTINCT cu) AS BIGINT) AS n_collapsed,
+           |  CAST(sum(len(cu)) AS BIGINT) AS canon_len_sum
+           |FROM canon""".stripMargin),
+  )
+
+  /** q225 — inline() generator (array-of-structs → columns, completing
+    * the generator family: explode q19, posexplode/outer q182, stack
+    * q97/q88): each order fans out to two struct rows whose fields land
+    * as real columns without a struct projection step. Cents go through
+    * DECIMAL before BIGINT (cast-rounding divergence trap — DuckDB
+    * rounds double→int, Spark truncates; decimal scale-2 ×100 is exact
+    * on both). Generator output is 2× the scan — no shuffle until the
+    * rollup. */
+  val q225 = QuerySpec(
+    "q225_inline_generator",
+    (s, d) => {
+      import s.implicits._
+      val cents = ($"o_totalprice".cast(DecimalType(18, 2)) * 100).cast("long")
+      Tables.orders(s, d)
+        .select($"o_orderpriority",
+          array(struct(lit(1L).as("pos"), cents.as("cents")),
+            struct(lit(2L).as("pos"), (cents * 2).as("cents"))).as("arr"))
+        .select($"o_orderpriority", inline($"arr"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"), sum($"pos").as("pos_sum"),
+          sum($"cents").as("cents_sum"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, 2 * count(*) AS n_rows,
+           |  3 * count(*) AS pos_sum,
+           |  CAST(3 * sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           |    AS BIGINT) AS cents_sum
+           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q66, q75, q76, q82, q84, q85,
     q143, q144, q145, q146, q155, q156, q164, q166, q169, q170, q171, q172,
     q174, q175, q176, q177, q178, q179, q180, q181, q182, q184, q185, q186,
-    q190, q196, q212, q213, q218)
+    q190, q196, q212, q213, q218, q223, q225)
 }

@@ -496,6 +496,73 @@ object SourcesIO {
            |FROM v""".stripMargin),
   )
 
+  /** q224 — CSV quirk torture: payloads with embedded delimiters,
+    * double quotes, AND newlines round-tripped through the CSV
+    * writer/reader with RFC-4180 quoting (escape = '"' → doubled
+    * quotes) and multiLine=true on the read (without it, the reader
+    * splits quoted records at the embedded newline and the digest
+    * breaks — THE classic CSV-at-scale corruption). The gate is q210's
+    * content digest computed on the read-back vs the oracle's digest
+    * from the same construction arithmetic — byte-exact or fail.
+    * multiLine trade-off documented: it disables record-level input
+    * splitting (a quoted newline means record boundaries can't be
+    * found mid-file), so at 100 TB quirky CSV is an ingest-once
+    * format — land it, convert to parquet (A7), never re-scan. */
+  val q224 = QuerySpec(
+    "q224_csv_quirks",
+    (s, d) => {
+      import s.implicits._
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csvq_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      try {
+        val src = Tables.orders(s, d).filter($"o_orderkey" % 7 === 0)
+          .select($"o_orderkey".as("k"),
+            concat(lit("v,"), $"o_orderpriority", lit(",\"q\""),
+              when($"o_orderkey" % 3 === 0,
+                concat(lit("\n"), lit("line2,\"tail\""))).otherwise(lit("")))
+              .as("payload"))
+        src.write.option("header", "true").option("quote", "\"")
+          .option("escape", "\"").csv(s"$tmp/csv")
+        val back = s.read.schema("k LONG, payload STRING")
+          .option("header", "true").option("quote", "\"")
+          .option("escape", "\"").option("multiLine", "true")
+          .csv(s"$tmp/csv")
+        val srcD = digest32(src).select($"n_rows", $"digest")
+        val backD = digest32(back).select($"n_rows".as("n_b"), $"digest".as("d_b"))
+        Eager(srcD.crossJoin(broadcast(backD))
+          .select($"n_rows", $"digest",
+            ($"n_b" === $"n_rows" && $"d_b" === $"digest").as("roundtrip_ok")))
+      } finally graft.Fs.deleteTree(tmp)
+    },
+    Some("""WITH p AS (
+           |  SELECT o_orderkey AS k,
+           |    'v,' || o_orderpriority || ',"q"' ||
+           |      CASE WHEN o_orderkey % 3 = 0 THEN chr(10) || 'line2,"tail"'
+           |           ELSE '' END AS payload
+           |  FROM orders WHERE o_orderkey % 7 = 0),
+           |f AS (SELECT md5(CAST(k AS VARCHAR) || '|' || payload) AS hx FROM p),
+           |v AS (
+           |  SELECT list_reduce(list_transform(generate_series(1, 8),
+           |      i -> CAST(CASE WHEN ascii(substr(hx, i, 1)) >= 97
+           |            THEN ascii(substr(hx, i, 1)) - 87
+           |            ELSE ascii(substr(hx, i, 1)) - 48 END AS BIGINT)
+           |        * CAST(power(16, 8 - i) AS BIGINT)),
+           |      (a, b) -> a + b) AS h32
+           |  FROM f)
+           |SELECT count(*) AS n_rows, CAST(sum(h32) AS BIGINT) AS digest,
+           |  true AS roundtrip_ok
+           |FROM v""".stripMargin),
+  )
+
+  /** Shared 32-bit md5 digest over (k, payload) — q210's scheme. */
+  private def digest32(df: org.apache.spark.sql.DataFrame) = {
+    import df.sparkSession.implicits._
+    df.select(conv(substring(md5(concat_ws("|",
+        $"k".cast("string"), $"payload").cast("binary")), 1, 8), 16, 10)
+        .cast("long").as("h32"))
+      .agg(count(lit(1)).as("n_rows"), sum($"h32").as("digest"))
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(q113, q114, q117, q133, q136, q140, q187, q188, q189, q216)
+    Seq(q113, q114, q117, q133, q136, q140, q187, q188, q189, q216, q224)
 }
