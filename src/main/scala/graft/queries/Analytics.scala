@@ -1054,7 +1054,53 @@ object Analytics {
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
   )
 
+  /** q227 — HLL sketch state PERSISTED through parquet (q118 merges
+    * within one query; this is the cross-JOB half of the mergeable-
+    * sketch contract): per-priority customer sketches land as binary
+    * parquet columns, a SECOND pass reads them back, re-estimates each,
+    * and union-merges them into the global estimate — raw rows are
+    * never rescanned. This is the q198 materialized-view pattern with
+    * sketch state instead of decimal partials: daily sketch partitions
+    * at 100 TB merge along any rollup in seconds. The custkey domain
+    * exceeds the coupon-exact range, so estimates gate via the ±5%
+    * tolerance boolean against the exact distinct count (q39's
+    * convention), which crosses the gate exactly. */
+  val q227 = QuerySpec(
+    "q227_hll_sketch_persist",
+    (s, d) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_hll_q227").toString
+      try {
+        Tables.orders(s, d).groupBy($"o_orderpriority")
+          .agg(expr("hll_sketch_agg(o_custkey)").as("sk"),
+            countDistinct($"o_custkey").as("n_exact"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$tmp/sketches")
+        val back = s.read.parquet(s"$tmp/sketches")
+        val per = back.select($"o_orderpriority", $"n_exact",
+          expr("hll_sketch_estimate(sk)").as("est"))
+        val merged = back.agg(
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
+          sum($"n_exact").as("n_upper"))
+        val globalExact = Tables.orders(s, d)
+          .agg(countDistinct($"o_custkey").as("n_exact"))
+        val all = per.select($"o_orderpriority", $"n_exact",
+            (abs($"est" - $"n_exact") <= $"n_exact" * 0.05).as("est_ok"))
+          .unionByName(merged.crossJoin(globalExact)
+            .select(lit("ALL").as("o_orderpriority"), $"n_exact",
+              (abs($"est" - $"n_exact") <= $"n_exact" * 0.05).as("est_ok")))
+        Eager(all.orderBy($"o_orderpriority")) // eager: sketches live under tmp
+      } finally graft.Fs.deleteTree(tmp)
+    },
+    Some("""SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+           |  true AS est_ok
+           |FROM orders GROUP BY o_orderpriority
+           |UNION ALL
+           |SELECT 'ALL', CAST(count(DISTINCT o_custkey) AS BIGINT), true FROM orders
+           |ORDER BY o_orderpriority""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q118, q119, q120, q121, q123, q124, q127, q128, q131, q132, q134, q137,
-      q139, q147, q153, q157, q165, q191, q193, q198, q199, q217, q222)
+      q139, q147, q153, q157, q165, q191, q193, q198, q199, q217, q222, q227)
 }

@@ -1799,9 +1799,92 @@ object Relational {
            |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
   )
 
+  /** q229 — json_tuple generator (multi-field JSON extraction in ONE
+    * parse, the generator-form alternative to N get_json_object calls —
+    * q18's Scaladoc rule made executable): JSON synthesized from order
+    * columns (ground truth, q179's pattern), fanned back to columns by
+    * json_tuple in a selectExpr, then validated field-by-field against
+    * the source. All values int/string (q171's to_json portability
+    * rule). Per-row parse, shuffle-free until the rollup. */
+  val q229 = QuerySpec(
+    "q229_json_tuple_generator",
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d).filter($"o_orderkey" % 13 === 0)
+        .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority",
+          to_json(struct($"o_orderkey".as("id"), $"o_orderstatus".as("st"),
+            $"o_orderpriority".as("pr"))).as("j"))
+        .selectExpr("o_orderkey", "o_orderstatus", "o_orderpriority",
+          "json_tuple(j, 'id', 'st', 'pr') AS (jid, jst, jpr)")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when($"jid".cast("long") === $"o_orderkey", 1L).otherwise(0L))
+            .as("id_ok"),
+          sum(when($"jst" === $"o_orderstatus", 1L).otherwise(0L)).as("st_ok"),
+          sum(when($"jpr" === $"o_orderpriority", 1L).otherwise(0L)).as("pr_ok"))
+    },
+    Some("""SELECT count(*) AS n_rows, count(*) AS id_ok, count(*) AS st_ok,
+           |  count(*) AS pr_ok
+           |FROM orders WHERE o_orderkey % 13 = 0""".stripMargin),
+  )
+
+  /** q230 — NULL algebra torture: the three-valued-logic scalar surface
+    * in one place — null-safe equality as a SCALAR (`<=>`, q82 used it
+    * as a join key), NULL propagation through arithmetic and concat,
+    * concat_ws SKIPPING nulls (the asymmetry that surprises every new
+    * pipeline author), nvl / nvl2 / coalesce chains, count(col) vs
+    * count(*) under nulls, and sum over an all-null group = NULL.
+    * Nullable inputs are built with nullif from order columns so both
+    * engines derive identical null patterns. */
+  val q230 = QuerySpec(
+    "q230_null_algebra",
+    (s, d) => {
+      import s.implicits._
+      val base = Tables.orders(s, d)
+        .select($"o_orderkey".as("k"),
+          nullif($"o_orderkey" % 5, lit(0)).as("a"),
+          nullif($"o_orderkey" % 3, lit(0)).as("b"),
+          nullif($"o_orderstatus", lit("P")).as("st"))
+      base.agg(count(lit(1)).as("n_rows"),
+          count($"a").as("n_a_nonnull"),
+          sum(when($"a" <=> $"b", 1L).otherwise(0L)).as("n_nullsafe_eq"),
+          sum(when(($"a" === $"b").isNull, 1L).otherwise(0L)).as("n_plain_eq_null"),
+          sum(when(($"a" + $"b").isNull, 1L).otherwise(0L)).as("n_arith_null"),
+          sum(when(concat($"st", lit("!")).isNull, 1L).otherwise(0L))
+            .as("n_concat_null"),
+          sum(length(concat_ws("-", $"st", lit("x")))).as("ws_len_sum"),
+          sum(nvl($"a", lit(-1))).as("nvl_sum"),
+          sum(nvl2($"a", lit(10), lit(1))).as("nvl2_sum"),
+          sum(coalesce($"a", $"b", lit(-100))).as("coalesce_sum"),
+          sum(when($"st".isNull, $"a")).as("allnullish_sum"))
+    },
+    Some("""WITH base AS (
+           |  SELECT o_orderkey AS k,
+           |    nullif(o_orderkey % 5, 0) AS a,
+           |    nullif(o_orderkey % 3, 0) AS b,
+           |    nullif(o_orderstatus, 'P') AS st
+           |  FROM orders)
+           |SELECT count(*) AS n_rows,
+           |  count(a) AS n_a_nonnull,
+           |  CAST(sum(CASE WHEN a IS NOT DISTINCT FROM b THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nullsafe_eq,
+           |  CAST(sum(CASE WHEN (a = b) IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_plain_eq_null,
+           |  CAST(sum(CASE WHEN (a + b) IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_arith_null,
+           |  CAST(sum(CASE WHEN (st || '!') IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_concat_null,
+           |  CAST(sum(len(concat_ws('-', st, 'x'))) AS BIGINT) AS ws_len_sum,
+           |  CAST(sum(coalesce(a, -1)) AS BIGINT) AS nvl_sum,
+           |  CAST(sum(CASE WHEN a IS NOT NULL THEN 10 ELSE 1 END) AS BIGINT)
+           |    AS nvl2_sum,
+           |  CAST(sum(coalesce(a, b, -100)) AS BIGINT) AS coalesce_sum,
+           |  CAST(sum(CASE WHEN st IS NULL THEN a END) AS BIGINT) AS allnullish_sum
+           |FROM base""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q66, q75, q76, q82, q84, q85,
     q143, q144, q145, q146, q155, q156, q164, q166, q169, q170, q171, q172,
     q174, q175, q176, q177, q178, q179, q180, q181, q182, q184, q185, q186,
-    q190, q196, q212, q213, q218, q223, q225)
+    q190, q196, q212, q213, q218, q223, q225, q229, q230)
 }

@@ -563,6 +563,51 @@ object SourcesIO {
       .agg(count(lit(1)).as("n_rows"), sum($"h32").as("digest"))
   }
 
+  /** q228 — range-clustered write layout: repartitionByRange +
+    * sortWithinPartitions before the write gives every output file a
+    * DISJOINT key range (equal keys land in one partition, so even tied
+    * boundary keys can't straddle files) — the sort-based layout that
+    * makes point/range reads touch one file instead of all of them,
+    * z-order's (q109) one-dimensional sibling and the cheapest pruning
+    * win a 100 TB table can buy. The gate reads the layout back and
+    * PROVES both halves: per-file [min,max] ranges are pairwise
+    * disjoint (window over file stats), and a point-range lookup's
+    * surviving rows come from exactly ONE file (input_file_name). */
+  val q228 = QuerySpec(
+    "q228_clustered_write_layout",
+    (s, d) => {
+      import s.implicits._
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_clus_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      try {
+        Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+          .repartitionByRange(8, $"l_orderkey")
+          .sortWithinPartitions($"l_orderkey")
+          .write.parquet(s"$tmp/clustered")
+        val back = s.read.parquet(s"$tmp/clustered")
+        val fileStats = back
+          .select(input_file_name().as("f"), $"l_orderkey")
+          .groupBy($"f")
+          .agg(min($"l_orderkey").as("lo"), max($"l_orderkey").as("hi"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy($"lo")
+        val disjoint = fileStats
+          .select(($"lo" > lag($"hi", 1, Long.MinValue).over(w)).as("ok"))
+          .agg(min($"ok").as("disjoint_ok"), count(lit(1)).as("n_files"))
+        // Point lookup on a key guaranteed to exist at every SF.
+        val probeKey = back.agg(min($"l_orderkey")).head().getLong(0)
+        val touched = back.filter($"l_orderkey" === probeKey)
+          .select(input_file_name().as("f")).distinct()
+          .agg(count(lit(1)).as("files_touched"))
+        Eager(disjoint.crossJoin(broadcast(touched))
+          .crossJoin(broadcast(back.agg(count(lit(1)).as("n_rows")))))
+      } finally graft.Fs.deleteTree(tmp)
+    },
+    Some("""SELECT true AS disjoint_ok, CAST(8 AS BIGINT) AS n_files,
+           |  CAST(1 AS BIGINT) AS files_touched, count(*) AS n_rows
+           |FROM lineitem""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q113, q114, q117, q133, q136, q140, q187, q188, q189, q216, q224)
+    Seq(q113, q114, q117, q133, q136, q140, q187, q188, q189, q216, q224, q228)
 }
