@@ -1145,7 +1145,101 @@ object Extras {
            |GROUP BY side ORDER BY side""".stripMargin),
   )
 
+  /** q232 — OHLC bar resampling (open/high/low/close per 4-hour bar):
+    * the time-series downsampling readout — open/close are min_by /
+    * max_by over a TOTAL order (epoch-micros + event_id, zero-padded to
+    * a lexicographic string because the oracle's arg_min/arg_max only
+    * take scalar ordering keys), so first/last are deterministic even
+    * under timestamp ties. One hash aggregate, map-side combinable
+    * (min_by/max_by merge by keeping the winning pair) — calendar-sized
+    * output at any corpus scale, no window sort needed. */
+  val q232 = QuerySpec(
+    "q232_ohlc_resample",
+    (s, d) => {
+      import s.implicits._
+      val ord = concat(lpad(unix_micros($"ts").cast("string"), 20, "0"),
+        lit("-"), lpad($"event_id".cast("string"), 12, "0"))
+      Tables.events(s, d)
+        .select($"event_type",
+          timestamp_micros(expr("(unix_micros(ts) div 14400000000) * 14400000000"))
+            .as("bar"),
+          ord.as("ord"), $"value")
+        .groupBy($"event_type", $"bar")
+        .agg(min_by($"value", $"ord").as("open"),
+          max_by($"value", $"ord").as("close"),
+          min($"value").as("lo"), max($"value").as("hi"),
+          count(lit(1)).as("n"))
+        .select($"event_type",
+          date_format($"bar", "yyyy-MM-dd HH:mm:ss").as("bar_start"), $"n",
+          round($"open", 6).as("open"), round($"close", 6).as("close"),
+          round($"lo", 6).as("lo"), round($"hi", 6).as("hi"))
+        .orderBy($"event_type", $"bar_start")
+    },
+    Some("""WITH b AS (
+           |  SELECT event_type,
+           |    make_timestamp((epoch_us(ts) // 14400000000) * 14400000000) AS bar,
+           |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '-' ||
+           |      lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord,
+           |    value
+           |  FROM events)
+           |SELECT event_type, strftime(bar, '%Y-%m-%d %H:%M:%S') AS bar_start,
+           |  count(*) AS n,
+           |  round(arg_min(value, ord), 6) AS open,
+           |  round(arg_max(value, ord), 6) AS close,
+           |  round(min(value), 6) AS lo, round(max(value), 6) AS hi
+           |FROM b GROUP BY event_type, bar
+           |ORDER BY event_type, bar_start""".stripMargin),
+  )
+
+  /** q233 — null-skew outer-join rewrite: a LEFT OUTER join on a
+    * nullable key ships every null-key row through the shuffle to
+    * exactly one reducer — and they can never match anything. The
+    * rewrite splits them off BEFORE the exchange (they short-circuit
+    * straight to the null-extended output) and joins only the non-null
+    * partition — q77's salting cousin for the special case where the
+    * hot key is NULL itself (the most common real-world skew: optional
+    * foreign keys). A third of the rows here carry a null key; the
+    * oracle is the PLAIN left join, so the gate certifies the rewrite
+    * changes nothing semantically. */
+  val q233 = QuerySpec(
+    "q233_null_skew_outer_join",
+    (s, d) => {
+      import s.implicits._
+      val left = Tables.customer(s, d)
+        .select($"c_custkey",
+          when($"c_custkey" % 3 === 0, lit(null).cast("long"))
+            .otherwise($"c_custkey" % 97).as("bkt"))
+      val dim = Tables.supplier(s, d)
+        .groupBy(($"s_suppkey" % 97).as("bkt"))
+        .agg(count(lit(1)).as("dim_n"))
+      val nullSide = left.filter($"bkt".isNull)
+        .select($"c_custkey", $"bkt", lit(null).cast("long").as("dim_n"))
+      val joined = left.filter($"bkt".isNotNull)
+        .join(broadcast(dim), Seq("bkt"), "left_outer")
+        .select($"c_custkey", $"bkt", $"dim_n")
+      nullSide.unionByName(joined)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when($"bkt".isNull, 1L).otherwise(0L)).as("n_null_key"),
+          sum(when($"dim_n".isNotNull, 1L).otherwise(0L)).as("n_matched"),
+          sum($"c_custkey" * coalesce($"dim_n", lit(0L))).as("weighted_checksum"))
+    },
+    Some("""WITH l AS (
+           |  SELECT c_custkey,
+           |    CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_custkey % 97 END AS bkt
+           |  FROM customer),
+           |dm AS (SELECT s_suppkey % 97 AS bkt, count(*) AS dim_n
+           |  FROM supplier GROUP BY 1)
+           |SELECT count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN l.bkt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null_key,
+           |  CAST(sum(CASE WHEN dm.dim_n IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_matched,
+           |  CAST(sum(c_custkey * coalesce(dm.dim_n, 0)) AS BIGINT)
+           |    AS weighted_checksum
+           |FROM l LEFT JOIN dm ON l.bkt = dm.bkt""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q39, q40, q41, q42, q43, q46, q47, q49, q50, q58,
     q74, q77, q79, q80, q92, q98, q99, q102, q104, q105, q107, q109, q112, q115,
-    q141, q152, q158, q159, q195, q197)
+    q141, q152, q158, q159, q195, q197, q232, q233)
 }

@@ -695,7 +695,42 @@ object SqlSurface {
            |ORDER BY status, score""".stripMargin),
   )
 
+  /** q231 — SQL cache surface (CACHE TABLE ... AS SELECT / UNCACHE):
+    * the interactive-session idiom for pinning a hot projection in
+    * executor memory; the rollup reads the cached relation (the plan
+    * audit pins InMemoryTableScan — columnar cache, not a re-scan).
+    * Cache lifetime is scoped in finally: UNCACHE + drop, so the bench
+    * loop never accumulates cached copies. At 100 TB the same statement
+    * pins a dimension or a hot day-partition, not the fact table —
+    * cache what gets re-read, spill the rest (MEMORY_AND_DISK is the
+    * CACHE TABLE default). */
+  val q231 = QuerySpec(
+    "q231_sql_cache_table",
+    (s, d) => {
+      registerViews(s, d)
+      val cname = "graft_cached_rev_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      s.sql(s"""CACHE TABLE $cname AS
+               |SELECT o_orderpriority, o_totalprice FROM orders
+               |WHERE o_orderstatus = 'F'""".stripMargin)
+      try Eager(s.sql(
+        s"""SELECT o_orderpriority, count(*) AS n,
+           |  ${Det.sqlDsum("o_totalprice", 2)} AS price_sum
+           |FROM $cname GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin))
+      finally {
+        s.sql(s"UNCACHE TABLE IF EXISTS $cname")
+        s.catalog.dropTempView(cname)
+        ()
+      }
+    },
+    Some(s"""SELECT o_orderpriority, count(*) AS n,
+            |  ${Det.sqlDsum("o_totalprice", 2)} AS price_sum
+            |FROM orders WHERE o_orderstatus = 'F'
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q37, q38, q48, q51, q56, q71, q72, q83, q93,
     q97, q103, q116, q129, q130, q135, q142, q151, q154, q167, q183,
-    q219, q220)
+    q219, q220, q231)
 }

@@ -371,6 +371,32 @@ class PlanAuditSpec extends SparkTestBase {
     assert(smallAggs >= 2, "expected partial+final aggregate\n" + p)
   }
 
+  test("q231 shape: CACHE TABLE serves reads from a columnar in-memory scan") {
+    // q231's own return value is Eager-collected (LocalTableScan by
+    // design), so audit the cached-relation plan directly.
+    graft.queries.SqlSurface.registerViews(spark, sf)
+    spark.sql("CACHE TABLE graft_audit_cache AS SELECT o_orderpriority FROM orders")
+    try {
+      val p = spark.sql("SELECT o_orderpriority, count(*) FROM graft_audit_cache GROUP BY 1")
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      // The formatted plan prints the InMemoryRelation's DEFINITION
+      // subtree (including its parquet scan) — the executed read path
+      // is the "Scan In-memory table" node above it.
+      assert(p.contains("Scan In-memory table"), "cache not used\n" + p)
+    } finally {
+      spark.sql("UNCACHE TABLE IF EXISTS graft_audit_cache")
+      spark.catalog.dropTempView("graft_audit_cache")
+      ()
+    }
+  }
+
+  test("q233: null-key rows bypass the join; non-null side joins broadcast") {
+    val p = plan("q233_null_skew_outer_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Union"), "null-split union missing\n" + p)
+    assert(!p.contains("SortMergeJoin"), "dim join degraded to SMJ\n" + p)
+  }
+
   test("AQE coalesces undersized shuffle partitions at runtime") {
     // The 100 TB config stance: shuffle.partitions is sized for the big
     // stages, and AQE shrinks the small ones back — verify the runtime
