@@ -1239,7 +1239,56 @@ object Extras {
            |FROM l LEFT JOIN dm ON l.bkt = dm.bkt""".stripMargin),
   )
 
+  /** Row shape for q234's sorted-group traversal. */
+  final case class StreakEv(user_id: Long, value: Double)
+
+  /** q234 — typed secondary sort (`flatMapSortedGroups`): per-user
+    * events delivered to the lambda ALREADY sorted by (ts, event_id) —
+    * Spark sorts within the exchange, so no per-group buffering or
+    * driver-side sort — traversed imperatively for the longest strictly
+    * increasing value run. This is the typed form of gaps-and-islands:
+    * the oracle computes the same streaks relationally (break flags →
+    * running group ids → run lengths), so the gate certifies the
+    * imperative traversal ≡ the SQL islands construction. One shuffle
+    * on user_id; state per group is three scalars. */
+  val q234 = QuerySpec(
+    "q234_sorted_groups_streak",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"user_id", $"ts", $"event_id", $"value")
+        .as[(Long, java.sql.Timestamp, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapSortedGroups($"ts", $"event_id") { (uid, it) =>
+          var best = 0L
+          var cur = 0L
+          var prev = 0.0
+          var first = true
+          it.foreach { e =>
+            cur = if (first || e._4 <= prev) 1L else cur + 1L
+            if (cur > best) best = cur
+            prev = e._4
+            first = false
+          }
+          Iterator((uid, best))
+        }
+        .toDF("user_id", "longest_streak")
+        .orderBy($"user_id")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, value,
+           |    row_number() OVER w AS rn,
+           |    CASE WHEN value > lag(value) OVER w THEN 0 ELSE 1 END AS brk
+           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |g AS (
+           |  SELECT user_id, rn, sum(brk) OVER (PARTITION BY user_id ORDER BY rn) AS grp
+           |  FROM e),
+           |runs AS (SELECT user_id, grp, count(*) AS run_len FROM g GROUP BY 1, 2)
+           |SELECT user_id, CAST(max(run_len) AS BIGINT) AS longest_streak
+           |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q39, q40, q41, q42, q43, q46, q47, q49, q50, q58,
     q74, q77, q79, q80, q92, q98, q99, q102, q104, q105, q107, q109, q112, q115,
-    q141, q152, q158, q159, q195, q197, q232, q233)
+    q141, q152, q158, q159, q195, q197, q232, q233, q234)
 }

@@ -1882,9 +1882,53 @@ object Relational {
            |FROM base""".stripMargin),
   )
 
+  /** q235 — LIKE quantifiers (LIKE ANY / LIKE ALL / NOT LIKE ANY) plus
+    * ILIKE and RLIKE in one predicate sweep — the pattern-matching
+    * quantifier surface q163's regexp breadth left out. DuckDB has no
+    * LIKE ANY/ALL, so the oracle expands them to OR/AND chains — which
+    * is exactly their defined semantics; the gate certifies the
+    * expansion — including the TRAP: `x NOT LIKE ANY (a, b)` negates
+    * per-pattern BEFORE quantifying (∃ pattern x fails), it is NOT the
+    * negation of `LIKE ANY` — so it is near-always true and the mirror
+    * is an OR of negations. Pure scan-side predicates, one 1-row
+    * rollup. */
+  val q235 = QuerySpec(
+    "q235_like_quantifiers",
+    (s, d) => {
+      import s.implicits._
+      Tables.part(s, d).select($"p_type", $"p_brand")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(expr("p_type LIKE ANY ('%ECO%', '%PRO%')"), 1L).otherwise(0L))
+            .as("n_any"),
+          sum(when(expr("p_type LIKE ALL ('%M%', '%dummy_never%')"), 1L).otherwise(0L))
+            .as("n_all_never"),
+          sum(when(expr("p_type LIKE ALL ('%A%', '%D%')"), 1L).otherwise(0L))
+            .as("n_all"),
+          sum(when(expr("p_type NOT LIKE ANY ('%ECO%', '%PRO%')"), 1L).otherwise(0L))
+            .as("n_not_any"),
+          sum(when(expr("p_type ILIKE 'eco%'"), 1L).otherwise(0L)).as("n_ilike"),
+          sum(when(expr("p_brand RLIKE '^Brand#1[0-9]$'"), 1L).otherwise(0L))
+            .as("n_rlike"))
+    },
+    Some("""SELECT count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN p_type LIKE '%ECO%' OR p_type LIKE '%PRO%'
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_any,
+           |  CAST(sum(CASE WHEN p_type LIKE '%M%' AND p_type LIKE '%dummy_never%'
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_all_never,
+           |  CAST(sum(CASE WHEN p_type LIKE '%A%' AND p_type LIKE '%D%'
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_all,
+           |  CAST(sum(CASE WHEN (p_type NOT LIKE '%ECO%') OR (p_type NOT LIKE '%PRO%')
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_not_any,
+           |  CAST(sum(CASE WHEN lower(p_type) LIKE 'eco%' THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_ilike,
+           |  CAST(sum(CASE WHEN regexp_matches(p_brand, '^Brand#1[0-9]$')
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_rlike
+           |FROM part""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q66, q75, q76, q82, q84, q85,
     q143, q144, q145, q146, q155, q156, q164, q166, q169, q170, q171, q172,
     q174, q175, q176, q177, q178, q179, q180, q181, q182, q184, q185, q186,
-    q190, q196, q212, q213, q218, q223, q225, q229, q230)
+    q190, q196, q212, q213, q218, q223, q225, q229, q230, q235)
 }

@@ -1240,7 +1240,81 @@ object TrainPrep {
            |FROM t GROUP BY bin ORDER BY bin""".stripMargin),
   )
 
+  /** q236 — Lloyd's k-means, two full iterations (q150 assigns to
+    * FIXED centroids; this closes the loop: assign → recompute → assign
+    * → recompute): k=4, deterministic init (cluster = vec_id mod 4),
+    * centroids as exact decimal means cast to double (bit-identical
+    * cross-engine — q90's rule), squared residuals rounded once to
+    * DECIMAL(30,12) and summed exactly, argmin tie-broken on cluster id
+    * via row_number — no raw float comparison anywhere in the gate (the
+    * q150 discipline applied iteratively; the oracle spells both
+    * iterations as a CTE chain). Scale: the long (vec, dim) table
+    * persists once and feeds every step; per iteration one
+    * dimension-sized centroid aggregate broadcasts back — the fact
+    * table shuffles once per iteration on (vec, candidate), which is
+    * Lloyd's lower bound. */
+  val q236 = QuerySpec(
+    "q236_kmeans_lloyd",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val long = Tables.fanOut(Tables.embeddings(s, d), col("vec_id"))
+        .select($"vec_id", posexplode($"embedding").as(Seq("dim", "xf")))
+        .select($"vec_id", $"dim", $"xf".cast("double").as("x"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val byVec = Window.partitionBy($"vec_id").orderBy($"dist", $"cid")
+        def reassign(assign: org.apache.spark.sql.DataFrame) = {
+          val cent = long.join(assign, Seq("vec_id"))
+            .groupBy($"cid", $"dim")
+            .agg((Det.dsum($"x", 6) / count($"x")).as("c"))
+          long.join(broadcast(cent), Seq("dim"))
+            .groupBy($"vec_id", $"cid")
+            .agg(sum((($"x" - $"c") * ($"x" - $"c")).cast("decimal(30,12)"))
+              .as("dist"))
+            .withColumn("rn", row_number().over(byVec))
+            .where($"rn" === 1)
+            .select($"vec_id", $"cid")
+        }
+        val init = Tables.embeddings(s, d).select($"vec_id", ($"vec_id" % 4).as("cid"))
+        val a2 = reassign(reassign(init))
+        Eager(a2.groupBy($"cid")
+          .agg(count(lit(1)).as("n_vecs"), sum($"vec_id").as("id_checksum"))
+          .orderBy($"cid"))
+      } finally { long.unpersist(); () }
+    },
+    Some("""WITH long AS (
+           |  SELECT vec_id, CAST(unnest(range(len(v))) AS INT) AS dim, unnest(v) AS x
+           |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+           |a0 AS (SELECT vec_id, vec_id % 4 AS cid FROM embeddings),
+           |c1 AS (
+           |  SELECT cid, dim, CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / count(x) AS c
+           |  FROM long JOIN a0 USING (vec_id) GROUP BY cid, dim),
+           |d1 AS (
+           |  SELECT vec_id, cid, sum(CAST((x - c) * (x - c) AS DECIMAL(30,12))) AS dist
+           |  FROM long JOIN c1 USING (dim) GROUP BY vec_id, cid),
+           |a1 AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT vec_id, cid,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |    FROM d1) WHERE rn = 1),
+           |c2 AS (
+           |  SELECT cid, dim, CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / count(x) AS c
+           |  FROM long JOIN a1 USING (vec_id) GROUP BY cid, dim),
+           |d2 AS (
+           |  SELECT vec_id, cid, sum(CAST((x - c) * (x - c) AS DECIMAL(30,12))) AS dist
+           |  FROM long JOIN c2 USING (dim) GROUP BY vec_id, cid),
+           |a2 AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT vec_id, cid,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |    FROM d2) WHERE rn = 1)
+           |SELECT CAST(cid AS BIGINT) AS cid, count(*) AS n_vecs,
+           |  CAST(sum(vec_id) AS BIGINT) AS id_checksum
+           |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q60, q61, q62, q63, q64, q65, q67, q68, q69, q70,
     q86, q87, q88, q89, q90, q96, q100, q101, q106, q110, q149, q150, q160,
-    q192, q194, q200, q214, q215)
+    q192, q194, q200, q214, q215, q236)
 }
