@@ -608,6 +608,121 @@ object SourcesIO {
            |FROM lineitem""".stripMargin),
   )
 
+  /** q237 — nested-schema pruning: a deeply nested parquet layout
+    * (struct{meta{status, priority}, items: array<struct{ln, qty}>})
+    * read back with a LEAF projection — `spark.sql.optimizer
+    * .nestedSchemaPruning.enabled` (default on) must prune the scan's
+    * ReadSchema to just the referenced leaves, so a 100-leaf document
+    * table pays for ONE leaf, not the whole struct (the multimodal
+    * metadata pattern: wide nested metadata, narrow queries). The plan
+    * audit pins the pruned ReadSchema; the value gate recomputes the
+    * same rollup from flat columns. */
+  val q237 = QuerySpec(
+    "q237_nested_pruning",
+    (s, d) => {
+      import s.implicits._
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_nest_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      try {
+        Tables.orders(s, d)
+          .select($"o_orderkey",
+            struct(
+              struct($"o_orderstatus".as("status"), $"o_orderpriority".as("priority"))
+                .as("meta"),
+              array(struct(lit(1).as("ln"), $"o_custkey".as("qty")),
+                struct(lit(2).as("ln"), ($"o_custkey" * 2).as("qty"))).as("items"))
+              .as("doc"))
+          .write.parquet(s"$tmp/nested")
+        val agg = s.read.parquet(s"$tmp/nested")
+          .groupBy($"doc.meta.status".as("status"))
+          .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_checksum"))
+          .orderBy($"status")
+        Eager(agg)
+      } finally graft.Fs.deleteTree(tmp)
+    },
+    Some("""SELECT o_orderstatus AS status, count(*) AS n,
+           |  CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+           |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin),
+  )
+
+  /** q238 — text source (line mode + wholetext): the rawest ingest
+    * format — staged text files read once as one-row-per-LINE (parsed
+    * with the q180 kv idiom) and once as one-row-per-FILE (wholetext,
+    * the contract multimodal transcripts/prompts ship under). Line
+    * counts, parsed checksums, and per-file line tallies must agree
+    * with the construction arithmetic. Text files are splittable in
+    * line mode (scales); wholetext is per-file atomic by design —
+    * bounded file sizes are the operator's contract, like q224's
+    * multiLine CSV. */
+  val q238 = QuerySpec(
+    "q238_text_source",
+    (s, d) => {
+      import s.implicits._
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_text_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      try {
+        Tables.orders(s, d).filter($"o_orderkey" % 11 === 0)
+          .select(concat(lit("k:"), $"o_orderkey", lit(";p:"), $"o_orderpriority")
+            .as("value"))
+          .repartition(4)
+          .write.text(s"$tmp/lines")
+        val lines = s.read.text(s"$tmp/lines")
+          .select(str_to_map($"value", lit(";"), lit(":")).as("m"))
+          .select(element_at($"m", "k").cast("long").as("k"),
+            element_at($"m", "p").as("p"))
+        val lineAgg = lines.agg(count(lit(1)).as("n_lines"),
+          sum($"k").as("k_checksum"), countDistinct($"p").as("n_priorities"))
+        // Trailing newline: wholetext keeps the raw bytes, so split
+        // yields a final empty element — count non-empty lines only.
+        val whole = s.read.option("wholetext", "true").text(s"$tmp/lines")
+          .select(expr("size(filter(split(value, '\n'), x -> x != ''))")
+            .as("n_in_file"))
+          .agg(count(lit(1)).as("n_files"), sum($"n_in_file").as("lines_via_whole"))
+        Eager(lineAgg.crossJoin(broadcast(whole)))
+      } finally graft.Fs.deleteTree(tmp)
+    },
+    Some("""SELECT count(*) AS n_lines, CAST(sum(o_orderkey) AS BIGINT) AS k_checksum,
+           |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           |  CAST(4 AS BIGINT) AS n_files, count(*) AS lines_via_whole
+           |FROM orders WHERE o_orderkey % 11 = 0""".stripMargin),
+  )
+
+  /** q239 — output file-size governance (`maxRecordsPerFile`): the
+    * write-side lever that stops one fat partition from emitting a
+    * multi-GB file (the read-parallelism killer at 100 TB — a file is
+    * the minimum unit of recovery and, for non-splittable codecs, of
+    * parallelism). One coalesced partition forced through
+    * maxRecordsPerFile=1000 must fan out into ceil(n/1000) files with
+    * every file ≤ 1000 records — both proven from input_file_name on
+    * the read-back. */
+  val q239 = QuerySpec(
+    "q239_max_records_per_file",
+    (s, d) => {
+      import s.implicits._
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_mrpf_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      try {
+        val src = Tables.orders(s, d).filter($"o_orderkey" % 3 === 0)
+          .select($"o_orderkey")
+        src.coalesce(1)
+          .write.option("maxRecordsPerFile", 1000).parquet(s"$tmp/capped")
+        val perFile = s.read.parquet(s"$tmp/capped")
+          .groupBy(input_file_name().as("f"))
+          .agg(count(lit(1)).as("n"))
+        val out = perFile.agg(count(lit(1)).as("n_files"),
+          max($"n").as("max_per_file"), sum($"n").as("n_rows"))
+          .select($"n_files", ($"max_per_file" <= 1000L).as("cap_held"),
+            ($"n_files" === ceil($"n_rows" / lit(1000.0)).cast("long")).as("file_count_ok"),
+            $"n_rows")
+        Eager(out)
+      } finally graft.Fs.deleteTree(tmp)
+    },
+    Some("""SELECT CAST(ceil(count(*) / 1000.0) AS BIGINT) AS n_files,
+           |  true AS cap_held, true AS file_count_ok, count(*) AS n_rows
+           |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q113, q114, q117, q133, q136, q140, q187, q188, q189, q216, q224, q228)
+    Seq(q113, q114, q117, q133, q136, q140, q187, q188, q189, q216, q224, q228,
+      q237, q238, q239)
 }

@@ -397,6 +397,27 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), "dim join degraded to SMJ\n" + p)
   }
 
+  test("q237 shape: nested-schema pruning narrows the scan to referenced leaves") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_nest_audit"
+    graft.Fs.deleteTree(tmp)
+    try {
+      Tables.orders(spark, sf)
+        .select($"o_orderkey",
+          struct(struct($"o_orderstatus".as("status"), $"o_orderpriority".as("priority"))
+              .as("meta"),
+            array(struct(lit(1).as("ln"), $"o_custkey".as("qty"))).as("items"))
+            .as("doc"))
+        .write.parquet(s"$tmp/nested")
+      val p = spark.read.parquet(s"$tmp/nested")
+        .select($"doc.meta.status")
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("ReadSchema: struct<doc:struct<meta:struct<status:string>>>"),
+        "scan did not prune to the one referenced leaf\n" + p)
+    } finally graft.Fs.deleteTree(tmp)
+  }
+
   test("AQE coalesces undersized shuffle partitions at runtime") {
     // The 100 TB config stance: shuffle.partitions is sized for the big
     // stages, and AQE shrinks the small ones back — verify the runtime
