@@ -722,7 +722,68 @@ object SourcesIO {
            |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin),
   )
 
+  /** q240 — CSV corrupt-record triage (q184's JSON discipline for CSV):
+    * a staged file mixes well-formed rows with arity-broken and
+    * type-broken lines; PERMISSIVE mode must load the good ones and
+    * capture the raw text of the bad ones in _corrupt_record, and
+    * DROPMALFORMED must keep exactly the good ones — the quarantine
+    * contract (q99) at the parser layer. Lines are constructed from
+    * order keys, so every count crosses the gate as arithmetic. Two
+    * Spark caveats baked into the gate: corrupt-record capture needs
+    * the corrupt column IN the declared schema (and the frame cached
+    * before filtering on it), and — the sharp one — CSV COLUMN PRUNING
+    * skips malformed-row detection for columns a query never reads, so
+    * a bare count(*) under DROPMALFORMED drops NOTHING; the drop-side
+    * aggregate therefore sums the parsed values (forcing the full-row
+    * parse), which is also a stronger checksum. */
+  val q240 = QuerySpec(
+    "q240_csv_corrupt_records",
+    (s, d) => {
+      import s.implicits._
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csvc_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      try {
+        // good: "k,2k"; arity-broken: "k"; type-broken: "k,oops"
+        Tables.orders(s, d).filter($"o_orderkey" % 13 === 0)
+          .select(when($"o_orderkey" % 3 === 0, concat($"o_orderkey"))
+            .when($"o_orderkey" % 3 === 1,
+              concat($"o_orderkey", lit(","), $"o_orderkey" * 2))
+            .otherwise(concat($"o_orderkey", lit(",oops"))).as("value"))
+          .coalesce(1).write.text(s"$tmp/raw")
+        val schema = "k LONG, v LONG, _corrupt_record STRING"
+        val permissive = s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .csv(s"$tmp/raw")
+          .cache()
+        try {
+          val pAgg = permissive.agg(count(lit(1)).as("n_total"),
+            sum(when($"_corrupt_record".isNull, 1L).otherwise(0L)).as("n_good"),
+            sum(when($"_corrupt_record".isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+            sum(when($"_corrupt_record".isNull, $"v")).as("v_checksum"))
+          val dropped = s.read.schema("k LONG, v LONG")
+            .option("mode", "DROPMALFORMED").csv(s"$tmp/raw")
+            .agg(count(lit(1)).as("n_dropmalformed"),
+              sum($"k" + $"v").as("drop_checksum"))
+          Eager(pAgg.crossJoin(broadcast(dropped)))
+        } finally { permissive.unpersist(); () }
+      } finally graft.Fs.deleteTree(tmp)
+    },
+    Some("""SELECT count(*) AS n_total,
+           |  CAST(sum(CASE WHEN o_orderkey % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_good,
+           |  CAST(sum(CASE WHEN o_orderkey % 3 <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_corrupt,
+           |  CAST(sum(CASE WHEN o_orderkey % 3 = 1 THEN 2 * o_orderkey END) AS BIGINT)
+           |    AS v_checksum,
+           |  CAST(sum(CASE WHEN o_orderkey % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_dropmalformed,
+           |  CAST(sum(CASE WHEN o_orderkey % 3 = 1 THEN 3 * o_orderkey END) AS BIGINT)
+           |    AS drop_checksum
+           |FROM orders WHERE o_orderkey % 13 = 0""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q113, q114, q117, q133, q136, q140, q187, q188, q189, q216, q224, q228,
-      q237, q238, q239)
+      q237, q238, q239, q240)
 }

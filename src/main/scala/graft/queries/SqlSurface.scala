@@ -730,7 +730,78 @@ object SqlSurface {
             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
   )
 
+  /** q241 — SQL PIVOT syntax (q97's UNPIVOT inverse as TEXT — the
+    * DataFrame pivots q46/q181 don't exercise the parser clause):
+    * counts and exact-decimal sums pivoted FOR l_linestatus IN ('F',
+    * 'O'), with the q181 NULL convention handled by coalescing the
+    * count cells to 0 in the projection. Multi-agg PIVOT names cells
+    * `<value>_<aggAlias>` — the projection pins that contract too. */
+  val q241 = QuerySpec(
+    "q241_sql_pivot",
+    (s, d) => {
+      registerViews(s, d)
+      s.sql(s"""SELECT l_returnflag,
+               |  coalesce(F_n, 0) AS f_n, coalesce(O_n, 0) AS o_n,
+               |  coalesce(F_qty, 0) AS f_qty, coalesce(O_qty, 0) AS o_qty
+               |FROM (
+               |  SELECT l_returnflag, l_linestatus,
+               |    CAST(l_quantity AS BIGINT) AS q
+               |  FROM lineitem)
+               |PIVOT (
+               |  count(*) AS n, CAST(sum(q) AS BIGINT) AS qty
+               |  FOR l_linestatus IN ('F', 'O'))
+               |ORDER BY l_returnflag""".stripMargin)
+    },
+    Some("""SELECT l_returnflag,
+           |  CAST(count(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS f_n,
+           |  CAST(count(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS o_n,
+           |  CAST(coalesce(sum(CAST(l_quantity AS BIGINT))
+           |    FILTER (WHERE l_linestatus = 'F'), 0) AS BIGINT) AS f_qty,
+           |  CAST(coalesce(sum(CAST(l_quantity AS BIGINT))
+           |    FILTER (WHERE l_linestatus = 'O'), 0) AS BIGINT) AS o_qty
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+  )
+
+  /** q242 — catalog introspection as DATA: SHOW PARTITIONS over a
+    * lang-partitioned catalog table (q79 writes the layout; here the
+    * CATALOG enumerates it — the metadata read every pruning decision
+    * starts from), queried through IDENTIFIER() parameter binding (the
+    * injection-safe dynamic-table idiom, q219's rule applied to
+    * identifiers). The partition list must equal the distinct lang
+    * domain, and the IDENTIFIER-bound rollup must match the plain one.
+    * Catalog state is scoped and dropped in finally (q187). */
+  val q242 = QuerySpec(
+    "q242_show_partitions_identifier",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      registerViews(s, d)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_shpt_q242").toString
+      val tbl = "graft_parts_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      try {
+        s.sql(s"""CREATE TABLE $tbl (doc_id BIGINT, n_chars BIGINT)
+                 |USING parquet PARTITIONED BY (lang STRING)
+                 |LOCATION '$tmp/t'""".stripMargin)
+        s.sql(s"INSERT INTO $tbl PARTITION (lang) SELECT doc_id, n_chars, lang FROM documents")
+        val parts = s.sql(s"SHOW PARTITIONS $tbl")
+          .select(regexp_replace(col("partition"), "^lang=", "").as("lang"))
+        val rollup = s.sql(
+          "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars_sum " +
+            "FROM IDENTIFIER(:tab) GROUP BY lang",
+          Map("tab" -> tbl))
+        Eager(parts.join(rollup, Seq("lang"), "full_outer")
+          .select(col("lang"), col("n_docs"), col("chars_sum"))
+          .orderBy(col("lang")))
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        graft.Fs.deleteTree(tmp)
+      }
+    },
+    Some("""SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars_sum
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q37, q38, q48, q51, q56, q71, q72, q83, q93,
     q97, q103, q116, q129, q130, q135, q142, q151, q154, q167, q183,
-    q219, q220, q231)
+    q219, q220, q231, q241, q242)
 }
