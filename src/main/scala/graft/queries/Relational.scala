@@ -1926,9 +1926,87 @@ object Relational {
            |FROM part""".stripMargin),
   )
 
+  /** q244 — running DISTINCT count over a window: Spark (like most
+    * engines) rejects COUNT(DISTINCT) OVER, so the standard rewrite is
+    * `size(collect_set(...) OVER w)` — set-valued window state instead
+    * of a distinct aggregate. The gate sums the running counts over
+    * every row (an order-sensitive "area under the distinct curve"),
+    * so a single off-by-one anywhere in the frame discipline fails.
+    * Scale note: the set state is O(distinct-per-partition) — fine for
+    * bounded domains like users-per-type; for unbounded domains the
+    * rewrite is the q217 bitmap or q118 sketch, not a bigger set. */
+  val q244 = QuerySpec(
+    "q244_window_distinct_rewrite",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select($"event_type",
+          size(collect_set($"user_id").over(w)).cast("long").as("run_distinct"))
+        .groupBy($"event_type")
+        .agg(max($"run_distinct").as("final_distinct"),
+          sum($"run_distinct").as("area"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH w AS (
+           |  SELECT event_type,
+           |    len(list_distinct(list(user_id) OVER (
+           |      PARTITION BY event_type ORDER BY ts, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) AS run_distinct
+           |  FROM events)
+           |SELECT event_type, CAST(max(run_distinct) AS BIGINT) AS final_distinct,
+           |  CAST(sum(run_distinct) AS BIGINT) AS area
+           |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin),
+  )
+
+  /** q245 — rounding semantics pinned: round() is HALF_UP (away from
+    * zero at ties, both engines) while bround() is HALF_EVEN (banker's)
+    * — DuckDB has no bround, so the oracle DERIVES half-even from
+    * floor-parity CASE logic, which is the semantic spec itself. Tie
+    * values (.0/.5 halves, both signs) are constructed by exact decimal
+    * multiplication — never division, which DuckDB routes through
+    * DOUBLE. The disagreement count equals the even-floor ties by
+    * construction. */
+  val q245 = QuerySpec(
+    "q245_rounding_semantics",
+    (s, d) => {
+      import s.implicits._
+      val x = (($"o_orderkey" - lit(7500)).cast(DecimalType(18, 1))
+        * lit(0.5).cast(DecimalType(2, 1))).as("x")
+      Tables.orders(s, d).select(x)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round($"x", 0)).cast("long").as("round_sum"),
+          sum(bround($"x", 0)).cast("long").as("bround_sum"),
+          sum(when(round($"x", 0) =!= bround($"x", 0), 1L).otherwise(0L))
+            .as("n_disagree"),
+          sum(floor($"x")).cast("long").as("floor_sum"),
+          sum(ceil($"x")).cast("long").as("ceil_sum"))
+    },
+    Some("""WITH b AS (
+           |  SELECT CAST(o_orderkey - 7500 AS DECIMAL(18,1))
+           |    * CAST(0.5 AS DECIMAL(2,1)) AS x
+           |  FROM orders),
+           |r AS (
+           |  SELECT x, round(x, 0) AS r_up,
+           |    CASE WHEN x - floor(x) = 0.5 THEN
+           |      CASE WHEN CAST(floor(x) AS BIGINT) % 2 = 0 THEN floor(x) ELSE ceil(x) END
+           |    ELSE round(x, 0) END AS r_even
+           |  FROM b)
+           |SELECT count(*) AS n_rows,
+           |  CAST(sum(r_up) AS BIGINT) AS round_sum,
+           |  CAST(sum(r_even) AS BIGINT) AS bround_sum,
+           |  CAST(sum(CASE WHEN r_up <> r_even THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_disagree,
+           |  CAST(sum(floor(x)) AS BIGINT) AS floor_sum,
+           |  CAST(sum(ceil(x)) AS BIGINT) AS ceil_sum
+           |FROM r""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q66, q75, q76, q82, q84, q85,
     q143, q144, q145, q146, q155, q156, q164, q166, q169, q170, q171, q172,
     q174, q175, q176, q177, q178, q179, q180, q181, q182, q184, q185, q186,
-    q190, q196, q212, q213, q218, q223, q225, q229, q230, q235)
+    q190, q196, q212, q213, q218, q223, q225, q229, q230, q235, q244, q245)
 }

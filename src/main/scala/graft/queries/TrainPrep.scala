@@ -1314,7 +1314,39 @@ object TrainPrep {
            |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin),
   )
 
+  /** q243 — recent-history feature assembly: each user's LAST-3 event
+    * types in recency order, materialized as one feature string — the
+    * "short-term behavior context" column every sequence model's
+    * training table carries. Recency rank is a total order (ts DESC,
+    * event_id DESC), the top-3 filter is a rank predicate (Spark plans
+    * WindowGroupLimit — no full sort survives), and the ordered join
+    * uses the rank itself, so the gate pins the exact sequence, not
+    * just membership. One user-partitioned window, output |users|
+    * rows. */
+  val q243 = QuerySpec(
+    "q243_recent_history_features",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      Tables.events(s, d)
+        .select($"user_id", $"event_type", row_number().over(w).as("rn"))
+        .where($"rn" <= 3)
+        .groupBy($"user_id")
+        .agg(array_join(transform(array_sort(collect_list(struct($"rn", $"event_type"))),
+          c => c.getField("event_type")), ",").as("recent3"))
+        .orderBy($"user_id")
+    },
+    Some("""WITH r AS (
+           |  SELECT user_id, event_type,
+           |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+           |      AS rn
+           |  FROM events)
+           |SELECT user_id, string_agg(event_type, ',' ORDER BY rn) AS recent3
+           |FROM r WHERE rn <= 3 GROUP BY user_id ORDER BY user_id""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q60, q61, q62, q63, q64, q65, q67, q68, q69, q70,
     q86, q87, q88, q89, q90, q96, q100, q101, q106, q110, q149, q150, q160,
-    q192, q194, q200, q214, q215, q236)
+    q192, q194, q200, q214, q215, q236, q243)
 }
