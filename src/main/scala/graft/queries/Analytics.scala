@@ -1100,7 +1100,88 @@ object Analytics {
            |ORDER BY o_orderpriority""".stripMargin),
   )
 
+  /** q246 — median absolute deviation (robust dispersion): per-type
+    * median, then the median of absolute deviations FROM that median —
+    * two percentile_disc passes (value-selecting, so doubles cross the
+    * gate bit-exact; q192's convention), the medians broadcast back
+    * between them. MAD is the outlier-resistant sigma every robust
+    * filter wants where q165's z-score is mean-based; at 100 TB each
+    * pass is one aggregate over the fact table with a dimension-sized
+    * frame in between. */
+  val q246 = QuerySpec(
+    "q246_median_abs_deviation",
+    (s, d) => {
+      import s.implicits._
+      val med = Tables.events(s, d).groupBy($"event_type")
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("med"))
+      Tables.events(s, d)
+        .join(broadcast(med), Seq("event_type"))
+        .select($"event_type", $"med", abs($"value" - $"med").as("dev"))
+        .groupBy($"event_type")
+        .agg(round(max($"med"), 6).as("median"),
+          round(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)"), 6).as("mad"),
+          count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH m AS (
+           |  SELECT event_type,
+           |    percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
+           |  FROM events GROUP BY event_type),
+           |d AS (
+           |  SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+           |  FROM events e JOIN m USING (event_type))
+           |SELECT event_type, round(max(med), 6) AS median,
+           |  round(percentile_disc(0.5) WITHIN GROUP (ORDER BY dev), 6) AS mad,
+           |  count(*) AS n
+           |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin),
+  )
+
+  /** q247 — conditional running reset (the cumulative-with-restart
+    * pattern: "balance since last signup"): the reset epoch is itself a
+    * running count of reset events — one window pass assigns epochs,
+    * one aggregate folds each (user, epoch) segment with exact decimal
+    * sums, and the readout pins segment count, longest segment, and the
+    * max segment mass in integer e4 units. q234's islands machinery
+    * with a data-dependent break condition instead of an ordering
+    * break. */
+  val q247 = QuerySpec(
+    "q247_conditional_running_reset",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val e = Tables.events(s, d)
+        .select($"user_id", $"value",
+          sum(when($"event_type" === "signup", 1L).otherwise(0L)).over(w).as("epoch"))
+      e.groupBy($"user_id", $"epoch")
+        .agg(sum($"value".cast(DecimalType(30, 4))).as("seg_sum"),
+          count(lit(1)).as("seg_n"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_epochs"),
+          max($"seg_n").as("longest_epoch"),
+          (max($"seg_sum").cast(DecimalType(30, 4)) * 10000).cast("long")
+            .as("max_seg_sum_e4"))
+        .orderBy($"user_id")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, value,
+           |    sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS epoch
+           |  FROM events),
+           |r AS (
+           |  SELECT user_id, epoch,
+           |    sum(CAST(value AS DECIMAL(30,4))) AS seg_sum, count(*) AS seg_n
+           |  FROM e GROUP BY user_id, epoch)
+           |SELECT user_id, CAST(count(*) AS BIGINT) AS n_epochs,
+           |  CAST(max(seg_n) AS BIGINT) AS longest_epoch,
+           |  CAST(CAST(max(seg_sum) AS DECIMAL(30,4)) * 10000 AS BIGINT)
+           |    AS max_seg_sum_e4
+           |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q118, q119, q120, q121, q123, q124, q127, q128, q131, q132, q134, q137,
-      q139, q147, q153, q157, q165, q191, q193, q198, q199, q217, q222, q227)
+      q139, q147, q153, q157, q165, q191, q193, q198, q199, q217, q222, q227,
+      q246, q247)
 }
