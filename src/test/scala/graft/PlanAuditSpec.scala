@@ -418,6 +418,42 @@ class PlanAuditSpec extends SparkTestBase {
     } finally graft.Fs.deleteTree(tmp)
   }
 
+  test("q217: the merged ALL level re-aggregates bitmaps, never raw order rows") {
+    val p = plan("q217_bitmap_distinct")
+    // The plan is the Eager'd local result; audit the live shape instead.
+    // (plan() on q217 returns a LocalTableScan — build the level-1 frame
+    // here and pin that the global merge consumes IT, i.e. a second
+    // aggregate over bitmap state, not a second orders scan.)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val lvl1 = Tables.orders(spark, sf)
+      .select($"o_orderpriority", expr("bitmap_bucket_number(o_custkey)").as("bkt"),
+        expr("bitmap_bit_position(o_custkey)").as("pos"))
+      .groupBy($"o_orderpriority", $"bkt")
+      .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+    val merged = lvl1.groupBy($"bkt").agg(expr("bitmap_or_agg(bm)").as("bm"))
+      .agg(sum(expr("bitmap_count(bm)")))
+    val mp = merged.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val scans = "Scan parquet".r.findAllIn(mp).length
+    assert(scans <= 2, s"merge path re-scans orders (tree+details show $scans)\n" + mp)
+    assert(p.nonEmpty)
+  }
+
+  test("q246: per-type medians broadcast back onto the fact side") {
+    val p = plan("q246_median_abs_deviation")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "median frame degraded to SMJ\n" + p)
+  }
+
+  test("q250: capstone joins broadcast; no fact-fact shuffle join, no cartesian") {
+    val p = plan("q250_scaleops_capstone")
+    // The 1-row target frame crosses via broadcast NLJ (q194's allowed
+    // shape); what must never appear is a sort-merge or cartesian.
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "capstone degraded to a fact-fact shuffle join\n" + p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("AQE coalesces undersized shuffle partitions at runtime") {
     // The 100 TB config stance: shuffle.partitions is sized for the big
     // stages, and AQE shrinks the small ones back — verify the runtime
