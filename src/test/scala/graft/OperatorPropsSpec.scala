@@ -208,4 +208,46 @@ class OperatorPropsSpec extends SparkTestBase {
       (0 until 16).map(i => ((z >> (2 * i)) & 1L) << i).sum
     assert(out.forall { case (z, a, b) => unspread(z) == a && unspread(z >> 1) == b })
   }
+
+  test("StableIds: ids are dense 0..N-1 and follow the sort order, any partition count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    samples(Gen.zip(listGen, Gen.chooseNum(1, 7)), 6).foreach { case (xs, n) =>
+      // Duplicate keys allowed: tiebreak on a unique index column.
+      val df = xs.zipWithIndex.map { case (v, i) => (v, i.toLong) }.toDF("v", "idx")
+      val out = graft.operators.StableIds
+        .withGlobalRowIds(df, n, col("v"), col("idx"))
+        .collect().map(r => (r.getAs[Long]("row_id"), r.getAs[Long]("v"), r.getAs[Long]("idx")))
+        .sortBy(_._1)
+      assert(out.map(_._1).toSeq === (0L until xs.length.toLong), s"ids not dense for n=$n")
+      val expected = xs.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+        .sortBy(identity).map { case (v, i) => (v, i) }
+      assert(out.map(t => (t._2, t._3)).toSeq === expected,
+        s"id order diverges from sort order for n=$n")
+    }
+  }
+
+  test("StableIds: ids are invariant to input partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val xs = samples(listGen, 1).head
+    val df = xs.zipWithIndex.map { case (v, i) => (v, i.toLong) }.toDF("v", "idx")
+    def ids(parts: Int) = graft.operators.StableIds
+      .withGlobalRowIds(df.repartition(parts), 4, col("v"), col("idx"))
+      .collect().map(r => (r.getAs[Long]("idx"), r.getAs[Long]("row_id"))).sorted.toSeq
+    assert(ids(1) === ids(5), "row ids changed with input partitioning")
+  }
+
+  test("table digest (q210 scheme) is invariant to row order and partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val xs = samples(listGen, 1).head.distinct
+    def digest(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(conv(substring(md5(col("v").cast("string").cast("binary")), 1, 8), 16, 10)
+          .cast("long").as("h32"))
+        .agg(sum($"h32")).head().getLong(0)
+    val a = digest(xs.toDF("v").repartition(7))
+    val b = digest(scala.util.Random.shuffle(xs).toDF("v").coalesce(1))
+    assert(a === b, "digest depends on order/partitioning")
+  }
 }
