@@ -801,7 +801,123 @@ object SqlSurface {
            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
   )
 
+  /** q251 — VARIANT semi-structured round trip (Spark 4's open-schema
+    * type): each lineitem row is serialized to a nested JSON document
+    * (scalar + nested object + array), parsed to VARIANT once, and all
+    * downstream access is typed path extraction — `variant_get` for
+    * present paths (object field, nested field, array index) and
+    * `try_variant_get` for an absent path, which must be NULL, never an
+    * error (the open-schema contract: readers survive writers adding or
+    * dropping fields). The oracle rebuilds the same JSON with DuckDB's
+    * json type and extracts the same paths — value equality pins that
+    * both engines' JSON round trip is lossless for BIGINT/DOUBLE/STRING.
+    * Scale: parse_json is a per-row codegen'd expression — no shuffle,
+    * no UDF; VARIANT's binary encoding decodes each path without
+    * re-parsing the text, which is the point at 100 TB: parse once at
+    * ingest, bind schema lazily at query time. */
+  val q251 = QuerySpec(
+    "q251_variant_extract",
+    (s, d) => {
+      registerViews(s, d)
+      s.sql("""WITH j AS (
+              |  SELECT parse_json(to_json(named_struct(
+              |    'qty', l_quantity,
+              |    'keys', named_struct('ok', l_orderkey, 'pk', l_partkey),
+              |    'tags', array(l_returnflag, l_linestatus)))) AS v
+              |  FROM lineitem)
+              |SELECT
+              |  variant_get(v, '$.tags[1]', 'string') AS status_tag,
+              |  count(*) AS n,
+              |  CAST(sum(CAST(variant_get(v, '$.keys.ok', 'bigint') AS DECIMAL(30,0))) AS BIGINT) AS ok_sum,
+              |  CAST(sum(CAST(variant_get(v, '$.qty', 'double') AS DECIMAL(30,2))) AS DOUBLE) AS qty_sum,
+              |  count(*) FILTER (WHERE try_variant_get(v, '$.absent', 'bigint') IS NULL) AS n_absent_null
+              |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+    Some("""WITH j AS (
+           |  SELECT to_json(struct_pack(
+           |    qty := l_quantity,
+           |    keys := struct_pack(ok := l_orderkey, pk := l_partkey),
+           |    tags := [l_returnflag, l_linestatus])) AS v
+           |  FROM lineitem)
+           |SELECT
+           |  json_extract_string(v, '$.tags[1]') AS status_tag,
+           |  count(*) AS n,
+           |  CAST(sum(CAST(json_extract(v, '$.keys.ok') AS BIGINT)) AS BIGINT) AS ok_sum,
+           |  CAST(sum(CAST(CAST(json_extract(v, '$.qty') AS DOUBLE) AS DECIMAL(30,2))) AS DOUBLE) AS qty_sum,
+           |  CAST(count(*) FILTER (WHERE json_extract(v, '$.absent') IS NULL) AS BIGINT) AS n_absent_null
+           |FROM j GROUP BY 1 ORDER BY 1""".stripMargin),
+  )
+
+  /** q252 — EXECUTE IMMEDIATE with named parameter binding: the
+    * dynamic-SQL entry point (Spark 4 / ISO SQL/PSM) — a statement
+    * STRING executed with `USING (expr AS name)` arguments bound to
+    * `:name` markers. The gate is binding ≡ inlining: the oracle runs
+    * the same statement with the parameters spliced as literals, so any
+    * divergence in how the binder types or coerces the arguments fails
+    * the hash. Binding composes with q219's spark.sql(args) surface;
+    * this is the TEXT form a SQL-only client (the reference's Athena
+    * tier) would reach for. Plan-wise the bound statement is analyzed
+    * exactly like the inlined one — same pushdown, same agg. */
+  val q252 = QuerySpec(
+    "q252_execute_immediate",
+    (s, d) => {
+      registerViews(s, d)
+      s.sql("""EXECUTE IMMEDIATE
+              |  'SELECT o_orderpriority, count(*) AS n,
+              |     CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS rev,
+              |     count(*) FILTER (WHERE o_orderstatus = :st) AS n_status
+              |   FROM orders WHERE o_orderdate < :cutoff
+              |   GROUP BY o_orderpriority ORDER BY o_orderpriority'
+              |USING (TIMESTAMP '1997-06-01 00:00:00' AS cutoff, 'F' AS st)""".stripMargin)
+    },
+    Some(s"""SELECT o_orderpriority, count(*) AS n,
+            |  ${Det.sqlDsum("o_totalprice", 2)} AS rev,
+            |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_status
+            |FROM orders WHERE o_orderdate < TIMESTAMP '1997-06-01'
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+  )
+
+  /** q253 — SQL session variables: DECLARE VARIABLE + SET VAR with a
+    * scalar-subquery initializer, then a query that references the
+    * variable twice (predicate + projection). The variable holds the
+    * exact-decimal mean balance (Det discipline — a FP-ordered avg
+    * would be engine-dependent); the readout pins both the threshold
+    * value itself and the above/below split per segment, so a binder
+    * that re-evaluated the subquery per reference (or coerced the
+    * DOUBLE) would fail. `EXECUTE IMMEDIATE ... INTO` covers the
+    * variable-as-result-target direction. Variables are session-scoped
+    * driver state — zero executor footprint; at scale they replace the
+    * collect-then-format-into-SQL-text round trip. */
+  val q253 = QuerySpec(
+    "q253_sql_session_variables",
+    (s, d) => {
+      registerViews(s, d)
+      s.sql("DECLARE OR REPLACE VARIABLE graft_avg_bal DOUBLE")
+      s.sql("""SET VAR graft_avg_bal =
+              |  (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) / count(*)
+              |   FROM customer)""".stripMargin)
+      s.sql("DECLARE OR REPLACE VARIABLE graft_n_cust BIGINT")
+      s.sql("EXECUTE IMMEDIATE 'SELECT count(*) FROM customer' INTO graft_n_cust")
+      s.sql("""SELECT c_mktsegment,
+              |  count(*) FILTER (WHERE c_acctbal > graft_avg_bal) AS n_above,
+              |  count(*) FILTER (WHERE c_acctbal <= graft_avg_bal) AS n_below,
+              |  graft_avg_bal AS threshold,
+              |  graft_n_cust AS n_total
+              |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    },
+    Some("""WITH t AS (
+           |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) / count(*) AS thr,
+           |    count(*) AS n_total
+           |  FROM customer)
+           |SELECT c_mktsegment,
+           |  CAST(count(*) FILTER (WHERE c_acctbal > thr) AS BIGINT) AS n_above,
+           |  CAST(count(*) FILTER (WHERE c_acctbal <= thr) AS BIGINT) AS n_below,
+           |  thr AS threshold, CAST(n_total AS BIGINT) AS n_total
+           |FROM customer, t GROUP BY c_mktsegment, thr, n_total
+           |ORDER BY c_mktsegment""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q37, q38, q48, q51, q56, q71, q72, q83, q93,
     q97, q103, q116, q129, q130, q135, q142, q151, q154, q167, q183,
-    q219, q220, q231, q241, q242)
+    q219, q220, q231, q241, q242, q251, q252, q253)
 }
