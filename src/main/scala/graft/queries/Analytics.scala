@@ -1180,8 +1180,214 @@ object Analytics {
            |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin),
   )
 
+  /** q254 — interval coalescing (merge overlapping intervals per key):
+    * each lineitem contributes a service interval [shipdate, shipdate +
+    * quantity days] for its supplier; overlapping/touching intervals
+    * merge into islands, and the per-supplier readout is island count,
+    * total covered days, and an island-boundary checksum. The classic
+    * linear algorithm: sort by start within key, a row OPENS a new
+    * island iff its start is strictly after the running max end of all
+    * earlier rows (touching endpoints merge), island id = running sum
+    * of open flags. Island identity depends only on the interval SET —
+    * equal starts are order-insensitive under the running max — so the
+    * hash is stable under any shuffle order.
+    * Scale: one shuffle (hash by l_suppkey), per-partition sort inside
+    * the window, two pure window functions then a bounded two-level
+    * agg; per-key row counts bound the sort, and the output is
+    * dimension-sized. No self-join — the NOT EXISTS/self-join island
+    * formulations are quadratic per key and this replaces them. */
+  val q254 = QuerySpec(
+    "q254_interval_coalesce",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val iv = Tables.lineitem(s, d).select(
+        $"l_suppkey".as("k"),
+        to_date($"l_shipdate").as("ivstart"),
+        date_add(to_date($"l_shipdate"), $"l_quantity".cast("int")).as("ivend"))
+      val w = Window.partitionBy($"k").orderBy($"ivstart", $"ivend")
+      val prevMax = max($"ivend").over(w.rowsBetween(Window.unboundedPreceding, -1))
+      val flagged = iv
+        .withColumn("opens", when(prevMax.isNull || $"ivstart" > prevMax, 1L).otherwise(0L))
+        .withColumn("island", sum($"opens").over(w))
+      flagged
+        .groupBy($"k", $"island")
+        .agg(min($"ivstart").as("a"), max($"ivend").as("b"))
+        .groupBy($"k")
+        .agg(count(lit(1)).as("n_islands"),
+          sum(datediff($"b", $"a")).as("covered_days"),
+          sum(dayofyear($"a").cast("long") * $"island").as("boundary_checksum"))
+        .orderBy($"k")
+    },
+    Some("""WITH iv AS (
+           |  SELECT l_suppkey AS k, CAST(l_shipdate AS DATE) AS ivstart,
+           |    CAST(l_shipdate AS DATE) + CAST(l_quantity AS INT) AS ivend
+           |  FROM lineitem),
+           |f AS (
+           |  SELECT k, ivstart, ivend,
+           |    CASE WHEN max(ivend) OVER (PARTITION BY k ORDER BY ivstart, ivend
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+           |      OR ivstart > max(ivend) OVER (PARTITION BY k ORDER BY ivstart, ivend
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |    THEN 1 ELSE 0 END AS opens
+           |  FROM iv),
+           |g AS (
+           |  SELECT k, ivstart, ivend,
+           |    CAST(sum(opens) OVER (PARTITION BY k ORDER BY ivstart, ivend
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+           |  FROM f),
+           |isl AS (
+           |  SELECT k, island, min(ivstart) AS a, max(ivend) AS b
+           |  FROM g GROUP BY k, island)
+           |SELECT k, count(*) AS n_islands,
+           |  CAST(sum(date_diff('day', a, b)) AS BIGINT) AS covered_days,
+           |  CAST(sum(dayofyear(a) * island) AS BIGINT) AS boundary_checksum
+           |FROM isl GROUP BY k ORDER BY k""".stripMargin),
+  )
+
+  /** q255 — skyline (Pareto frontier) per nation: customers judged on
+    * two maximize-dimensions, account balance and lifetime spend (the
+    * left-join/COALESCE(0) keeps order-less customers). A point is on
+    * the skyline iff no other point in its nation is ≥ on both
+    * dimensions and > on at least one. The distributed form is the
+    * LINEAR sweep, not the quadratic NOT EXISTS: collapse to distinct
+    * (bal, spend) points with multiplicity, sort each nation by bal
+    * DESC, spend DESC — every potential dominator of a point precedes
+    * it — and keep the point iff the running max of spend over
+    * preceding rows is < its spend (strictness is exactly right at
+    * ties: an equal-bal-higher-spend predecessor dominates; duplicate
+    * points collapse, so equal-equal never eliminates). The oracle IS
+    * the quadratic NOT EXISTS statement of the definition — two
+    * formulations, one hash.
+    * Scale: per-customer agg (one shuffle, map-side combine), then the
+    * window runs on the DISTINCT point set (dimension-sized per
+    * nation); spend is DECIMAL-exact so dominance never hinges on FP
+    * summation order. */
+  val q255 = QuerySpec(
+    "q255_skyline_pareto",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val spend = Tables.orders(s, d)
+        .groupBy($"o_custkey")
+        .agg(sum($"o_totalprice".cast("decimal(30,2)")).as("spend"))
+      val pts = Tables.customer(s, d)
+        .join(spend, $"c_custkey" === $"o_custkey", "left")
+        .select($"c_nationkey".as("nat"), $"c_custkey",
+          $"c_acctbal".as("bal"),
+          coalesce($"spend", lit(0).cast("decimal(38,2)")).as("spend"))
+      val grp = pts.groupBy($"nat", $"bal", $"spend")
+        .agg(count(lit(1)).as("cnt"), sum($"c_custkey").as("ck_sum"))
+      val w = Window.partitionBy($"nat").orderBy($"bal".desc, $"spend".desc)
+      val mprev = max($"spend").over(w.rowsBetween(Window.unboundedPreceding, -1))
+      grp
+        .withColumn("sky", mprev.isNull || $"spend" > mprev)
+        .filter($"sky")
+        .groupBy($"nat")
+        .agg(count(lit(1)).as("n_points"),
+          sum($"cnt").as("n_customers"),
+          sum($"ck_sum").as("custkey_sum"))
+        .orderBy($"nat")
+    },
+    Some("""WITH spend AS (
+           |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(30,2))) AS spend
+           |  FROM orders GROUP BY o_custkey),
+           |pts AS (
+           |  SELECT c_nationkey AS nat, c_custkey, c_acctbal AS bal,
+           |    coalesce(spend, 0) AS spend
+           |  FROM customer LEFT JOIN spend ON c_custkey = o_custkey),
+           |sky AS (
+           |  SELECT * FROM pts p
+           |  WHERE NOT EXISTS (
+           |    SELECT 1 FROM pts q
+           |    WHERE q.nat = p.nat AND q.bal >= p.bal AND q.spend >= p.spend
+           |      AND (q.bal > p.bal OR q.spend > p.spend)))
+           |SELECT nat,
+           |  CAST(count(DISTINCT (bal, spend)) AS BIGINT) AS n_points,
+           |  count(*) AS n_customers,
+           |  CAST(sum(c_custkey) AS BIGINT) AS custkey_sum
+           |FROM sky GROUP BY nat ORDER BY nat""".stripMargin),
+  )
+
+  /** q264 — date-spine zipper: three independent daily series (orders
+    * placed, lineitems shipped, events observed) aligned on a GENERATED
+    * gap-free date spine — `sequence(min, max)` + explode, the
+    * feature-store idiom that makes downstream windows see every day,
+    * including days where a series is silent (left join + COALESCE 0).
+    * A 7-day trailing total over the zipped frame (computable only
+    * because the spine is gap-free — a ROWS frame over raw dates would
+    * silently span gaps) is folded into a monthly checksum.
+    * Scale: the spine is ~calendar-sized (thousands of rows) and
+    * broadcast-joins against three pre-aggregated dimension-sized daily
+    * rollups; the fact tables are each scanned once into a map-side
+    * combined groupBy(day). The window runs on the spine (single
+    * partition of calendar size — bounded by construction, repartition
+    * by year if a spine ever spans centuries). */
+  val q264 = QuerySpec(
+    "q264_date_spine_zipper",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ord = Tables.orders(s, d).select(to_date($"o_orderdate").as("day"),
+        $"o_totalprice")
+      val bounds = ord.agg(min($"day").as("d0"), max($"day").as("d1"))
+      val spine = bounds
+        .select(explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+      val oDaily = ord.groupBy($"day").agg(count(lit(1)).as("o_n"))
+      val lDaily = Tables.lineitem(s, d).groupBy(to_date($"l_shipdate").as("day"))
+        .agg(count(lit(1)).as("l_n"))
+      val eDaily = Tables.events(s, d).groupBy(to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("e_n"))
+      val zipped = spine
+        .join(oDaily, Seq("day"), "left")
+        .join(lDaily, Seq("day"), "left")
+        .join(eDaily, Seq("day"), "left")
+        .select($"day",
+          coalesce($"o_n", lit(0L)).as("o_n"),
+          coalesce($"l_n", lit(0L)).as("l_n"),
+          coalesce($"e_n", lit(0L)).as("e_n"))
+      val w7 = Window.orderBy($"day").rowsBetween(-6, 0)
+      zipped
+        .withColumn("t7", sum($"o_n" + $"l_n" + $"e_n").over(w7))
+        .groupBy(date_trunc("month", $"day").cast("date").as("month"))
+        .agg(count(lit(1)).as("n_days"),
+          sum($"o_n").as("o_n"), sum($"l_n").as("l_n"), sum($"e_n").as("e_n"),
+          sum($"t7" * dayofmonth($"day")).as("t7_checksum"))
+        .orderBy($"month")
+    },
+    Some("""WITH b AS (
+           |  SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+           |    max(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+           |spine AS (
+           |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+           |  FROM b),
+           |od AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS o_n
+           |  FROM orders GROUP BY 1),
+           |ld AS (SELECT CAST(l_shipdate AS DATE) AS day, count(*) AS l_n
+           |  FROM lineitem GROUP BY 1),
+           |ed AS (SELECT CAST(ts AS DATE) AS day, count(*) AS e_n
+           |  FROM events GROUP BY 1),
+           |z AS (
+           |  SELECT spine.day,
+           |    coalesce(o_n, 0) AS o_n, coalesce(l_n, 0) AS l_n,
+           |    coalesce(e_n, 0) AS e_n
+           |  FROM spine LEFT JOIN od USING (day) LEFT JOIN ld USING (day)
+           |    LEFT JOIN ed USING (day)),
+           |t AS (
+           |  SELECT day, o_n, l_n, e_n,
+           |    sum(o_n + l_n + e_n) OVER (ORDER BY day
+           |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS t7
+           |  FROM z)
+           |SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+           |  count(*) AS n_days,
+           |  CAST(sum(o_n) AS BIGINT) AS o_n, CAST(sum(l_n) AS BIGINT) AS l_n,
+           |  CAST(sum(e_n) AS BIGINT) AS e_n,
+           |  CAST(sum(t7 * dayofmonth(day)) AS BIGINT) AS t7_checksum
+           |FROM t GROUP BY 1 ORDER BY 1""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q118, q119, q120, q121, q123, q124, q127, q128, q131, q132, q134, q137,
       q139, q147, q153, q157, q165, q191, q193, q198, q199, q217, q222, q227,
-      q246, q247)
+      q246, q247, q254, q255, q264)
 }
