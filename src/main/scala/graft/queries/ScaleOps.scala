@@ -317,5 +317,246 @@ object ScaleOps {
            |FROM v GROUP BY shard ORDER BY shard""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q207, q208, q209, q210, q248, q249, q250)
+  /** DuckDB mirror of Spark's `conv(substr(<hx>, 1, n), 16, 10)` — hex
+    * prefix of an md5 string to BIGINT via per-char arithmetic (DuckDB
+    * has no base-16 conv; shared by q257/q259, same shape as q210's
+    * inline form). */
+  private def duckHex(hx: String, n: Int): String =
+    s"""list_reduce(list_transform(generate_series(1, $n),
+       |      i -> CAST(CASE WHEN ascii(substr($hx, i, 1)) >= 97
+       |            THEN ascii(substr($hx, i, 1)) - 87
+       |            ELSE ascii(substr($hx, i, 1)) - 48 END AS BIGINT)
+       |        * CAST(power(16, $n - i) AS BIGINT)),
+       |      (a, b) -> a + b)""".stripMargin
+
+  /** q256 — grid-cell spatial join (within-radius pairs WITHOUT the
+    * all-pairs product): customers and suppliers get deterministic
+    * integer milli-degree coordinates (affine hashes of their keys —
+    * exact on every engine, no FP trig), each point maps to one
+    * 2000-milli-degree grid cell, the SMALL side is exploded to its
+    * 3×3 neighbor cells and broadcast, and the equi-join on cell id
+    * feeds the exact integer distance² filter. Cell width = radius, so
+    * the 3×3 neighborhood provably covers every within-radius pair;
+    * coordinates are shifted non-negative before the integral divide so
+    * truncation IS floor and cells tile uniformly. The oracle is the
+    * definitional theta join (no cells) — two formulations, one hash.
+    * Scale: the candidate set shrinks from |C|·|S| to pairs sharing a
+    * neighborhood (density-proportional); the fact side never shuffles
+    * (cell id is computed in the scan projection and the supplier side
+    * is broadcast at 9× its dimension size). Planar approximation —
+    * no meridian wraparound — documented and mirrored by the oracle. */
+  val q256 = QuerySpec(
+    "q256_geo_cell_join",
+    (s, d) => {
+      import s.implicits._
+      def latE3(k: org.apache.spark.sql.Column) = (k * 7919L) % 180001L - 90000L
+      def lonE3(k: org.apache.spark.sql.Column) = (k * 104729L) % 360001L - 180000L
+      val cust = Tables.customer(s, d).select($"c_custkey", $"c_nationkey",
+          latE3($"c_custkey").as("clat"), lonE3($"c_custkey").as("clon"))
+        .withColumn("cx", ($"clat" + 90000L) / 2000L cast "long")
+        .withColumn("cy", ($"clon" + 180000L) / 2000L cast "long")
+      val supp = Tables.supplier(s, d).select($"s_suppkey",
+          latE3($"s_suppkey").as("slat"), lonE3($"s_suppkey").as("slon"))
+        .withColumn("sx", ($"slat" + 90000L) / 2000L cast "long")
+        .withColumn("sy", ($"slon" + 180000L) / 2000L cast "long")
+        .withColumn("dx", explode(sequence(lit(-1), lit(1))))
+        .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+        .select(($"sx" + $"dx").as("cx"), ($"sy" + $"dy").as("cy"),
+          $"s_suppkey", $"slat", $"slon")
+      val d2 = ($"clat" - $"slat") * ($"clat" - $"slat") +
+        ($"clon" - $"slon") * ($"clon" - $"slon")
+      cust.join(broadcast(supp), Seq("cx", "cy"))
+        .filter(d2 <= 4000000L)
+        .groupBy($"c_nationkey".as("nat"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct($"c_custkey").as("n_cust"),
+          sum(d2).as("d2_sum"))
+        .orderBy($"nat")
+    },
+    Some("""WITH c AS (
+           |  SELECT c_custkey, c_nationkey,
+           |    (c_custkey * 7919) % 180001 - 90000 AS clat,
+           |    (c_custkey * 104729) % 360001 - 180000 AS clon
+           |  FROM customer),
+           |s AS (
+           |  SELECT s_suppkey,
+           |    (s_suppkey * 7919) % 180001 - 90000 AS slat,
+           |    (s_suppkey * 104729) % 360001 - 180000 AS slon
+           |  FROM supplier),
+           |p AS (
+           |  SELECT c_nationkey, c_custkey,
+           |    (clat - slat) * (clat - slat) + (clon - slon) * (clon - slon) AS d2
+           |  FROM c JOIN s
+           |    ON (clat - slat) * (clat - slat) + (clon - slon) * (clon - slon) <= 4000000)
+           |SELECT c_nationkey AS nat, count(*) AS n_pairs,
+           |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_cust,
+           |  CAST(sum(d2) AS BIGINT) AS d2_sum
+           |FROM p GROUP BY 1 ORDER BY 1""".stripMargin),
+  )
+
+  /** q257 — weight-proportional Bernoulli sampling (importance sampling
+    * by document length — the keep-long-docs bias every token-budget
+    * pipeline applies somewhere): accept doc iff h16·w_max < 65536·w,
+    * where h16 is 16 bits of the salted md5 and w_max the corpus max
+    * weight — acceptance probability w/w_max per document, EXACT
+    * integer comparison, zero RNG state, reproducible across engines
+    * and reruns (q208's per-source thresholds generalized to per-ROW
+    * weights). Scale: w_max is a 1-row broadcast; the corpus is
+    * scanned once, shuffled never (final rollup is per-lang). */
+  val q257 = QuerySpec(
+    "q257_weighted_sample",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"lang", $"n_chars")
+      val wmax = docs.agg(max($"n_chars").as("wmax"))
+      docs.crossJoin(broadcast(wmax))
+        .withColumn("h16",
+          conv(substring(md5(concat(lit("w:"), $"doc_id".cast("string"))
+            .cast("binary")), 1, 4), 16, 10).cast("long"))
+        .filter($"h16" * $"wmax" < lit(65536L) * $"n_chars")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum($"n_chars").as("kept_chars"),
+          sum($"doc_id").as("id_checksum"))
+        .orderBy($"lang")
+    },
+    Some(s"""WITH w AS (SELECT max(n_chars) AS wmax FROM documents),
+            |k AS (
+            |  SELECT lang, doc_id, n_chars,
+            |    ${duckHex("md5('w:' || CAST(doc_id AS VARCHAR))", 4)} AS h16
+            |  FROM documents)
+            |SELECT lang, count(*) AS n_kept,
+            |  CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+            |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+            |FROM k, w WHERE h16 * wmax < 65536 * n_chars
+            |GROUP BY lang ORDER BY lang""".stripMargin),
+  )
+
+  /** q258 — exact distributed quantiles in two passes (p50/p90/p99 of
+    * l_extendedprice) with NO global sort: pass 1 bins every value into
+    * 1024 equal-width buckets (a map-side-combined groupBy producing a
+    * 1024-row histogram — driver-sized by construction); the driver
+    * walks the cumulative counts to locate, per percentile, the bucket
+    * containing rank k = ceil(p·n) and the count of values before it;
+    * pass 2 touches ONLY the located buckets (≈ n/1024 rows each) and
+    * reads the (k − before)-th smallest as max over an ascending
+    * limit. Equal values share a bucket, so rank arithmetic is exact
+    * regardless of FP bucket-edge placement — bucketing only needs to
+    * be CONSISTENT, not precise. The oracle is the definitional global
+    * row_number readout. Scale: 2 scans + a ~n/1024-row sort vs a full
+    * shuffle sort; skewed value domains cost one extra refinement
+    * round (re-bin inside the hot bucket — not needed at these SFs,
+    * noted for the 100 TB path). */
+  val q258 = QuerySpec(
+    "q258_twopass_quantile",
+    (s, d) => {
+      import s.implicits._
+      val x = Tables.lineitem(s, d).select($"l_extendedprice".as("x"))
+      val head = x.agg(count(lit(1)), min($"x"), max($"x")).head()
+      val (n, mn, mx) = (head.getLong(0), head.getDouble(1), head.getDouble(2))
+      val bucketOf = least(floor(($"x" - mn) / (mx - mn) * 1024).cast("int"), lit(1023))
+      val hist = x.groupBy(bucketOf.as("b")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      def kth(p: Double): Double = {
+        val k = math.ceil(p * n).toLong
+        var cum = 0L
+        var located: Option[(Int, Long)] = None
+        hist.foreach { case (b, c) =>
+          if (located.isEmpty && cum + c >= k) located = Some((b, cum))
+          cum += c
+        }
+        val (b, before) = located.get
+        x.filter(bucketOf === b).orderBy($"x").limit((k - before).toInt)
+          .agg(max($"x")).head().getDouble(0)
+      }
+      val out = Seq((n, mn, mx, kth(0.5), kth(0.9), kth(0.99)))
+      s.createDataFrame(out).toDF("n", "x_min", "x_max", "p50", "p90", "p99")
+    },
+    Some("""WITH s AS (SELECT l_extendedprice AS x FROM lineitem),
+           |nn AS (SELECT count(*) AS n FROM s),
+           |r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM s)
+           |SELECT n, (SELECT min(x) FROM s) AS x_min, (SELECT max(x) FROM s) AS x_max,
+           |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN x END) AS p50,
+           |  max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN x END) AS p90,
+           |  max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN x END) AS p99
+           |FROM r, nn GROUP BY n""".stripMargin),
+  )
+
+  /** q259 — anti-entropy digest repair (q210's digests USED): a replica
+    * of `documents` diverges on every doc whose salted md5 starts
+    * "00" (deterministic ≈1/256 corruption, +1 char count); both sides
+    * compute per-bucket mergeable digests independently (scan-only, no
+    * row exchange), the bucket comparison localizes divergence, and
+    * ONLY the diverged buckets' rows are re-shipped from the primary —
+    * the Merkle-less anti-entropy round Dynamo-style stores run. The
+    * readout pins buckets diverged, rows re-shipped, a diverged-bucket
+    * id checksum, and — the actual gate — that the post-repair digest
+    * mismatch count is ZERO. Scale: repair traffic is (diverged
+    * buckets)/(total buckets) of the table, not the table; digests are
+    * commutative sums, so both scans partial-aggregate and ship 64
+    * rows each. */
+  val q259 = QuerySpec(
+    "q259_anti_entropy_repair",
+    (s, d) => {
+      import s.implicits._
+      val prim = Tables.documents(s, d).select($"doc_id", $"lang", $"source", $"n_chars")
+      val corrupt = substring(md5(concat(lit("c:"), $"doc_id".cast("string"))
+        .cast("binary")), 1, 2) === "00"
+      val repl = prim.withColumn("n_chars",
+        when(corrupt, $"n_chars" + 1L).otherwise($"n_chars"))
+      def digest(df: org.apache.spark.sql.DataFrame) = df
+        .select(($"doc_id" % 64L).as("bucket"),
+          conv(substring(md5(concat_ws("|", $"doc_id".cast("string"), $"lang",
+            $"source", $"n_chars".cast("string")).cast("binary")), 1, 8), 16, 10)
+            .cast("long").as("h32"))
+        .groupBy($"bucket").agg(sum($"h32").as("dig"), count(lit(1)).as("n"))
+      val dp = digest(prim)
+      val dr = digest(repl)
+      // Bucket comparison is 64 rows by construction — the anti-entropy
+      // protocol's whole point is that only this tiny frame crosses sites,
+      // so collecting it driver-side IS the algorithm, not a shortcut.
+      val divBuckets = dp.as("p").join(dr.as("r"), Seq("bucket"))
+        .filter($"p.dig" =!= $"r.dig" || $"p.n" =!= $"r.n")
+        .select($"bucket").collect().map(_.getLong(0)).sorted
+      val repaired = repl.filter(!($"doc_id" % 64L).isin(divBuckets: _*))
+        .unionByName(prim.filter(($"doc_id" % 64L).isin(divBuckets: _*)))
+      val nMismatchAfter = digest(repaired).as("a").join(dp.as("p"), Seq("bucket"))
+        .filter($"a.dig" =!= $"p.dig" || $"a.n" =!= $"p.n").count()
+      val nRepaired = prim.filter(($"doc_id" % 64L).isin(divBuckets: _*)).count()
+      val out = Seq((64L, divBuckets.length.toLong, divBuckets.sum, nRepaired,
+        nMismatchAfter))
+      s.createDataFrame(out)
+        .toDF("n_buckets", "n_diverged", "diverged_checksum", "n_rows_reshipped",
+          "n_mismatch_after")
+    },
+    Some(s"""WITH prim AS (
+            |  SELECT doc_id, lang, source, n_chars FROM documents),
+            |repl AS (
+            |  SELECT doc_id, lang, source,
+            |    CASE WHEN substr(md5('c:' || CAST(doc_id AS VARCHAR)), 1, 2) = '00'
+            |      THEN n_chars + 1 ELSE n_chars END AS n_chars
+            |  FROM prim),
+            |dp AS (
+            |  SELECT doc_id % 64 AS bucket,
+            |    sum(${duckHex("md5(concat_ws('|', CAST(doc_id AS VARCHAR), lang, source, CAST(n_chars AS VARCHAR)))", 8)}) AS dig,
+            |    count(*) AS n
+            |  FROM prim GROUP BY 1),
+            |dr AS (
+            |  SELECT doc_id % 64 AS bucket,
+            |    sum(${duckHex("md5(concat_ws('|', CAST(doc_id AS VARCHAR), lang, source, CAST(n_chars AS VARCHAR)))", 8)}) AS dig,
+            |    count(*) AS n
+            |  FROM repl GROUP BY 1),
+            |div AS (
+            |  SELECT dp.bucket FROM dp JOIN dr USING (bucket)
+            |  WHERE dp.dig <> dr.dig OR dp.n <> dr.n)
+            |SELECT CAST(64 AS BIGINT) AS n_buckets,
+            |  (SELECT count(*) FROM div) AS n_diverged,
+            |  (SELECT CAST(coalesce(sum(bucket), 0) AS BIGINT) FROM div) AS diverged_checksum,
+            |  (SELECT count(*) FROM prim WHERE doc_id % 64 IN (SELECT bucket FROM div))
+            |    AS n_rows_reshipped,
+            |  CAST(0 AS BIGINT) AS n_mismatch_after""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q207, q208, q209, q210, q248, q249, q250,
+    q256, q257, q258, q259)
 }
