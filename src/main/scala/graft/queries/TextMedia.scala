@@ -507,6 +507,110 @@ object TextMedia {
            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
   )
 
+  /** q260 — markup strip / boilerplate removal (the first stage of
+    * every web-crawl → training-text pipeline): each document is
+    * deterministically wrapped in HTML (title, split paragraphs, a
+    * literal `&lt;end&gt;` entity), then cleaned by the canonical
+    * three-step strip — (1) remove tags `<[^>]+>`, (2) decode entities
+    * AFTER stripping (the order pin: decoding first would forge a tag
+    * and eat literal angle-bracket text), (3) collapse `\s+` and trim.
+    * Construction is invertible, so the gate counts exact round trips:
+    * clean must equal `d{id} {text} <end>` for EVERY document, and the
+    * oracle re-derives both sides in DuckDB — same regexes, RE2/Java
+    * common subset (`<[^>]+>`, `\s+`), global-replace flag pinned.
+    * Scale: pure per-row codegen'd string expressions, no shuffle
+    * before the per-lang rollup; at 100 TB this is scan-bound, which
+    * is exactly what a strip stage should be. */
+  val q260 = QuerySpec(
+    "q260_markup_strip",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val markup = concat(
+        lit("<html><head><title>d"), $"doc_id".cast("string"), lit(" </title>"),
+        lit("</head><body class=\"x\"><p>"),
+        regexp_replace($"text", " ", " </p><p>"),
+        lit("</p> <br/>&lt;end&gt;</body></html>"))
+      val stripped = regexp_replace(markup, "<[^>]+>", "")
+      val decoded = translateEntities(stripped)
+      val clean = trim(regexp_replace(decoded, "\\s+", " "))
+      val expected = concat(lit("d"), $"doc_id".cast("string"), lit(" "),
+        $"text", lit(" <end>"))
+      docs.select($"doc_id", $"lang", clean.as("clean"), expected.as("expected"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when($"clean" === $"expected", 1)).as("n_roundtrip_ok"),
+          sum(length($"clean")).as("clean_len_sum"),
+          sum(length($"clean") * $"doc_id").as("len_checksum"))
+        .orderBy($"lang")
+    },
+    Some("""WITH m AS (
+           |  SELECT doc_id, lang,
+           |    '<html><head><title>d' || CAST(doc_id AS VARCHAR) || ' </title>'
+           |      || '</head><body class="x"><p>'
+           |      || replace(text, ' ', ' </p><p>')
+           |      || '</p> <br/>&lt;end&gt;</body></html>' AS markup,
+           |    'd' || CAST(doc_id AS VARCHAR) || ' ' || text || ' <end>' AS expected
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, lang, expected,
+           |    trim(regexp_replace(
+           |      replace(replace(replace(
+           |        regexp_replace(markup, '<[^>]+>', '', 'g'),
+           |        '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+           |      '\s+', ' ', 'g')) AS clean
+           |  FROM m)
+           |SELECT lang, count(*) AS n_docs,
+           |  CAST(count(CASE WHEN clean = expected THEN 1 END) AS BIGINT)
+           |    AS n_roundtrip_ok,
+           |  CAST(sum(length(clean)) AS BIGINT) AS clean_len_sum,
+           |  CAST(sum(length(clean) * doc_id) AS BIGINT) AS len_checksum
+           |FROM c GROUP BY lang ORDER BY lang""".stripMargin),
+  )
+
+  /** Entity decode shared by q260: strip-order-sensitive, so it lives
+    * as ONE expression both call sites agree on. `&amp;` last — decoding
+    * it first would double-decode `&amp;lt;`. */
+  private def translateEntities(c: org.apache.spark.sql.Column) =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      "&lt;", "<"), "&gt;", ">"), "&amp;", "&")
+
+  /** q261 — byte-pair census (the counting pass of one BPE-training
+    * iteration): every adjacent character pair in the first 64 chars of
+    * each document (the clip bounds the 63× generator fan-out — the
+    * same cost ceiling a real tokenizer trainer puts on per-doc work),
+    * counted globally, top 20 by frequency with lexicographic
+    * tiebreak. `transform(sequence(...))` + explode keeps the pair
+    * generation inside codegen — no UDF, no intermediate string array
+    * materialized on the driver. Scale: the pair domain is tiny (charset²),
+    * so the groupBy partial-aggregates to almost nothing map-side; the
+    * top-k is a dimension-sized sort. The oracle mirrors with
+    * list_transform/unnest. */
+  val q261 = QuerySpec(
+    "q261_bpe_pair_census",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(substring($"text", 1, 64).as("t"))
+        .filter(length($"t") >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, char_length(t) - 1), i -> substring(t, i, 2))"))
+          .as("pair"))
+        .groupBy($"pair").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"pair")
+        .limit(20)
+    },
+    Some("""WITH t AS (
+           |  SELECT substr(text, 1, 64) AS t FROM documents
+           |  WHERE length(substr(text, 1, 64)) >= 2),
+           |p AS (
+           |  SELECT unnest(list_transform(generate_series(1, length(t) - 1),
+           |    i -> substr(t, i, 2))) AS pair
+           |  FROM t)
+           |SELECT pair, count(*) AS cnt FROM p GROUP BY pair
+           |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q29, q30, q31, q32, q33, q34, q36, q45, q73, q78,
-    q111, q163, q168)
+    q111, q163, q168, q260, q261)
 }
