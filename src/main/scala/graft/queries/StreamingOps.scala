@@ -190,6 +190,33 @@ object StreamingOps {
            |ORDER BY kind, k""".stripMargin),
   )
 
+  /** q262 — chained streaming window aggregations (multiple stateful
+    * operators in ONE query): 5-min tumbling aggregate → 15-min
+    * re-aggregate via `window(window_time(window))`, append mode, tail
+    * flushed by heartbeat. The oracle is the equivalent batch rollup
+    * ladder — per-15-min counts, DECIMAL-exact value sums, and the
+    * 5-min-bucket fan-in count that proves level 2 really consumed
+    * level-1 windows. See graft.streaming.StreamChainedWindows. */
+  val q262 = QuerySpec(
+    "q262_stream_chained_windows",
+    (s, d) => graft.streaming.StreamChainedWindows.runOnce(s, d),
+    Some("""WITH b AS (
+           |  SELECT event_type,
+           |    make_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 * 1000000) AS w5,
+           |    value
+           |  FROM events),
+           |l1 AS (
+           |  SELECT event_type, w5,
+           |    make_timestamp(CAST(floor(epoch(w5) / 900) AS BIGINT) * 900 * 1000000) AS w15,
+           |    count(*) AS n5, sum(CAST(value AS DECIMAL(30,4))) AS v5
+           |  FROM b GROUP BY 1, 2)
+           |SELECT strftime(w15, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+           |  CAST(sum(n5) AS BIGINT) AS n_events,
+           |  CAST(sum(v5) AS DOUBLE) AS value_sum,
+           |  count(*) AS n_buckets5
+           |FROM l1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q35, q44, q53, q54, q91, q95, q108, q122, q161, q211, q221)
+    Seq(q35, q44, q53, q54, q91, q95, q108, q122, q161, q211, q221, q262)
 }
