@@ -1346,7 +1346,65 @@ object TrainPrep {
            |FROM r WHERE rn <= 3 GROUP BY user_id ORDER BY user_id""".stripMargin),
   )
 
+  /** q263 — late-arriving dimension resolution: the fact stream is
+    * loaded BEFORE part of its dimension lands (here: every 13th
+    * customer is "late"), so the first pass attributes orphan facts to
+    * the sentinel UNKNOWN member instead of dropping them (the
+    * warehouse-standard default-row pattern — an inner join would
+    * silently lose revenue; a bare left join would poison group keys
+    * with NULL). When the late dim batch arrives, the reprocessing pass
+    * re-attributes exactly the UNKNOWN-parked facts. The readout pins
+    * both passes side by side per segment — UNKNOWN's before-count must
+    * equal the late customers' order count, its after-count must be
+    * zero, and every real segment's delta must be late-members only.
+    * Scale: both passes are broadcast joins against the dimension; the
+    * reprocess touches only facts whose keys sit in the late-key set
+    * (at 100 TB: a semi-join-pruned partition rewrite — q188's dynamic
+    * partition overwrite is the write-side half of that path). */
+  val q263 = QuerySpec(
+    "q263_late_dim_default",
+    (s, d) => {
+      import s.implicits._
+      val cust = Tables.customer(s, d).select($"c_custkey", $"c_mktsegment")
+      val early = cust.filter($"c_custkey" % 13L =!= 0L)
+      val facts = Tables.orders(s, d).select($"o_custkey", $"o_totalprice")
+      def rollup(dim: org.apache.spark.sql.DataFrame, nTag: String, rTag: String) =
+        facts.join(broadcast(dim), $"o_custkey" === $"c_custkey", "left")
+          .select(coalesce($"c_mktsegment", lit("UNKNOWN")).as("segment"),
+            $"o_totalprice")
+          .groupBy($"segment")
+          .agg(count(lit(1)).as(nTag),
+            Det.dsum($"o_totalprice", 2).as(rTag))
+      rollup(early, "n_before", "rev_before")
+        .join(rollup(cust, "n_after", "rev_after"), Seq("segment"), "full_outer")
+        .select($"segment",
+          coalesce($"n_before", lit(0L)).as("n_before"),
+          coalesce($"n_after", lit(0L)).as("n_after"),
+          coalesce($"rev_before", lit(0.0)).as("rev_before"),
+          coalesce($"rev_after", lit(0.0)).as("rev_after"))
+        .orderBy($"segment")
+    },
+    Some(s"""WITH early AS (
+            |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 13 <> 0),
+            |before_p AS (
+            |  SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+            |    count(*) AS n_before, ${Det.sqlDsum("o_totalprice", 2)} AS rev_before
+            |  FROM orders LEFT JOIN early ON o_custkey = c_custkey
+            |  GROUP BY 1),
+            |after_p AS (
+            |  SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+            |    count(*) AS n_after, ${Det.sqlDsum("o_totalprice", 2)} AS rev_after
+            |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+            |  GROUP BY 1)
+            |SELECT segment,
+            |  coalesce(n_before, 0) AS n_before, coalesce(n_after, 0) AS n_after,
+            |  coalesce(rev_before, 0.0) AS rev_before,
+            |  coalesce(rev_after, 0.0) AS rev_after
+            |FROM before_p FULL JOIN after_p USING (segment)
+            |ORDER BY segment""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q60, q61, q62, q63, q64, q65, q67, q68, q69, q70,
     q86, q87, q88, q89, q90, q96, q100, q101, q106, q110, q149, q150, q160,
-    q192, q194, q200, q214, q215, q236, q243)
+    q192, q194, q200, q214, q215, q236, q243, q263)
 }
