@@ -474,4 +474,42 @@ class PlanAuditSpec extends SparkTestBase {
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("[codegen id :"), p)
   }
+
+  test("q256: exploded supplier cells broadcast; cell equi-join, never cartesian") {
+    val p = plan("q256_geo_cell_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "grid-cell join degraded to the all-pairs product it exists to avoid\n" + p)
+  }
+
+  test("q254/q255: window-sweep shapes — no join in the island build, no product in the skyline") {
+    val iv = plan("q254_interval_coalesce")
+    assert(iv.contains("Window"), iv)
+    assert(!iv.contains("Join"), "island build grew a self-join\n" + iv)
+    val sky = plan("q255_skyline_pareto")
+    assert(sky.contains("Window"), sky)
+    assert(!sky.contains("CartesianProduct") && !sky.contains("BroadcastNestedLoopJoin"),
+      "skyline degraded to the quadratic dominance product\n" + sky)
+  }
+
+  test("q263/q264: dimension and daily-rollup joins broadcast") {
+    val late = plan("q263_late_dim_default")
+    // BOTH dimension joins must broadcast; the only acceptable sort-merge
+    // is the final FULL OUTER zip of the two 6-row rollups (full-outer
+    // rarely broadcasts statically; AQE shrinks it at runtime and the
+    // sides are dimension-sized by construction).
+    assert(late.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 2, late)
+    assert(!late.contains("SortMergeJoin LeftOuter") && !late.contains("SortMergeJoin Inner"),
+      "dim join degraded to SMJ\n" + late)
+    val spine = plan("q264_date_spine_zipper")
+    assert(spine.contains("BroadcastHashJoin"), spine)
+    assert(!spine.contains("CartesianProduct"), spine)
+  }
+
+  test("q251: variant pipeline prunes the scan to the serialized columns") {
+    val p = plan("q251_variant_extract")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint," +
+      "l_quantity:double,l_returnflag:string,l_linestatus:string>"),
+      "variant construction widened the scan\n" + p)
+  }
 }
