@@ -1288,7 +1288,169 @@ object Extras {
            |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin),
   )
 
+  /** q265 — ordered LISTAGG (SQL:2023, Spark 4's listagg ... WITHIN
+    * GROUP): the string-assembly aggregate report builders reach for.
+    * Run over a PRE-AGGREGATED frame (status:count pairs per priority),
+    * not raw facts — an unbounded listagg grows its state linearly with
+    * group size, so at scale the reduce-then-agg ladder here is the
+    * only responsible shape (the aggregate state is bounded by the
+    * status domain). WITHIN GROUP ordering is the gate: DuckDB's
+    * string_agg(... ORDER BY) must assemble the identical string. */
+  val q265 = QuerySpec(
+    "q265_listagg_ordered",
+    (s, d) => {
+      SqlSurface.registerViews(s, d)
+      s.sql("""WITH pc AS (
+              |  SELECT o_orderpriority, o_orderstatus, count(*) AS n
+              |  FROM orders GROUP BY 1, 2)
+              |SELECT o_orderpriority,
+              |  listagg(o_orderstatus || ':' || CAST(n AS STRING), ',')
+              |    WITHIN GROUP (ORDER BY o_orderstatus) AS status_census,
+              |  count(*) AS n_statuses
+              |FROM pc GROUP BY o_orderpriority
+              |ORDER BY o_orderpriority""".stripMargin)
+    },
+    Some("""WITH pc AS (
+           |  SELECT o_orderpriority, o_orderstatus, count(*) AS n
+           |  FROM orders GROUP BY 1, 2)
+           |SELECT o_orderpriority,
+           |  string_agg(o_orderstatus || ':' || CAST(n AS VARCHAR), ','
+           |    ORDER BY o_orderstatus) AS status_census,
+           |  count(*) AS n_statuses
+           |FROM pc GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin),
+  )
+
+  /** q266 — try_* arithmetic under ANSI mode (the session default here,
+    * as in Spark 4 generally): plain arithmetic THROWS on overflow and
+    * division by zero, and try_add/try_divide/try_multiply/try_sum are
+    * the per-expression opt-outs that return NULL instead — the
+    * semantics a pipeline needs when one poisoned row must not kill a
+    * 100 TB job. Scalar gates: try_add NULL exactly where the addend
+    * crosses BIGINT max; try_divide NULL exactly at the zero divisor;
+    * try_sum NULL for every group whose true sum exceeds BIGINT range.
+    * The oracle computes the same conditions in HUGEINT (DuckDB has no
+    * try_*, which is the point — the CASE mirrors state the semantics
+    * from first principles). */
+  val q266 = QuerySpec(
+    "q266_try_arithmetic",
+    (s, d) => {
+      import s.implicits._
+      val big = 9223372036854775807L
+      Tables.lineitem(s, d)
+        .select($"l_returnflag", $"l_orderkey", $"l_linenumber",
+          expr(s"try_add(${big - 1000L}L, l_orderkey)").as("a"),
+          expr("try_divide(l_orderkey, l_linenumber - 3)").as("b"),
+          expr("try_multiply(l_orderkey, 281474976710656L)").as("c"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          count(when($"a".isNull, 1)).as("n_add_overflow"),
+          count(when($"b".isNull, 1)).as("n_div_zero"),
+          count(when($"c".isNull, 1)).as("n_mul_overflow"),
+          dsum(coalesce($"b", lit(0.0)), 6).as("div_sum"),
+          // Factor chosen so the per-row product NEVER overflows (ANSI
+          // would throw before try_sum could catch it — try_* guards its
+          // own op only) while every group's SUM does.
+          expr("try_sum(l_orderkey * 1000000000000L)").as("sum_overflow"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+           |  CAST(count(CASE WHEN l_orderkey > 1000 THEN 1 END) AS BIGINT)
+           |    AS n_add_overflow,
+           |  CAST(count(CASE WHEN l_linenumber = 3 THEN 1 END) AS BIGINT)
+           |    AS n_div_zero,
+           |  CAST(count(CASE WHEN CAST(l_orderkey AS HUGEINT) * 281474976710656
+           |      > 9223372036854775807 THEN 1 END) AS BIGINT) AS n_mul_overflow,
+           |  CAST(sum(CAST(coalesce(CASE WHEN l_linenumber <> 3
+           |      THEN CAST(l_orderkey AS DOUBLE) / (l_linenumber - 3) END, 0.0)
+           |    AS DECIMAL(30,6))) AS DOUBLE) AS div_sum,
+           |  CASE WHEN sum(CAST(l_orderkey AS HUGEINT) * 1000000000000)
+           |      BETWEEN -9223372036854775808 AND 9223372036854775807
+           |    THEN CAST(sum(CAST(l_orderkey AS HUGEINT) * 1000000000000) AS BIGINT)
+           |    ELSE NULL END AS sum_overflow
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+  )
+
+  /** q267 — union with missing columns (schema-evolution union): two
+    * extracts with overlapping-but-different schemas zip via
+    * `unionByName(allowMissingColumns = true)` — absent columns fill
+    * NULL, matched BY NAME not position (positional UNION would
+    * silently misalign). The oracle is DuckDB's UNION ALL BY NAME. The
+    * readout counts per-column presence so a fill-direction bug (NULLs
+    * landing on the wrong side) fails loudly. */
+  val q267 = QuerySpec(
+    "q267_union_missing_columns",
+    (s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val v1 = o.filter($"o_orderstatus" === "F")
+        .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+      val v2 = o.filter($"o_orderstatus" === "O")
+        .select($"o_orderkey", $"o_orderstatus")
+      v1.unionByName(v2, allowMissingColumns = true)
+        .agg(count(lit(1)).as("n"),
+          count($"o_totalprice").as("n_price"),
+          count($"o_orderstatus").as("n_status"),
+          count($"o_orderpriority").as("n_priority"),
+          dsum(coalesce($"o_totalprice", lit(0.0)), 2).as("price_sum"),
+          sum($"o_orderkey").as("key_sum"))
+    },
+    Some(s"""WITH u AS (
+            |  SELECT o_orderkey, o_totalprice, o_orderpriority
+            |  FROM orders WHERE o_orderstatus = 'F'
+            |  UNION ALL BY NAME
+            |  SELECT o_orderkey, o_orderstatus
+            |  FROM orders WHERE o_orderstatus = 'O')
+            |SELECT count(*) AS n,
+            |  count(o_totalprice) AS n_price,
+            |  count(o_orderstatus) AS n_status,
+            |  count(o_orderpriority) AS n_priority,
+            |  ${Det.sqlDsum("coalesce(o_totalprice, 0.0)", 2)} AS price_sum,
+            |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+            |FROM u""".stripMargin),
+  )
+
+  /** q268 — OUTER generators (posexplode_outer): the generator family's
+    * row-preserving half — an empty array must keep its parent row with
+    * NULL pos/col instead of dropping it (the inner explode's silent
+    * row loss is the bug this exists to avoid: a doc with zero chunks
+    * still needs its bookkeeping row). 'R' rows get empty arrays by
+    * construction; the gate pins output cardinality, the NULL-row
+    * count, and pos/value checksums. The oracle rebuilds outer-unnest
+    * as inner-unnest UNION the empty-side rows — DuckDB's unnest has
+    * no outer form, which is exactly why the semantic needs pinning. */
+  val q268 = QuerySpec(
+    "q268_generator_outer",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select($"l_returnflag".as("rf"),
+          when($"l_returnflag" === "R", array().cast("array<int>"))
+            .otherwise(sequence(lit(1), $"l_linenumber")).as("arr"))
+        .select($"rf", posexplode_outer($"arr"))
+        .groupBy($"rf")
+        .agg(count(lit(1)).as("n_out"),
+          count(when($"pos".isNull, 1)).as("n_null_rows"),
+          sum(coalesce($"pos", lit(0))).as("pos_sum"),
+          sum(coalesce($"col", lit(0))).as("val_sum"))
+        .orderBy($"rf")
+    },
+    Some("""WITH base AS (
+           |  SELECT l_returnflag AS rf, l_linenumber AS ln FROM lineitem),
+           |ex AS (
+           |  SELECT rf, CAST(t.i - 1 AS BIGINT) AS pos, CAST(t.i AS BIGINT) AS v
+           |  FROM base, unnest(generate_series(1, ln)) AS t(i)
+           |  WHERE rf <> 'R'
+           |  UNION ALL
+           |  SELECT rf, NULL, NULL FROM base WHERE rf = 'R')
+           |SELECT rf, count(*) AS n_out,
+           |  CAST(count(CASE WHEN pos IS NULL THEN 1 END) AS BIGINT) AS n_null_rows,
+           |  CAST(sum(coalesce(pos, 0)) AS BIGINT) AS pos_sum,
+           |  CAST(sum(coalesce(v, 0)) AS BIGINT) AS val_sum
+           |FROM ex GROUP BY rf ORDER BY rf""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q39, q40, q41, q42, q43, q46, q47, q49, q50, q58,
     q74, q77, q79, q80, q92, q98, q99, q102, q104, q105, q107, q109, q112, q115,
-    q141, q152, q158, q159, q195, q197, q232, q233, q234)
+    q141, q152, q158, q159, q195, q197, q232, q233, q234, q265, q266, q267, q268)
 }

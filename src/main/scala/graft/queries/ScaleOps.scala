@@ -557,6 +557,66 @@ object ScaleOps {
             |  CAST(0 AS BIGINT) AS n_mismatch_after""".stripMargin),
   )
 
+  /** q269 — per-GROUP exact medians, q258's algorithm vectorized across
+    * groups: ONE histogram pass builds (group, bucket) counts for every
+    * group simultaneously (a map-side-combined groupBy, groups×1024
+    * rows — driver-sized while the group domain is dimension-like; for
+    * high-cardinality groups the locate step becomes a distributed
+    * cumulative-sum join instead of a driver walk, same plan shape),
+    * the driver locates each group's median bucket, and ONE second pass
+    * filters to the union of located buckets, ranks within each via a
+    * per-group window (≈ n/1024 rows per group — the only sort
+    * anywhere), and reads the target rank. Lower median (rank
+    * ceil(n/2)); duplicate values share a bucket so rank arithmetic
+    * stays exact under ties. The oracle is the definitional global
+    * per-group row_number readout. */
+  val q269 = QuerySpec(
+    "q269_grouped_exact_median",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val x = Tables.lineitem(s, d)
+        .select($"l_returnflag".as("g"), $"l_extendedprice".as("x"))
+      val b0 = x.agg(min($"x"), max($"x")).head()
+      val (mn, mx) = (b0.getDouble(0), b0.getDouble(1))
+      val bucketOf = least(floor(($"x" - mn) / (mx - mn) * 1024).cast("int"), lit(1023))
+      val hist = x.groupBy($"g", bucketOf.as("b")).count().collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      val locs = hist.map(_._1).distinct.sorted.map { g =>
+        val rows = hist.filter(_._1 == g).sortBy(_._2)
+        val n = rows.map(_._3).sum
+        val k = (n + 1) / 2
+        var cum = 0L
+        var located: Option[(Int, Long)] = None
+        rows.foreach { case (_, b, c) =>
+          if (located.isEmpty && cum + c >= k) located = Some((b, cum))
+          cum += c
+        }
+        val (b, before) = located.get
+        (g, b, n, k - before)
+      }
+      val cand = locs.map { case (g, b, _, _) => $"g" === g && bucketOf === b }
+        .reduce(_ || _)
+      val targets = s.createDataFrame(
+        locs.toSeq.map { case (g, _, n, r) => (g, n, r) })
+        .toDF("g", "n", "target_rank")
+      x.filter(cand)
+        .withColumn("rn", row_number().over(Window.partitionBy($"g").orderBy($"x")))
+        .join(broadcast(targets), Seq("g"))
+        .filter($"rn" === $"target_rank")
+        .select($"g", $"n", $"x".as("median"))
+        .orderBy($"g")
+    },
+    Some("""WITH r AS (
+           |  SELECT l_returnflag AS g, l_extendedprice AS x,
+           |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+           |    count(*) OVER (PARTITION BY l_returnflag) AS n
+           |  FROM lineitem)
+           |SELECT g, CAST(max(n) AS BIGINT) AS n,
+           |  max(CASE WHEN rn = (n + 1) // 2 THEN x END) AS median
+           |FROM r GROUP BY g ORDER BY g""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q207, q208, q209, q210, q248, q249, q250,
-    q256, q257, q258, q259)
+    q256, q257, q258, q259, q269)
 }
