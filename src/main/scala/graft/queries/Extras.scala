@@ -1326,49 +1326,71 @@ object Extras {
     * division by zero, and try_add/try_divide/try_multiply/try_sum are
     * the per-expression opt-outs that return NULL instead — the
     * semantics a pipeline needs when one poisoned row must not kill a
-    * 100 TB job. Scalar gates: try_add NULL exactly where the addend
-    * crosses BIGINT max; try_divide NULL exactly at the zero divisor;
-    * try_sum NULL for every group whose true sum exceeds BIGINT range.
-    * The oracle computes the same conditions in HUGEINT (DuckDB has no
-    * try_*, which is the point — the CASE mirrors state the semantics
-    * from first principles). */
+    * 100 TB job. Poison rows are RARE by construction (l_orderkey %
+    * 499 = 0, ~0.2%), which is both the realistic shape and the
+    * performance contract: each caught ANSI error is an interpreted
+    * JVM exception, so a try_* expression whose failure path fires on
+    * most rows runs ~10× slower than the scan around it (measured:
+    * an always-overflowing variant of this query went 12× super-linear
+    * sf0.01→sf0.1). try_* guards ITS OWN op only — the try_sum input
+    * product is sized to never overflow per-row while the partial-sum
+    * ladder overflows at sf0.1 and stays in range at sf0.01, pinning
+    * BOTH branches of try_sum across the two scale points. The oracle
+    * restates every condition in HUGEINT (DuckDB has no try_*). */
   val q266 = QuerySpec(
     "q266_try_arithmetic",
     (s, d) => {
       import s.implicits._
-      val big = 9223372036854775807L
-      Tables.lineitem(s, d)
+      val poisoned = Tables.lineitem(s, d)
         .select($"l_returnflag", $"l_orderkey", $"l_linenumber",
-          expr(s"try_add(${big - 1000L}L, l_orderkey)").as("a"),
-          expr("try_divide(l_orderkey, l_linenumber - 3)").as("b"),
-          expr("try_multiply(l_orderkey, 281474976710656L)").as("c"))
+          ($"l_orderkey" % 499L === 0L && $"l_orderkey" > 0L).as("p"))
+        .select($"l_returnflag", $"l_orderkey",
+          expr("try_add(9223372036854775807L, CASE WHEN p THEN l_orderkey ELSE 0L END)").as("a"),
+          expr("try_divide(l_orderkey, CASE WHEN p THEN 0 ELSE 4 END)").as("b"),
+          expr("try_multiply(l_orderkey, CASE WHEN p THEN 9223372036854775807L ELSE 2L END)").as("c"))
+      val scalar = poisoned
         .groupBy($"l_returnflag")
         .agg(count(lit(1)).as("n"),
           count(when($"a".isNull, 1)).as("n_add_overflow"),
           count(when($"b".isNull, 1)).as("n_div_zero"),
           count(when($"c".isNull, 1)).as("n_mul_overflow"),
-          dsum(coalesce($"b", lit(0.0)), 6).as("div_sum"),
-          // Factor chosen so the per-row product NEVER overflows (ANSI
-          // would throw before try_sum could catch it — try_* guards its
-          // own op only) while every group's SUM does.
-          expr("try_sum(l_orderkey * 1000000000000L)").as("sum_overflow"))
+          dsum(coalesce($"b", lit(0.0)), 6).as("div_sum"))
+      // try_sum over a 16-row pre-aggregated ladder per group: the inner
+      // partial sums never overflow, the scaled outer sum overflows at
+      // sf0.1 (→ NULL) and fits at sf0.01 (→ exact value).
+      val ladder = Tables.lineitem(s, d)
+        .groupBy($"l_returnflag", ($"l_orderkey" % 16L).as("b16"))
+        .agg(sum($"l_orderkey").as("s16"))
+        .groupBy($"l_returnflag")
+        .agg(expr("try_sum(s16 * 1000000000L)").as("sum_overflow"))
+      scalar.join(ladder, Seq("l_returnflag"))
         .orderBy($"l_returnflag")
     },
-    Some("""SELECT l_returnflag, count(*) AS n,
-           |  CAST(count(CASE WHEN l_orderkey > 1000 THEN 1 END) AS BIGINT)
-           |    AS n_add_overflow,
-           |  CAST(count(CASE WHEN l_linenumber = 3 THEN 1 END) AS BIGINT)
-           |    AS n_div_zero,
-           |  CAST(count(CASE WHEN CAST(l_orderkey AS HUGEINT) * 281474976710656
-           |      > 9223372036854775807 THEN 1 END) AS BIGINT) AS n_mul_overflow,
-           |  CAST(sum(CAST(coalesce(CASE WHEN l_linenumber <> 3
-           |      THEN CAST(l_orderkey AS DOUBLE) / (l_linenumber - 3) END, 0.0)
-           |    AS DECIMAL(30,6))) AS DOUBLE) AS div_sum,
-           |  CASE WHEN sum(CAST(l_orderkey AS HUGEINT) * 1000000000000)
-           |      BETWEEN -9223372036854775808 AND 9223372036854775807
-           |    THEN CAST(sum(CAST(l_orderkey AS HUGEINT) * 1000000000000) AS BIGINT)
-           |    ELSE NULL END AS sum_overflow
-           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    Some("""WITH base AS (
+           |  SELECT l_returnflag, l_orderkey, (l_orderkey % 499 = 0 AND l_orderkey > 0) AS p
+           |  FROM lineitem),
+           |scalar AS (
+           |  SELECT l_returnflag, count(*) AS n,
+           |    CAST(count(CASE WHEN p THEN 1 END) AS BIGINT) AS n_add_overflow,
+           |    CAST(count(CASE WHEN p THEN 1 END) AS BIGINT) AS n_div_zero,
+           |    CAST(count(CASE WHEN p THEN 1 END) AS BIGINT) AS n_mul_overflow,
+           |    CAST(sum(CAST(CASE WHEN p THEN 0.0
+           |        ELSE CAST(l_orderkey AS DOUBLE) / 4 END AS DECIMAL(30,6)))
+           |      AS DOUBLE) AS div_sum
+           |  FROM base GROUP BY l_returnflag),
+           |ladder AS (
+           |  SELECT l_returnflag,
+           |    sum(CAST(s16 AS HUGEINT) * 1000000000) AS hsum
+           |  FROM (SELECT l_returnflag, l_orderkey % 16 AS b16,
+           |          CAST(sum(l_orderkey) AS BIGINT) AS s16
+           |        FROM lineitem GROUP BY 1, 2)
+           |  GROUP BY l_returnflag)
+           |SELECT s.l_returnflag, n, n_add_overflow, n_div_zero, n_mul_overflow,
+           |  div_sum,
+           |  CASE WHEN hsum BETWEEN -9223372036854775808 AND 9223372036854775807
+           |    THEN CAST(hsum AS BIGINT) ELSE NULL END AS sum_overflow
+           |FROM scalar s JOIN ladder USING (l_returnflag)
+           |ORDER BY s.l_returnflag""".stripMargin),
   )
 
   /** q267 — union with missing columns (schema-evolution union): two
