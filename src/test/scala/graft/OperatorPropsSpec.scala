@@ -250,4 +250,52 @@ class OperatorPropsSpec extends SparkTestBase {
     val b = digest(scala.util.Random.shuffle(xs).toDF("v").coalesce(1))
     assert(a === b, "digest depends on order/partitioning")
   }
+
+  test("interval sweep islands (q254's algorithm) equal the reference merge") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // Dense small domain forces duplicates, touching endpoints, and
+    // fully-nested intervals — the tie cases the running-max sweep must
+    // get right.
+    val ivGen = Gen.listOfN(40, Gen.zip(Gen.chooseNum(0, 50), Gen.chooseNum(0, 10)))
+    samples(ivGen, 6).foreach { raw =>
+      val ivs = raw.map { case (s0, len) => (s0, s0 + len) }
+      val w = Window.orderBy($"s", $"e")
+      val prevMax = max($"e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+      val islands = ivs.toDF("s", "e")
+        .withColumn("opens", when(prevMax.isNull || $"s" > prevMax, 1).otherwise(0))
+        .withColumn("isl", sum($"opens").over(w))
+        .groupBy($"isl").agg(min($"s").as("a"), max($"e").as("b"))
+        .collect().map(r => (r.getInt(1), r.getInt(2))).sorted.toList
+      val ref = ivs.sorted.foldLeft(List.empty[(Int, Int)]) {
+        case ((a, b) :: t, (s, e)) if s <= b => (a, math.max(b, e)) :: t
+        case (acc, iv) => iv :: acc
+      }.reverse
+      assert(islands === ref, s"islands diverged for $ivs")
+    }
+  }
+
+  test("skyline sweep (q255's algorithm) equals the quadratic dominance definition") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // 9×9 integer grid → heavy ties on both axes and duplicate points.
+    val ptGen = Gen.listOfN(30, Gen.zip(Gen.chooseNum(0, 8), Gen.chooseNum(0, 8)))
+    samples(ptGen, 8).foreach { pts =>
+      val distinctPts = pts.distinct
+      val w = Window.orderBy($"bal".desc, $"spend".desc)
+      val mprev = max($"spend").over(w.rowsBetween(Window.unboundedPreceding, -1))
+      val sky = distinctPts.toDF("bal", "spend")
+        .withColumn("sky", mprev.isNull || $"spend" > mprev)
+        .filter($"sky").select($"bal", $"spend")
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      val ref = distinctPts.filter { case (a, s) =>
+        !distinctPts.exists { case (qa, qs) =>
+          qa >= a && qs >= s && (qa > a || qs > s)
+        }
+      }.toSet
+      assert(sky === ref, s"skyline diverged for $pts")
+    }
+  }
 }
