@@ -617,6 +617,81 @@ object ScaleOps {
            |FROM r GROUP BY g ORDER BY g""".stripMargin),
   )
 
+  /** q270 — nearest neighbor WITHIN RADIUS (q256's cells + argmin):
+    * for every customer, the closest supplier within 2000 milli-degrees
+    * — or NULL if none — with deterministic d2-then-key tie-break. The
+    * cell contract makes the 3×3 candidate set COMPLETE for the radius
+    * (cell width = radius), so `min(struct(d2, key))` over candidates
+    * is exact nearest-within-r, and the left join back to the full
+    * customer table preserves no-match customers (the semantics an
+    * inner candidate join would silently drop — same row-preservation
+    * rule as q268's outer generator). Unbounded global nearest needs
+    * expanding ring search (ring 2, ring 3, ... until hit) — out of
+    * scope by declared semantics, noted for the 100 TB path. Scale: the
+    * argmin is a map-side-combinable struct-min, no window, no sort;
+    * candidates never exceed density × 9 cells per customer. */
+  val q270 = QuerySpec(
+    "q270_knn_within_radius",
+    (s, d) => {
+      import s.implicits._
+      def latE3(k: org.apache.spark.sql.Column) = (k * 7919L) % 180001L - 90000L
+      def lonE3(k: org.apache.spark.sql.Column) = (k * 104729L) % 360001L - 180000L
+      val cust = Tables.customer(s, d).select($"c_custkey", $"c_nationkey",
+          latE3($"c_custkey").as("clat"), lonE3($"c_custkey").as("clon"))
+        .withColumn("cx", (($"clat" + 90000L) / 2000L).cast("long"))
+        .withColumn("cy", (($"clon" + 180000L) / 2000L).cast("long"))
+      val supp = Tables.supplier(s, d).select($"s_suppkey",
+          latE3($"s_suppkey").as("slat"), lonE3($"s_suppkey").as("slon"))
+        .withColumn("sx", (($"slat" + 90000L) / 2000L).cast("long"))
+        .withColumn("sy", (($"slon" + 180000L) / 2000L).cast("long"))
+        .withColumn("dx", explode(sequence(lit(-1), lit(1))))
+        .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+        .select(($"sx" + $"dx").as("cx"), ($"sy" + $"dy").as("cy"),
+          $"s_suppkey", $"slat", $"slon")
+      val d2 = ($"clat" - $"slat") * ($"clat" - $"slat") +
+        ($"clon" - $"slon") * ($"clon" - $"slon")
+      val nearest = cust.join(broadcast(supp), Seq("cx", "cy"))
+        .filter(d2 <= 4000000L)
+        .withColumn("d2", d2)
+        .groupBy($"c_custkey")
+        .agg(min(struct($"d2", $"s_suppkey")).as("m"))
+        .select($"c_custkey", $"m.d2".as("d2"), $"m.s_suppkey".as("nn"))
+      cust.join(nearest, Seq("c_custkey"), "left")
+        .groupBy($"c_nationkey".as("nat"))
+        .agg(count(lit(1)).as("n_cust"),
+          count($"nn").as("n_matched"),
+          sum($"d2").as("d2_sum"),
+          sum($"nn").as("nn_checksum"))
+        .orderBy($"nat")
+    },
+    Some("""WITH c AS (
+           |  SELECT c_custkey, c_nationkey,
+           |    (c_custkey * 7919) % 180001 - 90000 AS clat,
+           |    (c_custkey * 104729) % 360001 - 180000 AS clon
+           |  FROM customer),
+           |s AS (
+           |  SELECT s_suppkey,
+           |    (s_suppkey * 7919) % 180001 - 90000 AS slat,
+           |    (s_suppkey * 104729) % 360001 - 180000 AS slon
+           |  FROM supplier),
+           |cand AS (
+           |  SELECT c_custkey, s_suppkey,
+           |    (clat - slat) * (clat - slat) + (clon - slon) * (clon - slon) AS d2
+           |  FROM c JOIN s
+           |    ON (clat - slat) * (clat - slat) + (clon - slon) * (clon - slon) <= 4000000),
+           |nearest AS (
+           |  SELECT c_custkey, d2, s_suppkey FROM (
+           |    SELECT c_custkey, d2, s_suppkey,
+           |      row_number() OVER (PARTITION BY c_custkey ORDER BY d2, s_suppkey) AS rn
+           |    FROM cand) WHERE rn = 1)
+           |SELECT c_nationkey AS nat, count(*) AS n_cust,
+           |  CAST(count(n.s_suppkey) AS BIGINT) AS n_matched,
+           |  CAST(sum(n.d2) AS BIGINT) AS d2_sum,
+           |  CAST(sum(n.s_suppkey) AS BIGINT) AS nn_checksum
+           |FROM c LEFT JOIN nearest n USING (c_custkey)
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q207, q208, q209, q210, q248, q249, q250,
-    q256, q257, q258, q259, q269)
+    q256, q257, q258, q259, q269, q270)
 }
