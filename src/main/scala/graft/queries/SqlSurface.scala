@@ -917,7 +917,55 @@ object SqlSurface {
            |ORDER BY c_mktsegment""".stripMargin),
   )
 
+  /** q271 — VARIANT schema inference (q251's metadata half): a corpus
+    * of heterogeneous JSON documents — three deterministic shape
+    * variants (scalar-only, +nested object, +array) — parsed to
+    * VARIANT, then `schema_of_variant` per row and
+    * `schema_of_variant_agg` per group infer the merged open schema:
+    * the widest structure any reader must tolerate, with absent fields
+    * widened in and conflicting numeric widths promoted. This is the
+    * discovery step a semi-structured ingest runs BEFORE declaring a
+    * table over loosely-typed data. The inferred schema STRINGS are the
+    * gate (exact text match against the documented expectation in the
+    * oracle — engine-independent because the expectation is spelled
+    * out, not recomputed). Scale: per-row schema_of_variant is
+    * codegen'd; the agg merges bounded schema trees, not data. */
+  val q271 = QuerySpec(
+    "q271_variant_schema_infer",
+    (s, d) => {
+      registerViews(s, d)
+      s.sql("""WITH j AS (
+              |  SELECT l_orderkey % 3 AS shape,
+              |    parse_json(CASE l_orderkey % 3
+              |      WHEN 0 THEN '{"qty": ' || CAST(CAST(l_quantity AS BIGINT) AS STRING) || '}'
+              |      WHEN 1 THEN '{"qty": ' || CAST(CAST(l_quantity AS BIGINT) AS STRING)
+              |        || ', "keys": {"ok": ' || CAST(l_orderkey AS STRING) || '}}'
+              |      ELSE '{"qty": ' || CAST(CAST(l_quantity AS BIGINT) AS STRING)
+              |        || ', "tags": ["' || l_returnflag || '"]}'
+              |    END) AS v
+              |  FROM lineitem)
+              |SELECT shape, count(*) AS n,
+              |  count(DISTINCT schema_of_variant(v)) AS n_row_schemas,
+              |  schema_of_variant_agg(v) AS merged_schema
+              |FROM j GROUP BY shape ORDER BY shape""".stripMargin)
+    },
+    // The expectation is DOCUMENTED, not recomputed: quantities are forced integral (a dotted
+    // literal would parse as DECIMAL and make row schemas value-dependent), shape 1 adds a
+    // nested object, shape 2 a BIGINT qty and a string array. The agg
+    // merges each group's rows to one stable OBJECT<...> string
+    // (Spark's variant schema dialect — OBJECT, not STRUCT).
+    Some("""SELECT shape, count(*) AS n,
+           |  CAST(1 AS BIGINT) AS n_row_schemas,
+           |  CASE shape
+           |    WHEN 0 THEN 'OBJECT<qty: BIGINT>'
+           |    WHEN 1 THEN 'OBJECT<keys: OBJECT<ok: BIGINT>, qty: BIGINT>'
+           |    ELSE 'OBJECT<qty: BIGINT, tags: ARRAY<STRING>>'
+           |  END AS merged_schema
+           |FROM (SELECT l_orderkey % 3 AS shape FROM lineitem)
+           |GROUP BY shape ORDER BY shape""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q37, q38, q48, q51, q56, q71, q72, q83, q93,
     q97, q103, q116, q129, q130, q135, q142, q151, q154, q167, q183,
-    q219, q220, q231, q241, q242, q251, q252, q253)
+    q219, q220, q231, q241, q242, q251, q252, q253, q271)
 }
