@@ -1386,8 +1386,63 @@ object Analytics {
            |FROM t GROUP BY 1 ORDER BY 1""".stripMargin),
   )
 
+  /** q272 — survivorship merge (the golden-record step master-data
+    * pipelines run after duplicate clustering, field-LEVEL where q57's
+    * keep-best is row-level): within each duplicate cluster (custkey
+    * div 4 — deterministic ~4-member clusters), each golden field has
+    * its own rule: id = oldest member (min key), balance = most
+    * favorable (max), segment = FROM the best member (argmax by
+    * balance, key tie-break — a value carried from the winning record,
+    * not an independent aggregate), plus a conflict flag when members
+    * disagree on nation. The argmax is `max(struct(bal, -key, seg))` —
+    * one map-side-combinable aggregate, no window, no self-join; the
+    * oracle states the same argmax as a row_number pick. Readout rolls
+    * golden records up by surviving segment. Scale: one shuffle on the
+    * cluster key; every rule is an associative aggregate, so partial
+    * aggregation does the heavy lifting before the exchange. */
+  val q272 = QuerySpec(
+    "q272_survivorship_merge",
+    (s, d) => {
+      import s.implicits._
+      Tables.customer(s, d)
+        .select(expr("c_custkey div 4").as("cl"), $"c_custkey", $"c_acctbal",
+          $"c_mktsegment", $"c_nationkey")
+        .groupBy($"cl")
+        .agg(min($"c_custkey").as("gid"),
+          max($"c_acctbal").as("gbal"),
+          max(struct($"c_acctbal", (-$"c_custkey").as("negk"),
+            $"c_mktsegment".as("seg"))).getField("seg").as("gseg"),
+          countDistinct($"c_nationkey").as("n_nat"))
+        .groupBy($"gseg")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum($"gid").as("gid_sum"),
+          dsum($"gbal", 2).as("gbal_sum"),
+          count(when($"n_nat" > 1, 1)).as("n_conflicted"))
+        .orderBy($"gseg")
+    },
+    Some(s"""WITH m AS (
+            |  SELECT c_custkey // 4 AS cl, c_custkey, c_acctbal, c_mktsegment,
+            |    c_nationkey
+            |  FROM customer),
+            |g AS (
+            |  SELECT cl, min(c_custkey) AS gid, max(c_acctbal) AS gbal,
+            |    count(DISTINCT c_nationkey) AS n_nat
+            |  FROM m GROUP BY cl),
+            |best AS (
+            |  SELECT cl, c_mktsegment AS gseg FROM (
+            |    SELECT cl, c_mktsegment,
+            |      row_number() OVER (PARTITION BY cl
+            |        ORDER BY c_acctbal DESC, c_custkey) AS rn
+            |    FROM m) WHERE rn = 1)
+            |SELECT gseg, count(*) AS n_clusters,
+            |  CAST(sum(gid) AS BIGINT) AS gid_sum,
+            |  ${sqlDsum("gbal", 2)} AS gbal_sum,
+            |  CAST(count(CASE WHEN n_nat > 1 THEN 1 END) AS BIGINT) AS n_conflicted
+            |FROM g JOIN best USING (cl) GROUP BY gseg ORDER BY gseg""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q118, q119, q120, q121, q123, q124, q127, q128, q131, q132, q134, q137,
       q139, q147, q153, q157, q165, q191, q193, q198, q199, q217, q222, q227,
-      q246, q247, q254, q255, q264)
+      q246, q247, q254, q255, q264, q272)
 }
