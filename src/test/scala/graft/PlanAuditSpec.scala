@@ -482,6 +482,15 @@ class PlanAuditSpec extends SparkTestBase {
       "grid-cell join degraded to the all-pairs product it exists to avoid\n" + p)
   }
 
+  test("q270: argmin is an aggregate, not a window; candidate join broadcasts") {
+    val p = plan("q270_knn_within_radius")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"),
+      "nearest-neighbor pick degraded to a window sort; " +
+        "struct-min must stay a map-side-combinable aggregate\n" + p)
+  }
+
   test("q254/q255: window-sweep shapes — no join in the island build, no product in the skyline") {
     val iv = plan("q254_interval_coalesce")
     assert(iv.contains("Window"), iv)
