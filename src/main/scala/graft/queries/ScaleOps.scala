@@ -16,6 +16,15 @@ object ScaleOps {
 
   private def md5Hex(c: org.apache.spark.sql.Column) = md5(c.cast("binary"))
 
+  /** Deterministic integer milli-degree coordinates + 2000-unit grid
+    * cells (shifted non-negative so integral division IS floor) —
+    * shared by the spatial family q256/q270/q273. Affine hashes of the
+    * entity key: exact on every engine, no FP trig anywhere. */
+  private def geoLatE3(k: org.apache.spark.sql.Column) = (k * 7919L) % 180001L - 90000L
+  private def geoLonE3(k: org.apache.spark.sql.Column) = (k * 104729L) % 360001L - 180000L
+  private def cellX(lat: org.apache.spark.sql.Column) = ((lat + 90000L) / 2000L).cast("long")
+  private def cellY(lon: org.apache.spark.sql.Column) = ((lon + 180000L) / 2000L).cast("long")
+
   /** q207 — deterministic corpus shuffle + sharding: training pipelines
     * need the corpus in a pseudo-random but REPRODUCIBLE order, split
     * into shards that any worker count can consume. Shard = first hex
@@ -349,16 +358,14 @@ object ScaleOps {
     "q256_geo_cell_join",
     (s, d) => {
       import s.implicits._
-      def latE3(k: org.apache.spark.sql.Column) = (k * 7919L) % 180001L - 90000L
-      def lonE3(k: org.apache.spark.sql.Column) = (k * 104729L) % 360001L - 180000L
       val cust = Tables.customer(s, d).select($"c_custkey", $"c_nationkey",
-          latE3($"c_custkey").as("clat"), lonE3($"c_custkey").as("clon"))
-        .withColumn("cx", ($"clat" + 90000L) / 2000L cast "long")
-        .withColumn("cy", ($"clon" + 180000L) / 2000L cast "long")
+          geoLatE3($"c_custkey").as("clat"), geoLonE3($"c_custkey").as("clon"))
+        .withColumn("cx", cellX($"clat"))
+        .withColumn("cy", cellY($"clon"))
       val supp = Tables.supplier(s, d).select($"s_suppkey",
-          latE3($"s_suppkey").as("slat"), lonE3($"s_suppkey").as("slon"))
-        .withColumn("sx", ($"slat" + 90000L) / 2000L cast "long")
-        .withColumn("sy", ($"slon" + 180000L) / 2000L cast "long")
+          geoLatE3($"s_suppkey").as("slat"), geoLonE3($"s_suppkey").as("slon"))
+        .withColumn("sx", cellX($"slat"))
+        .withColumn("sy", cellY($"slon"))
         .withColumn("dx", explode(sequence(lit(-1), lit(1))))
         .withColumn("dy", explode(sequence(lit(-1), lit(1))))
         .select(($"sx" + $"dx").as("cx"), ($"sy" + $"dy").as("cy"),
@@ -454,7 +461,11 @@ object ScaleOps {
       val x = Tables.lineitem(s, d).select($"l_extendedprice".as("x"))
       val head = x.agg(count(lit(1)), min($"x"), max($"x")).head()
       val (n, mn, mx) = (head.getLong(0), head.getDouble(1), head.getDouble(2))
-      val bucketOf = least(floor(($"x" - mn) / (mx - mn) * 1024).cast("int"), lit(1023))
+      // Degenerate domain (all values equal) → everything in bucket 0;
+      // guards the 0-width division, which ANSI would surface as NaN.
+      val bucketOf =
+        if (mx == mn) lit(0)
+        else least(floor(($"x" - mn) / (mx - mn) * 1024).cast("int"), lit(1023))
       val hist = x.groupBy(bucketOf.as("b")).count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
       def kth(p: Double): Double = {
@@ -579,7 +590,9 @@ object ScaleOps {
         .select($"l_returnflag".as("g"), $"l_extendedprice".as("x"))
       val b0 = x.agg(min($"x"), max($"x")).head()
       val (mn, mx) = (b0.getDouble(0), b0.getDouble(1))
-      val bucketOf = least(floor(($"x" - mn) / (mx - mn) * 1024).cast("int"), lit(1023))
+      val bucketOf = // q258's degenerate-domain guard
+        if (mx == mn) lit(0)
+        else least(floor(($"x" - mn) / (mx - mn) * 1024).cast("int"), lit(1023))
       val hist = x.groupBy($"g", bucketOf.as("b")).count().collect()
         .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
       val locs = hist.map(_._1).distinct.sorted.map { g =>
@@ -634,16 +647,14 @@ object ScaleOps {
     "q270_knn_within_radius",
     (s, d) => {
       import s.implicits._
-      def latE3(k: org.apache.spark.sql.Column) = (k * 7919L) % 180001L - 90000L
-      def lonE3(k: org.apache.spark.sql.Column) = (k * 104729L) % 360001L - 180000L
       val cust = Tables.customer(s, d).select($"c_custkey", $"c_nationkey",
-          latE3($"c_custkey").as("clat"), lonE3($"c_custkey").as("clon"))
-        .withColumn("cx", (($"clat" + 90000L) / 2000L).cast("long"))
-        .withColumn("cy", (($"clon" + 180000L) / 2000L).cast("long"))
+          geoLatE3($"c_custkey").as("clat"), geoLonE3($"c_custkey").as("clon"))
+        .withColumn("cx", cellX($"clat"))
+        .withColumn("cy", cellY($"clon"))
       val supp = Tables.supplier(s, d).select($"s_suppkey",
-          latE3($"s_suppkey").as("slat"), lonE3($"s_suppkey").as("slon"))
-        .withColumn("sx", (($"slat" + 90000L) / 2000L).cast("long"))
-        .withColumn("sy", (($"slon" + 180000L) / 2000L).cast("long"))
+          geoLatE3($"s_suppkey").as("slat"), geoLonE3($"s_suppkey").as("slon"))
+        .withColumn("sx", cellX($"slat"))
+        .withColumn("sy", cellY($"slon"))
         .withColumn("dx", explode(sequence(lit(-1), lit(1))))
         .withColumn("dy", explode(sequence(lit(-1), lit(1))))
         .select(($"sx" + $"dx").as("cx"), ($"sy" + $"dy").as("cy"),
@@ -692,6 +703,104 @@ object ScaleOps {
            |GROUP BY 1 ORDER BY 1""".stripMargin),
   )
 
+  /** q273 — UNBOUNDED nearest neighbor by expanding ring search (the
+    * escalation q270 declares out of scope): every customer gets its
+    * globally nearest supplier, searched ring-by-ring with a
+    * termination CERTIFICATE instead of an all-pairs product. Ring r
+    * searches cell Chebyshev distance ≤ r (suppliers exploded to the
+    * (2r+1)² neighborhood, broadcast); a candidate found at distance d
+    * is PROVEN nearest once d ≤ r·2000, because any unexplored supplier
+    * sits in a cell ≥ r+1 away ⇒ axis distance > r·2000. Rings double
+    * (1, 2, 4, …): one doubling after the first hit always certifies,
+    * so iterations are O(log(nearest distance)), and each round
+    * re-anchors on the base table minus certified keys (per-round
+    * persist — q59's discipline — keeps plan depth constant). Ring is
+    * capped at 64 (≈ 1.7 M broadcast cells at this supplier count);
+    * stragglers past the cap — none at these SFs — fall back to a
+    * direct small-side join, bounded by construction. The oracle is the
+    * definitional global argmin. Scale: cost tracks LOCAL density
+    * (dense regions certify at ring 1-2), not table size; the argmin
+    * stays a map-side-combinable struct-min throughout. */
+  val q273 = QuerySpec(
+    "q273_expanding_ring_nn",
+    (s, d) => {
+      import s.implicits._
+      val cust = Tables.customer(s, d).select($"c_custkey", $"c_nationkey",
+          geoLatE3($"c_custkey").as("clat"), geoLonE3($"c_custkey").as("clon"))
+        .withColumn("cx", cellX($"clat")).withColumn("cy", cellY($"clon"))
+      val supp = Tables.supplier(s, d).select($"s_suppkey",
+        geoLatE3($"s_suppkey").as("slat"), geoLonE3($"s_suppkey").as("slon"))
+      val d2 = ($"clat" - $"slat") * ($"clat" - $"slat") +
+        ($"clon" - $"slon") * ($"clon" - $"slon")
+      def nearestOf(candidates: org.apache.spark.sql.DataFrame) = candidates
+        .withColumn("d2", d2)
+        .groupBy($"c_custkey", $"c_nationkey")
+        .agg(min(struct($"d2", $"s_suppkey")).as("m"))
+        .select($"c_custkey", $"c_nationkey", $"m.d2".as("d2"),
+          $"m.s_suppkey".as("nn"))
+      val certified = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]
+      var remaining = cust.persist()
+      var ring = 1L
+      try {
+        while (remaining.limit(1).count() > 0 && ring <= 64L) {
+          val cells = supp
+            .withColumn("sx", cellX($"slat")).withColumn("sy", cellY($"slon"))
+            .withColumn("dx", explode(sequence(lit(-ring), lit(ring))))
+            .withColumn("dy", explode(sequence(lit(-ring), lit(ring))))
+            .select(($"sx" + $"dx").as("cx"), ($"sy" + $"dy").as("cy"),
+              $"s_suppkey", $"slat", $"slon")
+          val hit = nearestOf(remaining.join(broadcast(cells), Seq("cx", "cy")))
+            .filter($"d2" <= lit(ring * 2000L) * lit(ring * 2000L))
+            .persist()
+          hit.limit(1).count() // materialize before re-anchoring
+          certified += hit
+          val next = remaining
+            .join(hit.select($"c_custkey"), Seq("c_custkey"), "left_anti")
+            .persist()
+          next.limit(1).count()
+          remaining.unpersist()
+          remaining = next
+          ring *= 2
+        }
+        // Past-cap stragglers: direct join against the (small) supplier
+        // side — exact, and bounded to the leftover row count.
+        val tail = nearestOf(remaining.crossJoin(broadcast(supp)))
+        graft.queries.Eager(
+          certified.foldLeft(tail)(_ unionByName _)
+            .groupBy($"c_nationkey".as("nat"))
+            .agg(count(lit(1)).as("n_cust"),
+              sum($"d2").as("d2_sum"),
+              sum($"nn").as("nn_checksum"))
+            .orderBy($"nat"))
+      } finally {
+        remaining.unpersist()
+        certified.foreach(_.unpersist())
+      }
+    },
+    Some("""WITH c AS (
+           |  SELECT c_custkey, c_nationkey,
+           |    (c_custkey * 7919) % 180001 - 90000 AS clat,
+           |    (c_custkey * 104729) % 360001 - 180000 AS clon
+           |  FROM customer),
+           |s AS (
+           |  SELECT s_suppkey,
+           |    (s_suppkey * 7919) % 180001 - 90000 AS slat,
+           |    (s_suppkey * 104729) % 360001 - 180000 AS slon
+           |  FROM supplier),
+           |nearest AS (
+           |  SELECT c_custkey, c_nationkey, d2, s_suppkey FROM (
+           |    SELECT c_custkey, c_nationkey, s_suppkey,
+           |      (clat - slat) * (clat - slat) + (clon - slon) * (clon - slon) AS d2,
+           |      row_number() OVER (PARTITION BY c_custkey ORDER BY
+           |        (clat - slat) * (clat - slat) + (clon - slon) * (clon - slon),
+           |        s_suppkey) AS rn
+           |    FROM c CROSS JOIN s) WHERE rn = 1)
+           |SELECT c_nationkey AS nat, count(*) AS n_cust,
+           |  CAST(sum(d2) AS BIGINT) AS d2_sum,
+           |  CAST(sum(s_suppkey) AS BIGINT) AS nn_checksum
+           |FROM nearest GROUP BY 1 ORDER BY 1""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q207, q208, q209, q210, q248, q249, q250,
-    q256, q257, q258, q259, q269, q270)
+    q256, q257, q258, q259, q269, q270, q273)
 }
