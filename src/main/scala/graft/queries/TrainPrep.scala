@@ -1404,7 +1404,101 @@ object TrainPrep {
             |ORDER BY segment""".stripMargin),
   )
 
+  /** q274 — deterministic curriculum interleave: the global training
+    * order that (a) shuffles within each source (salted-hash rank — no
+    * RNG state), and (b) round-robins ACROSS sources so every batch
+    * prefix sees the full mixture (rank-major, source-minor total
+    * order) — the data-order half of curriculum/mixture training. The
+    * global position comes from [[graft.operators.StableIds]] over
+    * (rank, source) — NO single-partition sort. The gate buckets the
+    * curriculum into 100-position blocks and pins each block's source
+    * breadth (early blocks must already contain every source — the
+    * whole point of interleaving) plus a position⊗doc checksum that
+    * freezes the exact order. Oracle: the two-window single-partition
+    * formulation. */
+  val q274 = QuerySpec(
+    "q274_curriculum_interleave",
+    (s, d) => {
+      import s.implicits._
+      val ranked = Tables.documents(s, d)
+        .select($"doc_id", $"source",
+          md5(concat(lit("cur:"), $"doc_id".cast("string")).cast("binary")).as("h"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"source").orderBy($"h", $"doc_id")) - 1L)
+      graft.operators.StableIds
+        .withGlobalRowIds(ranked.select($"doc_id", $"source", $"rank"),
+          numParts = 8, $"rank", $"source")
+        .groupBy(expr("row_id div 100").as("block"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"source").as("n_sources"),
+          sum($"row_id" * $"doc_id").as("order_checksum"))
+        .orderBy($"block")
+    },
+    Some("""WITH r AS (
+           |  SELECT doc_id, source,
+           |    row_number() OVER (PARTITION BY source
+           |      ORDER BY md5('cur:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rnk
+           |  FROM documents),
+           |g AS (
+           |  SELECT doc_id, source,
+           |    row_number() OVER (ORDER BY rnk, source) - 1 AS pos
+           |  FROM r)
+           |SELECT pos // 100 AS block, count(*) AS n_docs,
+           |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           |  CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum
+           |FROM g GROUP BY 1 ORDER BY 1""".stripMargin),
+  )
+
+  /** q275 — vocabulary ENCODING (q87 builds the vocab; this applies
+    * it): ids 0..255 assigned to the top-256 terms by (collection
+    * frequency DESC, term) — the deterministic id assignment every
+    * tokenizer artifact fixes — then the corpus re-encodes via a
+    * BROADCAST dictionary join with OOV → -1 (the fallback id a real
+    * tokenizer maps to <unk>). Per-lang readout: token/OOV counts, the
+    * Σid encode checksum, and distinct-id usage. Scale: the dictionary
+    * is vocab-sized and broadcast — document text NEVER shuffles; the
+    * encode is scan + broadcast-hash-join + rollup, which is why
+    * tokenization parallelizes embarrassingly at 100 TB. */
+  val q275 = QuerySpec(
+    "q275_vocab_encode",
+    (s, d) => {
+      import s.implicits._
+      val terms = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"doc_id", $"lang",
+          explode(graft.functions.TextFns.tokens($"text")).as("term"))
+        .filter(char_length($"term") > 0)
+      val vocab = terms.groupBy($"term").agg(count(lit(1)).as("cf"))
+        .withColumn("id", row_number().over(
+          Window.orderBy($"cf".desc, $"term")) - 1L)
+        .filter($"id" < 256L)
+        .select($"term", $"id")
+      terms.join(broadcast(vocab), Seq("term"), "left")
+        .select($"lang", coalesce($"id", lit(-1L)).as("id"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when($"id" === -1L, 1)).as("n_oov"),
+          sum(when($"id" >= 0L, $"id").otherwise(0L)).as("id_checksum"),
+          countDistinct(when($"id" >= 0L, $"id")).as("n_ids_used"))
+        .orderBy($"lang")
+    },
+    Some("""WITH t2 AS (
+           |  SELECT doc_id, lang,
+           |    unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+           |  FROM documents),
+           |t AS (SELECT doc_id, lang, term FROM t2 WHERE len(term) > 0),
+           |v AS (
+           |  SELECT term, row_number() OVER (ORDER BY count(*) DESC, term) - 1 AS id
+           |  FROM t GROUP BY term QUALIFY id < 256)
+           |SELECT lang, count(*) AS n_tokens,
+           |  CAST(count(CASE WHEN v.id IS NULL THEN 1 END) AS BIGINT) AS n_oov,
+           |  CAST(sum(CASE WHEN v.id IS NOT NULL THEN v.id ELSE 0 END) AS BIGINT)
+           |    AS id_checksum,
+           |  CAST(count(DISTINCT v.id) AS BIGINT) AS n_ids_used
+           |FROM t LEFT JOIN v USING (term)
+           |GROUP BY lang ORDER BY lang""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q60, q61, q62, q63, q64, q65, q67, q68, q69, q70,
     q86, q87, q88, q89, q90, q96, q100, q101, q106, q110, q149, q150, q160,
-    q192, q194, q200, q214, q215, q236, q243, q263)
+    q192, q194, q200, q214, q215, q236, q243, q263, q274, q275)
 }
