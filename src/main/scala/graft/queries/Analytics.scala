@@ -1441,8 +1441,69 @@ object Analytics {
             |FROM g JOIN best USING (cl) GROUP BY gseg ORDER BY gseg""".stripMargin),
   )
 
+  /** q276 — declarative data-quality expectations (the deequ/dbt-test
+    * layer as an engine op): five rule KINDS evaluated in TWO passes
+    * total — not-null, value range, accepted values, and key uniqueness
+    * all fold into ONE aggregate over the fact scan (each rule is a
+    * FILTER-style conditional count; uniqueness is n − distinct n), and
+    * referential integrity adds one broadcast anti-join count. The
+    * report is one row per rule (checked, violations, passed) — the
+    * shape a quality gate consumes to block a pipeline stage. Scale:
+    * rule count doesn't add passes — every scalar rule rides the same
+    * scan; at 100 TB the RI check is the only join and its dimension
+    * side broadcasts. */
+  val q276 = QuerySpec(
+    "q276_dq_expectations",
+    (s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val head = o.agg(
+        count(lit(1)),
+        count(when($"o_custkey".isNull, 1)),
+        count(when(!($"o_totalprice" > 0.0 && $"o_totalprice" <= 600000.0), 1)),
+        count(when(!$"o_orderstatus".isin("F", "O", "P"), 1)),
+        countDistinct($"o_orderkey")).head()
+      val (n, nNull, nRange, nVals, nDist) =
+        (head.getLong(0), head.getLong(1), head.getLong(2), head.getLong(3),
+          head.getLong(4))
+      val nOrphans = o.join(broadcast(Tables.customer(s, d).select($"c_custkey")),
+        $"o_custkey" === $"c_custkey", "left_anti").count()
+      val rules = Seq(
+        ("accepted_values(o_orderstatus)", n, nVals),
+        ("not_null(o_custkey)", n, nNull),
+        ("range(o_totalprice)", n, nRange),
+        ("referential(o_custkey->customer)", n, nOrphans),
+        ("unique(o_orderkey)", n, n - nDist))
+      s.createDataFrame(rules.map { case (r, c, v) => (r, c, v, v == 0L) })
+        .toDF("rule", "n_checked", "n_violations", "passed")
+        .orderBy($"rule")
+    },
+    Some("""WITH a AS (
+           |  SELECT count(*) AS n,
+           |    count(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_null,
+           |    count(CASE WHEN NOT (o_totalprice > 0.0 AND o_totalprice <= 600000.0)
+           |      THEN 1 END) AS n_range,
+           |    count(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 END)
+           |      AS n_vals,
+           |    count(DISTINCT o_orderkey) AS n_dist
+           |  FROM orders),
+           |ri AS (
+           |  SELECT count(*) AS n_orphans FROM orders
+           |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+           |r AS (
+           |  SELECT 'accepted_values(o_orderstatus)' AS rule, n,
+           |    CAST(n_vals AS BIGINT) AS v FROM a
+           |  UNION ALL SELECT 'not_null(o_custkey)', n, CAST(n_null AS BIGINT) FROM a
+           |  UNION ALL SELECT 'range(o_totalprice)', n, CAST(n_range AS BIGINT) FROM a
+           |  UNION ALL SELECT 'referential(o_custkey->customer)', n,
+           |    CAST(n_orphans AS BIGINT) FROM a, ri
+           |  UNION ALL SELECT 'unique(o_orderkey)', n, CAST(n - n_dist AS BIGINT) FROM a)
+           |SELECT rule, n AS n_checked, v AS n_violations, v = 0 AS passed
+           |FROM r ORDER BY rule""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q118, q119, q120, q121, q123, q124, q127, q128, q131, q132, q134, q137,
       q139, q147, q153, q157, q165, q191, q193, q198, q199, q217, q222, q227,
-      q246, q247, q254, q255, q264, q272)
+      q246, q247, q254, q255, q264, q272, q276)
 }
