@@ -783,7 +783,58 @@ object SourcesIO {
            |FROM orders WHERE o_orderkey % 13 = 0""".stripMargin),
   )
 
+  /** q277 — schema drift REPORT (q98 reads through evolution; this
+    * observes it as data): two written snapshot versions diverge by an
+    * added column, a removed column, and a type change; reading both
+    * footers back and diffing the introspected StructTypes yields one
+    * row per column with its drift status — the report a catalog-sync
+    * or contract-check job emits before anyone queries the new
+    * snapshot. The expectation is pinned as CONSTANTS in the oracle
+    * (the drift is known by construction), so a change in how Spark
+    * renders types (`DataType.sql`) fails loudly. Scale: footer-only —
+    * no data rows are read; schema introspection cost is per-FILE
+    * metadata, the reason drift checks run in seconds at 100 TB. */
+  val q277 = QuerySpec(
+    "q277_schema_drift_report",
+    (s, d) => {
+      import s.implicits._
+      val tmp = Files.createTempDirectory("graft_drift_q277").toString
+      try {
+        val o = Tables.orders(s, d)
+        o.select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .write.mode("overwrite").parquet(s"$tmp/v1")
+        o.select($"o_orderkey",
+            $"o_totalprice".cast("decimal(12,2)").as("o_totalprice"),
+            lit("std").as("o_channel"))
+          .write.mode("overwrite").parquet(s"$tmp/v2")
+        val m1 = s.read.parquet(s"$tmp/v1").schema.fields
+          .map(f => f.name -> f.dataType.sql).toMap
+        val m2 = s.read.parquet(s"$tmp/v2").schema.fields
+          .map(f => f.name -> f.dataType.sql).toMap
+        val rows = (m1.keySet ++ m2.keySet).toSeq.sorted.map { c =>
+          val status = (m1.get(c), m2.get(c)) match {
+            case (Some(a), Some(b)) if a == b => "unchanged"
+            case (Some(_), Some(_))           => "type_changed"
+            case (Some(_), None)              => "removed"
+            case _                            => "added"
+          }
+          (c, m1.getOrElse(c, ""), m2.getOrElse(c, ""), status)
+        }
+        s.createDataFrame(rows)
+          .toDF("col_name", "v1_type", "v2_type", "status")
+          .orderBy($"col_name")
+      } finally graft.Fs.deleteTree(tmp)
+    },
+    Some("""SELECT * FROM (VALUES
+           |  ('o_channel', '', 'STRING', 'added'),
+           |  ('o_custkey', 'BIGINT', '', 'removed'),
+           |  ('o_orderkey', 'BIGINT', 'BIGINT', 'unchanged'),
+           |  ('o_totalprice', 'DOUBLE', 'DECIMAL(12,2)', 'type_changed'))
+           |  t(col_name, v1_type, v2_type, status)
+           |ORDER BY col_name""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q113, q114, q117, q133, q136, q140, q187, q188, q189, q216, q224, q228,
-      q237, q238, q239, q240)
+      q237, q238, q239, q240, q277)
 }
