@@ -1502,8 +1502,163 @@ object Analytics {
            |FROM r ORDER BY rule""".stripMargin),
   )
 
+  /** q280 — k-anonymity audit (the privacy gate a training-data release
+    * runs before shipping): customers are grouped by their
+    * quasi-identifier tuple (nation, market segment, account-balance
+    * band), and the report is the GROUP-SIZE HISTOGRAM — for each
+    * anonymity level k, how many QI groups and records sit at that
+    * level, their corpus share in ppm, and whether the level violates
+    * the k≥5 policy. The histogram (not per-group detail) is the
+    * publishable artifact: it never exposes a quasi-identifier tuple,
+    * and it is two map-side-combined aggregates regardless of QI
+    * cardinality. Balance bands via floor(x/1000.0) — IEEE divide +
+    * floor are bit-equal cross-engine, and floor (unlike integer `div`)
+    * keeps negative balances in contiguous bands. */
+  val q280 = QuerySpec(
+    "q280_k_anonymity",
+    (s, d) => {
+      import s.implicits._
+      val c = Tables.customer(s, d)
+      val groups = c
+        .withColumn("bal_band", floor($"c_acctbal" / 1000.0).cast("long"))
+        .groupBy($"c_nationkey", $"c_mktsegment", $"bal_band")
+        .agg(count(lit(1)).as("k"))
+      val total = c.count()
+      groups.groupBy($"k")
+        .agg(count(lit(1)).as("n_groups"),
+          sum($"k").as("n_records"))
+        .withColumn("share_ppm", expr(s"n_records * 1000000L div ${total}L"))
+        .withColumn("below_policy", $"k" < 5)
+        .orderBy($"k")
+    },
+    Some("""WITH g AS (
+           |  SELECT c_nationkey, c_mktsegment,
+           |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+           |    count(*) AS k
+           |  FROM customer GROUP BY 1, 2, 3),
+           |t AS (SELECT count(*) AS total FROM customer)
+           |SELECT k, count(*) AS n_groups, CAST(sum(k) AS BIGINT) AS n_records,
+           |  CAST(sum(k) AS BIGINT) * 1000000 // (SELECT total FROM t) AS share_ppm,
+           |  k < 5 AS below_policy
+           |FROM g GROUP BY k ORDER BY k""".stripMargin),
+  )
+
+  /** q281 — Benford first-digit audit (fraud/synthetic-data screening):
+    * the distribution of the leading digit of o_totalprice vs Benford's
+    * law, deviation reported in ppm. The expected frequencies
+    * log10(1+1/d) are PINNED as integer ppm constants in both engines —
+    * the only public constants in the test, so no runtime log() ever
+    * runs and the hash gate holds. Digit extraction goes through
+    * floor→BIGINT→string (floor of a double is exact; double→BIGINT
+    * CAST would ROUND in DuckDB but truncate in Spark — the documented
+    * cast trap this pipeline routes around). One scan, 9-row output. */
+  val q281 = QuerySpec(
+    "q281_benford_digit_audit",
+    (s, d) => {
+      import s.implicits._
+      val expected = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+        4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
+        9 -> 45757L)
+      val exp_ = broadcast(s.createDataFrame(expected).toDF("digit", "exp_ppm"))
+      Tables.orders(s, d)
+        .select(substring(floor($"o_totalprice").cast("long").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+        .groupBy($"digit").agg(count(lit(1)).as("n"))
+        .withColumn("total", sum($"n").over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))))
+        .withColumn("obs_ppm", expr("n * 1000000L div total"))
+        .join(exp_, "digit")
+        .withColumn("dev_ppm", abs($"obs_ppm" - $"exp_ppm"))
+        .select($"digit", $"n", $"obs_ppm", $"exp_ppm", $"dev_ppm")
+        .orderBy($"digit")
+    },
+    Some("""WITH e(digit, exp_ppm) AS (VALUES (1, 301030), (2, 176091),
+           |  (3, 124939), (4, 96910), (5, 79181), (6, 66947), (7, 57992),
+           |  (8, 51153), (9, 45757)),
+           |o AS (
+           |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+           |    1, 1) AS INT) AS digit, count(*) AS n
+           |  FROM orders GROUP BY 1)
+           |SELECT digit, n,
+           |  CAST(n * 1000000 // (SELECT sum(n) FROM o) AS BIGINT) AS obs_ppm,
+           |  CAST(exp_ppm AS BIGINT) AS exp_ppm,
+           |  CAST(abs(n * 1000000 // (SELECT sum(n) FROM o) - exp_ppm) AS BIGINT) AS dev_ppm
+           |FROM o JOIN e USING (digit) ORDER BY digit""".stripMargin),
+  )
+
+  /** q282 — RFM segmentation: per customer, recency (days since last
+    * order vs the corpus max date), frequency (order count), monetary
+    * (decimal-exact total), each quartiled, plus a rule-based segment
+    * label. The quartiles are NOT a single-partition ntile window —
+    * each dimension gets a distributed global rank via
+    * [[graft.operators.StableIds.withGlobalRowIds]] (range-partitioned
+    * sort + broadcast partition offsets), and the tile is computed from
+    * (rank, n) by ntile's own size formula, so the plan scales to a
+    * 10⁹-customer dimension while remaining value-identical to the
+    * oracle's ntile(4). Ties are broken by custkey in both engines. */
+  val q282 = QuerySpec(
+    "q282_rfm_segmentation",
+    (s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val g = o.agg(max($"o_orderdate").as("gmax"),
+        countDistinct($"o_custkey").as("n_cust"))
+      val rfm = o.groupBy($"o_custkey")
+        .agg(max($"o_orderdate").as("last_dt"),
+          count(lit(1)).as("f"),
+          dsum($"o_totalprice", 2).as("m"))
+        .crossJoin(broadcast(g))
+        .withColumn("r_days", datediff($"gmax", $"last_dt").cast("long"))
+      // ntile(4) from a 1-based global rank: q=n div 4, rem=n mod 4;
+      // the first rem buckets take q+1 rows (ANSI ntile's fill rule).
+      def tileOf(rank: String) =
+        expr(s"""CASE WHEN $rank <= (n_cust div 4 + 1) * (n_cust % 4)
+                 |  THEN ($rank - 1) div (n_cust div 4 + 1) + 1
+                 |  ELSE n_cust % 4
+                 |    + ($rank - (n_cust div 4 + 1) * (n_cust % 4) - 1) div (n_cust div 4) + 1
+                 |END""".stripMargin).cast("int")
+      val withR = graft.operators.StableIds
+        .withGlobalRowIds(rfm, 8, $"r_days", $"o_custkey")
+        .withColumn("r_tile", tileOf("(row_id + 1)")).drop("row_id")
+      val withF = graft.operators.StableIds
+        .withGlobalRowIds(withR, 8, $"f".desc, $"o_custkey")
+        .withColumn("f_tile", tileOf("(row_id + 1)")).drop("row_id")
+      val withM = graft.operators.StableIds
+        .withGlobalRowIds(withF, 8, $"m".desc, $"o_custkey")
+        .withColumn("m_tile", tileOf("(row_id + 1)")).drop("row_id")
+      withM
+        .withColumn("segment", expr(
+          """CASE WHEN r_tile = 1 AND f_tile <= 2 AND m_tile <= 2 THEN 'champion'
+            |     WHEN r_tile <= 2 AND f_tile <= 2 THEN 'loyal'
+            |     WHEN r_tile >= 3 AND m_tile = 1 THEN 'big_spender_lapsing'
+            |     WHEN r_tile = 4 THEN 'at_risk'
+            |     ELSE 'regular' END""".stripMargin))
+        .select($"o_custkey", $"r_days", $"f", $"m",
+          $"r_tile", $"f_tile", $"m_tile", $"segment")
+        .orderBy($"o_custkey")
+    },
+    Some(s"""WITH g AS (SELECT max(o_orderdate) AS gmax FROM orders),
+            |rfm AS (
+            |  SELECT o_custkey,
+            |    date_diff('day', max(o_orderdate), (SELECT gmax FROM g)) AS r_days,
+            |    count(*) AS f, ${sqlDsum("o_totalprice", 2)} AS m
+            |  FROM orders GROUP BY o_custkey),
+            |t AS (SELECT *,
+            |    CAST(ntile(4) OVER (ORDER BY r_days, o_custkey) AS INT) AS r_tile,
+            |    CAST(ntile(4) OVER (ORDER BY f DESC, o_custkey) AS INT) AS f_tile,
+            |    CAST(ntile(4) OVER (ORDER BY m DESC, o_custkey) AS INT) AS m_tile
+            |  FROM rfm)
+            |SELECT o_custkey, r_days, f, m, r_tile, f_tile, m_tile,
+            |  CASE WHEN r_tile = 1 AND f_tile <= 2 AND m_tile <= 2 THEN 'champion'
+            |       WHEN r_tile <= 2 AND f_tile <= 2 THEN 'loyal'
+            |       WHEN r_tile >= 3 AND m_tile = 1 THEN 'big_spender_lapsing'
+            |       WHEN r_tile = 4 THEN 'at_risk'
+            |       ELSE 'regular' END AS segment
+            |FROM t ORDER BY o_custkey""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q118, q119, q120, q121, q123, q124, q127, q128, q131, q132, q134, q137,
       q139, q147, q153, q157, q165, q191, q193, q198, q199, q217, q222, q227,
-      q246, q247, q254, q255, q264, q272, q276)
+      q246, q247, q254, q255, q264, q272, q276, q280, q281, q282)
 }
