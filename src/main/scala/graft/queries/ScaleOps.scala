@@ -810,6 +810,74 @@ object ScaleOps {
            |FROM nearest GROUP BY 1 ORDER BY 1""".stripMargin),
   )
 
+  /** Bit-interleave (Morton / z-order) of two 10-bit coordinates —
+    * emitted as a static OR-chain so both engines evaluate the same
+    * shift/mask tree (Spark codegens it; no UDF). */
+  private def mortonExpr(px: String, sy: String): String =
+    (0 until 10).map(i =>
+      s"((($px >> $i) & 1) << ${2 * i}) | ((($sy >> $i) & 1) << ${2 * i + 1})")
+      .mkString("(", " | ", ")")
+
+  /** q283 — z-order clustering layout audit, the 2-D extension of
+    * q228's 1-D range-clustered proof: lineitem rows are assigned to 64
+    * buckets two ways — by the top bits of the Morton interleave of
+    * (partkey, suppkey) scaled to 10-bit grid coordinates, and by the
+    * insertion-order key (the unclustered baseline) — and the audit
+    * reports each layout's per-bucket bounding-box statistics. Small
+    * bbox areas are precisely what makes file-level min/max skipping
+    * work for 2-D predicates: a (partkey, suppkey) probe touches only
+    * buckets whose box contains it, so area_sum ≈ the expected scan
+    * amplification. Z-order keeps every box a ~2⁻⁶ fraction of the
+    * grid; insertion order leaves every box ≈ the full grid. Shape: the
+    * morton code is one codegen'd bitwise expression per row, bucketing
+    * is a 64-group map-side-combined aggregate, and at 100 TB the same
+    * code+`repartitionByRange(morton)` IS the clustered-write path —
+    * this query is its quality gate. Integer-only throughout. */
+  val q283 = QuerySpec(
+    "q283_zorder_layout_audit",
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val g = broadcast(li.agg(
+        max($"l_partkey").as("maxp"), max($"l_suppkey").as("maxs"),
+        max($"l_orderkey").as("maxo")))
+      val coords = li
+        .select($"l_partkey", $"l_suppkey", $"l_orderkey")
+        .crossJoin(g)
+        .withColumn("px", expr("l_partkey * 1024L div (maxp + 1)"))
+        .withColumn("sy", expr("l_suppkey * 1024L div (maxs + 1)"))
+        .withColumn("bucket_z", expr(s"${mortonExpr("px", "sy")} >> 14"))
+        .withColumn("bucket_lin", expr("l_orderkey * 64L div (maxo + 1)"))
+      def audit(bucket: String, label: String) = coords
+        .groupBy(col(bucket).as("b"))
+        .agg(((max($"px") - min($"px") + 1) * (max($"sy") - min($"sy") + 1))
+          .as("area"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum($"area").as("area_sum"), max($"area").as("area_max"))
+        .select(lit(label).as("layout"), $"n_buckets", $"area_sum", $"area_max")
+      audit("bucket_z", "zorder").unionAll(audit("bucket_lin", "linear"))
+        .orderBy($"layout")
+    },
+    Some(s"""WITH g AS (SELECT max(l_partkey) AS maxp, max(l_suppkey) AS maxs,
+            |    max(l_orderkey) AS maxo FROM lineitem),
+            |c AS (SELECT
+            |    l_partkey * 1024 // (maxp + 1) AS px,
+            |    l_suppkey * 1024 // (maxs + 1) AS sy,
+            |    l_orderkey * 64 // (maxo + 1) AS bucket_lin
+            |  FROM lineitem CROSS JOIN g),
+            |c2 AS (SELECT *, ${mortonExpr("px", "sy")} >> 14 AS bucket_z FROM c),
+            |bz AS (SELECT bucket_z, (max(px) - min(px) + 1) * (max(sy) - min(sy) + 1)
+            |    AS area FROM c2 GROUP BY bucket_z),
+            |bl AS (SELECT bucket_lin, (max(px) - min(px) + 1) * (max(sy) - min(sy) + 1)
+            |    AS area FROM c2 GROUP BY bucket_lin)
+            |SELECT 'linear' AS layout, count(*) AS n_buckets,
+            |  CAST(sum(area) AS BIGINT) AS area_sum, CAST(max(area) AS BIGINT) AS area_max
+            |FROM bl
+            |UNION ALL
+            |SELECT 'zorder', count(*), CAST(sum(area) AS BIGINT), CAST(max(area) AS BIGINT)
+            |FROM bz ORDER BY layout""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q207, q208, q209, q210, q248, q249, q250,
-    q256, q257, q258, q259, q269, q270, q273)
+    q256, q257, q258, q259, q269, q270, q273, q283)
 }
