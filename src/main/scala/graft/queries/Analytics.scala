@@ -1657,8 +1657,175 @@ object Analytics {
             |FROM t ORDER BY o_custkey""".stripMargin),
   )
 
+  /** q284 — frequent itemset mining, the a-priori two-pass: baskets are
+    * orders, items are part "brands" (partkey div 20); pass 1 counts
+    * item support, pass 2 emits within-basket pairs ONLY between items
+    * that survived pass 1 (the a-priori prune — candidate pairs of an
+    * infrequent item can't be frequent), counts pair support, and
+    * reports lift in ppm. Scale shape: the pair emit is a per-basket
+    * self-join on the basket key with `a < b`, so its output is
+    * Σ C(|basket∩frequent|, 2) — bounded by basket size (≈4 here),
+    * never by catalog size; the frequent-item filter is a broadcast
+    * semi-join. Lift's integer form support·N·10⁶ div (cntA·cntB) stays
+    * in Long while N·10⁶·support < 9·10¹⁸. */
+  val q284 = QuerySpec(
+    "q284_frequent_itemsets",
+    (s, d) => {
+      import s.implicits._
+      val basketItems = Tables.lineitem(s, d)
+        .select($"l_orderkey", expr("l_partkey div 20").as("item"))
+        .distinct()
+      val nBaskets = Tables.lineitem(s, d).select($"l_orderkey").distinct().count()
+      val itemCnt = basketItems.groupBy($"item").agg(count(lit(1)).as("cnt"))
+      val frequent = itemCnt.filter($"cnt" >= 100)
+      val fi = basketItems.join(broadcast(frequent.select($"item")), "item")
+      val pairs = fi.as("a")
+        .join(fi.as("b"), $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"a.item" < $"b.item")
+        .groupBy($"a.item".as("item_a"), $"b.item".as("item_b"))
+        .agg(count(lit(1)).as("support"))
+        .filter($"support" >= 30)
+      pairs
+        .join(broadcast(frequent.withColumnRenamed("item", "item_a")
+          .withColumnRenamed("cnt", "cnt_a")), "item_a")
+        .join(broadcast(frequent.withColumnRenamed("item", "item_b")
+          .withColumnRenamed("cnt", "cnt_b")), "item_b")
+        .withColumn("lift_ppm",
+          expr(s"support * ${nBaskets}L * 1000000L div (cnt_a * cnt_b)"))
+        .select($"item_a", $"item_b", $"support", $"cnt_a", $"cnt_b", $"lift_ppm")
+        .orderBy($"support".desc, $"item_a", $"item_b")
+    },
+    Some("""WITH bi AS (
+           |  SELECT DISTINCT l_orderkey, l_partkey // 20 AS item FROM lineitem),
+           |n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM lineitem),
+           |ic AS (SELECT item, count(*) AS cnt FROM bi GROUP BY item),
+           |freq AS (SELECT * FROM ic WHERE cnt >= 100),
+           |fi AS (SELECT bi.* FROM bi JOIN freq USING (item)),
+           |p AS (
+           |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS support
+           |  FROM fi a JOIN fi b
+           |    ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+           |  GROUP BY 1, 2 HAVING count(*) >= 30)
+           |SELECT item_a, item_b, support, fa.cnt AS cnt_a, fb.cnt AS cnt_b,
+           |  CAST(support * (SELECT n_baskets FROM n) * 1000000
+           |    // (fa.cnt * fb.cnt) AS BIGINT) AS lift_ppm
+           |FROM p
+           |JOIN freq fa ON fa.item = item_a
+           |JOIN freq fb ON fb.item = item_b
+           |ORDER BY support DESC, item_a, item_b""".stripMargin),
+  )
+
+  /** q285 — multi-touch attribution with EXACT apportionment: every
+    * purchase distributes exactly 1,000,000 ppm of credit over the
+    * click/view touchpoints in its trailing 7-day window, position-based
+    * (40% first / 40% last / 20% split over the middles) with
+    * largest-remainder rounding — the middles get base = 200000 div
+    * (n−2) each and the first `rem` of them one extra, so the per-
+    * conversion credit sums to 10⁶ EXACTLY (float attribution leaks
+    * credit; ad-spend reconciliation is why apportionment must be
+    * integer-exact). Campaign rollup then sums credit by the touch's
+    * campaign id parsed from the JSON props. Shape: the touch-to-
+    * conversion match is a per-user interval join (bounded by events
+    * per user-week), position/count are windows partitioned by
+    * conversion — never corpus-wide; the rollup is 8 groups. */
+  val q285 = QuerySpec(
+    "q285_touch_attribution",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val conv = ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("conv_id"), $"user_id", $"ts".as("conv_ts"))
+      val touch = ev.filter($"event_type".isin("click", "view"))
+        .select($"user_id", $"event_id".as("touch_id"), $"ts".as("touch_ts"),
+          get_json_object($"props", "$.k").cast("long").as("k"))
+      val matched = conv.join(touch, Seq("user_id"))
+        .filter($"touch_ts" < $"conv_ts" &&
+          $"touch_ts" >= $"conv_ts" - expr("INTERVAL 7 DAYS"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"conv_id")
+      val wo = w.orderBy($"touch_ts", $"touch_id")
+      matched
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("pos", row_number().over(wo))
+        .withColumn("credit_ppm", expr(
+          """CASE WHEN n = 1 THEN 1000000L
+            |     WHEN n = 2 THEN 500000L
+            |     WHEN pos = 1 OR pos = n THEN 400000L
+            |     ELSE 200000L div (n - 2)
+            |          + CASE WHEN pos - 2 < 200000L % (n - 2) THEN 1 ELSE 0 END
+            |END""".stripMargin))
+        .withColumn("campaign", expr("k % 8"))
+        .groupBy($"campaign")
+        .agg(count(lit(1)).as("n_touches"),
+          sum($"credit_ppm").as("credit_ppm_sum"))
+        .orderBy($"campaign")
+    },
+    Some("""WITH conv AS (
+           |  SELECT event_id AS conv_id, user_id, ts AS conv_ts
+           |  FROM events WHERE event_type = 'purchase'),
+           |touch AS (
+           |  SELECT user_id, event_id AS touch_id, ts AS touch_ts,
+           |    CAST(props->>'$.k' AS BIGINT) AS k
+           |  FROM events WHERE event_type IN ('click', 'view')),
+           |m AS (
+           |  SELECT conv_id, touch_id, k,
+           |    count(*) OVER (PARTITION BY conv_id) AS n,
+           |    row_number() OVER (PARTITION BY conv_id
+           |      ORDER BY touch_ts, touch_id) AS pos
+           |  FROM conv JOIN touch USING (user_id)
+           |  WHERE touch_ts < conv_ts AND touch_ts >= conv_ts - INTERVAL 7 DAY)
+           |SELECT k % 8 AS campaign, count(*) AS n_touches,
+           |  CAST(sum(CASE WHEN n = 1 THEN 1000000
+           |    WHEN n = 2 THEN 500000
+           |    WHEN pos = 1 OR pos = n THEN 400000
+           |    ELSE 200000 // (n - 2)
+           |         + CASE WHEN pos - 2 < 200000 % (n - 2) THEN 1 ELSE 0 END
+           |  END) AS BIGINT) AS credit_ppm_sum
+           |FROM m GROUP BY 1 ORDER BY 1""".stripMargin),
+  )
+
+  /** q286 — sequence-pattern detection (the MATCH_RECOGNIZE shape):
+    * each user's event history becomes a compact symbol string (first
+    * letter of the type — unique here: s/c/v/p/e) ordered by (ts,
+    * event_id), and patterns are counted with non-overlapping regex
+    * scans: `v[^p]*p` = a view that converts before any other purchase.
+    * The per-user collect is the one stateful step — bounded by events-
+    * per-user (sessionize first at 100 TB, q44's op, if users are
+    * unbounded); the regex runs once per user on a kilobyte string, not
+    * per event. Regex stays in the char-class subset where Java
+    * (Spark) and RE2 (DuckDB) semantics agree. */
+  val q286 = QuerySpec(
+    "q286_sequence_pattern",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          array_join(transform(
+            array_sort(collect_list(struct($"ts", $"event_id",
+              substring($"event_type", 1, 1).as("c")))),
+            x => x.getField("c")), "").as("seq"))
+        .select($"user_id", $"n_events",
+          regexp_count($"seq", lit("p")).as("n_purchases"),
+          regexp_count($"seq", lit("v[^p]*p")).as("n_view_conversions"),
+          regexp_count($"seq", lit("e")).as("n_errors"))
+        .orderBy($"user_id")
+    },
+    Some("""SELECT user_id, n_events,
+           |  CAST(len(regexp_extract_all(seq, 'p')) AS INT) AS n_purchases,
+           |  CAST(len(regexp_extract_all(seq, 'v[^p]*p')) AS INT)
+           |    AS n_view_conversions,
+           |  CAST(len(regexp_extract_all(seq, 'e')) AS INT) AS n_errors
+           |FROM (
+           |  SELECT user_id, count(*) AS n_events,
+           |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           |      AS seq
+           |  FROM events GROUP BY user_id)
+           |ORDER BY user_id""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q118, q119, q120, q121, q123, q124, q127, q128, q131, q132, q134, q137,
       q139, q147, q153, q157, q165, q191, q193, q198, q199, q217, q222, q227,
-      q246, q247, q254, q255, q264, q272, q276, q280, q281, q282)
+      q246, q247, q254, q255, q264, q272, q276, q280, q281, q282, q284, q285,
+      q286)
 }

@@ -150,4 +150,23 @@ class AnalyticsSpec extends SparkTestBase {
       case _ =>
       }
   }
+
+  test("q285: attribution credit is conserved — exactly 1e6 ppm per converted purchase") {
+    import spark.implicits._
+    val total = Analytics.q285.run(spark, sf).collect()
+      .map(_.getLong(2)).sum
+    // Independently count purchases with >= 1 click/view touch in the
+    // trailing 7 days; each must have distributed exactly 1,000,000 ppm.
+    val ev = Tables.events(spark, sf)
+    val conv = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("conv_id"), $"user_id", $"ts".as("conv_ts"))
+    val touch = ev.filter($"event_type".isin("click", "view"))
+      .select($"user_id", $"ts".as("touch_ts"))
+    val converted = conv.join(touch, Seq("user_id"))
+      .filter($"touch_ts" < $"conv_ts" &&
+        $"touch_ts" >= $"conv_ts" - org.apache.spark.sql.functions.expr("INTERVAL 7 DAYS"))
+      .select($"conv_id").distinct().count()
+    assert(total === converted * 1000000L,
+      s"credit leaked: $total ppm vs $converted conversions")
+  }
 }
