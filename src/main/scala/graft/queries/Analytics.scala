@@ -1823,9 +1823,115 @@ object Analytics {
            |ORDER BY user_id""".stripMargin),
   )
 
+  /** q288 — one-pass table profiler (the deequ/Glue-crawler column
+    * profile as a query): orders is MELTED to (col_name, value_str)
+    * rows and every per-column statistic — count, nulls, exact
+    * distinct, min/max, and the mode with deterministic (count desc,
+    * value asc) tie-break — comes out of ONE shuffle keyed on (column,
+    * value) plus a column-sized rollup. Adding columns widens the melt,
+    * not the pass count. Values are profiled through their STRING
+    * rendering; float columns are deliberately excluded (cross-engine
+    * double→string rendering differs — the documented reason profilers
+    * keep float lanes typed), and timestamps go through an explicit
+    * yyyy-MM-dd format so both engines render identically. */
+  val q288 = QuerySpec(
+    "q288_table_profile",
+    (s, d) => {
+      import s.implicits._
+      val melted = Tables.orders(s, d).select(explode(map(
+        lit("o_custkey"), $"o_custkey".cast("string"),
+        lit("o_orderstatus"), $"o_orderstatus",
+        lit("o_orderpriority"), $"o_orderpriority",
+        lit("o_orderdate"), date_format($"o_orderdate", "yyyy-MM-dd"),
+      )).as(Seq("col_name", "v")))
+      val perValue = melted.groupBy($"col_name", $"v")
+        .agg(count(lit(1)).as("cnt"))
+      val stats = perValue.groupBy($"col_name")
+        .agg(sum($"cnt").as("n_rows"),
+          sum(when($"v".isNull, $"cnt").otherwise(0L)).as("n_null"),
+          count(when($"v".isNotNull, 1)).as("n_distinct"),
+          min($"v").as("min_str"), max($"v").as("max_str"))
+      val rn = row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"col_name").orderBy($"cnt".desc, $"v"))
+      val mode = perValue.filter($"v".isNotNull)
+        .withColumn("rn", rn).filter($"rn" === 1)
+        .select($"col_name", $"v".as("mode_value"), $"cnt".as("mode_n"))
+      stats.join(mode, "col_name")
+        .select($"col_name", $"n_rows", $"n_null", $"n_distinct",
+          $"min_str", $"max_str", $"mode_value", $"mode_n")
+        .orderBy($"col_name")
+    },
+    Some("""WITH m AS (
+           |  SELECT 'o_custkey' AS col_name, CAST(o_custkey AS VARCHAR) AS v
+           |    FROM orders
+           |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+           |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+           |  UNION ALL SELECT 'o_orderdate', strftime(o_orderdate, '%Y-%m-%d')
+           |    FROM orders),
+           |pv AS (SELECT col_name, v, count(*) AS cnt FROM m GROUP BY 1, 2),
+           |st AS (SELECT col_name,
+           |    CAST(sum(cnt) AS BIGINT) AS n_rows,
+           |    CAST(sum(CASE WHEN v IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+           |      AS n_null,
+           |    count(CASE WHEN v IS NOT NULL THEN 1 END) AS n_distinct,
+           |    min(v) AS min_str, max(v) AS max_str
+           |  FROM pv GROUP BY 1),
+           |md AS (SELECT col_name, v AS mode_value, CAST(cnt AS BIGINT) AS mode_n
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY col_name
+           |      ORDER BY cnt DESC, v) AS rn FROM pv WHERE v IS NOT NULL)
+           |  WHERE rn = 1)
+           |SELECT col_name, n_rows, n_null, n_distinct, min_str, max_str,
+           |  mode_value, mode_n
+           |FROM st JOIN md USING (col_name) ORDER BY col_name""".stripMargin),
+  )
+
+  /** q289 — time-weighted average order value over validity intervals:
+    * each customer's order total is "in force" from its date until the
+    * customer's next order (lead window); the per-priority rollup
+    * weights every total by its validity days — the interval-algebra
+    * aggregation behind "average balance over time" finance metrics.
+    * Float discipline: price·days multiplies identical doubles by
+    * identical exact ints on both engines, the sum goes through the
+    * decimal accumulator (Det.dsum), and the final twa is ONE IEEE
+    * division of two exact quantities (the davg pattern). Shape: lead
+    * is a per-customer window, the rollup is priority-sized; nothing
+    * shuffles twice. */
+  val q289 = QuerySpec(
+    "q289_time_weighted_avg",
+    (s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val iv = Tables.orders(s, d)
+        .withColumn("next_dt", lead($"o_orderdate", 1).over(w))
+        .filter($"next_dt".isNotNull)
+        .withColumn("days", datediff($"next_dt", $"o_orderdate").cast("long"))
+        .filter($"days" > 0)
+      iv.groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum($"days").as("days_sum"),
+          dsum($"o_totalprice" * $"days".cast("double"), 2).as("pd_sum"))
+        .withColumn("twa", $"pd_sum" / $"days_sum")
+        .orderBy($"o_orderpriority")
+    },
+    Some(s"""WITH iv AS (
+            |  SELECT o_orderpriority, o_totalprice,
+            |    CAST(date_diff('day', o_orderdate,
+            |      lead(o_orderdate, 1) OVER (PARTITION BY o_custkey
+            |        ORDER BY o_orderdate, o_orderkey)) AS BIGINT) AS days
+            |  FROM orders)
+            |SELECT o_orderpriority, count(*) AS n_intervals,
+            |  CAST(sum(days) AS BIGINT) AS days_sum,
+            |  ${sqlDsum("o_totalprice * CAST(days AS DOUBLE)", 2)} AS pd_sum,
+            |  ${sqlDsum("o_totalprice * CAST(days AS DOUBLE)", 2)}
+            |    / CAST(sum(days) AS BIGINT) AS twa
+            |FROM iv WHERE days IS NOT NULL AND days > 0
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q118, q119, q120, q121, q123, q124, q127, q128, q131, q132, q134, q137,
       q139, q147, q153, q157, q165, q191, q193, q198, q199, q217, q222, q227,
       q246, q247, q254, q255, q264, q272, q276, q280, q281, q282, q284, q285,
-      q286)
+      q286, q288, q289)
 }

@@ -878,6 +878,52 @@ object ScaleOps {
             |FROM bz ORDER BY layout""".stripMargin),
   )
 
+  /** q287 — exact WEIGHTED median per group (q269 covers the unweighted
+    * case): per supplier nation, the quantity-weighted median extended
+    * price — the robust "typical traded price" that per-row medians
+    * get wrong by ignoring volume. Two-level shape: (nation, price) pre-aggregation
+    * collapses weight ties FIRST (map-side combinable, so the window
+    * below sees distinct prices, not raw rows), then a per-nation
+    * cumulative-weight window picks the lower weighted median — the
+    * first price whose running weight reaches half the total. The
+    * median VALUE is copied from the data, never computed, so no float
+    * arithmetic enters the hash. Window partitions are nation-sized
+    * distinct-price lists, not row counts. */
+  val q287 = QuerySpec(
+    "q287_weighted_median",
+    (s, d) => {
+      import s.implicits._
+      val w = Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)
+          .select($"s_suppkey", $"s_nationkey")), $"l_suppkey" === $"s_suppkey")
+        .select($"s_nationkey".as("nat"), $"l_extendedprice".as("price"),
+          $"l_quantity".cast("long").as("wt"))
+        .groupBy($"nat", $"price")
+        .agg(sum($"wt").as("wt"))
+      val win = Window.partitionBy($"nat").orderBy($"price")
+      w.withColumn("cum", sum($"wt").over(win))
+        .withColumn("total", sum($"wt").over(Window.partitionBy($"nat")))
+        .filter($"cum" * 2 >= $"total")
+        .groupBy($"nat")
+        .agg(min($"price").as("wmedian_price"), max($"total").as("weight_total"))
+        .orderBy($"nat")
+    },
+    Some("""WITH w AS (
+           |  SELECT s_nationkey AS nat, l_extendedprice AS price,
+           |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+           |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           |  GROUP BY 1, 2),
+           |c AS (
+           |  SELECT nat, price, wt,
+           |    sum(wt) OVER (PARTITION BY nat ORDER BY price
+           |      ROWS UNBOUNDED PRECEDING) AS cum,
+           |    sum(wt) OVER (PARTITION BY nat) AS total
+           |  FROM w)
+           |SELECT nat, min(price) AS wmedian_price,
+           |  CAST(max(total) AS BIGINT) AS weight_total
+           |FROM c WHERE cum * 2 >= total GROUP BY nat ORDER BY nat""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q207, q208, q209, q210, q248, q249, q250,
-    q256, q257, q258, q259, q269, q270, q273, q283)
+    q256, q257, q258, q259, q269, q270, q273, q283, q287)
 }
