@@ -49,19 +49,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS), which our sessions read as
-    * long nanos (spark.sql.legacy.parquet.nanosAsLong). Re-derive a real
-    * timestamp at microsecond precision — the same truncation DuckDB
-    * applies when it coerces the nanos column to TIMESTAMP — so event-time
-    * queries (q34, streaming demo) see identical values on both engines.
-    * THE single truncation expression: the batch loader and both
-    * streaming readers (EventIngest, Sessionize) must share it, or the
+  /** events.parquet has carried two ts encodings across driver rounds:
+    * TIMESTAMP(NANOS), which our sessions read as long nanos
+    * (spark.sql.legacy.parquet.nanosAsLong), and plain microsecond
+    * TIMESTAMP_NTZ. Re-derive ONE canonical column from either — a
+    * session-zone (UTC) microsecond TimestampType — matching what DuckDB
+    * sees when it reads the same file, so event-time queries (q34,
+    * streaming demo) get identical values on both engines.
+    * THE single normalization: the batch loader and every streaming
+    * reader (EventIngest, StreamHarness staging) must share it, or the
     * stream/batch twin-equality gates (q34/q35, q43/q44) drift apart. */
   val nanosTsToMicros: String = "timestamp_micros(ts div 1000)"
 
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => df.withColumn("ts", expr(nanosTsToMicros))
+    // UTC session: NTZ→LTZ keeps the wall clock, i.e. the same micros.
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case _ => df
+  }
+
   def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .withColumn("ts", expr(nanosTsToMicros))
+    normalizeTs(table(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

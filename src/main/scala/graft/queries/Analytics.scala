@@ -1929,9 +1929,230 @@ object Analytics {
             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
   )
 
+  /** q291 — entity-resolution candidate scoring (Fellegi–Sunter shape):
+    * link the customer feed against a deterministically-perturbed second
+    * "source" of itself (name case flips, small balance drift, segment
+    * loss — keyed on custkey mod, so both engines derive the identical
+    * dirty copy), generate candidate pairs by BLOCKING, score field
+    * agreements with fixed integer weights, and report the
+    * (classification × is-true-pair) confusion counts.
+    *
+    * Blocking is the scale story: candidates come from an equi-join on
+    * (nationkey, name-suffix) — block-bounded, never all-pairs; at
+    * 100 TB the same plan holds because block cardinality grows with
+    * the data while block SIZE stays set by the key design. Scoring is
+    * per-pair scalar math (codegen), the confusion rollup is a 6-row
+    * aggregate. Balance agreement uses |a−b| ≤ 0.1 on doubles both
+    * engines computed from identical literals — no rounding function
+    * (the q245 round-semantics trap) ever runs. */
+  val q291 = QuerySpec(
+    "q291_er_candidate_scoring",
+    (s, d) => {
+      import s.implicits._
+      val a = Tables.customer(s, d).select(
+        $"c_custkey".as("a_key"), $"c_nationkey".as("nat"),
+        expr("right(c_name, 2)").as("blk"),
+        $"c_name".as("a_name"), $"c_acctbal".as("a_acct"),
+        $"c_mktsegment".as("a_seg"))
+      val b = Tables.customer(s, d).select(
+        $"c_custkey".as("b_key"), $"c_nationkey".as("nat"),
+        expr("right(c_name, 2)").as("blk"),
+        when($"c_custkey" % 2 === 0, upper($"c_name"))
+          .otherwise($"c_name").as("b_name"),
+        ($"c_acctbal" + when($"c_custkey" % 3 === 0, 0.05).otherwise(0.0))
+          .as("b_acct"),
+        when($"c_custkey" % 10 === 7, lit("UNKNOWN"))
+          .otherwise($"c_mktsegment").as("b_seg"))
+      val scored = a.join(b, Seq("nat", "blk"))
+        .withColumn("score",
+          when(lower($"a_name") === lower($"b_name"), 50L).otherwise(0L) +
+            when(abs($"a_acct" - $"b_acct") <= 0.1, 30L).otherwise(0L) +
+            when($"a_seg" === $"b_seg", 20L).otherwise(0L))
+        .withColumn("clazz",
+          when($"score" >= 80, "match")
+            .when($"score" >= 20, "possible").otherwise("non_match"))
+        .withColumn("is_true", $"a_key" === $"b_key")
+      scored.groupBy($"clazz", $"is_true")
+        .agg(count(lit(1)).as("n_pairs"),
+          min($"score").as("min_score"), max($"score").as("max_score"))
+        .orderBy($"clazz", $"is_true")
+    },
+    Some("""WITH a AS (
+           |  SELECT c_custkey AS a_key, c_nationkey AS nat,
+           |    right(c_name, 2) AS blk, c_name AS a_name,
+           |    c_acctbal AS a_acct, c_mktsegment AS a_seg
+           |  FROM customer),
+           |b AS (
+           |  SELECT c_custkey AS b_key, c_nationkey AS nat,
+           |    right(c_name, 2) AS blk,
+           |    CASE WHEN c_custkey % 2 = 0 THEN upper(c_name) ELSE c_name END
+           |      AS b_name,
+           |    c_acctbal + (CASE WHEN c_custkey % 3 = 0 THEN 0.05 ELSE 0.0 END)
+           |      AS b_acct,
+           |    CASE WHEN c_custkey % 10 = 7 THEN 'UNKNOWN' ELSE c_mktsegment END
+           |      AS b_seg
+           |  FROM customer),
+           |sc AS (
+           |  SELECT a_key, b_key,
+           |    (CASE WHEN lower(a_name) = lower(b_name) THEN 50 ELSE 0 END)
+           |    + (CASE WHEN abs(a_acct - b_acct) <= 0.1 THEN 30 ELSE 0 END)
+           |    + (CASE WHEN a_seg = b_seg THEN 20 ELSE 0 END) AS score
+           |  FROM a JOIN b USING (nat, blk))
+           |SELECT CASE WHEN score >= 80 THEN 'match'
+           |         WHEN score >= 20 THEN 'possible' ELSE 'non_match' END AS clazz,
+           |  a_key = b_key AS is_true, count(*) AS n_pairs,
+           |  CAST(min(score) AS BIGINT) AS min_score,
+           |  CAST(max(score) AS BIGINT) AS max_score
+           |FROM sc GROUP BY 1, 2 ORDER BY clazz, is_true""".stripMargin),
+  )
+
+  /** q292 — mean-shift changepoint detection over each event type's
+    * hourly count series: at every hour with a FULL 24-hour history on
+    * both sides, compare the trailing-24h and leading-24h totals and
+    * report the hour of maximum absolute shift per type — the
+    * sliding-two-window changepoint detector (CUSUM's windowed cousin,
+    * chosen over CUSUM because it has no running recursion — pure
+    * window frames, so the 100 TB plan is one shuffle keyed on type and
+    * a sort-based window, no driver loop, no UnionLoop).
+    *
+    * Integer-only: both windows sum raw counts over EXACTLY 24 rows
+    * (enforced by the frame-count guard), so the shift is an exact Long
+    * difference — no mean, no division, no float. Buckets are observed
+    * hours (no gap fill); both engines window the identical series. */
+  val q292 = QuerySpec(
+    "q292_changepoint_mean_shift",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val hc = Tables.events(s, d)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+        .agg(count(lit(1)).as("n"))
+      val ord = Window.partitionBy($"event_type").orderBy($"h")
+      val trail = ord.rowsBetween(-24, -1)
+      val lead_ = ord.rowsBetween(1, 24)
+      val w = hc
+        .withColumn("trail_sum", sum($"n").over(trail))
+        .withColumn("tc", count($"n").over(trail))
+        .withColumn("lead_sum", sum($"n").over(lead_))
+        .withColumn("lc", count($"n").over(lead_))
+        .filter($"tc" === 24 && $"lc" === 24)
+        .withColumn("shift", abs($"lead_sum" - $"trail_sum"))
+      val top = Window.partitionBy($"event_type")
+        .orderBy($"shift".desc, $"h")
+      w.withColumn("rn", row_number().over(top)).filter($"rn" === 1)
+        .select($"event_type", $"h", $"trail_sum", $"lead_sum", $"shift")
+        .orderBy($"event_type")
+    },
+    Some("""WITH hc AS (
+           |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+           |  FROM events GROUP BY 1, 2),
+           |w AS (
+           |  SELECT event_type, h,
+           |    CAST(sum(n) OVER tw AS BIGINT) AS trail_sum,
+           |    count(n) OVER tw AS tc,
+           |    CAST(sum(n) OVER lw AS BIGINT) AS lead_sum,
+           |    count(n) OVER lw AS lc
+           |  FROM hc
+           |  WINDOW tw AS (PARTITION BY event_type ORDER BY h
+           |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING),
+           |    lw AS (PARTITION BY event_type ORDER BY h
+           |      ROWS BETWEEN 1 FOLLOWING AND 24 FOLLOWING))
+           |SELECT event_type, h, trail_sum, lead_sum, shift FROM (
+           |  SELECT *, abs(lead_sum - trail_sum) AS shift,
+           |    row_number() OVER (PARTITION BY event_type
+           |      ORDER BY abs(lead_sum - trail_sum) DESC, h) AS rn
+           |  FROM w WHERE tc = 24 AND lc = 24)
+           |WHERE rn = 1 ORDER BY event_type""".stripMargin),
+  )
+
+  /** FIR weights for q293: floor(α·(1−α)^i · 10⁶) for α = 0.2,
+    * i = 0..15 — computed ONCE here in Scala and embedded as literal
+    * constants in both engines, so no cross-engine pow() ever runs. */
+  private val EmaWeightsPpm: Seq[Long] =
+    (0 until 16).map(i => math.floor(0.2 * math.pow(0.8, i) * 1e6).toLong)
+
+  /** q293 — closed-form windowed EMA: the scale-path rewrite of q103's
+    * recursive EMA. ema_t = Σᵢ wᵢ·x_{t−i} with the 16-lag truncated FIR
+    * kernel [[EmaWeightsPpm]] (residual mass (1−α)^16 ≈ 2.8% — the
+    * documented approximation), emitted only where the full kernel fits
+    * (row 16+ of each series). Where q103 pays an UnionLoopExec
+    * re-plan per iteration, this is ONE sort-window over one shuffle
+    * keyed on event_type — 16 lag() reads inside a single codegen'd
+    * window stage, cost independent of series length per row, linear
+    * overall. Integer-only: counts × ppm-weight products summed in
+    * Long. */
+  val q293 = QuerySpec(
+    "q293_ema_closed_form",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val hc = Tables.events(s, d)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+        .agg(count(lit(1)).as("n"))
+      val ord = Window.partitionBy($"event_type").orderBy($"h")
+      val ema = EmaWeightsPpm.zipWithIndex.map { case (wt, i) =>
+        (if (i == 0) $"n" else lag($"n", i).over(ord)) * lit(wt)
+      }.reduce(_ + _)
+      hc
+        .withColumn("rn", row_number().over(ord))
+        .withColumn("ema_ppm", ema)
+        .filter($"rn" >= 16)
+        .select($"event_type", $"h", $"n", $"ema_ppm")
+        .orderBy($"event_type", $"h")
+    },
+    Some {
+      val terms = EmaWeightsPpm.zipWithIndex.map { case (wt, i) =>
+        if (i == 0) s"n * $wt" else s"lag(n, $i) OVER w * $wt"
+      }.mkString(" + ")
+      s"""WITH hc AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |e AS (
+         |  SELECT event_type, h, n,
+         |    CAST($terms AS BIGINT) AS ema_ppm,
+         |    row_number() OVER w AS rn
+         |  FROM hc
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY h))
+         |SELECT event_type, h, CAST(n AS BIGINT) AS n, ema_ppm
+         |FROM e WHERE rn >= 16 ORDER BY event_type, h""".stripMargin
+    },
+  )
+
+  /** q295 — l-diversity audit, the companion gate to q280's
+    * k-anonymity: a quasi-identifier group can be large (k-anonymous)
+    * yet still leak the sensitive attribute if every member shares one
+    * value. Per QI group (nationkey × 2000-wide balance band) count the
+    * DISTINCT sensitive values (mktsegment) = l, then report the
+    * distribution of l with the policy flag l < 3. Same two-aggregate
+    * shape as q280: the first groupBy is QI-group-sized with map-side
+    * combine, the rollup is |l-domain|-sized. */
+  val q295 = QuerySpec(
+    "q295_l_diversity",
+    (s, d) => {
+      import s.implicits._
+      val g = Tables.customer(s, d)
+        .withColumn("bal_band", floor($"c_acctbal" / 2000.0).cast("long"))
+        .groupBy($"c_nationkey", $"bal_band")
+        .agg(count_distinct($"c_mktsegment").as("l"),
+          count(lit(1)).as("k"))
+      g.groupBy($"l")
+        .agg(count(lit(1)).as("n_groups"), sum($"k").as("n_records"))
+        .withColumn("below_policy", $"l" < 3)
+        .orderBy($"l")
+    },
+    Some("""WITH g AS (
+           |  SELECT c_nationkey,
+           |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+           |    count(DISTINCT c_mktsegment) AS l, count(*) AS k
+           |  FROM customer GROUP BY 1, 2)
+           |SELECT l, count(*) AS n_groups, CAST(sum(k) AS BIGINT) AS n_records,
+           |  l < 3 AS below_policy
+           |FROM g GROUP BY l ORDER BY l""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q118, q119, q120, q121, q123, q124, q127, q128, q131, q132, q134, q137,
       q139, q147, q153, q157, q165, q191, q193, q198, q199, q217, q222, q227,
       q246, q247, q254, q255, q264, q272, q276, q280, q281, q282, q284, q285,
-      q286, q288, q289)
+      q286, q288, q289, q291, q292, q293, q295)
 }

@@ -924,6 +924,65 @@ object ScaleOps {
            |FROM c WHERE cum * 2 >= total GROUP BY nat ORDER BY nat""".stripMargin),
   )
 
+  /** q294 — rendezvous (highest-random-weight) shard rebalance: assign
+    * every document to its argmax-of-md5(doc:shard) shard under 8
+    * shards and again under 12, and report, per original shard, how
+    * many documents MOVE — versus the naive `doc_id % n` assignment
+    * rebalanced the same way. HRW's guarantee is the point: growing
+    * 8→12 moves only the docs whose new-shard hash wins (expected 4/12
+    * ≈ 33%), and survivors NEVER shuffle among the old shards, while
+    * mod-rehash scatters ~92% of the corpus. At 100 TB this is the
+    * difference between re-copying a third of the data and re-copying
+    * all of it.
+    *
+    * Shape: assignment is pure per-row array math (transform over a
+    * literal shard sequence + array_max on (hash, shard) structs — one
+    * codegen'd projection, no shuffle, no join); only the 8-row
+    * per-shard rollup aggregates. Determinism: md5 hex strings compare
+    * identically everywhere; the struct argmax ties on shard id, and
+    * md5 collisions don't occur in practice. */
+  val q294 = QuerySpec(
+    "q294_rendezvous_rebalance",
+    (s, d) => {
+      import s.implicits._
+      def best(n: Int) = expr(
+        s"""array_max(transform(sequence(0, ${n - 1}),
+           |  sh -> struct(md5(cast(concat(cast(doc_id as string), ':',
+           |    cast(sh as string)) as binary)) as w, sh))).sh""".stripMargin)
+      Tables.documents(s, d)
+        .select($"doc_id",
+          best(8).cast("long").as("hrw8"), best(12).cast("long").as("hrw12"),
+          ($"doc_id" % 8).as("mod8"), ($"doc_id" % 12).as("mod12"))
+        .groupBy($"hrw8".as("shard8"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"hrw12" =!= $"hrw8", 1L).otherwise(0L)).as("n_moved_hrw"),
+          sum(when($"mod12" =!= $"mod8", 1L).otherwise(0L)).as("n_moved_mod"))
+        .withColumn("moved_hrw_ppm", expr("n_moved_hrw * 1000000L div n_docs"))
+        .withColumn("moved_mod_ppm", expr("n_moved_mod * 1000000L div n_docs"))
+        .orderBy($"shard8")
+    },
+    Some("""WITH asg AS (
+           |  SELECT doc_id,
+           |    (SELECT sh FROM unnest(range(8)) AS t(sh)
+           |      ORDER BY md5(doc_id::VARCHAR || ':' || sh::VARCHAR) DESC, sh
+           |      LIMIT 1) AS hrw8,
+           |    (SELECT sh FROM unnest(range(12)) AS t(sh)
+           |      ORDER BY md5(doc_id::VARCHAR || ':' || sh::VARCHAR) DESC, sh
+           |      LIMIT 1) AS hrw12,
+           |    doc_id % 8 AS mod8, doc_id % 12 AS mod12
+           |  FROM documents)
+           |SELECT hrw8 AS shard8, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN hrw12 <> hrw8 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_moved_hrw,
+           |  CAST(sum(CASE WHEN mod12 <> mod8 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_moved_mod,
+           |  CAST(sum(CASE WHEN hrw12 <> hrw8 THEN 1 ELSE 0 END) AS BIGINT)
+           |    * 1000000 // count(*) AS moved_hrw_ppm,
+           |  CAST(sum(CASE WHEN mod12 <> mod8 THEN 1 ELSE 0 END) AS BIGINT)
+           |    * 1000000 // count(*) AS moved_mod_ppm
+           |FROM asg GROUP BY hrw8 ORDER BY shard8""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q207, q208, q209, q210, q248, q249, q250,
-    q256, q257, q258, q259, q269, q270, q273, q283, q287)
+    q256, q257, q258, q259, q269, q270, q273, q283, q287, q294)
 }

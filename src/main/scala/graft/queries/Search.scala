@@ -43,86 +43,100 @@ object Search {
     filter(TextFns.tokens($"text"), t => char_length(t) > 0)
   }
 
-  /** q278 — BM25 top-5 per query, fixed-point (see object doc).
+  /** Per-(query, doc) BM25 candidate scores — the shared core of q278
+    * (ranking) and q290 (ranking-quality evaluation). Columns:
+    * (query_id, doc_id, n_terms_matched, score_ppm).
     *
     * Shape at scale: tokens are exploded ONCE and immediately
     * semi-filtered to the broadcast query-term set, so the per-(doc,
     * term) tf table is |queries|-bounded, not vocabulary-bounded; df
     * and the corpus globals (N, avgdl) are term-count / singleton-sized
     * and broadcast back; the only shuffle proportional to the corpus is
-    * the tf groupBy, keyed on (doc, term). Final top-k is a per-query
-    * window over score-ranked candidates — partitions are query-sized,
-    * never corpus-sized, because the tf table only holds docs that
-    * matched ≥1 query term.
+    * the tf groupBy, keyed on (doc, term).
     *
     * Overflow bounds (Long): idf_ppm ≤ N·10⁶ and contrib multiplies it
     * by tf_sat_ppm÷1000 ≤ 2200, so the pipeline is exact while
     * N < 4·10⁹ docs; beyond that, drop idf to centi-units (same shape,
     * documented here rather than silently saturating). */
+  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+      .select($"doc_id", toks(s).as("t"))
+    val queries = s.createDataFrame(QueryTerms).toDF("query_id", "term")
+    val terms = QueryTerms.map(_._2).distinct
+    // Globals: one singleton row, broadcast via crossJoin.
+    val globals = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size($"t")).as("len_sum"))
+      .select($"n_docs",
+        expr("len_sum * 1000000L div n_docs").as("avgdl_ppm"))
+    // tf over query terms only — the explode is pruned at the scan.
+    val tf = docs
+      .select($"doc_id", size($"t").as("dl"), explode($"t").as("term"))
+      .filter($"term".isin(terms: _*))
+      .groupBy($"doc_id", $"dl", $"term")
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    tf
+      .join(broadcast(df_), "term")
+      .join(broadcast(queries), "term")
+      .crossJoin(broadcast(globals))
+      .withColumn("dl_norm_ppm",
+        expr("250000L + (750000L * dl * 1000000L) div avgdl_ppm"))
+      .withColumn("tf_sat_ppm",
+        expr("(tf * 2200000L * 1000000L) div (tf * 1000000L + (12L * dl_norm_ppm) div 10L)"))
+      .withColumn("idf_ppm",
+        expr("((n_docs - df + 1) * 1000000L) div (df + 1)"))
+      .withColumn("contrib_ppm",
+        expr("(idf_ppm * (tf_sat_ppm div 1000L)) div 1000L"))
+      .groupBy($"query_id", $"doc_id")
+      .agg(count(lit(1)).as("n_terms_matched"),
+        sum($"contrib_ppm").as("score_ppm"))
+  }
+
+  /** DuckDB mirror of [[bm25Scored]] as a WITH-clause prefix ending in a
+    * `scored(query_id, doc_id, n_terms_matched, score_ppm)` CTE — both
+    * q278's and q290's oracles append their own final SELECT. */
+  private def sqlScoredCtes: String =
+    s"""WITH q(query_id, term) AS (VALUES $sqlQueryTerms),
+       |toks AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS t
+       |  FROM documents),
+       |g AS (SELECT count(*) AS n_docs,
+       |    CAST(sum(len(t)) AS BIGINT) * 1000000 // count(*) AS avgdl_ppm FROM toks),
+       |tf AS (SELECT doc_id, len(t) AS dl, term, count(*) AS tf
+       |  FROM (SELECT doc_id, t, unnest(t) AS term FROM toks)
+       |  WHERE term IN (SELECT DISTINCT term FROM q)
+       |  GROUP BY doc_id, len(t), term),
+       |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_terms_matched,
+       |    CAST(sum(((CAST(n_docs AS BIGINT) - df + 1) * 1000000 // (df + 1))
+       |      * ((tf * 2200000 * 1000000
+       |          // (tf * 1000000 + (12 * (250000 + (750000 * dl * 1000000) // avgdl_ppm)) // 10))
+       |         // 1000) // 1000) AS BIGINT) AS score_ppm
+       |  FROM tf JOIN dfx USING (term) JOIN q USING (term) CROSS JOIN g
+       |  GROUP BY query_id, doc_id)""".stripMargin
+
+  /** q278 — BM25 top-5 per query, fixed-point (see object doc and
+    * [[bm25Scored]]). Final top-k is a per-query window over
+    * score-ranked candidates — partitions are query-sized, never
+    * corpus-sized, because the tf table only holds docs that matched
+    * ≥1 query term. */
   val q278 = QuerySpec(
     "q278_bm25_topk",
     (s, d) => {
       import s.implicits._
-      val docs = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
-        .select($"doc_id", toks(s).as("t"))
-      val queries = s.createDataFrame(QueryTerms).toDF("query_id", "term")
-      val terms = QueryTerms.map(_._2).distinct
-      // Globals: one singleton row, broadcast via crossJoin.
-      val globals = docs.agg(
-        count(lit(1)).as("n_docs"),
-        sum(size($"t")).as("len_sum"))
-        .select($"n_docs",
-          expr("len_sum * 1000000L div n_docs").as("avgdl_ppm"))
-      // tf over query terms only — the explode is pruned at the scan.
-      val tf = docs
-        .select($"doc_id", size($"t").as("dl"), explode($"t").as("term"))
-        .filter($"term".isin(terms: _*))
-        .groupBy($"doc_id", $"dl", $"term")
-        .agg(count(lit(1)).as("tf"))
-      val df_ = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-      val scored = tf
-        .join(broadcast(df_), "term")
-        .join(broadcast(queries), "term")
-        .crossJoin(broadcast(globals))
-        .withColumn("dl_norm_ppm",
-          expr("250000L + (750000L * dl * 1000000L) div avgdl_ppm"))
-        .withColumn("tf_sat_ppm",
-          expr("(tf * 2200000L * 1000000L) div (tf * 1000000L + (12L * dl_norm_ppm) div 10L)"))
-        .withColumn("idf_ppm",
-          expr("((n_docs - df + 1) * 1000000L) div (df + 1)"))
-        .withColumn("contrib_ppm",
-          expr("(idf_ppm * (tf_sat_ppm div 1000L)) div 1000L"))
-        .groupBy($"query_id", $"doc_id")
-        .agg(count(lit(1)).as("n_terms_matched"),
-          sum($"contrib_ppm").as("score_ppm"))
       val w = Window.partitionBy($"query_id")
         .orderBy($"score_ppm".desc, $"doc_id")
-      scored
+      bm25Scored(s, d)
         .withColumn("rank", row_number().over(w))
         .filter($"rank" <= 5)
         .select($"query_id", $"rank", $"doc_id", $"n_terms_matched", $"score_ppm")
         .orderBy($"query_id", $"rank")
     },
-    Some(s"""WITH q(query_id, term) AS (VALUES $sqlQueryTerms),
-            |toks AS (SELECT doc_id,
-            |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS t
-            |  FROM documents),
-            |g AS (SELECT count(*) AS n_docs,
-            |    CAST(sum(len(t)) AS BIGINT) * 1000000 // count(*) AS avgdl_ppm FROM toks),
-            |tf AS (SELECT doc_id, len(t) AS dl, term, count(*) AS tf
-            |  FROM (SELECT doc_id, t, unnest(t) AS term FROM toks)
-            |  WHERE term IN (SELECT DISTINCT term FROM q)
-            |  GROUP BY doc_id, len(t), term),
-            |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-            |scored AS (
-            |  SELECT query_id, doc_id,
-            |    CAST(count(*) AS BIGINT) AS n_terms_matched,
-            |    CAST(sum(((CAST(n_docs AS BIGINT) - df + 1) * 1000000 // (df + 1))
-            |      * ((tf * 2200000 * 1000000
-            |          // (tf * 1000000 + (12 * (250000 + (750000 * dl * 1000000) // avgdl_ppm)) // 10))
-            |         // 1000) // 1000) AS BIGINT) AS score_ppm
-            |  FROM tf JOIN dfx USING (term) JOIN q USING (term) CROSS JOIN g
-            |  GROUP BY query_id, doc_id)
+    Some(s"""$sqlScoredCtes
             |SELECT query_id, rank, doc_id, n_terms_matched, score_ppm FROM (
             |  SELECT *, CAST(row_number() OVER
             |      (PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) AS INT) AS rank
@@ -176,5 +190,88 @@ object Search {
            |FROM tf GROUP BY term ORDER BY term""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q278, q279)
+  /** Rank-discount weights for DCG@5: floor(10⁶ / log₂(rank+1)) for
+    * ranks 1..5, precomputed to integer constants so no transcendental
+    * function is ever evaluated by either engine (the cross-engine
+    * `ln()` drift rule from the object doc applies to log₂ too). */
+  private val DiscountPpm: Seq[Long] =
+    Seq(1000000L, 630929L, 500000L, 430676L, 386852L)
+
+  private def sqlDisc(rankExpr: String): String =
+    DiscountPpm.zipWithIndex
+      .map { case (w, i) => s"WHEN ${i + 1} THEN $w" }
+      .mkString(s"CASE $rankExpr ", " ", " ELSE 0 END")
+
+  /** q290 — ranking-quality evaluation of the BM25 ranking: NDCG@5 and
+    * MRR@5 per query, with graded relevance derived from the data
+    * itself (rel = number of distinct query terms the document
+    * contains, gain = 2^rel − 1 ∈ {1,3,7}) so both engines agree on
+    * labels without a side-channel judgment file.
+    *
+    * The ideal ranking (IDCG) re-ranks the SAME candidate set by gain —
+    * a second window over one shuffle's output, not a second pipeline.
+    * All metric math is Long at ppm scale: DCG multiplies integer gains
+    * by the precomputed [[DiscountPpm]] constants, NDCG is one Long
+    * floor-division, MRR@5 is 10⁶ div first-relevant-rank (gain ≥ 3,
+    * i.e. ≥2 terms matched) with 0 for "none in top 5".
+    *
+    * Shape at scale: candidates are query-term-bounded (see
+    * [[bm25Scored]]); both row_number windows partition by query_id, so
+    * state per partition is one ranking; the final aggregate emits one
+    * row per query. Nothing here grows with the corpus except the
+    * already-bounded candidate list. */
+  val q290 = QuerySpec(
+    "q290_ndcg_ranking_eval",
+    (s, d) => {
+      import s.implicits._
+      val gain = when($"n_terms_matched" === 3, 7L)
+        .when($"n_terms_matched" === 2, 3L).otherwise(1L)
+      val wRank = Window.partitionBy($"query_id")
+        .orderBy($"score_ppm".desc, $"doc_id")
+      val wIdeal = Window.partitionBy($"query_id")
+        .orderBy($"g".desc, $"doc_id")
+      def disc(r: org.apache.spark.sql.Column) =
+        DiscountPpm.zipWithIndex.foldLeft(lit(0L)) { case (acc, (w, i)) =>
+          when(r === (i + 1), w).otherwise(acc)
+        }
+      bm25Scored(s, d)
+        .withColumn("g", gain)
+        .withColumn("rk", row_number().over(wRank))
+        .withColumn("ik", row_number().over(wIdeal))
+        .groupBy($"query_id")
+        .agg(
+          count(lit(1)).as("n_candidates"),
+          sum(when($"rk" <= 5, $"g" * disc($"rk")).otherwise(0L)).as("dcg_u"),
+          sum(when($"ik" <= 5, $"g" * disc($"ik")).otherwise(0L)).as("idcg_u"),
+          min(when($"rk" <= 5 && $"g" >= 3, $"rk")).as("first_rel"))
+        .select($"query_id", $"n_candidates", $"dcg_u", $"idcg_u",
+          expr("dcg_u * 1000000L div idcg_u").as("ndcg_ppm"),
+          coalesce(expr("1000000L div first_rel"), lit(0L)).as("rr_ppm"))
+        .orderBy($"query_id")
+    },
+    Some(s"""$sqlScoredCtes,
+            |ranked AS (
+            |  SELECT query_id,
+            |    CASE n_terms_matched WHEN 3 THEN 7 WHEN 2 THEN 3 ELSE 1 END AS g,
+            |    CAST(row_number() OVER (PARTITION BY query_id
+            |      ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rk,
+            |    CAST(row_number() OVER (PARTITION BY query_id
+            |      ORDER BY (CASE n_terms_matched WHEN 3 THEN 7 WHEN 2 THEN 3 ELSE 1 END) DESC,
+            |        doc_id) AS BIGINT) AS ik
+            |  FROM scored),
+            |m AS (
+            |  SELECT query_id, count(*) AS n_candidates,
+            |    CAST(sum(CASE WHEN rk <= 5 THEN g * (${sqlDisc("rk")}) ELSE 0 END)
+            |      AS BIGINT) AS dcg_u,
+            |    CAST(sum(CASE WHEN ik <= 5 THEN g * (${sqlDisc("ik")}) ELSE 0 END)
+            |      AS BIGINT) AS idcg_u,
+            |    min(CASE WHEN rk <= 5 AND g >= 3 THEN rk END) AS first_rel
+            |  FROM ranked GROUP BY query_id)
+            |SELECT query_id, n_candidates, dcg_u, idcg_u,
+            |  dcg_u * 1000000 // idcg_u AS ndcg_ppm,
+            |  coalesce(1000000 // first_rel, 0) AS rr_ppm
+            |FROM m ORDER BY query_id""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q278, q279, q290)
 }

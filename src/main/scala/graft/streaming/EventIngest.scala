@@ -54,13 +54,9 @@ object EventIngest {
       .option("pathGlobFilter", "events.parquet")
       .parquet(eventsDir)
 
-    // events.parquet carries TIMESTAMP(NANOS); under
-    // spark.sql.legacy.parquet.nanosAsLong the column arrives as long
-    // nanos — re-derive microsecond timestamps exactly as Tables.events.
-    val events =
-      if (schema("ts").dataType == LongType)
-        raw.withColumn("ts", expr(graft.Tables.nanosTsToMicros))
-      else raw
+    // Canonicalize ts exactly as Tables.events does (long nanos or
+    // TIMESTAMP_NTZ micros → session-UTC TimestampType micros).
+    val events = graft.Tables.normalizeTs(raw)
 
     val agg = events
       .withWatermark("ts", "1 hour")

@@ -36,12 +36,36 @@ private[streaming] final class StreamHarness(
   private val outDir = s"$tmp/out"
   private val ckpt = s"$tmp/ckpt"
   Files.createDirectories(Paths.get(inDir))
-  (1 to copies).foreach { i =>
-    Files.copy(Paths.get(s"$sfDir/events.parquet"),
-      Paths.get(s"$inDir/events_$i.parquet"), StandardCopyOption.REPLACE_EXISTING)
+  // Stage a ts-NORMALIZED copy of the fixture (Tables.normalizeTs — the
+  // raw file's ts encoding has changed across driver rounds: long nanos,
+  // then TIMESTAMP_NTZ micros), written once and hard-copied `copies`
+  // times so maxFilesPerTrigger rate-limiting still sees N files. With
+  // the staged files already canonical TimestampType, every downstream
+  // consumer (sentinel math, appendInput rows, the stream itself) deals
+  // in exactly one ts type.
+  locally {
+    val stage = s"$tmp/stage"
+    graft.Tables.normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
+      .coalesce(1).write.parquet(stage)
+    val ls = Files.list(Paths.get(stage))
+    val part =
+      try ls.filter(_.toString.endsWith(".parquet")).findFirst
+        .orElseThrow(() => new IllegalStateException(s"no part file in $stage"))
+      finally ls.close()
+    try {
+      (1 to copies).foreach { i =>
+        Files.copy(part, Paths.get(s"$inDir/events_$i.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally {
+      val walk = Files.walk(Paths.get(stage))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      finally walk.close()
+    }
   }
 
-  /** Source schema as staged (ts is LongType nanos under nanosAsLong). */
+  /** Source schema as staged (ts is canonical TimestampType micros). */
   val schema: StructType = spark.read.parquet(inDir).schema
 
   @volatile private var outSchema: StructType = _

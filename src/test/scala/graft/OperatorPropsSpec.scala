@@ -298,4 +298,34 @@ class OperatorPropsSpec extends SparkTestBase {
       assert(sky === ref, s"skyline diverged for $pts")
     }
   }
+
+  test("q296 prefix filter equals brute-force shingle-Jaccard ≥ 0.6 (no miss, no extra)") {
+    // The PPJoin prefix lemma says the candidate join cannot miss a
+    // qualifying pair; exact verification then kills false positives —
+    // so the whole pipeline must EQUAL the quadratic reference.
+    // split(..., -1) mirrors Spark's split (keeps trailing empties).
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val t = r.getString(1).toLowerCase.split("\\s+", -1)
+        r.getLong(0) ->
+          (if (t.length < 3) Set.empty[String]
+           else (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}").toSet)
+      }
+      .filter(_._2.nonEmpty)
+      .sortBy(_._1)
+    val brute = (for {
+      i <- docs.indices.iterator
+      j <- (i + 1) until docs.length
+      (ida, ta) = docs(i); (idb, tb) = docs(j)
+      inter = (ta & tb).size.toLong
+      uni = ta.size + tb.size - inter
+      if inter * 1000000L / uni >= 600000L
+    } yield (ida, idb)).toSet
+    val got = SparkEntry.queries("q296_prefix_filter_simjoin")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute,
+      s"missed=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    assert(brute.nonEmpty, "degenerate fixture: brute force found no pairs")
+  }
 }

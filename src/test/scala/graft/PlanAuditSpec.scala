@@ -543,4 +543,31 @@ class PlanAuditSpec extends SparkTestBase {
     val aggIdx = p.lastIndexOf("ObjectHashAggregate")
     assert(winIdx >= 0 && aggIdx >= 0, p)
   }
+
+  test("q294: HRW assignment is per-row — no join, no shuffle before the rollup") {
+    val p = plan("q294_rendezvous_rebalance")
+    // Shard argmax is an array HOF inside a projection: any join in the
+    // plan means the assignment degraded to an explode+groupBy argmax.
+    assert(!p.contains("Join"), "per-row HRW argmax degraded to a join\n" + p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected only the rollup exchange, got $exchanges\n$p")
+  }
+
+  test("q296: candidates come from an equi-join on prefix shingles, never a product") {
+    val p = plan("q296_prefix_filter_simjoin")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "prefix filter degraded to an all-pairs product\n" + p)
+    // The candidate stage must be a hash EQUI-join on the prefix shingle
+    // (AQE picks broadcast at spec scale, sort-merge at 100 TB — both
+    // keep the bucket-bounded shape; a product would not).
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q292/q293: changepoint + FIR EMA are pure window stages — one exchange each") {
+    for (name <- Seq("q292_changepoint_mean_shift", "q293_ema_closed_form")) {
+      val p = plan(name)
+      assert(!p.contains("Join"), s"$name grew a join\n$p")
+      assert(p.contains("Window"), s"$name lost its window stage\n$p")
+    }
+  }
 }
