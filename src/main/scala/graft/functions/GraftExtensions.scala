@@ -67,6 +67,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children.head, children(1), children(2))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_jaro_winkler expects 2 arguments, got ${children.size}")
+        JaroWinkler(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,

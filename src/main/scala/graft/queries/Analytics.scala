@@ -2150,9 +2150,348 @@ object Analytics {
            |FROM g GROUP BY l ORDER BY l""".stripMargin),
   )
 
+  /** q297 — t-closeness audit, the third privacy gate after q280's
+    * k-anonymity and q295's l-diversity: a group can be large AND
+    * diverse yet still leak if its sensitive-value DISTRIBUTION sits
+    * far from the table's. Sensitive attribute = ordered balance band
+    * (2500-wide); distance = ordered earth-mover's EMD =
+    * (1/(m−1))·Σᵢ|cumᵢ(P−Q)|. Everything integer-exact: with group
+    * size k, table size N, per-band counts cntᵢ/gᵢ, the scaled diff
+    * cntᵢ·N − gᵢ·k cumulated over the band order gives
+    * EMD = Σ|cum| / (k·N·(m−1)), and the t>0.2 breach test is the
+    * cross-multiplication 5·Σ|cum| > k·N·(m−1). Scale: group×band
+    * matrix built by broadcast-crossing the QI groups with the m-row
+    * band domain (both tiny after aggregation — the raw table is
+    * scanned once); the cumsum window partitions by group over m rows.
+    */
+  val q297 = QuerySpec(
+    "q297_t_closeness",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val rec = Tables.customer(s, d)
+        .select($"c_nationkey".as("nat"), $"c_mktsegment".as("seg"),
+          floor($"c_acctbal" / 2500.0).cast("long").as("band"))
+      val glob = rec.groupBy($"band").agg(count(lit(1)).as("g"))
+      val total = rec.agg(count(lit(1)).as("n_total"))
+      val groups = rec.groupBy($"nat", $"seg").agg(count(lit(1)).as("k"))
+      val cells = rec.groupBy($"nat", $"seg", $"band").agg(count(lit(1)).as("cnt"))
+      val m = glob.agg(count(lit(1)).as("m"))
+      val w = Window.partitionBy($"nat", $"seg").orderBy($"band")
+      groups
+        .crossJoin(broadcast(glob.crossJoin(total).crossJoin(m)))
+        .join(cells, Seq("nat", "seg", "band"), "left")
+        .withColumn("diff", coalesce($"cnt", lit(0L)) * $"n_total" - $"g" * $"k")
+        .withColumn("cum", sum($"diff").over(w))
+        .groupBy($"nat", $"seg")
+        .agg(max($"k").as("k"), sum(abs($"cum")).as("emd_num"),
+          (max($"k") * max($"n_total") * (max($"m") - 1L)).as("emd_den"))
+        .withColumn("breach", $"emd_num" * 5L > $"emd_den")
+        .orderBy($"nat", $"seg")
+    },
+    Some("""WITH rec AS (
+           |  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+           |    CAST(floor(c_acctbal / 2500.0) AS BIGINT) AS band
+           |  FROM customer),
+           |gdist AS (SELECT band, count(*) AS g FROM rec GROUP BY band),
+           |tot AS (SELECT count(*) AS n_total, (SELECT count(*) FROM gdist) AS m FROM rec),
+           |grp AS (SELECT nat, seg, count(*) AS k FROM rec GROUP BY nat, seg),
+           |cell AS (SELECT nat, seg, band, count(*) AS cnt FROM rec GROUP BY nat, seg, band),
+           |mat AS (
+           |  SELECT g.nat, g.seg, g.k, gl.band, gl.g, t.n_total, t.m,
+           |    coalesce(c.cnt, 0) * t.n_total - gl.g * g.k AS diff
+           |  FROM grp g CROSS JOIN gdist gl CROSS JOIN tot t
+           |  LEFT JOIN cell c ON c.nat = g.nat AND c.seg = g.seg AND c.band = gl.band),
+           |cum AS (
+           |  SELECT nat, seg, k, n_total, m,
+           |    sum(diff) OVER (PARTITION BY nat, seg ORDER BY band) AS cum
+           |  FROM mat)
+           |SELECT nat, seg, CAST(max(k) AS BIGINT) AS k,
+           |  CAST(sum(abs(cum)) AS BIGINT) AS emd_num,
+           |  CAST(max(k) * max(n_total) * (max(m) - 1) AS BIGINT) AS emd_den,
+           |  CAST(sum(abs(cum)) AS BIGINT) * 5 > max(k) * max(n_total) * (max(m) - 1) AS breach
+           |FROM cum GROUP BY nat, seg ORDER BY nat, seg""".stripMargin),
+  )
+
+  /** q298 — exact AUC via the Mann-Whitney rank statistic, computed on
+    * GROUPED score counts (never per-row ranks): label = returnflag 'R',
+    * score = the percent discount. With per-score tie groups
+    * (cum_before, n, npos) the tie-averaged doubled rank is
+    * rank2 = 2·cum_before + n + 1, so 2·Σrank_pos = Σ npos_g·rank2 and
+    * AUC = (2·Σrank_pos − npos(npos+1)) / (2·npos·nneg) — an exact
+    * integer rational, reported with a floor-division ppm. Scale: the
+    * per-row table collapses to |score domain| rows in one map-side
+    * combinable aggregate; the cumsum window runs over ≤11 rows per
+    * linestatus partition. This is the only AUC formulation that
+    * survives 100 TB — per-row rank() would global-sort the table. */
+  val q298 = QuerySpec(
+    "q298_auc_mann_whitney",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val sg = Tables.lineitem(s, d)
+        .select($"l_linestatus".as("ls"),
+          round($"l_discount" * 100).cast("long").as("score"),
+          when($"l_returnflag" === "R", 1L).otherwise(0L).as("pos"))
+        .groupBy($"ls", $"score")
+        .agg(count(lit(1)).as("n"), sum($"pos").as("npos"))
+      val w = Window.partitionBy($"ls").orderBy($"score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      sg.withColumn("cum_before", coalesce(sum($"n").over(w), lit(0L)))
+        .withColumn("rank2", lit(2L) * $"cum_before" + $"n" + 1L)
+        .groupBy($"ls")
+        .agg(sum($"npos").as("np"), sum($"n" - $"npos").as("nn"),
+          sum($"npos" * $"rank2").as("r2pos"))
+        .select($"ls", $"np", $"nn",
+          ($"r2pos" - $"np" * ($"np" + 1L)).as("auc_num"),
+          (lit(2L) * $"np" * $"nn").as("auc_den"))
+        .withColumn("auc_ppm", expr("(auc_num * 1000000L) div auc_den"))
+        .orderBy($"ls")
+    },
+    Some("""WITH sg AS (
+           |  SELECT l_linestatus AS ls,
+           |    CAST(round(l_discount * 100) AS BIGINT) AS score,
+           |    count(*) AS n,
+           |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS npos
+           |  FROM lineitem GROUP BY 1, 2),
+           |r AS (
+           |  SELECT ls, n, npos,
+           |    coalesce(sum(n) OVER (PARTITION BY ls ORDER BY score
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+           |  FROM sg),
+           |a AS (
+           |  SELECT ls, CAST(sum(npos) AS BIGINT) AS np,
+           |    CAST(sum(n - npos) AS BIGINT) AS nn,
+           |    CAST(sum(npos * (2 * cum_before + n + 1)) AS BIGINT) AS r2pos
+           |  FROM r GROUP BY ls)
+           |SELECT ls, np, nn,
+           |  r2pos - np * (np + 1) AS auc_num,
+           |  2 * np * nn AS auc_den,
+           |  CAST((r2pos - np * (np + 1)) * 1000000 // (2 * np * nn) AS BIGINT) AS auc_ppm
+           |FROM a ORDER BY ls""".stripMargin),
+  )
+
+  /** q299 — one-pass precision/recall threshold sweep: the full PR
+    * curve from a SINGLE cumulative window over score groups, not one
+    * scan per threshold (the naive form reads the table |thresholds|
+    * times — the difference between 1× and 100× I/O at 100 TB). Score =
+    * 1000-unit extended-price bucket, predicted positive ⟺ score ≥ t for
+    * every distinct bucket t descending; TP/FP are descending cumsums,
+    * FN = P − TP. Precision/recall reported as exact floor-division
+    * ppm of integer counts. */
+  val q299 = QuerySpec(
+    "q299_pr_threshold_sweep",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val sg = Tables.lineitem(s, d)
+        .select((floor($"l_extendedprice" / 1000.0) * 1000).cast("long").as("t"),
+          when($"l_returnflag" === "R", 1L).otherwise(0L).as("pos"))
+        .groupBy($"t")
+        .agg(count(lit(1)).as("n"), sum($"pos").as("npos"))
+      val wd = Window.orderBy($"t".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // Grand-total positives from the SAME window stage (unbounded
+      // frame) — not a second scan of the table joined back in.
+      val wAll = Window.orderBy($"t".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      sg.withColumn("tp", sum($"npos").over(wd))
+        .withColumn("pp", sum($"n").over(wd))
+        .withColumn("p_all", sum($"npos").over(wAll))
+        .select($"t", $"tp", ($"pp" - $"tp").as("fp"), ($"p_all" - $"tp").as("fn"),
+          expr("(tp * 1000000L) div pp").as("precision_ppm"),
+          expr("(tp * 1000000L) div p_all").as("recall_ppm"))
+        .orderBy($"t".desc)
+    },
+    Some("""WITH sg AS (
+           |  SELECT CAST(floor(l_extendedprice / 1000.0) * 1000 AS BIGINT) AS t,
+           |    count(*) AS n,
+           |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS npos
+           |  FROM lineitem GROUP BY 1),
+           |c AS (
+           |  SELECT t,
+           |    sum(npos) OVER w AS tp, sum(n) OVER w AS pp,
+           |    (SELECT sum(npos) FROM sg) AS p_all
+           |  FROM sg
+           |  WINDOW w AS (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           |SELECT t, CAST(tp AS BIGINT) AS tp, CAST(pp - tp AS BIGINT) AS fp,
+           |  CAST(p_all - tp AS BIGINT) AS fn,
+           |  CAST(tp * 1000000 // pp AS BIGINT) AS precision_ppm,
+           |  CAST(tp * 1000000 // p_all AS BIGINT) AS recall_ppm
+           |FROM c ORDER BY t DESC""".stripMargin),
+  )
+
+  /** q300 — lag-k autocorrelation of the hourly event-count series,
+    * k = 1..6, per event type — the seasonality probe run before
+    * fitting any forecast. Pearson r over (xₜ, xₜ₋ₖ) pairs reported as
+    * integer sufficient statistics: num = n·Σxy − Σx·Σy and the two
+    * variance terms; the |r| ≥ 0.5 flag is the cross-multiplication
+    * 4·num² ≥ denx·deny evaluated in DECIMAL(38,0) so nothing rounds.
+    * Scale: the raw stream collapses to hourly counts in one
+    * aggregate; the 6 lag() reads share one codegen'd window stage
+    * over series-length rows per type — no self-joins, no k scans. */
+  val q300 = QuerySpec(
+    "q300_acf_lagk",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val hc = Tables.events(s, d)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy($"event_type").orderBy($"h")
+      val lagged = hc.select(
+        Seq($"event_type", $"x") ++
+          (1 to 6).map(k => lag($"x", k).over(w).as(s"x_$k")): _*)
+      val per = (1 to 6).map { k =>
+        val y = col(s"x_$k")
+        lagged.filter(y.isNotNull)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum($"x").as("sx"), sum(y).as("sy"), sum($"x" * y).as("sxy"),
+            sum($"x" * $"x").as("sxx"), sum(y * y).as("syy"))
+          .withColumn("lag_k", lit(k))
+      }.reduce(_ union _)
+      per
+        .select($"event_type", $"lag_k", $"n",
+          ($"n" * $"sxy" - $"sx" * $"sy").as("num"),
+          ($"n" * $"sxx" - $"sx" * $"sx").as("denx"),
+          ($"n" * $"syy" - $"sy" * $"sy").as("deny"))
+        .withColumn("strong",
+          $"num".cast(DecimalType(38, 0)) * $"num" * 4 >=
+            $"denx".cast(DecimalType(38, 0)) * $"deny")
+        .orderBy($"event_type", $"lag_k")
+    },
+    Some {
+      val arms = (1 to 6).map { k =>
+        s"""SELECT event_type, $k AS lag_k, count(*) AS n,
+           |  sum(x) AS sx, sum(x_$k) AS sy, sum(x * x_$k) AS sxy,
+           |  sum(x * x) AS sxx, sum(x_$k * x_$k) AS syy
+           |FROM lagged WHERE x_$k IS NOT NULL GROUP BY event_type""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH hc AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS x
+         |  FROM events GROUP BY 1, 2),
+         |lagged AS (
+         |  SELECT event_type, x,
+         |    ${(1 to 6).map(k => s"lag(x, $k) OVER w AS x_$k").mkString(", ")}
+         |  FROM hc WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+         |per AS ($arms)
+         |SELECT event_type, CAST(lag_k AS INT) AS lag_k, n,
+         |  CAST(n * sxy - sx * sy AS BIGINT) AS num,
+         |  CAST(n * sxx - sx * sx AS BIGINT) AS denx,
+         |  CAST(n * syy - sy * sy AS BIGINT) AS deny,
+         |  CAST(4 * CAST(n * sxy - sx * sy AS HUGEINT) * (n * sxy - sx * sy) >=
+         |    CAST(n * sxx - sx * sx AS HUGEINT) * (n * syy - sy * sy) AS BOOLEAN) AS strong
+         |FROM per ORDER BY event_type, lag_k""".stripMargin
+    },
+  )
+
+  /** q303 — calibration (reliability) bins, closing the ML-eval trio
+    * with q298's AUC (discrimination) and q299's PR sweep (operating
+    * points): a model can rank well yet systematically over/under-
+    * predict. Predicted probability = discount-derived score mapped to
+    * [0,1] in ppm (a deterministic stand-in with the exact shape of a
+    * model-score column); per decile bin the mean predicted ppm and
+    * the empirical positive rate ppm are integer floor-divisions, and
+    * the signed calibration gap is their difference. One map-side-
+    * combinable aggregate over the scan — the curve costs one pass
+    * regardless of table size. */
+  val q303 = QuerySpec(
+    "q303_calibration_bins",
+    (s, d) => {
+      import s.implicits._
+      val scored = Tables.lineitem(s, d)
+        .select((round($"l_discount" * 100) * 100000L).cast("long").as("pred_ppm"),
+          when($"l_returnflag" === "R", 1L).otherwise(0L).as("pos"))
+        .withColumn("bin", expr("pred_ppm * 10L div 1000001L").cast("int"))
+      scored.groupBy($"bin")
+        .agg(count(lit(1)).as("n"), sum($"pred_ppm").as("pred_sum"),
+          sum($"pos").as("npos"))
+        .select($"bin", $"n",
+          expr("pred_sum div n").as("mean_pred_ppm"),
+          expr("(npos * 1000000L) div n").as("pos_rate_ppm"))
+        .withColumn("gap_ppm", $"mean_pred_ppm" - $"pos_rate_ppm")
+        .orderBy($"bin")
+    },
+    Some("""WITH scored AS (
+           |  SELECT CAST(round(l_discount * 100) * 100000 AS BIGINT) AS pred_ppm,
+           |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+           |  FROM lineitem),
+           |b AS (
+           |  SELECT CAST(pred_ppm * 10 // 1000001 AS INT) AS bin, count(*) AS n,
+           |    CAST(sum(pred_ppm) AS BIGINT) AS pred_sum,
+           |    CAST(sum(pos) AS BIGINT) AS npos
+           |  FROM scored GROUP BY 1)
+           |SELECT bin, n, pred_sum // n AS mean_pred_ppm,
+           |  (npos * 1000000) // n AS pos_rate_ppm,
+           |  pred_sum // n - (npos * 1000000) // n AS gap_ppm
+           |FROM b ORDER BY bin""".stripMargin),
+  )
+
+  /** q306 — Theil-Sen robust trend: per event type, the exact lower
+    * median of banded pairwise slopes of the hourly-count series —
+    * the outlier-resistant alternative to q147's least-squares trend
+    * (one corrupted hour moves OLS arbitrarily, moves a slope median
+    * not at all). Slopes are quantized to integer milli-units by
+    * truncating division (identical `div`/`//` semantics on both
+    * engines, negative slopes included); the band |j−i| ≤ 24 bounds
+    * the self-join at O(n·24) pairs — full Theil-Sen's O(n²) pair set
+    * is the textbook form, the banded estimator is the one that
+    * scales (and weights recent structure, the forecasting norm).
+    * Median rank (n+1)÷2 over an integer column, same convention as
+    * q269. */
+  val q306 = QuerySpec(
+    "q306_theil_sen_slope",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val hc = Tables.events(s, d)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("i",
+          row_number().over(Window.partitionBy($"event_type").orderBy($"h")))
+      val slopes = hc.as("a").join(hc.as("b"),
+          $"a.event_type" === $"b.event_type" &&
+            $"b.i" > $"a.i" && $"b.i" <= $"a.i" + 24)
+        .select($"a.event_type".as("event_type"),
+          expr("(b.y - a.y) * 1000L div (b.i - a.i)").as("slope_milli"))
+      slopes
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"event_type").orderBy($"slope_milli")))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy($"event_type")))
+        .filter(expr("rn = (n + 1L) div 2L"))
+        .select($"event_type", $"n".as("n_pairs"), $"slope_milli".as("median_slope_milli"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH hc AS (
+           |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS y
+           |  FROM events GROUP BY 1, 2),
+           |idx AS (
+           |  SELECT event_type, y,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS i
+           |  FROM hc),
+           |slopes AS (
+           |  SELECT a.event_type,
+           |    (b.y - a.y) * 1000 // (b.i - a.i) AS slope_milli
+           |  FROM idx a JOIN idx b
+           |    ON a.event_type = b.event_type AND b.i > a.i AND b.i <= a.i + 24),
+           |r AS (
+           |  SELECT event_type, slope_milli,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY slope_milli) AS rn,
+           |    count(*) OVER (PARTITION BY event_type) AS n
+           |  FROM slopes)
+           |SELECT event_type, CAST(max(n) AS BIGINT) AS n_pairs,
+           |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN slope_milli END) AS BIGINT)
+           |    AS median_slope_milli
+           |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q118, q119, q120, q121, q123, q124, q127, q128, q131, q132, q134, q137,
       q139, q147, q153, q157, q165, q191, q193, q198, q199, q217, q222, q227,
       q246, q247, q254, q255, q264, q272, q276, q280, q281, q282, q284, q285,
-      q286, q288, q289, q291, q292, q293, q295)
+      q286, q288, q289, q291, q292, q293, q295, q297, q298, q299, q300, q303,
+      q306)
 }

@@ -1472,7 +1472,72 @@ object Extras {
            |FROM ex GROUP BY rf ORDER BY rf""".stripMargin),
   )
 
+  /** q305 — group-mode imputation (categorical missing-value repair,
+    * the categorical sibling of q159's forward fill and q121's linear
+    * interpolation): null segments (injected deterministically on
+    * custkey ≡ 0 mod 37 — the fixture has no real nulls) are filled
+    * with their nation's modal segment, tie broken by the smaller
+    * segment value so the repair is a pure function of the data. Mode
+    * = argmax over the nation×segment count matrix via one struct-max
+    * (max(struct(cnt, seg-inverted)) — no window, no sort), which is
+    * group-count-sized and broadcast back onto the table. Audit output:
+    * per nation, rows repaired, the mode used, and the post-repair
+    * segment histogram checksum. Scale: two aggregates + one broadcast
+    * join — the raw table shuffles once (final rollup), never for the
+    * mode. */
+  val q305 = QuerySpec(
+    "q305_mode_imputation",
+    (s, d) => {
+      import s.implicits._
+      val cust = Tables.customer(s, d)
+        .select($"c_custkey", $"c_nationkey".as("nat"),
+          when($"c_custkey" % 37 === 0, lit(null)).otherwise($"c_mktsegment")
+            .as("seg"))
+      // Deterministic argmax with an ASCENDING tie-break (max cnt, then
+      // MIN seg — opposite orders, so no single struct-max): max the
+      // count on the group-sized frame, join back, min the seg.
+      val counts = cust.filter($"seg".isNotNull)
+        .groupBy($"nat", $"seg").agg(count(lit(1)).as("cnt"))
+      val top = counts.groupBy($"nat").agg(max($"cnt").as("cnt"))
+        .join(counts, Seq("nat", "cnt"))
+        .groupBy($"nat").agg(min($"seg").as("mode_seg"))
+      val repaired = cust.join(broadcast(top), Seq("nat"))
+        .withColumn("filled", $"seg".isNull)
+        .withColumn("seg2", coalesce($"seg", $"mode_seg"))
+      repaired.groupBy($"nat")
+        .agg(max($"mode_seg").as("mode_seg"),
+          sum(when($"filled", 1L).otherwise(0L)).as("n_repaired"),
+          count(lit(1)).as("n_rows"),
+          sum(conv(substring(md5($"seg2".cast("binary")), 1, 8), 16, 10)
+            .cast("long") * $"c_custkey").as("hist_checksum"))
+        .orderBy($"nat")
+    },
+    Some("""WITH cust AS (
+           |  SELECT c_custkey, c_nationkey AS nat,
+           |    CASE WHEN c_custkey % 37 = 0 THEN NULL ELSE c_mktsegment END AS seg
+           |  FROM customer),
+           |counts AS (
+           |  SELECT nat, seg, count(*) AS cnt FROM cust
+           |  WHERE seg IS NOT NULL GROUP BY nat, seg),
+           |top AS (
+           |  SELECT c.nat, min(c.seg) AS mode_seg
+           |  FROM counts c JOIN (SELECT nat, max(cnt) AS cnt FROM counts GROUP BY nat) m
+           |    ON c.nat = m.nat AND c.cnt = m.cnt
+           |  GROUP BY c.nat),
+           |rep AS (
+           |  SELECT cust.nat, c_custkey, mode_seg,
+           |    seg IS NULL AS filled, coalesce(seg, mode_seg) AS seg2
+           |  FROM cust JOIN top ON cust.nat = top.nat)
+           |SELECT nat, max(mode_seg) AS mode_seg,
+           |  CAST(sum(CASE WHEN filled THEN 1 ELSE 0 END) AS BIGINT) AS n_repaired,
+           |  count(*) AS n_rows,
+           |  CAST(sum(CAST('0x' || substr(md5(seg2), 1, 8) AS BIGINT) * c_custkey)
+           |    AS BIGINT) AS hist_checksum
+           |FROM rep GROUP BY nat ORDER BY nat""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q39, q40, q41, q42, q43, q46, q47, q49, q50, q58,
     q74, q77, q79, q80, q92, q98, q99, q102, q104, q105, q107, q109, q112, q115,
-    q141, q152, q158, q159, q195, q197, q232, q233, q234, q265, q266, q267, q268)
+    q141, q152, q158, q159, q195, q197, q232, q233, q234, q265, q266, q267, q268,
+    q305)
 }

@@ -437,5 +437,72 @@ object GraphOps {
            |FROM best GROUP BY dist ORDER BY dist""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q59, q94, q126, q148, q226)
+  /** q304 — bounded-hop WEIGHTED shortest paths (synchronous
+    * Bellman-Ford, 4 relaxation rounds), the weighted companion to
+    * q226's BFS: distance now accumulates per-edge costs, so the
+    * cheapest path can be longer in hops than the hop-minimal one —
+    * min-dist and BFS genuinely differ. Graph: suppliers co-occurring
+    * on an order (199-sampled, q226's subgraph), projected ONCE into a
+    * weighted edge list with w(s1,s2) = min over shared orders of
+    * (o mod 20)+1 — the min-agg makes the multigraph a simple graph
+    * deterministically. Round k relaxes against the FULL best-so-far
+    * frame, so dist_k(v) = exact min cost over ≤k-edge paths — the
+    * unique fixed point the oracle's path-enumerating recursive CTE
+    * also computes. Scale: per round one broadcast of the node-sized
+    * dist frame onto the persisted edge list + a min-agg; edges never
+    * re-shuffle; rows moved are O(frontier·degree), and the hop bound
+    * caps the loop exactly like a real feature-pipeline "within 4
+    * handoffs" constraint. */
+  val q304 = QuerySpec(
+    "q304_bellman_ford_khop",
+    (s, d) => {
+      import s.implicits._
+      val li = graft.Tables.lineitem(s, d)
+        .filter($"l_orderkey" % 199 === 0)
+        .select($"l_orderkey".as("o"), $"l_suppkey".as("sk"))
+        .distinct()
+      val edges = li.as("a").join(li.as("b"),
+          $"a.o" === $"b.o" && $"a.sk" =!= $"b.sk")
+        .select($"a.sk".as("u"), $"b.sk".as("v"), (($"a.o" % 20L) + 1L).as("w0"))
+        .groupBy($"u", $"v").agg(min($"w0").as("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try graft.Confs.withShufflePartitions(s, 8) {
+        var best = Seq((1L, 0L)).toDF("node", "dist")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        var prev: DataFrame = null
+        for (_ <- 1 to 4) {
+          val relaxed = edges.join(broadcast(best), $"u" === $"node")
+            .select($"v".as("node"), ($"dist" + $"w").as("dist"))
+            .unionByName(best)
+            .groupBy($"node").agg(min($"dist").as("dist"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          relaxed.count() // materialize before dropping the parent
+          if (prev != null) prev.unpersist()
+          prev = best
+          best = relaxed
+        }
+        val out = Eager(best.orderBy($"node").select($"node", $"dist"))
+        best.unpersist()
+        if (prev != null) prev.unpersist()
+        out
+      } finally { edges.unpersist(); () }
+    },
+    Some("""WITH RECURSIVE li AS (
+           |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem
+           |  WHERE l_orderkey % 199 = 0),
+           |e AS (
+           |  SELECT a.sk AS u, b.sk AS v, min((a.o % 20) + 1) AS w
+           |  FROM li a JOIN li b ON a.o = b.o AND a.sk <> b.sk
+           |  GROUP BY a.sk, b.sk),
+           |walk(node, dist, hops) AS (
+           |  SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT), 0
+           |  UNION
+           |  SELECT e.v, walk.dist + e.w, walk.hops + 1
+           |  FROM walk JOIN e ON e.u = walk.node
+           |  WHERE walk.hops < 4)
+           |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+           |FROM walk GROUP BY node ORDER BY node""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q59, q94, q126, q148, q226, q304)
 }

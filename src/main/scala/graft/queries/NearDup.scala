@@ -720,6 +720,53 @@ object NearDup {
            |ORDER BY doc_a, doc_b""".stripMargin),
   )
 
+  /** q302 — Jaro-Winkler record-linkage scoring: the edit-window
+    * similarity verifier (Winkler 1990) on brand-blocked part-name
+    * pairs — the classic two-phase ER shape (q291's candidate/score
+    * split with a string-metric scorer instead of field agreement).
+    * jw is the codegen'd [[graft.functions.JaroWinkler]] expression —
+    * bit-identical to DuckDB's builtin (StringSimSpec proves it over
+    * randomized corpora), so the floor(jw·1e6) gates are engine-exact.
+    * Per brand block: candidate pairs, matches at jw ≥ 0.85, exact
+    * duplicates (jw = 1), and the integer ppm mass of the matches.
+    * Scale: blocking bounds pairs at Σ|block|² — the brand key is the
+    * q296-style prefix filter for names; the pair stream never leaves
+    * its block's partition and the scorer runs inside whole-stage
+    * codegen (a Scala UDF here would box every pair). */
+  val q302 = QuerySpec(
+    "q302_jaro_winkler_linkage",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.JaroWinkler.jaroWinkler
+      val p = Tables.part(s, d).select($"p_partkey", $"p_name", $"p_brand")
+      val pairs = p.as("a").join(p.as("b"),
+          $"a.p_brand" === $"b.p_brand" && $"a.p_partkey" < $"b.p_partkey")
+        .select($"a.p_brand".as("brand"),
+          jaroWinkler($"a.p_name", $"b.p_name").as("jw"))
+        .withColumn("jw_ppm", floor($"jw" * 1000000L).cast("long"))
+      pairs.groupBy($"brand")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when($"jw_ppm" >= 850000L, 1L).otherwise(0L)).as("n_match"),
+          sum(when($"jw_ppm" === 1000000L, 1L).otherwise(0L)).as("n_exact"),
+          sum(when($"jw_ppm" >= 850000L, $"jw_ppm").otherwise(0L)).as("match_ppm_sum"))
+        .orderBy($"brand")
+    },
+    Some("""WITH pairs AS (
+           |  SELECT a.p_brand AS brand,
+           |    CAST(floor(jaro_winkler_similarity(a.p_name, b.p_name) * 1000000)
+           |      AS BIGINT) AS jw_ppm
+           |  FROM part a JOIN part b
+           |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey)
+           |SELECT brand, count(*) AS n_pairs,
+           |  CAST(sum(CASE WHEN jw_ppm >= 850000 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_match,
+           |  CAST(sum(CASE WHEN jw_ppm = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_exact,
+           |  CAST(sum(CASE WHEN jw_ppm >= 850000 THEN jw_ppm ELSE 0 END) AS BIGINT)
+           |    AS match_ppm_sum
+           |FROM pairs GROUP BY brand ORDER BY brand""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q24, q25, q26, q27, q28, q52, q55, q81, q125,
-    q138, q296)
+    q138, q296, q302)
 }

@@ -983,6 +983,77 @@ object ScaleOps {
            |FROM asg GROUP BY hrw8 ORDER BY shard8""".stripMargin),
   )
 
+  /** q301 — point-in-polygon geofence classification, the spatial
+    * family's (q256/q270/q273) containment gate: count customers inside
+    * a non-convex 6-edge fence by exact-integer ray casting. A
+    * rightward ray from (px,py) crosses edge (x1,y1)→(x2,y2) iff the
+    * edge straddles the scan line ((y1>py) ≠ (y2>py)) and the point is
+    * left of the intersection — the division-free cross-multiplied
+    * test (px−x1)(y2−y1) ⋛ (py−y1)(x2−x1) with the comparison flipped
+    * by the edge direction. Odd crossings = inside. No FP anywhere, so
+    * both engines agree on every boundary-adjacent point. Scale: the
+    * polygon is a 6-row broadcast — per point O(edges) work inside one
+    * stage, then one per-nation rollup; a polygon SET extends this with
+    * a bbox-bucket pre-join (q256's grid) before the exact test. The
+    * edge fold is a row-local array HOF — NOT an explode+groupBy, which
+    * would shuffle |points|·|edges| rows to reassemble what never
+    * needed to leave the row. */
+  val q301 = QuerySpec(
+    "q301_point_in_polygon",
+    (s, d) => {
+      import s.implicits._
+      val pts = Tables.customer(s, d)
+        .select($"c_custkey", $"c_nationkey".as("nat"),
+          geoLonE3($"c_custkey").as("px"), geoLatE3($"c_custkey").as("py"))
+      val crossings = size(filter(typedLit(PolygonEdges), e => {
+        val (x1, y1, x2, y2) = (e("_1"), e("_2"), e("_3"), e("_4"))
+        val lhs = ($"px" - x1) * (y2 - y1)
+        val rhs = ($"py" - y1) * (x2 - x1)
+        ((y1 > $"py") =!= (y2 > $"py")) &&
+          ((y2 > y1 && lhs < rhs) || (y2 < y1 && lhs > rhs))
+      }))
+      pts.withColumn("inside", crossings % 2 === 1)
+        .groupBy($"nat")
+        .agg(count(lit(1)).as("n_points"),
+          sum(when($"inside", 1L).otherwise(0L)).as("n_inside"),
+          sum(when($"inside", $"c_custkey").otherwise(0L)).as("inside_key_sum"))
+        .orderBy($"nat")
+    },
+    Some("""WITH pts AS (
+           |  SELECT c_custkey, c_nationkey AS nat,
+           |    (c_custkey * 104729) % 360001 - 180000 AS px,
+           |    (c_custkey * 7919) % 180001 - 90000 AS py
+           |  FROM customer),
+           |edges(x1, y1, x2, y2) AS (VALUES
+           |  (-150000, 0, -50000, 60000), (-50000, 60000, 0, 20000),
+           |  (0, 20000, 100000, 60000), (100000, 60000, 150000, -40000),
+           |  (150000, -40000, -20000, -70000), (-20000, -70000, -150000, 0)),
+           |cr AS (
+           |  SELECT c_custkey, nat,
+           |    sum(CASE WHEN ((y1 > py) <> (y2 > py)) AND
+           |      ((y2 > y1 AND (px - x1) * (y2 - y1) < (py - y1) * (x2 - x1)) OR
+           |       (y2 < y1 AND (px - x1) * (y2 - y1) > (py - y1) * (x2 - x1)))
+           |      THEN 1 ELSE 0 END) AS crossings
+           |  FROM pts CROSS JOIN edges
+           |  GROUP BY c_custkey, nat)
+           |SELECT nat, count(*) AS n_points,
+           |  CAST(sum(CASE WHEN crossings % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_inside,
+           |  CAST(sum(CASE WHEN crossings % 2 = 1 THEN c_custkey ELSE 0 END)
+           |    AS BIGINT) AS inside_key_sum
+           |FROM cr GROUP BY nat ORDER BY nat""".stripMargin),
+  )
+
+  /** The q301 fence, one row per directed edge (closed loop, integer
+    * milli-degree lon/lat — x=lon, y=lat in the geo family's frame). */
+  private val PolygonEdges: Seq[(Long, Long, Long, Long)] = {
+    val v = Seq((-150000L, 0L), (-50000L, 60000L), (0L, 20000L),
+      (100000L, 60000L), (150000L, -40000L), (-20000L, -70000L))
+    (v :+ v.head).sliding(2).map { case Seq((x1, y1), (x2, y2)) =>
+      (x1, y1, x2, y2)
+    }.toSeq
+  }
+
   val all: Seq[QuerySpec] = Seq(q207, q208, q209, q210, q248, q249, q250,
-    q256, q257, q258, q259, q269, q270, q273, q283, q287, q294)
+    q256, q257, q258, q259, q269, q270, q273, q283, q287, q294, q301)
 }

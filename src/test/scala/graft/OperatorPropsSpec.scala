@@ -328,4 +328,54 @@ class OperatorPropsSpec extends SparkTestBase {
       s"missed=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
     assert(brute.nonEmpty, "degenerate fixture: brute force found no pairs")
   }
+
+  test("q298 grouped-rank AUC equals brute-force pairwise AUC") {
+    // The Mann-Whitney identity: AUC = P(score_pos > score_neg) +
+    // ½·P(tie). The query computes it from grouped tie-rank algebra;
+    // the reference counts every (pos, neg) pair directly.
+    val rows = Tables.lineitem(spark, sf)
+      .select("l_linestatus", "l_discount", "l_returnflag").collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100), r.getString(2) == "R"))
+    val got = SparkEntry.queries("q298_auc_mann_whitney")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    rows.groupBy(_._1).foreach { case (ls, grp) =>
+      val pos = grp.filter(_._3).map(_._2)
+      val neg = grp.filterNot(_._3).map(_._2)
+      val num2 = (for { p <- pos.iterator; n <- neg } yield
+        if (p > n) 2L else if (p == n) 1L else 0L).sum
+      val (gotNum, gotDen) = got(ls)
+      assert(gotDen === 2L * pos.length * neg.length, s"$ls: denominator")
+      assert(gotNum === num2, s"$ls: rank AUC ${gotNum} != pairwise ${num2}")
+    }
+  }
+
+  test("q301 ray-cast matches an independent winding-style containment check") {
+    // Reference: per point, recompute containment with the half-open
+    // edge rule written scalar-side (same integer arithmetic, separate
+    // code path), then compare the per-nation rollup.
+    val verts = Seq((-150000L, 0L), (-50000L, 60000L), (0L, 20000L),
+      (100000L, 60000L), (150000L, -40000L), (-20000L, -70000L))
+    val edges = (verts :+ verts.head).sliding(2).map(s => (s(0), s(1))).toSeq
+    def inside(px: Long, py: Long): Boolean = edges.count { case ((x1, y1), (x2, y2)) =>
+      val straddles = (y1 > py) != (y2 > py)
+      straddles && {
+        val lhs = (px - x1) * (y2 - y1); val rhs = (py - y1) * (x2 - x1)
+        if (y2 > y1) lhs < rhs else lhs > rhs
+      }
+    } % 2 == 1
+    val exp = Tables.customer(spark, sf).select("c_custkey", "c_nationkey").collect()
+      .map { r =>
+        val k = r.getLong(0)
+        val px = (k * 104729L) % 360001L - 180000L
+        val py = (k * 7919L) % 180001L - 90000L
+        (r.getInt(1), inside(px, py), k)
+      }
+    val expByNat = exp.groupBy(_._1).map { case (nat, g) =>
+      nat -> (g.length.toLong, g.count(_._2).toLong, g.filter(_._2).map(_._3).sum)
+    }
+    val gotByNat = SparkEntry.queries("q301_point_in_polygon")(spark, sf)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(gotByNat === expByNat)
+    assert(exp.count(_._2) > 0, "degenerate: fence contains no points at sf0.001")
+  }
 }

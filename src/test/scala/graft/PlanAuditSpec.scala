@@ -570,4 +570,30 @@ class PlanAuditSpec extends SparkTestBase {
       assert(p.contains("Window"), s"$name lost its window stage\n$p")
     }
   }
+
+  test("q298/q299: rank stats aggregate BEFORE the cumulative window") {
+    // The scale claim: per-row rank() over the raw table would global-
+    // sort 100 TB; both queries must window over the grouped score
+    // domain — an aggregate must sit below every Window in the plan.
+    for (name <- Seq("q298_auc_mann_whitney", "q299_pr_threshold_sweep")) {
+      val p = plan(name)
+      // Formatted explain numbers nodes bottom-up (scan = 1), so
+      // "aggregate executes below the window" ⟺ the lowest-numbered
+      // HashAggregate node has a smaller number than the lowest Window.
+      def minNode(kind: String): Int = {
+        val nums = s"\\((\\d+)\\) $kind".r.findAllMatchIn(p).map(_.group(1).toInt)
+        if (nums.isEmpty) Int.MaxValue else nums.min
+      }
+      assert(minNode("Window") < Int.MaxValue, s"$name lost its cumulative window\n$p")
+      assert(minNode("HashAggregate") < minNode("Window"),
+        s"$name: score-domain aggregate is not below the window\n$p")
+    }
+  }
+
+  test("q301: containment is row-local — no join, only the rollup exchange") {
+    val p = plan("q301_point_in_polygon")
+    assert(!p.contains("Join"), "edge fold degraded to a join\n" + p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected only the rollup exchange, got $exchanges\n$p")
+  }
 }
