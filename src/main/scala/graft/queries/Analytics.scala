@@ -2488,10 +2488,106 @@ object Analytics {
            |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin),
   )
 
+  /** q308 — seasonal-naive forecast backtest: ŷ(t) = y(t−24h), the
+    * baseline every real forecast must beat, scored over the hourly
+    * event-count series per type. Errors stay integer: MAE and bias in
+    * milli-units via truncating div; the per-row percentage error is
+    * floor-divided to ppm BEFORE averaging (each row's ratio is exact,
+    * the mean of exact ratios is deterministic — averaging THEN
+    * dividing floats is not). One window stage (lag 24) + one rollup;
+    * backtest cost is one pass regardless of horizon because the
+    * "forecast" is a shift, not a fit. */
+  val q308 = QuerySpec(
+    "q308_seasonal_naive_backtest",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"event_type").orderBy($"h")
+      Tables.events(s, d)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("yhat", lag($"y", 24).over(w))
+        .filter($"yhat".isNotNull)
+        .withColumn("abs_err", abs($"y" - $"yhat"))
+        .withColumn("ape_ppm",
+          expr("abs(y - yhat) * 1000000L div greatest(y, 1L)"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          expr("sum(abs_err) * 1000L div count(1)").as("mae_milli"),
+          expr("sum(y - yhat) * 1000L div count(1)").as("bias_milli"),
+          expr("sum(ape_ppm) div count(1)").as("mape_ppm"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH hc AS (
+           |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS y
+           |  FROM events GROUP BY 1, 2),
+           |f AS (
+           |  SELECT event_type, y,
+           |    lag(y, 24) OVER (PARTITION BY event_type ORDER BY h) AS yhat
+           |  FROM hc),
+           |e AS (
+           |  SELECT event_type, y, yhat, abs(y - yhat) AS abs_err,
+           |    abs(y - yhat) * 1000000 // greatest(y, 1) AS ape_ppm
+           |  FROM f WHERE yhat IS NOT NULL)
+           |SELECT event_type, count(*) AS n_hours,
+           |  CAST(sum(abs_err) * 1000 // count(*) AS BIGINT) AS mae_milli,
+           |  CAST(sum(y - yhat) * 1000 // count(*) AS BIGINT) AS bias_milli,
+           |  CAST(sum(ape_ppm) // count(*) AS BIGINT) AS mape_ppm
+           |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin),
+  )
+
+  /** q311 — deterministic Poisson bootstrap: resampling-based spread
+    * estimation with ZERO RNG state — resample b's multiplicity for a
+    * row is read off md5(key:b) against the Poisson(1) CDF thresholds
+    * (368/736/920/981/996 per mille), the standard streaming-bootstrap
+    * approximation (per-row i.i.d. weights instead of an exact
+    * multinomial, exchangeable at corpus scale). 16 resample means of
+    * the quantity column in one pass — explode×16 then a grouped
+    * integer aggregate; reproducible across engines, reruns, and
+    * cluster sizes, which RNG bootstraps are not. The spread of the 16
+    * means IS the standard-error readout a data-quality gate consumes.
+    */
+  val q311 = QuerySpec(
+    "q311_hash_bootstrap_ci",
+    (s, d) => {
+      import s.implicits._
+      val b16 = explode(sequence(lit(0), lit(15))).as("b")
+      val h = conv(substring(md5(concat_ws(":",
+        $"l_orderkey", $"l_linenumber", $"b").cast("binary")), 1, 6), 16, 10)
+        .cast("long") % 1000L
+      val wgt = when(h < 368L, 0L).when(h < 736L, 1L).when(h < 920L, 2L)
+        .when(h < 981L, 3L).when(h < 996L, 4L).otherwise(5L)
+      Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_linenumber",
+          round($"l_quantity").cast("long").as("q"), b16)
+        .withColumn("w", wgt)
+        .groupBy($"b")
+        .agg(sum($"w").as("n_eff"), sum($"w" * $"q").as("q_sum"))
+        .withColumn("mean_milli", expr("q_sum * 1000L div n_eff"))
+        .orderBy($"b")
+    },
+    Some("""WITH x AS (
+           |  SELECT l_orderkey, l_linenumber,
+           |    CAST(round(l_quantity) AS BIGINT) AS q, b
+           |  FROM lineitem CROSS JOIN (SELECT unnest(range(16)) AS b)),
+           |w AS (
+           |  SELECT b, q,
+           |    CASE WHEN h < 368 THEN 0 WHEN h < 736 THEN 1 WHEN h < 920 THEN 2
+           |         WHEN h < 981 THEN 3 WHEN h < 996 THEN 4 ELSE 5 END AS w
+           |  FROM (SELECT *,
+           |    CAST('0x' || substr(md5(l_orderkey || ':' || l_linenumber
+           |      || ':' || b), 1, 6) AS BIGINT) % 1000 AS h
+           |    FROM x))
+           |SELECT CAST(b AS INT) AS b, CAST(sum(w) AS BIGINT) AS n_eff,
+           |  CAST(sum(w * q) AS BIGINT) AS q_sum,
+           |  CAST(sum(w * q) * 1000 // sum(w) AS BIGINT) AS mean_milli
+           |FROM w GROUP BY b ORDER BY b""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q118, q119, q120, q121, q123, q124, q127, q128, q131, q132, q134, q137,
       q139, q147, q153, q157, q165, q191, q193, q198, q199, q217, q222, q227,
       q246, q247, q254, q255, q264, q272, q276, q280, q281, q282, q284, q285,
       q286, q288, q289, q291, q292, q293, q295, q297, q298, q299, q300, q303,
-      q306)
+      q306, q308, q311)
 }

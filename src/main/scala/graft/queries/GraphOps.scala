@@ -504,5 +504,99 @@ object GraphOps {
            |FROM walk GROUP BY node ORDER BY node""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q59, q94, q126, q148, q226, q304)
+  /** q310 — k-core peeling (k=3, 6 synchronous rounds): the density
+    * filter run before any expensive community/embedding pass — nodes
+    * that can't sustain 3 surviving neighbors carry no cluster signal
+    * and feed noise into everything downstream. The op is DEFINED as 6
+    * rounds (each round recounts degrees over the surviving edge set
+    * and drops deg < 3 nodes), so both engines compute the identical
+    * intermediate trajectory whether or not the peel has converged —
+    * per-round survivor counts and removal counts are the output, and
+    * convergence shows up AS data (a 0-removal round). Same co-order
+    * supplier graph as q304. Scale: each round is one degree aggregate
+    * + one broadcast semi-join of the shrinking node set against the
+    * persisted edge list; rounds move O(V) rows, never O(V·E). */
+  val q310 = QuerySpec(
+    "q310_kcore_peel",
+    (s, d) => {
+      import s.implicits._
+      val li = graft.Tables.lineitem(s, d)
+        .filter($"l_orderkey" % 199 === 0)
+        .select($"l_orderkey".as("o"), $"l_suppkey".as("sk"))
+        .distinct()
+      val edges0 = li.as("a").join(li.as("b"),
+          $"a.o" === $"b.o" && $"a.sk" =!= $"b.sk")
+        .select($"a.sk".as("u"), $"b.sk".as("v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try graft.Confs.withShufflePartitions(s, 8) {
+        var alive = edges0.select($"u".as("node")).distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val stats = Seq.newBuilder[(Int, Long, Long)]
+        for (round <- 1 to 6) {
+          val deg = edges0
+            .join(broadcast(alive), $"u" === $"node").drop("node")
+            .join(broadcast(alive.withColumnRenamed("node", "vn")), $"v" === $"vn")
+            .groupBy($"u").agg(count(lit(1)).as("deg"))
+          val next = deg.filter($"deg" >= 3).select($"u".as("node"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val nBefore = alive.count()
+          val nAfter = next.count()
+          stats += ((round, nBefore, nBefore - nAfter))
+          alive.unpersist()
+          alive = next
+        }
+        alive.unpersist()
+        stats.result().toDF("round", "n_before", "n_removed")
+          .orderBy($"round")
+      } finally { edges0.unpersist(); () }
+    },
+    Some("""WITH li AS (
+           |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem
+           |  WHERE l_orderkey % 199 = 0),
+           |e AS (
+           |  SELECT DISTINCT a.sk AS u, b.sk AS v
+           |  FROM li a JOIN li b ON a.o = b.o AND a.sk <> b.sk),
+           |a0 AS (SELECT DISTINCT u AS node FROM e),
+           |d1 AS (SELECT u, count(*) AS deg FROM e
+           |  WHERE u IN (SELECT node FROM a0) AND v IN (SELECT node FROM a0)
+           |  GROUP BY u),
+           |a1 AS (SELECT u AS node FROM d1 WHERE deg >= 3),
+           |d2 AS (SELECT u, count(*) AS deg FROM e
+           |  WHERE u IN (SELECT node FROM a1) AND v IN (SELECT node FROM a1)
+           |  GROUP BY u),
+           |a2 AS (SELECT u AS node FROM d2 WHERE deg >= 3),
+           |d3 AS (SELECT u, count(*) AS deg FROM e
+           |  WHERE u IN (SELECT node FROM a2) AND v IN (SELECT node FROM a2)
+           |  GROUP BY u),
+           |a3 AS (SELECT u AS node FROM d3 WHERE deg >= 3),
+           |d4 AS (SELECT u, count(*) AS deg FROM e
+           |  WHERE u IN (SELECT node FROM a3) AND v IN (SELECT node FROM a3)
+           |  GROUP BY u),
+           |a4 AS (SELECT u AS node FROM d4 WHERE deg >= 3),
+           |d5 AS (SELECT u, count(*) AS deg FROM e
+           |  WHERE u IN (SELECT node FROM a4) AND v IN (SELECT node FROM a4)
+           |  GROUP BY u),
+           |a5 AS (SELECT u AS node FROM d5 WHERE deg >= 3),
+           |d6 AS (SELECT u, count(*) AS deg FROM e
+           |  WHERE u IN (SELECT node FROM a5) AND v IN (SELECT node FROM a5)
+           |  GROUP BY u),
+           |a6 AS (SELECT u AS node FROM d6 WHERE deg >= 3)
+           |SELECT * FROM (
+           |  SELECT 1 AS round, (SELECT count(*) FROM a0) AS n_before,
+           |    (SELECT count(*) FROM a0) - (SELECT count(*) FROM a1) AS n_removed
+           |  UNION ALL SELECT 2, (SELECT count(*) FROM a1),
+           |    (SELECT count(*) FROM a1) - (SELECT count(*) FROM a2)
+           |  UNION ALL SELECT 3, (SELECT count(*) FROM a2),
+           |    (SELECT count(*) FROM a2) - (SELECT count(*) FROM a3)
+           |  UNION ALL SELECT 4, (SELECT count(*) FROM a3),
+           |    (SELECT count(*) FROM a3) - (SELECT count(*) FROM a4)
+           |  UNION ALL SELECT 5, (SELECT count(*) FROM a4),
+           |    (SELECT count(*) FROM a4) - (SELECT count(*) FROM a5)
+           |  UNION ALL SELECT 6, (SELECT count(*) FROM a5),
+           |    (SELECT count(*) FROM a5) - (SELECT count(*) FROM a6))
+           |ORDER BY round""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q59, q94, q126, q148, q226, q304, q310)
 }

@@ -1054,6 +1054,102 @@ object ScaleOps {
     }.toSeq
   }
 
+  /** q307 — join-cardinality preflight: the O(|keys|) check run BEFORE
+    * an O(Σc²) self-join is allowed to execute. A partkey self-join's
+    * exact output size is Σₖ c(k)² over the per-key count frame — two
+    * aggregates instead of the join itself, which is the difference
+    * between "learned the join explodes from the bill" and "knew in
+    * advance" at 100 TB. Reports the 5 hottest keys with their pair
+    * contribution and share ppm, the global pair total and key count
+    * carried on every row (1-row broadcast, not a second scan). The
+    * same frame is what a salting pass (q77) keys off. */
+  val q307 = QuerySpec(
+    "q307_join_cardinality_preflight",
+    (s, d) => {
+      import s.implicits._
+      val c = Tables.lineitem(s, d)
+        .groupBy($"l_partkey").agg(count(lit(1)).as("cnt"))
+        .withColumn("pairs", $"cnt" * $"cnt")
+      val tot = c.agg(sum($"pairs").as("pairs_total"),
+        count(lit(1)).as("n_keys"))
+      val top = c.crossJoin(broadcast(tot))
+        .withColumn("share_ppm", expr("pairs * 1000000L div pairs_total"))
+        .orderBy($"pairs".desc, $"l_partkey")
+        .limit(5)
+        .select($"l_partkey", $"cnt", $"pairs", $"share_ppm",
+          $"pairs_total", $"n_keys")
+      top
+    },
+    Some("""WITH c AS (
+           |  SELECT l_partkey, count(*) AS cnt, count(*) * count(*) AS pairs
+           |  FROM lineitem GROUP BY 1),
+           |t AS (SELECT CAST(sum(pairs) AS BIGINT) AS pairs_total,
+           |             count(*) AS n_keys FROM c)
+           |SELECT l_partkey, cnt, CAST(pairs AS BIGINT) AS pairs,
+           |  CAST(pairs AS BIGINT) * 1000000 // pairs_total AS share_ppm,
+           |  pairs_total, n_keys
+           |FROM c CROSS JOIN t
+           |ORDER BY pairs DESC, l_partkey LIMIT 5""".stripMargin),
+  )
+
+  /** q309 — dictionary-encoding layout audit: for each low-cardinality
+    * string column, the exact dictionary width (bits = len(bin(d−1)),
+    * the same integer on both engines), projected encoded size
+    * n_rows·width vs raw UTF-8 bits, and the savings ppm — the
+    * planning arithmetic behind choosing dictionary vs plain encoding
+    * per column at write time (parquet does this per page; a 100 TB
+    * layout job does it per column family from exactly these two
+    * aggregates). One scan per audited table, group-count-sized
+    * frames after. */
+  val q309 = QuerySpec(
+    "q309_dict_encode_audit",
+    (s, d) => {
+      import s.implicits._
+      def audit(df: org.apache.spark.sql.DataFrame, table: String, c: String) =
+        df.select(col(c).as("v"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct($"v").as("n_distinct"),
+            sum(length($"v")).as("raw_chars"))
+          .select(lit(table).as("tbl"), lit(c).as("col"),
+            $"n_rows", $"n_distinct",
+            length(bin(greatest($"n_distinct" - 1L, lit(1L)))).cast("long")
+              .as("dict_bits"),
+            ($"raw_chars" * 8L).as("raw_bits"))
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      audit(li, "lineitem", "l_returnflag")
+        .unionByName(audit(li, "lineitem", "l_linestatus"))
+        .unionByName(audit(ord, "orders", "o_orderstatus"))
+        .unionByName(audit(ord, "orders", "o_orderpriority"))
+        .withColumn("enc_bits", $"n_rows" * $"dict_bits")
+        .withColumn("savings_ppm",
+          expr("(raw_bits - enc_bits) * 1000000L div raw_bits"))
+        .orderBy($"tbl", $"col")
+    },
+    Some {
+      def arm(t: String, c: String) =
+        s"""SELECT '$t' AS tbl, '$c' AS col, count(*) AS n_rows,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(len(bin(greatest(count(DISTINCT $c) - 1, 1))) AS BIGINT)
+           |    AS dict_bits,
+           |  CAST(sum(len($c)) * 8 AS BIGINT) AS raw_bits
+           |FROM $t""".stripMargin
+      s"""WITH a AS (
+         |${arm("lineitem", "l_returnflag")}
+         |UNION ALL
+         |${arm("lineitem", "l_linestatus")}
+         |UNION ALL
+         |${arm("orders", "o_orderstatus")}
+         |UNION ALL
+         |${arm("orders", "o_orderpriority")})
+         |SELECT tbl, col, n_rows, n_distinct, dict_bits, raw_bits,
+         |  n_rows * dict_bits AS enc_bits,
+         |  (raw_bits - n_rows * dict_bits) * 1000000 // raw_bits AS savings_ppm
+         |FROM a ORDER BY tbl, col""".stripMargin
+    },
+  )
+
   val all: Seq[QuerySpec] = Seq(q207, q208, q209, q210, q248, q249, q250,
-    q256, q257, q258, q259, q269, q270, q273, q283, q287, q294, q301)
+    q256, q257, q258, q259, q269, q270, q273, q283, q287, q294, q301, q307,
+    q309)
 }
