@@ -2557,7 +2557,10 @@ object Analytics {
         .cast("long") % 1000L
       val wgt = when(h < 368L, 0L).when(h < 736L, 1L).when(h < 920L, 2L)
         .when(h < 981L, 3L).when(h < 996L, 4L).otherwise(5L)
-      Tables.lineitem(s, d)
+      // fanOut: the 16× explode multiplies ROWS, not SPLITS — on a
+      // single-file scan every hash lands in one partition and 9.6M
+      // md5s serialize onto one core (measured 9 s at sf0.1 → sub-s).
+      Tables.fanOut(Tables.lineitem(s, d), col("l_orderkey"))
         .select($"l_orderkey", $"l_linenumber",
           round($"l_quantity").cast("long").as("q"), b16)
         .withColumn("w", wgt)

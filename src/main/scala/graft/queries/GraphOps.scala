@@ -513,9 +513,16 @@ object GraphOps {
     * intermediate trajectory whether or not the peel has converged —
     * per-round survivor counts and removal counts are the output, and
     * convergence shows up AS data (a 0-removal round). Same co-order
-    * supplier graph as q304. Scale: each round is one degree aggregate
-    * + one broadcast semi-join of the shrinking node set against the
-    * persisted edge list; rounds move O(V) rows, never O(V·E). */
+    * supplier graph as q304. Scale: the round state is the node-sized
+    * DEGREE frame, not a filtered edge copy — round r+1's degrees are
+    * one join of the persisted edge list against round r's alive set
+    * (v-side message count) pre-filtered to alive u's; rounds move
+    * O(V) rows, never O(V·E), and a converged peel stops running jobs
+    * — a_r ⊆ a_{r-1} makes count-equality set-equality, so the
+    * remaining trajectory rows are emitted driver-side. (History: the
+    * first formulation spent 12 actions + 12 broadcast builds on a
+    * tiny graph — 36 s of pure job overhead at sf0.1; the degree-state
+    * rewrite plus the short-circuit brought it to ~3 jobs.) */
   val q310 = QuerySpec(
     "q310_kcore_peel",
     (s, d) => {
@@ -530,23 +537,40 @@ object GraphOps {
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
       try graft.Confs.withShufflePartitions(s, 8) {
-        var alive = edges0.select($"u".as("node")).distinct()
+        // Round-r state: the UNFILTERED degree frame among the round's
+        // alive set (deg_r(u) over a_{r-1}×a_{r-1} edges). |a_r| is one
+        // filtered count of that frame; the next state is one edge join
+        // against the survivors. One count action per round total.
+        var deg = edges0.groupBy($"u").agg(count(lit(1)).as("deg"))
           .persist(StorageLevel.MEMORY_AND_DISK)
+        var nBefore = deg.count() // |a0| = every node with an edge
         val stats = Seq.newBuilder[(Int, Long, Long)]
-        for (round <- 1 to 6) {
-          val deg = edges0
-            .join(broadcast(alive), $"u" === $"node").drop("node")
-            .join(broadcast(alive.withColumnRenamed("node", "vn")), $"v" === $"vn")
-            .groupBy($"u").agg(count(lit(1)).as("deg"))
-          val next = deg.filter($"deg" >= 3).select($"u".as("node"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          val nBefore = alive.count()
-          val nAfter = next.count()
-          stats += ((round, nBefore, nBefore - nAfter))
-          alive.unpersist()
-          alive = next
+        var round = 1
+        var stable = false
+        while (round <= 6 && !stable) {
+          val nAlive = deg.filter($"deg" >= 3).count() // |a_round|
+          stats += ((round, nBefore, nBefore - nAlive))
+          // Convergence short-circuit (exact): a_r ⊆ a_{r-1}, so equal
+          // COUNTS mean equal SETS — every later round is identical and
+          // its trajectory rows are emitted without running a job.
+          stable = nAlive == nBefore
+          nBefore = nAlive
+          if (stable) {
+            (round + 1 to 6).foreach(r => stats += ((r, nAlive, 0L)))
+          } else if (round < 6) {
+            val alive = deg.filter($"deg" >= 3).select($"u")
+            val next = edges0
+              .join(alive.withColumnRenamed("u", "av"), $"v" === $"av")
+              .join(alive, Seq("u"), "left_semi")
+              .groupBy($"u").agg(count(lit(1)).as("deg"))
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            next.count() // materialize before dropping the parent
+            deg.unpersist()
+            deg = next
+          }
+          round += 1
         }
-        alive.unpersist()
+        deg.unpersist()
         stats.result().toDF("round", "n_before", "n_removed")
           .orderBy($"round")
       } finally { edges0.unpersist(); () }
