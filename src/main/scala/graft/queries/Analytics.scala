@@ -2587,10 +2587,211 @@ object Analytics {
            |FROM w GROUP BY b ORDER BY b""".stripMargin),
   )
 
+  /** q312 — BITEMPORAL as-of resolution: valid time (when a fact was
+    * true) × transaction time (when we learned it) — the second
+    * dimension q119/q134's SCD2 lacks, and the one that answers "what
+    * did the system believe on audit date T about validity date V"
+    * (the reproducibility question every regulated pipeline gets).
+    * Versions are synthesized deterministically per supplier: three
+    * monthly values each recorded with a key-dependent lag, plus a
+    * RETROACTIVE correction of the February value recorded in March
+    * for suppliers ≡ 0 mod 5. Two probes resolve (V=Feb 15) at
+    * T=Mar 1 (correction not yet known → original value) and
+    * T=Apr 1 (correction visible → corrected value) — same V, same
+    * rows, different knowledge. Resolution is one struct-max argmax
+    * per (probe, supplier) over versions passing BOTH temporal
+    * predicates (recorded_at ≤ T, valid_from ≤ V; latest valid_from
+    * wins, recorded_at breaks version ties) — map-side combinable, no
+    * window. */
+  val q312 = QuerySpec(
+    "q312_bitemporal_asof",
+    (s, d) => {
+      import s.implicits._
+      val supp = Tables.supplier(s, d)
+      val versions = supp
+        .select($"s_suppkey", $"s_nationkey",
+          explode(sequence(lit(0), lit(2))).as("v"))
+        .select($"s_suppkey", $"s_nationkey",
+          add_months(to_date(lit("2026-01-01")), $"v").as("valid_from"),
+          date_add(add_months(to_date(lit("2026-01-01")), $"v"),
+            ($"s_suppkey" % 3 + 1).cast("int")).as("recorded_at"),
+          ($"s_suppkey" * 10L + $"v").as("value"))
+      val corrections = supp.filter($"s_suppkey" % 5 === 0)
+        .select($"s_suppkey", $"s_nationkey",
+          to_date(lit("2026-02-01")).as("valid_from"),
+          to_date(lit("2026-03-10")).as("recorded_at"),
+          ($"s_suppkey" * 10L + 999L).as("value"))
+      val bitemporal = versions.unionByName(corrections)
+      val probes = Seq(("t_mar", "2026-03-01"), ("t_apr", "2026-04-01"))
+        .toDF("probe", "t_raw")
+        .select($"probe", to_date($"t_raw").as("t_know"),
+          to_date(lit("2026-02-15")).as("v_at"))
+      bitemporal
+        .crossJoin(broadcast(probes))
+        .filter($"recorded_at" <= $"t_know" && $"valid_from" <= $"v_at")
+        .groupBy($"probe", $"s_suppkey", $"s_nationkey")
+        .agg(max(struct($"valid_from", $"recorded_at", $"value")).as("pick"))
+        .groupBy($"probe", $"s_nationkey")
+        .agg(count(lit(1)).as("n_supp"), sum($"pick.value").as("value_sum"))
+        .orderBy($"probe", $"s_nationkey")
+    },
+    Some("""WITH vers AS (
+           |  SELECT s_suppkey, s_nationkey,
+           |    (DATE '2026-01-01' + to_months(CAST(v AS INT))) AS valid_from,
+           |    (DATE '2026-01-01' + to_months(CAST(v AS INT))
+           |      + to_days(CAST(s_suppkey % 3 + 1 AS INT))) AS recorded_at,
+           |    s_suppkey * 10 + v AS value
+           |  FROM supplier CROSS JOIN (SELECT unnest(range(3)) AS v)
+           |  UNION ALL
+           |  SELECT s_suppkey, s_nationkey, DATE '2026-02-01', DATE '2026-03-10',
+           |    s_suppkey * 10 + 999
+           |  FROM supplier WHERE s_suppkey % 5 = 0),
+           |probes AS (
+           |  SELECT 't_mar' AS probe, DATE '2026-03-01' AS t_know,
+           |    DATE '2026-02-15' AS v_at
+           |  UNION ALL SELECT 't_apr', DATE '2026-04-01', DATE '2026-02-15'),
+           |resolved AS (
+           |  SELECT probe, s_suppkey, s_nationkey,
+           |    max(struct_pack(valid_from := valid_from,
+           |      recorded_at := recorded_at, value := value)) AS pick
+           |  FROM vers CROSS JOIN probes
+           |  WHERE recorded_at <= t_know AND valid_from <= v_at
+           |  GROUP BY probe, s_suppkey, s_nationkey)
+           |SELECT probe, s_nationkey, count(*) AS n_supp,
+           |  CAST(sum(pick.value) AS BIGINT) AS value_sum
+           |FROM resolved GROUP BY probe, s_nationkey
+           |ORDER BY probe, s_nationkey""".stripMargin),
+  )
+
+  /** q316 — incremental JOIN-view maintenance (the join sibling of
+    * q198's incremental aggregate refresh): maintain the materialized
+    * segment-revenue view V = σ(orders ⋈ lineitem ⋈ customer) under
+    * simultaneous deltas on BOTH fact sides using the delta-join
+    * algebra Δ(L⋈O) = ΔL⋈O₀ ∪ L₀⋈ΔO ∪ ΔL⋈ΔO — three key-sized joins
+    * instead of a full recompute, the difference between touching the
+    * delta and re-reading 100 TB nightly. Deltas are deterministic
+    * slices (late lineitems: l_linenumber > 3; late orders: o_orderkey
+    * ≡ 0 mod 7 — late ORDERS bring their own lineitems too, the ΔL⋈ΔO
+    * term that naive one-sided refreshes drop). The Spark side MUST
+    * compute via the incremental path; the oracle recomputes the view
+    * directly from the full tables — equality IS the algebra proof. */
+  val q316 = QuerySpec(
+    "q316_incremental_join_view",
+    (s, d) => {
+      import s.implicits._
+      val cust = Tables.customer(s, d)
+        .select($"c_custkey", $"c_mktsegment")
+      val li = Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+      val ord = Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
+      val ordBase = ord.filter($"o_orderkey" % 7 =!= 0)
+      val ordDelta = ord.filter($"o_orderkey" % 7 === 0)
+      val liBase = li.filter($"l_linenumber" <= 3)
+      val liDelta = li.filter($"l_linenumber" > 3)
+      def partial(l: org.apache.spark.sql.DataFrame,
+          o: org.apache.spark.sql.DataFrame) =
+        l.join(o, $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_custkey")
+          .agg(dsum($"l_extendedprice", 2).as("rev"),
+            count(lit(1)).as("n_items"))
+      // Base view partials + the three delta-algebra terms, merged by
+      // re-aggregation (sums of partial sums — exact in DECIMAL).
+      val merged = partial(liBase, ordBase)
+        .unionByName(partial(liDelta, ordBase))
+        .unionByName(partial(liBase, ordDelta))
+        .unionByName(partial(liDelta, ordDelta))
+        .groupBy($"o_custkey")
+        .agg(dsum($"rev", 2).as("rev"), sum($"n_items").as("n_items"))
+      merged.join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"), dsum($"rev", 2).as("revenue"),
+          sum($"n_items").as("n_items"))
+        .orderBy($"c_mktsegment")
+    },
+    Some(s"""WITH v AS (
+            |  SELECT o_custkey, ${Det.sqlDsum("l_extendedprice", 2)} AS rev,
+            |    count(*) AS n_items
+            |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            |  GROUP BY o_custkey)
+            |SELECT c_mktsegment, count(*) AS n_cust,
+            |  ${Det.sqlDsum("rev", 2)} AS revenue,
+            |  CAST(sum(n_items) AS BIGINT) AS n_items
+            |FROM v JOIN customer ON o_custkey = c_custkey
+            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+  )
+
+  /** q321 — functional-dependency discovery (profiling's constraint
+    * miner): a→b holds iff |distinct a| = |distinct (a,b)| — two
+    * map-side-combinable distinct aggregates per candidate, no pair
+    * materialization. Candidates span true FDs (orderkey→returnflag
+    * is NOT one; custkey→priority is not; partkey→suppkey is not —
+    * whether each holds is the DATA's answer, which is the point of
+    * mining instead of assuming). violations = |distinct (a,b)| −
+    * |distinct a| counts the lhs values with >1 rhs. */
+  val q321 = QuerySpec(
+    "q321_fd_discovery",
+    (s, d) => {
+      import s.implicits._
+      def arm(df: org.apache.spark.sql.DataFrame, fd: String,
+          a: String, b: String) =
+        df.agg(
+          countDistinct(col(a)).as("n_lhs"),
+          countDistinct(col(a), col(b)).as("n_pairs"))
+          .select(lit(fd).as("fd"), $"n_lhs", $"n_pairs",
+            ($"n_pairs" - $"n_lhs").as("violations"),
+            ($"n_pairs" === $"n_lhs").as("holds"))
+      val li = Tables.lineitem(s, d)
+      arm(Tables.nation(s, d), "nation->region", "n_nationkey", "n_regionkey")
+        .unionByName(arm(Tables.orders(s, d), "order->cust", "o_orderkey", "o_custkey"))
+        .unionByName(arm(li, "orderkey->returnflag", "l_orderkey", "l_returnflag"))
+        .unionByName(arm(li, "partkey->suppkey", "l_partkey", "l_suppkey"))
+        .unionByName(arm(Tables.customer(s, d), "custkey->segment", "c_custkey", "c_mktsegment"))
+        .orderBy($"fd")
+    },
+    Some("""SELECT * FROM (
+           |  SELECT 'nation->region' AS fd,
+           |    CAST(count(DISTINCT n_nationkey) AS BIGINT) AS n_lhs,
+           |    CAST(count(DISTINCT (n_nationkey, n_regionkey)) AS BIGINT) AS n_pairs,
+           |    CAST(count(DISTINCT (n_nationkey, n_regionkey))
+           |      - count(DISTINCT n_nationkey) AS BIGINT) AS violations,
+           |    count(DISTINCT (n_nationkey, n_regionkey))
+           |      = count(DISTINCT n_nationkey) AS holds
+           |  FROM nation
+           |  UNION ALL SELECT 'order->cust',
+           |    CAST(count(DISTINCT o_orderkey) AS BIGINT),
+           |    CAST(count(DISTINCT (o_orderkey, o_custkey)) AS BIGINT),
+           |    CAST(count(DISTINCT (o_orderkey, o_custkey))
+           |      - count(DISTINCT o_orderkey) AS BIGINT),
+           |    count(DISTINCT (o_orderkey, o_custkey)) = count(DISTINCT o_orderkey)
+           |  FROM orders
+           |  UNION ALL SELECT 'orderkey->returnflag',
+           |    CAST(count(DISTINCT l_orderkey) AS BIGINT),
+           |    CAST(count(DISTINCT (l_orderkey, l_returnflag)) AS BIGINT),
+           |    CAST(count(DISTINCT (l_orderkey, l_returnflag))
+           |      - count(DISTINCT l_orderkey) AS BIGINT),
+           |    count(DISTINCT (l_orderkey, l_returnflag)) = count(DISTINCT l_orderkey)
+           |  FROM lineitem
+           |  UNION ALL SELECT 'partkey->suppkey',
+           |    CAST(count(DISTINCT l_partkey) AS BIGINT),
+           |    CAST(count(DISTINCT (l_partkey, l_suppkey)) AS BIGINT),
+           |    CAST(count(DISTINCT (l_partkey, l_suppkey))
+           |      - count(DISTINCT l_partkey) AS BIGINT),
+           |    count(DISTINCT (l_partkey, l_suppkey)) = count(DISTINCT l_partkey)
+           |  FROM lineitem
+           |  UNION ALL SELECT 'custkey->segment',
+           |    CAST(count(DISTINCT c_custkey) AS BIGINT),
+           |    CAST(count(DISTINCT (c_custkey, c_mktsegment)) AS BIGINT),
+           |    CAST(count(DISTINCT (c_custkey, c_mktsegment))
+           |      - count(DISTINCT c_custkey) AS BIGINT),
+           |    count(DISTINCT (c_custkey, c_mktsegment)) = count(DISTINCT c_custkey)
+           |  FROM customer)
+           |ORDER BY fd""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q118, q119, q120, q121, q123, q124, q127, q128, q131, q132, q134, q137,
       q139, q147, q153, q157, q165, q191, q193, q198, q199, q217, q222, q227,
       q246, q247, q254, q255, q264, q272, q276, q280, q281, q282, q284, q285,
       q286, q288, q289, q291, q292, q293, q295, q297, q298, q299, q300, q303,
-      q306, q308, q311)
+      q306, q308, q311, q312, q316, q321)
 }

@@ -1149,7 +1149,64 @@ object ScaleOps {
     },
   )
 
+  /** q322 — key-skew Gini audit: the single number that decides
+    * whether a join/agg key needs salting (q77) before it burns a
+    * cluster. Exact Gini over per-key counts WITHOUT ranking |keys|
+    * rows: collapse the count frame to its count-VALUE histogram
+    * (c, m(c)) — bounded by the distinct count values, hundreds at any
+    * scale — and use the closed form for rank sums within a tie block:
+    * Σᵢ i·cᵢ over a block of m keys of count c starting after R keys =
+    * c·(R·m + m(m+1)/2). Gini = (2Σi·cᵢ − (n+1)Σc)/(n·Σc), emitted as
+    * exact integer num/den + ppm. Two audited keys: the near-uniform
+    * partkey and the hotter custkey distribution. */
+  val q322 = QuerySpec(
+    "q322_key_skew_gini",
+    (s, d) => {
+      import s.implicits._
+      def gini(df: org.apache.spark.sql.DataFrame, keyCol: String, tag: String) = {
+        val counts = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+        val hist = counts.groupBy($"c").agg(count(lit(1)).as("m"))
+        val w = Window.orderBy($"c").rowsBetween(Window.unboundedPreceding, -1)
+        hist
+          .withColumn("r_before", coalesce(sum($"m").over(w), lit(0L)))
+          .select(
+            expr("c * (r_before * m + (m * (m + 1L)) div 2L)").as("ranksum"),
+            ($"c" * $"m").as("mass"), $"m")
+          .agg(sum($"ranksum").as("sr"), sum($"mass").as("tot"),
+            sum($"m").as("n_keys"))
+          .select(lit(tag).as("key"), $"n_keys", $"tot".as("n_rows"),
+            (lit(2L) * $"sr" - ($"n_keys" + 1L) * $"tot").as("gini_num"),
+            ($"n_keys" * $"tot").as("gini_den"))
+          .withColumn("gini_ppm", expr("gini_num * 1000000L div gini_den"))
+      }
+      gini(Tables.lineitem(s, d), "l_partkey", "lineitem.l_partkey")
+        .unionByName(gini(Tables.orders(s, d), "o_custkey", "orders.o_custkey"))
+        .orderBy($"key")
+    },
+    Some {
+      def arm(t: String, k: String, tag: String) =
+        s"""SELECT '$tag' AS key, n_keys, tot AS n_rows,
+           |  2 * sr - (n_keys + 1) * tot AS gini_num,
+           |  n_keys * tot AS gini_den,
+           |  (2 * sr - (n_keys + 1) * tot) * 1000000 // (n_keys * tot) AS gini_ppm
+           |FROM (
+           |  SELECT CAST(sum(c * (r_before * m + m * (m + 1) // 2)) AS BIGINT) AS sr,
+           |    CAST(sum(c * m) AS BIGINT) AS tot, CAST(sum(m) AS BIGINT) AS n_keys
+           |  FROM (
+           |    SELECT c, m, coalesce(sum(m) OVER (ORDER BY c
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r_before
+           |    FROM (SELECT c, count(*) AS m
+           |          FROM (SELECT $k, count(*) AS c FROM $t GROUP BY $k)
+           |          GROUP BY c)))""".stripMargin
+      s"""SELECT * FROM (
+         |${arm("lineitem", "l_partkey", "lineitem.l_partkey")}
+         |UNION ALL
+         |${arm("orders", "o_custkey", "orders.o_custkey")})
+         |ORDER BY key""".stripMargin
+    },
+  )
+
   val all: Seq[QuerySpec] = Seq(q207, q208, q209, q210, q248, q249, q250,
     q256, q257, q258, q259, q269, q270, q273, q283, q287, q294, q301, q307,
-    q309)
+    q309, q322)
 }

@@ -965,7 +965,52 @@ object SqlSurface {
            |GROUP BY shape ORDER BY shape""".stripMargin),
   )
 
+  /** q313 — named WINDOW clause reuse: five window functions over ONE
+    * shared `WINDOW w AS (...)` spec. The semantic surface is ANSI
+    * (both engines accept the identical text); the ENGINE claim is
+    * plan-shaped and CI-pinned: Catalyst collapses same-spec functions
+    * into a single Window operator over a single sort-exchange — five
+    * analytics for the partition/sort cost of one. (The anti-pattern —
+    * five inline OVER clauses with subtly different specs — plans five
+    * Window stages at 100 TB.) Frame note: with ORDER BY present the
+    * ANSI default frame is RANGE UNBOUNDED PRECEDING..CURRENT ROW on
+    * both engines (o_orderkey is unique per customer, so no peer-row
+    * ambiguity); the running sum uses a second
+    * named window with the SAME partition/order and an explicit ROWS
+    * frame (Spark's parser takes no inline `OVER (w ROWS...)`
+    * extension) — same sort, still one Window stage. */
+  val q313 = QuerySpec(
+    "q313_sql_named_window",
+    (s, d) => {
+      registerViews(s, d)
+      s.sql("""SELECT o_custkey, o_orderkey,
+              |  rank() OVER w AS rk,
+              |  lag(o_orderkey) OVER w AS prev_order,
+              |  count(*) OVER w AS n_so_far,
+              |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2)))
+              |    OVER w2 AS DOUBLE) AS run_rev,
+              |  first_value(o_orderkey) OVER w AS first_order
+              |FROM orders WHERE o_custkey < 200
+              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+              |  w2 AS (PARTITION BY o_custkey ORDER BY o_orderkey
+              |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |ORDER BY o_custkey, o_orderkey""".stripMargin)
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+           |  rank() OVER w AS rk,
+           |  lag(o_orderkey) OVER w AS prev_order,
+           |  count(*) OVER w AS n_so_far,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2)))
+           |    OVER w2 AS DOUBLE) AS run_rev,
+           |  first_value(o_orderkey) OVER w AS first_order
+           |FROM orders WHERE o_custkey < 200
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+           |  w2 AS (PARTITION BY o_custkey ORDER BY o_orderkey
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |ORDER BY o_custkey, o_orderkey""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q37, q38, q48, q51, q56, q71, q72, q83, q93,
     q97, q103, q116, q129, q130, q135, q142, q151, q154, q167, q183,
-    q219, q220, q231, q241, q242, q251, q252, q253, q271)
+    q219, q220, q231, q241, q242, q251, q252, q253, q271, q313)
 }

@@ -349,6 +349,28 @@ class OperatorPropsSpec extends SparkTestBase {
     }
   }
 
+  test("q322 histogram-closed-form Gini equals the sorted-rank definition") {
+    // Reference: collect per-key counts, sort ascending, apply the
+    // textbook G = (2Σi·cᵢ − (n+1)Σc)/(nΣc) with explicit ranks; the
+    // query must reproduce it from the count-value histogram without
+    // ever ranking the keys.
+    for ((tag, df) <- Seq(
+        "lineitem.l_partkey" -> Tables.lineitem(spark, sf).groupBy("l_partkey").count(),
+        "orders.o_custkey" -> Tables.orders(spark, sf).groupBy("o_custkey").count())) {
+      val counts = df.collect().map(_.getLong(1)).sorted
+      val n = counts.length.toLong
+      val tot = counts.sum
+      val sr = counts.zipWithIndex.map { case (c, i) => (i + 1) * c }.sum
+      val expNum = 2 * sr - (n + 1) * tot
+      val row = SparkEntry.queries("q322_key_skew_gini")(spark, sf)
+        .collect().find(_.getString(0) == tag).get
+      assert(row.getLong(1) === n, s"$tag n_keys")
+      assert(row.getLong(2) === tot, s"$tag n_rows")
+      assert(row.getLong(3) === expNum, s"$tag gini_num")
+      assert(row.getLong(4) === n * tot, s"$tag gini_den")
+    }
+  }
+
   test("q301 ray-cast matches an independent winding-style containment check") {
     // Reference: per point, recompute containment with the half-open
     // edge rule written scalar-side (same integer arithmetic, separate

@@ -590,6 +590,20 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q313: five named-window functions share one sort — no duplicate window stages") {
+    val p = plan("q313_sql_named_window")
+    val windows = "\\(\\d+\\) Window".r.findAllIn(p).size
+    assert(windows == 1, s"window functions split across $windows stages\n$p")
+    // Exactly one sort BELOW the window (the final ORDER BY adds one
+    // above it) — node numbers are bottom-up.
+    val winNode = "\\((\\d+)\\) Window".r.findFirstMatchIn(p).get.group(1).toInt
+    val sortsBelow = "\\((\\d+)\\) Sort".r.findAllMatchIn(p)
+      .count(_.group(1).toInt < winNode)
+    assert(sortsBelow == 1, s"expected one window sort, got $sortsBelow\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected one partition exchange, got $exchanges\n$p")
+  }
+
   test("q301: containment is row-local — no join, only the rollup exchange") {
     val p = plan("q301_point_in_polygon")
     assert(!p.contains("Join"), "edge fold degraded to a join\n" + p)
