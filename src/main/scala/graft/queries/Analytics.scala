@@ -2788,10 +2788,301 @@ object Analytics {
            |ORDER BY fd""".stripMargin),
   )
 
+  /** q314 — watermark-lateness audit: the measurement that DECIDES a
+    * streaming job's watermark delay instead of guessing it. The
+    * fixture's feed is perfectly ts-ordered (measured: every record
+    * on time), so transport disorder is injected deterministically —
+    * md5-derived 0–5-minute delivery delays (the q184 discipline:
+    * synthesize the pathology, state it in the oracle) — and arrival
+    * order is ts + delay. A record's lateness is how far the event-
+    * time high-water mark had already advanced past it on arrival:
+    * cummax(ts) − ts over arrival order. Bucketed into the candidate
+    * watermark delays (0 / ≤1m / ≤5m / ≤15m / ≤1h / more), per event
+    * type — the "more" row is exactly the data a 1-hour watermark
+    * would drop. Scale: the cummax window partitions by the source
+    * key (event_type here), matching how real watermarks advance per
+    * source partition; nothing global. */
+  val q314 = QuerySpec(
+    "q314_watermark_lateness_audit",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val jitter = expr(
+        "conv(substring(md5(cast(cast(event_id as string) as binary)), 1, 6), 16, 10) % 300")
+        .cast("long") * 1000000L
+      val w = Window.partitionBy($"event_type").orderBy($"arrival", $"event_id")
+      val late = Tables.events(s, d)
+        .select($"event_type", $"event_id", unix_micros($"ts").as("tus"))
+        .withColumn("arrival", $"tus" + jitter)
+        .withColumn("hwm", max($"tus").over(w))
+        .withColumn("late_s", expr("(hwm - tus) div 1000000L"))
+        .withColumn("bucket",
+          when($"late_s" === 0L, "a_on_time")
+            .when($"late_s" <= 60L, "b_1m")
+            .when($"late_s" <= 300L, "c_5m")
+            .when($"late_s" <= 900L, "d_15m")
+            .when($"late_s" <= 3600L, "e_1h")
+            .otherwise("f_dropped_at_1h"))
+      late.groupBy($"event_type", $"bucket")
+        .agg(count(lit(1)).as("n"), max($"late_s").as("max_late_s"))
+        .orderBy($"event_type", $"bucket")
+    },
+    Some("""WITH ar AS (
+           |  SELECT event_type, event_id, epoch_us(ts) AS tus,
+           |    epoch_us(ts) + (CAST('0x' || substr(md5(event_id::VARCHAR), 1, 6)
+           |      AS BIGINT) % 300) * 1000000 AS arrival
+           |  FROM events),
+           |late AS (
+           |  SELECT event_type,
+           |    (max(tus) OVER (PARTITION BY event_type ORDER BY arrival, event_id
+           |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |     - tus) // 1000000 AS late_s
+           |  FROM ar),
+           |b AS (
+           |  SELECT event_type, late_s,
+           |    CASE WHEN late_s = 0 THEN 'a_on_time'
+           |         WHEN late_s <= 60 THEN 'b_1m'
+           |         WHEN late_s <= 300 THEN 'c_5m'
+           |         WHEN late_s <= 900 THEN 'd_15m'
+           |         WHEN late_s <= 3600 THEN 'e_1h'
+           |         ELSE 'f_dropped_at_1h' END AS bucket
+           |  FROM late)
+           |SELECT event_type, bucket, count(*) AS n,
+           |  CAST(max(late_s) AS BIGINT) AS max_late_s
+           |FROM b GROUP BY event_type, bucket
+           |ORDER BY event_type, bucket""".stripMargin),
+  )
+
+  /** q315 — multiwindow SLO burn-rate alerting (the SRE standard: a
+    * short window catches the spike, a long window filters the blip —
+    * alert only when BOTH burn): per 5-minute bucket and type='error'
+    * share of all events, with the 1-hour rate from a trailing
+    * 12-bucket range frame over the SAME bucketed frame (never a
+    * second scan). Rates in exact ppm; burn threshold = 1.5× the
+    * corpus-wide error share (data-derived, so the audit is
+    * self-calibrating). Rolled up per day: buckets, alerts, worst
+    * 5-minute burn. */
+  val q315 = QuerySpec(
+    "q315_slo_burn_alert",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val b = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) div 300000000L").as("b5"))
+        .agg(count(lit(1)).as("n"),
+          sum(when($"event_type" === "error", 1L).otherwise(0L)).as("nerr"))
+      val w12 = Window.orderBy($"b5").rangeBetween(-11L, 0L)
+      val glob = b.agg(sum($"nerr").as("ge"), sum($"n").as("gn"))
+      b.withColumn("err_1h", sum($"nerr").over(w12))
+        .withColumn("n_1h", sum($"n").over(w12))
+        .crossJoin(broadcast(glob))
+        .withColumn("rate5_ppm", expr("nerr * 1000000L div n"))
+        .withColumn("rate1h_ppm", expr("err_1h * 1000000L div n_1h"))
+        .withColumn("thr_ppm", expr("ge * 1500000L div gn"))
+        .withColumn("burn", $"rate5_ppm" > $"thr_ppm" && $"rate1h_ppm" > $"thr_ppm")
+        .groupBy(expr("b5 div 288L").as("day"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(when($"burn", 1L).otherwise(0L)).as("n_alerts"),
+          max($"rate5_ppm").as("worst_5m_ppm"),
+          max($"thr_ppm").as("thr_ppm"))
+        .orderBy($"day")
+    },
+    Some("""WITH b AS (
+           |  SELECT epoch_us(ts) // 300000000 AS b5, count(*) AS n,
+           |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS nerr
+           |  FROM events GROUP BY 1),
+           |g AS (SELECT CAST(sum(nerr) AS BIGINT) AS ge,
+           |             CAST(sum(n) AS BIGINT) AS gn FROM b),
+           |r AS (
+           |  SELECT b5, n, nerr,
+           |    CAST(sum(nerr) OVER w AS BIGINT) AS err_1h,
+           |    CAST(sum(n) OVER w AS BIGINT) AS n_1h
+           |  FROM b
+           |  WINDOW w AS (ORDER BY b5 RANGE BETWEEN 11 PRECEDING AND CURRENT ROW)),
+           |f AS (
+           |  SELECT b5 // 288 AS day,
+           |    nerr * 1000000 // n AS rate5_ppm,
+           |    err_1h * 1000000 // n_1h AS rate1h_ppm,
+           |    ge * 1500000 // gn AS thr_ppm
+           |  FROM r CROSS JOIN g)
+           |SELECT day, count(*) AS n_buckets,
+           |  CAST(sum(CASE WHEN rate5_ppm > thr_ppm AND rate1h_ppm > thr_ppm
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_alerts,
+           |  CAST(max(rate5_ppm) AS BIGINT) AS worst_5m_ppm,
+           |  CAST(max(thr_ppm) AS BIGINT) AS thr_ppm
+           |FROM f GROUP BY day ORDER BY day""".stripMargin),
+  )
+
+  /** q319 — Gini-Simpson behavioral diversity: per user, the
+    * probability two random events differ in type — the entropy-like
+    * diversity measure that stays EXACT (1 − Σpᵢ² is rational;
+    * Shannon's Σp·log p is not portably hashable). D_ppm =
+    * (n² − Σc²)·1e6 ÷ n² from one per-user×type count frame, then the
+    * user population histogrammed by diversity decile — the shape a
+    * personalization team reads before segmenting. */
+  val q319 = QuerySpec(
+    "q319_simpson_diversity",
+    (s, d) => {
+      import s.implicits._
+      val uc = Tables.events(s, d)
+        .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("c"))
+      uc.groupBy($"user_id")
+        .agg(sum($"c").as("n"), sum($"c" * $"c").as("c2"))
+        .withColumn("d_ppm", expr("(n * n - c2) * 1000000L div (n * n)"))
+        .withColumn("decile", expr("least(d_ppm div 100000L, 9L)"))
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n_users"), min($"d_ppm").as("min_ppm"),
+          max($"d_ppm").as("max_ppm"))
+        .orderBy($"decile")
+    },
+    Some("""WITH uc AS (
+           |  SELECT user_id, event_type, count(*) AS c
+           |  FROM events GROUP BY 1, 2),
+           |u AS (
+           |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+           |    CAST(sum(c * c) AS BIGINT) AS c2
+           |  FROM uc GROUP BY 1),
+           |dv AS (
+           |  SELECT (n * n - c2) * 1000000 // (n * n) AS d_ppm FROM u)
+           |SELECT least(d_ppm // 100000, 9) AS decile, count(*) AS n_users,
+           |  CAST(min(d_ppm) AS BIGINT) AS min_ppm,
+           |  CAST(max(d_ppm) AS BIGINT) AS max_ppm
+           |FROM dv GROUP BY 1 ORDER BY 1""".stripMargin),
+  )
+
+  /** q323 — PORTABLE HyperLogLog built from first principles (Flajolet
+    * et al. 2007) on md5 hashes, every intermediate an exact integer —
+    * unlike q118/q227 (Spark's DataSketches binaries, opaque to other
+    * engines), THIS sketch is recomputable bit-for-bit by any engine
+    * with md5: bucket = first hex nibble (m=16), rho = 41 −
+    * bitlength(40-bit suffix) (zero suffix → 41), registers = max(rho)
+    * per bucket, and the harmonic mean cleared of floats by scaling:
+    * Z = Σ 2^(41−Mⱼ) ≤ 2^44, estimate = ⌊α₁₆·m²·2^41⌋ ÷ Z with
+    * α₁₆·m²·2^41 = 673·256·2^41 precomputed exact. m=16 trades rsd
+    * (~26%) for fitting every term in BIGINT — the POINT is the
+    * portable-register mechanics (register checksum + zero-register
+    * count emitted beside the estimate, the small-range-correction
+    * inputs). Scale: registers are max-aggregates — map-side
+    * combinable, mergeable across partitions/days like any HLL. */
+  val q323 = QuerySpec(
+    "q323_portable_hll",
+    (s, d) => {
+      import s.implicits._
+      val hx = md5($"l_partkey".cast("string").cast("binary"))
+      val regs = Tables.lineitem(s, d)
+        .select($"l_returnflag".as("g"), hx.as("hx"))
+        .select($"g",
+          expr("conv(substring(hx, 1, 1), 16, 10)").cast("long").as("bucket"),
+          expr("conv(substring(hx, 2, 10), 16, 10)").cast("long").as("w"))
+        .withColumn("rho",
+          when($"w" === 0L, 41L).otherwise(lit(41L) - length(bin($"w"))))
+        .groupBy($"g", $"bucket").agg(max($"rho").as("m"))
+      regs.groupBy($"g")
+        .agg(count(lit(1)).as("n_filled"),
+          sum(expr("shiftleft(1L, cast(41 - m as int))")).as("z_partial"),
+          sum($"bucket" * $"m").as("reg_checksum"))
+        .select($"g",
+          (lit(16L) - $"n_filled").as("n_zero_regs"),
+          // empty buckets contribute 2^41 each to the harmonic sum
+          ($"z_partial" + (lit(16L) - $"n_filled") * expr("shiftleft(1L, 41)"))
+            .as("z_scaled"),
+          $"reg_checksum")
+        .withColumn("est",
+          expr(s"${673L * 256L} * shiftleft(1L, 41) div z_scaled"))
+        .orderBy($"g")
+    },
+    Some("""WITH h AS (
+           |  SELECT l_returnflag AS g, md5(l_partkey::VARCHAR) AS hx
+           |  FROM lineitem),
+           |b AS (
+           |  SELECT g,
+           |    CAST('0x' || substr(hx, 1, 1) AS BIGINT) AS bucket,
+           |    CAST('0x' || substr(hx, 2, 10) AS BIGINT) AS w
+           |  FROM h),
+           |r AS (
+           |  SELECT g, bucket,
+           |    max(CASE WHEN w = 0 THEN 41 ELSE 41 - len(bin(w)) END) AS m
+           |  FROM b GROUP BY g, bucket),
+           |z AS (
+           |  SELECT g, count(*) AS n_filled,
+           |    CAST(sum(1::BIGINT << (41 - m)) AS BIGINT) AS z_partial,
+           |    CAST(sum(bucket * m) AS BIGINT) AS reg_checksum
+           |  FROM r GROUP BY g)
+           |SELECT g, 16 - n_filled AS n_zero_regs,
+           |  z_partial + (16 - n_filled) * (1::BIGINT << 41) AS z_scaled,
+           |  reg_checksum,
+           |  172288 * (1::BIGINT << 41)
+           |    // (z_partial + (16 - n_filled) * (1::BIGINT << 41)) AS est
+           |FROM z ORDER BY g""".stripMargin),
+  )
+
+  /** q325 — erasure-propagation audit (right-to-be-forgotten): given a
+    * deletion list (customers ≡ 0 mod 97), measure the cascade a
+    * compliant erasure must reach — their orders, those orders'
+    * lineitems — and prove the post-erasure referential closure (zero
+    * surviving orphans) in the same pass. Each stage is a key-sized
+    * semi/anti join off the previous stage's key set; nothing rescans
+    * what the cascade didn't touch. The survivor-side key checksum
+    * makes silent over-deletion (the opposite compliance failure)
+    * equally visible. */
+  val q325 = QuerySpec(
+    "q325_erasure_propagation",
+    (s, d) => {
+      import s.implicits._
+      val del = Tables.customer(s, d).filter($"c_custkey" % 97 === 0)
+        .select($"c_custkey")
+      val ords = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val delOrders = ords.join(del, $"o_custkey" === $"c_custkey", "left_semi")
+        .select($"o_orderkey")
+      def stage(tag: String, total: org.apache.spark.sql.DataFrame,
+          erased: org.apache.spark.sql.DataFrame, key: String) = {
+        val surv = total.join(erased, Seq(key), "left_anti")
+        total.agg(count(lit(1)).as("n_total")).crossJoin(
+          erased.agg(count(lit(1)).as("n_erased"))).crossJoin(
+          surv.agg(sum(col(key)).as("survivor_checksum")))
+          .select(lit(tag).as("stage"), $"n_total", $"n_erased",
+            $"survivor_checksum")
+      }
+      stage("1_customer", Tables.customer(s, d).select($"c_custkey"),
+          del.select($"c_custkey"), "c_custkey")
+        .unionByName(stage("2_orders", ords.select($"o_orderkey"),
+          delOrders, "o_orderkey"))
+        .unionByName(stage("3_lineitem",
+          li.select($"l_orderkey", $"l_linenumber")
+            .select(($"l_orderkey" * 10L + $"l_linenumber").as("lk")),
+          li.join(delOrders, $"l_orderkey" === $"o_orderkey", "left_semi")
+            .select(($"l_orderkey" * 10L + $"l_linenumber").as("lk")),
+          "lk"))
+        .orderBy($"stage")
+    },
+    Some("""WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+           |delo AS (SELECT o_orderkey FROM orders
+           |  WHERE o_custkey IN (SELECT c_custkey FROM del))
+           |SELECT '1_customer' AS stage,
+           |  (SELECT count(*) FROM customer) AS n_total,
+           |  (SELECT count(*) FROM del) AS n_erased,
+           |  (SELECT CAST(sum(c_custkey) AS BIGINT) FROM customer
+           |    WHERE c_custkey NOT IN (SELECT c_custkey FROM del)) AS survivor_checksum
+           |UNION ALL SELECT '2_orders',
+           |  (SELECT count(*) FROM orders),
+           |  (SELECT count(*) FROM delo),
+           |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders
+           |    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delo))
+           |UNION ALL SELECT '3_lineitem',
+           |  (SELECT count(*) FROM lineitem),
+           |  (SELECT count(*) FROM lineitem
+           |    WHERE l_orderkey IN (SELECT o_orderkey FROM delo)),
+           |  (SELECT CAST(sum(l_orderkey * 10 + l_linenumber) AS BIGINT) FROM lineitem
+           |    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM delo))
+           |ORDER BY stage""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q118, q119, q120, q121, q123, q124, q127, q128, q131, q132, q134, q137,
       q139, q147, q153, q157, q165, q191, q193, q198, q199, q217, q222, q227,
       q246, q247, q254, q255, q264, q272, q276, q280, q281, q282, q284, q285,
       q286, q288, q289, q291, q292, q293, q295, q297, q298, q299, q300, q303,
-      q306, q308, q311, q312, q316, q321)
+      q306, q308, q311, q312, q314, q315, q316, q319, q321, q323, q325)
 }

@@ -767,6 +767,68 @@ object NearDup {
            |FROM pairs GROUP BY brand ORDER BY brand""".stripMargin),
   )
 
+  /** q320 — set-CONTAINMENT join (asymmetric near-dup: "doc A is
+    * mostly inside doc B" — quotations, extractions, supersets — the
+    * relationship symmetric Jaccard (q24/q296) under-scores, because a
+    * small doc embedded in a big one has low union-relative overlap
+    * but high containment |A∩B|/|A|). Candidates by the asymmetric
+    * prefix lemma: if |A∩B| ≥ 0.8|A| then B contains one of A's
+    * ⌊0.2|A|⌋+1 rarest shingles — join A's prefix against B's FULL
+    * shingle postings (the contained side prunes, the container side
+    * must stay complete; prefix shingles are df-rare by construction,
+    * so posting lists stay bounded). Exact verification per candidate,
+    * self and symmetric-duplicate pairs excluded, containment in exact
+    * ppm. */
+  val q320 = QuerySpec(
+    "q320_set_containment_join",
+    (s, d) => {
+      import s.implicits._
+      val ts = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"doc_id", tokens($"text").as("t0"))
+        .filter(size($"t0") >= 3)
+        .select($"doc_id", array_distinct(shingles3("t0")).as("t"))
+      val ex = ts.select($"doc_id", size($"t").cast("long").as("n"),
+        explode($"t").as("tok"))
+      val dfreq = ex.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val wDoc = Window.partitionBy($"doc_id").orderBy($"df", $"tok")
+      // Contained-side prefix: the ⌊n/5⌋+1 rarest shingles of A.
+      val pre = ex.join(dfreq, "tok")
+        .withColumn("rk", row_number().over(wDoc))
+        .filter($"rk" <= expr("n div 5L") + 1L)
+        .select($"doc_id".as("doc_a"), $"n".as("n_a"), $"tok")
+      val cand = pre.join(ex.select($"doc_id".as("doc_b"), $"tok"), "tok")
+        .filter($"doc_a" =!= $"doc_b")
+        .select($"doc_a", $"doc_b").distinct()
+      cand
+        .join(ts.select($"doc_id".as("doc_a"), $"t".as("ta")), "doc_a")
+        .join(ts.select($"doc_id".as("doc_b"), $"t".as("tb")), "doc_b")
+        .withColumn("n_a", size($"ta").cast("long"))
+        .withColumn("inter", size(array_intersect($"ta", $"tb")).cast("long"))
+        .withColumn("cont_ppm", expr("inter * 1000000L div n_a"))
+        .filter($"cont_ppm" >= 800000L)
+        .select($"doc_a", $"doc_b", $"n_a", $"inter", $"cont_ppm")
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t0
+           |  FROM documents),
+           |ts AS (
+           |  SELECT doc_id,
+           |    list_distinct(list_transform(generate_series(1, len(t0)-2),
+           |      i -> t0[i] || ' ' || t0[i+1] || ' ' || t0[i+2])) AS t
+           |  FROM toks WHERE len(t0) >= 3),
+           |tn AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n
+           |  FROM ts WHERE len(t) > 0),
+           |v AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS n_a,
+           |    CAST(len(list_intersect(a.t, b.t)) AS BIGINT) AS inter
+           |  FROM tn a JOIN tn b ON a.doc_id <> b.doc_id)
+           |SELECT doc_a, doc_b, n_a, inter,
+           |  inter * 1000000 // n_a AS cont_ppm
+           |FROM v WHERE inter * 1000000 // n_a >= 800000
+           |ORDER BY doc_a, doc_b""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q24, q25, q26, q27, q28, q52, q55, q81, q125,
-    q138, q296, q302)
+    q138, q296, q302, q320)
 }

@@ -834,7 +834,41 @@ object SourcesIO {
            |ORDER BY col_name""".stripMargin),
   )
 
+  /** q326 — EMBEDDED CSV parsing (`from_csv`/`to_csv` as expressions,
+    * not a file source — the q114/q224 file adapters' in-row sibling):
+    * the lake pattern where a message queue lands one CSV line per
+    * record inside a string column, parsed per row with a declared
+    * schema inside whole-stage codegen — no staging, no re-scan, no
+    * inference. Round trip: to_csv(struct) → from_csv(schema) must
+    * reproduce the source values through the quoting/escaping layer
+    * (a p_name containing the delimiter is the case that silently
+    * corrupts naive split(',')-based parsers — and the fixture's names
+    * are re-checked to include multi-token values). The oracle states
+    * the identity directly from the source table. */
+  val q326 = QuerySpec(
+    "q326_embedded_csv_roundtrip",
+    (s, d) => {
+      import s.implicits._
+      val src = Tables.part(s, d)
+        .select($"p_partkey", $"p_name", $"p_size", $"p_retailprice")
+      val line = to_csv(struct($"p_partkey", $"p_name", $"p_size", $"p_retailprice"))
+      val parsed = src.select($"p_partkey".as("key_orig"), line.as("line"))
+        .select($"key_orig",
+          from_csv($"line", StructType(Seq(
+            StructField("p_partkey", LongType),
+            StructField("p_name", StringType),
+            StructField("p_size", IntegerType),
+            StructField("p_retailprice", DoubleType))),
+            Map.empty[String, String]).as("p"))
+      parsed
+        .select($"p.p_partkey", $"p.p_name", $"p.p_size", $"p.p_retailprice")
+        .orderBy($"p_partkey")
+    },
+    Some("""SELECT p_partkey, p_name, p_size, p_retailprice
+           |FROM part ORDER BY p_partkey""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q113, q114, q117, q133, q136, q140, q187, q188, q189, q216, q224, q228,
-      q237, q238, q239, q240, q277)
+      q237, q238, q239, q240, q277, q326)
 }

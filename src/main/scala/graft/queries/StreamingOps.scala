@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.streaming.{EventIngest, Sessionize, StreamDedup, StreamJoin}
+import graft.streaming.{EventIngest, Sessionize, StreamDedup, StreamJoin, StreamSessionWindow}
 import Det._
 
 /** Streaming surface, gated through the same oracle as the batch twin.
@@ -217,6 +217,18 @@ object StreamingOps {
            |FROM l1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
   )
 
+  /** q324 — the built-in session_window in STREAMING mode (q44's
+    * declarative twin, batch q112's streaming twin): engine-maintained
+    * merging session state, append-mode flush on watermark proof.
+    * Gated against q112's batch oracle — stream and batch
+    * sessionization must agree value-for-value. See
+    * graft.streaming.StreamSessionWindow. */
+  val q324 = QuerySpec(
+    "q324_stream_session_window",
+    (s, d) => StreamSessionWindow.runOnce(s, d),
+    Extras.q112.oracle,
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q35, q44, q53, q54, q91, q95, q108, q122, q161, q211, q221, q262)
+    Seq(q35, q44, q53, q54, q91, q95, q108, q122, q161, q211, q221, q262, q324)
 }

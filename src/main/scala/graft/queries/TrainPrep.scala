@@ -1498,7 +1498,111 @@ object TrainPrep {
            |GROUP BY lang ORDER BY lang""".stripMargin),
   )
 
+  /** q317 — deterministic negative sampling (the contrastive-training
+    * prep step: every (user, item) recommender/embedding objective
+    * needs non-interactions, and they must be reproducible across
+    * reruns or the loss is noise): items = (event_type, hour-of-day)
+    * slots, candidate negatives = user × the broadcast item domain
+    * ANTI-JOIN observed interactions, then exactly 8 kept per user by
+    * smallest md5(user:item) — a pure function of the data, no RNG.
+    * Scale: the cross is |users|·|domain| (domain is the tiny side,
+    * broadcast), the anti join is key-sized, and the per-user top-8 is
+    * a bounded window over ≤|domain| rows — nothing quadratic in
+    * events. */
+  val q317 = QuerySpec(
+    "q317_negative_sampling",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select($"user_id", $"event_type", hour($"ts").cast("long").as("hh"))
+      val items = ev.select($"event_type", $"hh").distinct()
+      val users = ev.select($"user_id").distinct()
+      val observed = ev.select($"user_id", $"event_type", $"hh").distinct()
+      val h = md5(concat_ws(":", $"user_id", $"event_type", $"hh").cast("binary"))
+      val negs = users.crossJoin(broadcast(items))
+        .join(observed, Seq("user_id", "event_type", "hh"), "left_anti")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"user_id").orderBy(h, $"event_type", $"hh")))
+        .filter($"rk" <= 8)
+      negs.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_neg"),
+          sum($"user_id" * $"hh").as("slot_checksum"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, event_type, CAST(hour(ts) AS BIGINT) AS hh
+           |  FROM events),
+           |items AS (SELECT DISTINCT event_type, hh FROM ev),
+           |users AS (SELECT DISTINCT user_id FROM ev),
+           |obs AS (SELECT DISTINCT user_id, event_type, hh FROM ev),
+           |cand AS (
+           |  SELECT u.user_id, t.event_type, t.hh,
+           |    md5(u.user_id || ':' || t.event_type || ':' || t.hh) AS h
+           |  FROM users u CROSS JOIN items t
+           |  WHERE NOT EXISTS (SELECT 1 FROM obs o
+           |    WHERE o.user_id = u.user_id AND o.event_type = t.event_type
+           |      AND o.hh = t.hh)),
+           |ranked AS (
+           |  SELECT user_id, event_type, hh,
+           |    row_number() OVER (PARTITION BY user_id ORDER BY h, event_type, hh) AS rk
+           |  FROM cand)
+           |SELECT event_type, count(*) AS n_neg,
+           |  CAST(sum(user_id * hh) AS BIGINT) AS slot_checksum
+           |FROM ranked WHERE rk <= 8
+           |GROUP BY event_type ORDER BY event_type""".stripMargin),
+  )
+
+  /** q318 — inter-labeler agreement (Cohen's kappa), exact: two weak
+    * labelers every corpus pipeline actually runs (length-band vs
+    * min-token heuristics, q88's stages) scored for chance-corrected
+    * agreement before either is trusted as training signal. κ =
+    * (pₒ−pₑ)/(1−pₑ) collapses to the integer rational
+    * (n·agree − s)/(n² − s) with s = a₁b₁ + a₀b₀ — one 1-row
+    * sufficient-statistics aggregate per language, κ in exact milli
+    * by truncating div. Agreement without chance correction (raw pₒ)
+    * is reported beside it — the gap IS the lesson kappa encodes. */
+  val q318 = QuerySpec(
+    "q318_labeler_agreement_kappa",
+    (s, d) => {
+      import s.implicits._
+      val toks = graft.functions.TextFns.tokens($"text")
+      val lab = Tables.documents(s, d)
+        .select($"lang",
+          $"n_chars".between(100, 2000).as("la"),
+          (size(filter(toks, t => char_length(t) > 0)) >= 30).as("lb"))
+      lab.groupBy($"lang")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"la" === $"lb", 1L).otherwise(0L)).as("agree"),
+          sum(when($"la", 1L).otherwise(0L)).as("a1"),
+          sum(when($"lb", 1L).otherwise(0L)).as("b1"))
+        .withColumn("s", $"a1" * $"b1" + ($"n" - $"a1") * ($"n" - $"b1"))
+        .select($"lang", $"n", $"agree",
+          expr("agree * 1000000L div n").as("po_ppm"),
+          expr("s * 1000000L div (n * n)").as("pe_ppm"),
+          expr("(n * agree - s) * 1000L div (n * n - s)").as("kappa_milli"))
+        .orderBy($"lang")
+    },
+    Some("""WITH lab AS (
+           |  SELECT lang, n_chars BETWEEN 100 AND 2000 AS la,
+           |    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+           |      x -> len(x) > 0)) >= 30 AS lb
+           |  FROM documents),
+           |st AS (
+           |  SELECT lang, count(*) AS n,
+           |    CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+           |    CAST(sum(CASE WHEN la THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+           |    CAST(sum(CASE WHEN lb THEN 1 ELSE 0 END) AS BIGINT) AS b1
+           |  FROM lab GROUP BY lang)
+           |SELECT lang, n, agree,
+           |  agree * 1000000 // n AS po_ppm,
+           |  (a1 * b1 + (n - a1) * (n - b1)) * 1000000 // (n * n) AS pe_ppm,
+           |  (n * agree - (a1 * b1 + (n - a1) * (n - b1))) * 1000
+           |    // (n * n - (a1 * b1 + (n - a1) * (n - b1))) AS kappa_milli
+           |FROM st ORDER BY lang""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q60, q61, q62, q63, q64, q65, q67, q68, q69, q70,
     q86, q87, q88, q89, q90, q96, q100, q101, q106, q110, q149, q150, q160,
-    q192, q194, q200, q214, q215, q236, q243, q263, q274, q275)
+    q192, q194, q200, q214, q215, q236, q243, q263, q274, q275, q317, q318)
 }
