@@ -829,6 +829,40 @@ object NearDup {
            |ORDER BY doc_a, doc_b""".stripMargin),
   )
 
+  /** q329 — bounded (banded) edit-distance verification: q52's
+    * verifier re-armed with [[graft.functions.BoundedLevenshtein]] —
+    * Ukkonen's diagonal band computes the exact distance when ≤ k and
+    * the sentinel k+1 otherwise, O(k·n) per pair with a length-gap
+    * fast path, vs the builtin's full O(n·m) matrix. On a blocked ER
+    * pair stream where nearly every pair is far apart, almost every
+    * evaluation exits at the length check — the asymmetry that makes
+    * bounded verification affordable at candidate-stream scale. The
+    * oracle pins the contract directly: least(levenshtein, k+1), so
+    * the band provably loses nothing below the threshold. Output: the
+    * per-brand distance histogram (0..4 with 4 = "beyond bound"). */
+  val q329 = QuerySpec(
+    "q329_bounded_edit_verify",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.BoundedLevenshtein.boundedLevenshtein
+      val p = Tables.part(s, d).select($"p_partkey", $"p_name", $"p_brand")
+      p.as("a").join(p.as("b"),
+          $"a.p_brand" === $"b.p_brand" && $"a.p_partkey" < $"b.p_partkey")
+        .select($"a.p_brand".as("brand"),
+          boundedLevenshtein($"a.p_name", $"b.p_name", 3).as("dist"))
+        .groupBy($"brand", $"dist")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"brand", $"dist")
+    },
+    Some("""WITH pairs AS (
+           |  SELECT a.p_brand AS brand,
+           |    CAST(least(levenshtein(a.p_name, b.p_name), 4) AS INT) AS dist
+           |  FROM part a JOIN part b
+           |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey)
+           |SELECT brand, dist, count(*) AS n_pairs
+           |FROM pairs GROUP BY brand, dist ORDER BY brand, dist""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q24, q25, q26, q27, q28, q52, q55, q81, q125,
-    q138, q296, q302, q320)
+    q138, q296, q302, q320, q329)
 }

@@ -1206,7 +1206,77 @@ object ScaleOps {
     },
   )
 
+  /** q327 — max-min fair-share allocation (progressive water-filling),
+    * the quota governor q208/q69's fixed caps approximate: divide a
+    * global token budget B across sources so that no source able to
+    * use less is starved by one demanding more. Closed form on the
+    * demand-sorted frame: the water level starts at position j* = the
+    * first j where B − prefix_{j−1} < d_j·(n−j+1); sources before j*
+    * receive their demand, sources at/after j* receive
+    * L = (B − prefix_{j*−1}) div (n−j*+1), and the division remainder
+    * goes +1 each to the first r capped sources in sort order — so
+    * ALLOCATIONS SUM EXACTLY TO B, integer-deterministically. Scale:
+    * demands are one grouped aggregate; everything after runs on the
+    * |sources|-sized frame. */
+  val q327 = QuerySpec(
+    "q327_maxmin_fairshare",
+    (s, d) => {
+      import s.implicits._
+      val dem = Tables.documents(s, d)
+        .groupBy($"source").agg(sum($"n_chars").as("demand"))
+      val w = Window.orderBy($"demand", $"source")
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = dem
+        .withColumn("rn", row_number().over(w))
+        .withColumn("prefix", coalesce(sum($"demand").over(wPrev), lit(0L)))
+        .crossJoin(broadcast(
+          dem.agg(count(lit(1)).as("n"),
+            expr("sum(demand) div 2L").as("budget"))))
+      val jstar = ranked
+        .filter($"budget" - $"prefix" < $"demand" * ($"n" - $"rn" + 1L))
+        .agg(min(struct($"rn", $"prefix")).as("js"))
+        .select($"js.rn".as("js_rn"), $"js.prefix".as("js_prefix"))
+      ranked.crossJoin(broadcast(jstar))
+        .withColumn("rem_budget", $"budget" - $"js_prefix")
+        .withColumn("n_capped", $"n" - $"js_rn" + 1L)
+        .withColumn("level", expr("rem_budget div n_capped"))
+        .withColumn("rem", expr("rem_budget % n_capped"))
+        .withColumn("alloc",
+          when($"rn" < $"js_rn", $"demand")
+            .otherwise($"level" +
+              when($"rn" - $"js_rn" < $"rem", 1L).otherwise(0L)))
+        .select($"source", $"demand", $"alloc",
+          ($"rn" >= $"js_rn").as("capped"))
+        .orderBy($"source")
+    },
+    Some("""WITH dem AS (
+           |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS demand
+           |  FROM documents GROUP BY source),
+           |g AS (SELECT count(*) AS n, CAST(sum(demand) AS BIGINT) // 2 AS budget
+           |      FROM dem),
+           |r AS (
+           |  SELECT source, demand,
+           |    row_number() OVER (ORDER BY demand, source) AS rn,
+           |    coalesce(CAST(sum(demand) OVER (ORDER BY demand, source
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           |      AS prefix
+           |  FROM dem),
+           |js AS (
+           |  SELECT min(rn) AS js_rn FROM r CROSS JOIN g
+           |  WHERE budget - prefix < demand * (n - rn + 1)),
+           |jp AS (SELECT r.rn AS js_rn, r.prefix AS js_prefix
+           |       FROM r JOIN js ON r.rn = js.js_rn)
+           |SELECT source, demand,
+           |  CASE WHEN rn < js_rn THEN demand
+           |       ELSE (budget - js_prefix) // (n - js_rn + 1)
+           |         + CASE WHEN rn - js_rn < (budget - js_prefix) % (n - js_rn + 1)
+           |                THEN 1 ELSE 0 END END AS alloc,
+           |  rn >= js_rn AS capped
+           |FROM r CROSS JOIN g CROSS JOIN jp
+           |ORDER BY source""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q207, q208, q209, q210, q248, q249, q250,
     q256, q257, q258, q259, q269, q270, q273, q283, q287, q294, q301, q307,
-    q309, q322)
+    q309, q322, q327)
 }

@@ -1602,7 +1602,110 @@ object TrainPrep {
            |FROM st ORDER BY lang""".stripMargin),
   )
 
+  /** q328 — leave-one-source-out ablation readout: for every source,
+    * the corpus-level statistics WITHOUT it — the cheap first pass of
+    * data valuation (which source moves the mixture most when pulled),
+    * computed as complements of ONE grouped frame against its own
+    * rollup: rest = global − source, never a per-source rescan (the
+    * naive formulation reads the corpus |sources| times — the 1× vs
+    * 20× I/O difference at 100 TB). Deltas vs the full corpus reported
+    * in exact milli/ppm integers. */
+  val q328 = QuerySpec(
+    "q328_source_ablation",
+    (s, d) => {
+      import s.implicits._
+      val per = Tables.documents(s, d)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n"), sum($"n_chars").as("chars"),
+          sum(when($"lang" === "en", 1L).otherwise(0L)).as("n_en"))
+      val glob = per.agg(sum($"n").as("gn"), sum($"chars").as("gchars"),
+        sum($"n_en").as("gen"))
+      per.crossJoin(broadcast(glob))
+        .select($"source",
+          ($"gn" - $"n").as("n_rest"),
+          expr("(gchars - chars) * 1000L div (gn - n)").as("mean_chars_milli_rest"),
+          expr("(gen - n_en) * 1000000L div (gn - n)").as("en_ppm_rest"),
+          (expr("(gchars - chars) * 1000L div (gn - n)")
+            - expr("gchars * 1000L div gn")).as("mean_shift_milli"),
+          (expr("(gen - n_en) * 1000000L div (gn - n)")
+            - expr("gen * 1000000L div gn")).as("en_shift_ppm"))
+        .orderBy($"source")
+    },
+    Some("""WITH per AS (
+           |  SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
+           |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+           |  FROM documents GROUP BY source),
+           |g AS (SELECT CAST(sum(n) AS BIGINT) AS gn,
+           |  CAST(sum(chars) AS BIGINT) AS gchars,
+           |  CAST(sum(n_en) AS BIGINT) AS gen FROM per)
+           |SELECT source, gn - n AS n_rest,
+           |  (gchars - chars) * 1000 // (gn - n) AS mean_chars_milli_rest,
+           |  (gen - n_en) * 1000000 // (gn - n) AS en_ppm_rest,
+           |  (gchars - chars) * 1000 // (gn - n) - gchars * 1000 // gn
+           |    AS mean_shift_milli,
+           |  (gen - n_en) * 1000000 // (gn - n) - gen * 1000000 // gn
+           |    AS en_shift_ppm
+           |FROM per CROSS JOIN g ORDER BY source""".stripMargin),
+  )
+
+  /** q330 — cross-source quantile normalization (the batch-effect
+    * remover: per-source length distributions are forced onto one
+    * pooled reference so downstream filters don't encode source
+    * artifacts): each doc maps to its source-relative equi-depth
+    * decile ((rn−1)·10 div n_src — q215's binning), and the reference
+    * value for a decile is the exact lower median of the POOLED values
+    * landing in it (q269's rank-pick). Output per (source, decile):
+    * count, source-local bounds, and the normalized reference value
+    * the source's docs would be rewritten to. Scale: per-source rank
+    * windows parallelize across sources; the pooled median runs per
+    * decile partition. */
+  val q330 = QuerySpec(
+    "q330_quantile_normalize",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val wSrc = Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")
+      val binned = Tables.documents(s, d)
+        .select($"source", $"doc_id", $"n_chars")
+        .withColumn("rn", row_number().over(wSrc))
+        .withColumn("n_src", count(lit(1)).over(Window.partitionBy($"source")))
+        .withColumn("decile", expr("(rn - 1) * 10L div n_src"))
+      val wBin = Window.partitionBy($"decile").orderBy($"n_chars", $"doc_id")
+      val ref = binned
+        .withColumn("brn", row_number().over(wBin))
+        .withColumn("bn", count(lit(1)).over(Window.partitionBy($"decile")))
+        .filter(expr("brn = (bn + 1L) div 2L"))
+        .select($"decile", $"n_chars".as("ref_chars"))
+      binned.groupBy($"source", $"decile")
+        .agg(count(lit(1)).as("n"), min($"n_chars").as("lo"),
+          max($"n_chars").as("hi"))
+        .join(broadcast(ref), Seq("decile"))
+        .select($"source", $"decile", $"n", $"lo", $"hi", $"ref_chars")
+        .orderBy($"source", $"decile")
+    },
+    Some("""WITH b AS (
+           |  SELECT source, doc_id, n_chars,
+           |    (row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+           |      - 1) * 10
+           |      // (count(*) OVER (PARTITION BY source)) AS decile
+           |  FROM documents),
+           |ref AS (
+           |  SELECT decile, n_chars AS ref_chars FROM (
+           |    SELECT decile, n_chars, doc_id,
+           |      row_number() OVER (PARTITION BY decile ORDER BY n_chars, doc_id)
+           |        AS brn,
+           |      count(*) OVER (PARTITION BY decile) AS bn
+           |    FROM b)
+           |  WHERE brn = (bn + 1) // 2)
+           |SELECT source, decile, count(*) AS n,
+           |  CAST(min(n_chars) AS BIGINT) AS lo, CAST(max(n_chars) AS BIGINT) AS hi,
+           |  CAST(max(ref_chars) AS BIGINT) AS ref_chars
+           |FROM b JOIN ref USING (decile)
+           |GROUP BY source, decile ORDER BY source, decile""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q60, q61, q62, q63, q64, q65, q67, q68, q69, q70,
     q86, q87, q88, q89, q90, q96, q100, q101, q106, q110, q149, q150, q160,
-    q192, q194, q200, q214, q215, q236, q243, q263, q274, q275, q317, q318)
+    q192, q194, q200, q214, q215, q236, q243, q263, q274, q275, q317, q318,
+    q328, q330)
 }

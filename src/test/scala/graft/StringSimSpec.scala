@@ -64,4 +64,29 @@ class StringSimSpec extends SparkTestBase {
       .head().getDouble(0)
     assert(v === 0.9611111111111111)
   }
+
+  test("banded levenshtein equals least(full DP, k+1) over randomized pairs") {
+    def full(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(
+          math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    def banded(a: String, b: String, k: Int): Int =
+      graft.functions.BoundedLevenshtein.banded(
+        UTF8String.fromString(a), UTF8String.fromString(b), k)
+    val gen = Gen.zip(
+      Gen.chooseNum(0, 12).flatMap(n => Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c'))),
+      Gen.chooseNum(0, 12).flatMap(n => Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c'))),
+      Gen.chooseNum(0, 5))
+    Iterator.from(0).map(i => gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+      .take(500).foreach { case (a, b, k) =>
+        val exp = math.min(full(a, b), k + 1)
+        assert(banded(a, b, k) === exp, s"($a, $b, k=$k)")
+      }
+  }
 }
