@@ -610,4 +610,33 @@ class PlanAuditSpec extends SparkTestBase {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges <= 1, s"expected only the rollup exchange, got $exchanges\n$p")
   }
+
+  test("q302/q329: pair streams come from brand equi-joins, never a product") {
+    for (name <- Seq("q302_jaro_winkler_linkage", "q329_bounded_edit_verify")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name degraded to an all-pairs product\n$p")
+      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    }
+  }
+
+  test("q320: containment candidates come from a shingle equi-join, never a product") {
+    val p = plan("q320_set_containment_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "containment prefix filter degraded to an all-pairs product\n" + p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q317: negatives come from an anti join off the broadcast item domain") {
+    val p = plan("q317_negative_sampling")
+    assert(p.contains("LeftAnti"), "observed-interaction anti join missing\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "user x item cross degraded to a cartesian (domain side must broadcast)\n" + p)
+  }
+
+  test("q328: ablation reads the corpus once — one scan, complements not rescans") {
+    val p = plan("q328_source_ablation")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"leave-one-out recomputed via extra scans: $scans\n$p")
+  }
 }
