@@ -2958,8 +2958,9 @@ object Analytics {
     * with md5: bucket = first hex nibble (m=16), rho = 41 −
     * bitlength(40-bit suffix) (zero suffix → 41), registers = max(rho)
     * per bucket, and the harmonic mean cleared of floats by scaling:
-    * Z = Σ 2^(41−Mⱼ) ≤ 2^44, estimate = ⌊α₁₆·m²·2^41⌋ ÷ Z with
-    * α₁₆·m²·2^41 = 673·256·2^41 precomputed exact. m=16 trades rsd
+    * Z = Σ 2^(41−Mⱼ) ≤ 2^44, estimate in exact MILLI units =
+    * ⌊1000·α₁₆·m²·2^41 ÷ Z_scaled⌋ with 1000·α₁₆·m² = 673·256
+    * precomputed exact. m=16 trades rsd
     * (~26%) for fitting every term in BIGINT — the POINT is the
     * portable-register mechanics (register checksum + zero-register
     * count emitted beside the estimate, the small-range-correction
@@ -2988,7 +2989,7 @@ object Analytics {
           ($"z_partial" + (lit(16L) - $"n_filled") * expr("shiftleft(1L, 41)"))
             .as("z_scaled"),
           $"reg_checksum")
-        .withColumn("est",
+        .withColumn("est_milli",
           expr(s"${673L * 256L} * shiftleft(1L, 41) div z_scaled"))
         .orderBy($"g")
     },
@@ -3013,7 +3014,7 @@ object Analytics {
            |  z_partial + (16 - n_filled) * (1::BIGINT << 41) AS z_scaled,
            |  reg_checksum,
            |  172288 * (1::BIGINT << 41)
-           |    // (z_partial + (16 - n_filled) * (1::BIGINT << 41)) AS est
+           |    // (z_partial + (16 - n_filled) * (1::BIGINT << 41)) AS est_milli
            |FROM z ORDER BY g""".stripMargin),
   )
 
@@ -3079,10 +3080,215 @@ object Analytics {
            |ORDER BY stage""".stripMargin),
   )
 
+  /** q331 — chi-square test of independence over the returnflag ×
+    * linestatus contingency table (the inferential companion to
+    * q157's descriptive crosstab): is the stratification key actually
+    * independent of the outcome? Per cell the statistic is
+    * (o·N − r·c)²·1e6 / (N·r·c) — the classic (o−e)²/e with
+    * denominators cleared — evaluated in DECIMAL(38,0) (the square
+    * overflows BIGINT) and floored to ppm; the TEST STATISTIC is
+    * defined as the sum of the floored cell terms, identical on both
+    * engines by construction. Verdict pinned against the dof=2,
+    * α=0.05 critical value 5.991 (ppm-scaled). One scan → cell
+    * counts; margins re-aggregated from the cell frame. */
+  val q331 = QuerySpec(
+    "q331_chi2_independence",
+    (s, d) => {
+      import s.implicits._
+      val cells = Tables.lineitem(s, d)
+        .groupBy($"l_returnflag".as("rf"), $"l_linestatus".as("ls"))
+        .agg(count(lit(1)).as("o"))
+      val rows = cells.groupBy($"rf").agg(sum($"o").as("r"))
+      val colsm = cells.groupBy($"ls").agg(sum($"o").as("c"))
+      val tot = cells.agg(sum($"o").as("nn"))
+      val contrib = cells.join(broadcast(rows), "rf").join(broadcast(colsm), "ls")
+        .crossJoin(broadcast(tot))
+        // The square overflows BIGINT, and pow() would detour through
+        // DOUBLE (inexact past 2^53) — square by DECIMAL multiplication.
+        .withColumn("x",
+          expr("CAST(o AS DECIMAL(38,0)) * nn - CAST(r AS DECIMAL(38,0)) * c"))
+        .withColumn("chi_ppm", expr(
+          "CAST((x * x * 1000000) div (CAST(nn AS DECIMAL(38,0)) * r * c) AS BIGINT)"))
+      contrib
+        .agg(sum($"chi_ppm").as("chi2_ppm"), count(lit(1)).as("n_cells"),
+          max($"nn").as("n"))
+        .select(lit(2).as("dof"), $"n", $"n_cells", $"chi2_ppm",
+          ($"chi2_ppm" > 5991000L).as("dependent_at_05"))
+    },
+    Some("""WITH cells AS (
+           |  SELECT l_returnflag AS rf, l_linestatus AS ls, count(*) AS o
+           |  FROM lineitem GROUP BY 1, 2),
+           |r AS (SELECT rf, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY rf),
+           |c AS (SELECT ls, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY ls),
+           |t AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cells),
+           |k AS (
+           |  SELECT CAST(
+           |    ((CAST(o AS HUGEINT) * nn - CAST(r.r AS HUGEINT) * c.c)
+           |     * (CAST(o AS HUGEINT) * nn - CAST(r.r AS HUGEINT) * c.c)
+           |     * 1000000) // (CAST(nn AS HUGEINT) * r.r * c.c) AS BIGINT)
+           |    AS chi_ppm, nn
+           |  FROM cells JOIN r USING (rf) JOIN c USING (ls) CROSS JOIN t)
+           |SELECT 2 AS dof, max(nn) AS n, count(*) AS n_cells,
+           |  CAST(sum(chi_ppm) AS BIGINT) AS chi2_ppm,
+           |  CAST(sum(chi_ppm) AS BIGINT) > 5991000 AS dependent_at_05
+           |FROM k""".stripMargin),
+  )
+
+  /** q332 — mergeable-sketch SET ALGEBRA on q323's portable HLL
+    * registers: union = register-wise max (exact HLL property),
+    * intersection = inclusion-exclusion est(A)+est(B)−est(A∪B) — the
+    * canonical way two independently-built sketches answer overlap
+    * questions WITHOUT revisiting raw data (cross-day audience
+    * overlap, cross-source contamination). The exact distinct counts
+    * are computed beside the estimates in the same pass, so the
+    * output IS the sketch-error readout. All-integer mechanics (m=16,
+    * Z = Σ2^(41−M)); estimates in exact milli units (q323's scaling);
+    * the inclusion-exclusion estimate is signed. */
+  val q332 = QuerySpec(
+    "q332_hll_set_algebra",
+    (s, d) => {
+      import s.implicits._
+      val base = Tables.lineitem(s, d)
+        .filter(round($"l_quantity").isin(1, 2))
+        .select(concat(lit("q"), round($"l_quantity").cast("int")).as("g"),
+          $"l_partkey",
+          md5($"l_partkey".cast("string").cast("binary")).as("hx"))
+        .select($"g", $"l_partkey",
+          expr("conv(substring(hx, 1, 1), 16, 10)").cast("long").as("bucket"),
+          expr("conv(substring(hx, 2, 10), 16, 10)").cast("long").as("w"))
+        .withColumn("rho",
+          when($"w" === 0L, 41L).otherwise(lit(41L) - length(bin($"w"))))
+      val regs = base.groupBy($"g", $"bucket").agg(max($"rho").as("m"))
+      val regsU = regs.groupBy($"bucket").agg(max($"m").as("m"))
+        .withColumn("g", lit("U"))
+      def est(r: org.apache.spark.sql.DataFrame) = r.groupBy($"g")
+        .agg(count(lit(1)).as("n_filled"),
+          sum(expr("shiftleft(1L, cast(41 - m as int))")).as("zp"))
+        .select($"g", expr(
+          s"${673L * 256L} * shiftleft(1L, 41) div (zp + (16 - n_filled) * shiftleft(1L, 41))")
+          .as("est_milli"))
+      val ests = est(regs).unionByName(est(regsU))
+        .groupBy().pivot("g", Seq("q1", "q2", "U")).agg(first($"est_milli"))
+      val exact = base.groupBy().agg(
+        countDistinct(when($"g" === "q1", $"l_partkey")).as("exact_a"),
+        countDistinct(when($"g" === "q2", $"l_partkey")).as("exact_r"),
+        countDistinct($"l_partkey").as("exact_u"))
+      ests.crossJoin(exact)
+        .select($"q1".as("est_a_milli"), $"q2".as("est_r_milli"),
+          $"U".as("est_u_milli"),
+          ($"q1" + $"q2" - $"U").as("est_intersect_milli"),
+          $"exact_a", $"exact_r", $"exact_u",
+          ($"exact_a" + $"exact_r" - $"exact_u").as("exact_intersect"))
+    },
+    Some("""WITH base AS (
+           |  SELECT 'q' || CAST(round(l_quantity) AS INT) AS g, l_partkey,
+           |    CAST('0x' || substr(md5(l_partkey::VARCHAR), 1, 1) AS BIGINT) AS bucket,
+           |    CAST('0x' || substr(md5(l_partkey::VARCHAR), 2, 10) AS BIGINT) AS w
+           |  FROM lineitem WHERE round(l_quantity) IN (1, 2)),
+           |rho AS (SELECT g, l_partkey, bucket,
+           |  CASE WHEN w = 0 THEN 41 ELSE 41 - len(bin(w)) END AS rho FROM base),
+           |regs AS (SELECT g, bucket, max(rho) AS m FROM rho GROUP BY g, bucket),
+           |regsu AS (SELECT 'U' AS g, bucket, max(m) AS m FROM regs GROUP BY bucket),
+           |allr AS (SELECT * FROM regs UNION ALL SELECT * FROM regsu),
+           |z AS (
+           |  SELECT g, count(*) AS n_filled,
+           |    CAST(sum(1::BIGINT << (41 - m)) AS BIGINT) AS zp
+           |  FROM allr GROUP BY g),
+           |e AS (
+           |  SELECT g, 172288 * (1::BIGINT << 41)
+           |    // (zp + (16 - n_filled) * (1::BIGINT << 41)) AS est
+           |  FROM z),
+           |ex AS (
+           |  SELECT count(DISTINCT CASE WHEN g = 'q1' THEN l_partkey END) AS exact_a,
+           |    count(DISTINCT CASE WHEN g = 'q2' THEN l_partkey END) AS exact_r,
+           |    count(DISTINCT l_partkey) AS exact_u
+           |  FROM base)
+           |SELECT
+           |  (SELECT est FROM e WHERE g = 'q1') AS est_a_milli,
+           |  (SELECT est FROM e WHERE g = 'q2') AS est_r_milli,
+           |  (SELECT est FROM e WHERE g = 'U') AS est_u_milli,
+           |  (SELECT est FROM e WHERE g = 'q1') + (SELECT est FROM e WHERE g = 'q2')
+           |    - (SELECT est FROM e WHERE g = 'U') AS est_intersect_milli,
+           |  CAST(exact_a AS BIGINT) AS exact_a, CAST(exact_r AS BIGINT) AS exact_r,
+           |  CAST(exact_u AS BIGINT) AS exact_u,
+           |  CAST(exact_a + exact_r - exact_u AS BIGINT) AS exact_intersect
+           |FROM ex""".stripMargin),
+  )
+
+  /** q333 — Brier score with Murphy decomposition (the proper-scoring
+    * companion to q303's calibration bins): total = reliability −
+    * resolution + uncertainty, each term computed on the SAME decile
+    * frame with every mean quantized by floor-division (ppm / e12
+    * scales) — the decomposition identity then holds up to a
+    * deterministic quantization residual, which is EMITTED rather than
+    * hidden: both engines must agree on the residual too. One scan →
+    * bin frame; everything after is |bins|-sized. */
+  val q333 = QuerySpec(
+    "q333_brier_decomposition",
+    (s, d) => {
+      import s.implicits._
+      val scored = Tables.lineitem(s, d)
+        .select((round($"l_discount" * 100) * 100000L).cast("long").as("pred_ppm"),
+          when($"l_returnflag" === "R", 1L).otherwise(0L).as("pos"))
+      val bins = scored
+        .withColumn("bin", expr("pred_ppm * 10L div 1000001L"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n"), sum($"pred_ppm").as("psum"),
+          sum($"pos").as("npos"),
+          sum(($"pred_ppm" - $"pos" * 1000000L) *
+            ($"pred_ppm" - $"pos" * 1000000L)).as("sq_sum"))
+        .withColumn("pbar", expr("psum div n"))
+        .withColumn("obar", expr("(npos * 1000000L) div n"))
+      bins
+        .crossJoin(broadcast(bins.agg(sum($"n").as("nn"), sum($"npos").as("np"))))
+        .withColumn("og", expr("np * 1000000L div nn"))
+        .agg(
+          expr("sum(sq_sum) div max(nn)").as("brier_e12"),
+          expr("sum(n * (pbar - obar) * (pbar - obar)) div max(nn)")
+            .as("reliability_e12"),
+          expr("sum(n * (obar - og) * (obar - og)) div max(nn)")
+            .as("resolution_e12"),
+          expr("max(og) * (1000000L - max(og))").as("uncertainty_e12"))
+        .withColumn("quantization_residual_e12",
+          $"brier_e12" - ($"reliability_e12" - $"resolution_e12" + $"uncertainty_e12"))
+    },
+    Some("""WITH scored AS (
+           |  SELECT CAST(round(l_discount * 100) * 100000 AS BIGINT) AS pred_ppm,
+           |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+           |  FROM lineitem),
+           |bins AS (
+           |  SELECT pred_ppm * 10 // 1000001 AS bin, count(*) AS n,
+           |    CAST(sum(pred_ppm) AS BIGINT) AS psum,
+           |    CAST(sum(pos) AS BIGINT) AS npos,
+           |    CAST(sum((pred_ppm - pos * 1000000) * (pred_ppm - pos * 1000000))
+           |      AS BIGINT) AS sq_sum
+           |  FROM scored GROUP BY 1),
+           |b2 AS (SELECT bin, n, npos, sq_sum, psum // n AS pbar,
+           |         (npos * 1000000) // n AS obar FROM bins),
+           |g AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+           |        CAST(sum(npos) AS BIGINT) AS np FROM b2),
+           |b3 AS (SELECT b2.*, nn, np, np * 1000000 // nn AS og
+           |       FROM b2 CROSS JOIN g),
+           |agg AS (
+           |  SELECT
+           |    CAST(sum(sq_sum) AS BIGINT) // max(nn) AS brier_e12,
+           |    CAST(sum(n * (pbar - obar) * (pbar - obar)) AS BIGINT) // max(nn)
+           |      AS reliability_e12,
+           |    CAST(sum(n * (obar - og) * (obar - og)) AS BIGINT) // max(nn)
+           |      AS resolution_e12,
+           |    max(og) * (1000000 - max(og)) AS uncertainty_e12
+           |  FROM b3)
+           |SELECT brier_e12, reliability_e12, resolution_e12, uncertainty_e12,
+           |  brier_e12 - (reliability_e12 - resolution_e12 + uncertainty_e12)
+           |    AS quantization_residual_e12
+           |FROM agg""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q118, q119, q120, q121, q123, q124, q127, q128, q131, q132, q134, q137,
       q139, q147, q153, q157, q165, q191, q193, q198, q199, q217, q222, q227,
       q246, q247, q254, q255, q264, q272, q276, q280, q281, q282, q284, q285,
       q286, q288, q289, q291, q292, q293, q295, q297, q298, q299, q300, q303,
-      q306, q308, q311, q312, q314, q315, q316, q319, q321, q323, q325)
+      q306, q308, q311, q312, q314, q315, q316, q319, q321, q323, q325, q331,
+      q332, q333)
 }
