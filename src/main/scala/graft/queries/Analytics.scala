@@ -3284,11 +3284,142 @@ object Analytics {
            |FROM agg""".stripMargin),
   )
 
+  /** q334 — behavioral path analysis (the Sankey feed): the top
+    * 3-step event-type paths per user ordered by time, with
+    * conversion annotation (does the path end in a purchase). Paths
+    * are trigrams from two lag() reads in one window stage — per-user
+    * sequences never materialize as arrays, no collect_list state
+    * (the q244 lesson); the rollup is |type³|-bounded. Top 15 by
+    * frequency with full deterministic tie-break. */
+  val q334 = QuerySpec(
+    "q334_event_path_trigrams",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, d)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("t1", lag($"event_type", 2).over(w))
+        .withColumn("t2", lag($"event_type", 1).over(w))
+        .filter($"t1".isNotNull)
+        .select(concat_ws(">", $"t1", $"t2", $"event_type").as("path"),
+          ($"event_type" === "purchase").as("converts"))
+        .groupBy($"path", $"converts")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"path", $"converts")
+        .limit(15)
+    },
+    Some("""WITH seq AS (
+           |  SELECT user_id, event_type,
+           |    lag(event_type, 2) OVER w AS t1,
+           |    lag(event_type, 1) OVER w AS t2
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |p AS (
+           |  SELECT t1 || '>' || t2 || '>' || event_type AS path,
+           |    event_type = 'purchase' AS converts
+           |  FROM seq WHERE t1 IS NOT NULL)
+           |SELECT path, converts, count(*) AS n
+           |FROM p GROUP BY path, converts
+           |ORDER BY n DESC, path, converts LIMIT 15""".stripMargin),
+  )
+
+  /** q335 — sliding-window distinct counts WITHOUT window rescans:
+    * the capstone of the portable-HLL family (q323/q332). Hourly
+    * register partials (bucket-wise max of rho per hour) merge into
+    * each trailing-6-hour window by a window-function MAX per bucket
+    * — REGISTER MERGEABILITY is exactly what makes a sketch sliding-
+    * window-capable where exact distinct needs the raw window re-read.
+    * The exact trailing distinct runs beside it (range self-join at
+    * fixture scale) as the error readout. Scale: hourly partials are
+    * 16 rows/hour forever; the window pass never touches raw events. */
+  val q335 = QuerySpec(
+    "q335_sliding_window_hll",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val hx = md5($"user_id".cast("string").cast("binary"))
+      val hourly = Tables.events(s, d)
+        .select(date_trunc("hour", $"ts").as("h"), hx.as("hx"))
+        .select($"h",
+          expr("conv(substring(hx, 1, 1), 16, 10)").cast("long").as("bucket"),
+          expr("conv(substring(hx, 2, 10), 16, 10)").cast("long").as("w"))
+        .withColumn("rho",
+          when($"w" === 0L, 41L).otherwise(lit(41L) - length(bin($"w"))))
+        .groupBy($"h", $"bucket").agg(max($"rho").as("m"))
+      // Densify to the full hour×bucket grid BEFORE the sliding merge:
+      // a bucket with no partial THIS hour must still inherit its value
+      // from earlier window hours (a sparse-bucket undercount otherwise);
+      // m=0 marks truly-empty, and 2^(41−0) is exactly the empty-bucket
+      // harmonic term, so one shiftleft covers both cases.
+      val grid = Tables.events(s, d)
+        .select(date_trunc("hour", $"ts").as("h")).distinct()
+        .select($"h", explode(sequence(lit(0L), lit(15L))).as("bucket"))
+      val dense = grid.join(hourly, Seq("h", "bucket"), "left")
+        .withColumn("m", coalesce($"m", lit(0L)))
+      val wSlide = Window.partitionBy($"bucket").orderBy($"hu")
+        .rangeBetween(-5L * 3600L, 0L)
+      val merged = dense
+        .withColumn("hu", expr("unix_micros(h) div 1000000L"))
+        .withColumn("m6", max($"m").over(wSlide))
+      val est = merged.groupBy($"h")
+        .agg(sum(expr("shiftleft(1L, cast(41 - m6 as int))")).as("zp"))
+        .select($"h",
+          expr(s"${673L * 256L} * shiftleft(1L, 41) div zp").as("est_milli"))
+      val hours = Tables.events(s, d)
+        .select(date_trunc("hour", $"ts").as("h")).distinct()
+      val exact = hours.join(Tables.events(s, d)
+          .select(date_trunc("hour", $"ts").as("eh"), $"user_id"),
+          $"eh".between(expr("h - INTERVAL 5 HOURS"), $"h"))
+        .groupBy($"h").agg(countDistinct($"user_id").as("exact_distinct"))
+      est.join(exact, Seq("h"))
+        .orderBy($"h")
+        .limit(48)
+    },
+    Some("""WITH hourly AS (
+           |  SELECT date_trunc('hour', ts) AS h,
+           |    CAST('0x' || substr(md5(user_id::VARCHAR), 1, 1) AS BIGINT) AS bucket,
+           |    CAST('0x' || substr(md5(user_id::VARCHAR), 2, 10) AS BIGINT) AS w
+           |  FROM events),
+           |regs AS (
+           |  SELECT h, bucket,
+           |    max(CASE WHEN w = 0 THEN 41 ELSE 41 - len(bin(w)) END) AS m
+           |  FROM hourly GROUP BY h, bucket),
+           |grid AS (
+           |  SELECT h, b.bucket FROM (SELECT DISTINCT h FROM regs)
+           |  CROSS JOIN (SELECT unnest(range(16)) AS bucket) b),
+           |dense AS (
+           |  SELECT grid.h, grid.bucket, coalesce(regs.m, 0) AS m
+           |  FROM grid LEFT JOIN regs
+           |    ON regs.h = grid.h AND regs.bucket = grid.bucket),
+           |merged AS (
+           |  SELECT h, bucket,
+           |    max(m) OVER (PARTITION BY bucket ORDER BY h
+           |      RANGE BETWEEN INTERVAL 5 HOURS PRECEDING AND CURRENT ROW) AS m6
+           |  FROM dense),
+           |est AS (
+           |  SELECT h, CAST(sum(1::BIGINT << (41 - m6)) AS BIGINT) AS zp
+           |  FROM merged GROUP BY h),
+           |e AS (
+           |  SELECT h, 172288 * (1::BIGINT << 41) // zp AS est_milli
+           |  FROM est),
+           |hrs AS (SELECT DISTINCT date_trunc('hour', ts) AS h FROM events),
+           |ex AS (
+           |  SELECT hrs.h, count(DISTINCT e2.user_id) AS exact_distinct
+           |  FROM hrs JOIN (SELECT date_trunc('hour', ts) AS eh, user_id
+           |                 FROM events) e2
+           |    ON e2.eh BETWEEN hrs.h - INTERVAL 5 HOUR AND hrs.h
+           |  GROUP BY hrs.h)
+           |SELECT e.h, est_milli, CAST(exact_distinct AS BIGINT) AS exact_distinct
+           |FROM e JOIN ex ON e.h = ex.h
+           |ORDER BY e.h LIMIT 48""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q118, q119, q120, q121, q123, q124, q127, q128, q131, q132, q134, q137,
       q139, q147, q153, q157, q165, q191, q193, q198, q199, q217, q222, q227,
       q246, q247, q254, q255, q264, q272, q276, q280, q281, q282, q284, q285,
       q286, q288, q289, q291, q292, q293, q295, q297, q298, q299, q300, q303,
       q306, q308, q311, q312, q314, q315, q316, q319, q321, q323, q325, q331,
-      q332, q333)
+      q332, q333, q334, q335)
 }
