@@ -371,6 +371,39 @@ class OperatorPropsSpec extends SparkTestBase {
     }
   }
 
+  test("q327 water-filling invariants: budget conserved, max-min fair") {
+    val rows = SparkEntry.queries("q327_maxmin_fairshare")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val demands = rows.map(_._2).sum
+    val allocs = rows.map(_._3).sum
+    assert(allocs === demands / 2, "allocations must sum exactly to the budget")
+    rows.foreach { case (src, demand, alloc, capped) =>
+      assert(alloc <= demand, s"$src allocated beyond demand")
+      if (!capped) assert(alloc === demand, s"uncapped $src not fully served")
+    }
+    val cappedAllocs = rows.filter(_._4).map(_._3)
+    if (cappedAllocs.nonEmpty) {
+      assert(cappedAllocs.max - cappedAllocs.min <= 1,
+        "capped sources must sit within 1 unit of one water level")
+      val uncappedMax = rows.filterNot(_._4).map(_._3).foldLeft(0L)(math.max)
+      assert(uncappedMax <= cappedAllocs.max,
+        "an uncapped source exceeds the water level — not max-min fair")
+    }
+  }
+
+  test("portable HLL estimates land within loose m=16 error bounds of exact") {
+    // m=16 → rsd ≈ 26%; assert a generous 3σ-ish factor so the test pins
+    // "the estimator works" without flaking on the fixture.
+    val alg = SparkEntry.queries("q332_hll_set_algebra")(spark, sf).head()
+    for ((est, exact, tag) <- Seq(
+        (alg.getLong(0), alg.getLong(4), "A"),
+        (alg.getLong(1), alg.getLong(5), "B"),
+        (alg.getLong(2), alg.getLong(6), "union"))) {
+      val ratio = est.toDouble / 1000.0 / exact.toDouble
+      assert(ratio > 0.4 && ratio < 2.5, s"$tag: est_milli=$est vs exact=$exact")
+    }
+  }
+
   test("q301 ray-cast matches an independent winding-style containment check") {
     // Reference: per point, recompute containment with the half-open
     // edge rule written scalar-side (same integer arithmetic, separate
