@@ -3415,11 +3415,82 @@ object Analytics {
            |ORDER BY e.h LIMIT 48""".stripMargin),
   )
 
+  /** q336 — schema-on-read TYPE INFERENCE audit (the crawler's first
+    * decision, run relationally): columns arrive as strings; per
+    * column, what fraction parses as integral / double / date, and
+    * what type should the catalog declare? Integral-ness is a REGEX
+    * (^-?[0-9]+$) rather than a cast — DuckDB's try_cast rounds
+    * '12.5' to 13 where Spark nulls it, an engine divergence recorded
+    * in q128; the regex pins one portable semantic. Suggestion ladder:
+    * ≥999000 ppm integral → BIGINT, else double-parsable → DOUBLE,
+    * else date-parsable → DATE, else STRING. One scan of the
+    * string-rendered projection, melted to |columns| rows. */
+  val q336 = QuerySpec(
+    "q336_type_inference_audit",
+    (s, d) => {
+      import s.implicits._
+      // fanOut: rendering + regex + try_casts are CPU-bound per row and
+      // the melt multiplies rows, not splits (q311's lesson).
+      val rendered = Tables.fanOut(Tables.lineitem(s, d), col("l_orderkey")).select(
+        $"l_partkey".cast("string").as("c_key"),
+        format_number($"l_extendedprice", 2).as("c_price"),
+        date_format($"l_shipdate", "yyyy-MM-dd").as("c_date"),
+        $"l_returnflag".as("c_flag"))
+      val melted = rendered.select(expr(
+        """stack(4, 'c_key', c_key, 'c_price', replace(c_price, ',', ''),
+          |'c_date', c_date, 'c_flag', c_flag) AS (col, v)""".stripMargin))
+      melted.groupBy($"col")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"v".rlike("^-?[0-9]+$"), 1L).otherwise(0L)).as("int_ok"),
+          sum(when(expr("try_cast(v AS DOUBLE)").isNotNull, 1L).otherwise(0L))
+            .as("double_ok"),
+          // Regex-gated: Spark's cast accepts bare integers as year
+          // dates ('1999' -> 1999-01-01) where DuckDB nulls them; the
+          // ISO shape + cast validation is the portable semantic.
+          sum(when($"v".rlike("^\\d{4}-\\d{2}-\\d{2}$") &&
+            expr("try_cast(v AS DATE)").isNotNull, 1L).otherwise(0L))
+            .as("date_ok"))
+        .withColumn("suggested",
+          when(expr("int_ok * 1000000L div n") >= 999000L, "BIGINT")
+            .when(expr("double_ok * 1000000L div n") >= 999000L, "DOUBLE")
+            .when(expr("date_ok * 1000000L div n") >= 999000L, "DATE")
+            .otherwise("STRING"))
+        .orderBy($"col")
+    },
+    Some("""WITH rendered AS (
+           |  SELECT CAST(l_partkey AS VARCHAR) AS c_key,
+           |    printf('%.2f', l_extendedprice) AS c_price,
+           |    strftime(l_shipdate, '%Y-%m-%d') AS c_date,
+           |    l_returnflag AS c_flag
+           |  FROM lineitem),
+           |melted AS (
+           |  SELECT 'c_key' AS col, c_key AS v FROM rendered
+           |  UNION ALL SELECT 'c_price', c_price FROM rendered
+           |  UNION ALL SELECT 'c_date', c_date FROM rendered
+           |  UNION ALL SELECT 'c_flag', c_flag FROM rendered),
+           |a AS (
+           |  SELECT col, count(*) AS n,
+           |    CAST(sum(CASE WHEN regexp_matches(v, '^-?[0-9]+$')
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS int_ok,
+           |    CAST(sum(CASE WHEN try_cast(v AS DOUBLE) IS NOT NULL
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS double_ok,
+           |    CAST(sum(CASE WHEN regexp_matches(v, '^\d{4}-\d{2}-\d{2}$')
+           |      AND try_cast(v AS DATE) IS NOT NULL
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS date_ok
+           |  FROM melted GROUP BY col)
+           |SELECT col, n, int_ok, double_ok, date_ok,
+           |  CASE WHEN int_ok * 1000000 // n >= 999000 THEN 'BIGINT'
+           |       WHEN double_ok * 1000000 // n >= 999000 THEN 'DOUBLE'
+           |       WHEN date_ok * 1000000 // n >= 999000 THEN 'DATE'
+           |       ELSE 'STRING' END AS suggested
+           |FROM a ORDER BY col""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q118, q119, q120, q121, q123, q124, q127, q128, q131, q132, q134, q137,
       q139, q147, q153, q157, q165, q191, q193, q198, q199, q217, q222, q227,
       q246, q247, q254, q255, q264, q272, q276, q280, q281, q282, q284, q285,
       q286, q288, q289, q291, q292, q293, q295, q297, q298, q299, q300, q303,
       q306, q308, q311, q312, q314, q315, q316, q319, q321, q323, q325, q331,
-      q332, q333, q334, q335)
+      q332, q333, q334, q335, q336)
 }

@@ -1536,8 +1536,149 @@ object Extras {
            |FROM rep GROUP BY nat ORDER BY nat""".stripMargin),
   )
 
+  /** q337 — NEAREST as-of matching (completing q42's as-of matrix:
+    * backward there, nearest-either-direction with tolerance here),
+    * computed with ZERO joins: one user-ordered window pass carries
+    * the previous click (last_value IGNORE NULLS over the trailing
+    * frame) and the next click (first_value over the leading frame)
+    * past every purchase; the nearer one within 30 min wins, ties
+    * prefer the earlier (prev) side. The join-free shape is the scale
+    * point — the naive ±tolerance interval join re-shuffles both
+    * event sets, the window pass shuffles once on user_id and reads
+    * the stream in order, which is how a 100 TB clickstream is
+    * already laid out. */
+  val q337 = QuerySpec(
+    "q337_asof_nearest",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val wB = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val clickUs = when($"event_type" === "click", unix_micros($"ts"))
+      val tolUs = 1800L * 1000000L
+      Tables.events(s, d)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("prev_us", last(clickUs, ignoreNulls = true).over(wB))
+        .withColumn("next_us", first(clickUs, ignoreNulls = true).over(wF))
+        .filter($"event_type" === "purchase")
+        .withColumn("tus", unix_micros($"ts"))
+        .withColumn("dp", $"tus" - $"prev_us")
+        .withColumn("dn", $"next_us" - $"tus")
+        .withColumn("side",
+          when($"dp".isNotNull && $"dp" <= tolUs &&
+            ($"dn".isNull || $"dp" <= $"dn" || $"dn" > tolUs), "prev")
+            .when($"dn".isNotNull && $"dn" <= tolUs, "next")
+            .otherwise("none"))
+        .withColumn("delta_s",
+          when($"side" === "prev", expr("dp div 1000000L"))
+            .when($"side" === "next", expr("dn div 1000000L")))
+        .groupBy($"user_id", $"side")
+        .agg(count(lit(1)).as("n_purchases"), sum($"delta_s").as("delta_s_sum"),
+          max($"delta_s").as("delta_s_max"))
+        .orderBy($"user_id", $"side")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, ts, event_id, event_type,
+           |    last_value(CASE WHEN event_type = 'click'
+           |        THEN epoch_us(ts) END IGNORE NULLS)
+           |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_us,
+           |    first_value(CASE WHEN event_type = 'click'
+           |        THEN epoch_us(ts) END IGNORE NULLS)
+           |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_us
+           |  FROM events),
+           |p AS (
+           |  SELECT user_id, epoch_us(ts) - prev_us AS dp, next_us - epoch_us(ts) AS dn
+           |  FROM ev WHERE event_type = 'purchase'),
+           |cls AS (
+           |  SELECT user_id, dp, dn,
+           |    CASE WHEN dp IS NOT NULL AND dp <= 1800000000
+           |           AND (dn IS NULL OR dp <= dn OR dn > 1800000000) THEN 'prev'
+           |         WHEN dn IS NOT NULL AND dn <= 1800000000 THEN 'next'
+           |         ELSE 'none' END AS side
+           |  FROM p),
+           |f AS (
+           |  SELECT user_id, side,
+           |    CASE WHEN side = 'prev' THEN dp // 1000000
+           |         WHEN side = 'next' THEN dn // 1000000 END AS delta_s
+           |  FROM cls)
+           |SELECT user_id, side, count(*) AS n_purchases,
+           |  CAST(sum(delta_s) AS BIGINT) AS delta_s_sum,
+           |  CAST(max(delta_s) AS BIGINT) AS delta_s_max
+           |FROM f GROUP BY user_id, side ORDER BY user_id, side""".stripMargin),
+  )
+
+  /** q338 — FIFO lot matching (inventory/cost-basis allocation): sells
+    * consume buys strictly in arrival order, expressed RELATIONALLY —
+    * buy b's cumulative-quantity interval [Σqty_before, +qty) overlaps
+    * sell s's interval exactly by the quantity FIFO assigns b→s, so
+    * the whole matching is two per-part cumsum windows and one
+    * interval-overlap join (no recursion, no per-row state machine —
+    * the formulation that parallelizes). Per part the pair count is
+    * O(buys + sells), not O(B·S): each consecutive-interval overlap
+    * chain advances one side. Rolled up per partkey mod 10 with a
+    * match checksum so a single misallocated unit fails the gate. */
+  val q338 = QuerySpec(
+    "q338_fifo_lot_matching",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.lineitem(s, d)
+        .filter($"l_returnflag".isin("A", "R"))
+        .select($"l_partkey".as("pk"), $"l_returnflag".as("fl"),
+          round($"l_quantity").cast("long").as("qty"),
+          ($"l_orderkey" * 10L + $"l_linenumber").as("seq"))
+      def intervals(flag: String) = {
+        val w = Window.partitionBy($"pk").orderBy($"seq")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        base.filter($"fl" === flag)
+          .withColumn("lo", coalesce(sum($"qty").over(w), lit(0L)))
+          .withColumn("hi", $"lo" + $"qty")
+      }
+      val buys = intervals("A").select($"pk", $"seq".as("bseq"),
+        $"lo".as("blo"), $"hi".as("bhi"))
+      val sells = intervals("R").select($"pk", $"seq".as("sseq"),
+        $"lo".as("slo"), $"hi".as("shi"))
+      buys.join(sells, Seq("pk"))
+        .filter($"blo" < $"shi" && $"slo" < $"bhi")
+        .withColumn("matched",
+          least($"bhi", $"shi") - greatest($"blo", $"slo"))
+        .groupBy(($"pk" % 10L).as("pk_bucket"))
+        .agg(count(lit(1)).as("n_matches"),
+          sum($"matched").as("qty_matched"),
+          sum($"matched" * ($"bseq" + $"sseq")).as("match_checksum"))
+        .orderBy($"pk_bucket")
+    },
+    Some("""WITH base AS (
+           |  SELECT l_partkey AS pk, l_returnflag AS fl,
+           |    CAST(round(l_quantity) AS BIGINT) AS qty,
+           |    l_orderkey * 10 + l_linenumber AS seq
+           |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+           |iv AS (
+           |  SELECT pk, fl, seq,
+           |    coalesce(CAST(sum(qty) OVER (PARTITION BY pk, fl ORDER BY seq
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           |      AS lo,
+           |    coalesce(CAST(sum(qty) OVER (PARTITION BY pk, fl ORDER BY seq
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           |      + qty AS hi
+           |  FROM base),
+           |m AS (
+           |  SELECT b.pk, b.seq AS bseq, s.seq AS sseq,
+           |    least(b.hi, s.hi) - greatest(b.lo, s.lo) AS matched
+           |  FROM iv b JOIN iv s
+           |    ON b.pk = s.pk AND b.fl = 'A' AND s.fl = 'R'
+           |      AND b.lo < s.hi AND s.lo < b.hi)
+           |SELECT pk % 10 AS pk_bucket, count(*) AS n_matches,
+           |  CAST(sum(matched) AS BIGINT) AS qty_matched,
+           |  CAST(sum(matched * (bseq + sseq)) AS BIGINT) AS match_checksum
+           |FROM m GROUP BY pk % 10 ORDER BY pk_bucket""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q39, q40, q41, q42, q43, q46, q47, q49, q50, q58,
     q74, q77, q79, q80, q92, q98, q99, q102, q104, q105, q107, q109, q112, q115,
     q141, q152, q158, q159, q195, q197, q232, q233, q234, q265, q266, q267, q268,
-    q305)
+    q305, q337, q338)
 }
