@@ -3486,11 +3486,65 @@ object Analytics {
            |FROM a ORDER BY col""".stripMargin),
   )
 
+  /** q339 — inter-arrival overdispersion audit (the Poissonity check
+    * run before trusting any rate-based alert like q315): per event
+    * type, the squared coefficient of variation CV² = Var/Mean² of
+    * inter-arrival gaps — the DIMENSIONLESS burstiness index (CV² = 1
+    * for a Poisson process, ≫1 for bursts): cv2_milli =
+    * n·(n·Σg² − (Σg)²)·1000 ÷ ((n−1)·(Σg)²), cleared to integer
+    * cross-products and evaluated in DECIMAL(38,0) (the numerator
+    * crosses 2⁶³ at fixture scale). One lag window for gaps, one
+    * sufficient-stats aggregate. */
+  val q339 = QuerySpec(
+    "q339_interarrival_dispersion",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+      Tables.events(s, d)
+        .select($"event_type", $"ts", $"event_id")
+        .withColumn("gap_s",
+          expr("(unix_micros(ts) - lag(unix_micros(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id)) div 1000000L"))
+        .filter($"gap_s".isNotNull)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"gap_s").as("sg"),
+          sum($"gap_s" * $"gap_s").as("sg2"))
+        .select($"event_type", $"n",
+          expr("sg * 1000L div n").as("mean_gap_milli"),
+          // sample variance ×1000: (n·Σg² − (Σg)²)·1000 div (n·(n−1))
+          expr("(n * sg2 - sg * sg) * 1000L div (n * (n - 1L))").as("var_milli"),
+          expr("""CAST((CAST(n AS DECIMAL(38,0)) * (n * sg2 - sg * sg) * 1000)
+                |  div (CAST(n - 1L AS DECIMAL(38,0)) * sg * sg) AS BIGINT)"""
+            .stripMargin).as("cv2_milli"))
+        .withColumn("bursty", $"cv2_milli" > 2000L)
+        .orderBy($"event_type")
+    },
+    Some("""WITH g AS (
+           |  SELECT event_type,
+           |    (epoch_us(ts) - lag(epoch_us(ts))
+           |      OVER (PARTITION BY event_type ORDER BY ts, event_id))
+           |      // 1000000 AS gap_s
+           |  FROM events),
+           |st AS (
+           |  SELECT event_type, count(*) AS n,
+           |    CAST(sum(gap_s) AS BIGINT) AS sg,
+           |    CAST(sum(gap_s * gap_s) AS BIGINT) AS sg2
+           |  FROM g WHERE gap_s IS NOT NULL GROUP BY event_type)
+           |SELECT event_type, n,
+           |  sg * 1000 // n AS mean_gap_milli,
+           |  (n * sg2 - sg * sg) * 1000 // (n * (n - 1)) AS var_milli,
+           |  CAST((CAST(n AS HUGEINT) * (n * sg2 - sg * sg) * 1000)
+           |    // (CAST(n - 1 AS HUGEINT) * sg * sg) AS BIGINT) AS cv2_milli,
+           |  CAST((CAST(n AS HUGEINT) * (n * sg2 - sg * sg) * 1000)
+           |    // (CAST(n - 1 AS HUGEINT) * sg * sg) AS BIGINT) > 2000 AS bursty
+           |FROM st ORDER BY event_type""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q118, q119, q120, q121, q123, q124, q127, q128, q131, q132, q134, q137,
       q139, q147, q153, q157, q165, q191, q193, q198, q199, q217, q222, q227,
       q246, q247, q254, q255, q264, q272, q276, q280, q281, q282, q284, q285,
       q286, q288, q289, q291, q292, q293, q295, q297, q298, q299, q300, q303,
       q306, q308, q311, q312, q314, q315, q316, q319, q321, q323, q325, q331,
-      q332, q333, q334, q335, q336)
+      q332, q333, q334, q335, q336, q339)
 }

@@ -1276,7 +1276,51 @@ object ScaleOps {
            |ORDER BY source""".stripMargin),
   )
 
+  /** q340 — sampled join-size estimation beside q307's exact Σc²: the
+    * O(|keys|/p) estimator a planner can afford when even the grouped
+    * count frame is too hot to scan fully. Keys enter the sample iff
+    * md5(key) lands in 1/8 of hash space — deterministic, no RNG —
+    * and the Horvitz-Thompson scale-up 8·Σ_{sampled} c(k)² estimates
+    * the self-join size; both the exact value and the signed error
+    * ppm ship in the output, so the estimator's quality IS the row.
+    * Scale note: the sample decision happens on the GROUPED frame's
+    * key, so the raw table is still scanned once — what the sampling
+    * saves is the downstream estimation pipeline, and at 100 TB the
+    * same hash gate pushed into the scan samples the raw rows too. */
+  val q340 = QuerySpec(
+    "q340_join_size_estimator",
+    (s, d) => {
+      import s.implicits._
+      val c = Tables.lineitem(s, d)
+        .groupBy($"l_partkey").agg(count(lit(1)).as("cnt"))
+        .withColumn("pairs", $"cnt" * $"cnt")
+        .withColumn("sampled",
+          expr("conv(substring(md5(cast(cast(l_partkey as string) as binary)), 1, 4), 16, 10) % 8") === 0)
+      c.agg(
+          sum($"pairs").as("exact_pairs"),
+          (sum(when($"sampled", $"pairs").otherwise(0L)) * 8L).as("est_pairs"),
+          sum(when($"sampled", 1L).otherwise(0L)).as("n_sampled"),
+          count(lit(1)).as("n_keys"))
+        .withColumn("err_ppm",
+          expr("(est_pairs - exact_pairs) * 1000000L div exact_pairs"))
+    },
+    Some("""WITH c AS (
+           |  SELECT l_partkey, count(*) AS cnt, count(*) * count(*) AS pairs,
+           |    CAST('0x' || substr(md5(l_partkey::VARCHAR), 1, 4) AS BIGINT) % 8 = 0
+           |      AS sampled
+           |  FROM lineitem GROUP BY 1)
+           |SELECT CAST(sum(pairs) AS BIGINT) AS exact_pairs,
+           |  CAST(sum(CASE WHEN sampled THEN pairs ELSE 0 END) * 8 AS BIGINT)
+           |    AS est_pairs,
+           |  CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           |  count(*) AS n_keys,
+           |  (CAST(sum(CASE WHEN sampled THEN pairs ELSE 0 END) * 8 AS BIGINT)
+           |    - CAST(sum(pairs) AS BIGINT)) * 1000000
+           |    // CAST(sum(pairs) AS BIGINT) AS err_ppm
+           |FROM c""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q207, q208, q209, q210, q248, q249, q250,
     q256, q257, q258, q259, q269, q270, q273, q283, q287, q294, q301, q307,
-    q309, q322, q327)
+    q309, q322, q327, q340)
 }
