@@ -3511,9 +3511,16 @@ object Analytics {
           sum($"gap_s" * $"gap_s").as("sg2"))
         .select($"event_type", $"n",
           expr("sg * 1000L div n").as("mean_gap_milli"),
-          // sample variance ×1000: (n·Σg² − (Σg)²)·1000 div (n·(n−1))
-          expr("(n * sg2 - sg * sg) * 1000L div (n * (n - 1L))").as("var_milli"),
-          expr("""CAST((CAST(n AS DECIMAL(38,0)) * (n * sg2 - sg * sg) * 1000)
+          // sample variance ×1000: (n·Σg² − (Σg)²)·1000 div (n·(n−1)).
+          // The n·Σg²−(Σg)² cross-product is lifted termwise into
+          // DECIMAL(38,0) BEFORE the subtraction — the BIGINT inner form
+          // sits one factor of n below cv2's documented 2⁶³ cliff, and a
+          // parenthesized BIGINT subtree would overflow before the outer
+          // decimal promotion could save it (round-6 ADVICE).
+          expr("""CAST((CAST(n AS DECIMAL(38,0)) * sg2 - CAST(sg AS DECIMAL(38,0)) * sg) * 1000
+                |  div (CAST(n AS DECIMAL(38,0)) * (n - 1L)) AS BIGINT)"""
+            .stripMargin).as("var_milli"),
+          expr("""CAST(CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * sg2 - CAST(sg AS DECIMAL(38,0)) * sg) * 1000
                 |  div (CAST(n - 1L AS DECIMAL(38,0)) * sg * sg) AS BIGINT)"""
             .stripMargin).as("cv2_milli"))
         .withColumn("bursty", $"cv2_milli" > 2000L)
@@ -3532,10 +3539,11 @@ object Analytics {
            |  FROM g WHERE gap_s IS NOT NULL GROUP BY event_type)
            |SELECT event_type, n,
            |  sg * 1000 // n AS mean_gap_milli,
-           |  (n * sg2 - sg * sg) * 1000 // (n * (n - 1)) AS var_milli,
-           |  CAST((CAST(n AS HUGEINT) * (n * sg2 - sg * sg) * 1000)
+           |  CAST((CAST(n AS HUGEINT) * sg2 - CAST(sg AS HUGEINT) * sg) * 1000
+           |    // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT) AS var_milli,
+           |  CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * sg2 - CAST(sg AS HUGEINT) * sg) * 1000
            |    // (CAST(n - 1 AS HUGEINT) * sg * sg) AS BIGINT) AS cv2_milli,
-           |  CAST((CAST(n AS HUGEINT) * (n * sg2 - sg * sg) * 1000)
+           |  CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * sg2 - CAST(sg AS HUGEINT) * sg) * 1000
            |    // (CAST(n - 1 AS HUGEINT) * sg * sg) AS BIGINT) > 2000 AS bursty
            |FROM st ORDER BY event_type""".stripMargin),
   )

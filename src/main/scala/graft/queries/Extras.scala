@@ -1508,7 +1508,10 @@ object Extras {
         .agg(max($"mode_seg").as("mode_seg"),
           sum(when($"filled", 1L).otherwise(0L)).as("n_repaired"),
           count(lit(1)).as("n_rows"),
-          sum(conv(substring(md5($"seg2".cast("binary")), 1, 8), 16, 10)
+          // 6-hex prefix (≤2²⁴) keeps the Σ(prefix·custkey) accumulator
+          // inside BIGINT headroom well past sf1; the 8-hex form crossed
+          // 2⁶³ mid-aggregate around sf≈1 under ANSI (round-6 ADVICE).
+          sum(conv(substring(md5($"seg2".cast("binary")), 1, 6), 16, 10)
             .cast("long") * $"c_custkey").as("hist_checksum"))
         .orderBy($"nat")
     },
@@ -1531,7 +1534,7 @@ object Extras {
            |SELECT nat, max(mode_seg) AS mode_seg,
            |  CAST(sum(CASE WHEN filled THEN 1 ELSE 0 END) AS BIGINT) AS n_repaired,
            |  count(*) AS n_rows,
-           |  CAST(sum(CAST('0x' || substr(md5(seg2), 1, 8) AS BIGINT) * c_custkey)
+           |  CAST(sum(CAST('0x' || substr(md5(seg2), 1, 6) AS BIGINT) * c_custkey)
            |    AS BIGINT) AS hist_checksum
            |FROM rep GROUP BY nat ORDER BY nat""".stripMargin),
   )

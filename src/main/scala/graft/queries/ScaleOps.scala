@@ -1295,7 +1295,9 @@ object ScaleOps {
         .groupBy($"l_partkey").agg(count(lit(1)).as("cnt"))
         .withColumn("pairs", $"cnt" * $"cnt")
         .withColumn("sampled",
-          expr("conv(substring(md5(cast(cast(l_partkey as string) as binary)), 1, 4), 16, 10) % 8") === 0)
+          // conv() returns STRING — cast to long BEFORE % 8 (q311/q314's
+          // pattern) rather than riding implicit string→double coercion.
+          expr("cast(conv(substring(md5(cast(cast(l_partkey as string) as binary)), 1, 4), 16, 10) as bigint) % 8") === 0)
       c.agg(
           sum($"pairs").as("exact_pairs"),
           (sum(when($"sampled", $"pairs").otherwise(0L)) * 8L).as("est_pairs"),

@@ -155,7 +155,13 @@ object Search {
     * a plain collect still materializes the pathological group). df and
     * total tf are computed on the FULL tf table in a separate
     * vocabulary-sized aggregate and joined back — two shuffles keyed on
-    * term, both map-side-combined, nothing corpus-sized crosses. */
+    * term, both map-side-combined, nothing corpus-sized crosses.
+    *
+    * Output-shape discipline (round-6 lesson): the posting list ships as
+    * a '|'-joined STRING, not `array<bigint>` — the driver's oracle gate
+    * canonicalizes with pandas `sort_values`, which cannot sort ndarray
+    * cells, so an array-typed output column can never be certified.
+    * AtomicOutputSchemaSpec pins this for the whole contract. */
   val q279 = QuerySpec(
     "q279_inverted_index",
     (s, d) => {
@@ -172,7 +178,7 @@ object Search {
         .withColumn("rk", row_number().over(w))
         .filter($"rk" <= 8)
         .groupBy($"term")
-        .agg(sort_array(collect_list($"doc_id")).as("posting"))
+        .agg(concat_ws("|", sort_array(collect_list($"doc_id"))).as("posting"))
       stats.join(postings, "term")
         .select($"term", $"df", $"tf_total", $"posting")
         .orderBy($"term")
@@ -186,7 +192,7 @@ object Search {
            |  GROUP BY term, doc_id)
            |SELECT term, CAST(count(*) AS BIGINT) AS df,
            |  CAST(sum(tf) AS BIGINT) AS tf_total,
-           |  (list_sort(list(doc_id)))[1:8] AS posting
+           |  array_to_string((list_sort(list(doc_id)))[1:8], '|') AS posting
            |FROM tf GROUP BY term ORDER BY term""".stripMargin),
   )
 

@@ -1580,7 +1580,10 @@ object TrainPrep {
         .select($"lang", $"n", $"agree",
           expr("agree * 1000000L div n").as("po_ppm"),
           expr("s * 1000000L div (n * n)").as("pe_ppm"),
-          expr("(n * agree - s) * 1000L div (n * n - s)").as("kappa_milli"))
+          // pe = 1 (a stratum where both labelers are constant) makes
+          // n²−s zero; nullif degrades to NULL κ instead of an ANSI
+          // divide-by-zero on either engine (round-6 ADVICE).
+          expr("(n * agree - s) * 1000L div nullif(n * n - s, 0L)").as("kappa_milli"))
         .orderBy($"lang")
     },
     Some("""WITH lab AS (
@@ -1598,7 +1601,7 @@ object TrainPrep {
            |  agree * 1000000 // n AS po_ppm,
            |  (a1 * b1 + (n - a1) * (n - b1)) * 1000000 // (n * n) AS pe_ppm,
            |  (n * agree - (a1 * b1 + (n - a1) * (n - b1))) * 1000
-           |    // (n * n - (a1 * b1 + (n - a1) * (n - b1))) AS kappa_milli
+           |    // nullif(n * n - (a1 * b1 + (n - a1) * (n - b1)), 0) AS kappa_milli
            |FROM st ORDER BY lang""".stripMargin),
   )
 

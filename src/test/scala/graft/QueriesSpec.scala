@@ -8,12 +8,31 @@ package graft
 class QueriesSpec extends SparkTestBase {
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-    test(s"$name: non-empty and deterministic at sf0.001") {
-      val first = fn(spark, sf).collect().toSeq
+    test(s"$name: non-empty, deterministic, atomic-schema at sf0.001") {
+      val df = fn(spark, sf)
+      // The q279 lesson: the driver's oracle gate canonicalizes with
+      // pandas sort_values, which cannot sort ndarray/dict cells — an
+      // Array/Map/Struct output column is uncertifiable by construction.
+      // Reduce collections to strings/checksums BEFORE the final select.
+      val nonAtomic = OutputShape.nonAtomicColumns(df.schema)
+      assert(nonAtomic.isEmpty,
+        s"$name ships non-atomic output columns (driver gate cannot " +
+          s"sort/hash them): ${nonAtomic.mkString(", ")}")
+      val first = df.collect().toSeq
       assert(first.nonEmpty, s"$name returned 0 rows")
       val second = fn(spark, sf).collect().toSeq
       assert(first === second, s"$name is non-deterministic across runs")
     }
+  }
+
+  test("atomic-schema guard rejects an array-returning fixture") {
+    import spark.implicits._
+    val bad = Seq((1L, Seq(1L, 2L))).toDF("id", "posting")
+    assert(OutputShape.nonAtomicColumns(bad.schema) ===
+      Seq("posting: array<bigint>"))
+    val worse = bad.selectExpr("id", "posting",
+      "map('a', 1) as m", "named_struct('x', 1) as st")
+    assert(OutputShape.nonAtomicColumns(worse.schema).size === 3)
   }
 
   test("every query has either an oracle or a documented reason not to") {

@@ -64,7 +64,28 @@ def dtype_lint(got, ora_cols, ora_types):
             bad.append(f"{col}: oracle {typ} vs spark {got[col].dtype}")
     if bad:
         return ("oracle type widening (driver hash WILL diverge; "
-                "CAST(... AS BIGINT) in the oracle SQL): " + "; ".join(bad))
+                "CAST(... AS BIGINT) in the oracle SQL; "
+                "see tools/ORACLE_DIALECT.md #hugeint): " + "; ".join(bad))
+    # The q279 trap: a list/struct/map-typed column on EITHER side makes
+    # the driver's pandas sort_values canonicalization crash ('unhashable
+    # type: numpy.ndarray') BEFORE any comparison — the query can never
+    # be certified. Reject loudly here instead.
+    nested = []
+    for col, typ in zip(ora_cols, ora_types):
+        u = typ.upper()
+        if u.endswith("]") or u.startswith("STRUCT") or u.startswith("MAP") \
+                or u.startswith("UNION"):
+            nested.append(f"{col}: oracle {typ}")
+    for col in got.columns:
+        s = got[col]
+        if s.dtype == object:
+            nn = s.dropna()
+            if len(nn) and isinstance(nn.iloc[0], (np.ndarray, list, dict)):
+                nested.append(f"{col}: spark {type(nn.iloc[0]).__name__} cells")
+    if nested:
+        return ("non-atomic output column (driver sort_values WILL crash; "
+                "reduce to a '|'-joined string or checksum; "
+                "see tools/ORACLE_DIALECT.md #arrays): " + "; ".join(nested))
     return None
 
 def compare(got, exp):
