@@ -37,13 +37,25 @@ object Bench {
     // bench's all-green signal — and the only state where "value" is
     // comparable to prior rounds.
     val errors = scala.collection.mutable.LinkedHashSet[String]()
+    // Pressure instrumentation (round-6: BENCH_r05 recorded 3–12× swings
+    // on unchanged code, adjudicated as shared-heap pressure): per-query
+    // GC time is measured alongside wall time, so a pressure-inflated
+    // number is VISIBLE in the artifact instead of indistinguishable
+    // from a plan regression. Between queries the cache is cleared —
+    // one query's leaked persisted block must never tax the next one's
+    // measurement.
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     def run(name: String,
-        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean, Double) = {
+      spark.catalog.clearCache()
+      val g0 = gcMillis()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
         catch { case scala.util.control.NonFatal(_) => errors += name; false }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      ((System.nanoTime() - t0) / 1e9, ok, (gcMillis() - g0) / 1e3)
     }
     // Optional subset (comma-separated name prefixes, same contract as
     // Verify's third arg) — e.g. SPARK_GRAFT_QUERIES=q24,q59 for the
@@ -52,17 +64,31 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     def selected(name: String): Boolean =
       prefixes.forall(_.exists(name.startsWith))
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Execution ORDER is part of the methodology: the q01–q23 anchor set
+    // runs FIRST, on the freshest possible JVM — exactly the conditions
+    // the round-1 anchor was recorded under, when those 23 were the whole
+    // contract. Plain lexicographic order had drifted q14 to AFTER the
+    // q103/q126/q138 heavies as the contract grew past 300 queries, so
+    // the anchor subtotal silently absorbed 340 queries of accumulated
+    // JVM state (BENCH_r05's 12.98 s q14 vs the 0.17 s anchor). Everything
+    // after the anchors stays in name order for reproducibility.
+    def anchorFirst(name: String): (Int, String) = {
+      val short = name.takeWhile(_ != '_')
+      (if (short.length == 3 && short.drop(1).forall(_.isDigit)
+           && short.drop(1).toInt <= 23) 0 else 1, name)
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(r => anchorFirst(r._1))
         .filter(r => selected(r._1)).map { case (name, fn) =>
-      val (cold, okCold) = run(name, fn)
-      val (warm, okWarm) = run(name, fn)
-      (name, cold, warm, okCold, okWarm)
+      val (cold, okCold, gcCold) = run(name, fn)
+      val (warm, okWarm, gcWarm) = run(name, fn)
+      (name, cold, warm, okCold, okWarm, gcCold, gcWarm)
     }
     def jmap(sel: Seq[(String, Double)]): String =
       sel.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val good = results.filter(r => r._4 && r._5)
     val qs = jmap(good.map(r => r._1 -> r._2))
     val qw = jmap(good.map(r => r._1 -> r._3))
+    val qg = jmap(good.map(r => r._1 -> r._6))
     // Time of the run that actually FAILED (the cold one if both did) —
     // not the other run's duration, which would misdirect diagnosis.
     val failedSecs = jmap(results.filterNot(r => r._4 && r._5)
@@ -70,9 +96,12 @@ object Bench {
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = good.map(_._2).sum
     val totalWarm = good.map(_._3).sum
-    // Full-precision detail line (full query names, cold + warm maps) —
-    // for local diagnosis; too long for the driver's capture window.
-    println(s"""{"metric":"detail","value":$total,"unit":"sec","queries":$qs,"total_warm":$totalWarm,"queries_warm":$qw,"errors":$errs,"failed_secs":$failedSecs,"sf":"$sfDir"}""")
+    val gcCold = good.map(_._6).sum
+    val gcWarm = good.map(_._7).sum
+    // Full-precision detail line (full query names, cold + warm + GC
+    // maps) — for local diagnosis; too long for the driver's capture
+    // window.
+    println(s"""{"metric":"detail","value":$total,"unit":"sec","queries":$qs,"total_warm":$totalWarm,"queries_warm":$qw,"gc_cold_secs":$qg,"errors":$errs,"failed_secs":$failedSecs,"sf":"$sfDir"}""")
     // Final line is the one the driver parses, and it only keeps the LAST
     // ~2000 chars of output (BENCH_r03.json's tail cut the r3 line mid-key
     // → parsed:null). So the headline line must stay compact: per-query
@@ -114,7 +143,11 @@ object Bench {
     }
     val omitted = ordered.length - kept.length
     val qsShort = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"omitted":$omitted,"total_warm":${r3(totalWarm)},"errors":$errsBudgeted,"errors_omitted":$errsOmitted,"sf":"$sfDir"}""")
+    // gc_cold/gc_warm: total seconds the JVM spent in GC inside the
+    // cold/warm measurement windows — the headline's pressure gauge. A
+    // high total with low GC is real plan cost; a high total with
+    // comparable GC is heap pressure, not a regression.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"omitted":$omitted,"total_warm":${r3(totalWarm)},"gc_cold":${r3(gcCold)},"gc_warm":${r3(gcWarm)},"errors":$errsBudgeted,"errors_omitted":$errsOmitted,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -43,6 +43,52 @@ object StreamUpsert {
         $"w.value".as("value"))
   }
 
+  /** Disk-derived merge-target pointer: the newest `target_v{b}` with
+    * b < `below` (`below` < 0 = newest overall). This is what makes the
+    * upsert RESTARTABLE: an in-memory pointer dies with the driver,
+    * while versions on disk obey the invariant that any version < b was
+    * fully committed before batch b first ran (foreachBatch returns —
+    * and the checkpoint commits b — only after target_v{b} finished
+    * writing). So a replayed batch b merges against the correct
+    * pre-b state and idempotently overwrites its own possibly
+    * half-written target_v{b}, which this lookup excludes. */
+  private def latestTarget(tmp: String, below: Long): Option[String] = {
+    val dirs = Option(new java.io.File(tmp).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("target_v"))
+      .map(_.getName.stripPrefix("target_v").toLong)
+      .filter(v => below < 0 || v < below)
+    if (dirs.isEmpty) None else Some(s"$tmp/target_v${dirs.max}")
+  }
+
+  /** The per-micro-batch MERGE: collapse the batch to one candidate per
+    * key, merge against the latest committed pre-batch target version,
+    * write the next version. Pure function of (batch, on-disk state) —
+    * no driver memory — so crash/replay at any point re-derives the
+    * same output. */
+  private def mergeBatch(spark: SparkSession, tmp: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val delta = latestPerKey(batch)
+    val merged = latestTarget(tmp, batchId) match {
+      case None => delta
+      case Some(prev) =>
+        latestPerKey(spark.read.parquet(prev).unionByName(delta))
+    }
+    merged.write.mode("overwrite").parquet(s"$tmp/target_v$batchId")
+  }
+
+  private def readTarget(spark: SparkSession, tmp: String): DataFrame = {
+    import spark.implicits._
+    val target = latestTarget(tmp, -1L).getOrElse(
+      sys.error("stream delivered no batches"))
+    val result = spark.read.parquet(target)
+      .select($"user_id", $"event_id".as("last_event_id"),
+        unix_micros($"ts").as("last_ts_us"), $"value".as("last_value"))
+      .orderBy($"user_id")
+    // Eager: the versioned target dirs are deleted in the finally.
+    graft.queries.Eager(result)
+  }
+
   def runOnce(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val h = new StreamHarness(spark, sfDir, copies = 2, tag = "supsert")
@@ -53,35 +99,59 @@ object StreamUpsert {
       // Upsert state is one row per user (group-scaled): a handful of
       // state-free shuffle partitions beats 32 idle ones per batch.
       h.withStreamingPartitions(8) {
-        @volatile var current: Option[String] = None
         val q = h.eventsStream(maxFilesPerTrigger = 1)
           .select($"user_id", $"ts", $"event_id", $"value")
           .writeStream
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            val delta = latestPerKey(batch)
-            val merged = current match {
-              case None => delta
-              case Some(prev) =>
-                latestPerKey(spark.read.parquet(prev).unionByName(delta))
-            }
-            val next = s"$tmp/target_v$batchId"
-            merged.write.mode("overwrite").parquet(next)
-            current = Some(next)
-            ()
-          }
+          .foreachBatch(mergeBatch(spark, tmp) _)
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
         h.cleanupInput()
-        val target = current.getOrElse(
-          sys.error("stream delivered no batches"))
-        val result = spark.read.parquet(target)
-          .select($"user_id", $"event_id".as("last_event_id"),
-            unix_micros($"ts").as("last_ts_us"), $"value".as("last_value"))
-          .orderBy($"user_id")
-        // Eager: the versioned target dirs are deleted in the finally.
-        graft.queries.Eager(result)
+        readTarget(spark, tmp)
+      }
+    } finally {
+      h.cleanup()
+      graft.Fs.deleteTree(tmp)
+    }
+  }
+
+  /** Restart-under-failure drill (the engine half of the reference's
+    * job-retry policy): start the SAME upsert on a continuous trigger,
+    * KILL the query as soon as the first batch's target version lands
+    * (possibly mid-batch-1), then restart from the SAME checkpoint with
+    * AvailableNow to drain the rest. Exactly-once is the disk-state
+    * invariant above — the result must be row-identical to an
+    * uninterrupted run (and to batch q80), with no duplicated or lost
+    * merges across the kill. */
+  def runWithRestart(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val h = new StreamHarness(spark, sfDir, copies = 2, tag = "srestart")
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_srestart_tgt_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val ckpt = s"$tmp/ckpt"
+    try {
+      h.withStreamingPartitions(8) {
+        def start(trigger: Trigger) = h.eventsStream(maxFilesPerTrigger = 1)
+          .select($"user_id", $"ts", $"event_id", $"value")
+          .writeStream
+          .foreachBatch(mergeBatch(spark, tmp) _)
+          .option("checkpointLocation", ckpt)
+          .trigger(trigger)
+          .start()
+        val q1 = start(Trigger.ProcessingTime("50 milliseconds"))
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (latestTarget(tmp, -1L).isEmpty && q1.isActive
+            && System.nanoTime() < deadline) Thread.sleep(50)
+        q1.stop()
+        // An interrupt mid-batch surfaces as a query exception — that IS
+        // the simulated failure, not a test error.
+        try q1.awaitTermination()
+        catch { case scala.util.control.NonFatal(_) => () }
+        val q2 = start(Trigger.AvailableNow())
+        q2.awaitTermination()
+        h.cleanupInput()
+        readTarget(spark, tmp)
       }
     } finally {
       h.cleanup()

@@ -48,6 +48,32 @@ class NearDupCapSpec extends SparkTestBase {
       s"doc ${r.getLong(0)} matched through a bucket the cap should drop"))
   }
 
+  private lazy val oneBrandDir: String = {
+    // The ER degenerate: EVERY part in one brand — brand blocking alone
+    // would emit 2000·1999/2 ≈ 2M scored pairs; the sorted-neighborhood
+    // window must bound it at < N·W.
+    val dir = Files.createTempDirectory("graft_onebrand").toString
+    val rows = (1L to 2000L).map(i => (i, s"part name ${i % 97} v$i", "Brand#00"))
+    spark.createDataFrame(rows).toDF("p_partkey", "p_name", "p_brand")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/part.parquet")
+    dir
+  }
+
+  test("q302 JW linkage: all-one-brand corpus stays linear (≤ N·W pairs)") {
+    val n = NearDup.q302.run(spark, oneBrandDir)
+      .agg(org.apache.spark.sql.functions.sum("n_pairs")).head().getLong(0)
+    assert(n > 0L)
+    assert(n <= 2000L * NearDup.NeighborhoodWindow,
+      s"pair stream $n exceeds the sorted-neighborhood bound")
+    assert(n < 2000L * 1999L / 2, "quadratic pair stream — window not applied")
+  }
+
+  test("q329 bounded-edit verify: all-one-brand corpus stays linear") {
+    val n = NearDup.q329.run(spark, oneBrandDir)
+      .agg(org.apache.spark.sql.functions.sum("n_pairs")).head().getLong(0)
+    assert(n > 0L && n <= 2000L * NearDup.NeighborhoodWindow)
+  }
+
   test("caps sit above observed sf bucket maxima so real pairs survive") {
     // The planted near-dup pairs at sf0.001 still come out with caps on.
     assert(NearDup.q24.run(spark, sf).count() > 0L)
