@@ -294,5 +294,42 @@ object LlmOps {
            |FROM x GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q19, q20, q21, q22, q23, q57, q162, q173)
+  /** q350 — dedup-cluster size histogram + payoff readout: documents
+    * clustered by a 40-char lowercased prefix fingerprint (the cheap
+    * O(1)-per-doc near-dup key — boilerplate and mirrored pages share
+    * openings long before they share full hashes), rolled up to: for
+    * each cluster size k, how many clusters, how many documents, and
+    * how many characters deduplication would reclaim (everything
+    * beyond one keeper per cluster, the min-doc_id survivor's length).
+    * This is the "is a dedup pass worth the cluster time?" estimate run
+    * BEFORE q24's full LSH job. One fingerprint aggregate (map-side
+    * combined, fingerprints are 32-byte digests — text never
+    * shuffles), then a k-sized regroup. */
+  val q350 = QuerySpec(
+    "q350_dedup_cluster_histogram",
+    (s, d) => {
+      import s.implicits._
+      val cl = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select(md5(substring(lower($"text"), 1, 40).cast("binary")).as("h"),
+          $"doc_id", $"n_chars")
+        .groupBy($"h")
+        .agg(count(lit(1)).as("k"), sum($"n_chars").as("chars_total"),
+          min_by($"n_chars", $"doc_id").as("keeper_chars"))
+      cl.groupBy($"k")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum($"k").as("n_docs"),
+          sum($"chars_total" - $"keeper_chars").as("reclaimable_chars"))
+        .orderBy($"k")
+    },
+    Some("""WITH cl AS (
+           |  SELECT md5(substring(lower(text), 1, 40)) AS h,
+           |    count(*) AS k, CAST(sum(n_chars) AS BIGINT) AS chars_total,
+           |    min_by(n_chars, doc_id) AS keeper_chars
+           |  FROM documents GROUP BY 1)
+           |SELECT k, count(*) AS n_clusters, CAST(sum(k) AS BIGINT) AS n_docs,
+           |  CAST(sum(chars_total - keeper_chars) AS BIGINT) AS reclaimable_chars
+           |FROM cl GROUP BY k ORDER BY k""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q19, q20, q21, q22, q23, q57, q162, q173, q350)
 }

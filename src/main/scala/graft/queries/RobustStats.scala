@@ -1,0 +1,246 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.Det._
+
+/** Robust / distributional statistics (round-6): the audits a data
+  * owner runs when means and counts stop being trustworthy — digit-law
+  * fraud checks, outlier-robust dispersion and location (MAD,
+  * winsorized mean), continuity/gap structure, and two-sample
+  * distribution drift. All exact integer or decimal-exact arithmetic
+  * (no transcendentals cross the gate — Benford's log₁₀ expectations
+  * are precomputed integer ppm constants).
+  *
+  * Scale design: every query reduces to (a) one grouped aggregate over
+  * the fact table (map-side combined), then (b) windows/joins over a
+  * GROUP-sized or VALUE-DOMAIN-sized frame (digits: 9 rows, flags: 3,
+  * distinct lengths: thousands) — the corpus-sized pass is always the
+  * single first aggregate.
+  */
+object RobustStats {
+
+  /** q343 — Benford first-digit audit over l_extendedprice: observed
+    * first-significant-digit frequencies vs Benford's law expectation
+    * log₁₀(1+1/d), both in integer ppm (the expectations are
+    * precomputed constants — no transcendental is evaluated by either
+    * engine). The classic fabricated-data screen: a synthetic or
+    * clipped price column shows up as a large dev_ppm. One
+    * corpus-sized aggregate to 9 rows; the total joins back via a
+    * 9-row window. */
+  val q343 = QuerySpec(
+    "q343_benford_digit_audit",
+    (s, d) => {
+      import s.implicits._
+      val byDigit = Tables.lineitem(s, d)
+        // floor() on BOTH engines: a bare double→BIGINT CAST truncates
+        // in Spark but ROUNDS in DuckDB (999.9 → digit 9 vs digit 1).
+        .select(expr("CAST(substring(CAST(floor(l_extendedprice) AS STRING), 1, 1) AS INT)").as("digit"))
+        .groupBy($"digit").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy() // 9-row frame — not a corpus window
+      byDigit
+        .withColumn("total", sum($"cnt").over(w))
+        .withColumn("observed_ppm", expr("cnt * 1000000L div total"))
+        .withColumn("expected_ppm", expr(
+          """CASE digit WHEN 1 THEN 301029L WHEN 2 THEN 176091L
+            |  WHEN 3 THEN 124938L WHEN 4 THEN 96910L WHEN 5 THEN 79181L
+            |  WHEN 6 THEN 66946L WHEN 7 THEN 57991L WHEN 8 THEN 51152L
+            |  ELSE 45757L END""".stripMargin))
+        .withColumn("dev_ppm", abs($"observed_ppm" - $"expected_ppm"))
+        .select($"digit", $"cnt", $"observed_ppm", $"expected_ppm", $"dev_ppm")
+        .orderBy($"digit")
+    },
+    Some("""WITH b AS (
+           |  SELECT CAST(substring(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+           |    count(*) AS cnt
+           |  FROM lineitem GROUP BY 1)
+           |SELECT digit, cnt,
+           |  CAST(cnt * 1000000 // sum(cnt) OVER () AS BIGINT) AS observed_ppm,
+           |  CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091
+           |    WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+           |    WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152
+           |    ELSE 45757 END AS expected_ppm,
+           |  CAST(abs(cnt * 1000000 // sum(cnt) OVER ()
+           |    - CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091
+           |        WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+           |        WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152
+           |        ELSE 45757 END) AS BIGINT) AS dev_ppm
+           |FROM b ORDER BY digit""".stripMargin),
+  )
+
+  /** q344 — gaps-and-islands over event activity: per user, runs of
+    * CONSECUTIVE active days (the classic `day − row_number()` island
+    * key), rolled up to a corpus-wide island-length histogram — the
+    * continuity readout behind streak features and retention cohorts.
+    * Shuffles: one distinct (user, day) aggregate (corpus-sized, but
+    * rows collapse to ≤ users×days), one user-partitioned window over
+    * that small frame, two tiny regroups. */
+  val q344 = QuerySpec(
+    "q344_event_gaps_islands",
+    (s, d) => {
+      import s.implicits._
+      val days = Tables.events(s, d)
+        .select($"user_id", expr("unix_date(to_date(ts))").as("day"))
+        .distinct()
+      val w = Window.partitionBy($"user_id").orderBy($"day")
+      val islands = days
+        .withColumn("grp", $"day" - row_number().over(w))
+        .groupBy($"user_id", $"grp")
+        .agg(count(lit(1)).as("island_len"))
+      islands.groupBy($"island_len")
+        .agg(count(lit(1)).as("n_islands"),
+          countDistinct($"user_id").as("n_users"))
+        .orderBy($"island_len")
+    },
+    Some("""WITH days AS (
+           |  SELECT DISTINCT user_id,
+           |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+           |  FROM events),
+           |isl AS (
+           |  SELECT user_id,
+           |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+           |  FROM days),
+           |runs AS (
+           |  SELECT user_id, grp, count(*) AS island_len
+           |  FROM isl GROUP BY user_id, grp)
+           |SELECT island_len, count(*) AS n_islands,
+           |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+           |FROM runs GROUP BY island_len ORDER BY island_len""".stripMargin),
+  )
+
+  /** q345 — median absolute deviation (MAD) of l_quantity per return
+    * flag: the outlier-robust dispersion twin of q339's variance (one
+    * wild row moves variance arbitrarily, moves MAD not at all). Two
+    * exact-percentile passes — median, then median of |x − med| — with
+    * the 3-row median frame broadcast back between them. Quantities
+    * are small integers, so every interpolated midpoint is an exact
+    * x.0/x.5 double on both engines. Exact percentiles sort within
+    * flag partitions; the 100 TB path swaps in the q246
+    * approx-percentile family, traded consciously for exactness
+    * here. */
+  val q345 = QuerySpec(
+    "q345_mad_dispersion",
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d).select($"l_returnflag", $"l_quantity")
+      val med = li.groupBy($"l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("med"))
+      li.join(broadcast(med), Seq("l_returnflag"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), first($"med").as("med"),
+          expr("percentile(abs(l_quantity - med), 0.5)").as("mad"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""WITH med AS (
+           |  SELECT l_returnflag, median(l_quantity) AS med
+           |  FROM lineitem GROUP BY 1)
+           |SELECT l.l_returnflag, count(*) AS n, first(m.med) AS med,
+           |  median(abs(l.l_quantity - m.med)) AS mad
+           |FROM lineitem l JOIN med m USING (l_returnflag)
+           |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin),
+  )
+
+  /** q346 — winsorized mean of l_extendedprice per return flag: clamp
+    * to the [p5, p95] order statistics, then a decimal-exact mean —
+    * the trimmed-location estimate robust to fat tails. Percentile
+    * ranks are DISCRETE and computed by the same integer formula
+    * ⌈q·n⌉ on both engines (row_number over a unique total order — no
+    * interpolation, no quantile-definition drift). One window pass to
+    * rank, a 3-row boundary frame broadcast back, one decimal mean. */
+  val q346 = QuerySpec(
+    "q346_winsorized_mean",
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+        .select($"l_returnflag", $"l_extendedprice", $"l_orderkey", $"l_linenumber")
+      val w = Window.partitionBy($"l_returnflag")
+        .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+      val ranked = li
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
+      val bounds = ranked
+        .groupBy($"l_returnflag")
+        .agg(
+          max(when(expr("rn = (n * 5 + 99) div 100"), $"l_extendedprice")).as("p05"),
+          max(when(expr("rn = (n * 95 + 99) div 100"), $"l_extendedprice")).as("p95"))
+      li.join(broadcast(bounds), Seq("l_returnflag"))
+        .withColumn("wp", least(greatest($"l_extendedprice", $"p05"), $"p95"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), first($"p05").as("p05"),
+          first($"p95").as("p95"), davg($"wp", 2).as("wmean"))
+        .orderBy($"l_returnflag")
+    },
+    Some(s"""WITH ranked AS (
+            |  SELECT l_returnflag, l_extendedprice,
+            |    row_number() OVER (PARTITION BY l_returnflag
+            |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+            |    count(*) OVER (PARTITION BY l_returnflag) AS n
+            |  FROM lineitem),
+            |bounds AS (
+            |  SELECT l_returnflag,
+            |    max(CASE WHEN rn = (n * 5 + 99) // 100 THEN l_extendedprice END) AS p05,
+            |    max(CASE WHEN rn = (n * 95 + 99) // 100 THEN l_extendedprice END) AS p95
+            |  FROM ranked GROUP BY 1)
+            |SELECT l.l_returnflag, count(*) AS n, first(b.p05) AS p05,
+            |  first(b.p95) AS p95,
+            |  ${sqlDavg("least(greatest(l.l_extendedprice, b.p05), b.p95)", 2)} AS wmean
+            |FROM lineitem l JOIN bounds b USING (l_returnflag)
+            |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin),
+  )
+
+  /** q349 — two-sample Kolmogorov–Smirnov drift between two sources'
+    * n_chars distributions: D = max |F₁ − F₂| in exact integer ppm —
+    * the distribution-shift alarm a mixture pipeline (q110/q194) runs
+    * before trusting that "src1-like" still means what it meant last
+    * snapshot. The empirical CDFs share one value-domain-sized frame
+    * (distinct lengths), cumulated in a single ordered window; the
+    * argmax row reports WHERE the distributions diverge most (lowest
+    * value on ties). */
+  val q349 = QuerySpec(
+    "q349_ks_distribution_drift",
+    (s, d) => {
+      import s.implicits._
+      val pts = Tables.documents(s, d)
+        .filter($"source".isin("src1", "src2"))
+        .groupBy($"n_chars".as("v"))
+        .agg(sum(when($"source" === "src1", 1L).otherwise(0L)).as("c1"),
+          sum(when($"source" === "src2", 1L).otherwise(0L)).as("c2"))
+      val w = Window.partitionBy().orderBy($"v") // value-domain-sized frame
+      val cdf = pts
+        .withColumn("cum1", sum($"c1").over(w))
+        .withColumn("cum2", sum($"c2").over(w))
+        .withColumn("n1", sum($"c1").over(Window.partitionBy()))
+        .withColumn("n2", sum($"c2").over(Window.partitionBy()))
+        .withColumn("dppm",
+          abs(expr("cum1 * 1000000L div n1") - expr("cum2 * 1000000L div n2")))
+        .withColumn("dmax", max($"dppm").over(Window.partitionBy()))
+      cdf.agg(first($"n1").as("n1"), first($"n2").as("n2"),
+          max($"dppm").as("ks_d_ppm"),
+          min(when($"dppm" === $"dmax", $"v")).as("at_value"))
+    },
+    Some("""WITH pts AS (
+           |  SELECT n_chars AS v,
+           |    CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           |    CAST(sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+           |  FROM documents WHERE source IN ('src1', 'src2') GROUP BY 1),
+           |cdf AS (
+           |  SELECT v,
+           |    sum(c1) OVER (ORDER BY v) AS cum1,
+           |    sum(c2) OVER (ORDER BY v) AS cum2,
+           |    sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+           |  FROM pts),
+           |dd AS (
+           |  SELECT v, n1, n2,
+           |    abs(cum1 * 1000000 // n1 - cum2 * 1000000 // n2) AS dppm
+           |  FROM cdf)
+           |SELECT CAST(first(n1) AS BIGINT) AS n1, CAST(first(n2) AS BIGINT) AS n2,
+           |  CAST(max(dppm) AS BIGINT) AS ks_d_ppm,
+           |  CAST(min(CASE WHEN dppm = (SELECT max(dppm) FROM dd) THEN v END) AS BIGINT)
+           |    AS at_value
+           |FROM dd""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q343, q344, q345, q346, q349)
+}

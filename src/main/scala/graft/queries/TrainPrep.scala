@@ -1707,8 +1707,134 @@ object TrainPrep {
            |GROUP BY source, decile ORDER BY source, decile""".stripMargin),
   )
 
+  /** q347 — skip-gram pair census (window ±2): the (center, context)
+    * co-occurrence counts word-vector training consumes — the corpus
+    * statistic behind word2vec-style negative sampling tables. Pairs
+    * are emitted ARRAY-SIDE (a higher-order transform over each token
+    * array — j ranges i+1..i+2), so the fan-out is a linear 2× of
+    * token count with NO join and no per-doc quadratic; the only
+    * shuffle is the pair-vocabulary-sized count aggregate, map-side
+    * combined. Top-50 by count with full lexical tie-break. */
+  val q347 = QuerySpec(
+    "q347_skipgram_pairs",
+    (s, d) => {
+      import s.implicits._
+      val t = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select(graft.functions.TextFns.tokens($"text").as("t"))
+        .filter(size($"t") >= 2)
+      t.select(explode(expr(
+          """flatten(transform(sequence(0, size(t)-2),
+            |  i -> transform(sequence(i+1, least(i+2, size(t)-1)),
+            |    j -> struct(t[i] AS w1, t[j] AS w2))))""".stripMargin)).as("p"))
+        .select($"p.w1".as("w1"), $"p.w2".as("w2"))
+        .groupBy($"w1", $"w2")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"w1", $"w2")
+        .limit(50)
+    },
+    Some("""WITH t AS (
+           |  SELECT regexp_split_to_array(lower(text), '\s+') AS t
+           |  FROM documents
+           |  WHERE len(regexp_split_to_array(lower(text), '\s+')) >= 2),
+           |p AS (
+           |  SELECT unnest(flatten(list_transform(generate_series(1, len(t)-1),
+           |    i -> list_transform(generate_series(i+1, least(i+2, len(t))),
+           |      j -> {'w1': t[i], 'w2': t[j]})))) AS p
+           |  FROM t)
+           |SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS cnt
+           |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, w1, w2 LIMIT 50""".stripMargin),
+  )
+
+  /** q348 — class-balanced downsampling: every language stratum capped
+    * to the SMALLEST stratum's size m, members selected by salted-hash
+    * rank (md5 order, doc_id tie-break) — deterministic, seedless, and
+    * growth-stable (a member stays selected as unrelated rows arrive,
+    * until m itself changes). The classic rebalance before training a
+    * classifier on skewed labels. One window rank per stratum + a
+    * lang-sized count frame broadcast back; selection proof ships as
+    * an md5-prefix checksum (q305's 6-hex headroom discipline). */
+  val q348 = QuerySpec(
+    "q348_class_balance_downsample",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"lang", $"doc_id")
+      val counts = docs.groupBy($"lang").agg(count(lit(1)).as("cnt"))
+        .withColumn("m", min($"cnt").over(Window.partitionBy()))
+      val ranked = docs.withColumn("rn", row_number().over(
+        Window.partitionBy($"lang")
+          .orderBy(md5($"doc_id".cast("string").cast("binary")), $"doc_id")))
+      ranked.join(broadcast(counts), Seq("lang"))
+        .filter($"rn" <= $"m")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("kept"),
+          sum(conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 6), 16, 10)
+            .cast("long")).as("kept_checksum"))
+        .orderBy($"lang")
+    },
+    Some("""WITH counts AS (
+           |  SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+           |m AS (SELECT min(cnt) AS m FROM counts),
+           |ranked AS (
+           |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+           |    ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+           |  FROM documents)
+           |SELECT lang, count(*) AS kept,
+           |  CAST(sum(CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 6) AS BIGINT))
+           |    AS BIGINT) AS kept_checksum
+           |FROM ranked, m WHERE rn <= m
+           |GROUP BY lang ORDER BY lang""".stripMargin),
+  )
+
+  /** q351 — temporal train/valid/test split audit: fixed time cutoffs
+    * (the only split that respects causality for forecasting tasks),
+    * with per-split volume/user stats and the leakage readout every
+    * temporal split needs: how many users span both train and test —
+    * the population for whom user-level memorization can leak across
+    * the boundary. One pass for the split stats; the user-overlap is a
+    * user-sized conditional aggregate crossed back (1 row). */
+  val q351 = QuerySpec(
+    "q351_temporal_split_audit",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select($"event_id", $"user_id", $"ts")
+        .withColumn("split",
+          when($"ts" < lit("2024-01-10 00:00:00").cast("timestamp"), "train")
+            .when($"ts" < lit("2024-01-20 00:00:00").cast("timestamp"), "valid")
+            .otherwise("test"))
+      val stats = ev.groupBy($"split")
+        .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"),
+          min(unix_micros($"ts")).as("lo_us"), max(unix_micros($"ts")).as("hi_us"))
+      val leak = ev.groupBy($"user_id")
+        .agg(max(when($"split" === "train", 1).otherwise(0)).as("in_tr"),
+          max(when($"split" === "test", 1).otherwise(0)).as("in_te"))
+        .agg(sum(when($"in_tr" === 1 && $"in_te" === 1, 1L).otherwise(0L))
+          .as("leak_users"))
+      stats.crossJoin(broadcast(leak)).orderBy($"split")
+    },
+    Some("""WITH ev AS (
+           |  SELECT event_id, user_id, ts,
+           |    CASE WHEN ts < TIMESTAMP '2024-01-10' THEN 'train'
+           |         WHEN ts < TIMESTAMP '2024-01-20' THEN 'valid'
+           |         ELSE 'test' END AS split
+           |  FROM events),
+           |stats AS (
+           |  SELECT split, count(*) AS n,
+           |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           |    min(epoch_us(ts)) AS lo_us, max(epoch_us(ts)) AS hi_us
+           |  FROM ev GROUP BY 1),
+           |leak AS (
+           |  SELECT CAST(sum(CASE WHEN in_tr = 1 AND in_te = 1 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS leak_users
+           |  FROM (SELECT user_id,
+           |      max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_tr,
+           |      max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_te
+           |    FROM ev GROUP BY user_id))
+           |SELECT s.split, s.n, s.n_users, s.lo_us, s.hi_us, l.leak_users
+           |FROM stats s, leak l ORDER BY s.split""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q60, q61, q62, q63, q64, q65, q67, q68, q69, q70,
     q86, q87, q88, q89, q90, q96, q100, q101, q106, q110, q149, q150, q160,
     q192, q194, q200, q214, q215, q236, q243, q263, q274, q275, q317, q318,
-    q328, q330)
+    q328, q330, q347, q348, q351)
 }
