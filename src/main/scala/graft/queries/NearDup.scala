@@ -366,7 +366,19 @@ object NearDup {
     * a dedup pipeline — candidates are cheap and approximate, the O(n·m)
     * edit distance runs ONLY on the candidate set (never all pairs), and
     * the pair table is the small side: it broadcasts against the corpus
-    * for both text lookups, so document text still never shuffles. */
+    * for both text lookups, so document text still never shuffles.
+    *
+    * Scorer discipline (round-6, found by the sf1 sweep): the broadcast
+    * joins leave the pair stream on the CORPUS SCAN's partitioning —
+    * one task per 128 MB parquet split, i.e. a single task at small
+    * corpus sizes — so the joined stream is repartitioned by pair key
+    * before scoring (shuffles candidate pairs + their two texts:
+    * candidate-sized, never corpus-sized). Two fast paths then bound
+    * the O(n·m) work: the triangle inequality (dist ≥ length gap)
+    * prunes pairs whose gap alone exceeds the 15% bound BEFORE the
+    * matrix runs, and an equality memcmp answers dist=0 for exact
+    * clones — the common case in a mass-duplicated corpus (sf1's
+    * 10-clone clusters took q52 from wedged-on-one-core to seconds). */
   val q52 = QuerySpec(
     "q52_dedup_edit_verify",
     (s, d) => {
@@ -381,9 +393,19 @@ object NearDup {
         .join(docs.select($"doc_id".as("doc_a"), $"text".as("ta")), Seq("doc_a"))
         .hint("broadcast")
         .join(docs.select($"doc_id".as("doc_b"), $"text".as("tb")), Seq("doc_b"))
-        .withColumn("dist", levenshtein($"ta", $"tb"))
+        .repartition(col("doc_a"), col("doc_b"))
         .withColumn("max_len", greatest(length($"ta"), length($"tb")))
-        .filter($"dist" * lit(100) <= $"max_len" * lit(15))
+        .filter(abs(length($"ta") - length($"tb")) * lit(100) <= $"max_len" * lit(15))
+        // Banded levenshtein with the pair's own 15% bound as threshold:
+        // Ukkonen O(k·n) instead of the full O(n·m) matrix; -1 (= bound
+        // exceeded) rows are exactly the rows the filter drops, and for
+        // surviving rows the banded value equals the exact distance, so
+        // the DuckDB mirror stays plain levenshtein. dist ≥ 0 is part
+        // of the filter because -1·100 would pass the ≤ comparison.
+        .withColumn("dist",
+          when($"ta" === $"tb", lit(0)).otherwise(
+            expr("levenshtein(ta, tb, cast((max_len * 15) div 100 as int))")))
+        .filter($"dist" >= 0 && $"dist" * lit(100) <= $"max_len" * lit(15))
         .select($"doc_a", $"doc_b", $"dist".cast("int").as("edit_distance"),
           $"max_len".cast("int").as("max_len"))
         .orderBy($"doc_a", $"doc_b")
