@@ -1355,14 +1355,25 @@ object Extras {
           count(when($"b".isNull, 1)).as("n_div_zero"),
           count(when($"c".isNull, 1)).as("n_mul_overflow"),
           dsum(coalesce($"b", lit(0.0)), 6).as("div_sum"))
-      // try_sum over a 16-row pre-aggregated ladder per group: the inner
-      // partial sums never overflow, the scaled outer sum overflows at
-      // sf0.1 (→ NULL) and fits at sf0.01 (→ exact value).
+      // try_sum over a 256-row pre-aggregated ladder per group: the inner
+      // partial sums never overflow PER ROW (256 buckets keep each
+      // partial ~6e18·M⁻¹ below the cliff through sf1 — the mod-16
+      // ladder's rows crossed 2⁶³ at sf1 inside the multiply, which
+      // try_sum does NOT guard), while the scaled outer sum overflows at
+      // sf0.1 (→ NULL) and fits at sf0.01 (→ exact value). Belt and
+      // suspenders for beyond-sf1: the product itself runs through
+      // try_multiply, and if ANY row-product overflows the whole result
+      // is forced NULL — with all-positive terms that coincides exactly
+      // with the oracle's HUGEINT total falling outside int64.
       val ladder = Tables.lineitem(s, d)
-        .groupBy($"l_returnflag", ($"l_orderkey" % 16L).as("b16"))
-        .agg(sum($"l_orderkey").as("s16"))
+        .groupBy($"l_returnflag", ($"l_orderkey" % 256L).as("b256"))
+        .agg(sum($"l_orderkey").as("s256"))
         .groupBy($"l_returnflag")
-        .agg(expr("try_sum(s16 * 1000000000L)").as("sum_overflow"))
+        .agg(expr(
+          """CASE WHEN count(CASE WHEN try_multiply(s256, 1000000000L) IS NULL THEN 1 END) > 0
+            |  THEN CAST(NULL AS BIGINT)
+            |  ELSE try_sum(try_multiply(s256, 1000000000L)) END""".stripMargin)
+          .as("sum_overflow"))
       scalar.join(ladder, Seq("l_returnflag"))
         .orderBy($"l_returnflag")
     },
@@ -1380,9 +1391,9 @@ object Extras {
            |  FROM base GROUP BY l_returnflag),
            |ladder AS (
            |  SELECT l_returnflag,
-           |    sum(CAST(s16 AS HUGEINT) * 1000000000) AS hsum
-           |  FROM (SELECT l_returnflag, l_orderkey % 16 AS b16,
-           |          CAST(sum(l_orderkey) AS BIGINT) AS s16
+           |    sum(CAST(s256 AS HUGEINT) * 1000000000) AS hsum
+           |  FROM (SELECT l_returnflag, l_orderkey % 256 AS b256,
+           |          CAST(sum(l_orderkey) AS BIGINT) AS s256
            |        FROM lineitem GROUP BY 1, 2)
            |  GROUP BY l_returnflag)
            |SELECT s.l_returnflag, n, n_add_overflow, n_div_zero, n_mul_overflow,

@@ -670,9 +670,13 @@ object NearDup {
         val out = cand.agg(count(lit(1)).as("n_candidates"))
           .crossJoin(truth.agg(count(lit(1)).as("n_true")))
           .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+          // nullif guards (round-6 sf1 lesson): on a vocabulary-saturated
+          // corpus the posting caps drop EVERY bucket, the truth set is
+          // legitimately empty, and recall must degrade to NULL ("the
+          // banding catches nothing here"), not divide-by-zero.
           .select($"n_candidates", $"n_true", $"n_hits",
-            expr("(n_hits * 1000000) DIV n_candidates").as("precision_ppm"),
-            expr("(n_hits * 1000000) DIV n_true").as("recall_ppm"))
+            expr("(n_hits * 1000000) DIV nullif(n_candidates, 0L)").as("precision_ppm"),
+            expr("(n_hits * 1000000) DIV nullif(n_true, 0L)").as("recall_ppm"))
         Eager(out) // sever from the persisted frames before unpersist
       } finally { cand.unpersist(blocking = false); truth.unpersist(blocking = false); () }
     },
@@ -685,8 +689,8 @@ object NearDup {
         "t AS (SELECT count(*) AS n_true FROM truth),",
         "h AS (SELECT count(*) AS n_hits FROM hits)",
         "SELECT n_candidates, n_true, n_hits,",
-        "  CAST((n_hits * 1000000) // n_candidates AS BIGINT) AS precision_ppm,",
-        "  CAST((n_hits * 1000000) // n_true AS BIGINT) AS recall_ppm",
+        "  CAST((n_hits * 1000000) // nullif(n_candidates, 0) AS BIGINT) AS precision_ppm,",
+        "  CAST((n_hits * 1000000) // nullif(n_true, 0) AS BIGINT) AS recall_ppm",
         "FROM c, t, h").mkString("\n"))
       case _ => None
     },

@@ -639,4 +639,60 @@ class PlanAuditSpec extends SparkTestBase {
     val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
     assert(scans <= 2, s"leave-one-out recomputed via extra scans: $scans\n$p")
   }
+
+  test("q52: the edit-distance scorer runs on pair-key partitioning, not the corpus scan's") {
+    // Round-6 sf1 lesson: without this exchange the whole O(k·n) scorer
+    // lands on one task per 128 MB parquet split.
+    val p = plan("q52_dedup_edit_verify")
+    assert(p.contains("hashpartitioning(doc_a"),
+      "candidate-stream repartition before the scorer is gone\n" + p)
+  }
+
+  test("q302/q329: ER pairing goes through the chunked neighborhood explode") {
+    // The sorted-neighborhood sub-block join (brand, chunk) keeps the
+    // pair stream linear in block size; losing the explode regresses to
+    // the quadratic brand-block pairing.
+    Seq("q302_jaro_winkler_linkage", "q329_bounded_edit_verify").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("Generate") && p.contains("explode"),
+        s"$q: chunk duplication explode missing\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: pairing degraded to cartesian\n$p")
+    }
+  }
+
+  test("q343: Benford scan reads only the price column; no join anywhere") {
+    val p = plan("q343_benford_digit_audit")
+    assert(p.contains("ReadSchema: struct<l_extendedprice:double>"), p)
+    assert(!p.contains("Join"), "digit audit must be join-free\n" + p)
+  }
+
+  test("q345/q346/q348: group-sized stat frames broadcast back, never sort-merge") {
+    Seq("q345_mad_dispersion", "q346_winsorized_mean",
+        "q348_class_balance_downsample").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: stat-frame broadcast missing\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: group-sized frame degraded to a corpus shuffle join\n$p")
+    }
+  }
+
+  test("q347: skip-gram pairs emit array-side — generators, no join") {
+    val p = plan("q347_skipgram_pairs")
+    assert(p.contains("Generate") && p.contains("explode"), p)
+    assert(!p.contains("Join"), "pair emit must not be a self-join\n" + p)
+  }
+
+  test("q349: KS cumulates one value-domain frame — no join, single window chain") {
+    val p = plan("q349_ks_distribution_drift")
+    assert(!p.contains("Join"), "two-sample CDF must share one frame\n" + p)
+    assert(p.contains("PushedFilters: [In(source"),
+      "source pair filter not pushed to the scan\n" + p)
+  }
+
+  test("q350: fingerprint rollup is join-free with two aggregates") {
+    val p = plan("q350_dedup_cluster_histogram")
+    assert(!p.contains("Join"), p)
+    val aggs = "HashAggregate|SortAggregate|ObjectHashAggregate".r.findAllIn(p).size
+    assert(aggs >= 2, "cluster + histogram aggregates expected\n" + p)
+  }
 }
