@@ -51,9 +51,19 @@ object Det {
   def davg(c: Column, scale: Int): Column =
     dsum(c, scale) / count(lit(1))
 
-  /** DuckDB mirror of [[dsum]]. */
+  /** DuckDB mirror of [[dsum]]. The final decimal→double conversion is
+    * routed through VARCHAR: DuckDB's direct DECIMAL→DOUBLE cast
+    * divides the int128 payload by 10^scale in floating point — TWO
+    * roundings, up to 1 ulp off (≈4e-6 at 3e10, caught by the round-6
+    * sf1 sweep on q06) — while Spark's BigDecimal.doubleValue() rounds
+    * once, correctly. Exact digits → string → correctly-rounded parse
+    * matches Spark bit-for-bit. The per-row double→decimal cast needs
+    * no such detour (verified identical over 573 k rows at sf1).
+    * STRING, not VARCHAR: some queries (q231) run this same SQL through
+    * spark.sql() too, where bare VARCHAR needs a length — STRING is the
+    * alias both dialects accept. */
   def sqlDsum(expr: String, scale: Int): String =
-    s"CAST(sum(CAST($expr AS DECIMAL(30,$scale))) AS DOUBLE)"
+    s"CAST(CAST(sum(CAST($expr AS DECIMAL(30,$scale))) AS STRING) AS DOUBLE)"
 
   /** DuckDB mirror of [[davg]]. */
   def sqlDavg(expr: String, scale: Int): String =

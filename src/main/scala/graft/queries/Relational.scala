@@ -1319,7 +1319,11 @@ object Relational {
           element_at($"m", "flag").as("flag"),
           element_at($"m", "supp").cast("bigint").as("supp"),
           array_join(array_sort(map_keys($"m")), ",").as("keys_sorted"))
-        .orderBy($"l_orderkey", $"l_linenumber")
+        // Full-row sort: the driver's synthetic lineitem does NOT have a
+        // unique (orderkey, linenumber) — ties carry different flags, and
+        // an under-keyed ORDER BY is engine-arbitrary between them
+        // (caught by the round-6 sf1 positional compare).
+        .orderBy($"l_orderkey", $"l_linenumber", $"qty", $"flag", $"supp")
     },
     Some("""SELECT l_orderkey, l_linenumber,
            |  CAST(l_quantity AS BIGINT) AS qty,
@@ -1327,7 +1331,7 @@ object Relational {
            |  l_suppkey AS supp,
            |  'flag,qty,supp' AS keys_sorted
            |FROM lineitem WHERE l_orderkey <= 100
-           |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+           |ORDER BY l_orderkey, l_linenumber, qty, flag, supp""".stripMargin),
   )
 
   /** q181 — multi-aggregate pivot: groupBy.pivot(values).agg(n, rev)

@@ -4,9 +4,12 @@ run the matching oracle SQL in DuckDB over the same testdata tables, and
 compare row counts, schemas (loosely), and values (exactly, after sorting
 columns by name). Dev tool only — not part of the shipped library.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [namePrefixes]
+  namePrefixes: optional comma-separated query-name prefixes (same
+  contract as Verify's third arg) to check a subset / resume after a
+  heavy query.
 """
-import sys, json, glob, os
+import sys, json, glob, os, tempfile
 import duckdb
 import pandas as pd
 import numpy as np
@@ -14,15 +17,22 @@ import numpy as np
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
+    # Bounded memory + spill: a heavy oracle (list-building window at a
+    # big SF) must spill to disk, not draw the OOM killer.
+    con.execute("SET memory_limit='24GB'")
+    con.execute(f"SET temp_directory='{tempfile.gettempdir()}/duckdb_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    prefixes = [p for p in (only or "").split(",") if p]
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        if prefixes and not any(name.startswith(p) for p in prefixes):
+            continue
         files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output");  n_fail += 1;  continue
@@ -120,4 +130,5 @@ def compare(got, exp):
     return True, ""
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
