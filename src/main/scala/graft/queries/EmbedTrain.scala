@@ -1,0 +1,373 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorOps._
+import graft.operators.StableIds
+import Det._
+
+/** Contrastive-training data preparation (round-6 family, q352–q358):
+  * the operators that sit between a deduplicated corpus and an
+  * embedding-model training run — hard-negative mining, deterministic
+  * negative sampling, duplication-aware repeat schedules, batch-padding
+  * economics, snapshot drift monitoring, positive-pair construction,
+  * and near-dup split-leakage audits. Everything a
+  * retrieval/contrastive fine-tune pipeline asks of the corpus store,
+  * expressed as bounded Spark plans with full DuckDB value oracles.
+  *
+  * Scale design (100 TB): no query ever pairs the corpus quadratically.
+  * Candidate generation is IVF-bucketed (q352) or dup-cluster-chained
+  * (q357, linear in cluster size); the sampling domains (q353) are
+  * broadcast-sized; global orders (q355) go through
+  * [[graft.operators.StableIds]] instead of a single-partition window;
+  * the drift monitor (q356) reduces to a (label × snapshot × dim)-sized
+  * aggregate — dims are constants, so the post-shuffle frames are tiny.
+  * Float determinism follows the [[Det]] discipline: cosines are the
+  * same seeded left-folds on both engines, means/sums of doubles route
+  * through exact DECIMAL accumulators.
+  */
+object EmbedTrain {
+
+  /** Same hash-split membership as q60/q211 (TrainPrep.splitOf): first
+    * two hex chars of md5(doc_id) — deterministic, growth-stable. */
+  private def splitOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bucket = substring(md5(id.cast("string").cast("binary")), 1, 2)
+    when(bucket < "cd", "train").when(bucket < "e6", "val").otherwise("test")
+  }
+
+  /** q352 — hard-negative mining for contrastive training: for every
+    * anchor vector, the 3 most-similar vectors with a DIFFERENT label
+    * ("hard" negatives — close in embedding space, wrong by label).
+    * Candidates come from q28's IVF coarse quantizer (8 fixed
+    * centroids, vec_id 2–9): vectors are bucketed by nearest centroid
+    * once, and negatives are mined per bucket — a bucket equi-join, not
+    * an all-pairs scan. At 100 TB the centroid count grows with the
+    * corpus (the inverted file keeps buckets O(corpus/K)) and the
+    * per-anchor top-k is a bounded window over the bucket join's
+    * output; the broadcast side is always the K-row centroid frame. */
+  val q352 = QuerySpec(
+    "q352_hard_negative_mining",
+    (s, d) => {
+      import s.implicits._
+      val base = Tables.fanOut(Tables.embeddings(s, d), col("vec_id"))
+        .select($"vec_id", $"label", asDouble($"embedding").as("emb"))
+        .withColumn("nrm", l2Norm($"emb"))
+      val cent = base.filter($"vec_id".between(2, 9))
+        .select($"vec_id".as("cid"), $"emb".as("cemb"), $"nrm".as("cnrm"))
+      // One assignment pass: argmax cosine, ties to the lower cid.
+      val assigned = base.crossJoin(broadcast(cent))
+        .withColumn("c", dot($"emb", $"cemb") / ($"nrm" * $"cnrm"))
+        .groupBy($"vec_id")
+        .agg(max_by($"cid", struct($"c", -$"cid")).as("cid"),
+          first($"label").as("label"), first($"emb").as("emb"),
+          first($"nrm").as("nrm"))
+      val a = assigned.select($"cid", $"vec_id".as("anchor_id"),
+        $"label".as("la"), $"emb".as("ea"), $"nrm".as("na"))
+      val b = assigned.select($"cid", $"vec_id".as("neg_id"),
+        $"label".as("lb"), $"emb".as("eb"), $"nrm".as("nb"))
+      val w = Window.partitionBy($"anchor_id").orderBy($"cos".desc, $"neg_id")
+      a.join(b, Seq("cid"))
+        .filter($"la" =!= $"lb")
+        .withColumn("cos", dot($"ea", $"eb") / ($"na" * $"nb"))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 3)
+        .select($"anchor_id", $"rnk", $"neg_id", round($"cos", 4).as("cos_sim"))
+        .orderBy($"anchor_id", $"rnk")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            |cent AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id BETWEEN 2 AND 9),
+            |assign AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cid) AS rn
+            |           FROM (SELECT v.vec_id, c2.cid, ${sqlCosine("v.emb", "c2.cemb")} AS c FROM e v, cent c2)),
+            |m AS (SELECT a.vec_id, a.cid, e.label, e.emb FROM assign a JOIN e ON a.vec_id = e.vec_id WHERE a.rn = 1),
+            |p AS (SELECT x.vec_id AS anchor_id, y.vec_id AS neg_id, ${sqlCosine("x.emb", "y.emb")} AS c
+            |      FROM m x JOIN m y ON x.cid = y.cid AND x.label <> y.label),
+            |r AS (SELECT anchor_id, neg_id, c, row_number() OVER (PARTITION BY anchor_id ORDER BY c DESC, neg_id) AS rnk FROM p)
+            |SELECT anchor_id, CAST(rnk AS INT) AS rnk, neg_id, round(c, 4) AS cos_sim
+            |FROM r WHERE rnk <= 3 ORDER BY anchor_id, rnk""".stripMargin),
+  )
+
+  /** q353 — deterministic negative sampling for link prediction:
+    * positives are the observed (user, event_type, iso-weekday)
+    * interactions; the candidate domain is the type × weekday grid
+    * (broadcast-sized — 5×7 here, rarely more than thousands in
+    * practice); negatives are the per-user unobserved cells, and each
+    * user deterministically draws 2 by salted-md5 rank — the same
+    * growth-stable membership discipline as q60/q65 (re-running on a
+    * grown corpus never reshuffles an existing user's draw unless that
+    * user's own positives changed). One shuffle on user_id; the domain
+    * broadcasts. Weekday is ISO Monday=1 on BOTH engines (Spark
+    * weekday()+1, DuckDB isodow) — dayofweek() is Sunday-based in Spark
+    * and Sunday=0 in DuckDB, a documented dialect trap. */
+  val q353 = QuerySpec(
+    "q353_negative_sampling",
+    (s, d) => {
+      import s.implicits._
+      val pos = Tables.events(s, d)
+        .select($"user_id", $"event_type", expr("weekday(ts) + 1").as("dw"))
+        .distinct()
+      val types = pos.select($"event_type").distinct()
+      val grid = types.crossJoin(
+        s.range(1, 8).select($"id".cast("int").as("dw")))
+      val negs = pos.select($"user_id").distinct()
+        .crossJoin(broadcast(grid))
+        .join(pos, Seq("user_id", "event_type", "dw"), "left_anti")
+        .withColumn("r",
+          md5(concat_ws("|", $"user_id", $"event_type", $"dw").cast("binary")))
+      val w = Window.partitionBy($"user_id").orderBy($"r")
+      negs.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 2)
+        .select($"user_id", $"rnk", $"event_type", $"dw")
+        .orderBy($"user_id", $"rnk")
+    },
+    Some("""WITH pos AS (
+           |  SELECT DISTINCT user_id, event_type, CAST(isodow(ts) AS INT) AS dw FROM events),
+           |grid AS (
+           |  SELECT event_type, CAST(g.dw AS INT) AS dw
+           |  FROM (SELECT DISTINCT event_type FROM pos), generate_series(1, 7) AS g(dw)),
+           |negs AS (
+           |  SELECT u.user_id, grid.event_type, grid.dw,
+           |    md5(u.user_id || '|' || grid.event_type || '|' || grid.dw) AS r
+           |  FROM (SELECT DISTINCT user_id FROM pos) u, grid
+           |  WHERE NOT EXISTS (SELECT 1 FROM pos
+           |    WHERE pos.user_id = u.user_id AND pos.event_type = grid.event_type
+           |      AND pos.dw = grid.dw)),
+           |ranked AS (SELECT user_id, event_type, dw,
+           |    row_number() OVER (PARTITION BY user_id ORDER BY r) AS rnk FROM negs)
+           |SELECT user_id, CAST(rnk AS INT) AS rnk, event_type, dw
+           |FROM ranked WHERE rnk <= 2 ORDER BY user_id, rnk""".stripMargin),
+  )
+
+  /** q354 — duplication-aware repeat schedule (the SlimPajama/Doremi
+    * move): cluster by q350's 40-char fingerprint, keep one doc per
+    * cluster, and repeat the keeper INVERSELY to its duplication —
+    * unique docs get up-sampled (4 epochs), doubletons damped (2),
+    * heavily-duplicated content capped at 1, so the effective token
+    * mix stops over-weighting boilerplate. Per-source readout of raw
+    * vs effective chars and the dup rows suppressed. One corpus-sized
+    * aggregate to clusters, then a source-sized rollup. */
+  val q354 = QuerySpec(
+    "q354_dedup_repeat_schedule",
+    (s, d) => {
+      import s.implicits._
+      val cl = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select(md5(substring(lower($"text"), 1, 40).cast("binary")).as("h"),
+          $"doc_id", $"source", $"n_chars")
+        .groupBy($"h")
+        .agg(count(lit(1)).as("k"),
+          min_by($"source", $"doc_id").as("src"),
+          min_by($"n_chars", $"doc_id").as("keeper_chars"),
+          sum($"n_chars").as("raw_chars"))
+        .withColumn("rep",
+          when($"k" === 1, 4L).when($"k" === 2, 2L).otherwise(1L))
+      cl.groupBy($"src")
+        .agg(count(lit(1)).as("n_keepers"),
+          sum($"k" - 1).as("n_dups_suppressed"),
+          sum($"raw_chars").as("raw_chars"),
+          sum($"keeper_chars" * $"rep").as("effective_chars"),
+          expr("sum(keeper_chars * rep) * 1000000L div sum(raw_chars)")
+            .as("effective_ppm"))
+        .orderBy($"src")
+    },
+    Some("""WITH cl AS (
+           |  SELECT md5(substring(lower(text), 1, 40)) AS h, count(*) AS k,
+           |    min_by(source, doc_id) AS src,
+           |    min_by(n_chars, doc_id) AS keeper_chars,
+           |    CAST(sum(n_chars) AS BIGINT) AS raw_chars
+           |  FROM documents GROUP BY 1),
+           |r AS (SELECT *, CASE WHEN k = 1 THEN 4 WHEN k = 2 THEN 2 ELSE 1 END AS rep FROM cl)
+           |SELECT src, count(*) AS n_keepers,
+           |  CAST(sum(k - 1) AS BIGINT) AS n_dups_suppressed,
+           |  CAST(sum(raw_chars) AS BIGINT) AS raw_chars,
+           |  CAST(sum(keeper_chars * rep) AS BIGINT) AS effective_chars,
+           |  CAST(sum(keeper_chars * rep) * 1000000 // sum(raw_chars) AS BIGINT) AS effective_ppm
+           |FROM r GROUP BY src ORDER BY src""".stripMargin),
+  )
+
+  /** q355 — batch-padding economics: fixed batches of 8 docs padded to
+    * the batch max length, under two batching orders — arrival
+    * (doc_id) vs length-sorted. The length-sort classically collapses
+    * padding waste; this query quantifies the payoff in exact ppm.
+    * Both global orders go through [[StableIds.withGlobalRowIds]]
+    * (range-repartition + per-partition offsets) — the naive
+    * `row_number() OVER (ORDER BY …)` with no partition key funnels
+    * the corpus through ONE task and is exactly the anti-pattern this
+    * operator exists to avoid at 100 TB. */
+  val q355 = QuerySpec(
+    "q355_padding_waste_audit",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"doc_id", $"n_chars")
+      def waste(ordered: org.apache.spark.sql.DataFrame, strategy: String) =
+        ordered
+          .withColumn("batch", expr("row_id div 8"))
+          .groupBy($"batch")
+          .agg(max($"n_chars").as("mx"), sum($"n_chars").as("tot"),
+            count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_batches"),
+            sum($"mx" * $"n" - $"tot").as("waste_chars"),
+            expr("sum(mx * n - tot) * 1000000L div sum(mx * n)").as("waste_ppm"))
+          .select(lit(strategy).as("strategy"), $"n_batches", $"waste_chars",
+            $"waste_ppm")
+      waste(StableIds.withGlobalRowIds(docs, 8, $"doc_id"), "arrival")
+        .unionAll(
+          waste(StableIds.withGlobalRowIds(docs, 8, $"n_chars", $"doc_id"),
+            "length_sorted"))
+        .orderBy($"strategy")
+    },
+    Some("""WITH arrival AS (
+           |  SELECT n_chars, (row_number() OVER (ORDER BY doc_id) - 1) // 8 AS batch
+           |  FROM documents),
+           |srt AS (
+           |  SELECT n_chars, (row_number() OVER (ORDER BY n_chars, doc_id) - 1) // 8 AS batch
+           |  FROM documents),
+           |wa AS (SELECT batch, max(n_chars) AS mx, sum(n_chars) AS tot, count(*) AS n
+           |       FROM arrival GROUP BY batch),
+           |ws AS (SELECT batch, max(n_chars) AS mx, sum(n_chars) AS tot, count(*) AS n
+           |       FROM srt GROUP BY batch)
+           |SELECT 'arrival' AS strategy, count(*) AS n_batches,
+           |  CAST(sum(mx * n - tot) AS BIGINT) AS waste_chars,
+           |  CAST(sum(mx * n - tot) * 1000000 // sum(mx * n) AS BIGINT) AS waste_ppm
+           |FROM wa
+           |UNION ALL
+           |SELECT 'length_sorted', count(*),
+           |  CAST(sum(mx * n - tot) AS BIGINT),
+           |  CAST(sum(mx * n - tot) * 1000000 // sum(mx * n) AS BIGINT)
+           |FROM ws
+           |ORDER BY strategy""".stripMargin),
+  )
+
+  /** q356 — embedding centroid drift between corpus snapshots: split
+    * the store into two snapshots (vec_id parity — stand-in for "last
+    * month's index build vs this month's"), compute each label's mean
+    * vector per snapshot, and report the squared L2 distance between
+    * the two centroids — the "did the embedding space move under this
+    * label" monitor that gates index rebuilds. All float math follows
+    * the [[Det]] discipline: per-dimension means are exact-DECIMAL
+    * sums divided by counts, and the 64-term drift sum routes through
+    * DECIMAL again — bit-identical on both engines regardless of
+    * shuffle order. The corpus-sized pass is one (label × snapshot ×
+    * dim) aggregate; everything after is label×dim-sized. */
+  val q356 = QuerySpec(
+    "q356_centroid_drift",
+    (s, d) => {
+      import s.implicits._
+      val x = Tables.fanOut(Tables.embeddings(s, d), col("vec_id"))
+        .select($"label", ($"vec_id" % 2).as("snap"),
+          posexplode(asDouble($"embedding")).as(Seq("pos", "x")))
+      val m = x.groupBy($"label", $"snap", $"pos")
+        .agg(davg($"x", 12).as("m"), count(lit(1)).as("n"))
+      val piv = m.groupBy($"label", $"pos")
+        .agg(max(when($"snap" === 0, $"m")).as("m0"),
+          max(when($"snap" === 1, $"m")).as("m1"),
+          max(when($"snap" === 0, $"n")).as("n0"),
+          max(when($"snap" === 1, $"n")).as("n1"))
+      piv
+        .withColumn("d2", ($"m0" - $"m1") * ($"m0" - $"m1"))
+        .groupBy($"label")
+        .agg(max($"n0").as("n_snap0"), max($"n1").as("n_snap1"),
+          round(dsum($"d2", 18), 6).as("drift_sq"))
+        .orderBy($"label")
+    },
+    Some(s"""WITH x AS (
+            |  SELECT label, vec_id % 2 AS snap, g.pos,
+            |    CAST(embedding[g.pos] AS DOUBLE) AS x
+            |  FROM embeddings, generate_series(1, len(embedding)) AS g(pos)),
+            |m AS (SELECT label, snap, pos, ${sqlDavg("x", 12)} AS m, count(*) AS n
+            |      FROM x GROUP BY 1, 2, 3),
+            |piv AS (SELECT label, pos,
+            |    max(CASE WHEN snap = 0 THEN m END) AS m0,
+            |    max(CASE WHEN snap = 1 THEN m END) AS m1,
+            |    max(CASE WHEN snap = 0 THEN n END) AS n0,
+            |    max(CASE WHEN snap = 1 THEN n END) AS n1
+            |  FROM m GROUP BY 1, 2)
+            |SELECT label, max(n0) AS n_snap0, max(n1) AS n_snap1,
+            |  round(${sqlDsum("(m0 - m1) * (m0 - m1)", 18)}, 6) AS drift_sq
+            |FROM piv GROUP BY label ORDER BY label""".stripMargin),
+  )
+
+  /** q357 — positive-pair construction from dup clusters: near-exact
+    * duplicates (same 40-char fingerprint) make free contrastive
+    * POSITIVES — same content, independent copies. Pairs are chained
+    * along the doc_id order inside each cluster (lead over the
+    * cluster window), so a k-cluster emits k−1 pairs — LINEAR in
+    * cluster size, never the |k|² all-pairs blowup; the window
+    * partitions on the fingerprint, so state is bounded by the
+    * largest cluster (capped upstream by the dedup caps at real
+    * scale). */
+  val q357 = QuerySpec(
+    "q357_anchor_positive_pairs",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select(md5(substring(lower($"text"), 1, 40).cast("binary")).as("h"),
+          $"doc_id", $"source")
+      val w = Window.partitionBy($"h").orderBy($"doc_id")
+      docs
+        .withColumn("doc_b", lead($"doc_id", 1).over(w))
+        .withColumn("src_b", lead($"source", 1).over(w))
+        .filter($"doc_b".isNotNull)
+        .select($"h", $"doc_id".as("doc_a"), $"doc_b",
+          ($"source" === $"src_b").as("same_source"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some("""WITH f AS (
+           |  SELECT md5(substring(lower(text), 1, 40)) AS h, doc_id, source,
+           |    lead(doc_id) OVER (PARTITION BY md5(substring(lower(text), 1, 40)) ORDER BY doc_id) AS doc_b,
+           |    lead(source) OVER (PARTITION BY md5(substring(lower(text), 1, 40)) ORDER BY doc_id) AS src_b
+           |  FROM documents)
+           |SELECT h, doc_id AS doc_a, doc_b, source = src_b AS same_source
+           |FROM f WHERE doc_b IS NOT NULL ORDER BY doc_a, doc_b""".stripMargin),
+  )
+
+  /** q358 — near-dup split leakage: q351 catches exact-user leakage
+    * across temporal splits; this catches the subtler one — a doc in
+    * eval whose near-duplicate sits in train (the model has "seen" the
+    * eval answer). Clusters come from the 40-char fingerprint, split
+    * membership from q60's hash split; a cluster spanning train and a
+    * held-out split is leaked, and every held-out doc in it is a
+    * contaminated eval row. Single-row audit: cluster counts, held-out
+    * doc counts, leak ppm. Two corpus-sized aggregates, both
+    * fingerprint-keyed. */
+  val q358 = QuerySpec(
+    "q358_split_leakage_neardup",
+    (s, d) => {
+      import s.implicits._
+      val cl = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select(md5(substring(lower($"text"), 1, 40).cast("binary")).as("h"),
+          splitOf($"doc_id").as("split"))
+        .groupBy($"h")
+        .agg(
+          sum(when($"split" === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when($"split" =!= "train", 1L).otherwise(0L)).as("n_heldout"))
+      cl.agg(
+        count(lit(1)).as("n_clusters"),
+        sum(when($"n_train" > 0 && $"n_heldout" > 0, 1L).otherwise(0L))
+          .as("n_leaked_clusters"),
+        sum($"n_heldout").as("n_heldout_docs"),
+        sum(when($"n_train" > 0, $"n_heldout").otherwise(0L))
+          .as("n_leaked_docs"))
+        .withColumn("leak_ppm",
+          expr("n_leaked_docs * 1000000L div nullif(n_heldout_docs, 0L)"))
+    },
+    Some("""WITH cl AS (
+           |  SELECT md5(substring(lower(text), 1, 40)) AS h,
+           |    sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+           |        THEN 1 ELSE 0 END) AS n_train,
+           |    sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+           |        THEN 0 ELSE 1 END) AS n_heldout
+           |  FROM documents GROUP BY 1)
+           |SELECT count(*) AS n_clusters,
+           |  CAST(sum(CASE WHEN n_train > 0 AND n_heldout > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked_clusters,
+           |  CAST(sum(n_heldout) AS BIGINT) AS n_heldout_docs,
+           |  CAST(sum(CASE WHEN n_train > 0 THEN n_heldout ELSE 0 END) AS BIGINT) AS n_leaked_docs,
+           |  CAST(sum(CASE WHEN n_train > 0 THEN n_heldout ELSE 0 END) * 1000000
+           |    // nullif(sum(n_heldout), 0) AS BIGINT) AS leak_ppm
+           |FROM cl""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] =
+    Seq(q352, q353, q354, q355, q356, q357, q358)
+}
