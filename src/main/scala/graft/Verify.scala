@@ -8,15 +8,21 @@ object Verify {
     val sfDir = args(0)
     val outDir = args(1)
     // Optional third arg (dev only; the driver passes two): run only the
-    // comma-separated query names / prefixes given.
-    val only: Array[String] = if (args.length > 2) args(2).split(",") else Array.empty
+    // comma-separated query names / prefixes given. The special value
+    // "--sql-only" skips query execution entirely and dumps EVERY
+    // oracle-SQL entry — the input to tools/check_oracle.py --explain,
+    // the dialect preflight that catches a binder error (the q356
+    // lateral-generate_series class) before the driver's gate does.
+    val sqlOnly = args.length > 2 && args(2) == "--sql-only"
+    val only: Array[String] =
+      if (args.length > 2 && !sqlOnly) args(2).split(",") else Array.empty
     def selected(name: String): Boolean =
       only.isEmpty || only.exists(name.startsWith)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => !sqlOnly && selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -272,9 +272,10 @@ object EmbedTrain {
         .orderBy($"label")
     },
     Some(s"""WITH x AS (
-            |  SELECT label, vec_id % 2 AS snap, g.pos,
-            |    CAST(embedding[g.pos] AS DOUBLE) AS x
-            |  FROM embeddings, generate_series(1, len(embedding)) AS g(pos)),
+            |  SELECT label, vec_id % 2 AS snap,
+            |    unnest(generate_series(1, len(embedding))) AS pos,
+            |    CAST(unnest(embedding) AS DOUBLE) AS x
+            |  FROM embeddings),
             |m AS (SELECT label, snap, pos, ${sqlDavg("x", 12)} AS m, count(*) AS n
             |      FROM x GROUP BY 1, 2, 3),
             |piv AS (SELECT label, pos,

@@ -8,6 +8,17 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [namePrefixes]
   namePrefixes: optional comma-separated query-name prefixes (same
   contract as Verify's third arg) to check a subset / resume after a
   heavy query.
+
+Preflight mode (no Spark outputs needed):
+  python3 tools/check_oracle.py --explain <sfDir> <oracleSqlJsonDir>
+  EXPLAINs every oracle-SQL entry against this DuckDB build so a
+  binder/dialect error (the q356 lateral-generate_series class) fails
+  HERE, not at the driver's gate where the query would silently go
+  unverified. Produce the input with
+  `graft.Verify <sfDir> <outDir> --sql-only` (dumps all 358 entries
+  without executing any Spark query). The mode self-tests: a
+  deliberately-lateral canary must FAIL to bind, proving the preflight
+  actually catches that class on this DuckDB version.
 """
 import sys, json, glob, os, tempfile
 import duckdb
@@ -61,6 +72,38 @@ def main(sf_dir, out_dir, only=None):
             n_fail += 1
             print(f"FAIL {name}: {msg}")
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+# A query shape this DuckDB build (1.0.0) rejects: generate_series with a
+# lateral column parameter. If this ever STOPS failing (DuckDB upgrade),
+# the canary assertion below alerts that the preflight's coverage changed.
+LATERAL_CANARY = ("SELECT g.pos FROM embeddings, "
+                  "generate_series(1, len(embedding)) AS g(pos)")
+
+def explain_all(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    try:
+        con.execute("EXPLAIN " + LATERAL_CANARY)
+        print("CANARY FAIL: deliberately-lateral fixture BOUND — this "
+              "DuckDB build accepts lateral generate_series; preflight "
+              "coverage assumptions changed, review ORACLE_DIALECT.md")
+        return 1
+    except Exception:
+        print("canary ok: lateral generate_series fixture rejected as expected")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        try:
+            con.execute("EXPLAIN " + oracle[name])
+            n_pass += 1
+        except Exception as e:
+            n_fail += 1
+            print(f"FAIL {name}: {type(e).__name__}: {str(e)[:300]}")
+    print(f"== explain preflight: {n_pass} bind, {n_fail} fail ==")
     return 1 if n_fail else 0
 
 def dtype_lint(got, ora_cols, ora_types):
@@ -130,5 +173,7 @@ def compare(got, exp):
     return True, ""
 
 if __name__ == "__main__":
+    if sys.argv[1] == "--explain":
+        sys.exit(explain_all(sys.argv[2], sys.argv[3]))
     sys.exit(main(sys.argv[1], sys.argv[2],
                   sys.argv[3] if len(sys.argv) > 3 else None))
