@@ -47,15 +47,48 @@ object Bench {
     import scala.jdk.CollectionConverters._
     def gcMillis(): Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    // Round-7 adjudication instrumentation: BENCH_r06 still disagreed
+    // 2–6× with same-round adjudication runs on four unchanged queries,
+    // and the GC gauge proved heap innocent (gc_cold 2.2 s total). The
+    // remaining suspects are only distinguishable with per-query
+    // PROCESS-CPU time beside wall: a query whose cpu/wall ratio matches
+    // its adjudicated run but whose wall stretched is being descheduled
+    // (CPU contention from outside the JVM — pressure, not plan); a
+    // query whose cpu ALSO inflated did real extra work (JIT deopt /
+    // cache-state-dependent plan — engine, investigate). System load
+    // average before each query catches the neighbor directly.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def cpuNanos(): Long = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
+    /** Kernel page-cache size in GiB — whether the parquet under test is
+      * memory-resident is THE cold-vs-warm IO variable local[32] can't
+      * see from inside the JVM. */
+    def cachedGb(): Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/meminfo")
+        try src.getLines().collectFirst {
+          case l if l.startsWith("Cached:") =>
+            l.split("\\s+")(1).toDouble / 1048576.0
+        }.getOrElse(-1.0)
+        finally src.close()
+      } catch { case scala.util.control.NonFatal(_) => -1.0 }
+    final case class Meas(wall: Double, ok: Boolean, gc: Double,
+        cpu: Double, load: Double, cached: Double)
     def run(name: String,
-        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean, Double) = {
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Meas = {
       spark.catalog.clearCache()
+      val load0 = osBean.getSystemLoadAverage
+      val cache0 = cachedGb()
+      val c0 = cpuNanos()
       val g0 = gcMillis()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
         catch { case scala.util.control.NonFatal(_) => errors += name; false }
-      ((System.nanoTime() - t0) / 1e9, ok, (gcMillis() - g0) / 1e3)
+      Meas((System.nanoTime() - t0) / 1e9, ok, (gcMillis() - g0) / 1e3,
+        if (c0 < 0) -1.0 else (cpuNanos() - c0) / 1e9, load0, cache0)
     }
     // Optional subset (comma-separated name prefixes, same contract as
     // Verify's third arg) — e.g. SPARK_GRAFT_QUERIES=q24,q59 for the
@@ -77,31 +110,38 @@ object Bench {
       (if (short.length == 3 && short.drop(1).forall(_.isDigit)
            && short.drop(1).toInt <= 23) 0 else 1, name)
     }
+    final case class QRes(name: String, cold: Meas, warm: Meas) {
+      def ok: Boolean = cold.ok && warm.ok
+    }
     val results = SparkEntry.queries.toSeq.sortBy(r => anchorFirst(r._1))
         .filter(r => selected(r._1)).map { case (name, fn) =>
-      val (cold, okCold, gcCold) = run(name, fn)
-      val (warm, okWarm, gcWarm) = run(name, fn)
-      (name, cold, warm, okCold, okWarm, gcCold, gcWarm)
+      QRes(name, run(name, fn), run(name, fn))
     }
     def jmap(sel: Seq[(String, Double)]): String =
       sel.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val good = results.filter(r => r._4 && r._5)
-    val qs = jmap(good.map(r => r._1 -> r._2))
-    val qw = jmap(good.map(r => r._1 -> r._3))
-    val qg = jmap(good.map(r => r._1 -> r._6))
+    val good = results.filter(_.ok)
+    val qs = jmap(good.map(r => r.name -> r.cold.wall))
+    val qw = jmap(good.map(r => r.name -> r.warm.wall))
+    val qg = jmap(good.map(r => r.name -> r.cold.gc))
+    val qc = jmap(good.map(r => r.name -> r.cold.cpu))
+    val qcw = jmap(good.map(r => r.name -> r.warm.cpu))
+    val ql = jmap(good.map(r => r.name -> r.cold.load))
+    val qm = jmap(good.map(r => r.name -> r.cold.cached))
     // Time of the run that actually FAILED (the cold one if both did) —
     // not the other run's duration, which would misdirect diagnosis.
-    val failedSecs = jmap(results.filterNot(r => r._4 && r._5)
-      .map(r => r._1 -> (if (!r._4) r._2 else r._3)))
+    val failedSecs = jmap(results.filterNot(_.ok)
+      .map(r => r.name -> (if (!r.cold.ok) r.cold.wall else r.warm.wall)))
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = good.map(_._2).sum
-    val totalWarm = good.map(_._3).sum
-    val gcCold = good.map(_._6).sum
-    val gcWarm = good.map(_._7).sum
-    // Full-precision detail line (full query names, cold + warm + GC
-    // maps) — for local diagnosis; too long for the driver's capture
-    // window.
-    println(s"""{"metric":"detail","value":$total,"unit":"sec","queries":$qs,"total_warm":$totalWarm,"queries_warm":$qw,"gc_cold_secs":$qg,"errors":$errs,"failed_secs":$failedSecs,"sf":"$sfDir"}""")
+    val total = good.map(_.cold.wall).sum
+    val totalWarm = good.map(_.warm.wall).sum
+    val gcCold = good.map(_.cold.gc).sum
+    val gcWarm = good.map(_.warm.gc).sum
+    val cpuCold = good.map(_.cold.cpu).sum
+    val cpuWarm = good.map(_.warm.cpu).sum
+    // Full-precision detail line (full query names; cold + warm wall,
+    // GC, process-CPU, pre-query load average and page-cache GiB) — for
+    // local diagnosis; too long for the driver's capture window.
+    println(s"""{"metric":"detail","value":$total,"unit":"sec","queries":$qs,"total_warm":$totalWarm,"queries_warm":$qw,"gc_cold_secs":$qg,"cpu_cold_secs":$qc,"cpu_warm_secs":$qcw,"load_before":$ql,"cached_gb_before":$qm,"errors":$errs,"failed_secs":$failedSecs,"sf":"$sfDir"}""")
     // Final line is the one the driver parses, and it only keeps the LAST
     // ~2000 chars of output (BENCH_r03.json's tail cut the r3 line mid-key
     // → parsed:null). So the headline line must stay compact: per-query
@@ -120,9 +160,23 @@ object Bench {
     // can't reproduce the anchor subtotal. Everything else packs
     // slowest-first into what remains of the budget.
     val anchorKeys = (1 to 23).map(i => f"q$i%02d").toSet
-    val (anchor, rest) = good.partition(r => anchorKeys(short(r._1)))
-    val ordered = (anchor.sortBy(-_._2) ++ rest.sortBy(-_._2))
-      .map(r => "\"" + short(r._1) + "\":" + r3(r._2))
+    val (anchor, rest) = good.partition(r => anchorKeys(short(r.name)))
+    val ordered = (anchor.sortBy(-_.cold.wall) ++ rest.sortBy(-_.cold.wall))
+      .map(r => "\"" + short(r.name) + "\":" + r3(r.cold.wall))
+    // "stalled": the headline's pressure-naming field — among queries
+    // with cold wall > 2 s, the worst wall-to-CPU-bound offenders as
+    // name:[wall,cpu]. A local[32] query doing real work keeps
+    // cpu ≥ wall (≥1 busy core plus change); wall ≫ cpu means the
+    // process was WAITING (descheduled under neighbor CPU load, or
+    // blocked on IO with a cold page cache) — the artifact itself now
+    // names the queries whose numbers should not be read as plan cost.
+    val stalled = good
+      .filter(r => r.cold.wall > 2.0 && r.cold.cpu >= 0
+        && r.cold.wall > 1.5 * r.cold.cpu)
+      .sortBy(r => -(r.cold.wall - r.cold.cpu)).take(8)
+      .map(r => "\"" + short(r.name) + "\":[" + r3(r.cold.wall) + "," +
+        r3(r.cold.cpu) + "]")
+      .mkString("{", ",", "}")
     // The errors array shares the same ~2 KB capture window as the map:
     // budget it too (a mass failure would otherwise head-truncate the
     // line exactly when the error signal matters), and shrink the map
@@ -147,7 +201,12 @@ object Bench {
     // cold/warm measurement windows — the headline's pressure gauge. A
     // high total with low GC is real plan cost; a high total with
     // comparable GC is heap pressure, not a regression.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"omitted":$omitted,"total_warm":${r3(totalWarm)},"gc_cold":${r3(gcCold)},"gc_warm":${r3(gcWarm)},"errors":$errsBudgeted,"errors_omitted":$errsOmitted,"sf":"$sfDir"}""")
+    // cpu_cold/cpu_warm: total process-CPU seconds inside the cold/warm
+    // windows. With value ≈ cpu/parallelism the run was compute-bound;
+    // value ≫ cpu means the process spent the round waiting — read
+    // "stalled" for the per-query breakdown before calling any number a
+    // plan regression.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"omitted":$omitted,"total_warm":${r3(totalWarm)},"gc_cold":${r3(gcCold)},"gc_warm":${r3(gcWarm)},"cpu_cold":${r3(cpuCold)},"cpu_warm":${r3(cpuWarm)},"stalled":$stalled,"errors":$errsBudgeted,"errors_omitted":$errsOmitted,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

