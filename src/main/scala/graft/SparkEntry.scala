@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, DecisionSupport, EmbedTrain, Extras, GraphOps, Indexes, LlmOps, NearDup, QuerySpec, Relational, RobustStats, ScaleOps, Search, SourcesIO, SqlSurface, StreamingOps, TextMedia, TrainPrep}
+import graft.queries.{Analytics, Curation, DecisionSupport, EmbedTrain, Extras, GraphOps, Indexes, LlmOps, NearDup, QuerySpec, Relational, RobustStats, ScaleOps, Search, SourcesIO, SqlSurface, StreamingOps, TextMedia, TrainPrep}
 
 /** Driver contract — see /root/repo/SURVEY.md §2.11 + §7.
   *
@@ -17,7 +17,7 @@ object SparkEntry {
       StreamingOps.all ++ SqlSurface.all ++ Extras.all ++ GraphOps.all ++
       TrainPrep.all ++ SourcesIO.all ++ Analytics.all ++ DecisionSupport.all ++
       ScaleOps.all ++ Search.all ++ Indexes.all ++ RobustStats.all ++
-      EmbedTrain.all
+      EmbedTrain.all ++ Curation.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Runs the TPC-H-Q1-shaped pricing aggregate — scan + filter + two-phase

@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import Det._
+
+/** Corpus-curation economics (round-7 family, q363–q365): the decisions
+  * a training-data owner makes ABOVE the operator layer — how to split
+  * a global token budget across sources, whether the embedding space
+  * separates labels well enough to train against, and how much content
+  * two sources share. Each reduces the corpus to a tiny frame (per
+  * source / per label) in one or two shuffles, then does exact integer
+  * or Det-deterministic arithmetic on that frame — the 100 TB cost is
+  * the corpus-sized aggregate, never the decision math.
+  *
+  * Reference anchor: the reference pipeline stops at per-table ETL
+  * (workflow-examples/pyspark-taxi-trip.py:34-52); these are the
+  * curation-tier capabilities its architecture implies for an
+  * LLM-corpus deployment (SURVEY §2.3 Tier C).
+  */
+object Curation {
+
+  /** q363 — dedup-aware token-budget allocation with largest-remainder
+    * rounding: a global budget of T=1,000,000 chars is split across
+    * sources proportionally to their DEDUPLICATED cluster counts (raw
+    * doc counts would let a source buy budget with boilerplate
+    * duplicates), rounded to integers that sum to T EXACTLY via
+    * largest remainder (float shares leak budget; q285's
+    * apportionment discipline applied to corpus mixing), then capped
+    * by each source's available deduplicated chars with the shortfall
+    * reported. Two corpus-sized aggregates (doc→cluster, cluster→
+    * source); everything after runs on a #sources-row frame. */
+  val q363 = QuerySpec(
+    "q363_token_budget_allocation",
+    (s, d) => {
+      import s.implicits._
+      val T = 1000000L
+      val cl = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select(md5(substring(lower($"text"), 1, 40).cast("binary")).as("h"),
+          $"doc_id", $"source", $"n_chars")
+        .groupBy($"h")
+        .agg(min_by($"source", $"doc_id").as("src"),
+          min_by($"n_chars", $"doc_id").as("keeper_chars"))
+      val bySrc = cl.groupBy($"src")
+        .agg(count(lit(1)).as("n_keepers"),
+          sum($"keeper_chars").as("avail_chars"))
+      // Tiny frame from here: broadcast the global totals, then one
+      // #sources-row window for the remainder ranking.
+      val tot = bySrc.agg(sum($"n_keepers").as("w_total"))
+      val based = bySrc.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"$T * n_keepers div w_total"))
+        .withColumn("rem", expr(s"($T * n_keepers) % w_total"))
+      val leftover = based.agg((lit(T) - sum($"base")).as("l"))
+      val w = Window.orderBy($"rem".desc, $"src")
+      val out = based.crossJoin(broadcast(leftover))
+        .withColumn("extra",
+          when(row_number().over(w) <= $"l", 1L).otherwise(0L))
+        .withColumn("quota_chars", $"base" + $"extra")
+        .withColumn("alloc_chars", least($"quota_chars", $"avail_chars"))
+        .select($"src", $"n_keepers", $"avail_chars", $"quota_chars",
+          $"alloc_chars",
+          ($"quota_chars" - $"alloc_chars").as("shortfall_chars"))
+        .orderBy($"src")
+      out
+    },
+    Some("""WITH cl AS (
+           |  SELECT md5(substring(lower(text), 1, 40)) AS h,
+           |    min_by(source, doc_id) AS src,
+           |    min_by(n_chars, doc_id) AS keeper_chars
+           |  FROM documents GROUP BY 1),
+           |bysrc AS (SELECT src, count(*) AS n_keepers,
+           |    CAST(sum(keeper_chars) AS BIGINT) AS avail_chars
+           |  FROM cl GROUP BY src),
+           |based AS (SELECT *,
+           |    CAST(1000000 * n_keepers // (SELECT sum(n_keepers) FROM bysrc) AS BIGINT) AS base,
+           |    (1000000 * n_keepers) % (SELECT sum(n_keepers) FROM bysrc) AS rem
+           |  FROM bysrc),
+           |ranked AS (SELECT *,
+           |    row_number() OVER (ORDER BY rem DESC, src) AS rnk,
+           |    (SELECT 1000000 - sum(base) FROM based) AS leftover
+           |  FROM based),
+           |q AS (SELECT *, base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS quota_chars
+           |  FROM ranked)
+           |SELECT src, n_keepers, avail_chars,
+           |  CAST(quota_chars AS BIGINT) AS quota_chars,
+           |  CAST(least(quota_chars, avail_chars) AS BIGINT) AS alloc_chars,
+           |  CAST(quota_chars - least(quota_chars, avail_chars) AS BIGINT) AS shortfall_chars
+           |FROM q ORDER BY src""".stripMargin),
+  )
+
+  /** q364 — embedding class-separation audit (Fisher-style scatter
+    * ratio): per label, the between-class scatter (n·‖m_label −
+    * m_global‖²) against the within-class scatter (Σ_dims (Σx² −
+    * (Σx)²/n)) — the "will a classifier/contrastive head even find
+    * these labels" gauge read before burning GPU-hours. One corpus
+    * pass to (label × dim) sufficient statistics; the global mean and
+    * ratios derive from that tiny frame. Det discipline end-to-end:
+    * every cross-row sum (Σx, Σx², the per-dim rollups) routes
+    * through exact DECIMAL; the division/multiplication chain then
+    * operates on identical doubles in both engines. */
+  val q364 = QuerySpec(
+    "q364_class_separation_audit",
+    (s, d) => {
+      import s.implicits._
+      val x = Tables.fanOut(Tables.embeddings(s, d), col("vec_id"))
+        .select($"label",
+          posexplode(graft.functions.VectorOps.asDouble($"embedding"))
+            .as(Seq("pos", "x")))
+      val lp = x.groupBy($"label", $"pos")
+        .agg(count(lit(1)).as("n"), dsum($"x", 12).as("sx"),
+          dsum($"x" * $"x", 12).as("sxx"))
+        .withColumn("m", $"sx" / $"n")
+        .withColumn("within_pos", $"sxx" - $"sx" * $"sx" / $"n")
+      // Global per-dim mean from the label-level stats (label×dim-sized
+      // frame): decimal-exact re-sum keeps it order-independent.
+      val gp = lp.groupBy($"pos")
+        .agg(dsum($"sx", 12).as("gsx"), sum($"n").as("gn"))
+        .withColumn("gm", $"gsx" / $"gn")
+      val out = lp.join(gp.select($"pos", $"gm"), Seq("pos"))
+        .withColumn("between_pos",
+          $"n" * ($"m" - $"gm") * ($"m" - $"gm"))
+        .groupBy($"label")
+        .agg(max($"n").as("n_vecs"),
+          round(dsum($"between_pos", 12), 6).as("between_sq"),
+          round(dsum($"within_pos", 12), 6).as("within_sq"))
+        // floor() not `div`: IntegralDivide is integer-typed in Spark
+        // while DuckDB's // on DOUBLE floor-divides in float — floor of
+        // the identical double quotient is the portable form.
+        .withColumn("separation_milli",
+          expr("CAST(floor(between_sq * 1000 / greatest(within_sq, 0.000001)) AS BIGINT)"))
+        .orderBy($"label")
+      out
+    },
+    Some(s"""WITH x AS (
+            |  SELECT label,
+            |    unnest(generate_series(1, len(embedding))) AS pos,
+            |    CAST(unnest(embedding) AS DOUBLE) AS x
+            |  FROM embeddings),
+            |lp AS (SELECT label, pos, count(*) AS n,
+            |    ${sqlDsum("x", 12)} AS sx, ${sqlDsum("x * x", 12)} AS sxx
+            |  FROM x GROUP BY 1, 2),
+            |lp2 AS (SELECT *, sx / n AS m, sxx - sx * sx / n AS within_pos FROM lp),
+            |gp AS (SELECT pos, ${sqlDsum("sx", 12)} AS gsx, sum(n) AS gn
+            |  FROM lp2 GROUP BY pos),
+            |gp2 AS (SELECT pos, gsx / gn AS gm FROM gp),
+            |j AS (SELECT l.label, l.n, l.within_pos,
+            |    l.n * (l.m - g.gm) * (l.m - g.gm) AS between_pos
+            |  FROM lp2 l JOIN gp2 g ON l.pos = g.pos)
+            |SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+            |  round(${sqlDsum("between_pos", 12)}, 6) AS between_sq,
+            |  round(${sqlDsum("within_pos", 12)}, 6) AS within_sq,
+            |  CAST(floor(round(${sqlDsum("between_pos", 12)}, 6) * 1000
+            |    / greatest(round(${sqlDsum("within_pos", 12)}, 6), 0.000001)) AS BIGINT)
+            |    AS separation_milli
+            |FROM j GROUP BY label ORDER BY label""".stripMargin),
+  )
+
+  /** q365 — pairwise source-overlap matrix via per-source MinHash: each
+    * source's deduplicated fingerprint set collapses to a 16-salt
+    * MinHash signature (16 exact min-reductions — mergeable, one
+    * corpus-sized pass), and every source PAIR's Jaccard overlap is
+    * estimated as the fraction of agreeing salts. The matrix itself is
+    * #sources² rows — driver-readable — while the corpus is touched
+    * once; this is how "how much of reddit is already in commoncrawl"
+    * gets answered at 100 TB without a cross-source join of content.
+    * Exact-integer output (matching salt count + ppm), so the sketch
+    * estimate itself is the deterministic contract on both engines. */
+  val q365 = QuerySpec(
+    "q365_source_overlap_minhash",
+    (s, d) => {
+      import s.implicits._
+      val fp = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"source",
+          md5(substring(lower($"text"), 1, 40).cast("binary")).as("h"))
+        .distinct()
+      val sigs = fp
+        .select($"source", explode(sequence(lit(0), lit(15))).as("salt"), $"h")
+        .groupBy($"source", $"salt")
+        .agg(min(md5(concat($"salt".cast("string"), lit(":"), $"h")
+          .cast("binary"))).as("mh"))
+      val a = sigs.select($"source".as("src_a"), $"salt", $"mh".as("mh_a"))
+      val b = sigs.select($"source".as("src_b"), $"salt", $"mh".as("mh_b"))
+      a.join(b, Seq("salt"))
+        .filter($"src_a" < $"src_b")
+        .groupBy($"src_a", $"src_b")
+        .agg(sum(when($"mh_a" === $"mh_b", 1L).otherwise(0L)).as("matching_salts"))
+        .withColumn("jaccard_ppm", expr("matching_salts * 1000000L div 16"))
+        .orderBy($"src_a", $"src_b")
+    },
+    Some("""WITH fp AS (
+           |  SELECT DISTINCT source, md5(substring(lower(text), 1, 40)) AS h
+           |  FROM documents),
+           |sigs AS (
+           |  SELECT source, salt, min(md5(CAST(salt AS VARCHAR) || ':' || h)) AS mh
+           |  FROM fp, generate_series(0, 15) g(salt)
+           |  GROUP BY source, salt),
+           |m AS (SELECT a.source AS src_a, b.source AS src_b,
+           |    CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS matching_salts
+           |  FROM sigs a JOIN sigs b ON a.salt = b.salt AND a.source < b.source
+           |  GROUP BY 1, 2)
+           |SELECT src_a, src_b, matching_salts,
+           |  CAST(matching_salts * 1000000 // 16 AS BIGINT) AS jaccard_ppm
+           |FROM m ORDER BY src_a, src_b""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q363, q364, q365)
+}

@@ -29,6 +29,21 @@ object Indexes {
 
   private val B = 4 // LSH bands (must match NearDup's banding)
 
+  /** (doc_id, t=tokens) → (doc_id, b, band_key): the banded MinHash
+    * signature stream shared by q342 (build-once index) and q359
+    * (incrementally maintained index) — signatures must be IDENTICAL
+    * across epochs or the maintained index silently diverges from a
+    * rebuild. */
+  private def bandSigs(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select($"doc_id", shingles3("t").as("sh"))
+      .select($"doc_id",
+        saltedHashes("sh", 0).as("h0"), saltedHashes("sh", 1).as("h1"))
+      .select($"doc_id", explode(sequence(lit(0), lit(B - 1))).as("b"), $"h0", $"h1")
+      .select($"doc_id", $"b",
+        concat(chunkMin("h0", "b"), lit("|"), chunkMin("h1", "b")).as("band_key"))
+  }
+
   /** q341 — IVF index persisted + probed: q28's centroid assignment is
     * computed ONCE (one corpus pass: broadcast the 8 centroids, argmax
     * per vector) and WRITTEN to parquet partitioned by cluster id —
@@ -111,13 +126,7 @@ object Indexes {
         val docs = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
           .select($"doc_id", tokens($"text").as("t"))
           .filter(size($"t") >= 3)
-        def sigs(df: DataFrame) = df
-          .select($"doc_id", shingles3("t").as("sh"))
-          .select($"doc_id",
-            saltedHashes("sh", 0).as("h0"), saltedHashes("sh", 1).as("h1"))
-          .select($"doc_id", explode(sequence(lit(0), lit(B - 1))).as("b"), $"h0", $"h1")
-          .select($"doc_id", $"b",
-            concat(chunkMin("h0", "b"), lit("|"), chunkMin("h1", "b")).as("band_key"))
+        def sigs(df: DataFrame) = bandSigs(df)
         // BUILD: capped corpus buckets → parquet, one dir per band.
         sigs(docs.filter($"doc_id" % 4 =!= 0))
           .groupBy($"b", $"band_key")
@@ -162,5 +171,322 @@ object Indexes {
            |ORDER BY d.doc_id""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q341, q342)
+  /** q359's probe, factored so PlanAuditSpec can pin its shape: the
+    * maintained member table is BUCKETED by band_key, so the index side
+    * of both probe joins plans with NO shuffle Exchange — batch
+    * signatures and the meta liveness frame shuffle TO the index's
+    * on-disk partitioning, never the reverse. At 100 TB that is the
+    * whole point of a persisted index: the corpus-sized side never
+    * moves at probe time. */
+  def maintainedLshProbe(s: SparkSession, membersTbl: String,
+      metaDir: String, batchDocs: DataFrame, cap: Int): DataFrame = {
+    import s.implicits._
+    // Liveness from the MAINTAINED meta (true per-bucket totals across
+    // every epoch, including tombstoned over-cap buckets whose members
+    // were never written): a bucket is probe-able iff its lifetime
+    // total stays within cap — exactly the from-scratch drop rule.
+    val live = s.read.parquet(metaDir).groupBy($"b", $"band_key")
+      .agg(sum($"k").as("ktot")).filter($"ktot" <= cap)
+    val members = s.table(membersTbl)
+      .join(live, Seq("b", "band_key"), "left_semi")
+    bandSigs(batchDocs)
+      .join(members, Seq("b", "band_key"))
+      .groupBy($"doc_id")
+      .agg(min($"corpus_id").as("dup_of"))
+  }
+
+  /** q359's build+maintain stage, factored for the plan-audit spec:
+    * epoch 0 (doc_id % 4 == 1) creates the bucketed member table and
+    * meta; epoch 1 (doc_id % 4 ∈ {2,3}) APPENDS to both. `docs` must
+    * carry (doc_id, t). */
+  def stageMaintainedLsh(s: SparkSession, docs: DataFrame,
+      tmp: String, tbl: String, cap: Int): Unit = {
+    import s.implicits._
+    // One pass per epoch: true count k (O(1) state) + capped member
+    // list (O(cap) state) — a hot bucket costs cap+1 buffer slots,
+    // never its true size.
+    def epochBuckets(df: DataFrame) = bandSigs(df)
+      .groupBy($"b", $"band_key")
+      .agg(count(lit(1)).as("k"), collectCapped($"doc_id", cap).as("ids"))
+    def writeEpoch(e: DataFrame, first: Boolean): Unit = {
+      val mode = if (first) org.apache.spark.sql.SaveMode.ErrorIfExists
+                 else org.apache.spark.sql.SaveMode.Append
+      e.select($"b", $"band_key", $"k")
+        .write.mode(mode).parquet(s"$tmp/meta")
+      e.filter($"k" <= cap)
+        .select($"b", $"band_key", explode($"ids").as("corpus_id"))
+        .write.mode(mode)
+        .bucketBy(8, "b", "band_key").sortBy("b", "band_key")
+        .option("path", s"$tmp/members").saveAsTable(tbl)
+    }
+    writeEpoch(epochBuckets(docs.filter($"doc_id" % 4 === 1)), first = true)
+    writeEpoch(epochBuckets(docs.filter($"doc_id" % 4 === 2
+      || $"doc_id" % 4 === 3)), first = false)
+  }
+
+  /** q359 — LSH index MAINTAINED incrementally (the production
+    * lifecycle q342 stops short of): the corpus index is built from
+    * epoch-0 docs, then epoch-1 arrives and is APPENDED — new band
+    * buckets union in, per-epoch member rows land in the same bucketed
+    * table, and a meta table of TRUE bucket counts (kept even for
+    * over-cap buckets whose members are dropped) is the re-cap
+    * authority: the probe admits a bucket only if its lifetime total ≤
+    * cap. That meta discipline is what makes increment ≡ rebuild — a
+    * bucket that went hot in epoch 0 stays tombstoned even if epoch 1
+    * alone is small, exactly as a from-scratch build over both epochs
+    * would drop it (the q316 delta discipline applied to an index).
+    * Members are written `bucketBy(b, band_key)` + sorted (bucket keys ≡ probe join keys, or the planner disables the bucketed scan), so probe joins
+    * plan with NO shuffle on the index side (PlanAuditSpec pins it).
+    * Oracle: q342's from-scratch SQL over the SAME corpus — the
+    * maintained files must answer identically to a rebuild. */
+  val q359 = QuerySpec(
+    "q359_lsh_index_maintained",
+    (s, d) => {
+      import s.implicits._
+      val cap = NearDup.MaxLshBucket
+      val sfx = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val tbl = s"graft_lshm_$sfx"
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lshm").toString
+      try {
+        val docs = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+          .select($"doc_id", tokens($"text").as("t"))
+          .filter(size($"t") >= 3)
+        // BUILD (epoch 0) then MAINTAIN (epoch 1 appended).
+        stageMaintainedLsh(s, docs, tmp, tbl, cap)
+        // PROBE the maintained files with the arriving batch.
+        val matches = maintainedLshProbe(s, tbl, s"$tmp/meta",
+          docs.filter($"doc_id" % 4 === 0), cap)
+        val out = docs.filter($"doc_id" % 4 === 0).select($"doc_id")
+          .join(matches, Seq("doc_id"), "left")
+          .select($"doc_id", $"dup_of".isNotNull.as("is_dup"), $"dup_of")
+          .orderBy($"doc_id")
+        Eager(out)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        graft.Fs.deleteTree(tmp)
+      }
+    },
+    // The from-scratch rebuild IS the oracle: maintained ≡ rebuilt.
+    q342.oracle,
+  )
+
+  /** q360 — IVF inverted file MAINTAINED incrementally: q341 builds
+    * once and probes once; here the corpus arrives in two epochs and
+    * the second is APPENDED into the written inverted file (assignment
+    * is per-vector against the FROZEN coarse quantizer, so maintenance
+    * is append-only — new members land in their cluster's partition
+    * directory and old files are never rewritten; Hive-style dynamic
+    * partition append). The probe then partition-prunes the maintained
+    * directory exactly as q341 does a fresh one. Centroid drift is the
+    * one thing append-only maintenance cannot absorb — that rebuild
+    * trigger is q356's monitor, by design. Oracle: q341's from-scratch
+    * SQL — the maintained inverted file must answer identically. */
+  val q360 = QuerySpec(
+    "q360_ivf_index_maintained",
+    (s, d) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfm").toString
+      try {
+        val base = Tables.embeddings(s, d)
+          .select($"vec_id", asDouble($"embedding").as("emb"))
+          .withColumn("nrm", l2Norm($"emb"))
+        val cent = base.filter($"vec_id".between(2, 9))
+          .select($"vec_id".as("cid"), $"emb".as("cemb"), $"nrm".as("cnrm"))
+        val qv = base.filter($"vec_id" === 1)
+          .select($"emb".as("qemb"), $"nrm".as("qnrm"))
+        def assign(df: DataFrame) = Tables.fanOut(df, col("vec_id"))
+          .crossJoin(broadcast(cent))
+          .withColumn("c", dot($"emb", $"cemb") / ($"nrm" * $"cnrm"))
+          .groupBy($"vec_id")
+          .agg(max_by($"cid", struct($"c", -$"cid")).as("cid"),
+            first($"emb").as("emb"), first($"nrm").as("nrm"))
+        // BUILD from epoch 0 (even ids), MAINTAIN by appending epoch 1.
+        assign(base.filter($"vec_id" % 2 === 0))
+          .write.partitionBy("cid").parquet(s"$tmp/ivf")
+        assign(base.filter($"vec_id" % 2 === 1))
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .partitionBy("cid").parquet(s"$tmp/ivf")
+        val probeCids = cent.crossJoin(broadcast(qv))
+          .withColumn("c", dot($"cemb", $"qemb") / ($"cnrm" * $"qnrm"))
+          .orderBy($"c".desc, $"cid")
+          .limit(2)
+          .select($"cid").collect().map(_.getLong(0))
+        val hits = s.read.parquet(s"$tmp/ivf")
+          .filter($"cid".isin(probeCids: _*) && $"vec_id" =!= 1)
+          .crossJoin(broadcast(qv))
+          .select($"vec_id", $"cid".cast("long").as("cluster_id"),
+            round(dot($"emb", $"qemb") / ($"nrm" * $"qnrm"), 4).as("cos_sim"))
+          .orderBy($"cos_sim".desc, $"vec_id")
+          .limit(10)
+        Eager(hits)
+      } finally graft.Fs.deleteTree(tmp)
+    },
+    // Maintained inverted file ≡ the from-scratch build q341 verifies.
+    q341.oracle,
+  )
+
+  /** q361 — LSH index COMPACTION (the lifecycle step after q359's
+    * appends): buckets whose lifetime totals crossed the cap are
+    * tombstoned in meta — the probe already ignores them, but their
+    * member rows written in earlier (then-small) epochs are dead weight
+    * on every probe scan. Compaction REWRITES the member table keeping
+    * only live buckets (left-semi against the meta totals — the
+    * re-cap), and reports per-band reclamation: bucket census, rows
+    * before/after, rows purged. Counts come from the REWRITTEN files,
+    * proving the compaction physically happened. At 100 TB this is the
+    * periodic maintenance job that keeps probe cost proportional to
+    * LIVE index size, not to append history; rewriting bucketed-by-key
+    * keeps the post-compaction probes exchange-free too. Oracle:
+    * recompute the epoch structure from scratch — written rows are the
+    * per-epoch ≤cap member lists, live rows those of buckets whose
+    * lifetime total ≤ cap. */
+  val q361 = QuerySpec(
+    "q361_lsh_index_compaction",
+    (s, d) => {
+      import s.implicits._
+      val cap = NearDup.MaxLshBucket
+      val sfx = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val (tbl, tbl2) = (s"graft_lshc_$sfx", s"graft_lshc2_$sfx")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lshc").toString
+      try {
+        val docs = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+          .select($"doc_id", tokens($"text").as("t"))
+          .filter(size($"t") >= 3)
+        stageMaintainedLsh(s, docs, tmp, tbl, cap)
+        val ktot = s.read.parquet(s"$tmp/meta").groupBy($"b", $"band_key")
+          .agg(sum($"k").as("ktot"))
+        // COMPACT: rewrite members minus tombstoned buckets, bucketed
+        // again so downstream probes keep the shuffle-free layout.
+        s.table(tbl)
+          .join(ktot.filter($"ktot" <= cap), Seq("b", "band_key"), "left_semi")
+          .write.bucketBy(8, "b", "band_key").sortBy("b", "band_key")
+          .option("path", s"$tmp/members_v2").saveAsTable(tbl2)
+        val before = s.table(tbl).groupBy($"b")
+          .agg(count(lit(1)).as("rows_before"))
+        val after = s.table(tbl2).groupBy($"b")
+          .agg(count(lit(1)).as("rows_after"))
+        val buckets = ktot.groupBy($"b")
+          .agg(count(lit(1)).as("n_buckets"),
+            sum(when($"ktot" <= cap, 1L).otherwise(0L)).as("n_live_buckets"))
+        // Left joins + coalesce(0): a band whose every bucket went hot
+        // has NO rows in either member table but must still report.
+        val out = buckets
+          .join(before, Seq("b"), "left").join(after, Seq("b"), "left")
+          .select($"b", $"n_buckets", $"n_live_buckets",
+            coalesce($"rows_before", lit(0L)).as("rows_before"),
+            coalesce($"rows_after", lit(0L)).as("rows_after"),
+            (coalesce($"rows_before", lit(0L)) -
+              coalesce($"rows_after", lit(0L))).as("rows_purged"))
+          .orderBy($"b")
+        Eager(out)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"DROP TABLE IF EXISTS $tbl2")
+        graft.Fs.deleteTree(tmp)
+      }
+    },
+    Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+           |docs AS (SELECT doc_id, t FROM toks WHERE len(t) >= 3),
+           |sh AS (SELECT doc_id, list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS s
+           |       FROM docs),
+           |hs AS (SELECT doc_id,
+           |        list_transform(s, x -> md5(x || ':0')) AS h0,
+           |        list_transform(s, x -> md5(x || ':1')) AS h1 FROM sh),
+           |sig AS (SELECT doc_id, b,
+           |        list_aggregate(list_transform(h0, x -> substring(x, 1 + 8*b, 8)), 'min')
+           |        || '|' ||
+           |        list_aggregate(list_transform(h1, x -> substring(x, 1 + 8*b, 8)), 'min') AS band_key
+           |        FROM hs, generate_series(0, 3) g(b)),
+           |epochs AS (SELECT b, band_key,
+           |        CASE WHEN doc_id % 4 = 1 THEN 0 ELSE 1 END AS ep, count(*) AS k
+           |        FROM sig WHERE doc_id % 4 <> 0 GROUP BY 1, 2, 3),
+           |bk AS (SELECT b, band_key,
+           |        CAST(sum(CASE WHEN k <= 64 THEN k ELSE 0 END) AS BIGINT) AS rows_written,
+           |        sum(k) AS ktot
+           |        FROM epochs GROUP BY 1, 2)
+           |SELECT CAST(b AS INT) AS b, count(*) AS n_buckets,
+           |  CAST(sum(CASE WHEN ktot <= 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_live_buckets,
+           |  CAST(sum(rows_written) AS BIGINT) AS rows_before,
+           |  CAST(sum(CASE WHEN ktot <= 64 THEN rows_written ELSE 0 END) AS BIGINT) AS rows_after,
+           |  CAST(sum(CASE WHEN ktot > 64 THEN rows_written ELSE 0 END) AS BIGINT) AS rows_purged
+           |FROM bk GROUP BY b ORDER BY b""".stripMargin),
+  )
+
+  /** q362 — dedup DELTA between index epochs: the same probe batch
+    * answered against the epoch-0 index and against epoch-0∪1, diffed —
+    * "which documents' dedup verdicts CHANGED when the new corpus epoch
+    * landed". This is the report a training-data curator reads after
+    * every ingest: newly-caught dups (a new epoch doc matched an
+    * incoming one), flips of the canonical dup target, and verdicts
+    * REVOKED by the cap (a bucket the new epoch pushed over cap stops
+    * matching — the documented degrade of hot non-discriminating
+    * bands). Both sides are the capped-bucket q342 semantics at two
+    * corpus states; one signature computation feeds both probes. Output
+    * is the changed-verdict rows only. */
+  val q362 = QuerySpec(
+    "q362_dedup_epoch_delta",
+    (s, d) => {
+      import s.implicits._
+      val cap = NearDup.MaxLshBucket
+      val docs = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"doc_id", tokens($"text").as("t"))
+        .filter(size($"t") >= 3)
+      val sig = bandSigs(docs)
+      val batch = sig.filter($"doc_id" % 4 === 0)
+      def verdict(corpus: DataFrame, col0: String) = {
+        val buckets = corpus
+          .groupBy($"b", $"band_key")
+          .agg(collectCapped($"doc_id", cap).as("ids"))
+          .filter(size($"ids") <= cap)
+          .select($"b", $"band_key", explode($"ids").as("corpus_id"))
+        batch.join(buckets, Seq("b", "band_key"))
+          .groupBy($"doc_id")
+          .agg(min($"corpus_id").as(col0))
+      }
+      val then_ = verdict(sig.filter($"doc_id" % 4 === 1), "dup_of_then")
+      val now = verdict(sig.filter($"doc_id" % 4 =!= 0), "dup_of_now")
+      docs.filter($"doc_id" % 4 === 0).select($"doc_id")
+        .join(then_, Seq("doc_id"), "left")
+        .join(now, Seq("doc_id"), "left")
+        .filter(!($"dup_of_then" <=> $"dup_of_now"))
+        .select($"doc_id",
+          $"dup_of_then".isNotNull.as("was_dup"),
+          $"dup_of_now".isNotNull.as("now_dup"),
+          $"dup_of_then", $"dup_of_now")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+           |docs AS (SELECT doc_id, t FROM toks WHERE len(t) >= 3),
+           |sh AS (SELECT doc_id, list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS s
+           |       FROM docs),
+           |hs AS (SELECT doc_id,
+           |        list_transform(s, x -> md5(x || ':0')) AS h0,
+           |        list_transform(s, x -> md5(x || ':1')) AS h1 FROM sh),
+           |sig AS (SELECT doc_id, b,
+           |        list_aggregate(list_transform(h0, x -> substring(x, 1 + 8*b, 8)), 'min')
+           |        || '|' ||
+           |        list_aggregate(list_transform(h1, x -> substring(x, 1 + 8*b, 8)), 'min') AS band_key
+           |        FROM hs, generate_series(0, 3) g(b)),
+           |c_then AS (SELECT b, band_key, doc_id FROM (
+           |  SELECT b, band_key, doc_id, count(*) OVER (PARTITION BY b, band_key) AS bn
+           |  FROM sig WHERE doc_id % 4 = 1) WHERE bn <= 64),
+           |c_now AS (SELECT b, band_key, doc_id FROM (
+           |  SELECT b, band_key, doc_id, count(*) OVER (PARTITION BY b, band_key) AS bn
+           |  FROM sig WHERE doc_id % 4 <> 0) WHERE bn <= 64),
+           |v_then AS (SELECT s2.doc_id, min(c.doc_id) AS dup_of_then
+           |  FROM sig s2 JOIN c_then c ON s2.b = c.b AND s2.band_key = c.band_key
+           |  WHERE s2.doc_id % 4 = 0 GROUP BY s2.doc_id),
+           |v_now AS (SELECT s2.doc_id, min(c.doc_id) AS dup_of_now
+           |  FROM sig s2 JOIN c_now c ON s2.b = c.b AND s2.band_key = c.band_key
+           |  WHERE s2.doc_id % 4 = 0 GROUP BY s2.doc_id)
+           |SELECT d.doc_id, t.dup_of_then IS NOT NULL AS was_dup,
+           |  n.dup_of_now IS NOT NULL AS now_dup, t.dup_of_then, n.dup_of_now
+           |FROM (SELECT DISTINCT doc_id FROM docs WHERE doc_id % 4 = 0) d
+           |LEFT JOIN v_then t ON d.doc_id = t.doc_id
+           |LEFT JOIN v_now n ON d.doc_id = n.doc_id
+           |WHERE t.dup_of_then IS DISTINCT FROM n.dup_of_now
+           |ORDER BY d.doc_id""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q341, q342, q359, q360, q361, q362)
 }
