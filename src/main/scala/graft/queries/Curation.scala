@@ -205,5 +205,109 @@ object Curation {
            |FROM m ORDER BY src_a, src_b""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q363, q364, q365)
+  /** q367 — int8 quantization error audit: q81 SHIPS int8-quantized
+    * vectors (ADC probes); this measures what the quantization costs —
+    * per label, the total/worst absolute reconstruction error of
+    * symmetric per-vector int8 (scale = amax/127, round-half-up,
+    * clamped) and how many components sit at full scale. All math is
+    * per-row array algebra on identical operands (transform/fold
+    * mirrored by list_transform/list_reduce), cross-row sums through
+    * exact DECIMAL — engine-identical without a single UDF. The gauge
+    * a storage-budget decision ("can this corpus ship int8?") reads. */
+  val q367 = QuerySpec(
+    "q367_int8_quantization_audit",
+    (s, d) => {
+      import s.implicits._
+      val v = Tables.fanOut(Tables.embeddings(s, d), col("vec_id"))
+        .select($"vec_id", $"label",
+          graft.functions.VectorOps.asDouble($"embedding").as("emb"))
+        .withColumn("amax",
+          greatest(abs(array_max($"emb")), abs(array_min($"emb"))))
+        .filter($"amax" > 0)
+        .withColumn("scale", $"amax" / lit(127.0d))
+        // round-half-up spelled as floor(x+0.5): Spark round() and
+        // DuckDB round() disagree on halves; floor of the identical
+        // double is portable.
+        .withColumn("err", expr(
+          "transform(emb, x -> abs(greatest(least(floor(x / scale + 0.5D), 127.0D), -127.0D) * scale - x))"))
+        .withColumn("err_sum", expr("aggregate(err, 0.0D, (a, x) -> a + x)"))
+        .withColumn("err_max", array_max($"err"))
+        .withColumn("n_sat", expr("size(filter(emb, x -> abs(x) >= amax))"))
+      v.groupBy($"label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(dsum($"err_sum", 12), 6).as("abs_err_sum"),
+          round(max($"err_max"), 6).as("worst_abs_err"),
+          sum($"n_sat").cast("long").as("n_full_scale"))
+        .orderBy($"label")
+    },
+    Some(s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            |a AS (SELECT *, greatest(abs(list_max(emb)), abs(list_min(emb))) AS amax FROM v),
+            |b AS (SELECT *, amax / 127.0 AS scale FROM a WHERE amax > 0),
+            |c AS (SELECT label,
+            |    list_transform(emb, x -> abs(greatest(least(floor(x / scale + 0.5), 127.0), -127.0) * scale - x)) AS err,
+            |    len(list_filter(emb, x -> abs(x) >= amax)) AS n_sat
+            |  FROM b),
+            |e2 AS (SELECT label, ${sqlFoldSum("err")} AS err_sum,
+            |    list_max(err) AS err_max, n_sat FROM c)
+            |SELECT label, count(*) AS n_vecs,
+            |  round(${sqlDsum("err_sum", 12)}, 6) AS abs_err_sum,
+            |  round(max(err_max), 6) AS worst_abs_err,
+            |  CAST(sum(n_sat) AS BIGINT) AS n_full_scale
+            |FROM e2 GROUP BY label ORDER BY label""".stripMargin),
+  )
+
+  /** q368 — epoch novelty rate: how much genuinely NEW content did the
+    * arriving corpus epoch bring, measured at the 3-shingle level —
+    * each epoch-1 document's shingles anti-joined against the DISTINCT
+    * epoch-0 shingle set, rolled up per source as exact novelty ppm.
+    * The curator signal that decides whether a crawl source is still
+    * worth re-crawling. Shape: one shingle-keyed anti-join (linear in
+    * corpus shingle volume, hash-partitioned on the shingle — the
+    * dedup family's partitioning reused), then doc- and source-sized
+    * rollups; epoch split matches the q359/q361 index epochs. */
+  val q368 = QuerySpec(
+    "q368_epoch_novelty_rate",
+    (s, d) => {
+      import s.implicits._
+      val sh = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"doc_id", $"source",
+          graft.functions.TextFns.tokens($"text").as("t"))
+        .filter(size($"t") >= 3)
+        .select($"doc_id", $"source",
+          explode(graft.functions.TextFns.shingles3("t")).as("sh"))
+      val s0 = sh.filter($"doc_id" % 4 === 1).select($"sh").distinct()
+      val arrivals = sh.filter($"doc_id" % 4 === 2 || $"doc_id" % 4 === 3)
+      val novel = arrivals.join(s0, Seq("sh"), "left_anti")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_novel"))
+      val per = arrivals.groupBy($"doc_id")
+        .agg(first($"source").as("source"), count(lit(1)).as("n_sh"))
+        .join(novel, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_novel"))
+      per.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_sh").as("n_shingles"),
+          sum($"n_novel").as("n_novel"),
+          expr("sum(n_novel) * 1000000L div sum(n_sh)").as("novelty_ppm"))
+        .orderBy($"source")
+    },
+    Some("""WITH toks AS (SELECT doc_id, source, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+           |docs AS (SELECT doc_id, source, t FROM toks WHERE len(t) >= 3),
+           |sh AS (SELECT doc_id, source,
+           |    unnest(list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+           |  FROM docs),
+           |s0 AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 4 = 1),
+           |arr AS (SELECT doc_id, source, sh FROM sh WHERE doc_id % 4 IN (2, 3)),
+           |j AS (SELECT a.doc_id, a.source,
+           |    CASE WHEN s0.sh IS NULL THEN 1 ELSE 0 END AS novel
+           |  FROM arr a LEFT JOIN s0 ON a.sh = s0.sh),
+           |per AS (SELECT doc_id, source, count(*) AS n_sh, sum(novel) AS n_novel
+           |  FROM j GROUP BY 1, 2)
+           |SELECT source, count(*) AS n_docs,
+           |  CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+           |  CAST(sum(n_novel) AS BIGINT) AS n_novel,
+           |  CAST(sum(n_novel) * 1000000 // sum(n_sh) AS BIGINT) AS novelty_ppm
+           |FROM per GROUP BY source ORDER BY source""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q363, q364, q365, q367, q368)
 }

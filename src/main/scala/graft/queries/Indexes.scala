@@ -34,7 +34,7 @@ object Indexes {
     * (incrementally maintained index) — signatures must be IDENTICAL
     * across epochs or the maintained index silently diverges from a
     * rebuild. */
-  private def bandSigs(df: DataFrame): DataFrame = {
+  private[graft] def bandSigs(df: DataFrame): DataFrame = {
     import df.sparkSession.implicits._
     df.select($"doc_id", shingles3("t").as("sh"))
       .select($"doc_id",
@@ -488,5 +488,98 @@ object Indexes {
            |ORDER BY d.doc_id""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q341, q342, q359, q360, q361, q362)
+  /** q366 — STREAMING dedup against the persisted LSH index: the
+    * q342/q359 index consumed the way production consumes it — arriving
+    * docs as a rate-limited file stream, each micro-batch computing its
+    * signatures statelessly and probing the WRITTEN index inside
+    * `foreachBatch`, verdicts appended to a sink. Zero streaming state:
+    * the on-disk index IS the state, so the job restarts cleanly and
+    * the probe fleet scales independently of the index builder. Drained
+    * result ≡ the all-at-once batch probe (every doc lives in exactly
+    * one micro-batch), which is what the oracle computes from scratch.
+    * See [[graft.streaming.StreamIndexProbe]]. */
+  val q366 = QuerySpec(
+    "q366_stream_index_probe",
+    (s, d) => graft.streaming.StreamIndexProbe.runOnce(s, d),
+    q342.oracle,
+  )
+
+  /** q369 — IVF recall audit (recall@10): for a fixed 20-query sample,
+    * the exact cosine top-10 versus the IVF(nprobe=2) top-10, scored as
+    * overlap count per query — the "is the ANN index good enough to
+    * ship" gauge run after every build/maintenance cycle (q341/q360).
+    * Shape: queries and centroids broadcast (20- and 8-row frames); the
+    * corpus is scanned once for the exact scores and once for the
+    * assignment, both followed by bounded per-query top-k windows —
+    * never a corpus×corpus pair. Recall is an exact integer: the
+    * estimate itself is the deterministic contract. */
+  val q369 = QuerySpec(
+    "q369_ivf_recall_audit",
+    (s, d) => {
+      import s.implicits._
+      val base = Tables.fanOut(Tables.embeddings(s, d), col("vec_id"))
+        .select($"vec_id", asDouble($"embedding").as("emb"))
+        .withColumn("nrm", l2Norm($"emb"))
+      val cent = base.filter($"vec_id".between(2, 9))
+        .select($"vec_id".as("cid"), $"emb".as("cemb"), $"nrm".as("cnrm"))
+      val queries = base.filter($"vec_id".between(10, 29))
+        .select($"vec_id".as("qid"), $"emb".as("qemb"), $"nrm".as("qnrm"))
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"c".desc, $"vec_id")
+      val scored = base.crossJoin(broadcast(queries))
+        .filter($"vec_id" =!= $"qid")
+        .withColumn("c", dot($"emb", $"qemb") / ($"nrm" * $"qnrm"))
+      val exact = scored.withColumn("rn", row_number().over(wq))
+        .filter($"rn" <= 10).select($"qid", $"vec_id")
+      val assigned = base.crossJoin(broadcast(cent))
+        .withColumn("cc", dot($"emb", $"cemb") / ($"nrm" * $"cnrm"))
+        .groupBy($"vec_id")
+        .agg(max_by($"cid", struct($"cc", -$"cid")).as("cid"),
+          first($"emb").as("emb"), first($"nrm").as("nrm"))
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"cc".desc, $"cid")
+      val probe = queries.crossJoin(broadcast(cent))
+        .withColumn("cc", dot($"qemb", $"cemb") / ($"qnrm" * $"cnrm"))
+        .withColumn("rn", row_number().over(wp))
+        .filter($"rn" <= 2).select($"qid", $"cid", $"qemb", $"qnrm")
+      val cand = assigned.join(broadcast(probe), Seq("cid"))
+        .filter($"vec_id" =!= $"qid")
+        .withColumn("c", dot($"emb", $"qemb") / ($"nrm" * $"qnrm"))
+        .withColumn("rn", row_number().over(wq))
+        .filter($"rn" <= 10).select($"qid", $"vec_id")
+      val overlap = exact.join(cand, Seq("qid", "vec_id"), "left_semi")
+        .groupBy($"qid").agg(count(lit(1)).as("n_hit"))
+      queries.select($"qid").join(overlap, Seq("qid"), "left")
+        .select($"qid", coalesce($"n_hit", lit(0L)).as("recall_at_10"))
+        .orderBy($"qid")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            |cent AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id BETWEEN 2 AND 9),
+            |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id BETWEEN 10 AND 29),
+            |sc AS (SELECT q.qid, v.vec_id, ${sqlCosine("v.emb", "q.qemb")} AS c
+            |       FROM e v, q WHERE v.vec_id <> q.qid),
+            |ex AS (SELECT qid, vec_id FROM (
+            |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn FROM sc)
+            |  WHERE rn <= 10),
+            |ac AS (SELECT v.vec_id, c2.cid, ${sqlCosine("v.emb", "c2.cemb")} AS cc FROM e v, cent c2),
+            |asg AS (SELECT vec_id, cid FROM (
+            |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn FROM ac)
+            |  WHERE rn = 1),
+            |pr AS (SELECT qid, cid FROM (
+            |    SELECT q.qid, a.cid, row_number() OVER (PARTITION BY q.qid ORDER BY a.cc DESC, a.cid) AS rn
+            |    FROM q JOIN ac a ON a.vec_id = q.qid)
+            |  WHERE rn <= 2),
+            |cand AS (SELECT s.qid, s.vec_id, s.c
+            |  FROM sc s JOIN asg ON asg.vec_id = s.vec_id
+            |  JOIN pr ON pr.qid = s.qid AND pr.cid = asg.cid),
+            |iv AS (SELECT qid, vec_id FROM (
+            |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn FROM cand)
+            |  WHERE rn <= 10),
+            |o AS (SELECT ex.qid, count(*) AS n FROM ex JOIN iv
+            |  ON ex.qid = iv.qid AND ex.vec_id = iv.vec_id GROUP BY ex.qid)
+            |SELECT q.qid, CAST(coalesce(o.n, 0) AS BIGINT) AS recall_at_10
+            |FROM q LEFT JOIN o ON q.qid = o.qid ORDER BY q.qid""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q341, q342, q359, q360, q361, q362, q366, q369)
 }
