@@ -1385,9 +1385,9 @@ object Extras {
            |    CAST(count(CASE WHEN p THEN 1 END) AS BIGINT) AS n_add_overflow,
            |    CAST(count(CASE WHEN p THEN 1 END) AS BIGINT) AS n_div_zero,
            |    CAST(count(CASE WHEN p THEN 1 END) AS BIGINT) AS n_mul_overflow,
-           |    CAST(sum(CAST(CASE WHEN p THEN 0.0
+           |    CAST(CAST(sum(CAST(CASE WHEN p THEN 0.0
            |        ELSE CAST(l_orderkey AS DOUBLE) / 4 END AS DECIMAL(30,6)))
-           |      AS DOUBLE) AS div_sum
+           |      AS STRING) AS DOUBLE) AS div_sum
            |  FROM base GROUP BY l_returnflag),
            |ladder AS (
            |  SELECT l_returnflag,
