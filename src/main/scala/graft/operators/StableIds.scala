@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.LongType
 
 /** Dense global row numbering over an arbitrary total order — the
   * scalable replacement for the two classic anti-patterns:
@@ -11,18 +10,39 @@ import org.apache.spark.sql.functions._
   * (dense in neither value nor order, unstable across repartitions).
   *
   * Construction: range-repartition on the sort key (each partition owns
-  * a contiguous key range), sort within partitions, count rows per
-  * partition (a count-only aggregate — key bytes never shuffle twice),
-  * prefix-sum the counts into per-partition offsets (numPartitions-sized
-  * — a driver-scale frame), broadcast the offsets back, and add the
-  * within-partition row_number. Every step is distributed except the
-  * prefix sum over ≤ numPartitions rows.
+  * a contiguous key range), sort within partitions, then
+  * `zipWithIndex` on that ONE RDD lineage — Spark counts each
+  * partition's rows in a lightweight first job and adds the exact
+  * per-partition offsets in the second, with the range shuffle written
+  * once and reused by both.
+  *
+  * Why zipWithIndex and not a counts-subquery self-join: the previous
+  * implementation referenced the range-partitioned frame TWICE (a
+  * per-partition-count branch joined back against the main branch).
+  * Column pruning makes those two exchange subtrees non-identical, so
+  * nothing guarantees they execute with the SAME range boundaries —
+  * `RangePartitioner` draws its boundary sample with an RDD-id-seeded
+  * RNG, so each materialization may split the key space differently,
+  * and offsets computed under one boundary set applied to data
+  * partitioned under another yield duplicate and missing ids. Observed
+  * exactly once in the wild: the round-7 sf1 correctness sweep caught
+  * q274 emitting 496 blocks where 500 exist (CORRECTNESS note, round
+  * 7); the same query was dense on every targeted re-run. A
+  * correctness property that holds "usually" is not a property — the
+  * single-lineage form makes boundary consistency structural: the
+  * partitioner is constructed (and its sampling job run) exactly once.
   *
   * The assigned ids depend ONLY on the total order (offsets compensate
   * for wherever the range boundaries land), so the result is stable
   * across runs, cluster sizes, and partition counts — the property
   * checkpointed training pipelines need from a row id. The sort key
   * must be a total order (include a unique tiebreaker column).
+  *
+  * Cost note: the RDD hop deserializes each row once and re-encodes it
+  * once, and `zipWithIndex` construction runs its count job eagerly —
+  * one extra read of the (already written) shuffle files. That is the
+  * price of exactness here; at 100 TB the dominant cost remains the
+  * one range shuffle either way.
   */
 object StableIds {
 
@@ -31,19 +51,10 @@ object StableIds {
     val parted = df
       .repartitionByRange(numParts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-    val counts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
-    // numParts rows — the single-partition window is driver-scale by
-    // construction, not a data-volume sort.
-    val offsets = counts.select(col("__pid"),
-      coalesce(sum(col("__n")).over(
-        Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)).as("__off"))
-    parted
-      .join(broadcast(offsets), Seq("__pid"))
-      .withColumn("row_id",
-        row_number().over(Window.partitionBy(col("__pid")).orderBy(sortCols: _*))
-          .cast("long") - 1L + col("__off"))
-      .drop("__pid", "__off")
+    val withIds = parted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    df.sparkSession.createDataFrame(withIds,
+      parted.schema.add("row_id", LongType, nullable = false))
   }
 }
