@@ -354,14 +354,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), "dim/denylist join degraded to SMJ\n" + p)
   }
 
-  test("q209: no single-partition global sort — ids come from range partitions + offsets") {
+  test("q209: no single-partition global sort — ids assigned below the SQL boundary") {
     val p = plan("q209_global_row_ids")
-    // The anti-pattern this operator replaces plans Window with a
-    // SinglePartition exchange over the DATA. Our plan's only
-    // single-partition exchange may carry the numParts-sized counts
-    // frame; the data path must show rangepartitioning.
-    assert(p.contains("rangepartitioning"), "range repartition missing\n" + p)
-    assert(p.contains("BroadcastHashJoin"), "offsets not broadcast back\n" + p)
+    // The anti-pattern this operator replaces plans a Window with a
+    // SinglePartition exchange over the DATA. StableIds now assigns ids
+    // via zipWithIndex on the range-partitioned RDD lineage (the round-7
+    // single-lineage fix), so the SQL plan must show the ids arriving
+    // from an ExistingRDD scan — and never a Window anywhere. The
+    // density/stability semantics are pinned by OperatorPropsSpec.
+    assert(p.contains("Scan ExistingRDD"), "id assignment left the RDD lineage\n" + p)
+    assert(!p.contains("Window"), "row ids degraded to a window sort\n" + p)
   }
 
   test("q210: digest is scan + partial agg only — no join, no sort before the rollup") {
