@@ -1645,7 +1645,16 @@ object Extras {
           round($"l_quantity").cast("long").as("qty"),
           ($"l_orderkey" * 10L + $"l_linenumber").as("seq"))
       def intervals(flag: String) = {
-        val w = Window.partitionBy($"pk").orderBy($"seq")
+        // ORDER BY (seq, qty), not seq alone: the driver's lineitem has
+        // duplicate (l_orderkey, l_linenumber) pairs (118k at sf0.1), so
+        // seq is NOT a total order — two tied rows with different qty
+        // cumsum in engine-dependent order, and the round-7 sf1 sweep
+        // caught the resulting ±5-pair drift. With qty in the order,
+        // any remaining ties have EQUAL qty, under which the interval
+        // structure (and the seq-sum checksum) is swap-invariant — the
+        // result is well-defined without needing a unique key the data
+        // doesn't have.
+        val w = Window.partitionBy($"pk").orderBy($"seq", $"qty")
           .rowsBetween(Window.unboundedPreceding, -1)
         base.filter($"fl" === flag)
           .withColumn("lo", coalesce(sum($"qty").over(w), lit(0L)))
@@ -1672,10 +1681,10 @@ object Extras {
            |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
            |iv AS (
            |  SELECT pk, fl, seq,
-           |    coalesce(CAST(sum(qty) OVER (PARTITION BY pk, fl ORDER BY seq
+           |    coalesce(CAST(sum(qty) OVER (PARTITION BY pk, fl ORDER BY seq, qty
            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
            |      AS lo,
-           |    coalesce(CAST(sum(qty) OVER (PARTITION BY pk, fl ORDER BY seq
+           |    coalesce(CAST(sum(qty) OVER (PARTITION BY pk, fl ORDER BY seq, qty
            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
            |      + qty AS hi
            |  FROM base),
