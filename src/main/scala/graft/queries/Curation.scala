@@ -309,5 +309,83 @@ object Curation {
            |FROM per GROUP BY source ORDER BY source""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q363, q364, q365, q367, q368)
+  /** q370 — intrinsic dimension of the embedding space via the
+    * participation ratio PR = tr(C)² / tr(C²) of the covariance matrix
+    * C (the eigenvalue "effective rank" (Σλ)²/Σλ² — how many dimensions
+    * the representation actually uses; collapsed embedding spaces are a
+    * classic silent failure of contrastive training). Both traces come
+    * from SUFFICIENT STATS, never an eigendecomposition: one corpus
+    * pass emits the d(d+1)/2 upper-triangle cross-products IN-ROW
+    * (generator, no self-join), a map-side-combinable aggregate
+    * reduces them to a d²-sized frame, and every float reduction
+    * routes through [[Det]] DECIMAL sums — bit-identical on both
+    * engines regardless of shuffle order. At 100 TB the cost is the
+    * one aggregate with 4096 constant partial states; the covariance
+    * frame itself never leaves the executors until it is d²-sized. */
+  val q370 = QuerySpec(
+    "q370_intrinsic_dimension",
+    (s, d) => {
+      import s.implicits._
+      val v = Tables.fanOut(Tables.embeddings(s, d), col("vec_id"))
+        .select(graft.functions.VectorOps.asDouble($"embedding").as("v"))
+      // Upper-triangle pair products, generated in-row: (i, j, xi*xj)
+      // for 0-based i <= j. slice() is 1-based, transform index 0-based.
+      val pairs = v.select(explode(expr(
+        """flatten(transform(v, (xi, i) ->
+          |  transform(slice(v, i + 1, size(v) - i), (xj, j) ->
+          |    named_struct('i', i, 'j', i + j, 'p', xi * xj))))""".stripMargin))
+        .as("t"))
+        .select($"t.i".as("i"), $"t.j".as("j"), $"t.p".as("p"))
+      val st = pairs.groupBy($"i", $"j")
+        .agg(dsum($"p", 14).as("sxy"), count(lit(1)).as("n"))
+      val sx = v.select(posexplode($"v").as(Seq("i", "xi")))
+        .groupBy($"i").agg(dsum($"xi", 14).as("sx"))
+      val c = st
+        .join(broadcast(sx.select($"i".as("ii"), $"sx".as("sxi"))), $"i" === $"ii")
+        .join(broadcast(sx.select($"i".as("jj"), $"sx".as("sxj"))), $"j" === $"jj")
+        .withColumn("cij", ($"sxy" - $"sxi" * $"sxj" / $"n") / $"n")
+      c.agg(
+          max($"n").as("n_vecs"),
+          expr("CAST(max(j) + 1 AS BIGINT)").as("dim"),
+          round(dsum(when($"i" === $"j", $"cij").otherwise(lit(0.0)), 14), 8)
+            .as("trace_cov"),
+          round(dsum($"cij" * $"cij" *
+            when($"i" === $"j", lit(1)).otherwise(lit(2)), 14), 8)
+            .as("trace_cov_sq"))
+        .withColumn("participation_ratio_milli",
+          expr("CAST(floor(trace_cov * trace_cov * 1000 " +
+            "/ greatest(trace_cov_sq, 0.000000001)) AS BIGINT)"))
+    },
+    Some(s"""WITH v AS (SELECT vec_id,
+            |    list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+            |  FROM embeddings),
+            |pairs AS (
+            |  SELECT unnest(flatten(list_transform(generate_series(1, len(v)), i ->
+            |      list_transform(generate_series(i, len(v)), j ->
+            |        {'i': i - 1, 'j': j - 1, 'p': v[i] * v[j]})))) AS t
+            |  FROM v),
+            |p2 AS (SELECT t.i AS i, t.j AS j, t.p AS p FROM pairs),
+            |st AS (SELECT i, j, ${sqlDsum("p", 14)} AS sxy, count(*) AS n
+            |  FROM p2 GROUP BY 1, 2),
+            |sx AS (SELECT pos - 1 AS i, ${sqlDsum("x", 14)} AS sx FROM
+            |    (SELECT unnest(generate_series(1, len(embedding))) AS pos,
+            |            CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
+            |  GROUP BY 1),
+            |c AS (SELECT s.i, s.j, (s.sxy - a.sx * b.sx / s.n) / s.n AS cij, s.n
+            |  FROM st s JOIN sx a ON s.i = a.i JOIN sx b ON s.j = b.i),
+            |agg AS (SELECT max(n) AS n_vecs, max(j) + 1 AS dim,
+            |  round(${sqlDsum("CASE WHEN i = j THEN cij ELSE 0 END", 14)}, 8)
+            |    AS trace_cov,
+            |  round(${sqlDsum("cij * cij * (CASE WHEN i = j THEN 1 ELSE 2 END)", 14)}, 8)
+            |    AS trace_cov_sq
+            |  FROM c)
+            |SELECT CAST(n_vecs AS BIGINT) AS n_vecs, CAST(dim AS BIGINT) AS dim,
+            |  trace_cov, trace_cov_sq,
+            |  CAST(floor(trace_cov * trace_cov * 1000
+            |    / greatest(trace_cov_sq, 0.000000001)) AS BIGINT)
+            |    AS participation_ratio_milli
+            |FROM agg""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q363, q364, q365, q367, q368, q370)
 }

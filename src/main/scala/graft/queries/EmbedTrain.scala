@@ -413,6 +413,75 @@ object EmbedTrain {
            |FROM cl""".stripMargin),
   )
 
+  /** q371 — length-bucketed batching efficiency: the practical middle
+    * ground q355's two extremes bracket. A full length-sort minimizes
+    * padding but destroys the shuffle randomness SGD needs; real
+    * pipelines split the corpus into Q equal-frequency length buckets
+    * and batch WITHIN buckets in shuffled order. This query sweeps
+    * Q ∈ {1, 4, 16, 64} (Q=1 ≡ pure shuffled batching) and reports the
+    * exact padding-waste ppm at each point — the curve a batching
+    * config is chosen from. Both global orders (the length rank that
+    * defines buckets, and the per-bucket shuffled order) go through
+    * [[StableIds]] — dense ids from range partitions + offsets, never
+    * a single-partition `row_number() OVER (ORDER BY …)`; the
+    * per-bucket shuffle order falls out of ONE global (bucket, md5)
+    * sort with per-bucket offsets joined back from a Q-row broadcast
+    * frame. The deterministic md5 "shuffle" makes the curve itself the
+    * reproducible contract on both engines. */
+  val q371 = QuerySpec(
+    "q371_bucketed_batching_curve",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"doc_id", $"n_chars",
+          expr("md5(CAST(doc_id AS STRING))").as("shuf"))
+      val ranked = StableIds.withGlobalRowIds(docs, 8, $"n_chars", $"doc_id")
+        .withColumnRenamed("row_id", "len_rank")
+      val base = ranked.crossJoin(
+        broadcast(docs.agg(count(lit(1)).as("n_total"))))
+      def curve(q: Int) = {
+        val b = base
+          .withColumn("bucket", expr(s"len_rank * ${q}L div n_total"))
+          .select($"bucket", $"shuf", $"doc_id", $"n_chars")
+        val ids = StableIds.withGlobalRowIds(b, 8, $"bucket", $"shuf", $"doc_id")
+        val off = ids.groupBy($"bucket").agg(min($"row_id").as("off"))
+        ids.join(broadcast(off), Seq("bucket"))
+          .withColumn("batch", expr("(row_id - off) div 8"))
+          .groupBy($"bucket", $"batch")
+          .agg(max($"n_chars").as("mx"), sum($"n_chars").as("tot"),
+            count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_batches"),
+            sum($"mx" * $"n" - $"tot").as("waste_chars"),
+            expr("sum(mx * n - tot) * 1000000L div sum(mx * n)")
+              .as("waste_ppm"))
+          .select(lit(q.toLong).as("n_buckets"), $"n_batches",
+            $"waste_chars", $"waste_ppm")
+      }
+      Seq(1, 4, 16, 64).map(curve).reduce(_ unionAll _).orderBy($"n_buckets")
+    },
+    Some {
+      def block(q: Int) =
+        s"""SELECT CAST($q AS BIGINT) AS n_buckets, count(*) AS n_batches,
+           |  CAST(sum(mx * n - tot) AS BIGINT) AS waste_chars,
+           |  CAST(sum(mx * n - tot) * 1000000 // sum(mx * n) AS BIGINT) AS waste_ppm
+           |FROM (
+           |  SELECT bucket, batch, max(n_chars) AS mx, sum(n_chars) AS tot,
+           |    count(*) AS n
+           |  FROM (
+           |    SELECT bucket, n_chars,
+           |      (row_number() OVER (PARTITION BY bucket
+           |         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) // 8 AS batch
+           |    FROM (
+           |      SELECT doc_id, n_chars,
+           |        (row_number() OVER (ORDER BY n_chars, doc_id) - 1) * $q
+           |          // (count(*) OVER ()) AS bucket
+           |      FROM documents))
+           |  GROUP BY 1, 2)""".stripMargin
+      Seq(1, 4, 16, 64).map(block).mkString("", "\nUNION ALL\n",
+        "\nORDER BY n_buckets")
+    },
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q352, q353, q354, q355, q356, q357, q358)
+    Seq(q352, q353, q354, q355, q356, q357, q358, q371)
 }
