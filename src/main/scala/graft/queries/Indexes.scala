@@ -581,5 +581,20 @@ object Indexes {
             |FROM q LEFT JOIN o ON q.qid = o.qid ORDER BY q.qid""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q341, q342, q359, q360, q361, q362, q366, q369)
+  /** q372 — the index maintained BY the stream (q366's dual): epoch 0
+    * builds the q359 layout in batch; epoch-1 docs arrive as a
+    * rate-limited file stream whose every micro-batch APPENDS its band
+    * buckets (capped members + true-count meta) inside `foreachBatch`;
+    * the probe then reads the stream-maintained files. Liveness from
+    * lifetime meta totals makes the answer invariant to micro-batch
+    * granularity (see [[graft.streaming.StreamIndexMaintain]]), so the
+    * oracle is still the from-scratch rebuild. */
+  val q372 = QuerySpec(
+    "q372_stream_index_maintain",
+    (s, d) => graft.streaming.StreamIndexMaintain.runOnce(s, d),
+    q342.oracle,
+  )
+
+  val all: Seq[QuerySpec] =
+    Seq(q341, q342, q359, q360, q361, q362, q366, q369, q372)
 }
