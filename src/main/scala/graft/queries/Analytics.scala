@@ -3548,11 +3548,103 @@ object Analytics {
            |FROM st ORDER BY event_type""".stripMargin),
   )
 
+  /** q373 — CUPED variance-reduced experiment readout (q132's modern
+    * sibling): per-user pre-period covariate x (value sum over even
+    * event ids — the interleaved "before" stream) against post-period
+    * metric y (odd ids), arms assigned by the deterministic md5 split.
+    * The pooled adjustment θ = cov(x,y)/var(x) comes from ONE global
+    * sufficient-stats frame; each arm reports its raw and
+    * CUPED-adjusted mean ŷ = ȳ − θ(x̄_arm − x̄) plus the achieved
+    * variance-reduction ppm, all derived from (n, Σx, Σy, Σx², Σy²,
+    * Σxy) per arm. Two aggregation passes total (events→user,
+    * user→arm), every float reduction through [[Det]] DECIMAL sums,
+    * every division evaluated with the same operand tree on both
+    * engines — the readout stays mergeable across days/partitions at
+    * 100 TB exactly like q132: store six sums, derive forever. */
+  val q373 = QuerySpec(
+    "q373_cuped_adjusted_abtest",
+    (s, d) => {
+      import s.implicits._
+      val per = Tables.fanOut(Tables.events(s, d), col("user_id"))
+        .groupBy($"user_id")
+        .agg(
+          dsum(when($"event_id" % 2 === 0, $"value").otherwise(lit(0.0)), 6)
+            .as("x"),
+          dsum(when($"event_id" % 2 === 1, $"value").otherwise(lit(0.0)), 6)
+            .as("y"))
+        .withColumn("arm",
+          when(expr("substring(md5(CAST(user_id AS STRING)), 1, 1) < '8'"),
+            lit("treat")).otherwise(lit("control")))
+      val g = per.agg(count(lit(1)).as("n"), dsum($"x", 6).as("sx"),
+          dsum($"y", 6).as("sy"), dsum($"x" * $"x", 6).as("sxx"),
+          dsum($"x" * $"y", 6).as("sxy"))
+        .withColumn("gmx", $"sx" / $"n")
+        .withColumn("num", $"sxy" - $"sx" * $"sy" / $"n")
+        .withColumn("den", $"sxx" - $"sx" * $"sx" / $"n")
+        .withColumn("theta",
+          when($"den" <= lit(0.000001), lit(0.0)).otherwise($"num" / $"den"))
+        .select($"gmx", $"theta")
+      per.groupBy($"arm")
+        .agg(count(lit(1)).as("n_users"), dsum($"x", 6).as("asx"),
+          dsum($"y", 6).as("asy"), dsum($"x" * $"x", 6).as("asxx"),
+          dsum($"y" * $"y", 6).as("asyy"), dsum($"x" * $"y", 6).as("asxy"))
+        .crossJoin(broadcast(g))
+        .withColumn("mx", $"asx" / $"n_users")
+        .withColumn("my", $"asy" / $"n_users")
+        .withColumn("vy", $"asyy" / $"n_users" - $"my" * $"my")
+        .withColumn("vx", $"asxx" / $"n_users" - $"mx" * $"mx")
+        .withColumn("cxy", $"asxy" / $"n_users" - $"mx" * $"my")
+        .withColumn("vadj",
+          $"vy" - lit(2.0) * $"theta" * $"cxy" + $"theta" * $"theta" * $"vx")
+        .select($"arm", $"n_users",
+          round($"my", 6).as("mean_y"),
+          round($"my" - $"theta" * ($"mx" - $"gmx"), 6).as("adj_mean_y"),
+          expr("CAST(floor(theta * 1000) AS BIGINT)").as("theta_milli"),
+          expr("CAST(floor((vy - vadj) * 1000000 / greatest(vy, 0.000001)) AS BIGINT)")
+            .as("var_reduction_ppm"))
+        .orderBy($"arm")
+    },
+    Some(s"""WITH per AS (
+            |  SELECT user_id,
+            |    ${sqlDsum("CASE WHEN event_id % 2 = 0 THEN value ELSE 0 END", 6)} AS x,
+            |    ${sqlDsum("CASE WHEN event_id % 2 = 1 THEN value ELSE 0 END", 6)} AS y,
+            |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+            |      THEN 'treat' ELSE 'control' END AS arm
+            |  FROM events GROUP BY user_id),
+            |g0 AS (SELECT count(*) AS n, ${sqlDsum("x", 6)} AS sx,
+            |    ${sqlDsum("y", 6)} AS sy, ${sqlDsum("x * x", 6)} AS sxx,
+            |    ${sqlDsum("x * y", 6)} AS sxy
+            |  FROM per),
+            |g AS (SELECT sx / n AS gmx,
+            |    CASE WHEN sxx - sx * sx / n <= 0.000001 THEN 0.0
+            |      ELSE (sxy - sx * sy / n) / (sxx - sx * sx / n) END AS theta
+            |  FROM g0),
+            |a0 AS (SELECT arm, count(*) AS n_users, ${sqlDsum("x", 6)} AS asx,
+            |    ${sqlDsum("y", 6)} AS asy, ${sqlDsum("x * x", 6)} AS asxx,
+            |    ${sqlDsum("y * y", 6)} AS asyy, ${sqlDsum("x * y", 6)} AS asxy
+            |  FROM per GROUP BY arm),
+            |a1 AS (SELECT arm, n_users, asx / n_users AS mx, asy / n_users AS my,
+            |    asyy / n_users - (asy / n_users) * (asy / n_users) AS vy,
+            |    asxx / n_users - (asx / n_users) * (asx / n_users) AS vx,
+            |    asxy / n_users - (asx / n_users) * (asy / n_users) AS cxy,
+            |    gmx, theta
+            |  FROM a0, g),
+            |a2 AS (SELECT *,
+            |    vy - 2.0 * theta * cxy + theta * theta * vx AS vadj
+            |  FROM a1)
+            |SELECT arm, n_users, round(my, 6) AS mean_y,
+            |  round(my - theta * (mx - gmx), 6) AS adj_mean_y,
+            |  CAST(floor(theta * 1000) AS BIGINT) AS theta_milli,
+            |  CAST(floor((vy - vadj) * 1000000 / greatest(vy, 0.000001)) AS BIGINT)
+            |    AS var_reduction_ppm
+            |FROM a2 ORDER BY arm""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q118, q119, q120, q121, q123, q124, q127, q128, q131, q132, q134, q137,
       q139, q147, q153, q157, q165, q191, q193, q198, q199, q217, q222, q227,
       q246, q247, q254, q255, q264, q272, q276, q280, q281, q282, q284, q285,
       q286, q288, q289, q291, q292, q293, q295, q297, q298, q299, q300, q303,
       q306, q308, q311, q312, q314, q315, q316, q319, q321, q323, q325, q331,
-      q332, q333, q334, q335, q336, q339)
+      q332, q333, q334, q335, q336, q339, q373)
 }
