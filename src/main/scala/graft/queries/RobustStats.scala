@@ -242,5 +242,68 @@ object RobustStats {
            |FROM dd""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q343, q344, q345, q346, q349)
+  /** q374 — heavy-hitter churn between corpus epochs: q349 watches a
+    * NUMERIC distribution drift; this watches the CATEGORICAL head —
+    * the top-20 token sets of two epochs compared by membership
+    * (Jaccard ppm, entered/exited counts) and by rank displacement
+    * among survivors (max + total |Δrank|). The alarm that catches a
+    * vocabulary-composition shift (new spam template, scraper change)
+    * that KS on lengths never sees. One corpus-sized token count per
+    * epoch (map-side combined), then the rank window runs over the
+    * VOCABULARY-sized frame — two partitions is fine there because the
+    * frame entering the window is already the aggregated (epoch, token,
+    * n) counts, orders of magnitude below the corpus. */
+  val q374 = QuerySpec(
+    "q374_heavy_hitter_churn",
+    (s, d) => {
+      import s.implicits._
+      val cnt = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select(($"doc_id" % 2).as("epoch"),
+          explode(graft.functions.TextFns.tokens($"text")).as("tok"))
+        .filter($"tok" =!= "")
+        .groupBy($"epoch", $"tok").agg(count(lit(1)).as("n"))
+      val rk = cnt.withColumn("r", row_number().over(
+          Window.partitionBy($"epoch").orderBy($"n".desc, $"tok")))
+        .filter($"r" <= 20)
+      val t0 = rk.filter($"epoch" === 0).select($"tok", $"r".as("r0"))
+      val t1 = rk.filter($"epoch" === 1).select($"tok".as("tok1"), $"r".as("r1"))
+      val common = $"r0".isNotNull && $"r1".isNotNull
+      t0.join(t1, $"tok" === $"tok1", "full_outer")
+        .agg(
+          sum(when(common, 1L).otherwise(0L)).as("n_common"),
+          sum(when($"r0".isNull, 1L).otherwise(0L)).as("n_entered"),
+          sum(when($"r1".isNull, 1L).otherwise(0L)).as("n_exited"),
+          expr("sum(CASE WHEN r0 IS NOT NULL AND r1 IS NOT NULL THEN 1 ELSE 0 END)" +
+            " * 1000000L div count(1)").as("jaccard_ppm"),
+          coalesce(max(when(common, abs($"r1" - $"r0"))), lit(0L))
+            .cast("long").as("max_rank_shift"),
+          sum(when(common, abs($"r1" - $"r0")).otherwise(0L))
+            .as("sum_rank_shift"))
+    },
+    Some("""WITH toks AS (SELECT doc_id % 2 AS epoch,
+           |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+           |  FROM documents),
+           |cnt AS (SELECT epoch, tok, count(*) AS n FROM toks
+           |  WHERE tok <> '' GROUP BY 1, 2),
+           |rk AS (SELECT epoch, tok, n,
+           |    row_number() OVER (PARTITION BY epoch ORDER BY n DESC, tok) AS r
+           |  FROM cnt),
+           |t0 AS (SELECT tok, r FROM rk WHERE epoch = 0 AND r <= 20),
+           |t1 AS (SELECT tok, r FROM rk WHERE epoch = 1 AND r <= 20),
+           |j AS (SELECT coalesce(t0.tok, t1.tok) AS tok, t0.r AS r0, t1.r AS r1
+           |  FROM t0 FULL JOIN t1 ON t0.tok = t1.tok)
+           |SELECT
+           |  CAST(sum(CASE WHEN r0 IS NOT NULL AND r1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+           |  CAST(sum(CASE WHEN r0 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_entered,
+           |  CAST(sum(CASE WHEN r1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exited,
+           |  CAST(sum(CASE WHEN r0 IS NOT NULL AND r1 IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+           |    // count(*) AS BIGINT) AS jaccard_ppm,
+           |  CAST(coalesce(max(CASE WHEN r0 IS NOT NULL AND r1 IS NOT NULL
+           |    THEN abs(r1 - r0) END), 0) AS BIGINT) AS max_rank_shift,
+           |  CAST(sum(CASE WHEN r0 IS NOT NULL AND r1 IS NOT NULL
+           |    THEN abs(r1 - r0) ELSE 0 END) AS BIGINT) AS sum_rank_shift
+           |FROM j""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q343, q344, q345, q346, q349, q374)
 }

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Analytics, Curation, EmbedTrain, Indexes, RobustStats}
+
+/** Degenerate-input guards for the round-7 additions (q370–q374). The
+  * generic QueriesSpec pins determinism and atomic schemas on real
+  * testdata; these pin the edges no sampled corpus exercises: the
+  * collapsed (zero-variance) embedding space q370's denominator guard
+  * exists for, the all-equal-length corpus where every q371 batching
+  * strategy must report exactly zero waste, q372's stream-maintained
+  * index answering identically to q359's batch-maintained one, q373's
+  * var(x)=0 θ→0 branch, and q374 under two identical epochs (perfect
+  * head agreement).
+  */
+class Round7EdgeSpec extends SparkTestBase {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("q370: constant embeddings collapse to zero trace and the guarded zero ratio") {
+    val dir = tmpDir("graft_q370_edge")
+    spark.createDataFrame((1L to 32L).map(i => (i, Array.fill(8)(0.25f), 1)))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/embeddings.parquet")
+    val r = Curation.q370.run(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_vecs") === 32L)
+    assert(r.getAs[Long]("dim") === 8L)
+    assert(r.getAs[Double]("trace_cov") === 0.0)
+    assert(r.getAs[Double]("trace_cov_sq") === 0.0)
+    // 0² / greatest(0, eps): the guard must yield 0, not NaN/error.
+    assert(r.getAs[Long]("participation_ratio_milli") === 0L)
+  }
+
+  test("q371: all-equal lengths waste exactly zero at every bucket count") {
+    val dir = tmpDir("graft_q371_edge")
+    spark.createDataFrame((1L to 40L).map(i =>
+        (i, s"doc $i", "en", "src", 100L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/documents.parquet")
+    val rows = EmbedTrain.q371.run(spark, dir).collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("waste_chars") === 0L,
+        s"padding waste on equal lengths at Q=${r.getAs[Long]("n_buckets")}")
+      assert(r.getAs[Long]("waste_ppm") === 0L)
+    }
+  }
+
+  test("q372: stream-maintained index answers identically to the batch-maintained one") {
+    // Same corpus, same probe split; q359 appends epoch 1 in one batch,
+    // q372 appends it as two micro-batches — granularity must not change
+    // a single verdict (the lifetime-meta liveness argument, observed).
+    val batch = Indexes.q359.run(spark, sf).collect().toSeq
+    val streamed = Indexes.q372.run(spark, sf).collect().toSeq
+    assert(streamed === batch)
+  }
+
+  test("q373: zero pre-period variance takes the theta=0 branch") {
+    val dir = tmpDir("graft_q373_edge")
+    // Every user's even-id (pre-period) sum is the same 10.0 → var(x)=0.
+    val rows = (1L to 8L).flatMap { u =>
+      Seq((2 * u, new Timestamp(86400000L * u), u, "click", 10.0, "{}"),
+        (2 * u + 1, new Timestamp(86400000L * u + 1000L), u, "click",
+          (u % 3).toDouble, "{}"))
+    }
+    spark.createDataFrame(rows)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/events.parquet")
+    val out = Analytics.q373.run(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("theta_milli") === 0L)
+      assert(r.getAs[Double]("adj_mean_y") === r.getAs[Double]("mean_y"),
+        "theta=0 must leave the mean unadjusted")
+    }
+  }
+
+  test("q374: identical epochs agree perfectly on the head") {
+    val dir = tmpDir("graft_q374_edge")
+    // Docs 2i and 2i+1 carry the same text → both epochs see identical
+    // token counts; ranks tie-break identically on the token itself.
+    val text = (1 to 30).map(k => (Seq.fill(31 - k)(s"tok$k")).mkString(" "))
+    val rows = (0 until 30).flatMap { i =>
+      Seq((2L * i, text(i), "en", "src", text(i).length.toLong),
+        (2L * i + 1, text(i), "en", "src", text(i).length.toLong))
+    }
+    spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/documents.parquet")
+    val r = RobustStats.q374.run(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_common") === 20L)
+    assert(r.getAs[Long]("n_entered") === 0L)
+    assert(r.getAs[Long]("n_exited") === 0L)
+    assert(r.getAs[Long]("jaccard_ppm") === 1000000L)
+    assert(r.getAs[Long]("max_rank_shift") === 0L)
+    assert(r.getAs[Long]("sum_rank_shift") === 0L)
+  }
+}
