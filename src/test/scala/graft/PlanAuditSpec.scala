@@ -697,4 +697,27 @@ class PlanAuditSpec extends SparkTestBase {
     val aggs = "HashAggregate|SortAggregate|ObjectHashAggregate".r.findAllIn(p).size
     assert(aggs >= 2, "cluster + histogram aggregates expected\n" + p)
   }
+
+  test("q370: covariance stats via in-row generator + broadcasts — corpus never self-joins") {
+    val p = plan("q370_intrinsic_dimension")
+    assert(p.contains("Generate"), "in-row pair generator missing\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "d-sized sx frames not broadcast\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "a corpus-sized shuffle join crept into the sufficient-stats path\n" + p)
+  }
+
+  test("q371: every batching rank comes from StableIds — no window anywhere") {
+    val p = plan("q371_bucketed_batching_curve")
+    assert(p.contains("Scan ExistingRDD"), "id assignment left the RDD lineage\n" + p)
+    assert(!p.contains("Window"),
+      "a rank degraded to a window sort (single-partition at Q=1)\n" + p)
+  }
+
+  test("q373: CUPED is two aggregation passes, never a shuffle join") {
+    val p = plan("q373_cuped_adjusted_abtest")
+    assert(!p.contains("SortMergeJoin"),
+      "the 1-row theta frame must broadcast\n" + p)
+    val aggs = "HashAggregate|SortAggregate|ObjectHashAggregate".r.findAllIn(p).size
+    assert(aggs >= 2, "user-level + arm-level aggregates expected\n" + p)
+  }
 }
