@@ -595,6 +595,21 @@ object Indexes {
     q342.oracle,
   )
 
+  /** q375 — the IVF inverted file maintained BY the stream (q372's IVF
+    * sibling, completing the lifecycle matrix): epoch-1 vectors arrive
+    * as a rate-limited file stream, every micro-batch assigned against
+    * the FROZEN quantizer and appended into its cluster partition dirs
+    * inside `foreachBatch`; assignment is a pure per-vector function of
+    * the frozen centroids, so micro-batch granularity cannot change the
+    * files the probe prunes to (see
+    * [[graft.streaming.StreamIvfMaintain]]). Oracle = q341's
+    * from-scratch rebuild. */
+  val q375 = QuerySpec(
+    "q375_stream_ivf_maintain",
+    (s, d) => graft.streaming.StreamIvfMaintain.runOnce(s, d),
+    q341.oracle,
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q341, q342, q359, q360, q361, q362, q366, q369, q372)
+    Seq(q341, q342, q359, q360, q361, q362, q366, q369, q372, q375)
 }

@@ -63,6 +63,16 @@ class Round7EdgeSpec extends SparkTestBase {
     assert(streamed === batch)
   }
 
+  test("q375: stream-maintained IVF answers identically to the from-scratch build") {
+    // q341 builds the whole inverted file in one pass; q375 builds
+    // epoch 0 then streams epoch 1 in as two micro-batch appends.
+    // Assignment is a pure function of the frozen centroids, so the
+    // probe must return the same 10 rows.
+    val scratch = Indexes.q341.run(spark, sf).collect().toSeq
+    val streamed = Indexes.q375.run(spark, sf).collect().toSeq
+    assert(streamed === scratch)
+  }
+
   test("q373: zero pre-period variance takes the theta=0 branch") {
     val dir = tmpDir("graft_q373_edge")
     // Every user's even-id (pre-period) sum is the same 10.0 → var(x)=0.
