@@ -63,6 +63,30 @@ class Round7EdgeSpec extends SparkTestBase {
     assert(streamed === batch)
   }
 
+  test("q372: kill mid-maintenance + restart from checkpoint is exactly-once") {
+    // foreachBatch is at-least-once; the maintainer is killed as soon
+    // as the first streamed meta partition appears (possibly mid-batch)
+    // and restarted on the same checkpoint. The replayed append must
+    // leave the index answering like an uninterrupted run — a doubled
+    // meta count would tombstone a live bucket and flip verdicts.
+    val clean = Indexes.q372.run(spark, sf).collect().toSeq
+    val restarted = graft.streaming.StreamIndexMaintain
+      .runWithRestart(spark, sf).collect().toSeq
+    assert(restarted === clean)
+  }
+
+  test("q375: kill mid-maintenance + restart from checkpoint is exactly-once") {
+    // A doubled IVF append would surface as a duplicate vec_id in the
+    // probe's top-10; the dynamic (cid, batch_id) overwrite must make
+    // the replay replace its own partial output instead.
+    val clean = Indexes.q375.run(spark, sf).collect().toSeq
+    val restarted = graft.streaming.StreamIvfMaintain
+      .runWithRestart(spark, sf).collect().toSeq
+    assert(restarted === clean)
+    assert(restarted.map(_.getAs[Long]("vec_id")).distinct.size === restarted.size,
+      "duplicate vec_id in top-10 — a replayed append doubled members")
+  }
+
   test("q375: stream-maintained IVF answers identically to the from-scratch build") {
     // q341 builds the whole inverted file in one pass; q375 builds
     // epoch 0 then streams epoch 1 in as two micro-batch appends.
