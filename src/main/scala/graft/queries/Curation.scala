@@ -387,5 +387,52 @@ object Curation {
             |FROM agg""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q363, q364, q365, q367, q368, q370)
+  /** q376 — pairwise-similarity histogram over a deterministic probe
+    * sample: q370's participation ratio says how many directions the
+    * space uses; this says how PAIRS distribute along them — the
+    * cosine histogram whose right-shift (mass piling toward 1.0) is
+    * the classic embedding-collapse / near-dup-saturation signature.
+    * The sample is id-bounded (vec_id ≤ 100 → ≤4950 pairs) so the
+    * predicate pushes into the scan and the pair join is a
+    * broadcast-nested-loop over two 100-row sides — cost independent
+    * of corpus size, which is what makes it a monitor you can run
+    * every ingest tick at 100 TB. Cosines are the [[Det]] seeded
+    * left-folds (bit-identical on both engines), binned into 10 fixed
+    * [-1,1] buckets with exact integer shares. */
+  val q376 = QuerySpec(
+    "q376_pair_distance_histogram",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .filter($"vec_id" <= 100)
+        .select($"vec_id", graft.functions.VectorOps.asDouble($"embedding").as("emb"))
+      val a = e.select($"vec_id".as("ida"), $"emb".as("ea"))
+      val b = e.select($"vec_id".as("idb"), $"emb".as("eb"))
+      val pairs = a.join(broadcast(b), $"ida" < $"idb")
+        .withColumn("cos", graft.functions.VectorOps.dot($"ea", $"eb") /
+          (graft.functions.VectorOps.l2Norm($"ea") *
+            graft.functions.VectorOps.l2Norm($"eb")))
+        .withColumn("bin",
+          expr("least(9L, CAST(floor((cos + 1.0) * 5.0) AS BIGINT))"))
+      val binned = pairs.groupBy($"bin").agg(count(lit(1)).as("n_pairs"))
+      val tot = binned.agg(sum($"n_pairs").as("n_total"))
+      binned.crossJoin(broadcast(tot))
+        .select($"bin", $"n_pairs",
+          expr("n_pairs * 1000000L div n_total").as("share_ppm"))
+        .orderBy($"bin")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            |  FROM embeddings WHERE vec_id <= 100),
+            |p AS (SELECT ${sqlCosine("a.emb", "b.emb")} AS cos
+            |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+            |bins AS (SELECT least(9, CAST(floor((cos + 1.0) * 5.0) AS BIGINT)) AS bin,
+            |    count(*) AS n_pairs
+            |  FROM p GROUP BY 1)
+            |SELECT bin, n_pairs,
+            |  CAST(n_pairs * 1000000 // (SELECT sum(n_pairs) FROM bins) AS BIGINT)
+            |    AS share_ppm
+            |FROM bins ORDER BY bin""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q363, q364, q365, q367, q368, q370, q376)
 }

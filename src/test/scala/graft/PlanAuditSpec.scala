@@ -713,6 +713,15 @@ class PlanAuditSpec extends SparkTestBase {
       "a rank degraded to a window sort (single-partition at Q=1)\n" + p)
   }
 
+  test("q376: probe-sample predicate pushes to the scan; pair join broadcasts") {
+    val p = plan("q376_pair_distance_histogram")
+    assert(p.contains("LessThanOrEqual(vec_id,100)"),
+      "sample bound not pushed into the parquet scan\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "bounded pair join must broadcast, never shuffle\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q373: CUPED is two aggregation passes, never a shuffle join") {
     val p = plan("q373_cuped_adjusted_abtest")
     assert(!p.contains("SortMergeJoin"),

@@ -97,6 +97,19 @@ class Round7EdgeSpec extends SparkTestBase {
     assert(streamed === scratch)
   }
 
+  test("q376: identical vectors put every pair in the top bin (collapse signature)") {
+    val dir = tmpDir("graft_q376_edge")
+    spark.createDataFrame((1L to 20L).map(i => (i, Array(0.5f, 0.25f, 0.125f), 1)))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/embeddings.parquet")
+    val rows = Curation.q376.run(spark, dir).collect()
+    assert(rows.length === 1, "collapsed space must fill exactly one bin")
+    assert(rows(0).getAs[Long]("bin") === 9L)
+    assert(rows(0).getAs[Long]("n_pairs") === 190L)
+    assert(rows(0).getAs[Long]("share_ppm") === 1000000L)
+  }
+
   test("q373: zero pre-period variance takes the theta=0 branch") {
     val dir = tmpDir("graft_q373_edge")
     // Every user's even-id (pre-period) sum is the same 10.0 → var(x)=0.
