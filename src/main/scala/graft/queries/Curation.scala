@@ -434,5 +434,66 @@ object Curation {
             |FROM bins ORDER BY bin""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q363, q364, q365, q367, q368, q370, q376)
+  /** q377 — quality×duplication interaction: q88 gates docs on quality
+    * flags and q354/q358 cluster them by fingerprint, but the CURATION
+    * decision (how aggressively to dedup each quality band) needs the
+    * joint view — is boilerplate concentrated in the low-quality
+    * bands? Each doc gets an integer quality score (the sum of q88's
+    * four flags — same features, same thresholds) and its q354-family
+    * fingerprint; per score band: doc census, non-keeper duplicate
+    * share in exact ppm, and distinct-cluster count. One corpus pass
+    * to (fingerprint, score), one fingerprint-keyed shuffle for the
+    * cluster frame, a 5-row rollup — nothing wider than the
+    * fingerprint join at 100 TB. */
+  val q377 = QuerySpec(
+    "q377_quality_dup_interaction",
+    (s, d) => {
+      import s.implicits._
+      val toks = graft.functions.TextFns.tokens($"text")
+      val scored = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"doc_id",
+          md5(substring(lower($"text"), 1, 40)).as("h"),
+          $"lang", $"n_chars",
+          size(filter(toks, t => char_length(t) > 0)).as("n_tok"),
+          size(array_distinct(filter(toks, t => char_length(t) > 0))).as("n_typ"))
+        .select($"doc_id", $"h",
+          (when($"lang".isin("en", "es"), 1L).otherwise(0L) +
+            when($"n_chars".between(100, 2000), 1L).otherwise(0L) +
+            when($"n_tok" >= 30, 1L).otherwise(0L) +
+            when($"n_typ" * 1000 >= $"n_tok" * 350, 1L).otherwise(0L))
+            .as("score"))
+      val cl = scored.groupBy($"h")
+        .agg(count(lit(1)).as("k"), min($"doc_id").as("keeper"))
+      scored.join(cl, Seq("h"))
+        .withColumn("is_dup", $"k" > 1 && $"doc_id" =!= $"keeper")
+        .groupBy($"score")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"is_dup", 1L).otherwise(0L)).as("n_dups"),
+          countDistinct($"h").as("n_clusters"))
+        .withColumn("dup_ppm", expr("n_dups * 1000000L div n_docs"))
+        .orderBy($"score")
+    },
+    Some("""WITH scored AS (
+           |  SELECT doc_id, md5(substring(lower(text), 1, 40)) AS h,
+           |    (CASE WHEN lang IN ('en','es') THEN 1 ELSE 0 END
+           |     + CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 1 ELSE 0 END
+           |     + CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) >= 30 THEN 1 ELSE 0 END
+           |     + CASE WHEN len(list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0))) * 1000
+           |            >= len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) * 350 THEN 1 ELSE 0 END
+           |    ) AS score
+           |  FROM documents),
+           |cl AS (SELECT h, count(*) AS k, min(doc_id) AS keeper
+           |  FROM scored GROUP BY h)
+           |SELECT CAST(s.score AS BIGINT) AS score, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN cl.k > 1 AND s.doc_id <> cl.keeper
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+           |  count(DISTINCT s.h) AS n_clusters,
+           |  CAST(sum(CASE WHEN cl.k > 1 AND s.doc_id <> cl.keeper
+           |    THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+           |FROM scored s JOIN cl ON s.h = cl.h
+           |GROUP BY s.score ORDER BY s.score""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] =
+    Seq(q363, q364, q365, q367, q368, q370, q376, q377)
 }
