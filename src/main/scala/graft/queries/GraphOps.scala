@@ -622,5 +622,97 @@ object GraphOps {
            |ORDER BY round""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q59, q94, q126, q148, q226, q304, q310)
+  /** q378 — PERSONALIZED PageRank from a seed set (q126's retrieval
+    * twin): same trade graph, same damped integer fixed-point, but the
+    * teleport mass returns to the 10 seed customers instead of
+    * everywhere — the result ranks the graph BY PROXIMITY TO THE SEEDS
+    * (the "customers like these buy from…" recommendation primitive).
+    * Rank starts as the uniform seed distribution and every sweep adds
+    * the seed-only teleport, so non-seed mass exists purely through
+    * edge propagation. Same scale shape as q126: the edge frame is
+    * built and dst-partitioned once, sweeps broadcast only the
+    * node-sized rank frame, and all arithmetic is BIGINT units of
+    * 10⁻¹⁵ — bit-identical on both engines. Output: top-20 nodes by
+    * personalized rank (pr desc, node tiebreak). */
+  val q378 = QuerySpec(
+    "q378_personalized_pagerank",
+    (s, d) => {
+      import s.implicits._
+      val li = graft.Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey")
+      val ord = graft.Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
+      val pairs = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .select(concat(lit("c:"), $"o_custkey").as("cust"),
+          concat(lit("s:"), $"l_suppkey").as("supp"))
+        .distinct()
+      val edges = pairs.select($"cust".as("src"), $"supp".as("dst"))
+        .unionAll(pairs.select($"supp".as("src"), $"cust".as("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try graft.Confs.withShufflePartitions(s, 16) {
+        val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+        val edgesDeg = edges.join(deg, "src")
+          .repartition(16, $"dst")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val seedCol = $"node".isin((1 to 10).map(i => s"c:$i"): _*)
+        val nodes = edges.select($"src".as("node")).distinct()
+          .withColumn("is_seed", seedCol)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val nSeeds = nodes.filter($"is_seed").count()
+        val seedShare = PrUnits / nSeeds
+        val teleportUnits = (15L * seedShare) / 100L
+        val sweeps = Seq.iterate(
+          nodes.withColumn("pr_units",
+              when($"is_seed", lit(seedShare)).otherwise(lit(0L)))
+            .persist(StorageLevel.MEMORY_AND_DISK),
+          PrIters + 1) { pr =>
+          val contribs = edgesDeg.join(broadcast(pr), $"src" === $"node")
+            .select($"dst", expr("pr_units DIV deg").as("c"))
+            .groupBy($"dst").agg(sum($"c").as("csum"))
+          nodes.join(contribs, $"node" === $"dst", "left")
+            .select($"node", $"is_seed",
+              (when($"is_seed", lit(teleportUnits)).otherwise(lit(0L)) +
+                expr("(85 * coalesce(csum, 0L)) DIV 100")).as("pr_units"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        }
+        val out = sweeps.last.select($"node", $"pr_units")
+          .orderBy($"pr_units".desc, $"node").limit(20)
+        val result = Eager(out)
+        (Seq(edgesDeg, nodes) ++ sweeps).foreach(_.unpersist(blocking = false))
+        result
+      } finally edges.unpersist(blocking = false)
+    },
+    Some(Seq(
+      "WITH pairs AS (SELECT DISTINCT 'c:'||o_custkey AS cust, 's:'||l_suppkey AS supp",
+      "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),",
+      "edges AS (SELECT cust AS src, supp AS dst FROM pairs",
+      "          UNION ALL SELECT supp, cust FROM pairs),",
+      "nodes AS (SELECT DISTINCT src AS node FROM edges),",
+      "seeds AS (SELECT node FROM nodes WHERE node IN",
+      "  ('c:1','c:2','c:3','c:4','c:5','c:6','c:7','c:8','c:9','c:10')),",
+      "ns AS (SELECT count(*) AS k FROM seeds),",
+      "share AS (SELECT 1000000000000000 // k AS u FROM ns),",
+      "tele AS (SELECT (15 * u) // 100 AS t FROM share),",
+      "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),",
+      "pr0 AS (SELECT nd.node, CASE WHEN s.node IS NOT NULL",
+      "    THEN (SELECT u FROM share) ELSE 0 END AS pr_units",
+      "  FROM nodes nd LEFT JOIN seeds s ON nd.node = s.node),",
+      "c1 AS (SELECT e.dst AS node, sum(p.pr_units // d.deg) AS csum",
+      "  FROM pr0 p JOIN deg d ON p.node = d.src JOIN edges e ON p.node = e.src GROUP BY e.dst),",
+      "pr1 AS (SELECT nd.node, CASE WHEN s.node IS NOT NULL THEN (SELECT t FROM tele) ELSE 0 END",
+      "  + (85 * coalesce(c.csum, 0)) // 100 AS pr_units",
+      "  FROM nodes nd LEFT JOIN seeds s ON nd.node = s.node LEFT JOIN c1 c ON nd.node = c.node),",
+      "c2 AS (SELECT e.dst AS node, sum(p.pr_units // d.deg) AS csum",
+      "  FROM pr1 p JOIN deg d ON p.node = d.src JOIN edges e ON p.node = e.src GROUP BY e.dst),",
+      "pr2 AS (SELECT nd.node, CASE WHEN s.node IS NOT NULL THEN (SELECT t FROM tele) ELSE 0 END",
+      "  + (85 * coalesce(c.csum, 0)) // 100 AS pr_units",
+      "  FROM nodes nd LEFT JOIN seeds s ON nd.node = s.node LEFT JOIN c2 c ON nd.node = c.node),",
+      "c3 AS (SELECT e.dst AS node, sum(p.pr_units // d.deg) AS csum",
+      "  FROM pr2 p JOIN deg d ON p.node = d.src JOIN edges e ON p.node = e.src GROUP BY e.dst),",
+      "pr3 AS (SELECT nd.node, CASE WHEN s.node IS NOT NULL THEN (SELECT t FROM tele) ELSE 0 END",
+      "  + (85 * coalesce(c.csum, 0)) // 100 AS pr_units",
+      "  FROM nodes nd LEFT JOIN seeds s ON nd.node = s.node LEFT JOIN c3 c ON nd.node = c.node)",
+      "SELECT node, CAST(pr_units AS BIGINT) AS pr_units FROM pr3",
+      "ORDER BY pr_units DESC, node LIMIT 20").mkString("\n")),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q59, q94, q126, q148, q226, q304, q310, q378)
 }
