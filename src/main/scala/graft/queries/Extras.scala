@@ -1700,8 +1700,66 @@ object Extras {
            |FROM m GROUP BY pk % 10 ORDER BY pk_bucket""".stripMargin),
   )
 
+  /** q379 — INCREMENTAL sessionization maintenance: q43 recomputes the
+    * world; production re-sessionizes only the users the day's delta
+    * touched (q316's both-sided delta discipline applied to a GROUPED
+    * stateful view — correct here because sessions never cross users,
+    * so a group untouched by the delta is bit-identical in the full
+    * recompute). Epoch-0 sessions are materialized to parquet (the
+    * persisted state), epoch-1 events arrive (later half by event_id),
+    * and the maintained view = kept sessions of untouched users ∪
+    * re-sessionized RAW events of touched users — a new event may
+    * bridge two old sessions, so touched users recompute from raw
+    * events, never by patching session rows. Scale: the touched-user
+    * set is a semi-join pruned read on both sides; the recompute
+    * window runs only over touched users' events. Oracle: the
+    * from-scratch q43 SQL — maintained ≡ rebuilt. */
+  val q379 = QuerySpec(
+    "q379_incremental_sessionize",
+    (s, d) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_isess").toString
+      try {
+        val ev = Tables.events(s, d)
+          .select($"user_id", $"event_id", $"ts", $"value")
+        val mid = ev.agg(expr("max(event_id) div 2")).head().getLong(0)
+        def sessions(df: org.apache.spark.sql.DataFrame) = {
+          val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          df.withColumn("prev", lag($"ts", 1).over(w))
+            .withColumn("ns",
+              when($"prev".isNull ||
+                unix_micros($"ts") - unix_micros($"prev") > SessionGapUs, 1)
+                .otherwise(0))
+            .withColumn("sid", sum($"ns").over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .groupBy($"user_id", $"sid")
+            .agg(
+              min(unix_micros($"ts")).as("session_start_us"),
+              max(unix_micros($"ts")).as("session_end_us"),
+              count(lit(1)).as("n_events"),
+              dsum($"value", 4).as("value_sum"))
+            .select($"user_id", $"session_start_us", $"session_end_us",
+              $"n_events", $"value_sum")
+        }
+        // Epoch 0 materialized: the persisted session state.
+        sessions(ev.filter($"event_id" <= mid))
+          .write.parquet(s"$tmp/sessions_e0")
+        val delta = ev.filter($"event_id" > mid)
+        val touched = delta.select($"user_id").distinct()
+        val kept = s.read.parquet(s"$tmp/sessions_e0")
+          .join(touched, Seq("user_id"), "left_anti")
+        val recomputed = sessions(
+          ev.join(touched, Seq("user_id"), "left_semi"))
+        Eager(kept.unionAll(recomputed)
+          .orderBy($"user_id", $"session_start_us"))
+      } finally graft.Fs.deleteTree(tmp)
+    },
+    // The from-scratch rebuild IS the oracle: maintained ≡ rebuilt.
+    q43.oracle,
+  )
+
   val all: Seq[QuerySpec] = Seq(q39, q40, q41, q42, q43, q46, q47, q49, q50, q58,
     q74, q77, q79, q80, q92, q98, q99, q102, q104, q105, q107, q109, q112, q115,
     q141, q152, q158, q159, q195, q197, q232, q233, q234, q265, q266, q267, q268,
-    q305, q337, q338)
+    q305, q337, q338, q379)
 }

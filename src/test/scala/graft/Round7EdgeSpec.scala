@@ -6,7 +6,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 
-import graft.queries.{Analytics, Curation, EmbedTrain, Indexes, RobustStats}
+import graft.queries.{Analytics, Curation, EmbedTrain, Extras, Indexes, RobustStats}
 
 /** Degenerate-input guards for the round-7 additions (q370–q374). The
   * generic QueriesSpec pins determinism and atomic schemas on real
@@ -129,6 +129,35 @@ class Round7EdgeSpec extends SparkTestBase {
       assert(r.getAs[Double]("adj_mean_y") === r.getAs[Double]("mean_y"),
         "theta=0 must leave the mean unadjusted")
     }
+  }
+
+  test("q379: untouched users ride the materialized state; output equals full recompute") {
+    val dir = tmpDir("graft_q379_edge")
+    // Users 1..4: only user 4 has delta events (event_id > max/2 = 50).
+    // Users 1..3 must come out of the kept (materialized) branch and
+    // the whole result must still equal q43's from-scratch rebuild —
+    // including user 4's bridge: its delta event lands INSIDE the gap
+    // after an epoch-0 session, merging what epoch 0 saw as the tail.
+    val base = 1700000000000000L // micros
+    val gap = Extras.SessionGapUs
+    val rows =
+      (1L to 3L).flatMap { u =>
+        Seq((u * 10, new Timestamp(base / 1000), u, "click", 1.0, "{}"),
+          (u * 10 + 1, new Timestamp((base + 2 * gap) / 1000), u, "click", 2.0, "{}"))
+      } ++ Seq(
+        (40L, new Timestamp(base / 1000), 4L, "click", 1.0, "{}"),
+        // epoch-1 event 20 min after: bridges into the same session.
+        (100L, new Timestamp((base + 20L * 60 * 1000000) / 1000), 4L, "click", 5.0, "{}"))
+    spark.createDataFrame(rows)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/events.parquet")
+    val maintained = Extras.q379.run(spark, dir).collect().toSeq
+    val rebuilt = Extras.q43.run(spark, dir).collect().toSeq
+    assert(maintained === rebuilt)
+    // The bridge really merged: user 4 has ONE session spanning both epochs.
+    val u4 = maintained.filter(_.getAs[Long]("user_id") == 4L)
+    assert(u4.size === 1 && u4.head.getAs[Long]("n_events") === 2L)
   }
 
   test("q374: identical epochs agree perfectly on the head") {
