@@ -305,5 +305,60 @@ object RobustStats {
            |FROM j""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q343, q344, q345, q346, q349, q374)
+  /** q380 — split-conformal calibration threshold per group: the exact
+    * ⌈(n+1)(1−α)⌉-th smallest nonconformity score (α=0.1, score =
+    * |value − group median| quantized to 10⁻⁴) and the achieved
+    * coverage ppm — the distribution-free prediction-band radius, with
+    * the finite-sample +1 correction that plain percentile() lacks
+    * (coverage is provably ≥ 1−α, visible in the output). Scale
+    * discipline: quantization moves the selection onto the VALUE
+    * DOMAIN — one grouped count histogram (map-side combined), then
+    * the cumulative window runs over (group × distinct score) rows,
+    * never the event set; the rank index is computed in pure integer
+    * arithmetic (((n+1)·9+9) div 10 = ⌈0.9(n+1)⌉), no float rank
+    * anywhere. */
+  val q380 = QuerySpec(
+    "q380_conformal_threshold",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.fanOut(Tables.events(s, d), col("event_id"))
+        .select($"event_type", $"value")
+      val med = ev.groupBy($"event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val h = ev.join(broadcast(med), Seq("event_type"))
+        .select($"event_type",
+          expr("CAST(round(abs(value - med) * 10000) AS BIGINT)").as("score_m"))
+        .groupBy($"event_type", $"score_m").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy($"event_type").orderBy($"score_m")
+      h.withColumn("cc", sum($"c").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum($"c").over(Window.partitionBy($"event_type")))
+        .withColumn("kk", expr("least(n, ((n + 1) * 9 + 9) div 10)"))
+        .filter($"cc" >= $"kk")
+        .groupBy($"event_type", $"n")
+        .agg(min($"score_m").as("tau_m"),
+          expr("min_by(cc, score_m)").as("cov"))
+        .select($"event_type", $"n", $"tau_m",
+          expr("cov * 1000000L div n").as("coverage_ppm"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+           |  FROM events GROUP BY 1),
+           |s AS (SELECT e.event_type,
+           |    CAST(round(abs(e.value - m.med) * 10000) AS BIGINT) AS score_m
+           |  FROM events e JOIN m USING (event_type)),
+           |h AS (SELECT event_type, score_m, count(*) AS c FROM s GROUP BY 1, 2),
+           |cum AS (SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY score_m
+           |    ROWS UNBOUNDED PRECEDING) AS cc,
+           |    sum(c) OVER (PARTITION BY event_type) AS n FROM h),
+           |k AS (SELECT *, least(n, ((n + 1) * 9 + 9) // 10) AS kk FROM cum),
+           |t AS (SELECT event_type, CAST(n AS BIGINT) AS n, min(score_m) AS tau_m,
+           |    CAST(min_by(cc, score_m) AS BIGINT) AS cov
+           |  FROM k WHERE cc >= kk GROUP BY event_type, n)
+           |SELECT event_type, n, tau_m,
+           |  CAST(cov * 1000000 // n AS BIGINT) AS coverage_ppm
+           |FROM t ORDER BY event_type""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q343, q344, q345, q346, q349, q374, q380)
 }
