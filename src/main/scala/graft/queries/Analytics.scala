@@ -3548,6 +3548,73 @@ object Analytics {
            |FROM st ORDER BY event_type""".stripMargin),
   )
 
+  /** q381 — exact Kendall tau-b rank correlation between per-user
+    * activity (event count, capped at 200 — the censoring that keeps
+    * the joint domain bounded BY CONSTRUCTION at any corpus size) and
+    * spend intent (purchase count): the robust monotone-association
+    * reading that Pearson (q147/q222) misses when the relationship is
+    * nonlinear or heavy-tailed. Everything reduces to the JOINT COUNT
+    * HISTOGRAM: concordant/discordant pair mass comes from a
+    * cell-to-cell join on the ≤200×domain frame (never a row-level
+    * pair), tie corrections from the marginal histograms, and the only
+    * float op is the final sqrt of two identical BIGINTs — tau-b in
+    * exact integer milli. One corpus-sized user aggregate, then
+    * histogram-sized algebra. */
+  val q381 = QuerySpec(
+    "q381_kendall_tau_b",
+    (s, d) => {
+      import s.implicits._
+      val per = Tables.fanOut(Tables.events(s, d), col("user_id"))
+        .groupBy($"user_id")
+        .agg(least(count(lit(1)), lit(200L)).as("x"),
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("y"))
+      val cells = per.groupBy($"x", $"y").agg(count(lit(1)).as("c"))
+      val a = cells.select($"x".as("ax"), $"y".as("ay"), $"c".as("ac"))
+      val b = cells.select($"x".as("bx"), $"y".as("by"), $"c".as("bc"))
+      val pq = a.join(b, $"ax" < $"bx")
+        .agg(
+          sum(when($"ay" < $"by", $"ac" * $"bc").otherwise(0L)).as("p_conc"),
+          sum(when($"ay" > $"by", $"ac" * $"bc").otherwise(0L)).as("q_disc"))
+      val marg = cells.agg(
+        sum($"c").as("n"),
+        sum($"c" * ($"c" - 1)).as("txy2"))
+      val tx = cells.groupBy($"x").agg(sum($"c").as("cx"))
+        .agg(sum($"cx" * ($"cx" - 1)).as("tx2"))
+      val ty = cells.groupBy($"y").agg(sum($"c").as("cy"))
+        .agg(sum($"cy" * ($"cy" - 1)).as("ty2"))
+      pq.crossJoin(broadcast(marg)).crossJoin(broadcast(tx))
+        .crossJoin(broadcast(ty))
+        .select($"n".as("n_users"), $"p_conc", $"q_disc",
+          expr("tx2 div 2").as("ties_x"), expr("ty2 div 2").as("ties_y"),
+          expr("""CAST(floor(1000.0 * (p_conc - q_disc) /
+            | sqrt(CAST((n * (n - 1) div 2 - tx2 div 2) AS DOUBLE)
+            |   * CAST((n * (n - 1) div 2 - ty2 div 2) AS DOUBLE))) AS BIGINT)"""
+            .stripMargin.replaceAll("\n", ""))
+            .as("tau_b_milli"))
+    },
+    Some("""WITH per AS (SELECT user_id, least(count(*), 200) AS x,
+           |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+           |  FROM events GROUP BY user_id),
+           |cells AS (SELECT x, y, count(*) AS c FROM per GROUP BY 1, 2),
+           |pq AS (SELECT
+           |    CAST(sum(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END) AS BIGINT) AS p_conc,
+           |    CAST(sum(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END) AS BIGINT) AS q_disc
+           |  FROM cells a JOIN cells b ON a.x < b.x),
+           |marg AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+           |    CAST(sum(c * (c - 1)) AS BIGINT) AS txy2 FROM cells),
+           |tx AS (SELECT CAST(sum(cx * (cx - 1)) AS BIGINT) AS tx2 FROM
+           |  (SELECT x, sum(c) AS cx FROM cells GROUP BY x)),
+           |ty AS (SELECT CAST(sum(cy * (cy - 1)) AS BIGINT) AS ty2 FROM
+           |  (SELECT y, sum(c) AS cy FROM cells GROUP BY y))
+           |SELECT n AS n_users, p_conc, q_disc,
+           |  tx2 // 2 AS ties_x, ty2 // 2 AS ties_y,
+           |  CAST(floor(1000.0 * (p_conc - q_disc) /
+           |    sqrt(CAST((n * (n - 1) // 2 - tx2 // 2) AS DOUBLE)
+           |      * CAST((n * (n - 1) // 2 - ty2 // 2) AS DOUBLE))) AS BIGINT)
+           |    AS tau_b_milli
+           |FROM pq, marg, tx, ty""".stripMargin),
+  )
+
   /** q373 — CUPED variance-reduced experiment readout (q132's modern
     * sibling): per-user pre-period covariate x (value sum over even
     * event ids — the interleaved "before" stream) against post-period
@@ -3646,5 +3713,5 @@ object Analytics {
       q246, q247, q254, q255, q264, q272, q276, q280, q281, q282, q284, q285,
       q286, q288, q289, q291, q292, q293, q295, q297, q298, q299, q300, q303,
       q306, q308, q311, q312, q314, q315, q316, q319, q321, q323, q325, q331,
-      q332, q333, q334, q335, q336, q339, q373)
+      q332, q333, q334, q335, q336, q339, q373, q381)
 }
