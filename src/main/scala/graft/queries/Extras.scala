@@ -1758,8 +1758,80 @@ object Extras {
     q43.oracle,
   )
 
+  /** q382 — in-session event-type co-occurrence lift: which behaviors
+    * cluster inside one visit (q70's collocation-lift discipline moved
+    * from token space to the SESSION-level event domain). Sessions are
+    * q43's gap sessions; each reduces to its distinct-type set (≤5
+    * elements), pairs generate IN-ROW over the sorted set (never a
+    * session self-join), and lift = P(a,b)/(P(a)·P(b)) lands as exact
+    * integer ppm against the session census. The domain is bounded by
+    * the event-type vocabulary, so the post-shuffle frames are ≤10
+    * pair rows at any corpus size; the corpus-sized work is the one
+    * sessionize window q43 already pays. */
+  val q382 = QuerySpec(
+    "q382_session_event_pmi",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val sess = Tables.events(s, d)
+        .select($"user_id", $"event_id", $"ts", $"event_type")
+        .withColumn("prev", lag($"ts", 1).over(w))
+        .withColumn("ns",
+          when($"prev".isNull ||
+            unix_micros($"ts") - unix_micros($"prev") > SessionGapUs, 1)
+            .otherwise(0))
+        .withColumn("sid", sum($"ns").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"sid")
+        .agg(array_sort(collect_set($"event_type")).as("types"))
+      val persisted = sess.persist()
+      try {
+        val n = persisted.agg(count(lit(1)).as("n_sessions"))
+        val singles = persisted
+          .select(explode($"types").as("t"))
+          .groupBy($"t").agg(count(lit(1)).as("nt"))
+        val pairs = persisted.select(explode(expr(
+          """flatten(transform(types, (a, i) ->
+            |  transform(slice(types, i + 2, size(types) - i - 1), b ->
+            |    named_struct('ta', a, 'tb', b))))""".stripMargin)).as("p"))
+          .groupBy($"p.ta".as("ta"), $"p.tb".as("tb"))
+          .agg(count(lit(1)).as("n_ab"))
+        val out = pairs
+          .join(broadcast(singles.select($"t".as("ta"), $"nt".as("na"))), Seq("ta"))
+          .join(broadcast(singles.select($"t".as("tb"), $"nt".as("nb"))), Seq("tb"))
+          .crossJoin(broadcast(n))
+          .select($"ta", $"tb", $"n_ab",
+            expr("n_ab * n_sessions * 1000000L div (na * nb)").as("lift_ppm"))
+          .orderBy($"ta", $"tb")
+        Eager(out)
+      } finally persisted.unpersist(blocking = false)
+    },
+    Some(s"""WITH x AS (SELECT user_id, event_id, ts, event_type,
+            |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events),
+            |y AS (SELECT *, CASE WHEN prev IS NULL
+            |    OR epoch_us(ts) - epoch_us(prev) > ${SessionGapUs}::BIGINT THEN 1 ELSE 0 END AS ns FROM x),
+            |z AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            |        ROWS UNBOUNDED PRECEDING) AS sid FROM y),
+            |sess AS (SELECT user_id, sid, list_sort(list_distinct(list(event_type))) AS types
+            |  FROM z GROUP BY user_id, sid),
+            |n AS (SELECT count(*) AS n_sessions FROM sess),
+            |singles AS (SELECT t, count(*) AS nt FROM
+            |  (SELECT unnest(types) AS t FROM sess) GROUP BY 1),
+            |pairs AS (SELECT p.ta, p.tb, count(*) AS n_ab FROM (
+            |    SELECT unnest(flatten(list_transform(generate_series(1, len(types)), i ->
+            |      list_transform(generate_series(i + 1, len(types)), j ->
+            |        {'ta': types[i], 'tb': types[j]})))) AS p
+            |    FROM sess) GROUP BY 1, 2)
+            |SELECT pairs.ta AS ta, pairs.tb AS tb, pairs.n_ab AS n_ab,
+            |  CAST(pairs.n_ab * (SELECT n_sessions FROM n) * 1000000
+            |    // (a.nt * b.nt) AS BIGINT) AS lift_ppm
+            |FROM pairs JOIN singles a ON pairs.ta = a.t
+            |  JOIN singles b ON pairs.tb = b.t
+            |ORDER BY ta, tb""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q39, q40, q41, q42, q43, q46, q47, q49, q50, q58,
     q74, q77, q79, q80, q92, q98, q99, q102, q104, q105, q107, q109, q112, q115,
     q141, q152, q158, q159, q195, q197, q232, q233, q234, q265, q266, q267, q268,
-    q305, q337, q338, q379)
+    q305, q337, q338, q379, q382)
 }
