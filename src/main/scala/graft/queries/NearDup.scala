@@ -933,6 +933,105 @@ object NearDup {
            |FROM pairs GROUP BY brand, dist ORDER BY brand, dist""".stripMargin),
   )
 
+  /** q383 — blocking-quality audit for the LSH band scheme (the
+    * Fellegi–Sunter-era ER tuning readout, computed against derivable
+    * ground truth): TRUTH = the corpus's established near-dup ground truth — the
+    * 40-char-prefix fingerprint clusters q354/q377 dedup against ( id lists via [[collectCapped]] so a
+    * pathological mega-cluster costs O(cap) state — clusters past 64
+    * are excluded and counted, never enumerated); CANDIDATES = pairs
+    * sharing ≥1 band bucket under the production cap. Reports pair
+    * completeness (covered truth ppm — the recall the bands GUARANTEE
+    * before any verify stage) and candidate volume as ppm of all
+    * n(n−1)/2 pairs (the reduction the blocking buys). The coverage
+    * probe joins the SMALL truth-pair frame against per-doc band rows
+    * (4/doc) — never the bucket pair stream. This is the query that
+    * answers "can I loosen the band count" with data. */
+  val q383 = QuerySpec(
+    "q383_blocking_quality_audit",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"doc_id", $"text", tokens($"text").as("t"))
+        .filter(size($"t") >= 3)
+      val sig = graft.queries.Indexes.bandSigs(docs.select($"doc_id", $"t"))
+      val cl = docs.select(md5(substring(lower($"text"), 1, 40)).as("h"), $"doc_id")
+        .groupBy($"h")
+        .agg(count(lit(1)).as("k"), collectCapped($"doc_id", 65).as("ids0"))
+      val tpairs = cl.filter($"k".between(2, 64))
+        .select(sort_array($"ids0").as("ids"))
+        .select(explode(expr(
+          """flatten(transform(ids, (a, i) ->
+            |  transform(slice(ids, i + 2, size(ids) - i - 1), b ->
+            |    named_struct('a', a, 'b', b))))""".stripMargin)).as("p"))
+        .select($"p.a".as("a"), $"p.b".as("b"))
+        .persist()
+      try {
+        val covered = tpairs
+          .join(sig.select($"doc_id".as("a"), $"b".as("ba"), $"band_key".as("ka")),
+            Seq("a"))
+          .join(sig.select($"doc_id".as("b"), $"b".as("bb"), $"band_key".as("kb")),
+            Seq("b"))
+          .filter($"ba" === $"bb" && $"ka" === $"kb")
+          .select($"a", $"b").distinct()
+          .agg(count(lit(1)).as("n_covered"))
+        val truthN = tpairs.agg(count(lit(1)).as("n_truth"))
+        val cand = sig.groupBy($"b", $"band_key")
+          .agg(count(lit(1)).as("bn"))
+          .filter($"bn" <= MaxLshBucket)
+          .agg(sum(expr("bn * (bn - 1) div 2")).as("n_cand"))
+        val nd = docs.agg(count(lit(1)).as("n_docs"))
+        val excl = cl.filter($"k" > 64).agg(count(lit(1)).as("n_excluded"))
+        val out = nd.crossJoin(broadcast(truthN)).crossJoin(broadcast(covered))
+          .crossJoin(broadcast(cand)).crossJoin(broadcast(excl))
+          .select($"n_docs", $"n_truth".as("n_truth_pairs"),
+            $"n_covered".as("n_covered_pairs"),
+            expr("n_covered * 1000000L div nullif(n_truth, 0)")
+              .as("completeness_ppm"),
+            $"n_cand".as("n_candidate_pairs"),
+            expr("n_cand * 1000000L div (n_docs * (n_docs - 1) div 2)")
+              .as("candidate_ppm"),
+            $"n_excluded".as("n_truth_clusters_excluded"))
+        Eager(out)
+      } finally tpairs.unpersist(blocking = false)
+    },
+    Some("""WITH toks AS (SELECT doc_id, text, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+           |docs AS (SELECT doc_id, text, t FROM toks WHERE len(t) >= 3),
+           |sh AS (SELECT doc_id, list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS s
+           |       FROM docs),
+           |hs AS (SELECT doc_id,
+           |        list_transform(s, x -> md5(x || ':0')) AS h0,
+           |        list_transform(s, x -> md5(x || ':1')) AS h1 FROM sh),
+           |sig AS (SELECT doc_id, b,
+           |        list_aggregate(list_transform(h0, x -> substring(x, 1 + 8*b, 8)), 'min')
+           |        || '|' ||
+           |        list_aggregate(list_transform(h1, x -> substring(x, 1 + 8*b, 8)), 'min') AS band_key
+           |        FROM hs, generate_series(0, 3) g(b)),
+           |cl AS (SELECT md5(substring(lower(text), 1, 40)) AS h, count(*) AS k,
+           |    list_sort(list(doc_id)) AS ids
+           |  FROM docs GROUP BY 1),
+           |tp AS (SELECT unnest(flatten(list_transform(generate_series(1, len(ids)), i ->
+           |      list_transform(generate_series(i + 1, len(ids)), j ->
+           |        {'a': ids[i], 'b': ids[j]})))) AS p
+           |  FROM cl WHERE k BETWEEN 2 AND 64),
+           |tpairs AS (SELECT p.a AS a, p.b AS b FROM tp),
+           |cov AS (SELECT count(*) AS n_covered FROM (
+           |  SELECT DISTINCT t.a, t.b FROM tpairs t
+           |  JOIN sig sa ON sa.doc_id = t.a
+           |  JOIN sig sb ON sb.doc_id = t.b AND sb.b = sa.b AND sb.band_key = sa.band_key)),
+           |tcnt AS (SELECT count(*) AS n_truth FROM tpairs),
+           |bk AS (SELECT b, band_key, count(*) AS bn FROM sig GROUP BY 1, 2),
+           |cand AS (SELECT CAST(sum(bn * (bn - 1) // 2) AS BIGINT) AS n_cand
+           |  FROM bk WHERE bn <= 64),
+           |nd AS (SELECT count(*) AS n_docs FROM docs),
+           |excl AS (SELECT count(*) AS n_excluded FROM cl WHERE k > 64)
+           |SELECT n_docs, n_truth AS n_truth_pairs, n_covered AS n_covered_pairs,
+           |  CAST(n_covered * 1000000 // nullif(n_truth, 0) AS BIGINT) AS completeness_ppm,
+           |  n_cand AS n_candidate_pairs,
+           |  CAST(n_cand * 1000000 // (n_docs * (n_docs - 1) // 2) AS BIGINT) AS candidate_ppm,
+           |  CAST(n_excluded AS BIGINT) AS n_truth_clusters_excluded
+           |FROM nd, tcnt, cov, cand, excl""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q24, q25, q26, q27, q28, q52, q55, q81, q125,
-    q138, q296, q302, q320, q329)
+    q138, q296, q302, q320, q329, q383)
 }
