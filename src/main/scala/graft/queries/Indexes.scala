@@ -610,6 +610,110 @@ object Indexes {
     q341.oracle,
   )
 
+  /** q384 — IVF nprobe RECALL CURVE (q369 generalized from a point to
+    * the tuning sweep): recall@10 and scanned-fraction for
+    * nprobe ∈ {1,2,4,8} in one pass — the curve an index operator
+    * reads to pick the probe budget. The candidate frame is built ONCE
+    * with each vector's probe rank (≤8) attached; the four sweep
+    * points are filters over that frame, so the corpus is scored
+    * exactly once regardless of how many nprobe values the sweep
+    * carries. Exact top-10 baseline shared across points. Aggregate
+    * recall is exact integer ppm over 20 queries × 10 slots. */
+  val q384 = QuerySpec(
+    "q384_ivf_nprobe_sweep",
+    (s, d) => {
+      import s.implicits._
+      val base = Tables.fanOut(Tables.embeddings(s, d), col("vec_id"))
+        .select($"vec_id", asDouble($"embedding").as("emb"))
+        .withColumn("nrm", l2Norm($"emb"))
+      val cent = base.filter($"vec_id".between(2, 9))
+        .select($"vec_id".as("cid"), $"emb".as("cemb"), $"nrm".as("cnrm"))
+      val queries = base.filter($"vec_id".between(10, 29))
+        .select($"vec_id".as("qid"), $"emb".as("qemb"), $"nrm".as("qnrm"))
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"c".desc, $"vec_id")
+      val exact = base.crossJoin(broadcast(queries))
+        .filter($"vec_id" =!= $"qid")
+        .withColumn("c", dot($"emb", $"qemb") / ($"nrm" * $"qnrm"))
+        .withColumn("rn", row_number().over(wq))
+        .filter($"rn" <= 10).select($"qid", $"vec_id")
+      val assigned = base.crossJoin(broadcast(cent))
+        .withColumn("cc", dot($"emb", $"cemb") / ($"nrm" * $"cnrm"))
+        .groupBy($"vec_id")
+        .agg(max_by($"cid", struct($"cc", -$"cid")).as("cid"),
+          first($"emb").as("emb"), first($"nrm").as("nrm"))
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"cc".desc, $"cid")
+      val probeR = queries.crossJoin(broadcast(cent))
+        .withColumn("cc", dot($"qemb", $"cemb") / ($"qnrm" * $"cnrm"))
+        .withColumn("prn", row_number().over(wp))
+        .filter($"prn" <= 8)
+        .select($"qid", $"cid", $"prn", $"qemb", $"qnrm")
+      val nps = Seq(1, 2, 4, 8).toDF("np")
+      val cand = assigned.join(broadcast(probeR), Seq("cid"))
+        .filter($"vec_id" =!= $"qid")
+        .withColumn("c", dot($"emb", $"qemb") / ($"nrm" * $"qnrm"))
+        .select($"qid", $"vec_id", $"c", $"prn")
+        .crossJoin(broadcast(nps))
+        .filter($"prn" <= $"np")
+        .persist()
+      try {
+        val scanned = cand.groupBy($"np").agg(count(lit(1)).as("n_scanned"))
+        val hits = cand.withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"np", $"qid").orderBy($"c".desc, $"vec_id")))
+          .filter($"rn" <= 10)
+          .join(exact, Seq("qid", "vec_id"), "left_semi")
+          .groupBy($"np").agg(count(lit(1)).as("n_hits"))
+        val nb = base.agg(count(lit(1)).as("n_base"))
+        val out = nps.join(broadcast(hits), Seq("np"), "left")
+          .join(broadcast(scanned), Seq("np"), "left")
+          .crossJoin(broadcast(nb))
+          .select($"np".cast("long").as("nprobe"),
+            coalesce($"n_hits", lit(0L)).as("n_hits"),
+            expr("coalesce(n_hits, 0L) * 1000000L div 200").as("recall_ppm"),
+            expr("coalesce(n_scanned, 0L) * 1000000L div (20 * (n_base - 1))")
+              .as("scanned_ppm"))
+          .orderBy($"nprobe")
+        Eager(out)
+      } finally cand.unpersist(blocking = false)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            |cent AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id BETWEEN 2 AND 9),
+            |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id BETWEEN 10 AND 29),
+            |sc AS (SELECT q.qid, v.vec_id, ${sqlCosine("v.emb", "q.qemb")} AS c
+            |       FROM e v, q WHERE v.vec_id <> q.qid),
+            |ex AS (SELECT qid, vec_id FROM (
+            |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn FROM sc)
+            |  WHERE rn <= 10),
+            |ac AS (SELECT v.vec_id, c2.cid, ${sqlCosine("v.emb", "c2.cemb")} AS cc FROM e v, cent c2),
+            |asg AS (SELECT vec_id, cid FROM (
+            |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn FROM ac)
+            |  WHERE rn = 1),
+            |pr AS (SELECT qid, cid, rn AS prn FROM (
+            |    SELECT q.qid, a.cid, row_number() OVER (PARTITION BY q.qid ORDER BY a.cc DESC, a.cid) AS rn
+            |    FROM q JOIN ac a ON a.vec_id = q.qid)
+            |  WHERE rn <= 8),
+            |nps AS (SELECT unnest([1, 2, 4, 8]) AS np),
+            |cand AS (SELECT n.np, s.qid, s.vec_id, s.c
+            |  FROM sc s JOIN asg ON asg.vec_id = s.vec_id
+            |  JOIN pr ON pr.qid = s.qid AND pr.cid = asg.cid
+            |  JOIN nps n ON pr.prn <= n.np),
+            |scn AS (SELECT np, count(*) AS n_scanned FROM cand GROUP BY np),
+            |iv AS (SELECT np, qid, vec_id FROM (
+            |    SELECT np, qid, vec_id, row_number() OVER (PARTITION BY np, qid ORDER BY c DESC, vec_id) AS rn FROM cand)
+            |  WHERE rn <= 10),
+            |h AS (SELECT iv.np, count(*) AS n_hits FROM iv JOIN ex
+            |  ON ex.qid = iv.qid AND ex.vec_id = iv.vec_id GROUP BY iv.np),
+            |nb AS (SELECT count(*) AS n_base FROM e)
+            |SELECT CAST(n.np AS BIGINT) AS nprobe,
+            |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+            |  CAST(coalesce(h.n_hits, 0) * 1000000 // 200 AS BIGINT) AS recall_ppm,
+            |  CAST(coalesce(s2.n_scanned, 0) * 1000000 // (20 * ((SELECT n_base FROM nb) - 1)) AS BIGINT) AS scanned_ppm
+            |FROM nps n LEFT JOIN h ON n.np = h.np LEFT JOIN scn s2 ON n.np = s2.np
+            |ORDER BY nprobe""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q341, q342, q359, q360, q361, q362, q366, q369, q372, q375)
+    Seq(q341, q342, q359, q360, q361, q362, q366, q369, q372, q375, q384)
 }
