@@ -1032,6 +1032,135 @@ object NearDup {
            |FROM nd, tcnt, cov, cand, excl""".stripMargin),
   )
 
+  /** q385 — LSH banding-config SWEEP (q383's audit generalized to the
+    * tuning curve): the 256 digest bits split into B ∈ {2,4,8} bands of
+    * width 32/B hex chars, and each config reports truth-pair
+    * completeness + capped candidate volume — the empirical S-curve
+    * trade (more, narrower bands → higher recall AND more candidates)
+    * that picks the production banding. The expensive work — two
+    * salted md5 passes over every shingle — happens ONCE; each config
+    * is a different chunking of the SAME digest arrays, so the sweep
+    * costs one corpus pass plus three band-sized aggregates. */
+  val q385 = QuerySpec(
+    "q385_lsh_band_sweep",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"doc_id", $"text", tokens($"text").as("t"))
+        .filter(size($"t") >= 3)
+      val hashed = docs.select($"doc_id", shingles3("t").as("sh"))
+        .select($"doc_id", saltedHashes("sh", 0).as("h0"),
+          saltedHashes("sh", 1).as("h1"))
+        .persist()
+      def sigsFor(nb: Int) = {
+        val w = 32 / nb
+        hashed.select(lit(nb.toLong).as("nb"), $"doc_id",
+            explode(sequence(lit(0), lit(nb - 1))).as("b"), $"h0", $"h1")
+          .select($"nb", $"doc_id", $"b",
+            concat(
+              expr(s"array_min(transform(h0, x -> substring(x, 1 + $w*b, $w)))"),
+              lit("|"),
+              expr(s"array_min(transform(h1, x -> substring(x, 1 + $w*b, $w)))"))
+              .as("band_key"))
+      }
+      val sigs = Seq(2, 4, 8).map(sigsFor).reduce(_ unionAll _).persist()
+      val tpairs = docs
+        .select(md5(substring(lower($"text"), 1, 40)).as("h"), $"doc_id")
+        .groupBy($"h")
+        .agg(count(lit(1)).as("k"), collectCapped($"doc_id", 65).as("ids0"))
+        .filter($"k".between(2, 64))
+        .select(sort_array($"ids0").as("ids"))
+        .select(explode(expr(
+          """flatten(transform(ids, (a, i) ->
+            |  transform(slice(ids, i + 2, size(ids) - i - 1), b ->
+            |    named_struct('a', a, 'b', b))))""".stripMargin)).as("p"))
+        .select($"p.a".as("a"), $"p.b".as("b"))
+        .persist()
+      try {
+        val covered = tpairs
+          .join(sigs.select($"nb", $"doc_id".as("a"), $"b".as("ba"),
+            $"band_key".as("ka")), Seq("a"))
+          .join(sigs.select($"nb".as("nb2"), $"doc_id".as("b"), $"b".as("bb"),
+            $"band_key".as("kb")), Seq("b"))
+          .filter($"nb" === $"nb2" && $"ba" === $"bb" && $"ka" === $"kb")
+          .select($"nb", $"a", $"b").distinct()
+          .groupBy($"nb").agg(count(lit(1)).as("n_covered"))
+        val truthN = tpairs.agg(count(lit(1)).as("n_truth"))
+        val cand = sigs.groupBy($"nb", $"b", $"band_key")
+          .agg(count(lit(1)).as("bn"))
+          .filter($"bn" <= MaxLshBucket)
+          .groupBy($"nb").agg(sum(expr("bn * (bn - 1) div 2")).as("n_cand"))
+        val nd = docs.agg(count(lit(1)).as("n_docs"))
+        val out = Seq(2L, 4L, 8L).toDF("nb")
+          .join(broadcast(covered), Seq("nb"), "left")
+          .join(broadcast(cand), Seq("nb"), "left")
+          .crossJoin(broadcast(truthN)).crossJoin(broadcast(nd))
+          .select($"nb".as("n_bands"), $"n_truth".as("n_truth_pairs"),
+            coalesce($"n_covered", lit(0L)).as("n_covered_pairs"),
+            expr("coalesce(n_covered, 0L) * 1000000L div nullif(n_truth, 0)")
+              .as("completeness_ppm"),
+            coalesce($"n_cand", lit(0L)).as("n_candidate_pairs"),
+            expr("coalesce(n_cand, 0L) * 1000000L div (n_docs * (n_docs - 1) div 2)")
+              .as("candidate_ppm"))
+          .orderBy($"n_bands")
+        Eager(out)
+      } finally {
+        tpairs.unpersist(blocking = false)
+        sigs.unpersist(blocking = false)
+        hashed.unpersist(blocking = false)
+      }
+    },
+    Some {
+      def sigBlock(nb: Int) = {
+        val w = 32 / nb
+        // NOTE: no continuation line may start with "||" — this block is
+        // re-run through the OUTER stripMargin after interpolation, which
+        // would eat the first pipe and corrupt concat into bitwise-or.
+        s"""SELECT $nb AS nb, doc_id, b,
+           |  list_aggregate(list_transform(h0, x -> substring(x, 1 + $w*b, $w)), 'min') || '|' ||
+           |  list_aggregate(list_transform(h1, x -> substring(x, 1 + $w*b, $w)), 'min') AS band_key
+           |  FROM hs, generate_series(0, ${nb - 1}) g(b)""".stripMargin
+      }
+      s"""WITH toks AS (SELECT doc_id, text, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
+         |docs AS (SELECT doc_id, text, t FROM toks WHERE len(t) >= 3),
+         |sh AS (SELECT doc_id, list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS s
+         |       FROM docs),
+         |hs AS (SELECT doc_id,
+         |        list_transform(s, x -> md5(x || ':0')) AS h0,
+         |        list_transform(s, x -> md5(x || ':1')) AS h1 FROM sh),
+         |sig AS (${Seq(2, 4, 8).map(sigBlock).mkString("\nUNION ALL\n")}),
+         |cl AS (SELECT md5(substring(lower(text), 1, 40)) AS h, count(*) AS k,
+         |    list_sort(list(doc_id)) AS ids
+         |  FROM docs GROUP BY 1),
+         |tp AS (SELECT unnest(flatten(list_transform(generate_series(1, len(ids)), i ->
+         |      list_transform(generate_series(i + 1, len(ids)), j ->
+         |        {'a': ids[i], 'b': ids[j]})))) AS p
+         |  FROM cl WHERE k BETWEEN 2 AND 64),
+         |tpairs AS (SELECT p.a AS a, p.b AS b FROM tp),
+         |cov AS (SELECT nb, count(*) AS n_covered FROM (
+         |  SELECT DISTINCT sa.nb, t.a, t.b FROM tpairs t
+         |  JOIN sig sa ON sa.doc_id = t.a
+         |  JOIN sig sb ON sb.doc_id = t.b AND sb.nb = sa.nb
+         |    AND sb.b = sa.b AND sb.band_key = sa.band_key) GROUP BY nb),
+         |tcnt AS (SELECT count(*) AS n_truth FROM tpairs),
+         |bk AS (SELECT nb, b, band_key, count(*) AS bn FROM sig GROUP BY 1, 2, 3),
+         |cand AS (SELECT nb, CAST(sum(bn * (bn - 1) // 2) AS BIGINT) AS n_cand
+         |  FROM bk WHERE bn <= 64 GROUP BY nb),
+         |nd AS (SELECT count(*) AS n_docs FROM docs),
+         |nbs AS (SELECT unnest([2, 4, 8]) AS nb)
+         |SELECT CAST(n.nb AS BIGINT) AS n_bands,
+         |  (SELECT n_truth FROM tcnt) AS n_truth_pairs,
+         |  CAST(coalesce(c.n_covered, 0) AS BIGINT) AS n_covered_pairs,
+         |  CAST(coalesce(c.n_covered, 0) * 1000000
+         |    // nullif((SELECT n_truth FROM tcnt), 0) AS BIGINT) AS completeness_ppm,
+         |  CAST(coalesce(a.n_cand, 0) AS BIGINT) AS n_candidate_pairs,
+         |  CAST(coalesce(a.n_cand, 0) * 1000000
+         |    // ((SELECT n_docs FROM nd) * ((SELECT n_docs FROM nd) - 1) // 2) AS BIGINT) AS candidate_ppm
+         |FROM nbs n LEFT JOIN cov c ON n.nb = c.nb LEFT JOIN cand a ON n.nb = a.nb
+         |ORDER BY n_bands""".stripMargin
+    },
+  )
+
   val all: Seq[QuerySpec] = Seq(q24, q25, q26, q27, q28, q52, q55, q81, q125,
-    q138, q296, q302, q320, q329, q383)
+    q138, q296, q302, q320, q329, q383, q385)
 }
