@@ -494,6 +494,99 @@ object Curation {
            |GROUP BY s.score ORDER BY s.score""".stripMargin),
   )
 
+  /** q386 — data-constrained epoch water-filling: q363 splits ONE
+    * epoch's budget across sources; this plans REPEATS. Each source
+    * may run up to 4 epochs, and a repeated epoch is worth less than
+    * a fresh one (the data-constrained-scaling observation that
+    * repeated tokens decay in value — modeled as a halving multiplier
+    * 8/4/2/1 per epoch). Priority of (source, epoch) = the source's
+    * quality score (ppm of deduplicated keepers passing the q88-style
+    * gate) × the epoch multiplier — exact integers, no floats.
+    * Greedy water-filling: walk (source, epoch) cells in priority
+    * order, funding each cell's full deduplicated char cost until the
+    * budget line (9/4 of the global unique supply — "a bit over two
+    * epochs of everything", chosen so the water line lands INSIDE
+    * epoch 3 and the quality ordering actually decides who gets it)
+    * is crossed; the straddling cell gets the partial remainder.
+    * Scale shape: one corpus-sized cluster agg (the q363 fingerprint
+    * shuffle), then a #sources-row frame fanned ×4 — the greedy walk
+    * is a running-sum window over ~4·#sources rows, never the corpus.
+    * Reference anchor: the reference stops at per-table ETL
+    * (workflow-examples/pyspark-taxi-trip.py:34-52); this is the
+    * Tier-C mixture-planning capability SURVEY §2.3 implies. */
+  val q386 = QuerySpec(
+    "q386_epoch_water_filling",
+    (s, d) => {
+      import s.implicits._
+      val cl = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select(md5(substring(lower($"text"), 1, 40)).as("h"),
+          $"doc_id", $"source", $"n_chars", $"lang")
+        .groupBy($"h")
+        .agg(min_by($"source", $"doc_id").as("src"),
+          min_by($"n_chars", $"doc_id").as("keeper_chars"),
+          min_by($"lang", $"doc_id").as("keeper_lang"))
+      val bySrc = cl.groupBy($"src")
+        .agg(sum($"keeper_chars").as("supply_chars"),
+          sum(when($"keeper_lang".isin("en", "es") &&
+            $"keeper_chars".between(100, 2000), 1L).otherwise(0L)).as("n_good"),
+          count(lit(1)).as("n_keepers"))
+      // Decision frame from here: #sources × 4 rows.
+      val tot = bySrc.agg(sum($"supply_chars").as("s_total"))
+      val grid = bySrc.crossJoin(broadcast(tot))
+        .withColumn("quality_ppm", expr("n_good * 1000000L div n_keepers"))
+        .withColumn("epoch", explode(sequence(lit(1L), lit(4L))))
+        .withColumn("priority", $"quality_ppm" *
+          expr("CASE epoch WHEN 1 THEN 8 WHEN 2 THEN 4 WHEN 3 THEN 2 ELSE 1 END"))
+        .withColumn("budget_chars", expr("9 * s_total div 4"))
+      // (priority desc, src, epoch) is a total order — (src, epoch) is
+      // unique — so the ROWS running sum is deterministic despite ties.
+      val w = Window.orderBy($"priority".desc, $"src", $"epoch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid
+        .withColumn("cum_before",
+          sum($"supply_chars").over(w) - $"supply_chars")
+        .select($"src", $"epoch", $"quality_ppm", $"priority",
+          $"supply_chars".as("cost_chars"), $"cum_before",
+          greatest(lit(0L), least($"supply_chars",
+            $"budget_chars" - $"cum_before")).as("alloc_chars"))
+        .orderBy($"src", $"epoch")
+    },
+    Some("""WITH cl AS (
+           |  SELECT md5(substring(lower(text), 1, 40)) AS h,
+           |    min_by(source, doc_id) AS src,
+           |    min_by(n_chars, doc_id) AS keeper_chars,
+           |    min_by(lang, doc_id) AS keeper_lang
+           |  FROM documents GROUP BY 1),
+           |bysrc AS (
+           |  SELECT src, CAST(sum(keeper_chars) AS BIGINT) AS supply_chars,
+           |    sum(CASE WHEN keeper_lang IN ('en','es')
+           |      AND keeper_chars BETWEEN 100 AND 2000 THEN 1 ELSE 0 END) AS n_good,
+           |    count(*) AS n_keepers
+           |  FROM cl GROUP BY src),
+           |grid AS (
+           |  SELECT src, supply_chars,
+           |    CAST(n_good * 1000000 // n_keepers AS BIGINT) AS quality_ppm,
+           |    unnest(generate_series(1, 4)) AS epoch
+           |  FROM bysrc),
+           |pr AS (
+           |  SELECT src, CAST(epoch AS BIGINT) AS epoch, quality_ppm,
+           |    CAST(quality_ppm * (CASE epoch WHEN 1 THEN 8 WHEN 2 THEN 4
+           |      WHEN 3 THEN 2 ELSE 1 END) AS BIGINT) AS priority,
+           |    supply_chars AS cost_chars,
+           |    CAST(9 * (SELECT sum(supply_chars) FROM bysrc) // 4 AS BIGINT)
+           |      AS budget_chars
+           |  FROM grid),
+           |filled AS (
+           |  SELECT *, CAST(sum(cost_chars) OVER (ORDER BY priority DESC, src, epoch
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cost_chars
+           |    AS BIGINT) AS cum_before
+           |  FROM pr)
+           |SELECT src, epoch, quality_ppm, priority, cost_chars, cum_before,
+           |  CAST(greatest(0, least(cost_chars, budget_chars - cum_before))
+           |    AS BIGINT) AS alloc_chars
+           |FROM filled ORDER BY src, epoch""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q363, q364, q365, q367, q368, q370, q376, q377)
+    Seq(q363, q364, q365, q367, q368, q370, q376, q377, q386)
 }
