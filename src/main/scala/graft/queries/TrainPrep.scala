@@ -1833,8 +1833,99 @@ object TrainPrep {
            |FROM stats s, leak l ORDER BY s.split""".stripMargin),
   )
 
+  /** q387 — DSIR-style importance selection over hashed bigram
+    * features (Xie et al.'s data-selection-via-importance-resampling
+    * recipe, public): score every raw doc by how much its n-gram
+    * profile looks like the TARGET distribution (here: the quality-
+    * gated slice of the corpus) vs the raw corpus, then take the head.
+    * Log-free exact-integer variant — DSIR's log-ratio weight is
+    * replaced by the frequency-DIFFERENCE inner product
+    * score(doc) = Σ_b c_doc(b)·(ppm_target(b) − ppm_raw(b)) over 256
+    * hashed buckets (first two md5 hex chars, the q101 hashing-trick
+    * dims squared), because cross-engine ln() drifts by ulps (the
+    * Search.scala rule) while ppm differences are BIGINT-exact.
+    * Shape: one bigram explode → ONE (doc, bucket) shuffle; the
+    * 256-row bucket frequency frame broadcasts back onto it, per-doc
+    * scores reduce in the same agg, TakeOrdered(15) — no corpus-sized
+    * sort, no dictionary, membership stable under growth (q60's
+    * hashing argument applied to selection). */
+  val q387 = QuerySpec(
+    "q387_dsir_importance_select",
+    (s, d) => {
+      import s.implicits._
+      val toks = filter(graft.functions.TextFns.tokens($"text"),
+        t => char_length(t) > 0)
+      val w = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"doc_id", $"source", toks.as("toks"),
+          when($"lang".isin("en", "es") && $"n_chars".between(100, 2000), 1L)
+            .otherwise(0L).as("target_flag"))
+        .filter(size($"toks") >= 2)
+      val bg = w.select($"doc_id", $"source", $"target_flag",
+        explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))"
+        )).as("g"))
+      val hex = lit("0123456789abcdef")
+      val docbuck = bg
+        .withColumn("bucket",
+          ((instr(hex, substring(md5($"g".cast("binary")), 1, 1)) - 1) * 16 +
+            instr(hex, substring(md5($"g".cast("binary")), 2, 1)) - 1).cast("long"))
+        .groupBy($"doc_id", $"source", $"target_flag", $"bucket")
+        .agg(count(lit(1)).as("c"))
+      val buck = docbuck.groupBy($"bucket")
+        .agg(sum($"c").as("r_n"),
+          sum(when($"target_flag" === 1L, $"c").otherwise(0L)).as("t_n"))
+      val tot = buck.agg(sum($"t_n").as("t_tot"), sum($"r_n").as("r_tot"))
+      val diff = buck.crossJoin(broadcast(tot))
+        .select($"bucket",
+          expr("t_n * 1000000L div t_tot - r_n * 1000000L div r_tot")
+            .as("diff_ppm"))
+      docbuck.join(broadcast(diff), Seq("bucket"))
+        .groupBy($"doc_id", $"source", $"target_flag")
+        .agg(sum($"c").as("n_bigrams"), sum($"c" * $"diff_ppm").as("score"))
+        .select($"doc_id", $"source", $"target_flag", $"n_bigrams", $"score")
+        .orderBy($"score".desc, $"doc_id")
+        .limit(15)
+    },
+    Some("""WITH w AS (
+           |  SELECT doc_id, source,
+           |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+           |      x -> len(x) > 0) AS toks,
+           |    CASE WHEN lang IN ('en','es') AND n_chars BETWEEN 100 AND 2000
+           |      THEN 1 ELSE 0 END AS target_flag
+           |  FROM documents),
+           |bg AS (
+           |  SELECT doc_id, source, target_flag,
+           |    unnest(list_transform(generate_series(1, len(toks) - 1),
+           |      i -> toks[i] || ' ' || toks[i+1])) AS g
+           |  FROM w WHERE len(toks) >= 2),
+           |docbuck AS (
+           |  SELECT doc_id, source, target_flag,
+           |    CAST((strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 16
+           |      + strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1
+           |      AS BIGINT) AS bucket,
+           |    count(*) AS c
+           |  FROM bg GROUP BY 1, 2, 3, 4),
+           |buck AS (
+           |  SELECT bucket, CAST(sum(c) AS BIGINT) AS r_n,
+           |    CAST(sum(CASE WHEN target_flag = 1 THEN c ELSE 0 END) AS BIGINT)
+           |      AS t_n
+           |  FROM docbuck GROUP BY 1),
+           |d AS (
+           |  SELECT bucket,
+           |    CAST(t_n * 1000000 // (SELECT sum(t_n) FROM buck)
+           |      - r_n * 1000000 // (SELECT sum(r_n) FROM buck) AS BIGINT)
+           |      AS diff_ppm
+           |  FROM buck)
+           |SELECT db.doc_id, db.source, CAST(db.target_flag AS BIGINT) AS target_flag,
+           |  CAST(sum(db.c) AS BIGINT) AS n_bigrams,
+           |  CAST(sum(db.c * d.diff_ppm) AS BIGINT) AS score
+           |FROM docbuck db JOIN d ON db.bucket = d.bucket
+           |GROUP BY 1, 2, 3
+           |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q60, q61, q62, q63, q64, q65, q67, q68, q69, q70,
     q86, q87, q88, q89, q90, q96, q100, q101, q106, q110, q149, q150, q160,
     q192, q194, q200, q214, q215, q236, q243, q263, q274, q275, q317, q318,
-    q328, q330, q347, q348, q351)
+    q328, q330, q347, q348, q351, q387)
 }
