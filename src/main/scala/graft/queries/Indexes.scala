@@ -714,6 +714,73 @@ object Indexes {
             |ORDER BY nprobe""".stripMargin),
   )
 
+  /** q388 — IVF quantizer-quality audit: a simplified (centroid-based)
+    * silhouette per cluster over q28/q341's fixed 8-centroid assignment.
+    * For every vector, a = cosine distance (1−cos) to its OWN argmax
+    * centroid, b = distance to the nearest OTHER centroid; the
+    * silhouette s = (b−a)/max(a,b) collapses to (c1−c2)/(1−c2) in
+    * cosine terms (c1 ≥ c2, so max(a,b) = 1−c2). Per-cluster mean/min/
+    * max s is the "is this quantizer worth probing?" health readout a
+    * production IVF index ships beside the files q341 writes: clusters
+    * whose mean s ≈ 0 buy no candidate pruning (probe must fan out),
+    * strongly positive clusters prune hard.
+    *
+    * Scale: the classical silhouette is O(n²) (mean pairwise distance);
+    * the centroid form is ONE corpus pass — broadcast the K centroids,
+    * take per-vector top-2 cosines with a bounded K-element in-row sort
+    * (no window shuffle: fanOut already partitions by vec_id), then a
+    * K-row final agg. Cosines are sequential-fold doubles (bit-identical
+    * to the oracle), the mean routes through [[Det.davg]] so partition
+    * order can't move the hash. */
+  val q388 = QuerySpec(
+    "q388_ivf_silhouette",
+    (s, d) => {
+      import s.implicits._
+      val base = Tables.embeddings(s, d)
+        .select($"vec_id", asDouble($"embedding").as("emb"))
+        .withColumn("nrm", l2Norm($"emb"))
+      val e = Tables.fanOut(base, col("vec_id"))
+      val cent = base.filter($"vec_id".between(2, 9))
+        .select($"vec_id".as("cid"), $"emb".as("cemb"), $"nrm".as("cnrm"))
+      // Top-2 centroids per vector: bounded 8-struct in-row sort on
+      // (−c, cid) — c desc, ties lowest cid, same order as the oracle's
+      // row_number() window.
+      val top2 = e.crossJoin(broadcast(cent))
+        .withColumn("c", dot($"emb", $"cemb") / ($"nrm" * $"cnrm"))
+        .groupBy($"vec_id")
+        .agg(slice(sort_array(collect_list(struct((-$"c").as("nc"), $"cid", $"c"))),
+          1, 2).as("t2"))
+        .select($"vec_id", $"t2"(0)("cid").as("cid1"),
+          $"t2"(0)("c").as("c1"), $"t2"(1)("c").as("c2"))
+      top2
+        .withColumn("sil", when($"c1" === $"c2", lit(0.0))
+          .otherwise(($"c1" - $"c2") / (lit(1.0) - $"c2")))
+        .groupBy($"cid1".as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          round(davg($"sil", 12), 6).as("mean_sil"),
+          round(min($"sil"), 6).as("min_sil"),
+          round(max($"sil"), 6).as("max_sil"))
+        .orderBy($"cluster_id")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            |cent AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id BETWEEN 2 AND 9),
+            |sc AS (SELECT v.vec_id, c2.cid, ${sqlCosine("v.emb", "c2.cemb")} AS c FROM e v, cent c2),
+            |rk AS (SELECT vec_id, cid, c,
+            |         row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cid) AS rn FROM sc),
+            |tv AS (SELECT vec_id,
+            |         max(CASE WHEN rn = 1 THEN c END) AS c1,
+            |         max(CASE WHEN rn = 1 THEN cid END) AS cid1,
+            |         max(CASE WHEN rn = 2 THEN c END) AS c2
+            |       FROM rk WHERE rn <= 2 GROUP BY vec_id),
+            |sil AS (SELECT vec_id, cid1,
+            |          CASE WHEN c1 = c2 THEN 0.0 ELSE (c1 - c2) / (1.0 - c2) END AS sil
+            |        FROM tv)
+            |SELECT cid1 AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+            |  round(${sqlDavg("sil", 12)}, 6) AS mean_sil,
+            |  round(min(sil), 6) AS min_sil, round(max(sil), 6) AS max_sil
+            |FROM sil GROUP BY 1 ORDER BY 1""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q341, q342, q359, q360, q361, q362, q366, q369, q372, q375, q384)
+    Seq(q341, q342, q359, q360, q361, q362, q366, q369, q372, q375, q384, q388)
 }

@@ -1161,6 +1161,91 @@ object NearDup {
     },
   )
 
+  /** q389 — clustering-agreement audit (adjusted Rand index, Hubert &
+    * Arabie's chance-corrected form) between two cheap per-row document
+    * partitions: A = q350's 40-char lowercased prefix fingerprint, B =
+    * q25's SimHash32 value. "Does the O(1) sketch reproduce the
+    * structure the O(1) prefix key sees?" is the standard pre-flight
+    * before trusting either as a blocking key. Both labels are pure
+    * per-row functions, so the contingency table is ONE groupBy
+    * (label_a, label_b) shuffle — pairs NEVER materialize: all three
+    * pair-count terms (Σ C(n_ij,2), Σ C(a_i,2), Σ C(b_j,2)) come from
+    * the cell frame and its two marginal re-aggs, each post-shuffle
+    * frame ≤ #clusters rows. The ARI itself is computed in double from
+    * those exact BIGINTs with the cross-products cast to double FIRST
+    * (sa·sb at 10^11-row scale overflows int64; the double product of
+    * exact ints is deterministic IEEE, identical on both engines).
+    * Universe: docs with ≥3 tokens (SimHash needs a shingle). */
+  val q389 = QuerySpec(
+    "q389_clustering_agreement_ari",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.SimHash32.simhash32
+      import graft.functions.ArrayMd5.arrayMd5
+      val lab = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"doc_id", lower(substring($"text", 1, 40)).as("pfx"),
+          tokens($"text").as("t"))
+        .filter(size($"t") >= 3)
+        .select($"doc_id", $"pfx",
+          simhash32(arrayMd5(shingles3("t"), lit(""))).as("simhash"))
+      val cells = lab.groupBy($"pfx", $"simhash").agg(count(lit(1)).as("n"))
+      val tot = cells.agg(
+        sum($"n").as("n_docs"),
+        count(lit(1)).as("n_cells"),
+        sum(expr("n * (n - 1) div 2")).as("sum_comb_cells"))
+      val sa = cells.groupBy($"pfx").agg(sum($"n").as("a"))
+        .agg(sum(expr("a * (a - 1) div 2")).as("sum_comb_a"))
+      val sb = cells.groupBy($"simhash").agg(sum($"n").as("b"))
+        .agg(sum(expr("b * (b - 1) div 2")).as("sum_comb_b"))
+      tot.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+        .withColumn("ari", expr(
+          """CASE WHEN sum_comb_a + sum_comb_b = 0 THEN 1.0 ELSE
+            |  round((sum_comb_cells - CAST(sum_comb_a AS DOUBLE) * sum_comb_b
+            |           / (CAST(n_docs AS DOUBLE) * (n_docs - 1) / 2.0))
+            |      / ((sum_comb_a + sum_comb_b) / 2.0
+            |           - CAST(sum_comb_a AS DOUBLE) * sum_comb_b
+            |           / (CAST(n_docs AS DOUBLE) * (n_docs - 1) / 2.0)), 6)
+            |END""".stripMargin))
+        .select($"n_docs", $"n_cells", $"sum_comb_cells",
+          $"sum_comb_a", $"sum_comb_b", $"ari")
+    },
+    Some {
+      val hi = "('8','9','a','b','c','d','e','f')"
+      val sums = (0 until 32)
+        .map(j => s"sum(CASE WHEN substring(hx, ${j + 1}, 1) IN $hi THEN 1 ELSE -1 END) AS s$j")
+        .mkString(", ")
+      val bits = (0 until 32)
+        .map(j => s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH toks AS (SELECT doc_id, lower(substring(text, 1, 40)) AS pfx,
+         |               regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
+         |sh0 AS (SELECT doc_id, pfx, unnest(list_transform(generate_series(1, len(t)-2),
+         |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS w
+         |        FROM toks WHERE len(t) >= 3),
+         |h AS (SELECT doc_id, pfx, md5(w) AS hx FROM sh0),
+         |b AS (SELECT doc_id, pfx, $sums FROM h GROUP BY doc_id, pfx),
+         |lab AS (SELECT doc_id, pfx, CAST($bits AS BIGINT) AS simhash FROM b),
+         |cells AS (SELECT pfx, simhash, count(*) AS n FROM lab GROUP BY 1, 2),
+         |rm AS (SELECT pfx, sum(n) AS a FROM cells GROUP BY 1),
+         |cm AS (SELECT simhash, sum(n) AS b2 FROM cells GROUP BY 1),
+         |agg AS (SELECT
+         |  (SELECT CAST(sum(n) AS BIGINT) FROM cells) AS n_docs,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM cells) AS n_cells,
+         |  (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) FROM cells) AS sum_comb_cells,
+         |  (SELECT CAST(sum(a * (a - 1) // 2) AS BIGINT) FROM rm) AS sum_comb_a,
+         |  (SELECT CAST(sum(b2 * (b2 - 1) // 2) AS BIGINT) FROM cm) AS sum_comb_b)
+         |SELECT n_docs, n_cells, sum_comb_cells, sum_comb_a, sum_comb_b,
+         |  CASE WHEN sum_comb_a + sum_comb_b = 0 THEN 1.0 ELSE
+         |    round((sum_comb_cells - CAST(sum_comb_a AS DOUBLE) * sum_comb_b
+         |             / (CAST(n_docs AS DOUBLE) * (n_docs - 1) / 2.0))
+         |        / ((sum_comb_a + sum_comb_b) / 2.0
+         |             - CAST(sum_comb_a AS DOUBLE) * sum_comb_b
+         |             / (CAST(n_docs AS DOUBLE) * (n_docs - 1) / 2.0)), 6)
+         |  END AS ari
+         |FROM agg""".stripMargin
+    },
+  )
+
   val all: Seq[QuerySpec] = Seq(q24, q25, q26, q27, q28, q52, q55, q81, q125,
-    q138, q296, q302, q320, q329, q383, q385)
+    q138, q296, q302, q320, q329, q383, q385, q389)
 }
