@@ -1246,6 +1246,87 @@ object NearDup {
     },
   )
 
+  /** q391 — MinHash estimator calibration: the 8-hash MinHash Jaccard
+    * ESTIMATE (matching signature slots / 8 — q24's exact hash family:
+    * two salted md5 passes × four disjoint 8-hex-char chunks) audited
+    * against the EXACT n-gram Jaccard on every co-shingled pair from
+    * the capped inverted index (q26's pair stream WITHOUT the ≥0.6
+    * filter — calibration needs the full similarity range). Reported
+    * per true-Jaccard decile: pair count, mean |est−true| and mean
+    * signed error, all in exact integer ppm (est is a multiple of
+    * 125000 by construction, so no float ever appears). This is the
+    * "how many hashes does the LSH stack actually need" empirical
+    * check behind q138/q385's banding calibrations.
+    *
+    * Scale: signatures are in-row array math computed once per doc;
+    * the pair stream is bounded by the [[MaxPostingList]] cap exactly
+    * as q26; the two signature lookups are doc-id equi-joins carrying
+    * 8×8-char arrays (never text); the decile rollup is ≤10 rows. */
+  val q391 = QuerySpec(
+    "q391_minhash_estimator_error",
+    (s, d) => {
+      import s.implicits._
+      val sh = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"doc_id", tokens($"text").as("t"))
+        .filter(size($"t") >= 3)
+        .select($"doc_id", array_distinct(shingles3("t")).as("s"))
+      val sig = sh
+        .select($"doc_id", saltedHashes("s", 0).as("h0"), saltedHashes("s", 1).as("h1"))
+        .select($"doc_id", expr(
+          """flatten(array(
+            |  transform(sequence(0, 3), b -> array_min(transform(h0, x -> substring(x, 1 + 8*b, 8)))),
+            |  transform(sequence(0, 3), b -> array_min(transform(h1, x -> substring(x, 1 + 8*b, 8))))))""".stripMargin).as("sg"))
+      val ex = sh.select($"doc_id", size($"s").as("sz"), explode($"s").as("g"))
+      val pairs = ex.groupBy($"g")
+        .agg(collectCapped(struct($"doc_id", $"sz"), MaxPostingList).as("xs"))
+        .filter(size($"xs").between(2, MaxPostingList))
+        .select(explode($"xs").as("a"), $"xs")
+        .select($"a", explode($"xs").as("c"))
+        .filter($"a.doc_id" < $"c.doc_id")
+        .groupBy($"a.doc_id".as("doc_a"), $"c.doc_id".as("doc_b"))
+        .agg(count(lit(1)).as("i"), min($"a.sz").as("sa"), min($"c.sz").as("sb"))
+      pairs
+        .join(sig.select($"doc_id".as("doc_a"), $"sg".as("sga")), Seq("doc_a"))
+        .join(sig.select($"doc_id".as("doc_b"), $"sg".as("sgb")), Seq("doc_b"))
+        .withColumn("true_ppm", expr("i * 1000000 div (sa + sb - i)"))
+        .withColumn("est_ppm", expr(
+          "cast(size(filter(zip_with(sga, sgb, (x, y) -> x = y), v -> v)) as bigint) * 125000"))
+        .groupBy(least(expr("true_ppm div 100000"), lit(9L)).as("jaccard_decile"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(abs(est_ppm - true_ppm)) div count(1)").as("mean_abs_err_ppm"),
+          expr("sum(est_ppm - true_ppm) div count(1)").as("mean_signed_err_ppm"))
+        .orderBy($"jaccard_decile")
+    },
+    Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+           |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+           |       FROM toks WHERE len(t) >= 3),
+           |hs AS (SELECT doc_id,
+           |         list_transform(s, x -> md5(x || ':0')) AS h0,
+           |         list_transform(s, x -> md5(x || ':1')) AS h1 FROM sh),
+           |sig AS (SELECT doc_id,
+           |         flatten([
+           |           list_transform([0,1,2,3], b -> list_aggregate(list_transform(h0, x -> substring(x, 1 + 8*b, 8)), 'min')),
+           |           list_transform([0,1,2,3], b -> list_aggregate(list_transform(h1, x -> substring(x, 1 + 8*b, 8)), 'min'))]) AS sg
+           |        FROM hs),
+           |ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+           |exf AS (SELECT doc_id, sz, g FROM (
+           |  SELECT doc_id, sz, g, count(*) OVER (PARTITION BY g) AS bn FROM ex)
+           |  WHERE bn BETWEEN 2 AND 64),
+           |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i, min(a.sz) AS sa, min(b.sz) AS sb
+           |          FROM exf a JOIN exf b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |pr AS (SELECT doc_a, doc_b,
+           |         CAST(i * 1000000 // (sa + sb - i) AS BIGINT) AS true_ppm,
+           |         CAST(len(list_filter(generate_series(1, 8), k -> s1.sg[k] = s2.sg[k])) * 125000 AS BIGINT) AS est_ppm
+           |       FROM inter JOIN sig s1 ON inter.doc_a = s1.doc_id JOIN sig s2 ON inter.doc_b = s2.doc_id),
+           |bk AS (SELECT least(true_ppm // 100000, 9) AS bucket,
+           |         CAST(abs(est_ppm - true_ppm) AS BIGINT) AS aerr,
+           |         est_ppm - true_ppm AS serr FROM pr)
+           |SELECT CAST(bucket AS BIGINT) AS jaccard_decile, CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(sum(aerr) // count(*) AS BIGINT) AS mean_abs_err_ppm,
+           |  CAST(sum(serr) // count(*) AS BIGINT) AS mean_signed_err_ppm
+           |FROM bk GROUP BY 1 ORDER BY 1""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q24, q25, q26, q27, q28, q52, q55, q81, q125,
-    q138, q296, q302, q320, q329, q383, q385, q389)
+    q138, q296, q302, q320, q329, q383, q385, q389, q391)
 }

@@ -611,6 +611,50 @@ object TextMedia {
            |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin),
   )
 
+  /** q390 — tokenizer fertility audit per language: how many BPE-ish
+    * pre-tokens (q31's `[a-z]+|[0-9]|[^a-z0-9\s]` pattern) the corpus
+    * yields per character and per whitespace word, by language. The
+    * standard "how expensive is this language to train on" readout —
+    * high fertility (tokens/char) means the tokenizer fragments the
+    * language and its effective context window shrinks. All counters
+    * are per-row array sizes (no explode — the census never leaves the
+    * row), ONE #langs-row aggregate; ratios are exact integer ppm.
+    * Scale note: sum(bpe)·10⁶ stays in int64 up to ~9·10¹² tokens
+    * (≈37 TB of text) per language group; beyond that the planner
+    * shards the ppm per source and recombines, or widens to decimal. */
+  val q390 = QuerySpec(
+    "q390_tokenizer_fertility",
+    (s, d) => {
+      import s.implicits._
+      val w = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"lang",
+          length($"text").as("chars"),
+          size(filter(tokens($"text"), t => char_length(t) > 0)).as("ws"),
+          size(regexp_extract_all(lower($"text"),
+            lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).as("bpe"))
+      w.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"chars").as("n_chars"),
+          sum($"ws").as("ws_tokens"),
+          sum($"bpe").as("bpe_tokens"))
+        .select($"lang", $"n_docs", $"n_chars", $"ws_tokens", $"bpe_tokens",
+          expr("bpe_tokens * 1000000 div n_chars").as("fertility_ppm"),
+          expr("bpe_tokens * 1000000 div ws_tokens").as("bpe_per_ws_ppm"))
+        .orderBy($"lang")
+    },
+    Some("""WITH w AS (SELECT lang, length(text) AS chars,
+           |  len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS ws,
+           |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS bpe
+           |  FROM documents)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(chars) AS BIGINT) AS n_chars,
+           |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+           |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+           |  CAST(sum(bpe) * 1000000 // sum(chars) AS BIGINT) AS fertility_ppm,
+           |  CAST(sum(bpe) * 1000000 // sum(ws) AS BIGINT) AS bpe_per_ws_ppm
+           |FROM w GROUP BY lang ORDER BY lang""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q29, q30, q31, q32, q33, q34, q36, q45, q73, q78,
-    q111, q163, q168, q260, q261)
+    q111, q163, q168, q260, q261, q390)
 }
