@@ -331,5 +331,45 @@ object LlmOps {
            |FROM cl GROUP BY k ORDER BY k""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q19, q20, q21, q22, q23, q57, q162, q173, q350)
+  /** q392 — cross-source duplication matrix: which source PAIRS share
+    * near-dup content (q350's 40-char prefix fingerprint as the cluster
+    * key), reported as shared-cluster counts and doc-pair mass
+    * (n_a·n_b per cluster). This is the "who mirrors whom" readout that
+    * prioritizes cross-source dedup and licensing review — a cluster
+    * duplicated WITHIN one source is boilerplate; across sources it is
+    * syndication. Shape: one (h, source) aggregate (map-side combined,
+    * 32-byte digests — text never shuffles), regroup to per-cluster
+    * source censuses, in-row pair emit. The census is bounded by the
+    * SOURCE DOMAIN (a dimension, O(100) at any corpus size — the q382
+    * event-type-set argument), so the nested pair transform is
+    * structurally small; the final matrix is ≤ |sources|² rows. */
+  val q392 = QuerySpec(
+    "q392_cross_source_dup_matrix",
+    (s, d) => {
+      import s.implicits._
+      val cl = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select(md5(substring(lower($"text"), 1, 40).cast("binary")).as("h"), $"source")
+        .groupBy($"h", $"source").agg(count(lit(1)).as("n"))
+      cl.groupBy($"h")
+        .agg(sort_array(collect_list(struct($"source", $"n"))).as("xs"))
+        .filter(size($"xs") >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(0, size(xs)-2),
+            |  i -> transform(sequence(i+1, size(xs)-1),
+            |    j -> struct(xs[i].source AS src_a, xs[j].source AS src_b,
+            |                xs[i].n * xs[j].n AS doc_pairs))))""".stripMargin)).as("p"))
+        .groupBy($"p.src_a".as("src_a"), $"p.src_b".as("src_b"))
+        .agg(count(lit(1)).as("n_shared_clusters"), sum($"p.doc_pairs").as("n_doc_pairs"))
+        .orderBy($"n_doc_pairs".desc, $"src_a", $"src_b")
+    },
+    Some("""WITH cl AS (SELECT md5(substring(lower(text), 1, 40)) AS h, source, count(*) AS n
+           |            FROM documents GROUP BY 1, 2),
+           |x AS (SELECT a.h, a.source AS src_a, b.source AS src_b, a.n * b.n AS doc_pairs
+           |      FROM cl a JOIN cl b ON a.h = b.h AND a.source < b.source)
+           |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared_clusters,
+           |  CAST(sum(doc_pairs) AS BIGINT) AS n_doc_pairs
+           |FROM x GROUP BY 1, 2 ORDER BY n_doc_pairs DESC, src_a, src_b""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q19, q20, q21, q22, q23, q57, q162, q173, q350, q392)
 }

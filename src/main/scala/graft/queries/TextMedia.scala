@@ -637,9 +637,11 @@ object TextMedia {
           sum($"chars").as("n_chars"),
           sum($"ws").as("ws_tokens"),
           sum($"bpe").as("bpe_tokens"))
+        // nullif guards: an all-empty-text language group has zero chars/
+        // words; DuckDB's // yields NULL there while ANSI div would throw.
         .select($"lang", $"n_docs", $"n_chars", $"ws_tokens", $"bpe_tokens",
-          expr("bpe_tokens * 1000000 div n_chars").as("fertility_ppm"),
-          expr("bpe_tokens * 1000000 div ws_tokens").as("bpe_per_ws_ppm"))
+          expr("bpe_tokens * 1000000 div nullif(n_chars, 0)").as("fertility_ppm"),
+          expr("bpe_tokens * 1000000 div nullif(ws_tokens, 0)").as("bpe_per_ws_ppm"))
         .orderBy($"lang")
     },
     Some("""WITH w AS (SELECT lang, length(text) AS chars,
@@ -650,8 +652,8 @@ object TextMedia {
            |  CAST(sum(chars) AS BIGINT) AS n_chars,
            |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
            |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
-           |  CAST(sum(bpe) * 1000000 // sum(chars) AS BIGINT) AS fertility_ppm,
-           |  CAST(sum(bpe) * 1000000 // sum(ws) AS BIGINT) AS bpe_per_ws_ppm
+           |  CAST(sum(bpe) * 1000000 // nullif(sum(chars), 0) AS BIGINT) AS fertility_ppm,
+           |  CAST(sum(bpe) * 1000000 // nullif(sum(ws), 0) AS BIGINT) AS bpe_per_ws_ppm
            |FROM w GROUP BY lang ORDER BY lang""".stripMargin),
   )
 

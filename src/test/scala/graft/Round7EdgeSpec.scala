@@ -181,4 +181,77 @@ class Round7EdgeSpec extends SparkTestBase {
     assert(r.getAs[Long]("max_rank_shift") === 0L)
     assert(r.getAs[Long]("sum_rank_shift") === 0L)
   }
+
+  test("q388: identical embeddings tie every centroid — sil takes the 0 branch, all to cid 2") {
+    val dir = tmpDir("graft_q388_edge")
+    spark.createDataFrame((1L to 24L).map(i => (i, Array.fill(8)(0.25f), 1)))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/embeddings.parquet")
+    val rows = queries.Indexes.q388.run(spark, dir).collect()
+    // c1 = c2 = 1.0 everywhere: one cluster (lowest cid wins the tie),
+    // silhouette exactly 0 — not NaN from (c1-c2)/(1-c2) = 0/0.
+    assert(rows.length === 1)
+    assert(rows(0).getAs[Long]("cluster_id") === 2L)
+    assert(rows(0).getAs[Long]("n_members") === 24L)
+    assert(rows(0).getAs[Double]("mean_sil") === 0.0)
+    assert(rows(0).getAs[Double]("min_sil") === 0.0)
+    assert(rows(0).getAs[Double]("max_sil") === 0.0)
+  }
+
+  test("q389: all-singleton partitions on both sides yield ARI = 1.0 by convention") {
+    val dir = tmpDir("graft_q389_edge")
+    // Globally-unique words: unique 40-char prefixes AND unique simhashes,
+    // so sum_comb_a = sum_comb_b = 0 and the CASE must return 1.0, not 0/0.
+    spark.createDataFrame((1L to 12L).map(i =>
+        (i, s"alpha$i beta$i gamma$i delta$i epsilon$i", "en", "src", 40L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/documents.parquet")
+    val r = queries.NearDup.q389.run(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_docs") === 12L)
+    assert(r.getAs[Long]("sum_comb_a") === 0L)
+    assert(r.getAs[Long]("sum_comb_b") === 0L)
+    assert(r.getAs[Double]("ari") === 1.0)
+  }
+
+  test("q390: an all-empty-text language reports NULL ratios, not a divide error") {
+    val dir = tmpDir("graft_q390_edge")
+    spark.createDataFrame(Seq(
+        (1L, "", "xx", "src", 0L), (2L, "", "xx", "src", 0L),
+        (3L, "hello world two", "en", "src", 15L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/documents.parquet")
+    val rows = queries.TextMedia.q390.run(spark, dir).collect()
+    val xx = rows.filter(_.getAs[String]("lang") == "xx").head
+    assert(xx.getAs[Long]("n_chars") === 0L)
+    assert(xx.isNullAt(xx.fieldIndex("fertility_ppm")))
+    assert(xx.isNullAt(xx.fieldIndex("bpe_per_ws_ppm")))
+    val en = rows.filter(_.getAs[String]("lang") == "en").head
+    assert(en.getAs[Long]("bpe_tokens") === 3L)
+    assert(en.getAs[Long]("fertility_ppm") === 3L * 1000000L / 15L)
+  }
+
+  test("q391: a corpus with no co-shingled pairs calibrates to an empty table") {
+    val dir = tmpDir("graft_q391_edge")
+    spark.createDataFrame((1L to 10L).map(i =>
+        (i, s"one$i two$i three$i four$i", "en", "src", 30L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/documents.parquet")
+    assert(queries.NearDup.q391.run(spark, dir).collect().isEmpty)
+  }
+
+  test("q392: a single-source corpus has no cross-source duplication") {
+    val dir = tmpDir("graft_q392_edge")
+    // Shared 40-char prefixes (clusters exist!) but only one source:
+    // the matrix must be empty, not self-paired.
+    spark.createDataFrame((1L to 10L).map(i =>
+        (i, "the same forty character prefix for all docs " + i, "en", "only_src", 50L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/documents.parquet")
+    assert(queries.LlmOps.q392.run(spark, dir).collect().isEmpty)
+  }
 }
