@@ -587,6 +587,100 @@ object Curation {
            |FROM filled ORDER BY src, epoch""".stripMargin),
   )
 
+  /** q394 — marginal source-novelty curve: in a fixed acquisition order
+    * (source name), how many DISTINCT 3-shingles each source adds that
+    * no earlier-ordered source already contributes, plus the cumulative
+    * coverage ppm. The "is source k worth ingesting" diminishing-returns
+    * readout (the RedPajama-style marginal-value question) computed
+    * WITHOUT materializing per-prefix distinct sets: first-contributor
+    * per shingle is just min(source) over the (shingle → sources) frame
+    * — one shingle-keyed groupBy, then a |sources|-row cumulative
+    * window (a decision frame, never corpus-sized). */
+  val q394 = QuerySpec(
+    "q394_source_novelty_curve",
+    (s, d) => {
+      import s.implicits._
+      val sh = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"source", graft.functions.TextFns.tokens($"text").as("t"))
+        .filter(size($"t") >= 3)
+        .select($"source",
+          explode(array_distinct(graft.functions.TextFns.shingles3("t"))).as("g"))
+      val m = sh.groupBy($"g").agg(min($"source").as("source"))
+        .groupBy($"source").agg(count(lit(1)).as("marginal_shingles"))
+      val tot = m.agg(sum($"marginal_shingles").as("n"))
+      m.crossJoin(broadcast(tot))
+        .withColumn("cumulative_shingles",
+          sum($"marginal_shingles").over(Window.orderBy($"source")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select($"source", $"marginal_shingles", $"cumulative_shingles",
+          expr("cumulative_shingles * 1000000 div n").as("cumulative_ppm"))
+        .orderBy($"source")
+    },
+    Some("""WITH toks AS (SELECT doc_id, source, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+           |sh AS (SELECT source, unnest(list_distinct(list_transform(generate_series(1, len(t)-2),
+           |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+           |       FROM toks WHERE len(t) >= 3),
+           |f AS (SELECT g, min(source) AS source FROM sh GROUP BY g),
+           |m AS (SELECT source, count(*) AS marginal FROM f GROUP BY 1),
+           |tot AS (SELECT sum(marginal) AS n FROM m)
+           |SELECT source, CAST(marginal AS BIGINT) AS marginal_shingles,
+           |  CAST(sum(marginal) OVER (ORDER BY source) AS BIGINT) AS cumulative_shingles,
+           |  CAST(sum(marginal) OVER (ORDER BY source) * 1000000 // (SELECT n FROM tot) AS BIGINT) AS cumulative_ppm
+           |FROM m ORDER BY source""".stripMargin),
+  )
+
+  /** q395 — product-quantization codebook audit: the 8-dim embedding
+    * split into two 4-dim subspaces, each assigned to its nearest of 4
+    * fixed sub-centroids (vec_ids 2–5's slices — the q28 fixed-centroid
+    * discipline), giving a 2-code PQ encoding (16 cells = 1 byte/vector,
+    * the compression ANN runs on at 100 TB where raw vectors don't fit).
+    * Reported per (code1, code2) cell: population and mean squared
+    * reconstruction error — the distortion table that decides whether
+    * this codebook is usable, beside q367's int8 scalar-quantization
+    * audit. Scale: ONE corpus pass against 4 broadcast codebook rows;
+    * the argmin is a struct-min aggregate (no window), distances are
+    * sequential-fold doubles bit-identical to the oracle, the mean
+    * routes through Det.davg; output is a fixed 16-row grid. */
+  val q395 = QuerySpec(
+    "q395_pq_codebook_audit",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", graft.functions.VectorOps.asDouble($"embedding").as("emb"))
+      val v = Tables.fanOut(e, col("vec_id"))
+        .select($"vec_id", expr("slice(emb, 1, 4)").as("s1"), expr("slice(emb, 5, 4)").as("s2"))
+      val cb = e.filter($"vec_id".between(2, 5))
+        .select($"vec_id".as("cid"),
+          expr("slice(emb, 1, 4)").as("c1"), expr("slice(emb, 5, 4)").as("c2"))
+      v.crossJoin(broadcast(cb))
+        .withColumn("d1", expr(
+          "aggregate(zip_with(s1, c1, (x, y) -> (x - y) * (x - y)), 0.0d, (acc, x) -> acc + x)"))
+        .withColumn("d2", expr(
+          "aggregate(zip_with(s2, c2, (x, y) -> (x - y) * (x - y)), 0.0d, (acc, x) -> acc + x)"))
+        .groupBy($"vec_id")
+        .agg(min(struct($"d1", $"cid")).as("m1"), min(struct($"d2", $"cid")).as("m2"))
+        .groupBy($"m1.cid".as("code1"), $"m2.cid".as("code2"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(davg($"m1.d1" + $"m2.d2", 12), 6).as("mean_sq_err"))
+        .orderBy($"code1", $"code2")
+    },
+    Some {
+      def l2sq(a: String, b: String): String =
+        s"list_reduce(list_prepend(0.0, list_transform(generate_series(1, len($a)), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, x) -> acc + x)"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |v AS (SELECT vec_id, emb[1:4] AS s1, emb[5:8] AS s2 FROM e),
+         |cb AS (SELECT vec_id AS cid, emb[1:4] AS c1, emb[5:8] AS c2 FROM e WHERE vec_id BETWEEN 2 AND 5),
+         |d AS (SELECT v.vec_id, cb.cid, ${l2sq("v.s1", "cb.c1")} AS d1, ${l2sq("v.s2", "cb.c2")} AS d2 FROM v, cb),
+         |a1 AS (SELECT vec_id, cid AS code1, d1 FROM (
+         |  SELECT vec_id, cid, d1, row_number() OVER (PARTITION BY vec_id ORDER BY d1, cid) AS rn FROM d) WHERE rn = 1),
+         |a2 AS (SELECT vec_id, cid AS code2, d2 FROM (
+         |  SELECT vec_id, cid, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d) WHERE rn = 1)
+         |SELECT code1, code2, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  round(${sqlDavg("a1.d1 + a2.d2", 12)}, 6) AS mean_sq_err
+         |FROM a1 JOIN a2 USING (vec_id) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q363, q364, q365, q367, q368, q370, q376, q377, q386)
+    Seq(q363, q364, q365, q367, q368, q370, q376, q377, q386, q394, q395)
 }

@@ -1327,6 +1327,68 @@ object NearDup {
            |FROM bk GROUP BY 1 ORDER BY 1""".stripMargin),
   )
 
+  /** q393 — IDF-weighted Jaccard near-dup ranking: q26's exact shingle
+    * Jaccard re-weighted by rarity (w(g) = 10⁶ div df(g), integer IDF),
+    * so boilerplate grams that every page shares stop inflating
+    * similarity and RARE-gram overlap dominates — the standard fix for
+    * template-heavy corpora where plain Jaccard pairs everything.
+    * Top-20 pairs by weighted-Jaccard ppm, exact integers throughout.
+    *
+    * Scale: the df frame is vocabulary-sized (one gram groupBy); doc
+    * total weights are one join+agg; the pair stream rides the SAME
+    * [[MaxPostingList]]-capped inverted index as q26 — and the cap is
+    * SEMANTICALLY aligned here: an over-cap bucket means df > 64, whose
+    * weight 10⁶ div df is the smallest in the corpus, so the dropped
+    * intersection mass is exactly the mass this metric exists to
+    * discount (both engines drop it identically). */
+  val q393 = QuerySpec(
+    "q393_weighted_jaccard_rank",
+    (s, d) => {
+      import s.implicits._
+      val sh = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"doc_id", tokens($"text").as("t"))
+        .filter(size($"t") >= 3)
+        .select($"doc_id", array_distinct(shingles3("t")).as("s"))
+      val ex = sh.select($"doc_id", explode($"s").as("g"))
+      val w = ex.groupBy($"g").agg(count(lit(1)).as("df"))
+        .select($"g", expr("1000000 div df").as("w"))
+      val exw = ex.join(w, Seq("g"))
+      val docw = exw.groupBy($"doc_id").agg(sum($"w").as("tw"))
+      val pairs = exw.groupBy($"g", $"w")
+        .agg(collectCapped($"doc_id", MaxPostingList).as("xs"))
+        .filter(size($"xs").between(2, MaxPostingList))
+        .select($"w", explode($"xs").as("a"), $"xs")
+        .select($"w", $"a", explode($"xs").as("c"))
+        .filter($"a" < $"c")
+        .groupBy($"a".as("doc_a"), $"c".as("doc_b"))
+        .agg(sum($"w").as("iw"), count(lit(1)).as("n_common"))
+      pairs
+        .join(docw.select($"doc_id".as("doc_a"), $"tw".as("twa")), Seq("doc_a"))
+        .join(docw.select($"doc_id".as("doc_b"), $"tw".as("twb")), Seq("doc_b"))
+        .select($"doc_a", $"doc_b", $"n_common", $"iw",
+          expr("iw * 1000000 div (twa + twb - iw)").as("wjaccard_ppm"))
+        .orderBy($"wjaccard_ppm".desc, $"doc_a", $"doc_b")
+        .limit(20)
+    },
+    Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+           |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+           |       FROM toks WHERE len(t) >= 3),
+           |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+           |w AS (SELECT g, CAST(1000000 // count(*) AS BIGINT) AS w FROM ex GROUP BY g),
+           |docw AS (SELECT doc_id, CAST(sum(w.w) AS BIGINT) AS tw FROM ex JOIN w USING (g) GROUP BY doc_id),
+           |exf AS (SELECT doc_id, g, w FROM (
+           |  SELECT e.doc_id, e.g, w.w, count(*) OVER (PARTITION BY e.g) AS bn FROM ex e JOIN w ON e.g = w.g)
+           |  WHERE bn BETWEEN 2 AND 64),
+           |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |            CAST(sum(a.w) AS BIGINT) AS iw, count(*) AS nc
+           |          FROM exf a JOIN exf b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, CAST(nc AS BIGINT) AS n_common, iw,
+           |  CAST(iw * 1000000 // (wa.tw + wb.tw - iw) AS BIGINT) AS wjaccard_ppm
+           |FROM inter JOIN docw wa ON inter.doc_a = wa.doc_id
+           |           JOIN docw wb ON inter.doc_b = wb.doc_id
+           |ORDER BY wjaccard_ppm DESC, doc_a, doc_b LIMIT 20""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q24, q25, q26, q27, q28, q52, q55, q81, q125,
-    q138, q296, q302, q320, q329, q383, q385, q389, q391)
+    q138, q296, q302, q320, q329, q383, q385, q389, q391, q393)
 }

@@ -243,6 +243,36 @@ class Round7EdgeSpec extends SparkTestBase {
     assert(queries.NearDup.q391.run(spark, dir).collect().isEmpty)
   }
 
+  test("q394: a single source contributes 100% of novelty in one curve point") {
+    val dir = tmpDir("graft_q394_edge")
+    spark.createDataFrame((1L to 8L).map(i =>
+        (i, s"aa$i bb$i cc$i dd$i", "en", "solo", 20L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/documents.parquet")
+    val rows = queries.Curation.q394.run(spark, dir).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[String]("source") === "solo")
+    assert(rows(0).getAs[Long]("marginal_shingles") === 16L) // 2 per doc
+    assert(rows(0).getAs[Long]("cumulative_ppm") === 1000000L)
+  }
+
+  test("q395: constant embeddings tie every sub-centroid — one cell, zero distortion") {
+    val dir = tmpDir("graft_q395_edge")
+    spark.createDataFrame((1L to 20L).map(i => (i, Array.fill(8)(0.5f), 1)))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/embeddings.parquet")
+    val rows = queries.Curation.q395.run(spark, dir).collect()
+    // All four codebook rows are identical to every vector: the struct-min
+    // tie-break must send everything to (2, 2) with exactly zero error.
+    assert(rows.length === 1)
+    assert(rows(0).getAs[Long]("code1") === 2L)
+    assert(rows(0).getAs[Long]("code2") === 2L)
+    assert(rows(0).getAs[Long]("n_vecs") === 20L)
+    assert(rows(0).getAs[Double]("mean_sq_err") === 0.0)
+  }
+
   test("q392: a single-source corpus has no cross-source duplication") {
     val dir = tmpDir("graft_q392_edge")
     // Shared 40-char prefixes (clusters exist!) but only one source:
