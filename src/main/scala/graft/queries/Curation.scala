@@ -681,6 +681,79 @@ object Curation {
     },
   )
 
+  /** q396 — PQ asymmetric distance (ADC) top-k: the query stays FLOAT,
+    * the corpus stays 1-byte PQ codes (q395's two 4-dim subspaces ×
+    * 4 sub-centroids), and distance is answered from an 8-entry lookup
+    * table (query→sub-centroid distances computed ONCE) — the Jégou
+    * et al. ADC recipe that makes billion-vector scans byte-bound
+    * instead of float-bound. Output: top-10 by ADC with the EXACT
+    * distance beside each hit, so the distortion q395 tabulates is
+    * visible per result. Scale: encoding is the q395 one-pass argmin;
+    * the probe joins two 4-row broadcast LUTs onto the code frame and
+    * TakeOrdered(10)s — no per-vector float math at query time at all
+    * (the exact_dist column here is the audit, not the scan). */
+  val q396 = QuerySpec(
+    "q396_pq_adc_topk",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", graft.functions.VectorOps.asDouble($"embedding").as("emb"))
+      val l2 = (a: String, b: String) =>
+        s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0.0d, (acc, x) -> acc + x)"
+      val v = Tables.fanOut(e, col("vec_id"))
+        .select($"vec_id", expr("slice(emb, 1, 4)").as("s1"),
+          expr("slice(emb, 5, 4)").as("s2"), $"emb")
+      val cb = e.filter($"vec_id".between(2, 5))
+        .select($"vec_id".as("cid"),
+          expr("slice(emb, 1, 4)").as("c1"), expr("slice(emb, 5, 4)").as("c2"))
+      val codes = v.crossJoin(broadcast(cb))
+        .withColumn("d1", expr(l2("s1", "c1")))
+        .withColumn("d2", expr(l2("s2", "c2")))
+        .groupBy($"vec_id")
+        .agg(min(struct($"d1", $"cid")).as("m1"), min(struct($"d2", $"cid")).as("m2"),
+          first($"emb").as("emb"))
+        .select($"vec_id", $"m1.cid".as("code1"), $"m2.cid".as("code2"), $"emb")
+      val qv = e.filter($"vec_id" === 1)
+        .select(expr("slice(emb, 1, 4)").as("q1"), expr("slice(emb, 5, 4)").as("q2"),
+          $"emb".as("qe"))
+      val lut = cb.crossJoin(broadcast(qv))
+        .select($"cid", expr(l2("q1", "c1")).as("qd1"), expr(l2("q2", "c2")).as("qd2"),
+          $"qe")
+      codes.filter($"vec_id" =!= 1)
+        .join(broadcast(lut.select($"cid".as("code1"), $"qd1")), Seq("code1"))
+        .join(broadcast(lut.select($"cid".as("code2"), $"qd2", $"qe")), Seq("code2"))
+        .select($"vec_id", $"code1", $"code2",
+          round($"qd1" + $"qd2", 6).as("adc_dist"),
+          round(expr(l2("emb", "qe")), 6).as("exact_dist"),
+          ($"qd1" + $"qd2").as("ord"))
+        .orderBy($"ord", $"vec_id")
+        .limit(10)
+        .drop("ord")
+    },
+    Some {
+      def l2sq(a: String, b: String): String =
+        s"list_reduce(list_prepend(0.0, list_transform(generate_series(1, len($a)), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, x) -> acc + x)"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |v AS (SELECT vec_id, emb[1:4] AS s1, emb[5:8] AS s2, emb FROM e),
+         |cb AS (SELECT vec_id AS cid, emb[1:4] AS c1, emb[5:8] AS c2 FROM e WHERE vec_id BETWEEN 2 AND 5),
+         |d AS (SELECT v.vec_id, cb.cid, ${l2sq("v.s1", "cb.c1")} AS d1, ${l2sq("v.s2", "cb.c2")} AS d2 FROM v, cb),
+         |a1 AS (SELECT vec_id, cid AS code1 FROM (
+         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d1, cid) AS rn FROM d) WHERE rn = 1),
+         |a2 AS (SELECT vec_id, cid AS code2 FROM (
+         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d) WHERE rn = 1),
+         |qv AS (SELECT emb[1:4] AS q1, emb[5:8] AS q2, emb AS qe FROM e WHERE vec_id = 1),
+         |lut AS (SELECT cb.cid, ${l2sq("qv.q1", "cb.c1")} AS qd1, ${l2sq("qv.q2", "cb.c2")} AS qd2 FROM cb, qv)
+         |SELECT a1.vec_id, a1.code1, a2.code2,
+         |  round(l1.qd1 + l2.qd2, 6) AS adc_dist,
+         |  round(${l2sq("v.emb", "qv.qe")}, 6) AS exact_dist
+         |FROM a1 JOIN a2 USING (vec_id)
+         |JOIN lut l1 ON l1.cid = a1.code1 JOIN lut l2 ON l2.cid = a2.code2
+         |JOIN v ON v.vec_id = a1.vec_id, qv
+         |WHERE a1.vec_id <> 1
+         |ORDER BY l1.qd1 + l2.qd2, a1.vec_id LIMIT 10""".stripMargin
+    },
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q363, q364, q365, q367, q368, q370, q376, q377, q386, q394, q395)
+    Seq(q363, q364, q365, q367, q368, q370, q376, q377, q386, q394, q395, q396)
 }

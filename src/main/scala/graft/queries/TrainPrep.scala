@@ -1924,8 +1924,69 @@ object TrainPrep {
            |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin),
   )
 
+  /** q397 — Heaps-law vocabulary-growth audit: distinct 3-shingle
+    * vocabulary at halving doc_id checkpoints (max/8, /4, /2, all) with
+    * vocab-per-doc ppm — the sublinearity readout that sizes tokenizer
+    * vocab and dedup dictionaries before a full ingest. Rank-free
+    * exactness trick (q394's move applied to the TIME axis): the
+    * vocabulary at any prefix is just the count of shingles whose
+    * FIRST-occurrence doc_id (one min-agg per shingle) falls inside it,
+    * so all four curve points come from ONE vocabulary-sized frame and
+    * a 4-way conditional sum — no per-checkpoint distinct pass, no
+    * global sort. doc_id is the ingestion order; checkpoints are
+    * id-threshold cuts, not row counts, so no rank window exists
+    * anywhere in the plan. */
+  val q397 = QuerySpec(
+    "q397_vocab_growth_curve",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+      val fm = docs
+        .select($"doc_id", graft.functions.TextFns.tokens($"text").as("t"))
+        .filter(size($"t") >= 3)
+        .select($"doc_id",
+          explode(array_distinct(graft.functions.TextFns.shingles3("t"))).as("g"))
+        .groupBy($"g").agg(min($"doc_id").as("fd"))
+      val mx = docs.agg(max($"doc_id").as("mid"))
+      val vs = fm.crossJoin(broadcast(mx)).agg(
+        sum(when($"fd" <= expr("mid div 8"), 1L).otherwise(0L)).as("v8"),
+        sum(when($"fd" <= expr("mid div 4"), 1L).otherwise(0L)).as("v4"),
+        sum(when($"fd" <= expr("mid div 2"), 1L).otherwise(0L)).as("v2"),
+        count(lit(1)).as("v1"))
+      val ds = docs.crossJoin(broadcast(mx)).agg(
+        first($"mid").as("mid"),
+        sum(when($"doc_id" <= expr("mid div 8"), 1L).otherwise(0L)).as("d8"),
+        sum(when($"doc_id" <= expr("mid div 4"), 1L).otherwise(0L)).as("d4"),
+        sum(when($"doc_id" <= expr("mid div 2"), 1L).otherwise(0L)).as("d2"),
+        count(lit(1)).as("d1"))
+      ds.crossJoin(broadcast(vs))
+        .select(expr(
+          """stack(4,
+            |  8L, mid div 8, d8, v8,
+            |  4L, mid div 4, d4, v4,
+            |  2L, mid div 2, d2, v2,
+            |  1L, mid,       d1, v1) AS (denom, doc_id_thr, n_docs, vocab)""".stripMargin))
+        .select($"denom", $"doc_id_thr", $"n_docs", $"vocab",
+          expr("vocab * 1000000 div nullif(n_docs, 0)").as("vocab_per_doc_ppm"))
+        .orderBy($"denom".desc)
+    },
+    Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+           |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t)-2),
+           |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+           |       FROM toks WHERE len(t) >= 3),
+           |fm AS (SELECT g, min(doc_id) AS fd FROM sh GROUP BY g),
+           |mx AS (SELECT max(doc_id) AS mid FROM documents),
+           |ck AS (SELECT k, (SELECT mid FROM mx) // k AS thr FROM (SELECT unnest([8, 4, 2, 1]) AS k)),
+           |dc AS (SELECT k, thr, (SELECT count(*) FROM documents WHERE doc_id <= thr) AS n_docs FROM ck)
+           |SELECT CAST(dc.k AS BIGINT) AS denom, CAST(dc.thr AS BIGINT) AS doc_id_thr,
+           |  CAST(dc.n_docs AS BIGINT) AS n_docs,
+           |  CAST((SELECT count(*) FROM fm WHERE fd <= dc.thr) AS BIGINT) AS vocab,
+           |  CAST((SELECT count(*) FROM fm WHERE fd <= dc.thr) * 1000000 // nullif(dc.n_docs, 0) AS BIGINT) AS vocab_per_doc_ppm
+           |FROM dc ORDER BY denom DESC""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q60, q61, q62, q63, q64, q65, q67, q68, q69, q70,
     q86, q87, q88, q89, q90, q96, q100, q101, q106, q110, q149, q150, q160,
     q192, q194, q200, q214, q215, q236, q243, q263, q274, q275, q317, q318,
-    q328, q330, q347, q348, q351, q387)
+    q328, q330, q347, q348, q351, q387, q397)
 }
