@@ -729,4 +729,48 @@ class PlanAuditSpec extends SparkTestBase {
     val aggs = "HashAggregate|SortAggregate|ObjectHashAggregate".r.findAllIn(p).size
     assert(aggs >= 2, "user-level + arm-level aggregates expected\n" + p)
   }
+
+  test("q387: the 256-bucket frequency frame broadcasts back onto the doc stream") {
+    val p = plan("q387_dsir_importance_select")
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket diffs must broadcast, not shuffle the doc-bucket frame again\n" + p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "head selection must be top-k, not a global sort\n" + p)
+  }
+
+  test("q388: silhouette runs without a window — centroids broadcast, top-2 in-row") {
+    val p = plan("q388_ivf_silhouette")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "8 centroids must broadcast\n" + p)
+    assert(!p.contains("Window"), "per-vector top-2 must be the in-row sort, not a rank window\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q389: ARI is aggregate-only above the one label shuffle — no sort-merge join") {
+    val p = plan("q389_clustering_agreement_ari")
+    assert(!p.contains("SortMergeJoin"),
+      "marginal frames are 1-row, they must broadcast\n" + p)
+    assert(!p.contains("Window"), "pair terms come from cell counts, never ranked rows\n" + p)
+  }
+
+  test("q392: dup matrix pairs emit in-row from the census — no self-join on the cluster key") {
+    val p = plan("q392_cross_source_dup_matrix")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "source pairs must come from the in-row census explode, not a cell self-join\n" + p)
+    assert(p.contains("Generate"), "pair emit should be a Generate stage\n" + p)
+  }
+
+  test("q396: ADC probe is two broadcast LUT joins + TakeOrdered — no corpus shuffle at query time") {
+    val p = plan("q396_pq_adc_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "the 4-row LUTs must broadcast\n" + p)
+  }
+
+  test("q397: vocab growth has no window and no join beyond the broadcast scalar frames") {
+    val p = plan("q397_vocab_growth_curve")
+    assert(!p.contains("Window"), "rank-free by design\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "the 1-row max/count frames must broadcast\n" + p)
+  }
 }
