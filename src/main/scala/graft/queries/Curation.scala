@@ -754,6 +754,66 @@ object Curation {
     },
   )
 
+  /** q398 — dedup-policy what-if: the SlimPajama-style "how much corpus
+    * survives each retention policy" table, computed from the
+    * prefix-fingerprint cluster frame alone (never re-touching text):
+    * keep-1, keep-min(k,4), keep-⌊√k⌋ and keep-all, each reporting docs
+    * kept, expected chars kept (chars_total·k′ div k — uniform-choice
+    * expectation, exact integer), and both as ppm of the corpus. ⌊√k⌋
+    * is floor of an IEEE sqrt of an exact small int — identical on both
+    * engines for k < 2⁵². One cluster aggregate; the policy table is
+    * 4 rows of decision math. */
+  val q398 = QuerySpec(
+    "q398_dedup_policy_whatif",
+    (s, d) => {
+      import s.implicits._
+      val cl = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select(md5(substring(lower($"text"), 1, 40).cast("binary")).as("h"), $"n_chars")
+        .groupBy($"h")
+        .agg(count(lit(1)).as("k"), sum($"n_chars").as("chars_total"))
+      val pol = cl.agg(
+        sum($"k").as("all_docs"), sum($"chars_total").as("all_chars"),
+        count(lit(1)).as("keep1_docs"),
+        sum(expr("chars_total div k")).as("keep1_chars"),
+        sum(least($"k", lit(4L))).as("cap4_docs"),
+        sum(expr("chars_total * least(k, 4) div k")).as("cap4_chars"),
+        sum(expr("cast(floor(sqrt(k)) as bigint)")).as("sqrt_docs"),
+        sum(expr("chars_total * cast(floor(sqrt(k)) as bigint) div k")).as("sqrt_chars"))
+      pol.select(expr(
+          """stack(4,
+            |  'keep_1',    1L, keep1_docs, keep1_chars,
+            |  'keep_4cap', 2L, cap4_docs,  cap4_chars,
+            |  'keep_sqrt', 3L, sqrt_docs,  sqrt_chars,
+            |  'keep_all',  4L, all_docs,   all_chars) AS (policy, ord, docs_kept, chars_kept)""".stripMargin),
+          $"all_docs", $"all_chars")
+        .select($"policy", $"ord", $"docs_kept", $"chars_kept",
+          expr("docs_kept * 1000000 div all_docs").as("docs_ppm"),
+          expr("chars_kept * 1000000 div all_chars").as("chars_ppm"))
+        .orderBy($"ord")
+    },
+    Some("""WITH cl AS (SELECT md5(substring(lower(text), 1, 40)) AS h, count(*) AS k,
+           |              CAST(sum(n_chars) AS BIGINT) AS chars_total
+           |            FROM documents GROUP BY 1),
+           |tot AS (SELECT sum(k) AS all_docs, sum(chars_total) AS all_chars FROM cl),
+           |pol AS (
+           |  SELECT 'keep_1' AS policy, 1 AS ord, CAST(count(*) AS BIGINT) AS docs_kept,
+           |    CAST(sum(chars_total // k) AS BIGINT) AS chars_kept FROM cl
+           |  UNION ALL
+           |  SELECT 'keep_4cap', 2, CAST(sum(least(k, 4)) AS BIGINT),
+           |    CAST(sum(chars_total * least(k, 4) // k) AS BIGINT) FROM cl
+           |  UNION ALL
+           |  SELECT 'keep_sqrt', 3, CAST(sum(CAST(floor(sqrt(k)) AS BIGINT)) AS BIGINT),
+           |    CAST(sum(chars_total * CAST(floor(sqrt(k)) AS BIGINT) // k) AS BIGINT) FROM cl
+           |  UNION ALL
+           |  SELECT 'keep_all', 4, CAST(sum(k) AS BIGINT),
+           |    CAST(sum(chars_total) AS BIGINT) FROM cl)
+           |SELECT policy, CAST(ord AS BIGINT) AS ord, docs_kept, chars_kept,
+           |  CAST(docs_kept * 1000000 // (SELECT all_docs FROM tot) AS BIGINT) AS docs_ppm,
+           |  CAST(chars_kept * 1000000 // (SELECT all_chars FROM tot) AS BIGINT) AS chars_ppm
+           |FROM pol ORDER BY ord""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q363, q364, q365, q367, q368, q370, q376, q377, q386, q394, q395, q396)
+    Seq(q363, q364, q365, q367, q368, q370, q376, q377, q386, q394, q395, q396,
+      q398)
 }

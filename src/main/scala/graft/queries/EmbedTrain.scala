@@ -482,6 +482,67 @@ object EmbedTrain {
     },
   )
 
+  /** q399 — in-batch false-negative collision audit: contrastive
+    * training treats every other in-batch example as a negative, so two
+    * positive pairs drawn from the SAME dup cluster landing in one
+    * batch poison each other (the "false negative" failure InfoNCE
+    * losses are most sensitive to). Pairs are q357's linear chains over
+    * the prefix-fingerprint clusters; batches are a 16-way salted-md5
+    * hash of the anchor (q60's membership discipline — growth-stable,
+    * no RNG state). Per batch: pair count, same-cluster pair-combos,
+    * total pair-combos, collision ppm. All C(n,2) terms come from the
+    * (batch, cluster) count frame — combos never materialize; the
+    * readout that says "shuffle pairs across batches before training".
+    * At this corpus's honest scale the answer is 0 ppm (clusters ≤2 at
+    * sf0.1); the sf1 clone clusters light it up — by construction. */
+  val q399 = QuerySpec(
+    "q399_inbatch_collision_audit",
+    (s, d) => {
+      import s.implicits._
+      val cl = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"doc_id", md5(substring(lower($"text"), 1, 40).cast("binary")).as("h"))
+      val mem = cl
+        .withColumn("k", count(lit(1)).over(Window.partitionBy($"h")))
+        .filter($"k" >= 2)
+        .withColumn("rn", row_number().over(Window.partitionBy($"h").orderBy($"doc_id")))
+      val pairs = mem.as("a")
+        .join(mem.as("b"), $"a.h" === $"b.h" && $"b.rn" === $"a.rn" + 1)
+        .select($"a.h".as("h"), $"a.doc_id".as("anchor"))
+      val hex = lit("0123456789abcdef")
+      val bc = pairs
+        .withColumn("batch",
+          (instr(hex, substring(md5(concat(lit("b|"), $"anchor".cast("string")).cast("binary")), 1, 1)) - 1)
+            .cast("long"))
+        .groupBy($"batch", $"h").agg(count(lit(1)).as("n"))
+      bc.groupBy($"batch")
+        .agg(sum($"n").as("n_pairs"),
+          sum(expr("n * (n - 1) div 2")).as("collision_combos"))
+        .select($"batch", $"n_pairs", $"collision_combos",
+          expr("n_pairs * (n_pairs - 1) div 2").as("total_combos"),
+          expr("""collision_combos * 1000000
+                 | div nullif(n_pairs * (n_pairs - 1) div 2, 0)""".stripMargin)
+            .as("collision_ppm"))
+        .orderBy($"batch")
+    },
+    Some("""WITH cl AS (SELECT doc_id, md5(substring(lower(text), 1, 40)) AS h FROM documents),
+           |sz AS (SELECT h FROM cl GROUP BY h HAVING count(*) >= 2),
+           |mem AS (SELECT cl.doc_id, cl.h, row_number() OVER (PARTITION BY cl.h ORDER BY cl.doc_id) AS rn
+           |        FROM cl JOIN sz USING (h)),
+           |pairs AS (SELECT a.h, a.doc_id AS anchor
+           |          FROM mem a JOIN mem b ON a.h = b.h AND b.rn = a.rn + 1),
+           |bat AS (SELECT h, anchor,
+           |          CAST(strpos('0123456789abcdef', substr(md5('b|' || CAST(anchor AS VARCHAR)), 1, 1)) - 1 AS BIGINT) AS batch
+           |        FROM pairs),
+           |bc AS (SELECT batch, h, count(*) AS n FROM bat GROUP BY 1, 2),
+           |per AS (SELECT batch, CAST(sum(n) AS BIGINT) AS n_pairs,
+           |          CAST(sum(n * (n - 1) // 2) AS BIGINT) AS collision_combos
+           |        FROM bc GROUP BY 1)
+           |SELECT batch, n_pairs, collision_combos,
+           |  CAST(n_pairs * (n_pairs - 1) // 2 AS BIGINT) AS total_combos,
+           |  CAST(collision_combos * 1000000 // nullif(n_pairs * (n_pairs - 1) // 2, 0) AS BIGINT) AS collision_ppm
+           |FROM per ORDER BY batch""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q352, q353, q354, q355, q356, q357, q358, q371)
+    Seq(q352, q353, q354, q355, q356, q357, q358, q371, q399)
 }
