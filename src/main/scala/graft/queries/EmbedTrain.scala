@@ -543,6 +543,91 @@ object EmbedTrain {
            |FROM per ORDER BY batch""".stripMargin),
   )
 
+  /** q400 — contrastive training-manifest capstone: the family's ops
+    * chained into ONE linear pipeline the way a production run ships
+    * them — dup clusters → anchor/positive chains (q357) → slate
+    * negatives (q353's slot discipline: a 64-keeper broadcast slate
+    * ranked by cluster size, slot = 2-nibble anchor hash mod |slate|,
+    * own-cluster hits wrap to the next slot so a triple can never
+    * negative-sample its own cluster) → 16-way salted batch assignment
+    * (q399) → per-batch manifest census (triples, clusters, distinct
+    * negatives, wraps). Every stage is deterministic hash math; the
+    * corpus is touched once to fingerprint, once to pair — the slate
+    * and both modulus scalars broadcast. The wrap counter is the
+    * self-collision telemetry: 0 on an honest corpus, nonzero exactly
+    * when big clusters enter the slate (sf1's clones, by design). */
+  val q400 = QuerySpec(
+    "q400_contrastive_manifest",
+    (s, d) => {
+      import s.implicits._
+      val hex = lit("0123456789abcdef")
+      val cl = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"doc_id", md5(substring(lower($"text"), 1, 40).cast("binary")).as("h"))
+      val ksz = cl.groupBy($"h").agg(count(lit(1)).as("k"), min($"doc_id").as("keeper"))
+      val slate = ksz.orderBy($"k".desc, $"h").limit(64)
+        .withColumn("slot",
+          row_number().over(Window.orderBy($"k".desc, $"h")) - 1)
+        .select($"h".as("sh"), $"keeper", $"slot".cast("long").as("slot"))
+      val ns = slate.agg(count(lit(1)).as("n_slate"))
+      val mem = cl
+        .withColumn("k", count(lit(1)).over(Window.partitionBy($"h")))
+        .filter($"k" >= 2)
+        .withColumn("rn", row_number().over(Window.partitionBy($"h").orderBy($"doc_id")))
+      val pairs = mem.as("a")
+        .join(mem.as("b"), $"a.h" === $"b.h" && $"b.rn" === $"a.rn" + 1)
+        .select($"a.h".as("h"), $"a.doc_id".as("anchor"), $"b.doc_id".as("positive"))
+      val nib = (pos: Int) =>
+        (instr(hex, substring(md5(concat(lit("n|"), $"anchor".cast("string")).cast("binary")), pos, 1)) - 1).cast("long")
+      val tri = pairs
+        .withColumn("slot0", nib(1) * 16 + nib(2))
+        .crossJoin(broadcast(ns))
+        .join(broadcast(slate.select($"slot".as("s1_slot"), $"sh".as("s1_h"), $"keeper".as("s1_keeper"))),
+          expr("s1_slot = slot0 % n_slate"))
+        .join(broadcast(slate.select($"slot".as("s2_slot"), $"keeper".as("s2_keeper"))),
+          expr("s2_slot = (slot0 + 1) % n_slate"))
+        .select($"h", $"anchor", $"positive",
+          when($"s1_h" === $"h", $"s2_keeper").otherwise($"s1_keeper").as("negative"),
+          when($"s1_h" === $"h", 1L).otherwise(0L).as("wrapped"))
+      tri
+        .withColumn("batch",
+          (instr(hex, substring(md5(concat(lit("b|"), $"anchor".cast("string")).cast("binary")), 1, 1)) - 1)
+            .cast("long"))
+        .groupBy($"batch")
+        .agg(count(lit(1)).as("n_triples"),
+          countDistinct($"h").as("n_clusters"),
+          countDistinct($"negative").as("n_distinct_negatives"),
+          sum($"wrapped").as("n_wrapped"))
+        .orderBy($"batch")
+    },
+    Some("""WITH cl AS (SELECT doc_id, md5(substring(lower(text), 1, 40)) AS h FROM documents),
+           |ksz AS (SELECT h, count(*) AS k, min(doc_id) AS keeper FROM cl GROUP BY h),
+           |slate AS (SELECT h, keeper, row_number() OVER (ORDER BY k DESC, h) - 1 AS slot
+           |          FROM ksz ORDER BY k DESC, h LIMIT 64),
+           |mem AS (SELECT cl.doc_id, cl.h, row_number() OVER (PARTITION BY cl.h ORDER BY cl.doc_id) AS rn
+           |        FROM cl JOIN (SELECT h FROM ksz WHERE k >= 2) s USING (h)),
+           |pairs AS (SELECT a.h, a.doc_id AS anchor, b.doc_id AS positive
+           |          FROM mem a JOIN mem b ON a.h = b.h AND b.rn = a.rn + 1),
+           |ns AS (SELECT count(*) AS n_slate FROM slate),
+           |tri0 AS (SELECT pairs.h, pairs.anchor, pairs.positive,
+           |           (CAST(strpos('0123456789abcdef', substr(md5('n|' || CAST(pairs.anchor AS VARCHAR)), 1, 1)) - 1 AS BIGINT) * 16
+           |           + CAST(strpos('0123456789abcdef', substr(md5('n|' || CAST(pairs.anchor AS VARCHAR)), 2, 1)) - 1 AS BIGINT)) AS slot0
+           |         FROM pairs),
+           |tri AS (SELECT t.h, t.anchor, t.positive,
+           |          CASE WHEN s1.h = t.h THEN s2.keeper ELSE s1.keeper END AS negative,
+           |          CASE WHEN s1.h = t.h THEN 1 ELSE 0 END AS wrapped
+           |        FROM tri0 t
+           |        JOIN slate s1 ON s1.slot = t.slot0 % (SELECT n_slate FROM ns)
+           |        JOIN slate s2 ON s2.slot = (t.slot0 + 1) % (SELECT n_slate FROM ns)),
+           |bat AS (SELECT h, anchor, positive, negative, wrapped,
+           |          CAST(strpos('0123456789abcdef', substr(md5('b|' || CAST(anchor AS VARCHAR)), 1, 1)) - 1 AS BIGINT) AS batch
+           |        FROM tri)
+           |SELECT batch, CAST(count(*) AS BIGINT) AS n_triples,
+           |  CAST(count(DISTINCT h) AS BIGINT) AS n_clusters,
+           |  CAST(count(DISTINCT negative) AS BIGINT) AS n_distinct_negatives,
+           |  CAST(sum(wrapped) AS BIGINT) AS n_wrapped
+           |FROM bat GROUP BY 1 ORDER BY 1""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q352, q353, q354, q355, q356, q357, q358, q371, q399)
+    Seq(q352, q353, q354, q355, q356, q357, q358, q371, q399, q400)
 }
