@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.streaming.{EventIngest, Sessionize, StreamDedup, StreamJoin, StreamSessionWindow}
+import graft.streaming.{EventIngest, Sessionize, StreamBackfillBridge, StreamDedup, StreamJoin, StreamSessionWindow}
 import Det._
 
 /** Streaming surface, gated through the same oracle as the batch twin.
@@ -229,6 +229,23 @@ object StreamingOps {
     Extras.q112.oracle,
   )
 
+
+  /** q401 — batch-backfill + streaming-tail seam bridge: history before
+    * a derived seam hour aggregates as batch, the tail streams with a
+    * 1 h pre-seam re-delivery overlap, and the DECIMAL partials merge —
+    * the seam-straddling hour gets contributions from BOTH halves, so
+    * the merge is a partial-sum, never a rollup concat. Must equal the
+    * from-scratch batch rollup (q34's oracle) value-for-value — the
+    * lambda-architecture migration proof. See
+    * [[graft.streaming.StreamBackfillBridge]]. */
+  val q401 = QuerySpec(
+    "q401_stream_backfill_bridge",
+    (s, d) => StreamBackfillBridge.runOnce(s, d),
+    Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+            |  count(*) AS n_events, ${sqlDsum("value", 4)} AS value_sum
+            |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q35, q44, q53, q54, q91, q95, q108, q122, q161, q211, q221, q262, q324)
+    Seq(q35, q44, q53, q54, q91, q95, q108, q122, q161, q211, q221, q262, q324, q401)
 }
