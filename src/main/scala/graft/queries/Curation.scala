@@ -813,7 +813,58 @@ object Curation {
            |FROM pol ORDER BY ord""".stripMargin),
   )
 
+  /** q402 — license-aware dedup census: when near-dup clusters collapse
+    * to one keeper, the keeper must inherit the MOST RESTRICTIVE
+    * license present in its cluster (a compliance invariant: you cannot
+    * launder a restricted document into a permissive one by deduping
+    * against its permissive mirror). Source→license is a deterministic
+    * 3-class hash dimension (permissive=0 / attribution=1 /
+    * restricted=2 — a stand-in for the real license dim table); the
+    * census reports, per (inherited class × cluster-size band), cluster
+    * and doc counts plus how many docs were UPGRADED to a stricter
+    * class by inheritance — the "dedup changed your licensing exposure"
+    * number legal review reads. One fingerprint window + one rollup;
+    * the license dim broadcasts by construction (it is a pure hash). */
+  val q402 = QuerySpec(
+    "q402_license_aware_dedup",
+    (s, d) => {
+      import s.implicits._
+      val hex = lit("0123456789abcdef")
+      val lic = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"doc_id",
+          md5(substring(lower($"text"), 1, 40).cast("binary")).as("h"),
+          ((instr(hex, substring(md5(concat(lit("L|"), $"source").cast("binary")), 1, 1)) - 1) % 3)
+            .cast("long").as("cls"))
+      val w = lic.withColumn("inherited",
+        max($"cls").over(Window.partitionBy($"h")))
+      val cl = w.groupBy($"h")
+        .agg(count(lit(1)).as("k"), max($"inherited").as("inherited"),
+          sum(when($"cls" < $"inherited", 1L).otherwise(0L)).as("n_upgraded"))
+      cl.select(
+          $"inherited".as("license_class"),
+          when($"k" === 1, "1").when($"k" <= 4, "2-4").otherwise("5+").as("size_band"),
+          $"k", $"n_upgraded")
+        .groupBy($"license_class", $"size_band")
+        .agg(count(lit(1)).as("n_clusters"), sum($"k").as("n_docs"),
+          sum($"n_upgraded").as("n_upgraded_docs"))
+        .orderBy($"license_class", $"size_band")
+    },
+    Some("""WITH lic AS (SELECT doc_id, source, md5(substring(lower(text), 1, 40)) AS h,
+           |               CAST((strpos('0123456789abcdef', substr(md5('L|' || source), 1, 1)) - 1) % 3 AS BIGINT) AS cls
+           |             FROM documents),
+           |w AS (SELECT h, cls, max(cls) OVER (PARTITION BY h) AS inherited FROM lic),
+           |cl AS (SELECT h, count(*) AS k, max(inherited) AS inherited,
+           |         CAST(sum(CASE WHEN cls < inherited THEN 1 ELSE 0 END) AS BIGINT) AS n_upgraded
+           |       FROM w GROUP BY h),
+           |b AS (SELECT CASE WHEN k = 1 THEN '1' WHEN k <= 4 THEN '2-4' ELSE '5+' END AS size_band,
+           |        inherited, k, n_upgraded FROM cl)
+           |SELECT inherited AS license_class, size_band,
+           |  CAST(count(*) AS BIGINT) AS n_clusters, CAST(sum(k) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_upgraded) AS BIGINT) AS n_upgraded_docs
+           |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q363, q364, q365, q367, q368, q370, q376, q377, q386, q394, q395, q396,
-      q398)
+      q398, q402)
 }

@@ -1985,8 +1985,55 @@ object TrainPrep {
            |FROM dc ORDER BY denom DESC""".stripMargin),
   )
 
+  /** q403 — sampling-temperature sweep (q110 generalized to a CURVE):
+    * mixture share per source under τ ∈ {0.25, 0.5, 1.0}, the
+    * multilingual up/down-sampling knob. The float hazard q110 dodged
+    * with sqrt is dodged again by choosing sqrt-COMPOSABLE exponents
+    * (n^0.25 = sqrt∘sqrt, n^0.5 = sqrt, n^1 = n) — no pow(), whose
+    * libm differs across engines. Each weight quantizes to an integer
+    * u6 (⌊n^τ·10⁶⌋, identical IEEE sqrt+floor on both engines), so the
+    * share arithmetic is exact integer ppm. One source census, then a
+    * 3·|sources|-row decision frame — the "which temperature flattens
+    * the mixture enough" readout beside q110's executed sample. */
+  val q403 = QuerySpec(
+    "q403_temperature_sweep",
+    (s, d) => {
+      import s.implicits._
+      val c = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .groupBy($"source").agg(count(lit(1)).as("n"))
+      val w = c.select($"source", $"n", explode(array(
+          struct(lit(250L).as("tau_milli"),
+            expr("cast(floor(sqrt(sqrt(cast(n as double))) * 1000000) as bigint)").as("w")),
+          struct(lit(500L).as("tau_milli"),
+            expr("cast(floor(sqrt(cast(n as double)) * 1000000) as bigint)").as("w")),
+          struct(lit(1000L).as("tau_milli"),
+            expr("cast(n * 1000000 as bigint)").as("w")))).as("x"))
+        .select($"source", $"n", $"x.tau_milli", $"x.w")
+      val tot = w.groupBy($"tau_milli").agg(sum($"w").as("tw"))
+      w.join(broadcast(tot), Seq("tau_milli"))
+        .select($"tau_milli", $"source", $"n".as("n_docs"), $"w",
+          expr("w * 1000000 div tw").as("share_ppm"))
+        .orderBy($"tau_milli", $"source")
+    },
+    Some("""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+           |w AS (
+           |  SELECT source, n, 250 AS tau_milli,
+           |    CAST(floor(sqrt(sqrt(CAST(n AS DOUBLE))) * 1000000) AS BIGINT) AS w FROM c
+           |  UNION ALL
+           |  SELECT source, n, 500,
+           |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) FROM c
+           |  UNION ALL
+           |  SELECT source, n, 1000, CAST(n * 1000000 AS BIGINT) FROM c),
+           |tot AS (SELECT tau_milli, sum(w) AS tw FROM w GROUP BY 1)
+           |SELECT CAST(w.tau_milli AS BIGINT) AS tau_milli, w.source,
+           |  CAST(w.n AS BIGINT) AS n_docs, w.w,
+           |  CAST(w.w * 1000000 // tot.tw AS BIGINT) AS share_ppm
+           |FROM w JOIN tot USING (tau_milli)
+           |ORDER BY tau_milli, source""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q60, q61, q62, q63, q64, q65, q67, q68, q69, q70,
     q86, q87, q88, q89, q90, q96, q100, q101, q106, q110, q149, q150, q160,
     q192, q194, q200, q214, q215, q236, q243, q263, q274, q275, q317, q318,
-    q328, q330, q347, q348, q351, q387, q397)
+    q328, q330, q347, q348, q351, q387, q397, q403)
 }
