@@ -279,5 +279,97 @@ object Search {
             |FROM m ORDER BY query_id""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q278, q279, q290)
+  /** q404 — hybrid retrieval via reciprocal-rank fusion (RRF, the
+    * Cormack–Clarke–Buettcher recipe behind most production "BM25 +
+    * dense" search): a sparse list (q278's BM25 ranks, top-20) and a
+    * dense list (cosine against a pseudo-relevance-feedback query
+    * vector — the embedding of each query's BM25 rank-1 doc, the
+    * Rocchio-style PRF bridge that gives a TERM query a VECTOR without
+    * an encoder) fuse as Σ 10⁶ div (60 + rank), integer-exact. Top-5
+    * per query with both source ranks emitted.
+    *
+    * Scale: the dense scan is ONE corpus pass against |queries|
+    * broadcast PRF vectors; per-query top-20 is a [[graft.functions
+    * .BottomKLong]] over an ORDER-ENCODED key ((10⁶ − cos_ppm)·2³² +
+    * vec_id — cosine quantized to ppm so the encoding is integer and
+    * the DuckDB mirror is a plain (cos_ppm DESC, vec_id) row_number),
+    * O(k) state per query, no corpus-sized window. The fusion frame is
+    * ≤ 40 rows per query. vec_id must fit 32 bits for the encoding —
+    * at wider id spaces widen the shift (documented, not silent). */
+  val q404 = QuerySpec(
+    "q404_hybrid_rrf_fusion",
+    (s, d) => {
+      import s.implicits._
+      val sparse = {
+        val w = Window.partitionBy($"query_id")
+          .orderBy($"score_ppm".desc, $"doc_id")
+        bm25Scored(s, d)
+          .withColumn("rank_sparse", row_number().over(w))
+          .filter($"rank_sparse" <= 20)
+          .select($"query_id", $"doc_id", $"rank_sparse")
+      }
+      val prf = sparse.filter($"rank_sparse" === 1)
+        .join(Tables.embeddings(s, d), $"doc_id" === $"vec_id")
+        .select($"query_id",
+          graft.functions.VectorOps.asDouble($"embedding").as("qemb"))
+        .withColumn("qnrm", graft.functions.VectorOps.l2Norm($"qemb"))
+      val e = Tables.fanOut(Tables.embeddings(s, d), col("vec_id"))
+        .select($"vec_id", graft.functions.VectorOps.asDouble($"embedding").as("emb"))
+        .withColumn("nrm", graft.functions.VectorOps.l2Norm($"emb"))
+      val bottomK = udaf(graft.functions.BottomKLong(20))
+      val dense = e.crossJoin(broadcast(prf))
+        .withColumn("cos_ppm", expr(
+          "cast(floor(1000000.0d * " +
+            "(aggregate(zip_with(emb, qemb, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x) / (nrm * qnrm))" +
+            ") as bigint)"))
+        .select($"query_id",
+          (( lit(1000000L) - $"cos_ppm") * lit(4294967296L) + $"vec_id").as("key"))
+        .groupBy($"query_id")
+        .agg(bottomK($"key").as("keys"))
+        .select($"query_id", posexplode($"keys"))
+        .select($"query_id", ($"pos" + 1).cast("int").as("rank_dense"),
+          ($"col" % 4294967296L).as("doc_id"))
+      sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf_ppm",
+          coalesce(expr("1000000 div (60 + rank_sparse)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + rank_dense)"), lit(0L)))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"query_id").orderBy($"rrf_ppm".desc, $"doc_id")))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"rank", $"doc_id",
+          $"rank_sparse".cast("int").as("rank_sparse"),
+          $"rank_dense".cast("int").as("rank_dense"), $"rrf_ppm")
+        .orderBy($"query_id", $"rank")
+    },
+    Some(s"""$sqlScoredCtes,
+            |sparse AS (SELECT query_id, doc_id, rank_sparse FROM (
+            |  SELECT query_id, doc_id, row_number() OVER
+            |      (PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) AS rank_sparse
+            |  FROM scored) WHERE rank_sparse <= 20),
+            |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            |prf AS (SELECT s.query_id, e.emb AS qemb
+            |  FROM sparse s JOIN e ON s.doc_id = e.vec_id WHERE s.rank_sparse = 1),
+            |dense AS (SELECT query_id, doc_id, rank_dense FROM (
+            |  SELECT prf.query_id, e.vec_id AS doc_id, row_number() OVER
+            |      (PARTITION BY prf.query_id
+            |       ORDER BY CAST(floor(1000000.0 * ${Det.sqlCosine("e.emb", "prf.qemb")}) AS BIGINT) DESC,
+            |                e.vec_id) AS rank_dense
+            |  FROM e, prf) WHERE rank_dense <= 20),
+            |fused AS (SELECT coalesce(s.query_id, d2.query_id) AS query_id,
+            |    coalesce(s.doc_id, d2.doc_id) AS doc_id, s.rank_sparse, d2.rank_dense,
+            |    coalesce(1000000 // (60 + s.rank_sparse), 0)
+            |      + coalesce(1000000 // (60 + d2.rank_dense), 0) AS rrf_ppm
+            |  FROM sparse s FULL OUTER JOIN dense d2
+            |    ON s.query_id = d2.query_id AND s.doc_id = d2.doc_id)
+            |SELECT query_id, rank, doc_id,
+            |  CAST(rank_sparse AS INT) AS rank_sparse,
+            |  CAST(rank_dense AS INT) AS rank_dense,
+            |  CAST(rrf_ppm AS BIGINT) AS rrf_ppm
+            |FROM (SELECT *, CAST(row_number() OVER
+            |    (PARTITION BY query_id ORDER BY rrf_ppm DESC, doc_id) AS INT) AS rank
+            |  FROM fused) WHERE rank <= 5
+            |ORDER BY query_id, rank""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q278, q279, q290, q404)
 }
