@@ -371,5 +371,94 @@ object Search {
             |ORDER BY query_id, rank""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q278, q279, q290, q404)
+  /** q405 — the text inverted index MAINTAINED across an epoch append
+    * (q359/q375's lifecycle discipline applied to the third index
+    * family): epoch-0 postings (term → doc, tf, dl) are written
+    * partitioned BY TERM — the directory layout IS the inverted file —
+    * alongside a per-term stats table (df, ctf) and a 1-row globals
+    * table; epoch 1 arrives as a postings APPEND plus a VERSIONED
+    * stats merge (read v1 + delta → write v2 — never overwrite a path
+    * being read). The probe then answers q278's BM25 top-5 from the
+    * maintained files alone: postings are a PARTITION-PRUNED read of
+    * the query terms' directories, df/avgdl come from the merged
+    * stats. Oracle = the from-scratch q278 computation over all docs —
+    * proving the maintained index loses nothing. */
+  val q405 = QuerySpec(
+    "q405_bm25_index_maintained",
+    (s, d) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bm25m").toString
+      try {
+        val docs = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+          .select($"doc_id", toks(s).as("t"))
+          .select($"doc_id", size($"t").as("dl"), $"t")
+        def postings(epoch: DataFrame) = epoch
+          .select($"doc_id", $"dl", explode($"t").as("term"))
+          .groupBy($"doc_id", $"dl", $"term")
+          .agg(count(lit(1)).as("tf"))
+        def stats(post: DataFrame) = post.groupBy($"term")
+          .agg(count(lit(1)).as("df"), sum($"tf").as("ctf"))
+        def globals(epoch: DataFrame) = epoch
+          .agg(count(lit(1)).as("n_docs"), sum($"dl").as("len_sum"))
+        val e0 = docs.filter($"doc_id" % 2 === 0)
+        val e1 = docs.filter($"doc_id" % 2 === 1)
+        // BUILD (epoch 0). Postings are repartitioned BY TERM before the
+        // partitioned write: without it every one of the shuffle
+        // partitions writes a sliver into every term directory
+        // (partitions x |vocab| small files); with it each term is one
+        // file — the compaction discipline q133/q239 audit, applied at
+        // write time. (Hot stopword terms would skew a pure term
+        // repartition at web scale; there you'd salt the repartition
+        // and accept a few files per hot term.)
+        postings(e0).repartition($"term").write.partitionBy("term").parquet(s"$tmp/post")
+        stats(postings(e0)).write.parquet(s"$tmp/stats_v1")
+        globals(e0).write.parquet(s"$tmp/globals_v1")
+        // MAINTAIN (epoch 1): postings append + versioned stats merge.
+        postings(e1).repartition($"term")
+          .write.partitionBy("term").mode("append").parquet(s"$tmp/post")
+        s.read.parquet(s"$tmp/stats_v1").unionByName(stats(postings(e1)))
+          .groupBy($"term").agg(sum($"df").as("df"), sum($"ctf").as("ctf"))
+          .write.parquet(s"$tmp/stats_v2")
+        s.read.parquet(s"$tmp/globals_v1").unionByName(globals(e1))
+          .agg(sum($"n_docs").as("n_docs"), sum($"len_sum").as("len_sum"))
+          .write.parquet(s"$tmp/globals_v2")
+        // PROBE from the maintained files only (partition-pruned read).
+        val queries = s.createDataFrame(QueryTerms).toDF("query_id", "term")
+        val terms = QueryTerms.map(_._2).distinct
+        val tf = s.read.parquet(s"$tmp/post").filter($"term".isin(terms: _*))
+        val df_ = s.read.parquet(s"$tmp/stats_v2")
+          .filter($"term".isin(terms: _*)).select($"term", $"df")
+        val g = s.read.parquet(s"$tmp/globals_v2")
+          .select($"n_docs", expr("len_sum * 1000000L div n_docs").as("avgdl_ppm"))
+        val scored = tf
+          .join(broadcast(df_), "term")
+          .join(broadcast(queries), "term")
+          .crossJoin(broadcast(g))
+          .withColumn("dl_norm_ppm",
+            expr("250000L + (750000L * dl * 1000000L) div avgdl_ppm"))
+          .withColumn("tf_sat_ppm",
+            expr("(tf * 2200000L * 1000000L) div (tf * 1000000L + (12L * dl_norm_ppm) div 10L)"))
+          .withColumn("idf_ppm",
+            expr("((n_docs - df + 1) * 1000000L) div (df + 1)"))
+          .withColumn("contrib_ppm",
+            expr("(idf_ppm * (tf_sat_ppm div 1000L)) div 1000L"))
+          .groupBy($"query_id", $"doc_id")
+          .agg(count(lit(1)).as("n_terms_matched"), sum($"contrib_ppm").as("score_ppm"))
+        val w = Window.partitionBy($"query_id").orderBy($"score_ppm".desc, $"doc_id")
+        Eager(scored
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 5)
+          .select($"query_id", $"rank", $"doc_id", $"n_terms_matched", $"score_ppm")
+          .orderBy($"query_id", $"rank"))
+      } finally graft.Fs.deleteTree(tmp)
+    },
+    Some(s"""$sqlScoredCtes
+            |SELECT query_id, rank, doc_id, n_terms_matched, score_ppm FROM (
+            |  SELECT *, CAST(row_number() OVER
+            |      (PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) AS INT) AS rank
+            |  FROM scored) WHERE rank <= 5
+            |ORDER BY query_id, rank""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q278, q279, q290, q404, q405)
 }
