@@ -460,5 +460,59 @@ object Search {
             |ORDER BY query_id, rank""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q278, q279, q290, q404, q405)
+  /** q406 — search-result snippet extraction: for each query's BM25
+    * top-3 docs, the ±3-token window around the FIRST query-term hit,
+    * plus the hit position and total match count — the result-page
+    * feature every search stack ships. Pure in-row array math (match
+    * positions via a filtered index sequence, the window via a slice —
+    * no explode, no second shuffle); the only corpus-sized work is the
+    * doc_id equi-join fetching the 9 ranked docs' token arrays, and the
+    * query-term frame broadcasts. Every ranked doc matched ≥1 term by
+    * construction, so first_pos is never NULL (belt-and-braces filter
+    * kept anyway, identically on both engines). */
+  val q406 = QuerySpec(
+    "q406_search_snippets",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"query_id").orderBy($"score_ppm".desc, $"doc_id")
+      val top3 = bm25Scored(s, d)
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"query_id", $"rank", $"doc_id")
+      val qa = s.createDataFrame(QueryTerms).toDF("query_id", "term")
+        .groupBy($"query_id").agg(sort_array(collect_list($"term")).as("qt"))
+      val toksDf = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"doc_id", toks(s).as("t"))
+      top3
+        .join(toksDf, Seq("doc_id"))
+        .join(broadcast(qa), Seq("query_id"))
+        // pos is 1-BASED (t[i-1]: Spark arrays index from 0, DuckDB lists
+        // from 1 — the sequence stays 1-based so both mirrors agree).
+        .withColumn("pos", expr("filter(sequence(1, size(t)), i -> array_contains(qt, t[i-1]))"))
+        .filter(size($"pos") >= 1)
+        .select($"query_id", $"rank", $"doc_id",
+          element_at($"pos", 1).cast("long").as("first_pos"),
+          size($"pos").cast("long").as("n_matches"),
+          expr("""array_join(slice(t, greatest(1, pos[0] - 3),
+                 |  least(size(t), pos[0] + 3) - greatest(1, pos[0] - 3) + 1), ' ')""".stripMargin)
+            .as("snippet"))
+        .orderBy($"query_id", $"rank")
+    },
+    Some(s"""$sqlScoredCtes,
+            |top3 AS (SELECT query_id, rank, doc_id FROM (
+            |  SELECT query_id, doc_id, CAST(row_number() OVER
+            |      (PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) AS INT) AS rank
+            |  FROM scored) WHERE rank <= 3),
+            |qa AS (SELECT query_id, list(term ORDER BY term) AS qt FROM q GROUP BY 1),
+            |m AS (SELECT t3.query_id, t3.rank, t3.doc_id, toks.t, qa.qt,
+            |        list_filter(generate_series(1, len(toks.t)), i -> list_contains(qa.qt, toks.t[i])) AS pos
+            |      FROM top3 t3 JOIN toks USING (doc_id) JOIN qa ON qa.query_id = t3.query_id)
+            |SELECT query_id, rank, doc_id,
+            |  CAST(pos[1] AS BIGINT) AS first_pos, CAST(len(pos) AS BIGINT) AS n_matches,
+            |  array_to_string(t[greatest(1, pos[1] - 3):least(len(t), pos[1] + 3)], ' ') AS snippet
+            |FROM m WHERE len(pos) >= 1
+            |ORDER BY query_id, rank""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q278, q279, q290, q404, q405, q406)
 }

@@ -760,6 +760,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("Generate"), "pair emit should be a Generate stage\n" + p)
   }
 
+  test("q405: the maintained-index probe partition-prunes to the query terms' directories") {
+    // The probe plan isn't reachable through plan() (the query writes its
+    // index first), so audit the same read shape directly: a term-filtered
+    // scan of a term-partitioned postings dir must show PartitionFilters.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q405_plan").toString
+    try {
+      val df = spark.range(100).selectExpr("id AS doc_id", "id % 7 AS dl",
+        "concat('t', id % 5) AS term", "1L AS tf")
+      df.repartition(org.apache.spark.sql.functions.col("term"))
+        .write.partitionBy("term").parquet(s"$tmp/post")
+      val probe = spark.read.parquet(s"$tmp/post")
+        .filter(org.apache.spark.sql.functions.col("term").isin("t1", "t3"))
+      val p = probe.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("PartitionFilters") && p.contains("term"),
+        "term filter must prune partitions, not scan all posting dirs\n" + p)
+    } finally graft.Fs.deleteTree(tmp)
+  }
+
   test("q396: ADC probe is two broadcast LUT joins + TakeOrdered — no corpus shuffle at query time") {
     val p = plan("q396_pq_adc_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
