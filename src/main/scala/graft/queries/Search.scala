@@ -514,5 +514,101 @@ object Search {
             |ORDER BY query_id, rank""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q278, q279, q290, q404, q405, q406)
+  /** q407 — cascade-ranker cost/recall audit: the two-stage retrieval
+    * architecture (cheap BM25 recall stage → expensive dense rerank on
+    * its top-20 only) measured against the exhaustive dense scan it
+    * approximates — per query: candidates scored, scanned fraction ppm,
+    * and recall@5 of the cascade's top-5 vs the full scan's (q384's
+    * cost/recall readout, text→dense edition). Dense order is the
+    * quantized (cos_ppm DESC, doc_id) key of q404, so both engines rank
+    * identically; the full scan's top-5 rides [[graft.functions
+    * .BottomKLong]] (O(5) state per query), the cascade's top-5 is a
+    * 20-row window. The exhaustive scan exists here as the AUDIT
+    * baseline — the cascade is the production path whose corpus-sized
+    * work is exactly the BM25 stage. */
+  val q407 = QuerySpec(
+    "q407_cascade_recall_audit",
+    (s, d) => {
+      import s.implicits._
+      val sparse = {
+        val w = Window.partitionBy($"query_id").orderBy($"score_ppm".desc, $"doc_id")
+        bm25Scored(s, d)
+          .withColumn("rank_sparse", row_number().over(w))
+          .filter($"rank_sparse" <= 20)
+          .select($"query_id", $"doc_id", $"rank_sparse")
+      }
+      val prf = sparse.filter($"rank_sparse" === 1)
+        .join(Tables.embeddings(s, d), $"doc_id" === $"vec_id")
+        .select($"query_id", graft.functions.VectorOps.asDouble($"embedding").as("qemb"))
+        .withColumn("qnrm", graft.functions.VectorOps.l2Norm($"qemb"))
+      val e = Tables.fanOut(Tables.embeddings(s, d), col("vec_id"))
+        .select($"vec_id", graft.functions.VectorOps.asDouble($"embedding").as("emb"))
+        .withColumn("nrm", graft.functions.VectorOps.l2Norm($"emb"))
+      val cosKey =
+        "cast(floor(1000000.0d * " +
+          "(aggregate(zip_with(emb, qemb, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x) / (nrm * qnrm))" +
+          ") as bigint)"
+      // Exhaustive baseline: one corpus pass, O(5) state per query.
+      val bottom5 = udaf(graft.functions.BottomKLong(5))
+      val full5 = e.crossJoin(broadcast(prf))
+        .select($"query_id",
+          ((lit(1000000L) - expr(cosKey)) * lit(4294967296L) + $"vec_id").as("key"))
+        .groupBy($"query_id").agg(bottom5($"key").as("keys"))
+        .select($"query_id", explode($"keys").as("key"))
+        .select($"query_id", ($"key" % 4294967296L).as("doc_id"))
+      // Cascade: dense-score ONLY the 20 BM25 candidates.
+      val casc5 = sparse
+        .join(e.select($"vec_id".as("doc_id"), $"emb", $"nrm"), Seq("doc_id"))
+        .join(broadcast(prf), Seq("query_id"))
+        .withColumn("ck", expr(cosKey))
+        .withColumn("r", row_number().over(
+          Window.partitionBy($"query_id").orderBy($"ck".desc, $"doc_id")))
+        .filter($"r" <= 5)
+        .select($"query_id", $"doc_id")
+      val nTotal = e.agg(count(lit(1)).as("n_corpus"))
+      val nCand = sparse.groupBy($"query_id").agg(count(lit(1)).as("n_candidates"))
+      full5.join(casc5.withColumn("hit", lit(1L)), Seq("query_id", "doc_id"), "left")
+        .groupBy($"query_id")
+        .agg(sum(coalesce($"hit", lit(0L))).as("n_overlap"))
+        .join(broadcast(nCand), Seq("query_id"))
+        .crossJoin(broadcast(nTotal))
+        .select($"query_id", $"n_candidates",
+          expr("n_candidates * 1000000 div n_corpus").as("scanned_ppm"),
+          $"n_overlap",
+          expr("n_overlap * 1000000 div 5").as("recall_ppm"))
+        .orderBy($"query_id")
+    },
+    Some(s"""$sqlScoredCtes,
+            |sparse AS (SELECT query_id, doc_id, rank_sparse FROM (
+            |  SELECT query_id, doc_id, row_number() OVER
+            |      (PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) AS rank_sparse
+            |  FROM scored) WHERE rank_sparse <= 20),
+            |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            |prf AS (SELECT s.query_id, e.emb AS qemb
+            |  FROM sparse s JOIN e ON s.doc_id = e.vec_id WHERE s.rank_sparse = 1),
+            |ck AS (SELECT prf.query_id, e.vec_id AS doc_id,
+            |         CAST(floor(1000000.0 * ${Det.sqlCosine("e.emb", "prf.qemb")}) AS BIGINT) AS cos_ppm
+            |       FROM e, prf),
+            |full5 AS (SELECT query_id, doc_id FROM (
+            |  SELECT query_id, doc_id, row_number() OVER
+            |      (PARTITION BY query_id ORDER BY cos_ppm DESC, doc_id) AS r FROM ck)
+            |  WHERE r <= 5),
+            |casc5 AS (SELECT query_id, doc_id FROM (
+            |  SELECT ck.query_id, ck.doc_id, row_number() OVER
+            |      (PARTITION BY ck.query_id ORDER BY ck.cos_ppm DESC, ck.doc_id) AS r
+            |  FROM ck JOIN sparse ON ck.query_id = sparse.query_id AND ck.doc_id = sparse.doc_id)
+            |  WHERE r <= 5),
+            |nt AS (SELECT count(*) AS n_corpus FROM e),
+            |nc AS (SELECT query_id, count(*) AS n_candidates FROM sparse GROUP BY 1),
+            |ov AS (SELECT f.query_id, CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+            |       FROM full5 f LEFT JOIN casc5 c ON f.query_id = c.query_id AND f.doc_id = c.doc_id
+            |       GROUP BY 1)
+            |SELECT ov.query_id, CAST(nc.n_candidates AS BIGINT) AS n_candidates,
+            |  CAST(nc.n_candidates * 1000000 // nt.n_corpus AS BIGINT) AS scanned_ppm,
+            |  ov.n_overlap, CAST(ov.n_overlap * 1000000 // 5 AS BIGINT) AS recall_ppm
+            |FROM ov JOIN nc USING (query_id) CROSS JOIN nt
+            |ORDER BY query_id""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q278, q279, q290, q404, q405, q406, q407)
 }
