@@ -657,6 +657,48 @@ object TextMedia {
            |FROM w GROUP BY lang ORDER BY lang""".stripMargin),
   )
 
+  /** q408 — content-safety lexicon gate: the moderation funnel every
+    * training-data pipeline runs before anything else — per source,
+    * how many docs a term denylist BLOCKS (≥3 hits), sends to REVIEW
+    * (1–2 hits), and the hit density per token. The denylist here is a
+    * 3-term stand-in (broadcast-literal — in production a dim table
+    * broadcast the same way); hits are an in-row filtered-array count,
+    * so the corpus is scanned once with no explode and the rollup is a
+    * |sources|-row frame. Thresholded two-tier actions (block/review)
+    * rather than a single boolean because that IS the production shape:
+    * reviewers see the gray zone, the gate only hard-drops the tail. */
+  val q408 = QuerySpec(
+    "q408_content_safety_gate",
+    (s, d) => {
+      import s.implicits._
+      val h = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"source",
+          size(filter(tokens($"text"), t => char_length(t) > 0)).as("n_tok"),
+          expr("""size(filter(filter(split(lower(text), '\\s+'), x -> char_length(x) > 0),
+                 |  x -> array_contains(array('spark', 'merge', 'dup'), x)))""".stripMargin)
+            .as("hits"))
+      h.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"hits" >= 3, 1L).otherwise(0L)).as("n_blocked"),
+          sum(when($"hits".between(1, 2), 1L).otherwise(0L)).as("n_review"),
+          sum($"hits").as("n_hits"),
+          expr("sum(hits) * 1000000 div nullif(sum(n_tok), 0)").as("hit_token_ppm"))
+        .orderBy($"source")
+    },
+    Some("""WITH toks AS (SELECT doc_id, source,
+           |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+           |  FROM documents),
+           |h AS (SELECT doc_id, source, len(t) AS n_tok,
+           |        len(list_filter(t, x -> list_contains(['spark', 'merge', 'dup'], x))) AS hits
+           |      FROM toks)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(count(*) FILTER (WHERE hits >= 3) AS BIGINT) AS n_blocked,
+           |  CAST(count(*) FILTER (WHERE hits BETWEEN 1 AND 2) AS BIGINT) AS n_review,
+           |  CAST(sum(hits) AS BIGINT) AS n_hits,
+           |  CAST(sum(hits) * 1000000 // nullif(sum(n_tok), 0) AS BIGINT) AS hit_token_ppm
+           |FROM h GROUP BY source ORDER BY source""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q29, q30, q31, q32, q33, q34, q36, q45, q73, q78,
-    q111, q163, q168, q260, q261, q390)
+    q111, q163, q168, q260, q261, q390, q408)
 }

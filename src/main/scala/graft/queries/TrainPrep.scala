@@ -2032,8 +2032,45 @@ object TrainPrep {
            |ORDER BY tau_milli, source""".stripMargin),
   )
 
+  /** q409 — eval-holdout builder with per-cell coverage guarantees:
+    * q65's hash-threshold sampling guarantees a RATE, not a FLOOR — a
+    * thin (lang × source) cell can draw zero eval docs and that slice
+    * of the model is never measured. This selects the k=2 LOWEST
+    * salted-hash docs per cell (deterministic, growth-stable: a doc's
+    * rank only changes when smaller hashes arrive, and min(k, n) is
+    * always taken), reporting per cell the eval count, the DEFICIT for
+    * cells thinner than k (the "this slice is unmeasurable" flag), and
+    * an id checksum pinning membership. The rank window partitions by
+    * cell — thousands of small groups, the healthy window shape. */
+  val q409 = QuerySpec(
+    "q409_eval_coverage_holdout",
+    (s, d) => {
+      import s.implicits._
+      val r = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"doc_id", $"lang", $"source",
+          md5(concat(lit("e|"), $"doc_id".cast("string")).cast("binary")).as("hk"))
+      val w = r.withColumn("rn", row_number().over(
+        Window.partitionBy($"lang", $"source").orderBy($"hk", $"doc_id")))
+      w.groupBy($"lang", $"source")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when($"rn" <= 2, 1L).otherwise(0L)).as("n_eval"),
+          greatest(lit(2L) - count(lit(1)), lit(0L)).as("deficit"),
+          sum(when($"rn" <= 2, $"doc_id")).as("eval_id_checksum"))
+        .orderBy($"lang", $"source")
+    },
+    Some("""WITH r AS (SELECT doc_id, lang, source,
+           |    md5('e|' || CAST(doc_id AS VARCHAR)) AS hk FROM documents),
+           |w AS (SELECT *, row_number() OVER
+           |    (PARTITION BY lang, source ORDER BY hk, doc_id) AS rn FROM r)
+           |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_total,
+           |  CAST(count(*) FILTER (WHERE rn <= 2) AS BIGINT) AS n_eval,
+           |  CAST(greatest(2 - count(*), 0) AS BIGINT) AS deficit,
+           |  CAST(sum(doc_id) FILTER (WHERE rn <= 2) AS BIGINT) AS eval_id_checksum
+           |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q60, q61, q62, q63, q64, q65, q67, q68, q69, q70,
     q86, q87, q88, q89, q90, q96, q100, q101, q106, q110, q149, q150, q160,
     q192, q194, q200, q214, q215, q236, q243, q263, q274, q275, q317, q318,
-    q328, q330, q347, q348, q351, q387, q397, q403)
+    q328, q330, q347, q348, q351, q387, q397, q403, q409)
 }
