@@ -273,5 +273,56 @@ object DecisionSupport {
            |ORDER BY p_type, size_band""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q201, q202, q203, q204, q205, q206)
+  /** q410 — TPC-H-Q7-shaped volume shipping: revenue flowing between an
+    * ordered pair of nations (supplier side ships, customer side buys),
+    * both directions, by ship year. Plan shape: both nation filters
+    * reduce to 2-row frames that broadcast into supplier/customer; the
+    * customer-side keys broadcast into orders; the only corpus-sized
+    * exchange is the lineitem⋈orders fact-fact shuffle (Q7's
+    * irreducible join). Revenue rides the Det.dsum DECIMAL discipline —
+    * per-row double product, decimal-exact sum, one final correctly-
+    * rounded double cast mirrored via the VARCHAR detour. */
+  val q410 = QuerySpec(
+    "q410_volume_shipping",
+    (s, d) => {
+      import s.implicits._
+      val nat = Tables.nation(s, d)
+        .filter($"n_name".isin("NATION_3", "NATION_7"))
+        .select($"n_nationkey", $"n_name")
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name".as("supp_nation"))
+      val cust = Tables.customer(s, d)
+        .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey", $"n_name".as("cust_nation"))
+      val ord = Tables.orders(s, d)
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey", $"cust_nation")
+      Tables.lineitem(s, d)
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+        .filter($"supp_nation" =!= $"cust_nation")
+        .groupBy($"supp_nation", $"cust_nation",
+          year($"l_shipdate").cast("bigint").as("l_year"))
+        .agg(count(lit(1)).as("n_lines"),
+          dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("revenue"))
+        .orderBy($"supp_nation", $"cust_nation", $"l_year")
+    },
+    Some(s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+            |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+            |  count(*) AS n_lines,
+            |  ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+            |FROM lineitem
+            |JOIN orders ON l_orderkey = o_orderkey
+            |JOIN customer ON o_custkey = c_custkey
+            |JOIN nation cn ON c_nationkey = cn.n_nationkey
+            |JOIN supplier ON l_suppkey = s_suppkey
+            |JOIN nation sn ON s_nationkey = sn.n_nationkey
+            |WHERE sn.n_name IN ('NATION_3', 'NATION_7')
+            |  AND cn.n_name IN ('NATION_3', 'NATION_7')
+            |  AND sn.n_name <> cn.n_name
+            |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q201, q202, q203, q204, q205, q206, q410)
 }
