@@ -2069,8 +2069,61 @@ object TrainPrep {
            |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
   )
 
+  /** q411 — span-corruption prep census (the T5/UL2 denoising recipe's
+    * mask plan, statically audited): tokens group into 3-token blocks,
+    * a block masks iff the first md5 nibble of (doc_id | block) < 3
+    * (3/16 ≈ 19% expected corruption in ≈3-token spans — the T5 shape),
+    * and the census reports per source the realized masked ppm, span
+    * count, and mean span length in milli-tokens. The mask plan is a
+    * pure per-position hash — no RNG state, reproducible across epochs
+    * and engines — and the whole computation is in-row array math over
+    * POSITIONS (1-based, never indexing the token array), one
+    * |sources|-row rollup. */
+  val q411 = QuerySpec(
+    "q411_span_corruption_prep",
+    (s, d) => {
+      import s.implicits._
+      val m = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"doc_id", $"source",
+          size(filter(graft.functions.TextFns.tokens($"text"),
+            t => char_length(t) > 0)).as("n_tok"))
+        .withColumn("mp", expr(
+          """filter(sequence(1, n_tok), i ->
+            |  (instr('0123456789abcdef', substring(md5(cast(
+            |     concat(cast(doc_id as string), '|', cast((i + 2) div 3 as string))
+            |   as binary)), 1, 1)) - 1) < 3)""".stripMargin))
+        .select($"source", $"n_tok", size($"mp").as("n_masked"),
+          expr("size(array_distinct(transform(mp, i -> (i + 2) div 3)))").as("n_spans"))
+      m.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+          sum($"n_masked").as("n_masked"),
+          expr("sum(n_masked) * 1000000 div nullif(sum(n_tok), 0)").as("masked_ppm"),
+          sum($"n_spans").as("n_spans"),
+          expr("sum(n_masked) * 1000 div nullif(sum(n_spans), 0)").as("mean_span_len_milli"))
+        .orderBy($"source")
+    },
+    Some("""WITH toks AS (SELECT doc_id, source,
+           |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+           |  FROM documents),
+           |m AS (SELECT doc_id, source, len(t) AS n_tok,
+           |        list_filter(generate_series(1, len(t)),
+           |          i -> (strpos('0123456789abcdef',
+           |                 substr(md5(CAST(doc_id AS VARCHAR) || '|' || CAST((i + 2) // 3 AS VARCHAR)), 1, 1)) - 1) < 3) AS mp
+           |      FROM toks),
+           |s AS (SELECT doc_id, source, n_tok, len(mp) AS n_masked,
+           |        len(list_distinct(list_transform(mp, i -> (i + 2) // 3))) AS n_spans
+           |      FROM m)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           |  CAST(sum(n_masked) AS BIGINT) AS n_masked,
+           |  CAST(sum(n_masked) * 1000000 // nullif(sum(n_tok), 0) AS BIGINT) AS masked_ppm,
+           |  CAST(sum(n_spans) AS BIGINT) AS n_spans,
+           |  CAST(sum(n_masked) * 1000 // nullif(sum(n_spans), 0) AS BIGINT) AS mean_span_len_milli
+           |FROM s GROUP BY source ORDER BY source""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q60, q61, q62, q63, q64, q65, q67, q68, q69, q70,
     q86, q87, q88, q89, q90, q96, q100, q101, q106, q110, q149, q150, q160,
     q192, q194, q200, q214, q215, q236, q243, q263, q274, q275, q317, q318,
-    q328, q330, q347, q348, q351, q387, q397, q403, q409)
+    q328, q330, q347, q348, q351, q387, q397, q403, q409, q411)
 }
