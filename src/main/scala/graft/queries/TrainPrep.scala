@@ -2122,8 +2122,73 @@ object TrainPrep {
            |FROM s GROUP BY source ORDER BY source""".stripMargin),
   )
 
+  /** q412 — Krippendorff's alpha for THREE annotators (q318's kappa
+    * stops at two): nominal-metric, complete-data form. Annotators are
+    * deterministic hash labelers sharing a lang-derived latent class
+    * with 25% hash noise each (so alpha is meaningfully between 0 and
+    * 1, ≈0.54). With m=3 raters the observed-disagreement sum collapses
+    * to Σ_u d_u (d_u = disagreeing unordered pairs per unit ∈ {0,2,3}),
+    * expected disagreement comes from the 3-row class marginals, and
+    * alpha = 1 − Do·(n−1)/Σ_{c≠k}n_c·n_k — computed in double from
+    * exact BIGINTs (the q389 overflow discipline: cross-products never
+    * multiply as int64 at 10¹¹-unit scale). Everything is one corpus
+    * pass (labels + d_u in-row), a 3-row marginal agg, and a single
+    * output row carrying the exact components beside alpha. */
+  val q412 = QuerySpec(
+    "q412_krippendorff_alpha",
+    (s, d) => {
+      import s.implicits._
+      val hex = "'0123456789abcdef'"
+      def nib(sql: String) = s"(instr($hex, substring(md5(cast($sql as binary)), 1, 1)) - 1)"
+      def lab(r: Int) =
+        s"CASE WHEN ${nib(s"concat('r$r|', cast(doc_id as string))")} < 12 THEN latent " +
+          s"ELSE ${nib(s"concat('n$r|', cast(doc_id as string))")} % 3 END"
+      val u = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"doc_id", expr(s"${nib("lang")} % 3").as("latent"))
+        .select($"doc_id", expr(lab(0)).as("l0"), expr(lab(1)).as("l1"),
+          expr(lab(2)).as("l2"))
+        .withColumn("d_u", expr(
+          """cast(if(l0 <> l1, 1, 0) + if(l0 <> l2, 1, 0) + if(l1 <> l2, 1, 0)
+            | as bigint)""".stripMargin))
+      val vals = u.select($"l0".as("c"))
+        .unionAll(u.select($"l1".as("c")))
+        .unionAll(u.select($"l2".as("c")))
+      val marg = vals.groupBy($"c").agg(count(lit(1)).as("n_c"))
+      val cross = marg.as("a").join(marg.as("b"), $"a.c" =!= $"b.c")
+        .agg(sum($"a.n_c" * $"b.n_c").as("sum_cross"))
+      val tots = u.agg(count(lit(1)).as("n_units"), sum($"d_u").as("do_sum"))
+      tots
+        .crossJoin(broadcast(marg.agg(sum($"n_c").as("n_values"))))
+        .crossJoin(broadcast(cross))
+        .select($"n_units", $"n_values", $"do_sum", $"sum_cross",
+          round(lit(1.0) - expr("CAST(do_sum AS DOUBLE) * (n_values - 1) / sum_cross"), 6)
+            .as("alpha"))
+    },
+    Some {
+      def nib(sql: String) = s"(strpos('0123456789abcdef', substr(md5($sql), 1, 1)) - 1)"
+      def lab(r: Int) =
+        s"CASE WHEN ${nib(s"'r$r|' || CAST(doc_id AS VARCHAR)")} < 12 THEN latent " +
+          s"ELSE ${nib(s"'n$r|' || CAST(doc_id AS VARCHAR)")} % 3 END"
+      s"""WITH base AS (SELECT doc_id, ${nib("lang")} % 3 AS latent FROM documents),
+         |lab AS (SELECT doc_id, ${lab(0)} AS l0, ${lab(1)} AS l1, ${lab(2)} AS l2 FROM base),
+         |u AS (SELECT doc_id,
+         |  (CASE WHEN l0 <> l1 THEN 1 ELSE 0 END + CASE WHEN l0 <> l2 THEN 1 ELSE 0 END
+         |   + CASE WHEN l1 <> l2 THEN 1 ELSE 0 END) AS d_u, l0, l1, l2 FROM lab),
+         |vals AS (SELECT l0 AS c FROM u UNION ALL SELECT l1 FROM u UNION ALL SELECT l2 FROM u),
+         |marg AS (SELECT c, count(*) AS n_c FROM vals GROUP BY c),
+         |agg AS (SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_units,
+         |  (SELECT CAST(sum(d_u) AS BIGINT) FROM u) AS do_sum,
+         |  (SELECT CAST(sum(n_c) AS BIGINT) FROM marg) AS n_values,
+         |  (SELECT CAST(sum(a.n_c * b.n_c) AS BIGINT) FROM marg a JOIN marg b ON a.c <> b.c) AS sum_cross)
+         |SELECT n_units, n_values, do_sum, sum_cross,
+         |  round(1.0 - CAST(do_sum AS DOUBLE) * (n_values - 1) / sum_cross, 6) AS alpha
+         |FROM agg""".stripMargin
+    },
+  )
+
   val all: Seq[QuerySpec] = Seq(q60, q61, q62, q63, q64, q65, q67, q68, q69, q70,
     q86, q87, q88, q89, q90, q96, q100, q101, q106, q110, q149, q150, q160,
     q192, q194, q200, q214, q215, q236, q243, q263, q274, q275, q317, q318,
-    q328, q330, q347, q348, q351, q387, q397, q403, q409, q411)
+    q328, q330, q347, q348, q351, q387, q397, q403, q409, q411, q412)
 }
