@@ -864,7 +864,72 @@ object Curation {
            |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
   )
 
+  /** q413 — per-source dataset datasheet (the "datasheets for datasets"
+    * card, computed): docs, chars, language census with deterministic
+    * top language (string-keyed argmin — the two-level argmax
+    * discipline of q232: zero-padded inverted count ‖ lang, so ties
+    * break on the name identically in both engines), quality-gate pass
+    * ppm (q387's gate), duplicated-doc ppm against GLOBAL
+    * prefix-fingerprint clusters, and safety-flag ppm (q408's
+    * lexicon). Three corpus aggregates (per-(source,lang), per-cluster,
+    * per-source) joined on |sources|-row frames — the one-page summary
+    * a data consumer reads before the 400-query deep dive. */
+  val q413 = QuerySpec(
+    "q413_dataset_datasheet",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+      val top = docs.groupBy($"source", $"lang").agg(count(lit(1)).as("n"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_langs"),
+          min_by($"lang",
+            concat(format_string("%012d", lit(999999999999L) - $"n"), $"lang"))
+            .as("top_lang"))
+      val cl = docs.select($"source",
+        md5(substring(lower($"text"), 1, 40).cast("binary")).as("h"))
+      val ck = cl.groupBy($"h").agg(count(lit(1)).as("k"))
+      val dup = cl.join(ck, Seq("h"))
+        .groupBy($"source")
+        .agg(sum(when($"k" >= 2, 1L).otherwise(0L)).as("n_dup"))
+      val m = docs.select($"source", $"lang", $"n_chars",
+          expr("""size(filter(filter(split(lower(text), '\\s+'), x -> char_length(x) > 0),
+                 |  x -> array_contains(array('spark', 'merge', 'dup'), x)))""".stripMargin)
+            .as("hits"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"),
+          sum(when($"lang".isin("en", "es") && $"n_chars".between(100, 2000), 1L)
+            .otherwise(0L)).as("n_quality"),
+          sum(when($"hits" >= 1, 1L).otherwise(0L)).as("n_flagged"))
+      m.join(broadcast(top), Seq("source")).join(broadcast(dup), Seq("source"))
+        .select($"source", $"n_docs", $"n_chars", $"n_langs", $"top_lang",
+          expr("n_quality * 1000000 div n_docs").as("quality_pass_ppm"),
+          expr("n_dup * 1000000 div n_docs").as("dup_doc_ppm"),
+          expr("n_flagged * 1000000 div n_docs").as("safety_flag_ppm"))
+        .orderBy($"source")
+    },
+    Some("""WITH lc AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+           |top AS (SELECT source, count(*) AS n_langs,
+           |          arg_min(lang, printf('%012d', 999999999999 - n) || lang) AS top_lang
+           |        FROM lc GROUP BY source),
+           |cl AS (SELECT source, md5(substring(lower(text), 1, 40)) AS h FROM documents),
+           |ck AS (SELECT h, count(*) AS k FROM cl GROUP BY h),
+           |dup AS (SELECT cl.source, CAST(sum(CASE WHEN ck.k >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+           |        FROM cl JOIN ck USING (h) GROUP BY 1),
+           |m AS (SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           |        CAST(sum(CASE WHEN lang IN ('en','es') AND n_chars BETWEEN 100 AND 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           |        CAST(sum(CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+           |              x -> list_contains(['spark','merge','dup'], x))) >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+           |      FROM documents GROUP BY source)
+           |SELECT m.source, CAST(m.n_docs AS BIGINT) AS n_docs, m.n_chars,
+           |  CAST(top.n_langs AS BIGINT) AS n_langs, top.top_lang,
+           |  CAST(m.n_quality * 1000000 // m.n_docs AS BIGINT) AS quality_pass_ppm,
+           |  CAST(dup.n_dup * 1000000 // m.n_docs AS BIGINT) AS dup_doc_ppm,
+           |  CAST(m.n_flagged * 1000000 // m.n_docs AS BIGINT) AS safety_flag_ppm
+           |FROM m JOIN top USING (source) JOIN dup USING (source)
+           |ORDER BY m.source""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q363, q364, q365, q367, q368, q370, q376, q377, q386, q394, q395, q396,
-      q398, q402)
+      q398, q402, q413)
 }
