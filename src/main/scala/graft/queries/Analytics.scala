@@ -3707,11 +3707,66 @@ object Analytics {
             |FROM a2 ORDER BY arm""".stripMargin),
   )
 
+
+  /** q414 — event state-machine conformance audit: the q139 transition
+    * matrix turned into a VALIDATOR — a broadcast allowlist of legal
+    * (prev → curr) transitions, every per-user consecutive pair checked
+    * against it (lag over per-user windows: thousands of small groups,
+    * the healthy window shape), and the ILLEGAL transitions rolled up
+    * with how many users exhibit each and their share of all
+    * transitions. The "instrumentation is emitting impossible
+    * journeys" alarm a funnel owner triages from — top-15 by volume. */
+  val q414 = QuerySpec(
+    "q414_state_machine_audit",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val allowed = Seq(
+        ("signup", "view"), ("view", "click"), ("view", "view"),
+        ("click", "purchase"), ("click", "view"), ("purchase", "view"),
+        ("view", "error"), ("click", "error"), ("signup", "error"),
+        ("purchase", "error"), ("error", "view"))
+      val al = s.createDataFrame(allowed).toDF("prev", "curr")
+        .withColumn("legal", lit(true))
+      val tr = Tables.events(s, d)
+        .withColumn("prev", lag($"event_type", 1).over(
+          Window.partitionBy($"user_id").orderBy($"ts", $"event_id")))
+        .filter($"prev".isNotNull)
+        .select($"user_id", $"prev", $"event_type".as("curr"))
+      val tot = tr.agg(count(lit(1)).as("n_tr"))
+      tr.join(broadcast(al), Seq("prev", "curr"), "left")
+        .filter($"legal".isNull)
+        .groupBy($"prev".as("prev_type"), $"curr".as("curr_type"))
+        .agg(count(lit(1)).as("n_invalid"), countDistinct($"user_id").as("n_users"))
+        .crossJoin(broadcast(tot))
+        .select($"prev_type", $"curr_type", $"n_invalid", $"n_users",
+          expr("n_invalid * 1000000 div n_tr").as("share_ppm"))
+        .orderBy($"n_invalid".desc, $"prev_type", $"curr_type")
+        .limit(15)
+    },
+    Some("""WITH seq AS (SELECT user_id, event_type, ts, event_id,
+           |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           |      FROM events),
+           |tr AS (SELECT user_id, prev, event_type AS curr FROM seq WHERE prev IS NOT NULL),
+           |al(prev, curr) AS (VALUES ('signup','view'), ('view','click'), ('view','view'),
+           |  ('click','purchase'), ('click','view'), ('purchase','view'),
+           |  ('view','error'), ('click','error'), ('signup','error'),
+           |  ('purchase','error'), ('error','view')),
+           |inv AS (SELECT tr.prev, tr.curr, count(*) AS n, count(DISTINCT tr.user_id) AS n_users
+           |        FROM tr LEFT JOIN al ON tr.prev = al.prev AND tr.curr = al.curr
+           |        WHERE al.prev IS NULL GROUP BY 1, 2),
+           |tot AS (SELECT count(*) AS n_tr FROM tr)
+           |SELECT prev AS prev_type, curr AS curr_type, CAST(n AS BIGINT) AS n_invalid,
+           |  CAST(n_users AS BIGINT) AS n_users,
+           |  CAST(n * 1000000 // (SELECT n_tr FROM tot) AS BIGINT) AS share_ppm
+           |FROM inv ORDER BY n_invalid DESC, prev_type, curr_type LIMIT 15""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q118, q119, q120, q121, q123, q124, q127, q128, q131, q132, q134, q137,
       q139, q147, q153, q157, q165, q191, q193, q198, q199, q217, q222, q227,
       q246, q247, q254, q255, q264, q272, q276, q280, q281, q282, q284, q285,
       q286, q288, q289, q291, q292, q293, q295, q297, q298, q299, q300, q303,
       q306, q308, q311, q312, q314, q315, q316, q319, q321, q323, q325, q331,
-      q332, q333, q334, q335, q336, q339, q373, q381)
+      q332, q333, q334, q335, q336, q339, q373, q381, q414)
 }
