@@ -3762,11 +3762,61 @@ object Analytics {
            |FROM inv ORDER BY n_invalid DESC, prev_type, curr_type LIMIT 15""".stripMargin),
   )
 
+
+  /** q415 — funnel time-to-convert distribution: seconds from each
+    * purchase back to that user's most recent PRIOR view (the q159
+    * IGNORE-NULLS forward-carry over per-user windows), histogrammed
+    * into power-of-two buckets with cumulative ppm — the latency
+    * distribution behind "how long does intent take to convert".
+    * Buckets are ⌊log₂ gap⌋ computed EXACTLY as bit length
+    * (length(bin(x))−1): libm log2 drifts a ulp across engines at
+    * boundary values and floor() would amplify it into a bucket flip,
+    * while the binary-string length is integer arithmetic on both.
+    * Per-user windows are thousands of small groups; the histogram is
+    * ≤64 rows with its cumulative window on that frame. */
+  val q415 = QuerySpec(
+    "q415_time_to_convert",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val conv = Tables.events(s, d)
+        .withColumn("last_view", max(when($"event_type" === "view", $"ts")).over(w))
+        .filter($"event_type" === "purchase" && $"last_view".isNotNull)
+        .select((unix_timestamp($"ts") - unix_timestamp($"last_view")).as("gap_s"))
+      val h = conv
+        .select((length(expr("bin(greatest(gap_s, 1))")) - 1).cast("long").as("bucket"))
+        .groupBy($"bucket").agg(count(lit(1)).as("n"))
+      val tot = h.agg(sum($"n").as("t"))
+      h.crossJoin(broadcast(tot))
+        .withColumn("cum", sum($"n").over(
+          Window.orderBy($"bucket").rowsBetween(Window.unboundedPreceding, 0)))
+        .select($"bucket".as("log2_seconds_bucket"), $"n".as("n_conversions"),
+          expr("cum * 1000000 div t").as("cum_ppm"))
+        .orderBy($"log2_seconds_bucket")
+    },
+    Some("""WITH seq AS (SELECT user_id, ts, event_id, event_type,
+           |        max(CASE WHEN event_type = 'view' THEN ts END)
+           |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view
+           |      FROM events),
+           |conv AS (SELECT user_id,
+           |        CAST(epoch(ts) - epoch(last_view) AS BIGINT) AS gap_s
+           |      FROM seq WHERE event_type = 'purchase' AND last_view IS NOT NULL),
+           |b AS (SELECT CAST(length(bin(greatest(gap_s, 1))) - 1 AS BIGINT) AS bucket FROM conv),
+           |h AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1),
+           |tot AS (SELECT sum(n) AS t FROM h)
+           |SELECT bucket AS log2_seconds_bucket, CAST(n AS BIGINT) AS n_conversions,
+           |  CAST(sum(n) OVER (ORDER BY bucket) * 1000000 // (SELECT t FROM tot) AS BIGINT) AS cum_ppm
+           |FROM h ORDER BY bucket""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q118, q119, q120, q121, q123, q124, q127, q128, q131, q132, q134, q137,
       q139, q147, q153, q157, q165, q191, q193, q198, q199, q217, q222, q227,
       q246, q247, q254, q255, q264, q272, q276, q280, q281, q282, q284, q285,
       q286, q288, q289, q291, q292, q293, q295, q297, q298, q299, q300, q303,
       q306, q308, q311, q312, q314, q315, q316, q319, q321, q323, q325, q331,
-      q332, q333, q334, q335, q336, q339, q373, q381, q414)
+      q332, q333, q334, q335, q336, q339, q373, q381, q414, q415)
 }
