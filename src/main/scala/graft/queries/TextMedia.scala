@@ -699,6 +699,49 @@ object TextMedia {
            |FROM h GROUP BY source ORDER BY source""".stripMargin),
   )
 
+  /** q416 — Zipf rank-frequency audit over the 3-shingle vocabulary:
+    * frequency at ranks 1,2,4,…,512 plus the halving ratio
+    * freq(2r)/freq(r) in ppm — natural language reads ≈500000 (Zipf's
+    * s≈1), templated/synthetic corpora read ≈10⁶ (flat head, exactly
+    * what this corpus shows). The "does this source look like language
+    * or like boilerplate" pre-ingest screen. One vocabulary-sized
+    * count, a global top-1024 via TakeOrdered (never a full sort), the
+    * checkpoint math on a 10-row frame. */
+  val q416 = QuerySpec(
+    "q416_zipf_rank_audit",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val f = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select(tokens($"text").as("t"))
+        .filter(size($"t") >= 3)
+        .select(explode(shingles3("t")).as("g"))
+        .groupBy($"g").agg(count(lit(1)).as("n"))
+      val top = f.orderBy($"n".desc, $"g").limit(1024)
+        .withColumn("r", row_number().over(Window.orderBy($"n".desc, $"g")))
+      val ck = s.createDataFrame(Seq(1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+        .map(Tuple1(_))).toDF("rank")
+      val doubled = top.filter($"r" % 2 === 0)
+        .select(expr("r div 2").cast("int").as("rank"), $"n".as("n2"))
+      ck.join(broadcast(top.select($"r".as("rank"), $"n".as("freq"))), Seq("rank"))
+        .join(broadcast(doubled), Seq("rank"), "left")
+        .select($"rank".cast("long").as("rank"), $"freq",
+          expr("n2 * 1000000 div freq").as("halving_ratio_ppm"))
+        .orderBy($"rank")
+    },
+    Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+           |sh AS (SELECT unnest(list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+           |       FROM toks WHERE len(t) >= 3),
+           |f AS (SELECT g, count(*) AS n FROM sh GROUP BY g),
+           |top AS (SELECT g, n, row_number() OVER (ORDER BY n DESC, g) AS r FROM f
+           |        ORDER BY n DESC, g LIMIT 1024),
+           |ck AS (SELECT unnest([1,2,4,8,16,32,64,128,256,512]) AS r)
+           |SELECT CAST(ck.r AS BIGINT) AS rank, CAST(a.n AS BIGINT) AS freq,
+           |  CAST(b.n * 1000000 // a.n AS BIGINT) AS halving_ratio_ppm
+           |FROM ck JOIN top a ON a.r = ck.r LEFT JOIN top b ON b.r = 2 * ck.r
+           |ORDER BY rank""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q29, q30, q31, q32, q33, q34, q36, q45, q73, q78,
-    q111, q163, q168, q260, q261, q390, q408)
+    q111, q163, q168, q260, q261, q390, q408, q416)
 }
