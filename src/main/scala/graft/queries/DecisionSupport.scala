@@ -324,5 +324,96 @@ object DecisionSupport {
             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q201, q202, q203, q204, q205, q206, q410)
+  /** q417 — TPC-H-Q9-shaped product-line profit by supplier nation and
+    * order year. The synthetic schema has no partsupp, so supply cost is
+    * modeled as 10% of the part's retail price per unit — preserving
+    * Q9's physical shape exactly: a selective part filter (name
+    * contains 'red') that broadcasts into lineitem and prunes the fact
+    * scan FIRST, a supplier→nation dimension chain folded into one
+    * broadcast, and the lineitem⋈orders fact-fact shuffle as the only
+    * corpus-sized exchange (same irreducible join as q410). Profit
+    * rides Det.dsum: per-row double arithmetic, DECIMAL-exact sum,
+    * one correctly-rounded double at the end. */
+  val q417 = QuerySpec(
+    "q417_profit_by_nation_year",
+    (s, d) => {
+      import s.implicits._
+      val redParts = Tables.part(s, d)
+        .filter($"p_name".contains("red"))
+        .select($"p_partkey", $"p_retailprice")
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name".as("nation"))
+      val ord = Tables.orders(s, d)
+        .select($"o_orderkey", year($"o_orderdate").cast("bigint").as("o_year"))
+      Tables.lineitem(s, d)
+        .join(broadcast(redParts), $"l_partkey" === $"p_partkey")
+        .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"nation", $"o_year")
+        .agg(count(lit(1)).as("n_lines"),
+          dsum($"l_extendedprice" * (lit(1) - $"l_discount")
+            - $"p_retailprice" * $"l_quantity" * lit(0.1), 4).as("profit"))
+        .orderBy($"nation", $"o_year".desc)
+    },
+    Some(s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+            |  count(*) AS n_lines,
+            |  ${sqlDsum("l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1", 4)} AS profit
+            |FROM lineitem
+            |JOIN part ON l_partkey = p_partkey
+            |JOIN supplier ON l_suppkey = s_suppkey
+            |JOIN nation ON s_nationkey = n_nationkey
+            |JOIN orders ON l_orderkey = o_orderkey
+            |WHERE p_name LIKE '%red%'
+            |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin),
+  )
+
+  /** q418 — TPC-H-Q10-shaped returned-item revenue report: the top 20
+    * customers by revenue lost to returns ('R' lineitems) for orders
+    * placed in one half-year window. Plan shape: the order-date range
+    * prunes the orders scan, the returnflag filter prunes lineitem,
+    * their join is the one fact-fact shuffle; customer and nation are
+    * dimension broadcasts on top of the post-aggregate (customer-sized,
+    * not fact-sized) frame. The global top-20 is a TakeOrdered over the
+    * aggregated customers — never a single-partition window. Ranking
+    * key is the DECIMAL-exact revenue (identical double on both
+    * engines), tie-broken by custkey. */
+  val q418 = QuerySpec(
+    "q418_returned_item_revenue",
+    (s, d) => {
+      import s.implicits._
+      val ord = Tables.orders(s, d)
+        .filter($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1996-07-01")
+        .select($"o_orderkey", $"o_custkey")
+      val rev = Tables.lineitem(s, d)
+        .filter($"l_returnflag" === "R")
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_return_lines"),
+          dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("revenue"))
+      rev
+        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey", $"c_name", $"n_name".as("nation"),
+          $"c_acctbal", $"n_return_lines", $"revenue")
+        .orderBy($"revenue".desc, $"c_custkey")
+        .limit(20)
+    },
+    Some(s"""SELECT c_custkey, c_name, n_name AS nation, c_acctbal,
+            |  count(*) AS n_return_lines,
+            |  ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+            |FROM lineitem
+            |JOIN orders ON l_orderkey = o_orderkey
+            |JOIN customer ON o_custkey = c_custkey
+            |JOIN nation ON c_nationkey = n_nationkey
+            |WHERE l_returnflag = 'R'
+            |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+            |  AND o_orderdate < TIMESTAMP '1996-07-01'
+            |GROUP BY 1, 2, 3, 4
+            |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] =
+    Seq(q201, q202, q203, q204, q205, q206, q410, q417, q418)
 }

@@ -628,6 +628,67 @@ object EmbedTrain {
            |FROM bat GROUP BY 1 ORDER BY 1""".stripMargin),
   )
 
+  /** q422 — matryoshka (MRL) truncation-quality audit: can the 64-dim
+    * store answer nearest-neighbor queries from just its PREFIX dims?
+    * For 5 probe vectors and each prefix length k ∈ {8, 16, 32, 64},
+    * rank the corpus by cosine over the first k dims and report the
+    * truncated top-1 plus its top-5 overlap with the full-dim top-5 —
+    * the curve that decides how far an MRL-style index can shrink its
+    * vectors before recall pays. One corpus pass against a broadcast
+    * 5-row probe frame, ×4 prefix lengths (linear, never pairwise);
+    * per-(probe, k) top-5 is [[graft.functions.BottomKLong]] over
+    * q404's order-encoded (cos_ppm, vec_id) key — O(5) state, no
+    * corpus-sized window (vec_id must fit 32 bits; widen the shift at
+    * wider id spaces). Cosines are the same seeded left-folds on both
+    * engines over the same slices, quantized to ppm before ranking. */
+  val q422 = QuerySpec(
+    "q422_mrl_truncation_audit",
+    (s, d) => {
+      import s.implicits._
+      val base = Tables.fanOut(Tables.embeddings(s, d), col("vec_id"))
+        .select($"vec_id", asDouble($"embedding").as("emb"))
+      val probes = base.filter($"vec_id" < 5)
+        .select($"vec_id".as("pid"), $"emb".as("pemb"))
+      val bottomK = udaf(graft.functions.BottomKLong(5))
+      val sliced = base.crossJoin(broadcast(probes))
+        .filter($"vec_id" =!= $"pid")
+        .select($"pid", $"vec_id", $"emb", $"pemb",
+          explode(array(lit(8), lit(16), lit(32), lit(64))).as("k"))
+        .withColumn("ea", expr("slice(emb, 1, k)"))
+        .withColumn("eb", expr("slice(pemb, 1, k)"))
+        .withColumn("cos_ppm",
+          floor(lit(1000000.0) * dot($"ea", $"eb") / (l2Norm($"ea") * l2Norm($"eb")))
+            .cast("long"))
+      val tops = sliced
+        .select($"pid", $"k",
+          ((lit(1000000L) - $"cos_ppm") * lit(4294967296L) + $"vec_id").as("key"))
+        .groupBy($"pid", $"k")
+        .agg(bottomK($"key").as("keys"))
+        .select($"pid", $"k",
+          expr("transform(keys, x -> x % 4294967296L)").as("ids"))
+      val full = tops.filter($"k" === 64).select($"pid", $"ids".as("fids"))
+      tops.join(broadcast(full), "pid")
+        .select($"pid", $"k",
+          element_at($"ids", 1).as("top1_id"),
+          size(array_intersect($"ids", $"fids")).as("overlap5"))
+        .orderBy($"pid", $"k")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            |p AS (SELECT vec_id AS pid, emb AS pemb FROM e WHERE vec_id < 5),
+            |ks(k) AS (VALUES (8), (16), (32), (64)),
+            |sc AS (SELECT p.pid, ks.k, e.vec_id,
+            |    CAST(floor(1000000.0 * ${sqlCosine("(e.emb[1:ks.k])", "(p.pemb[1:ks.k])")}) AS BIGINT) AS cos_ppm
+            |  FROM e, p, ks WHERE e.vec_id <> p.pid),
+            |r AS (SELECT pid, k, vec_id, row_number() OVER
+            |    (PARTITION BY pid, k ORDER BY cos_ppm DESC, vec_id) AS rnk FROM sc),
+            |t AS (SELECT pid, k, list(vec_id ORDER BY rnk) AS ids
+            |  FROM r WHERE rnk <= 5 GROUP BY pid, k),
+            |f AS (SELECT pid, ids AS fids FROM t WHERE k = 64)
+            |SELECT t.pid, CAST(t.k AS INT) AS k, t.ids[1] AS top1_id,
+            |  CAST(len(list_intersect(t.ids, f.fids)) AS INT) AS overlap5
+            |FROM t JOIN f USING (pid) ORDER BY pid, k""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q352, q353, q354, q355, q356, q357, q358, q371, q399, q400)
+    Seq(q352, q353, q354, q355, q356, q357, q358, q371, q399, q400, q422)
 }

@@ -360,5 +360,136 @@ object RobustStats {
            |FROM t ORDER BY event_type""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q343, q344, q345, q346, q349, q374, q380)
+  /** q419 — exact Spearman rank correlation (tie-corrected, via average
+    * ranks) between per-customer order activity and spend — the
+    * monotone-association twin of q381's Kendall tau-b, read off the
+    * SAME bounded joint-count histogram rather than row-level ranks.
+    * x = order count (naturally bounded domain), y = lifetime spend in
+    * exact $1000 bins (cents summed as BIGINT — no float order
+    * dependence). Average ranks are derived PER DISTINCT VALUE from the
+    * marginal histograms (rank2 = 2·#less + #equal + 1, scaled ×2 to
+    * stay integer — the ×2 cancels in rho), so the only windows run
+    * over value-domain-sized frames; the corpus-sized pass is the one
+    * orders→customer aggregate. The n·Sxy − Sx·Sy cross-products are
+    * lifted termwise into DECIMAL(38,0)/HUGEINT before subtraction
+    * (q381's overflow discipline — the BIGINT subtree would overflow
+    * near 2e21 at sf1-like customer counts). */
+  val q419 = QuerySpec(
+    "q419_spearman_rho",
+    (s, d) => {
+      import s.implicits._
+      val per = Tables.fanOut(Tables.orders(s, d), col("o_custkey"))
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("x"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        .select($"x", expr("cents div 100000L").as("y"))
+      val cells = per.groupBy($"x", $"y").agg(count(lit(1)).as("c"))
+      def rank2(marg: org.apache.spark.sql.DataFrame, v: String) = {
+        val w = Window.orderBy(col(v))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        marg.withColumn("cum", sum($"cnt").over(w))
+          .select(col(v), (lit(2L) * $"cum" - $"cnt" + 1L).as(s"r$v"))
+      }
+      val rx = rank2(cells.groupBy($"x").agg(sum($"c").as("cnt")), "x")
+      val ry = rank2(cells.groupBy($"y").agg(sum($"c").as("cnt")), "y")
+      cells.join(broadcast(rx), "x").join(broadcast(ry), "y")
+        .agg(sum($"c").as("n"),
+          sum($"c" * $"rx").as("sx"), sum($"c" * $"ry").as("sy"),
+          sum($"c" * $"rx" * $"rx").as("sxx"),
+          sum($"c" * $"ry" * $"ry").as("syy"),
+          sum($"c" * $"rx" * $"ry").as("sxy"))
+        .select($"n".as("n_customers"),
+          // nullif guards the zero-variance degenerate (all-equal x or
+          // y): 0/0 would be NaN here and a CAST error in DuckDB.
+          expr("""CAST(floor(1000.0 *
+            | CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE) /
+            | nullif(sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+            |   * CAST(CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)), 0.0d))
+            | AS BIGINT)""".stripMargin.replaceAll("\n", ""))
+            .as("rho_milli"))
+    },
+    Some("""WITH per AS (
+           |  SELECT o_custkey, count(*) AS x,
+           |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) // 100000 AS y
+           |  FROM orders GROUP BY o_custkey),
+           |cells AS (SELECT x, y, count(*) AS c FROM per GROUP BY 1, 2),
+           |rx AS (SELECT x, 2 * sum(cnt) OVER (ORDER BY x) - cnt + 1 AS rx FROM
+           |  (SELECT x, sum(c) AS cnt FROM cells GROUP BY x)),
+           |ry AS (SELECT y, 2 * sum(cnt) OVER (ORDER BY y) - cnt + 1 AS ry FROM
+           |  (SELECT y, sum(c) AS cnt FROM cells GROUP BY y)),
+           |st AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+           |    CAST(sum(c * rx) AS BIGINT) AS sx, CAST(sum(c * ry) AS BIGINT) AS sy,
+           |    CAST(sum(c * rx * rx) AS BIGINT) AS sxx,
+           |    CAST(sum(c * ry * ry) AS BIGINT) AS syy,
+           |    CAST(sum(c * rx * ry) AS BIGINT) AS sxy
+           |  FROM cells JOIN rx USING (x) JOIN ry USING (y))
+           |SELECT n AS n_customers,
+           |  CAST(floor(1000.0 *
+           |    CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+           |    nullif(sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+           |      * CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)), 0.0))
+           |    AS BIGINT) AS rho_milli
+           |FROM st""".stripMargin),
+  )
+
+  /** q420 — unbiased pass@k eval estimator (the Chen et al. HumanEval
+    * combinatorial form): per problem, n=10 attempts with c successes,
+    * pass@k = 1 − C(n−c,k)/C(n,k), computed EXACTLY in integer ppm as
+    * 10⁶ − 10⁶·Π(n−c−i)/Π(n−i) (the falling-factorial ratio; the Π
+    * denominators are per-k constants ≤ 10!, so everything stays well
+    * inside BIGINT). Attempt outcomes are deterministic hash draws —
+    * nibble(md5('att|'||doc||'|'||i)) against a per-source difficulty
+    * threshold — so both engines reproduce the same c without RNG
+    * state. In-row math over a lazily-materialized sequence(1,10) (no
+    * explode of the corpus), one |sources|×3-sized rollup; means are
+    * exact integer div, mirrored verbatim. */
+  val q420 = QuerySpec(
+    "q420_pass_at_k",
+    (s, d) => {
+      import s.implicits._
+      val per = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"doc_id", $"source")
+        .withColumn("thr",
+          expr("1 + (char_length(source) * 7 + ascii(substring(source, 4, 1))) % 8"))
+        .withColumn("c", expr(
+          """CAST(size(filter(sequence(1, 10), i ->
+            | (instr('0123456789abcdef',
+            |    substring(md5(CAST(concat('att|', doc_id, '|', i) AS BINARY)), 1, 1)) - 1)
+            |   < thr)) AS BIGINT)""".stripMargin.replaceAll("\n", "")))
+      val ks = Seq((1L, 10L), (5L, 30240L), (10L, 3628800L))
+        .toDF("k", "den")
+      per.crossJoin(broadcast(ks))
+        .withColumn("num", expr(
+          "aggregate(sequence(0, CAST(k AS INT) - 1), 1L, (acc, i) -> acc * greatest(10L - c - i, 0L))"))
+        .withColumn("ppm", lit(1000000L) - expr("(1000000L * num) div den"))
+        .groupBy($"source", $"k")
+        .agg(count(lit(1)).as("n_problems"),
+          expr("sum(c) * 1000L div count(1)").as("mean_c_milli"),
+          expr("sum(ppm) div count(1)").as("pass_ppm_mean"))
+        .orderBy($"source", $"k")
+    },
+    Some("""WITH per AS (
+           |  SELECT doc_id, source,
+           |    1 + (length(source) * 7 + ascii(substring(source, 4, 1))) % 8 AS thr,
+           |    CAST(len(list_filter(generate_series(1, 10), i ->
+           |      (strpos('0123456789abcdef',
+           |         substr(md5('att|' || doc_id || '|' || i), 1, 1)) - 1) < thr))
+           |      AS BIGINT) AS c
+           |  FROM documents),
+           |ks(k, den) AS (VALUES (CAST(1 AS BIGINT), CAST(10 AS BIGINT)),
+           |  (5, 30240), (10, 3628800)),
+           |px AS (SELECT source, k,
+           |    1000000 - (1000000 * list_reduce(list_prepend(CAST(1 AS BIGINT),
+           |        list_transform(generate_series(0, k - 1), i -> greatest(10 - c - i, 0))),
+           |      (acc, x) -> acc * x)) // den AS ppm,
+           |    c
+           |  FROM per CROSS JOIN ks)
+           |SELECT source, k, count(*) AS n_problems,
+           |  CAST(sum(c) * 1000 // count(*) AS BIGINT) AS mean_c_milli,
+           |  CAST(sum(ppm) // count(*) AS BIGINT) AS pass_ppm_mean
+           |FROM px GROUP BY 1, 2 ORDER BY source, k""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] =
+    Seq(q343, q344, q345, q346, q349, q374, q380, q419, q420)
 }

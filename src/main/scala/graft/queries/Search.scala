@@ -610,5 +610,87 @@ object Search {
             |ORDER BY query_id""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q278, q279, q290, q404, q405, q406, q407)
+  /** q421 — rank-biased overlap (Webber–Moffat–Zobel RBO) between the
+    * sparse and dense rankers at depth 10: the top-weighted
+    * list-similarity readout that tells a search owner how DIFFERENT
+    * the two retrieval stacks actually are (Kendall/overlap treat all
+    * depths equally; RBO discounts geometrically, like users do). Lists
+    * are q404's two sides — BM25 top-10 and dense-PRF top-10. With
+    * persistence p = 1/2 every weight (1−p)p^{d−1}·X_d/d is a dyadic
+    * rational, so the whole score is computed EXACTLY as integers
+    * scaled by S = lcm(1..10)·2¹⁰ = 2580480: a doc appearing at ranks
+    * (ra, rb) contributes the closed-form suffix weight
+    * w(max(ra,rb)) = Σ_{d≥m} S/(d·2^d) — ten precomputed constants in a
+    * lookup array, so RBO reduces to ONE equi-join of two 10-row lists
+    * per query and a sum. No floats anywhere; ppm by integer div. */
+  val q421 = QuerySpec(
+    "q421_rank_biased_overlap",
+    (s, d) => {
+      import s.implicits._
+      // Suffix sums of S/(d·2^d), S = 2580480, indexed by m = 1..10.
+      val wSuffix = "array(1788440L, 498200L, 175640L, 68120L, 27800L, " +
+        "11672L, 4952L, 2072L, 812L, 252L)"
+      val sparse = {
+        val w = Window.partitionBy($"query_id")
+          .orderBy($"score_ppm".desc, $"doc_id")
+        bm25Scored(s, d)
+          .withColumn("ra", row_number().over(w))
+          .filter($"ra" <= 10)
+          .select($"query_id", $"doc_id", $"ra")
+      }
+      val prf = sparse.filter($"ra" === 1)
+        .join(Tables.embeddings(s, d), $"doc_id" === $"vec_id")
+        .select($"query_id",
+          graft.functions.VectorOps.asDouble($"embedding").as("qemb"))
+        .withColumn("qnrm", graft.functions.VectorOps.l2Norm($"qemb"))
+      val e = Tables.fanOut(Tables.embeddings(s, d), col("vec_id"))
+        .select($"vec_id", graft.functions.VectorOps.asDouble($"embedding").as("emb"))
+        .withColumn("nrm", graft.functions.VectorOps.l2Norm($"emb"))
+      val bottomK = udaf(graft.functions.BottomKLong(10))
+      val dense = e.crossJoin(broadcast(prf))
+        .withColumn("cos_ppm", expr(
+          "cast(floor(1000000.0d * " +
+            "(aggregate(zip_with(emb, qemb, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x) / (nrm * qnrm))" +
+            ") as bigint)"))
+        .select($"query_id",
+          ((lit(1000000L) - $"cos_ppm") * lit(4294967296L) + $"vec_id").as("key"))
+        .groupBy($"query_id")
+        .agg(bottomK($"key").as("keys"))
+        .select($"query_id", posexplode($"keys"))
+        .select($"query_id", ($"pos" + 1).cast("int").as("rb"),
+          ($"col" % 4294967296L).as("doc_id"))
+      sparse.join(dense, Seq("query_id", "doc_id"))
+        .withColumn("w", expr(s"element_at($wSuffix, greatest(ra, CAST(rb AS INT)))"))
+        .groupBy($"query_id")
+        .agg(count(lit(1)).as("n_common"), sum($"w").as("rbo_scaled"))
+        .withColumn("rbo_ppm", expr("rbo_scaled * 1000000L div 2580480L"))
+        .orderBy($"query_id")
+    },
+    Some(s"""$sqlScoredCtes,
+            |sparse AS (SELECT query_id, doc_id, ra FROM (
+            |  SELECT query_id, doc_id, row_number() OVER
+            |      (PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) AS ra
+            |  FROM scored) WHERE ra <= 10),
+            |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            |prf AS (SELECT s.query_id, e.emb AS qemb
+            |  FROM sparse s JOIN e ON s.doc_id = e.vec_id WHERE s.ra = 1),
+            |dense AS (SELECT query_id, doc_id, rb FROM (
+            |  SELECT prf.query_id, e.vec_id AS doc_id, row_number() OVER
+            |      (PARTITION BY prf.query_id
+            |       ORDER BY CAST(floor(1000000.0 * ${Det.sqlCosine("e.emb", "prf.qemb")}) AS BIGINT) DESC,
+            |                e.vec_id) AS rb
+            |  FROM e, prf) WHERE rb <= 10),
+            |j AS (SELECT s.query_id,
+            |    ([1788440, 498200, 175640, 68120, 27800,
+            |      11672, 4952, 2072, 812, 252])[greatest(s.ra, d2.rb)] AS w
+            |  FROM sparse s JOIN dense d2
+            |    ON s.query_id = d2.query_id AND s.doc_id = d2.doc_id)
+            |SELECT query_id, count(*) AS n_common,
+            |  CAST(sum(w) AS BIGINT) AS rbo_scaled,
+            |  CAST(sum(w) * 1000000 // 2580480 AS BIGINT) AS rbo_ppm
+            |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] =
+    Seq(q278, q279, q290, q404, q405, q406, q407, q421)
 }
