@@ -3812,11 +3812,73 @@ object Analytics {
            |FROM h ORDER BY bucket""".stripMargin),
   )
 
+  /** q424 — first-order Markov next-event model, evaluated HELD-OUT:
+    * the cheapest "is user behavior predictable" readout, and the
+    * data-engine half of a model-eval loop done honestly — the
+    * transition model is fit on TRAIN users only (q60's salted-md5
+    * split membership, growth-stable) and scored on TEST users'
+    * transitions, so the accuracy is a generalization number, not a
+    * resubstitution one. Transitions are per-user lead() pairs
+    * (user-partitioned windows, bounded state); the fitted model is a
+    * ≤|types|² count frame whose per-state argmax (tie → lexically
+    * smallest next event) broadcasts into the test stream; accuracy is
+    * exact integer ppm per state. Two corpus passes (train pairs,
+    * test pairs), both one shuffle on user_id. */
+  val q424 = QuerySpec(
+    "q424_markov_heldout_accuracy",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val wu = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val pairs = Tables.fanOut(Tables.events(s, d), col("user_id"))
+        .select($"user_id", $"event_type".as("cur"),
+          lead($"event_type", 1).over(wu).as("next"))
+        .filter($"next".isNotNull)
+        .withColumn("split",
+          when(substring(md5($"user_id".cast("string").cast("binary")), 1, 2)
+            < "cd", "train").otherwise("test"))
+      val model = pairs.filter($"split" === "train")
+        .groupBy($"cur", $"next").agg(count(lit(1)).as("cnt"))
+      val wm = Window.partitionBy($"cur").orderBy($"cnt".desc, $"next")
+      val pred = model.withColumn("rn", row_number().over(wm))
+        .filter($"rn" === 1)
+        .select($"cur", $"next".as("pred"))
+      pairs.filter($"split" === "test")
+        .join(broadcast(pred), Seq("cur"), "left")
+        .groupBy($"cur")
+        .agg(first($"pred").as("predicted"),
+          count(lit(1)).as("n_test"),
+          sum(when($"next" === $"pred", 1L).otherwise(0L)).as("n_correct"))
+        .withColumn("acc_ppm", expr("n_correct * 1000000L div n_test"))
+        .orderBy($"cur")
+    },
+    Some("""WITH pairs AS (
+           |  SELECT user_id, event_type AS cur,
+           |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next,
+           |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 2) < 'cd'
+           |      THEN 'train' ELSE 'test' END AS split
+           |  FROM events),
+           |p2 AS (SELECT * FROM pairs WHERE next IS NOT NULL),
+           |model AS (SELECT cur, next, count(*) AS cnt FROM p2
+           |  WHERE split = 'train' GROUP BY 1, 2),
+           |pred AS (SELECT cur, next AS pred FROM (
+           |    SELECT cur, next, row_number() OVER
+           |      (PARTITION BY cur ORDER BY cnt DESC, next) AS rn FROM model)
+           |  WHERE rn = 1)
+           |SELECT cur, any_value(pred) AS predicted, count(*) AS n_test,
+           |  CAST(sum(CASE WHEN next = pred THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           |  CAST(sum(CASE WHEN next = pred THEN 1 ELSE 0 END) * 1000000
+           |    // count(*) AS BIGINT) AS acc_ppm
+           |FROM p2 LEFT JOIN pred USING (cur)
+           |WHERE split = 'test'
+           |GROUP BY cur ORDER BY cur""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q118, q119, q120, q121, q123, q124, q127, q128, q131, q132, q134, q137,
       q139, q147, q153, q157, q165, q191, q193, q198, q199, q217, q222, q227,
       q246, q247, q254, q255, q264, q272, q276, q280, q281, q282, q284, q285,
       q286, q288, q289, q291, q292, q293, q295, q297, q298, q299, q300, q303,
       q306, q308, q311, q312, q314, q315, q316, q319, q321, q323, q325, q331,
-      q332, q333, q334, q335, q336, q339, q373, q381, q414, q415)
+      q332, q333, q334, q335, q336, q339, q373, q381, q414, q415, q424)
 }

@@ -656,8 +656,11 @@ object EmbedTrain {
           explode(array(lit(8), lit(16), lit(32), lit(64))).as("k"))
         .withColumn("ea", expr("slice(emb, 1, k)"))
         .withColumn("eb", expr("slice(pemb, 1, k)"))
+        // Parenthesization must match the mirror EXACTLY: 10⁶·(dot/norm),
+        // never (10⁶·dot)/norm — the two differ by an ulp at the cos=1.0
+        // clone boundary and flip the floor (caught by the sf1 sweep).
         .withColumn("cos_ppm",
-          floor(lit(1000000.0) * dot($"ea", $"eb") / (l2Norm($"ea") * l2Norm($"eb")))
+          floor(lit(1000000.0) * (dot($"ea", $"eb") / (l2Norm($"ea") * l2Norm($"eb"))))
             .cast("long"))
       val tops = sliced
         .select($"pid", $"k",
@@ -689,6 +692,92 @@ object EmbedTrain {
             |FROM t JOIN f USING (pid) ORDER BY pid, k""".stripMargin),
   )
 
+  /** q423 — mutual (reciprocal) k-NN pair mining: a candidate duplicate
+    * pair survives only if EACH vector ranks in the OTHER's top-3 by
+    * cosine — the classic precision filter over one-directional kNN
+    * (a hub vector near everything stops flooding the candidate set,
+    * because its victims don't rank IT back). Candidates come from the
+    * same IVF bucketing + capped pool as q352 (8 broadcast centroids,
+    * [[MaxIvfPool]] lowest-id pool via bounded-state
+    * [[graft.functions.BottomKLong]] — pair volume O(n·cap), enforced
+    * not assumed); directional top-3 is a window over the capped
+    * candidate stream; mutuality is a self-join on the reversed pair,
+    * emitted once with both directional ranks and the label-agreement
+    * flag a semantic-dedup reviewer triages by. */
+  val q423 = QuerySpec(
+    "q423_mutual_knn_pairs",
+    (s, d) => {
+      import s.implicits._
+      val base = Tables.fanOut(Tables.embeddings(s, d), col("vec_id"))
+        .select($"vec_id", $"label", asDouble($"embedding").as("emb"))
+        .withColumn("nrm", l2Norm($"emb"))
+      val cent = base.filter($"vec_id".between(2, 9))
+        .select($"vec_id".as("cid"), $"emb".as("cemb"), $"nrm".as("cnrm"))
+      val assigned = base.crossJoin(broadcast(cent))
+        .withColumn("c", dot($"emb", $"cemb") / ($"nrm" * $"cnrm"))
+        .groupBy($"vec_id")
+        .agg(max_by($"cid", struct($"c", -$"cid")).as("cid"),
+          first($"label").as("label"), first($"emb").as("emb"),
+          first($"nrm").as("nrm"))
+      val bottomK = udaf(graft.functions.BottomKLong(MaxIvfPool))
+      val pool = assigned.groupBy($"cid")
+        .agg(bottomK($"vec_id").as("pool"))
+        .select($"cid", explode($"pool").as("vec_id"))
+      val a = assigned.select($"cid", $"vec_id".as("anchor"),
+        $"label".as("la"), $"emb".as("ea"), $"nrm".as("na"))
+      val b = assigned.join(pool, Seq("cid", "vec_id"))
+        .select($"cid", $"vec_id".as("nbr"),
+          $"label".as("lb"), $"emb".as("eb"), $"nrm".as("nb"))
+      val w = Window.partitionBy($"anchor").orderBy($"cos_ppm".desc, $"nbr")
+      val knn = a.join(b, Seq("cid"))
+        .filter($"anchor" =!= $"nbr")
+        // Same ulp discipline as q422: 10⁶·(dot/norm), mirror-identical.
+        .withColumn("cos_ppm",
+          floor(lit(1000000.0) * (dot($"ea", $"eb") / ($"na" * $"nb"))).cast("long"))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 3)
+        .select($"anchor", $"nbr", $"rnk", $"cos_ppm", $"la", $"lb")
+      knn.as("x")
+        .join(knn.as("y"),
+          $"x.anchor" === $"y.nbr" && $"x.nbr" === $"y.anchor"
+            && $"x.anchor" < $"x.nbr")
+        .select($"x.anchor".as("vec_a"), $"x.nbr".as("vec_b"),
+          $"x.cos_ppm".as("cos_ppm"),
+          $"x.rnk".cast("int").as("rank_ab"), $"y.rnk".cast("int").as("rank_ba"),
+          ($"x.la" === $"x.lb").as("same_label"))
+        .orderBy($"vec_a", $"vec_b")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            |cent AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id BETWEEN 2 AND 9),
+            |assign AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cid) AS rn
+            |           FROM (SELECT v.vec_id, c2.cid, ${sqlCosine("v.emb", "c2.cemb")} AS c FROM e v, cent c2)),
+            |m AS (SELECT a.vec_id, a.cid, e.label, e.emb FROM assign a JOIN e ON a.vec_id = e.vec_id WHERE a.rn = 1),
+            |pool AS (SELECT cid, vec_id FROM (
+            |    SELECT cid, vec_id, row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS pr FROM m)
+            |  WHERE pr <= $MaxIvfPool),
+            |-- cosine is projected to a scalar BEFORE the window so the
+            |-- 20M-pair frame entering the sort carries no 64-dim lists
+            |-- (the inlined form OOMs DuckDB at sf1).
+            |sc AS (SELECT x.vec_id AS anchor, y.vec_id AS nbr,
+            |    x.label AS la, y.label AS lb,
+            |    CAST(floor(1000000.0 * ${sqlCosine("x.emb", "y.emb")}) AS BIGINT) AS cos_ppm
+            |  FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+            |  JOIN pool ON pool.cid = y.cid AND pool.vec_id = y.vec_id),
+            |knn AS (SELECT anchor, nbr, rnk, cos_ppm, la, lb FROM (
+            |  SELECT anchor, nbr, la, lb, cos_ppm,
+            |    row_number() OVER (PARTITION BY anchor
+            |      ORDER BY cos_ppm DESC, nbr) AS rnk
+            |  FROM sc)
+            |  WHERE rnk <= 3)
+            |SELECT x.anchor AS vec_a, x.nbr AS vec_b, x.cos_ppm,
+            |  CAST(x.rnk AS INT) AS rank_ab, CAST(y.rnk AS INT) AS rank_ba,
+            |  x.la = x.lb AS same_label
+            |FROM knn x JOIN knn y ON x.anchor = y.nbr AND x.nbr = y.anchor
+            |WHERE x.anchor < x.nbr
+            |ORDER BY vec_a, vec_b""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q352, q353, q354, q355, q356, q357, q358, q371, q399, q400, q422)
+    Seq(q352, q353, q354, q355, q356, q357, q358, q371, q399, q400, q422,
+      q423)
 }
