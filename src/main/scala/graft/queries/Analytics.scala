@@ -3812,6 +3812,55 @@ object Analytics {
            |FROM h ORDER BY bucket""".stripMargin),
   )
 
+  /** q426 — sample-ratio-mismatch (SRM) audit, stratified: the first
+    * thing a trustworthy A/B readout checks — did the 50/50 assignment
+    * actually DELIVER 50/50 units, per stratum? Units are customers,
+    * arms are the q373-style deterministic md5 split, strata are market
+    * segments. The χ² statistic against the 1:1 expectation reduces to
+    * exact integers — Σ(oᵢ−n/2)²/(n/2) = ((2a−n)² + (2b−n)²)/(2n) — so
+    * chi2_milli is engine-exact, flagged against the df=1 95% critical
+    * value (3.841, a precomputed constant like q343's Benford table).
+    * One customer-sized aggregate to a |segments|-row frame. */
+  val q426 = QuerySpec(
+    "q426_srm_audit",
+    (s, d) => {
+      import s.implicits._
+      Tables.fanOut(Tables.customer(s, d), col("c_custkey"))
+        .withColumn("arm",
+          when(substring(md5(concat(lit("arm|"), $"c_custkey".cast("string"))
+            .cast("binary")), 1, 1) < "8", "A").otherwise("B"))
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"arm" === "A", 1L).otherwise(0L)).as("n_a"),
+          sum(when($"arm" === "B", 1L).otherwise(0L)).as("n_b"))
+        .withColumn("chi2_milli", expr(
+          """1000L * ((2L * n_a - n) * (2L * n_a - n)
+            | + (2L * n_b - n) * (2L * n_b - n)) div (2L * n)""".stripMargin
+            .replaceAll("\n", "")))
+        .withColumn("srm_flag", $"chi2_milli" > 3841L)
+        .orderBy($"c_mktsegment")
+    },
+    Some("""WITH a AS (
+           |  SELECT c_mktsegment,
+           |    CASE WHEN substr(md5('arm|' || c_custkey), 1, 1) < '8'
+           |      THEN 'A' ELSE 'B' END AS arm
+           |  FROM customer)
+           |SELECT c_mktsegment, count(*) AS n,
+           |  CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           |  CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           |  CAST(1000 * ((2 * sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) - count(*))
+           |        * (2 * sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) - count(*))
+           |      + (2 * sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) - count(*))
+           |        * (2 * sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) - count(*)))
+           |    // (2 * count(*)) AS BIGINT) AS chi2_milli,
+           |  CAST(1000 * ((2 * sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) - count(*))
+           |        * (2 * sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) - count(*))
+           |      + (2 * sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) - count(*))
+           |        * (2 * sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) - count(*)))
+           |    // (2 * count(*)) AS BIGINT) > 3841 AS srm_flag
+           |FROM a GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+  )
+
   /** q424 — first-order Markov next-event model, evaluated HELD-OUT:
     * the cheapest "is user behavior predictable" readout, and the
     * data-engine half of a model-eval loop done honestly — the
@@ -3880,5 +3929,5 @@ object Analytics {
       q246, q247, q254, q255, q264, q272, q276, q280, q281, q282, q284, q285,
       q286, q288, q289, q291, q292, q293, q295, q297, q298, q299, q300, q303,
       q306, q308, q311, q312, q314, q315, q316, q319, q321, q323, q325, q331,
-      q332, q333, q334, q335, q336, q339, q373, q381, q414, q415, q424)
+      q332, q333, q334, q335, q336, q339, q373, q381, q414, q415, q424, q426)
 }

@@ -1322,7 +1322,57 @@ object ScaleOps {
            |FROM c""".stripMargin),
   )
 
+  /** q427 — shuffle-partition skew planner: before keying a 100 TB
+    * shuffle on a column, predict the partition-size distribution it
+    * will produce — the preflight that decides between plain hash
+    * partitioning, salting (q77), and AQE skew splitting. Keys map to
+    * 32 partitions by a PORTABLE deterministic hash (first two md5
+    * nibbles mod 32 — Spark's internal Murmur3 isn't mirrorable, and
+    * the audit's subject is the distribution shape, not Spark's exact
+    * placement). Single-row readout: partition count, min/mean/max
+    * rows, max/mean imbalance ppm, and how many partitions exceed 2×
+    * mean (the AQE skew-split trigger shape). Two aggregates: fact →
+    * 32-row partition histogram → 1 row. */
+  val q427 = QuerySpec(
+    "q427_partition_skew_planner",
+    (s, d) => {
+      import s.implicits._
+      val parts = Tables.fanOut(Tables.lineitem(s, d), col("l_orderkey"))
+        .select((conv(substring(md5(concat(lit("pt|"),
+          $"l_orderkey".cast("string")).cast("binary")), 1, 2), 16, 10)
+          .cast("long") % 32).as("p"))
+        .groupBy($"p").agg(count(lit(1)).as("rows"))
+      val mean = parts.agg(expr("sum(rows) div count(1)").as("mean_rows"))
+      parts.crossJoin(broadcast(mean))
+        .agg(
+          count(lit(1)).as("n_partitions"),
+          sum($"rows").as("n_rows"),
+          min($"rows").as("min_rows"),
+          max($"mean_rows").as("mean_rows"),
+          max($"rows").as("max_rows"),
+          expr("max(rows) * 1000000L div max(mean_rows)").as("imbalance_ppm"),
+          sum(when($"rows" > lit(2L) * $"mean_rows", 1L).otherwise(0L))
+            .as("n_skewed"))
+    },
+    Some("""WITH parts AS (
+           |  SELECT CAST(strpos('0123456789abcdef', substr(md5('pt|' || l_orderkey), 1, 1)) - 1 AS BIGINT) * 16
+           |       + CAST(strpos('0123456789abcdef', substr(md5('pt|' || l_orderkey), 2, 1)) - 1 AS BIGINT) AS h,
+           |    count(*) AS rows_
+           |  FROM lineitem GROUP BY 1),
+           |p2 AS (SELECT h % 32 AS p, sum(rows_) AS rows_ FROM parts GROUP BY 1),
+           |mr AS (SELECT sum(rows_) // count(*) AS mean_rows FROM p2)
+           |SELECT count(*) AS n_partitions,
+           |  CAST(sum(rows_) AS BIGINT) AS n_rows,
+           |  CAST(min(rows_) AS BIGINT) AS min_rows,
+           |  CAST(sum(rows_) // count(*) AS BIGINT) AS mean_rows,
+           |  CAST(max(rows_) AS BIGINT) AS max_rows,
+           |  CAST(max(rows_) * 1000000 // (sum(rows_) // count(*)) AS BIGINT) AS imbalance_ppm,
+           |  CAST(sum(CASE WHEN rows_ > 2 * (SELECT mean_rows FROM mr)
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_skewed
+           |FROM p2""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q207, q208, q209, q210, q248, q249, q250,
     q256, q257, q258, q259, q269, q270, q273, q283, q287, q294, q301, q307,
-    q309, q322, q327, q340)
+    q309, q322, q327, q340, q427)
 }

@@ -691,6 +691,91 @@ object Search {
             |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin),
   )
 
+  /** q428 — pooled relevance-judgment candidates (TREC pooling): the
+    * union of every ranker's top-10 per query, each doc tagged with its
+    * per-ranker ranks and provenance — the exact worklist handed to
+    * human assessors, whose size (not the corpus) is what annotation
+    * costs scale with. Rankers are q421's two sides (BM25, dense-PRF);
+    * the pool is their FULL OUTER join per query, pool_rank assigned by
+    * best-rank-then-id over the ≤20-row per-query frame. Also the
+    * honest readout of how much each ranker contributes uniquely:
+    * in_both / only_sparse / only_dense provenance. */
+  val q428 = QuerySpec(
+    "q428_judgment_pool",
+    (s, d) => {
+      import s.implicits._
+      val sparse = {
+        val w = Window.partitionBy($"query_id")
+          .orderBy($"score_ppm".desc, $"doc_id")
+        bm25Scored(s, d)
+          .withColumn("ra", row_number().over(w))
+          .filter($"ra" <= 10)
+          .select($"query_id", $"doc_id", $"ra")
+      }
+      val prf = sparse.filter($"ra" === 1)
+        .join(Tables.embeddings(s, d), $"doc_id" === $"vec_id")
+        .select($"query_id",
+          graft.functions.VectorOps.asDouble($"embedding").as("qemb"))
+        .withColumn("qnrm", graft.functions.VectorOps.l2Norm($"qemb"))
+      val e = Tables.fanOut(Tables.embeddings(s, d), col("vec_id"))
+        .select($"vec_id", graft.functions.VectorOps.asDouble($"embedding").as("emb"))
+        .withColumn("nrm", graft.functions.VectorOps.l2Norm($"emb"))
+      val bottomK = udaf(graft.functions.BottomKLong(10))
+      val dense = e.crossJoin(broadcast(prf))
+        .withColumn("cos_ppm", expr(
+          "cast(floor(1000000.0d * " +
+            "(aggregate(zip_with(emb, qemb, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x) / (nrm * qnrm))" +
+            ") as bigint)"))
+        .select($"query_id",
+          ((lit(1000000L) - $"cos_ppm") * lit(4294967296L) + $"vec_id").as("key"))
+        .groupBy($"query_id")
+        .agg(bottomK($"key").as("keys"))
+        .select($"query_id", posexplode($"keys"))
+        .select($"query_id", ($"pos" + 1).cast("int").as("rb"),
+          ($"col" % 4294967296L).as("doc_id"))
+      val pool = sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("best", least(coalesce($"ra", lit(99)),
+          coalesce($"rb", lit(99))))
+      pool
+        .withColumn("pool_rank", row_number().over(
+          Window.partitionBy($"query_id").orderBy($"best", $"doc_id"))
+          .cast("int"))
+        .select($"query_id", $"pool_rank", $"doc_id",
+          $"ra".cast("int").as("rank_sparse"),
+          $"rb".cast("int").as("rank_dense"),
+          when($"ra".isNotNull && $"rb".isNotNull, "both")
+            .when($"ra".isNotNull, "only_sparse")
+            .otherwise("only_dense").as("provenance"))
+        .orderBy($"query_id", $"pool_rank")
+    },
+    Some(s"""$sqlScoredCtes,
+            |sparse AS (SELECT query_id, doc_id, ra FROM (
+            |  SELECT query_id, doc_id, row_number() OVER
+            |      (PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) AS ra
+            |  FROM scored) WHERE ra <= 10),
+            |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            |prf AS (SELECT s.query_id, e.emb AS qemb
+            |  FROM sparse s JOIN e ON s.doc_id = e.vec_id WHERE s.ra = 1),
+            |dense AS (SELECT query_id, doc_id, rb FROM (
+            |  SELECT prf.query_id, e.vec_id AS doc_id, row_number() OVER
+            |      (PARTITION BY prf.query_id
+            |       ORDER BY CAST(floor(1000000.0 * ${Det.sqlCosine("e.emb", "prf.qemb")}) AS BIGINT) DESC,
+            |                e.vec_id) AS rb
+            |  FROM e, prf) WHERE rb <= 10),
+            |pool AS (SELECT coalesce(s.query_id, d2.query_id) AS query_id,
+            |    coalesce(s.doc_id, d2.doc_id) AS doc_id, s.ra, d2.rb,
+            |    least(coalesce(s.ra, 99), coalesce(d2.rb, 99)) AS best
+            |  FROM sparse s FULL OUTER JOIN dense d2
+            |    ON s.query_id = d2.query_id AND s.doc_id = d2.doc_id)
+            |SELECT query_id,
+            |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY best, doc_id) AS INT) AS pool_rank,
+            |  doc_id, CAST(ra AS INT) AS rank_sparse, CAST(rb AS INT) AS rank_dense,
+            |  CASE WHEN ra IS NOT NULL AND rb IS NOT NULL THEN 'both'
+            |       WHEN ra IS NOT NULL THEN 'only_sparse'
+            |       ELSE 'only_dense' END AS provenance
+            |FROM pool ORDER BY query_id, pool_rank""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q278, q279, q290, q404, q405, q406, q407, q421)
+    Seq(q278, q279, q290, q404, q405, q406, q407, q421, q428)
 }

@@ -742,6 +742,84 @@ object TextMedia {
            |ORDER BY rank""".stripMargin),
   )
 
+  /** q425 — Burrows' Delta stylometric distance between sources: the
+    * standard authorship/register screen (Burrows 2002) — for the
+    * corpus's 30 most frequent words, z-score each source's relative
+    * word frequency across sources, and score every source pair by the
+    * mean absolute z difference. Near-zero delta between two "distinct"
+    * sources is the crawl-dedup smell (same upstream feed under two
+    * names). Determinism: per-source shares are exact integer ppm;
+    * μ/σ/z derive from exact BIGINT Σx/Σx² with the SAME double
+    * operand tree on both engines, and z quantizes to micro BEFORE the
+    * pair algebra, so the pair sums are pure integers. Scale: one
+    * corpus-sized token aggregate → a 30-word broadcast vocabulary →
+    * all remaining frames are (sources × 30) or (source-pairs)-sized. */
+  val q425 = QuerySpec(
+    "q425_burrows_delta",
+    (s, d) => {
+      import s.implicits._
+      val toks = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"source", explode(tokens($"text")).as("w"))
+        .filter(length($"w") > 0)
+      val vocab = toks.groupBy($"w").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"w").limit(30)
+        .select($"w")
+      val perSrc = toks.groupBy($"source").agg(count(lit(1)).as("tot"))
+      val cnt = toks.join(broadcast(vocab), "w")
+        .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+      // Dense (source × word) grid: absent cells are real zeros.
+      val grid = perSrc.crossJoin(broadcast(vocab))
+        .join(cnt, Seq("source", "w"), "left")
+        .select($"source", $"w",
+          expr("coalesce(c, 0L) * 1000000L div tot").as("x"))
+      val stats = grid.groupBy($"w")
+        .agg(count(lit(1)).as("m"), sum($"x").as("sx"),
+          sum($"x" * $"x").as("sxx"))
+        .select($"w",
+          (expr("CAST(sx AS DOUBLE)") / $"m").as("mu"),
+          sqrt((expr("CAST(sxx AS DOUBLE)")
+            - expr("CAST(sx AS DOUBLE)") * expr("CAST(sx AS DOUBLE)") / $"m")
+            / ($"m" - 1)).as("sigma"))
+      val z = grid.join(broadcast(stats), "w")
+        .select($"source", $"w",
+          floor(lit(1000000.0) * (($"x" - $"mu") / $"sigma")).cast("long")
+            .as("z_micro"))
+      z.as("a").join(z.as("b"),
+          $"a.w" === $"b.w" && $"a.source" < $"b.source")
+        .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+        .agg(count(lit(1)).as("n_words"),
+          expr("sum(abs(a.z_micro - b.z_micro)) div count(1)").as("delta_micro"))
+        .orderBy($"src_a", $"src_b")
+    },
+    Some("""WITH toks AS (
+           |  SELECT source, unnest(list_filter(
+           |    regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0)) AS w
+           |  FROM documents),
+           |vocab AS (SELECT w FROM (
+           |    SELECT w, count(*) AS n FROM toks GROUP BY w
+           |    ORDER BY n DESC, w LIMIT 30)),
+           |per_src AS (SELECT source, count(*) AS tot FROM toks GROUP BY source),
+           |cnt AS (SELECT source, w, count(*) AS c FROM toks
+           |  JOIN vocab USING (w) GROUP BY 1, 2),
+           |grid AS (SELECT p.source, v.w,
+           |    coalesce(c.c, 0) * 1000000 // p.tot AS x
+           |  FROM per_src p CROSS JOIN vocab v
+           |  LEFT JOIN cnt c ON c.source = p.source AND c.w = v.w),
+           |stats AS (SELECT w, count(*) AS m,
+           |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
+           |  FROM grid GROUP BY w),
+           |z AS (SELECT g.source, g.w,
+           |    CAST(floor(1000000.0 * ((g.x - CAST(sx AS DOUBLE) / m)
+           |      / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / m)
+           |             / (m - 1)))) AS BIGINT) AS z_micro
+           |  FROM grid g JOIN stats USING (w))
+           |SELECT a.source AS src_a, b.source AS src_b,
+           |  count(*) AS n_words,
+           |  CAST(sum(abs(a.z_micro - b.z_micro)) // count(*) AS BIGINT) AS delta_micro
+           |FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+           |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q29, q30, q31, q32, q33, q34, q36, q45, q73, q78,
-    q111, q163, q168, q260, q261, q390, q408, q416)
+    q111, q163, q168, q260, q261, q390, q408, q416, q425)
 }
