@@ -1342,16 +1342,19 @@ object ScaleOps {
           $"l_orderkey".cast("string")).cast("binary")), 1, 2), 16, 10)
           .cast("long") % 32).as("p"))
         .groupBy($"p").agg(count(lit(1)).as("rows"))
-      val mean = parts.agg(expr("sum(rows) div count(1)").as("mean_rows"))
-      parts.crossJoin(broadcast(mean))
+      // Mean is over the 32 TARGET partitions, not the non-empty ones —
+      // a single hot key must read as 32e6 ppm imbalance, not "balanced".
+      val tot = parts.agg(sum($"rows").as("tot"))
+      parts.crossJoin(broadcast(tot))
         .agg(
-          count(lit(1)).as("n_partitions"),
-          sum($"rows").as("n_rows"),
+          count(lit(1)).as("n_nonempty_partitions"),
+          max($"tot").as("n_rows"),
           min($"rows").as("min_rows"),
-          max($"mean_rows").as("mean_rows"),
+          expr("max(tot) div 32L").as("mean_rows"),
           max($"rows").as("max_rows"),
-          expr("max(rows) * 1000000L div max(mean_rows)").as("imbalance_ppm"),
-          sum(when($"rows" > lit(2L) * $"mean_rows", 1L).otherwise(0L))
+          expr("max(rows) * 1000000L div greatest(max(tot) div 32L, 1L)")
+            .as("imbalance_ppm"),
+          sum(when($"rows" > lit(2L) * expr("tot div 32L"), 1L).otherwise(0L))
             .as("n_skewed"))
     },
     Some("""WITH parts AS (
@@ -1360,16 +1363,16 @@ object ScaleOps {
            |    count(*) AS rows_
            |  FROM lineitem GROUP BY 1),
            |p2 AS (SELECT h % 32 AS p, sum(rows_) AS rows_ FROM parts GROUP BY 1),
-           |mr AS (SELECT sum(rows_) // count(*) AS mean_rows FROM p2)
-           |SELECT count(*) AS n_partitions,
-           |  CAST(sum(rows_) AS BIGINT) AS n_rows,
+           |tot AS (SELECT CAST(sum(rows_) AS BIGINT) AS tot FROM p2)
+           |SELECT count(*) AS n_nonempty_partitions,
+           |  CAST(max(tot) AS BIGINT) AS n_rows,
            |  CAST(min(rows_) AS BIGINT) AS min_rows,
-           |  CAST(sum(rows_) // count(*) AS BIGINT) AS mean_rows,
+           |  CAST(max(tot) // 32 AS BIGINT) AS mean_rows,
            |  CAST(max(rows_) AS BIGINT) AS max_rows,
-           |  CAST(max(rows_) * 1000000 // (sum(rows_) // count(*)) AS BIGINT) AS imbalance_ppm,
-           |  CAST(sum(CASE WHEN rows_ > 2 * (SELECT mean_rows FROM mr)
+           |  CAST(max(rows_) * 1000000 // greatest(max(tot) // 32, 1) AS BIGINT) AS imbalance_ppm,
+           |  CAST(sum(CASE WHEN rows_ > 2 * (tot // 32)
            |    THEN 1 ELSE 0 END) AS BIGINT) AS n_skewed
-           |FROM p2""".stripMargin),
+           |FROM p2 CROSS JOIN tot""".stripMargin),
   )
 
   val all: Seq[QuerySpec] = Seq(q207, q208, q209, q210, q248, q249, q250,

@@ -775,15 +775,19 @@ object TextMedia {
       val stats = grid.groupBy($"w")
         .agg(count(lit(1)).as("m"), sum($"x").as("sx"),
           sum($"x" * $"x").as("sxx"))
+        // greatest(m−1, 1) + nullif(σ, 0) guard the degenerates (one
+        // source, or a word with identical share everywhere): σ=0 → z
+        // NULL on BOTH engines instead of NaN (which Spark would cast
+        // to 0 and DuckDB would refuse to cast at all).
         .select($"w",
           (expr("CAST(sx AS DOUBLE)") / $"m").as("mu"),
           sqrt((expr("CAST(sxx AS DOUBLE)")
             - expr("CAST(sx AS DOUBLE)") * expr("CAST(sx AS DOUBLE)") / $"m")
-            / ($"m" - 1)).as("sigma"))
+            / greatest($"m" - 1, lit(1L))).as("sigma"))
       val z = grid.join(broadcast(stats), "w")
         .select($"source", $"w",
-          floor(lit(1000000.0) * (($"x" - $"mu") / $"sigma")).cast("long")
-            .as("z_micro"))
+          floor(lit(1000000.0) * (($"x" - $"mu") / nullif($"sigma", lit(0.0))))
+            .cast("long").as("z_micro"))
       z.as("a").join(z.as("b"),
           $"a.w" === $"b.w" && $"a.source" < $"b.source")
         .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
@@ -810,8 +814,8 @@ object TextMedia {
            |  FROM grid GROUP BY w),
            |z AS (SELECT g.source, g.w,
            |    CAST(floor(1000000.0 * ((g.x - CAST(sx AS DOUBLE) / m)
-           |      / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / m)
-           |             / (m - 1)))) AS BIGINT) AS z_micro
+           |      / nullif(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / m)
+           |             / greatest(m - 1, 1)), 0.0))) AS BIGINT) AS z_micro
            |  FROM grid g JOIN stats USING (w))
            |SELECT a.source AS src_a, b.source AS src_b,
            |  count(*) AS n_words,
