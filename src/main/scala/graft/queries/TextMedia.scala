@@ -788,7 +788,7 @@ object TextMedia {
         .select($"source", $"w",
           floor(lit(1000000.0) * (($"x" - $"mu") / nullif($"sigma", lit(0.0))))
             .cast("long").as("z_micro"))
-      z.as("a").join(z.as("b"),
+      z.as("a").join(broadcast(z.as("b")),
           $"a.w" === $"b.w" && $"a.source" < $"b.source")
         .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
         .agg(count(lit(1)).as("n_words"),

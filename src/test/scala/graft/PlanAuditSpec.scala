@@ -791,4 +791,55 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"),
       "the 1-row max/count frames must broadcast\n" + p)
   }
+
+  test("q417: dimensions broadcast; at most the one orders⋈lineitem shuffle join") {
+    val p = plan("q417_profit_by_nation_year")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // At fixture scale AQE may broadcast the orders side too; what must
+    // NEVER appear is a second shuffle join (a degraded dimension) or a
+    // nested loop.
+    val first = p.indexOf("SortMergeJoin")
+    assert(first < 0 || p.indexOf("SortMergeJoin", first + 1) < 0,
+      "more than one shuffle join — a dimension degraded\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("PushedFilters:"), p)
+  }
+
+  test("q418: date+flag push to the scans; top-20 is TakeOrdered, not Sort+Exchange") {
+    val p = plan("q418_returned_item_revenue")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"), "flag filter not pushed\n" + p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), "date range not pushed\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "customer/nation must broadcast onto the aggregate\n" + p)
+  }
+
+  test("q422: probe frame broadcasts; top-5 is the capped UDAF, no corpus window") {
+    val p = plan("q422_mrl_truncation_audit")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "probes must broadcast\n" + p)
+    assert(!p.contains("Window"), "top-k must be BottomKLong, not a window\n" + p)
+  }
+
+  test("q424: the fitted model broadcasts into the test stream") {
+    val p = plan("q424_markov_heldout_accuracy")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "the <=|types|^2 model frame degraded to a shuffle join\n" + p)
+  }
+
+  test("q425: vocabulary and stats broadcast; z-pair join never shuffles the corpus") {
+    val p = plan("q425_burrows_delta")
+    // All joins downstream of the token aggregate are on (sources x 30)-
+    // sized frames: every join must be broadcast-shaped.
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "a vocab/stats/pair join degraded to sort-merge\n" + p)
+  }
+
+  test("q427: one aggregate to the partition histogram, total broadcasts back") {
+    val p = plan("q427_partition_skew_planner")
+    assert(!p.contains("SortMergeJoin"), "1-row total must broadcast\n" + p)
+    assert(!p.contains("Window"), "planner is aggregate-only\n" + p)
+  }
 }
