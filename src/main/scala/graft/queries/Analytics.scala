@@ -3812,6 +3812,57 @@ object Analytics {
            |FROM h ORDER BY bucket""".stripMargin),
   )
 
+  /** q432 — sessionization-timeout sensitivity sweep: how many sessions
+    * does each candidate inactivity gap τ produce, and how long are
+    * they — the curve a session-gap config (q43's 30-minute constant)
+    * is actually chosen from. A session STARTS at a user's first event
+    * or after a gap > τ, so n_sessions(τ) = Σ starts falls out of ONE
+    * lag pass: each (user, gap) row contributes a conditional count to
+    * every τ simultaneously (three conditional sums in one aggregate —
+    * no per-τ re-scan, no crossJoin fan-out), then a 3-row unpivot.
+    * Exact integers throughout. */
+  val q432 = QuerySpec(
+    "q432_session_timeout_sweep",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val wu = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val gaps = Tables.fanOut(Tables.events(s, d), col("user_id"))
+        .select($"user_id", $"ts", $"event_id")
+        .withColumn("gap_s",
+          expr("(unix_micros(ts) - lag(unix_micros(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)) div 1000000L"))
+      def starts(tau: Long) =
+        sum(when($"gap_s".isNull || $"gap_s" > tau, 1L).otherwise(0L))
+      val one = gaps.agg(count(lit(1)).as("n_events"),
+        starts(300L).as("s300"), starts(1800L).as("s1800"),
+        starts(7200L).as("s7200"))
+      one.select(expr(
+        """stack(3, 300L, s300, 1800L, s1800, 7200L, s7200)
+          | AS (tau_s, n_sessions)""".stripMargin.replaceAll("\n", "")),
+        $"n_events")
+        .select($"tau_s", $"n_sessions",
+          expr("n_events * 1000L div n_sessions").as("events_per_session_milli"))
+        .orderBy($"tau_s")
+    },
+    Some("""WITH gaps AS (
+           |  SELECT user_id,
+           |    (epoch_us(ts) - lag(epoch_us(ts))
+           |      OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS gap_s
+           |  FROM events),
+           |agg AS (SELECT count(*) AS n_events,
+           |    CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 300 THEN 1 ELSE 0 END) AS BIGINT) AS s300,
+           |    CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS s1800,
+           |    CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 7200 THEN 1 ELSE 0 END) AS BIGINT) AS s7200
+           |  FROM gaps),
+           |u AS (
+           |  SELECT CAST(300 AS BIGINT) AS tau_s, s300 AS n_sessions, n_events FROM agg
+           |  UNION ALL SELECT 1800, s1800, n_events FROM agg
+           |  UNION ALL SELECT 7200, s7200, n_events FROM agg)
+           |SELECT tau_s, n_sessions,
+           |  CAST(n_events * 1000 // n_sessions AS BIGINT) AS events_per_session_milli
+           |FROM u ORDER BY tau_s""".stripMargin),
+  )
+
   /** q426 — sample-ratio-mismatch (SRM) audit, stratified: the first
     * thing a trustworthy A/B readout checks — did the 50/50 assignment
     * actually DELIVER 50/50 units, per stratum? Units are customers,
@@ -3929,5 +3980,6 @@ object Analytics {
       q246, q247, q254, q255, q264, q272, q276, q280, q281, q282, q284, q285,
       q286, q288, q289, q291, q292, q293, q295, q297, q298, q299, q300, q303,
       q306, q308, q311, q312, q314, q315, q316, q319, q321, q323, q325, q331,
-      q332, q333, q334, q335, q336, q339, q373, q381, q414, q415, q424, q426)
+      q332, q333, q334, q335, q336, q339, q373, q381, q414, q415, q424, q426,
+      q432)
 }

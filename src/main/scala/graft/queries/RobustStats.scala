@@ -490,6 +490,123 @@ object RobustStats {
            |FROM px GROUP BY 1, 2 ORDER BY source, k""".stripMargin),
   )
 
+  /** q429 — one-way ANOVA F across sources on document length: does
+    * source explain length variance (the "are these feeds actually the
+    * same distribution" screen that complements q349's two-sample KS
+    * with an all-groups-at-once test)? Everything reduces to per-group
+    * sufficient stats (n, Σx, Σx²); the rational (Σxᵢ)²/nᵢ terms are
+    * evaluated in double with IDENTICAL operand trees and quantized to
+    * micro BEFORE the cross-group sums, so the between/within sums are
+    * pure integers (float addition order never crosses the gate —
+    * q425's z discipline). Output: group count, N, SSB/SSW micro,
+    * F milli, and eta² ppm (variance explained). One corpus aggregate
+    * to |sources| rows, then constant-size algebra. */
+  val q429 = QuerySpec(
+    "q429_anova_f_oneway",
+    (s, d) => {
+      import s.implicits._
+      val g = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n"), sum($"n_chars").as("sx"),
+          sum($"n_chars" * $"n_chars").as("sxx"))
+        // Per-group term (Σx)²/n quantized to micro: identical double
+        // tree on both engines, then integer sums only.
+        .select($"n", $"sx", $"sxx",
+          expr("CAST(floor(1000000.0 * (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)) AS BIGINT)")
+            .as("sq_micro"),
+          expr("""CAST(floor(1000000.0 * (CAST(sxx AS DOUBLE)
+            | - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)) AS BIGINT)"""
+            .stripMargin.replaceAll("\n", "")).as("ssw_micro"))
+      g.agg(count(lit(1)).as("k"), sum($"n").as("n_total"),
+        sum($"sx").as("sx_all"), sum($"sq_micro").as("sq_sum"),
+        sum($"ssw_micro").as("ssw_micro"))
+        .select($"k", $"n_total",
+          ($"sq_sum" - expr(
+            "CAST(floor(1000000.0 * (CAST(sx_all AS DOUBLE) * CAST(sx_all AS DOUBLE) / n_total)) AS BIGINT)"))
+            .as("ssb_micro"),
+          $"ssw_micro")
+        // F's numerator is ssb_micro·(N−k)·1000 ≈ 1e24 at sf1 — lifted
+        // termwise to DECIMAL(38,0)/HUGEINT (the q381 discipline).
+        .select($"k", $"n_total", $"ssb_micro", $"ssw_micro",
+          expr("""CAST(CAST(ssb_micro AS DECIMAL(38,0)) * (n_total - k) * 1000
+            | div (nullif(CAST(ssw_micro AS DECIMAL(38,0)), 0) * (k - 1L)) AS BIGINT)"""
+            .stripMargin.replaceAll("\n", "")).as("f_milli"),
+          expr("""CAST(CAST(ssb_micro AS DECIMAL(38,0)) * 1000000
+            | div nullif(CAST(ssb_micro AS DECIMAL(38,0)) + ssw_micro, 0) AS BIGINT)"""
+            .stripMargin.replaceAll("\n", "")).as("eta2_ppm"))
+    },
+    Some("""WITH g AS (
+           |  SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sx,
+           |    CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+           |  FROM documents GROUP BY source),
+           |t AS (SELECT n, sx, sxx,
+           |    CAST(floor(1000000.0 * (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)) AS BIGINT) AS sq_micro,
+           |    CAST(floor(1000000.0 * (CAST(sxx AS DOUBLE)
+           |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)) AS BIGINT) AS ssw_micro
+           |  FROM g),
+           |a AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n_total,
+           |    CAST(sum(sx) AS BIGINT) AS sx_all, CAST(sum(sq_micro) AS BIGINT) AS sq_sum,
+           |    CAST(sum(ssw_micro) AS BIGINT) AS ssw_micro
+           |  FROM t),
+           |b AS (SELECT k, n_total,
+           |    sq_sum - CAST(floor(1000000.0 * (CAST(sx_all AS DOUBLE) * CAST(sx_all AS DOUBLE) / n_total)) AS BIGINT) AS ssb_micro,
+           |    ssw_micro
+           |  FROM a)
+           |SELECT k, n_total, ssb_micro, ssw_micro,
+           |  CAST(CAST(ssb_micro AS HUGEINT) * (n_total - k) * 1000
+           |    // (nullif(CAST(ssw_micro AS HUGEINT), 0) * (k - 1)) AS BIGINT) AS f_milli,
+           |  CAST(CAST(ssb_micro AS HUGEINT) * 1000000
+           |    // nullif(CAST(ssb_micro AS HUGEINT) + ssw_micro, 0) AS BIGINT) AS eta2_ppm
+           |FROM b""".stripMargin),
+  )
+
+  /** q430 — McNemar's paired test between two classifiers evaluated on
+    * the SAME documents (the correct significance test when comparing
+    * models on one eval set — marginal accuracies alone ignore the
+    * pairing): truth is the length-quality bar, classifier A a token-
+    * count rule, classifier B a space-count rule. Only the DISCORDANT
+    * cells matter: χ² = (b−c)²/(b+c), plus the Edwards continuity-
+    * corrected (|b−c|−1)²/(b+c) — both exact integer milli against the
+    * precomputed df=1 critical value. One corpus pass to a single row. */
+  val q430 = QuerySpec(
+    "q430_mcnemar_paired",
+    (s, d) => {
+      import s.implicits._
+      val cls = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select(
+          ($"n_chars" >= 300L).as("truth"),
+          (size(split($"text", " ")) >= 55).as("pa"),
+          ((length($"text") - length(regexp_replace($"text", " ", ""))) >= 54)
+            .as("pb"))
+        .select(($"pa" === $"truth").as("ca"), ($"pb" === $"truth").as("cb"))
+      cls.agg(
+        count(lit(1)).as("n"),
+        sum(when($"ca" && !$"cb", 1L).otherwise(0L)).as("b"),
+        sum(when(!$"ca" && $"cb", 1L).otherwise(0L)).as("c"))
+        .select($"n", $"b", $"c",
+          expr("(b - c) * (b - c) * 1000L div nullif(b + c, 0L)")
+            .as("chi2_milli"),
+          expr("""(abs(b - c) - 1L) * (abs(b - c) - 1L) * 1000L
+            | div nullif(b + c, 0L)""".stripMargin.replaceAll("\n", ""))
+            .as("chi2_cc_milli"))
+        .withColumn("significant", $"chi2_milli" > 3841L)
+    },
+    Some("""WITH cls AS (
+           |  SELECT (n_chars >= 300) AS truth,
+           |    (len(string_split(text, ' ')) >= 55) AS pa,
+           |    ((length(text) - length(replace(text, ' ', ''))) >= 54) AS pb
+           |  FROM documents),
+           |m AS (SELECT count(*) AS n,
+           |    CAST(sum(CASE WHEN (pa = truth) AND NOT (pb = truth) THEN 1 ELSE 0 END) AS BIGINT) AS b,
+           |    CAST(sum(CASE WHEN NOT (pa = truth) AND (pb = truth) THEN 1 ELSE 0 END) AS BIGINT) AS c
+           |  FROM cls)
+           |SELECT n, b, c,
+           |  CAST((b - c) * (b - c) * 1000 // nullif(b + c, 0) AS BIGINT) AS chi2_milli,
+           |  CAST((abs(b - c) - 1) * (abs(b - c) - 1) * 1000 // nullif(b + c, 0) AS BIGINT) AS chi2_cc_milli,
+           |  CAST((b - c) * (b - c) * 1000 // nullif(b + c, 0) AS BIGINT) > 3841 AS significant
+           |FROM m""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q343, q344, q345, q346, q349, q374, q380, q419, q420)
+    Seq(q343, q344, q345, q346, q349, q374, q380, q419, q420, q429, q430)
 }

@@ -1375,7 +1375,56 @@ object ScaleOps {
            |FROM p2 CROSS JOIN tot""".stripMargin),
   )
 
+  /** q431 — Bloom-filter sizing planner for the runtime-filter keys
+    * (q190's bloom joins, configured instead of guessed): for each
+    * candidate key column, measure the exact distinct-key count and
+    * derive the optimal filter geometry at 1% FPP — bits
+    * m = ⌈n·(−ln p)/ln²2⌉ and hashes k = round((m/n)·ln 2) — with the
+    * transcendental factors precomputed as integer ppm constants
+    * (9585059 and 693147; q343's Benford-table move), so both engines
+    * compute identical pure-integer plans. Each distinct count is the
+    * standard two-phase exact distinct; the planner frame is one row
+    * per audited column. */
+  val q431 = QuerySpec(
+    "q431_bloom_size_planner",
+    (s, d) => {
+      import s.implicits._
+      def row(tbl: String, colName: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(countDistinct(col(colName)).as("n_keys"))
+          .select(lit(tbl).as("tbl"), lit(colName).as("key_col"), $"n_keys")
+      row("lineitem", "l_orderkey", Tables.lineitem(s, d))
+        .unionAll(row("lineitem", "l_partkey", Tables.lineitem(s, d)))
+        .unionAll(row("orders", "o_custkey", Tables.orders(s, d)))
+        .unionAll(row("events", "user_id", Tables.events(s, d)))
+        .select($"tbl", $"key_col", $"n_keys",
+          expr("(n_keys * 9585059L + 999999L) div 1000000L").as("m_bits"))
+        .select($"tbl", $"key_col", $"n_keys", $"m_bits",
+          expr("m_bits div 8192L").as("m_kib"),
+          expr("(m_bits * 693147L + (n_keys * 1000000L) div 2L) div (n_keys * 1000000L)")
+            .as("k_hashes"))
+        .orderBy($"tbl", $"key_col")
+    },
+    Some("""WITH n AS (
+           |  SELECT 'lineitem' AS tbl, 'l_orderkey' AS key_col,
+           |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_keys FROM lineitem
+           |  UNION ALL
+           |  SELECT 'lineitem', 'l_partkey',
+           |    CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem
+           |  UNION ALL
+           |  SELECT 'orders', 'o_custkey',
+           |    CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+           |  UNION ALL
+           |  SELECT 'events', 'user_id',
+           |    CAST(count(DISTINCT user_id) AS BIGINT) FROM events),
+           |m AS (SELECT tbl, key_col, n_keys,
+           |    (n_keys * 9585059 + 999999) // 1000000 AS m_bits FROM n)
+           |SELECT tbl, key_col, n_keys, m_bits,
+           |  m_bits // 8192 AS m_kib,
+           |  (m_bits * 693147 + (n_keys * 1000000) // 2) // (n_keys * 1000000) AS k_hashes
+           |FROM m ORDER BY tbl, key_col""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q207, q208, q209, q210, q248, q249, q250,
     q256, q257, q258, q259, q269, q270, q273, q283, q287, q294, q301, q307,
-    q309, q322, q327, q340, q427)
+    q309, q322, q327, q340, q427, q431)
 }
