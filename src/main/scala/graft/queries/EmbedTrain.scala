@@ -777,7 +777,159 @@ object EmbedTrain {
             |ORDER BY vec_a, vec_b""".stripMargin),
   )
 
+  /** q433 — confident-learning label-noise audit (the cleanlab recipe,
+    * Northcutt et al.): estimate WHICH labels are wrong without any
+    * external model — per-label mean-embedding centroids stand in for
+    * class probabilities, per-class confidence thresholds t_c are the
+    * mean SELF-class score, and the confident joint counts every vector
+    * under (given label i, predicted class j) where j is its best class
+    * among those clearing their own threshold. Off-diagonal mass IS the
+    * estimated label-noise matrix a relabeling pass is prioritized by.
+    * All scores are the identical quantized cosine folds (ppm) both
+    * engines share; thresholds are exact integer division. One corpus
+    * pass against a broadcast |labels|-row centroid frame; everything
+    * after is (labels × labels)-sized. */
+  val q433 = QuerySpec(
+    "q433_label_noise_audit",
+    (s, d) => {
+      import s.implicits._
+      val base = Tables.fanOut(Tables.embeddings(s, d), col("vec_id"))
+        .select($"vec_id", $"label", asDouble($"embedding").as("emb"))
+        .withColumn("nrm", l2Norm($"emb"))
+      val cent = base
+        .select($"label", posexplode($"emb").as(Seq("dim", "x")))
+        .groupBy($"label", $"dim")
+        .agg(davg($"x", 12).as("m"))
+        .groupBy($"label")
+        .agg(expr("transform(sort_array(collect_list(struct(dim, m))), s -> s.m)")
+          .as("cemb"))
+        .select($"label".as("cl"), $"cemb")
+        .withColumn("cnrm", l2Norm($"cemb"))
+      val sc = base.crossJoin(broadcast(cent))
+        .withColumn("cos_ppm",
+          floor(lit(1000000.0) * (dot($"emb", $"cemb") / ($"nrm" * $"cnrm")))
+            .cast("long"))
+        .select($"vec_id", $"label", $"cl", $"cos_ppm")
+      val thr = sc.filter($"label" === $"cl")
+        .groupBy($"cl").agg(expr("sum(cos_ppm) div count(1)").as("t"))
+      sc.join(broadcast(thr), "cl")
+        .filter($"cos_ppm" >= $"t")
+        .groupBy($"vec_id", $"label")
+        .agg(max_by($"cl", struct($"cos_ppm", -$"cl")).as("pred_label"))
+        .groupBy($"label".as("given_label"), $"pred_label")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("off_diagonal", $"given_label" =!= $"pred_label")
+        .orderBy($"given_label", $"pred_label")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            |long AS (SELECT label,
+            |    unnest(generate_series(1, len(emb))) AS pos,
+            |    CAST(unnest(emb) AS DOUBLE) AS x
+            |  FROM e),
+            |cm AS (SELECT label, pos, ${sqlDavg("x", 12)} AS m
+            |  FROM long GROUP BY label, pos),
+            |cent AS (SELECT label AS cl, list(m ORDER BY pos) AS cemb
+            |  FROM cm GROUP BY label),
+            |sc AS (SELECT e.vec_id, e.label, c.cl,
+            |    CAST(floor(1000000.0 * ${sqlCosine("e.emb", "c.cemb")}) AS BIGINT) AS cos_ppm
+            |  FROM e, cent c),
+            |thr AS (SELECT cl, sum(cos_ppm) // count(*) AS t
+            |  FROM sc WHERE label = cl GROUP BY cl),
+            |conf AS (SELECT vec_id, label, cl,
+            |    row_number() OVER (PARTITION BY vec_id ORDER BY cos_ppm DESC, cl) AS rn
+            |  FROM sc JOIN thr USING (cl) WHERE cos_ppm >= t)
+            |SELECT label AS given_label, cl AS pred_label, count(*) AS n,
+            |  label <> cl AS off_diagonal
+            |FROM conf WHERE rn = 1
+            |GROUP BY 1, 2 ORDER BY given_label, pred_label""".stripMargin),
+  )
+
+  /** q434 — near-dup cosine-threshold operating curve: at which cosine
+    * does "near duplicate" start meaning something? The capped IVF
+    * candidate stream (q423's generator, a<b each pair once) is scored
+    * ONCE, and every τ ∈ {0.70, 0.80, 0.90, 0.95} reads its pair count
+    * and label-agreement precision from conditional sums in that single
+    * pass (q432's sweep discipline — no per-τ re-scan). The curve is
+    * what a dedup-threshold config is chosen from: precision rises with
+    * τ while yield collapses. */
+  val q434 = QuerySpec(
+    "q434_dedup_threshold_curve",
+    (s, d) => {
+      import s.implicits._
+      val base = Tables.fanOut(Tables.embeddings(s, d), col("vec_id"))
+        .select($"vec_id", $"label", asDouble($"embedding").as("emb"))
+        .withColumn("nrm", l2Norm($"emb"))
+      val cent = base.filter($"vec_id".between(2, 9))
+        .select($"vec_id".as("cid"), $"emb".as("cemb"), $"nrm".as("cnrm"))
+      val assigned = base.crossJoin(broadcast(cent))
+        .withColumn("c", dot($"emb", $"cemb") / ($"nrm" * $"cnrm"))
+        .groupBy($"vec_id")
+        .agg(max_by($"cid", struct($"c", -$"cid")).as("cid"),
+          first($"label").as("label"), first($"emb").as("emb"),
+          first($"nrm").as("nrm"))
+      val bottomK = udaf(graft.functions.BottomKLong(MaxIvfPool))
+      val pool = assigned.groupBy($"cid")
+        .agg(bottomK($"vec_id").as("pool"))
+        .select($"cid", explode($"pool").as("vec_id"))
+      val a = assigned.select($"cid", $"vec_id".as("va"),
+        $"label".as("la"), $"emb".as("ea"), $"nrm".as("na"))
+      val b = assigned.join(pool, Seq("cid", "vec_id"))
+        .select($"cid", $"vec_id".as("vb"),
+          $"label".as("lb"), $"emb".as("eb"), $"nrm".as("nb"))
+      val scored = a.join(b, Seq("cid"))
+        .filter($"va" < $"vb")
+        .withColumn("cos_ppm",
+          floor(lit(1000000.0) * (dot($"ea", $"eb") / ($"na" * $"nb"))).cast("long"))
+        .withColumn("same", ($"la" === $"lb").cast("long"))
+      def cnt(tau: Long) = sum(when($"cos_ppm" >= tau, 1L).otherwise(0L))
+      def sm(tau: Long) = sum(when($"cos_ppm" >= tau, $"same").otherwise(0L))
+      scored.agg(
+        cnt(700000L).as("p70"), sm(700000L).as("s70"),
+        cnt(800000L).as("p80"), sm(800000L).as("s80"),
+        cnt(900000L).as("p90"), sm(900000L).as("s90"),
+        cnt(950000L).as("p95"), sm(950000L).as("s95"))
+        .select(expr(
+          """stack(4, 700000L, p70, s70, 800000L, p80, s80,
+            | 900000L, p90, s90, 950000L, p95, s95)
+            | AS (tau_ppm, n_pairs, n_same_label)""".stripMargin
+            .replaceAll("\n", "")))
+        .withColumn("precision_ppm",
+          expr("n_same_label * 1000000L div nullif(n_pairs, 0L)"))
+        .orderBy($"tau_ppm")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            |cent AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id BETWEEN 2 AND 9),
+            |assign AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cid) AS rn
+            |           FROM (SELECT v.vec_id, c2.cid, ${sqlCosine("v.emb", "c2.cemb")} AS c FROM e v, cent c2)),
+            |m AS (SELECT a.vec_id, a.cid, e.label, e.emb FROM assign a JOIN e ON a.vec_id = e.vec_id WHERE a.rn = 1),
+            |pool AS (SELECT cid, vec_id FROM (
+            |    SELECT cid, vec_id, row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS pr FROM m)
+            |  WHERE pr <= $MaxIvfPool),
+            |sc AS (SELECT CASE WHEN x.label = y.label THEN 1 ELSE 0 END AS same,
+            |    CAST(floor(1000000.0 * ${sqlCosine("x.emb", "y.emb")}) AS BIGINT) AS cos_ppm
+            |  FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id
+            |  JOIN pool ON pool.cid = y.cid AND pool.vec_id = y.vec_id),
+            |agg AS (SELECT
+            |    CAST(sum(CASE WHEN cos_ppm >= 700000 THEN 1 ELSE 0 END) AS BIGINT) AS p70,
+            |    CAST(sum(CASE WHEN cos_ppm >= 700000 THEN same ELSE 0 END) AS BIGINT) AS s70,
+            |    CAST(sum(CASE WHEN cos_ppm >= 800000 THEN 1 ELSE 0 END) AS BIGINT) AS p80,
+            |    CAST(sum(CASE WHEN cos_ppm >= 800000 THEN same ELSE 0 END) AS BIGINT) AS s80,
+            |    CAST(sum(CASE WHEN cos_ppm >= 900000 THEN 1 ELSE 0 END) AS BIGINT) AS p90,
+            |    CAST(sum(CASE WHEN cos_ppm >= 900000 THEN same ELSE 0 END) AS BIGINT) AS s90,
+            |    CAST(sum(CASE WHEN cos_ppm >= 950000 THEN 1 ELSE 0 END) AS BIGINT) AS p95,
+            |    CAST(sum(CASE WHEN cos_ppm >= 950000 THEN same ELSE 0 END) AS BIGINT) AS s95
+            |  FROM sc),
+            |u AS (
+            |  SELECT CAST(700000 AS BIGINT) AS tau_ppm, p70 AS n_pairs, s70 AS n_same_label FROM agg
+            |  UNION ALL SELECT 800000, p80, s80 FROM agg
+            |  UNION ALL SELECT 900000, p90, s90 FROM agg
+            |  UNION ALL SELECT 950000, p95, s95 FROM agg)
+            |SELECT tau_ppm, n_pairs, n_same_label,
+            |  CAST(n_same_label * 1000000 // nullif(n_pairs, 0) AS BIGINT) AS precision_ppm
+            |FROM u ORDER BY tau_ppm""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q352, q353, q354, q355, q356, q357, q358, q371, q399, q400, q422,
-      q423)
+      q423, q433, q434)
 }

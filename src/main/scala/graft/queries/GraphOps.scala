@@ -714,5 +714,79 @@ object GraphOps {
       "ORDER BY pr_units DESC, node LIMIT 20").mkString("\n")),
   )
 
-  val all: Seq[QuerySpec] = Seq(q59, q94, q126, q148, q226, q304, q310, q378)
+  /** q435 — Newman modularity of the nation partition over the trade
+    * graph: are customer–supplier edges assortative by nation, i.e. is
+    * "nation" a real community structure or noise? Q = Σ_c [e_c/m −
+    * (d_c/2m)²] over the undirected customer⋈supplier edge set (each
+    * order line one edge), communities = the endpoint's nation. The
+    * per-community readout (internal-edge ppm, degree mass, signed
+    * contribution) plus a __total__ row whose contribution IS Q. All
+    * exact integers: e_c·10⁶ div m, and the (d_c)²·10⁶ term lifted to
+    * DECIMAL(38,0)/HUGEINT before dividing by 4m² (q381's overflow
+    * discipline — d² reaches 1.5e20 at sf1). Shape: one lineitem⋈orders
+    * fact-fact shuffle, nation keys broadcast in; everything after the
+    * edge aggregate is |nations|-sized. */
+  val q435 = QuerySpec(
+    "q435_nation_modularity",
+    (s, d) => {
+      import s.implicits._
+      val custNat = graft.Tables.customer(s, d)
+        .join(broadcast(graft.Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey", $"n_name".as("cn"))
+      val suppNat = graft.Tables.supplier(s, d)
+        .join(broadcast(graft.Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name".as("sn"))
+      val edges = graft.Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey")
+        .join(graft.Tables.orders(s, d).select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(custNat), $"o_custkey" === $"c_custkey")
+        .join(broadcast(suppNat), $"l_suppkey" === $"s_suppkey")
+        .select($"cn", $"sn")
+      val m = edges.agg(count(lit(1)).as("m"))
+      // Degree mass per community: each edge adds 1 at each endpoint.
+      val deg = edges.select($"cn".as("com"))
+        .unionAll(edges.select($"sn".as("com")))
+        .groupBy($"com").agg(count(lit(1)).as("d"))
+      val internal = edges.filter($"cn" === $"sn")
+        .groupBy($"cn".as("com")).agg(count(lit(1)).as("e_in"))
+      val per = deg.join(internal, Seq("com"), "left")
+        .na.fill(0L, Seq("e_in"))
+        .crossJoin(broadcast(m))
+        .select($"com", $"e_in", $"d",
+          (expr("e_in * 1000000L div m") - expr(
+            "CAST(CAST(d AS DECIMAL(38,0)) * d * 1000000 div (CAST(m AS DECIMAL(38,0)) * m * 4) AS BIGINT)"))
+            .as("contribution_ppm"))
+      per.unionAll(
+          per.agg(lit("__total__").as("com"), sum($"e_in").as("e_in"),
+            sum($"d").as("d"), sum($"contribution_ppm").as("contribution_ppm")))
+        .orderBy($"com")
+    },
+    Some("""WITH edges AS (
+           |  SELECT cn.n_name AS cn, sn.n_name AS sn
+           |  FROM lineitem
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  JOIN nation sn ON s_nationkey = sn.n_nationkey),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
+           |deg AS (SELECT com, CAST(count(*) AS BIGINT) AS d FROM (
+           |    SELECT cn AS com FROM edges UNION ALL SELECT sn FROM edges)
+           |  GROUP BY com),
+           |intl AS (SELECT cn AS com, CAST(count(*) AS BIGINT) AS e_in
+           |  FROM edges WHERE cn = sn GROUP BY cn),
+           |per AS (SELECT deg.com, coalesce(intl.e_in, 0) AS e_in, deg.d,
+           |    e_in * 1000000 // m
+           |      - CAST(CAST(d AS HUGEINT) * d * 1000000 // (CAST(m AS HUGEINT) * m * 4) AS BIGINT)
+           |      AS contribution_ppm
+           |  FROM deg LEFT JOIN intl USING (com) CROSS JOIN m)
+           |SELECT com, CAST(e_in AS BIGINT) AS e_in, d, CAST(contribution_ppm AS BIGINT) AS contribution_ppm FROM per
+           |UNION ALL
+           |SELECT '__total__', CAST(sum(e_in) AS BIGINT), CAST(sum(d) AS BIGINT),
+           |  CAST(sum(contribution_ppm) AS BIGINT) FROM per
+           |ORDER BY com""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] =
+    Seq(q59, q94, q126, q148, q226, q304, q310, q378, q435)
 }
