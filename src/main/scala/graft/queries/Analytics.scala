@@ -3812,6 +3812,106 @@ object Analytics {
            |FROM h ORDER BY bucket""".stripMargin),
   )
 
+  /** q437 — Simpson's-paradox detector: does the experiment's OVERALL
+    * direction contradict its per-stratum directions? The classic
+    * aggregation trap an honest A/B readout screens for before shipping
+    * a verdict: arm means are exact integer cents (sum div n, mirrored
+    * floor), computed once per market segment plus the pooled row; each
+    * stratum is flagged when its sign contradicts the pooled sign. Arms
+    * are the q426 deterministic md5 split. One orders-sized aggregate
+    * (customer segment broadcast in), then |segments|-row algebra. */
+  val q437 = QuerySpec(
+    "q437_simpson_paradox_audit",
+    (s, d) => {
+      import s.implicits._
+      val base = Tables.fanOut(Tables.orders(s, d), col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)
+          .select($"c_custkey", $"c_mktsegment")), $"o_custkey" === $"c_custkey")
+        .withColumn("arm",
+          when(substring(md5(concat(lit("arm|"), $"o_custkey".cast("string"))
+            .cast("binary")), 1, 1) < "8", "A").otherwise("B"))
+        .select($"c_mktsegment".as("segment"), $"arm",
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      def armStats(df: org.apache.spark.sql.DataFrame, key: org.apache.spark.sql.Column) =
+        df.groupBy(key.as("segment"))
+          .agg(
+            expr("sum(CASE WHEN arm = 'A' THEN cents ELSE 0L END) div nullif(sum(CASE WHEN arm = 'A' THEN 1L ELSE 0L END), 0L)")
+              .as("mean_a_cents"),
+            expr("sum(CASE WHEN arm = 'B' THEN cents ELSE 0L END) div nullif(sum(CASE WHEN arm = 'B' THEN 1L ELSE 0L END), 0L)")
+              .as("mean_b_cents"))
+      val per = armStats(base, $"segment")
+      val overall = armStats(base, lit("__overall__"))
+      per.crossJoin(broadcast(overall
+          .select($"mean_a_cents".as("oa"), $"mean_b_cents".as("ob"))))
+        .select($"segment", $"mean_a_cents", $"mean_b_cents",
+          signum($"mean_a_cents" - $"mean_b_cents").cast("long").as("diff_sign"),
+          (signum($"mean_a_cents" - $"mean_b_cents") =!= signum($"oa" - $"ob")
+            && signum($"mean_a_cents" - $"mean_b_cents") =!= 0.0)
+            .as("contradicts_overall"))
+        .unionAll(overall.select($"segment", $"mean_a_cents", $"mean_b_cents",
+          signum($"mean_a_cents" - $"mean_b_cents").cast("long"), lit(false)))
+        .orderBy($"segment")
+    },
+    Some("""WITH base AS (
+           |  SELECT c_mktsegment AS segment,
+           |    CASE WHEN substr(md5('arm|' || o_custkey), 1, 1) < '8'
+           |      THEN 'A' ELSE 'B' END AS arm,
+           |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           |  FROM orders JOIN customer ON o_custkey = c_custkey),
+           |per AS (SELECT segment,
+           |    CAST(sum(CASE WHEN arm = 'A' THEN cents ELSE 0 END)
+           |      // nullif(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END), 0) AS BIGINT) AS mean_a_cents,
+           |    CAST(sum(CASE WHEN arm = 'B' THEN cents ELSE 0 END)
+           |      // nullif(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END), 0) AS BIGINT) AS mean_b_cents
+           |  FROM base GROUP BY segment),
+           |ov AS (SELECT '__overall__' AS segment,
+           |    CAST(sum(CASE WHEN arm = 'A' THEN cents ELSE 0 END)
+           |      // nullif(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END), 0) AS BIGINT) AS mean_a_cents,
+           |    CAST(sum(CASE WHEN arm = 'B' THEN cents ELSE 0 END)
+           |      // nullif(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END), 0) AS BIGINT) AS mean_b_cents
+           |  FROM base)
+           |SELECT p.segment, p.mean_a_cents, p.mean_b_cents,
+           |  CAST(sign(p.mean_a_cents - p.mean_b_cents) AS BIGINT) AS diff_sign,
+           |  sign(p.mean_a_cents - p.mean_b_cents) <> sign(o.mean_a_cents - o.mean_b_cents)
+           |    AND sign(p.mean_a_cents - p.mean_b_cents) <> 0 AS contradicts_overall
+           |FROM per p CROSS JOIN ov o
+           |UNION ALL
+           |SELECT segment, mean_a_cents, mean_b_cents,
+           |  CAST(sign(mean_a_cents - mean_b_cents) AS BIGINT), false
+           |FROM ov
+           |ORDER BY segment""".stripMargin),
+  )
+
+  /** q438 — weekly seasonality index: each ISO weekday's share of event
+    * volume against the uniform 1/7 expectation, in exact ppm
+    * (index 10⁶ = flat; the readout behind "don't compare Monday to
+    * Saturday" traffic adjustments and q308's seasonal-naive choice).
+    * Weekday via the q353 ISO discipline (Spark weekday()+1 ≡ DuckDB
+    * isodow — dayofweek() is the documented Sunday-based trap). One
+    * events-sized aggregate to 7 rows. */
+  val q438 = QuerySpec(
+    "q438_weekday_seasonality",
+    (s, d) => {
+      import s.implicits._
+      val per = Tables.fanOut(Tables.events(s, d), col("event_id"))
+        .select(expr("weekday(ts) + 1").as("dw"))
+        .groupBy($"dw").agg(count(lit(1)).as("n"))
+      per.crossJoin(broadcast(per.agg(sum($"n").as("tot"))))
+        .select($"dw".cast("int").as("dw"), $"n",
+          expr("n * 7L * 1000000L div tot").as("seasonal_index_ppm"))
+        .withColumn("above_trend", $"seasonal_index_ppm" > 1000000L)
+        .orderBy($"dw")
+    },
+    Some("""WITH per AS (
+           |  SELECT CAST(isodow(ts) AS INT) AS dw, count(*) AS n
+           |  FROM events GROUP BY 1),
+           |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM per)
+           |SELECT dw, CAST(n AS BIGINT) AS n,
+           |  CAST(n * 7 * 1000000 // tot AS BIGINT) AS seasonal_index_ppm,
+           |  n * 7 * 1000000 // tot > 1000000 AS above_trend
+           |FROM per CROSS JOIN tot ORDER BY dw""".stripMargin),
+  )
+
   /** q432 — sessionization-timeout sensitivity sweep: how many sessions
     * does each candidate inactivity gap τ produce, and how long are
     * they — the curve a session-gap config (q43's 30-minute constant)
@@ -3981,5 +4081,5 @@ object Analytics {
       q286, q288, q289, q291, q292, q293, q295, q297, q298, q299, q300, q303,
       q306, q308, q311, q312, q314, q315, q316, q319, q321, q323, q325, q331,
       q332, q333, q334, q335, q336, q339, q373, q381, q414, q415, q424, q426,
-      q432)
+      q432, q437, q438)
 }

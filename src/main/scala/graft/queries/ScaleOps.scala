@@ -1424,7 +1424,83 @@ object ScaleOps {
            |FROM m ORDER BY tbl, key_col""".stripMargin),
   )
 
+  /** q436 — broadcast-vs-shuffle join planner: the third leg of the
+    * ops-planner trio (q427 skew, q431 bloom geometry) — estimate each
+    * table's in-memory relation size from EXACT column statistics
+    * (numeric widths × rows + measured total string bytes + per-row
+    * overhead, the same inputs Catalyst's sizeInBytes uses) and call
+    * broadcast vs shuffle against the classic 10 MiB
+    * autoBroadcastJoinThreshold. Pure-integer identical estimates on
+    * both engines; one single-row aggregate per audited table. At 100 TB
+    * the verdicts flip exactly where the plan should: dims stay
+    * broadcast, facts never do. */
+  val q436 = QuerySpec(
+    "q436_broadcast_planner",
+    (s, d) => {
+      import s.implicits._
+      def est(tbl: String, df: org.apache.spark.sql.DataFrame,
+          numWidth: Long, strCols: Seq[String]) = {
+        val strBytes =
+          if (strCols.isEmpty) lit(0L)
+          else strCols.map(c => sum(length(col(c)).cast("long"))).reduce(_ + _)
+        df.agg(count(lit(1)).as("n_rows"), strBytes.as("str_bytes"))
+          .select(lit(tbl).as("tbl"), $"n_rows",
+            ($"n_rows" * lit(numWidth + 12L) + coalesce($"str_bytes", lit(0L)))
+              .as("est_bytes"))
+      }
+      val rows = Seq(
+        est("region", Tables.region(s, d), 4L, Seq("r_name")),
+        est("nation", Tables.nation(s, d), 8L, Seq("n_name")),
+        est("supplier", Tables.supplier(s, d), 20L, Seq("s_name")),
+        est("customer", Tables.customer(s, d), 20L, Seq("c_name", "c_mktsegment")),
+        est("part", Tables.part(s, d), 20L, Seq("p_name", "p_brand", "p_type")),
+        est("orders", Tables.orders(s, d), 32L, Seq("o_orderstatus", "o_orderpriority")),
+        est("lineitem", Tables.lineitem(s, d), 68L, Seq("l_returnflag", "l_linestatus")))
+      rows.reduce(_ unionAll _)
+        .withColumn("verdict",
+          when($"est_bytes" < 10L * 1024L * 1024L, "broadcast")
+            .otherwise("shuffle"))
+        .orderBy($"tbl")
+    },
+    Some("""WITH t AS (
+           |  SELECT 'region' AS tbl, count(*) AS n_rows,
+           |    CAST(count(*) * (4 + 12) + coalesce(sum(length(r_name)), 0) AS BIGINT) AS est_bytes
+           |  FROM region
+           |  UNION ALL
+           |  SELECT 'nation', count(*),
+           |    CAST(count(*) * (8 + 12) + coalesce(sum(length(n_name)), 0) AS BIGINT)
+           |  FROM nation
+           |  UNION ALL
+           |  SELECT 'supplier', count(*),
+           |    CAST(count(*) * (20 + 12) + coalesce(sum(length(s_name)), 0) AS BIGINT)
+           |  FROM supplier
+           |  UNION ALL
+           |  SELECT 'customer', count(*),
+           |    CAST(count(*) * (20 + 12)
+           |      + coalesce(sum(length(c_name)), 0) + coalesce(sum(length(c_mktsegment)), 0) AS BIGINT)
+           |  FROM customer
+           |  UNION ALL
+           |  SELECT 'part', count(*),
+           |    CAST(count(*) * (20 + 12)
+           |      + coalesce(sum(length(p_name)), 0) + coalesce(sum(length(p_brand)), 0)
+           |      + coalesce(sum(length(p_type)), 0) AS BIGINT)
+           |  FROM part
+           |  UNION ALL
+           |  SELECT 'orders', count(*),
+           |    CAST(count(*) * (32 + 12)
+           |      + coalesce(sum(length(o_orderstatus)), 0) + coalesce(sum(length(o_orderpriority)), 0) AS BIGINT)
+           |  FROM orders
+           |  UNION ALL
+           |  SELECT 'lineitem', count(*),
+           |    CAST(count(*) * (68 + 12)
+           |      + coalesce(sum(length(l_returnflag)), 0) + coalesce(sum(length(l_linestatus)), 0) AS BIGINT)
+           |  FROM lineitem)
+           |SELECT tbl, CAST(n_rows AS BIGINT) AS n_rows, est_bytes,
+           |  CASE WHEN est_bytes < 10 * 1024 * 1024 THEN 'broadcast' ELSE 'shuffle' END AS verdict
+           |FROM t ORDER BY tbl""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q207, q208, q209, q210, q248, q249, q250,
     q256, q257, q258, q259, q269, q270, q273, q283, q287, q294, q301, q307,
-    q309, q322, q327, q340, q427, q431)
+    q309, q322, q327, q340, q427, q431, q436)
 }
