@@ -3812,6 +3812,129 @@ object Analytics {
            |FROM h ORDER BY bucket""".stripMargin),
   )
 
+  /** q439 — subject access report (GDPR Art. 15, the read half of
+    * q325's erasure): for a requested set of data subjects, enumerate
+    * every table holding their rows — row counts plus an
+    * ORDER-INDEPENDENT content checksum (sum of 32-bit md5 prefixes,
+    * q210's mergeable-digest discipline) so two exports of the same
+    * subject can be compared without sorting. Spans the key graph the
+    * way a real DSAR does: customer directly, orders by custkey,
+    * lineitem through its order keys. Subject set broadcasts; each
+    * table contributes one semi-joined aggregate. */
+  val q439 = QuerySpec(
+    "q439_subject_access_report",
+    (s, d) => {
+      import s.implicits._
+      val subjects = Seq(1L, 2L, 3L).toDF("subject")
+      def digest(key: org.apache.spark.sql.Column) =
+        sum(conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
+          .cast("long"))
+      val cust = Tables.customer(s, d)
+        .join(broadcast(subjects), $"c_custkey" === $"subject")
+        .groupBy($"subject")
+        .agg(count(lit(1)).as("n_rows"),
+          digest(concat_ws("|", lit("c"), $"c_custkey", $"c_name")).as("checksum"))
+        .select($"subject", lit("customer").as("tbl"), $"n_rows", $"checksum")
+      val ord = Tables.orders(s, d)
+        .join(broadcast(subjects), $"o_custkey" === $"subject")
+      val ordRep = ord.groupBy($"subject")
+        .agg(count(lit(1)).as("n_rows"),
+          digest(concat_ws("|", lit("o"), $"o_orderkey",
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)"))).as("checksum"))
+        .select($"subject", lit("orders").as("tbl"), $"n_rows", $"checksum")
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(ord.select($"o_orderkey", $"subject")),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"subject")
+        .agg(count(lit(1)).as("n_rows"),
+          digest(concat_ws("|", lit("l"), $"l_orderkey", $"l_linenumber",
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))).as("checksum"))
+        .select($"subject", lit("lineitem").as("tbl"), $"n_rows", $"checksum")
+      cust.unionAll(ordRep).unionAll(li).orderBy($"subject", $"tbl")
+    },
+    Some {
+      // Spark's conv(substr(md5, 1, 8), 16, 10) mirrored as per-char
+      // arithmetic (DuckDB has no base-16 conv; ScaleOps.duckHex shape).
+      def hex32(hx: String): String =
+        s"""list_reduce(list_transform(generate_series(1, 8),
+           |      i -> CAST(CASE WHEN ascii(substr($hx, i, 1)) >= 97
+           |            THEN ascii(substr($hx, i, 1)) - 87
+           |            ELSE ascii(substr($hx, i, 1)) - 48 END AS BIGINT)
+           |        * CAST(power(16, 8 - i) AS BIGINT)),
+           |      (a, b) -> a + b)""".stripMargin
+      s"""WITH subjects(subject) AS (VALUES (CAST(1 AS BIGINT)), (2), (3)),
+         |ch AS (SELECT subject, md5('c' || '|' || c_custkey || '|' || c_name) AS hx
+         |  FROM customer JOIN subjects ON c_custkey = subject),
+         |c AS (SELECT subject, 'customer' AS tbl, count(*) AS n_rows,
+         |    CAST(sum(${hex32("hx")}) AS BIGINT) AS checksum
+         |  FROM ch GROUP BY subject),
+         |oh AS (SELECT subject, o_orderkey,
+         |    md5('o' || '|' || o_orderkey || '|' || CAST(round(o_totalprice * 100) AS BIGINT)) AS hx
+         |  FROM orders JOIN subjects ON o_custkey = subject),
+         |o AS (SELECT subject, 'orders' AS tbl, count(*) AS n_rows,
+         |    CAST(sum(${hex32("hx")}) AS BIGINT) AS checksum
+         |  FROM oh GROUP BY subject),
+         |lh AS (SELECT oh.subject,
+         |    md5('l' || '|' || l_orderkey || '|' || l_linenumber || '|' || CAST(round(l_extendedprice * 100) AS BIGINT)) AS hx
+         |  FROM lineitem JOIN oh ON l_orderkey = oh.o_orderkey),
+         |l AS (SELECT subject, 'lineitem' AS tbl, count(*) AS n_rows,
+         |    CAST(sum(${hex32("hx")}) AS BIGINT) AS checksum
+         |  FROM lh GROUP BY subject)
+         |SELECT * FROM c UNION ALL SELECT * FROM o UNION ALL SELECT * FROM l
+         |ORDER BY subject, tbl""".stripMargin
+    },
+  )
+
+  /** q441 — quantile treatment effect (QTE): an A/B readout at the
+    * p25/p50/p75/p90 of per-customer activity rather than the mean —
+    * where heavy-tailed metrics hide their movement. Arms by the q426
+    * md5 split; quantiles are EXACT type-1 order statistics read from
+    * the bounded per-arm count histogram (cumulative sums over the
+    * value domain, never a row-level rank window — q419's discipline).
+    * One orders→customer aggregate; everything after is
+    * (arms × distinct activity values)-sized. */
+  val q441 = QuerySpec(
+    "q441_quantile_treatment_effect",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val per = Tables.fanOut(Tables.orders(s, d), col("o_custkey"))
+        .groupBy($"o_custkey").agg(count(lit(1)).as("x"))
+        .withColumn("arm",
+          when(substring(md5(concat(lit("arm|"), $"o_custkey".cast("string"))
+            .cast("binary")), 1, 1) < "8", "A").otherwise("B"))
+      val hist = per.groupBy($"arm", $"x").agg(count(lit(1)).as("c"))
+      val wc = Window.partitionBy($"arm").orderBy($"x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cum", sum($"c").over(wc))
+        .withColumn("n", sum($"c").over(Window.partitionBy($"arm")))
+      val qs = Seq(25L, 50L, 75L, 90L).toDF("q_pct")
+      val vals = cum.crossJoin(broadcast(qs))
+        .filter($"cum" * 100L >= $"q_pct" * $"n")
+        .groupBy($"arm", $"q_pct").agg(min($"x").as("v"))
+      vals.filter($"arm" === "A").select($"q_pct", $"v".as("val_a"))
+        .join(vals.filter($"arm" === "B").select($"q_pct", $"v".as("val_b")),
+          "q_pct")
+        .withColumn("qte", $"val_a" - $"val_b")
+        .orderBy($"q_pct")
+    },
+    Some("""WITH per AS (
+           |  SELECT o_custkey, count(*) AS x,
+           |    CASE WHEN substr(md5('arm|' || o_custkey), 1, 1) < '8'
+           |      THEN 'A' ELSE 'B' END AS arm
+           |  FROM orders GROUP BY o_custkey),
+           |hist AS (SELECT arm, x, count(*) AS c FROM per GROUP BY 1, 2),
+           |cum AS (SELECT arm, x, sum(c) OVER (PARTITION BY arm ORDER BY x) AS cum,
+           |    sum(c) OVER (PARTITION BY arm) AS n FROM hist),
+           |qs(q_pct) AS (VALUES (CAST(25 AS BIGINT)), (50), (75), (90)),
+           |vals AS (SELECT arm, q_pct, CAST(min(x) AS BIGINT) AS v
+           |  FROM cum CROSS JOIN qs WHERE cum * 100 >= q_pct * n GROUP BY 1, 2)
+           |SELECT a.q_pct, a.v AS val_a, b.v AS val_b, a.v - b.v AS qte
+           |FROM vals a JOIN vals b ON a.q_pct = b.q_pct AND a.arm = 'A' AND b.arm = 'B'
+           |ORDER BY a.q_pct""".stripMargin),
+  )
+
   /** q437 — Simpson's-paradox detector: does the experiment's OVERALL
     * direction contradict its per-stratum directions? The classic
     * aggregation trap an honest A/B readout screens for before shipping
@@ -4081,5 +4204,5 @@ object Analytics {
       q286, q288, q289, q291, q292, q293, q295, q297, q298, q299, q300, q303,
       q306, q308, q311, q312, q314, q315, q316, q319, q321, q323, q325, q331,
       q332, q333, q334, q335, q336, q339, q373, q381, q414, q415, q424, q426,
-      q432, q437, q438)
+      q432, q437, q438, q439, q441)
 }

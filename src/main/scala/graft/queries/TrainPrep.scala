@@ -2187,8 +2187,80 @@ object TrainPrep {
     },
   )
 
+  /** q440 — k-fold cross-validation assignment audit: before trusting a
+    * CV estimate, verify the folds themselves — size balance, class
+    * (language) balance, and the subtle one: NEAR-DUP LEAKAGE between
+    * folds (q358's train/heldout audit generalized to all k×(k−1)
+    * boundaries — a doc whose fingerprint cluster spans folds leaks its
+    * answer into every other fold's train side). Folds are the salted
+    * md5 mod 5 (growth-stable, q60's membership discipline). Per fold:
+    * doc count, size-deviation ppm vs N/k, majority language + its
+    * share, leaked docs + leak ppm. Two fingerprint-keyed aggregates +
+    * |folds|-sized algebra. */
+  val q440 = QuerySpec(
+    "q440_kfold_assignment_audit",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"doc_id", $"lang",
+          md5(substring(lower($"text"), 1, 40).cast("binary")).as("h"))
+        .withColumn("fold",
+          (conv(substring(md5(concat(lit("cv|"), $"doc_id".cast("string"))
+            .cast("binary")), 1, 2), 16, 10).cast("long") % 5).as("fold"))
+      val clus = docs.groupBy($"h")
+        .agg(count(lit(1)).as("k_total"), countDistinct($"fold").as("k_folds"))
+      val leaked = docs.join(clus, "h")
+        .filter($"k_folds" > 1)
+        .groupBy($"fold").agg(count(lit(1)).as("n_leaked"))
+      val langTop = docs.groupBy($"fold", $"lang").agg(count(lit(1)).as("cl"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"fold").orderBy($"cl".desc, $"lang")))
+        .filter($"rn" === 1)
+        .select($"fold", $"lang".as("top_lang"), $"cl".as("top_lang_n"))
+      val sizes = docs.groupBy($"fold").agg(count(lit(1)).as("n_docs"))
+      val tot = sizes.agg(sum($"n_docs").as("n_total"))
+      sizes.crossJoin(broadcast(tot))
+        .join(broadcast(langTop), "fold")
+        .join(broadcast(leaked), Seq("fold"), "left")
+        .na.fill(0L, Seq("n_leaked"))
+        .select($"fold", $"n_docs",
+          expr("abs(n_docs * 5L - n_total) * 1000000L div n_total")
+            .as("size_dev_ppm"),
+          $"top_lang",
+          expr("top_lang_n * 1000000L div n_docs").as("top_lang_ppm"),
+          $"n_leaked",
+          expr("n_leaked * 1000000L div n_docs").as("leak_ppm"))
+        .orderBy($"fold")
+    },
+    Some("""WITH docs AS (
+           |  SELECT doc_id, lang, md5(substring(lower(text), 1, 40)) AS h,
+           |    (CAST(strpos('0123456789abcdef', substr(md5('cv|' || doc_id), 1, 1)) - 1 AS BIGINT) * 16
+           |     + CAST(strpos('0123456789abcdef', substr(md5('cv|' || doc_id), 2, 1)) - 1 AS BIGINT)) % 5 AS fold
+           |  FROM documents),
+           |clus AS (SELECT h, count(DISTINCT fold) AS k_folds FROM docs GROUP BY h),
+           |leaked AS (SELECT fold, count(*) AS n_leaked
+           |  FROM docs JOIN clus USING (h) WHERE k_folds > 1 GROUP BY fold),
+           |lt AS (SELECT fold, lang AS top_lang, cl AS top_lang_n FROM (
+           |    SELECT fold, lang, count(*) AS cl,
+           |      row_number() OVER (PARTITION BY fold ORDER BY count(*) DESC, lang) AS rn
+           |    FROM docs GROUP BY fold, lang) WHERE rn = 1),
+           |sz AS (SELECT fold, count(*) AS n_docs FROM docs GROUP BY fold),
+           |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM sz)
+           |SELECT sz.fold, CAST(sz.n_docs AS BIGINT) AS n_docs,
+           |  CAST(abs(sz.n_docs * 5 - n_total) * 1000000 // n_total AS BIGINT) AS size_dev_ppm,
+           |  lt.top_lang,
+           |  CAST(lt.top_lang_n * 1000000 // sz.n_docs AS BIGINT) AS top_lang_ppm,
+           |  CAST(coalesce(leaked.n_leaked, 0) AS BIGINT) AS n_leaked,
+           |  CAST(coalesce(leaked.n_leaked, 0) * 1000000 // sz.n_docs AS BIGINT) AS leak_ppm
+           |FROM sz CROSS JOIN tot
+           |JOIN lt ON lt.fold = sz.fold
+           |LEFT JOIN leaked ON leaked.fold = sz.fold
+           |ORDER BY sz.fold""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q60, q61, q62, q63, q64, q65, q67, q68, q69, q70,
     q86, q87, q88, q89, q90, q96, q100, q101, q106, q110, q149, q150, q160,
     q192, q194, q200, q214, q215, q236, q243, q263, q274, q275, q317, q318,
-    q328, q330, q347, q348, q351, q387, q397, q403, q409, q411, q412)
+    q328, q330, q347, q348, q351, q387, q397, q403, q409, q411, q412, q440)
 }
