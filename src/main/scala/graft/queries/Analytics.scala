@@ -3812,6 +3812,82 @@ object Analytics {
            |FROM h ORDER BY bucket""".stripMargin),
   )
 
+  /** q444 — data-freshness SLA audit: per event stream (event_type),
+    * how far does its newest record lag the pipeline's watermark (the
+    * global max ts) — the first page of every ingestion runbook. Lag in
+    * exact seconds, SLA breach flagged at 1 h. One events aggregate to
+    * |types| rows; the watermark is a 1-row broadcast. */
+  val q444 = QuerySpec(
+    "q444_freshness_audit",
+    (s, d) => {
+      import s.implicits._
+      val per = Tables.fanOut(Tables.events(s, d), col("event_type"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"), max($"ts").as("latest"))
+      per.crossJoin(broadcast(per.agg(max($"latest").as("watermark"))))
+        .select($"event_type", $"n_events",
+          dstr($"latest").as("latest_day"),
+          expr("(unix_micros(watermark) - unix_micros(latest)) div 1000000L")
+            .as("lag_s"))
+        .withColumn("sla_breach", $"lag_s" > 3600L)
+        .orderBy($"event_type")
+    },
+    Some("""WITH per AS (
+           |  SELECT event_type, count(*) AS n_events, max(ts) AS latest
+           |  FROM events GROUP BY event_type),
+           |wm AS (SELECT max(latest) AS watermark FROM per)
+           |SELECT event_type, n_events,
+           |  strftime(latest, '%Y-%m-%d') AS latest_day,
+           |  CAST((epoch_us(watermark) - epoch_us(latest)) // 1000000 AS BIGINT) AS lag_s,
+           |  (epoch_us(watermark) - epoch_us(latest)) // 1000000 > 3600 AS sla_breach
+           |FROM per CROSS JOIN wm ORDER BY event_type""".stripMargin),
+  )
+
+  /** q445 — clock-skew / out-of-order ingestion audit: how often does a
+    * user's stream run BACKWARDS in event-id order (producer clock skew,
+    * retried batches, device buffer flushes), and how badly — the
+    * empirical bound a watermark delay (q314) is actually chosen from.
+    * Regressions are lag() pairs ordered by event_id (the ingestion
+    * order) whose ts goes back; per type: affected pairs, ppm, worst
+    * and p-mean backwards jump in seconds. One user-partitioned window
+    * pass, |types|-row readout. */
+  val q445 = QuerySpec(
+    "q445_clock_skew_audit",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val wu = Window.partitionBy($"user_id").orderBy($"event_id")
+      val pairs = Tables.fanOut(Tables.events(s, d), col("user_id"))
+        .select($"user_id", $"event_id", $"event_type", $"ts")
+        .withColumn("skew_s",
+          expr("(lag(unix_micros(ts)) OVER (PARTITION BY user_id ORDER BY event_id) - unix_micros(ts)) div 1000000L"))
+        .filter($"skew_s".isNotNull)
+      pairs.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when($"skew_s" > 0L, 1L).otherwise(0L)).as("n_backwards"),
+          max(greatest($"skew_s", lit(0L))).as("worst_skew_s"),
+          sum(when($"skew_s" > 0L, $"skew_s").otherwise(0L)).as("skew_sum"))
+        .select($"event_type", $"n_pairs", $"n_backwards",
+          expr("n_backwards * 1000000L div n_pairs").as("backwards_ppm"),
+          $"worst_skew_s",
+          expr("skew_sum div nullif(n_backwards, 0L)").as("mean_skew_s"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH pairs AS (
+           |  SELECT event_type,
+           |    (lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id)
+           |      - epoch_us(ts)) // 1000000 AS skew_s
+           |  FROM events),
+           |p2 AS (SELECT * FROM pairs WHERE skew_s IS NOT NULL)
+           |SELECT event_type, count(*) AS n_pairs,
+           |  CAST(sum(CASE WHEN skew_s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_backwards,
+           |  CAST(sum(CASE WHEN skew_s > 0 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS backwards_ppm,
+           |  CAST(max(greatest(skew_s, 0)) AS BIGINT) AS worst_skew_s,
+           |  CAST(sum(CASE WHEN skew_s > 0 THEN skew_s ELSE 0 END)
+           |    // nullif(sum(CASE WHEN skew_s > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS mean_skew_s
+           |FROM p2 GROUP BY event_type ORDER BY event_type""".stripMargin),
+  )
+
   /** q439 — subject access report (GDPR Art. 15, the read half of
     * q325's erasure): for a requested set of data subjects, enumerate
     * every table holding their rows — row counts plus an
@@ -4204,5 +4280,5 @@ object Analytics {
       q286, q288, q289, q291, q292, q293, q295, q297, q298, q299, q300, q303,
       q306, q308, q311, q312, q314, q315, q316, q319, q321, q323, q325, q331,
       q332, q333, q334, q335, q336, q339, q373, q381, q414, q415, q424, q426,
-      q432, q437, q438, q439, q441)
+      q432, q437, q438, q439, q441, q444, q445)
 }

@@ -414,6 +414,57 @@ object DecisionSupport {
             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
   )
 
+  /** q442 — Herfindahl–Hirschman supplier-concentration index per
+    * market segment: how concentrated is each segment's spend across
+    * suppliers (the antitrust screen, and operationally the
+    * single-supplier-dependency risk readout)? Revenue in exact cents;
+    * shares quantized to ppm and HHI = Σ share² read back in ppm
+    * (10⁶ = monopoly, 10⁶/n = perfectly even), with the Σ share²
+    * accumulation DECIMAL/HUGEINT-lifted. One fact aggregate to the
+    * (segment × supplier) frame, then segment-sized algebra; the
+    * customer→segment dim broadcasts into orders. */
+  val q442 = QuerySpec(
+    "q442_hhi_concentration",
+    (s, d) => {
+      import s.implicits._
+      val seg = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select($"c_custkey", $"c_mktsegment")), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey", $"c_mktsegment".as("segment"))
+      val rev = Tables.lineitem(s, d)
+        .join(seg, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"segment", $"l_suppkey")
+        .agg(sum(expr(
+          "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+          .as("cents"))
+      val tot = rev.groupBy($"segment").agg(sum($"cents").as("seg_cents"))
+      rev.join(broadcast(tot), "segment")
+        .withColumn("share_ppm", expr("cents * 1000000L div seg_cents"))
+        .groupBy($"segment")
+        .agg(count(lit(1)).as("n_suppliers"),
+          expr("""CAST(sum(CAST(share_ppm AS DECIMAL(38,0)) * share_ppm)
+            | div 1000000 AS BIGINT)""".stripMargin.replaceAll("\n", ""))
+            .as("hhi_ppm"),
+          max($"share_ppm").as("top_share_ppm"))
+        .orderBy($"segment")
+    },
+    Some("""WITH seg AS (
+           |  SELECT o_orderkey, c_mktsegment AS segment
+           |  FROM orders JOIN customer ON o_custkey = c_custkey),
+           |rev AS (SELECT segment, l_suppkey,
+           |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS cents
+           |  FROM lineitem JOIN seg ON l_orderkey = o_orderkey
+           |  GROUP BY 1, 2),
+           |tot AS (SELECT segment, CAST(sum(cents) AS BIGINT) AS seg_cents
+           |  FROM rev GROUP BY segment),
+           |sh AS (SELECT rev.segment, cents * 1000000 // seg_cents AS share_ppm
+           |  FROM rev JOIN tot ON rev.segment = tot.segment)
+           |SELECT segment, count(*) AS n_suppliers,
+           |  CAST(sum(CAST(share_ppm AS HUGEINT) * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm,
+           |  CAST(max(share_ppm) AS BIGINT) AS top_share_ppm
+           |FROM sh GROUP BY segment ORDER BY segment""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q201, q202, q203, q204, q205, q206, q410, q417, q418)
+    Seq(q201, q202, q203, q204, q205, q206, q410, q417, q418, q442)
 }

@@ -824,6 +824,72 @@ object TextMedia {
            |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin),
   )
 
+  /** q443 — language-ID classifier quality: per-class precision /
+    * recall / F1 of q29's lexicon predictor against the labeled lang
+    * column — the eval readout that turns q29's confusion matrix into
+    * a deployment decision ("which languages can the cheap heuristic
+    * route, which need the model"). tp/fp/fn from one (lang, predicted)
+    * frame; precision/recall in exact ppm, F1 = 2pr/(p+r) in exact
+    * milli computed from the ppm integers (identical integer div
+    * chains on both engines). Everything after q29's token join is
+    * |langs|²-sized. */
+  val q443 = QuerySpec(
+    "q443_langid_prf",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+      val lex = lexicon.toDF("w", "lg")
+      val tok = docs.select($"doc_id", explode(tokens($"text")).as("w"))
+      val hits = tok.join(broadcast(lex), "w")
+        .groupBy($"doc_id", $"lg").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"doc_id").orderBy($"n".desc, $"lg")
+      val best = hits.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1).select($"doc_id", $"lg")
+      val cm = docs.select($"doc_id", $"lang")
+        .join(best, Seq("doc_id"), "left")
+        .select($"lang", coalesce($"lg", lit("und")).as("predicted"))
+        .groupBy($"lang", $"predicted").agg(count(lit(1)).as("n"))
+      val tp = cm.filter($"lang" === $"predicted")
+        .select($"lang".as("cls"), $"n".as("tp"))
+      val act = cm.groupBy($"lang".as("cls")).agg(sum($"n").as("actual"))
+      val prd = cm.groupBy($"predicted".as("cls")).agg(sum($"n").as("pred"))
+      act.join(prd, Seq("cls"), "full_outer")
+        .join(tp, Seq("cls"), "left")
+        .na.fill(0L, Seq("tp", "actual", "pred"))
+        .select($"cls", $"tp", $"actual".as("n_actual"), $"pred".as("n_predicted"),
+          expr("tp * 1000000L div nullif(pred, 0L)").as("precision_ppm"),
+          expr("tp * 1000000L div nullif(actual, 0L)").as("recall_ppm"))
+        .withColumn("f1_milli", expr(
+          """2L * precision_ppm * recall_ppm div
+            | nullif(precision_ppm + recall_ppm, 0L) div 1000L"""
+            .stripMargin.replaceAll("\n", "")))
+        .orderBy($"cls")
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w FROM documents),
+            |lex AS (SELECT * FROM (VALUES $lexiconSqlValues) t(w, lg)),
+            |hits AS (SELECT doc_id, lg, count(*) AS n FROM tok JOIN lex USING (w) GROUP BY doc_id, lg),
+            |best AS (SELECT doc_id, lg, row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, lg) AS rn FROM hits),
+            |cm AS (SELECT lang, predicted, count(*) AS n FROM (
+            |    SELECT d.lang, coalesce(b.lg, 'und') AS predicted
+            |    FROM documents d LEFT JOIN (SELECT doc_id, lg FROM best WHERE rn = 1) b USING (doc_id))
+            |  GROUP BY 1, 2),
+            |tp AS (SELECT lang AS cls, CAST(n AS BIGINT) AS tp FROM cm WHERE lang = predicted),
+            |act AS (SELECT lang AS cls, CAST(sum(n) AS BIGINT) AS actual FROM cm GROUP BY 1),
+            |prd AS (SELECT predicted AS cls, CAST(sum(n) AS BIGINT) AS pred FROM cm GROUP BY 1),
+            |j AS (SELECT coalesce(act.cls, prd.cls) AS cls,
+            |    coalesce(tp.tp, 0) AS tp, coalesce(act.actual, 0) AS actual,
+            |    coalesce(prd.pred, 0) AS pred
+            |  FROM act FULL OUTER JOIN prd ON act.cls = prd.cls
+            |  LEFT JOIN tp ON tp.cls = coalesce(act.cls, prd.cls))
+            |SELECT cls, tp, actual AS n_actual, pred AS n_predicted,
+            |  CAST(tp * 1000000 // nullif(pred, 0) AS BIGINT) AS precision_ppm,
+            |  CAST(tp * 1000000 // nullif(actual, 0) AS BIGINT) AS recall_ppm,
+            |  CAST(2 * (tp * 1000000 // nullif(pred, 0)) * (tp * 1000000 // nullif(actual, 0))
+            |    // nullif((tp * 1000000 // nullif(pred, 0)) + (tp * 1000000 // nullif(actual, 0)), 0)
+            |    // 1000 AS BIGINT) AS f1_milli
+            |FROM j ORDER BY cls""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q29, q30, q31, q32, q33, q34, q36, q45, q73, q78,
-    q111, q163, q168, q260, q261, q390, q408, q416, q425)
+    q111, q163, q168, q260, q261, q390, q408, q416, q425, q443)
 }
