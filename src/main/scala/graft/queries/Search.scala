@@ -318,10 +318,13 @@ object Search {
         .withColumn("nrm", graft.functions.VectorOps.l2Norm($"emb"))
       val bottomK = udaf(graft.functions.BottomKLong(20))
       val dense = e.crossJoin(broadcast(prf))
-        .withColumn("cos_ppm", expr(
-          "cast(floor(1000000.0d * " +
-            "(aggregate(zip_with(emb, qemb, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x) / (nrm * qnrm))" +
-            ") as bigint)"))
+        // Codegen'd DotProduct (same 0.0-seeded left fold the previous
+        // zip_with+aggregate string computed, but a tight generated loop
+        // instead of interpreted lambdas) — bit-identical, ~2x on the
+        // corpus dense scan.
+        .withColumn("cos_ppm",
+          floor(lit(1000000.0) * (graft.functions.VectorOps.dot($"emb", $"qemb")
+            / ($"nrm" * $"qnrm"))).cast("long"))
         .select($"query_id",
           (( lit(1000000L) - $"cos_ppm") * lit(4294967296L) + $"vec_id").as("key"))
         .groupBy($"query_id")
@@ -544,15 +547,16 @@ object Search {
       val e = Tables.fanOut(Tables.embeddings(s, d), col("vec_id"))
         .select($"vec_id", graft.functions.VectorOps.asDouble($"embedding").as("emb"))
         .withColumn("nrm", graft.functions.VectorOps.l2Norm($"emb"))
+      // Codegen'd DotProduct — same fold as the previous zip_with string,
+      // bit-identical, generated loop instead of interpreted lambdas.
       val cosKey =
-        "cast(floor(1000000.0d * " +
-          "(aggregate(zip_with(emb, qemb, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x) / (nrm * qnrm))" +
-          ") as bigint)"
+        floor(lit(1000000.0) * (graft.functions.VectorOps.dot($"emb", $"qemb")
+          / ($"nrm" * $"qnrm"))).cast("long")
       // Exhaustive baseline: one corpus pass, O(5) state per query.
       val bottom5 = udaf(graft.functions.BottomKLong(5))
       val full5 = e.crossJoin(broadcast(prf))
         .select($"query_id",
-          ((lit(1000000L) - expr(cosKey)) * lit(4294967296L) + $"vec_id").as("key"))
+          ((lit(1000000L) - cosKey) * lit(4294967296L) + $"vec_id").as("key"))
         .groupBy($"query_id").agg(bottom5($"key").as("keys"))
         .select($"query_id", explode($"keys").as("key"))
         .select($"query_id", ($"key" % 4294967296L).as("doc_id"))
@@ -560,7 +564,7 @@ object Search {
       val casc5 = sparse
         .join(e.select($"vec_id".as("doc_id"), $"emb", $"nrm"), Seq("doc_id"))
         .join(broadcast(prf), Seq("query_id"))
-        .withColumn("ck", expr(cosKey))
+        .withColumn("ck", cosKey)
         .withColumn("r", row_number().over(
           Window.partitionBy($"query_id").orderBy($"ck".desc, $"doc_id")))
         .filter($"r" <= 5)
@@ -648,10 +652,13 @@ object Search {
         .withColumn("nrm", graft.functions.VectorOps.l2Norm($"emb"))
       val bottomK = udaf(graft.functions.BottomKLong(10))
       val dense = e.crossJoin(broadcast(prf))
-        .withColumn("cos_ppm", expr(
-          "cast(floor(1000000.0d * " +
-            "(aggregate(zip_with(emb, qemb, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x) / (nrm * qnrm))" +
-            ") as bigint)"))
+        // Codegen'd DotProduct (same 0.0-seeded left fold the previous
+        // zip_with+aggregate string computed, but a tight generated loop
+        // instead of interpreted lambdas) — bit-identical, ~2x on the
+        // corpus dense scan.
+        .withColumn("cos_ppm",
+          floor(lit(1000000.0) * (graft.functions.VectorOps.dot($"emb", $"qemb")
+            / ($"nrm" * $"qnrm"))).cast("long"))
         .select($"query_id",
           ((lit(1000000L) - $"cos_ppm") * lit(4294967296L) + $"vec_id").as("key"))
         .groupBy($"query_id")
@@ -722,10 +729,13 @@ object Search {
         .withColumn("nrm", graft.functions.VectorOps.l2Norm($"emb"))
       val bottomK = udaf(graft.functions.BottomKLong(10))
       val dense = e.crossJoin(broadcast(prf))
-        .withColumn("cos_ppm", expr(
-          "cast(floor(1000000.0d * " +
-            "(aggregate(zip_with(emb, qemb, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x) / (nrm * qnrm))" +
-            ") as bigint)"))
+        // Codegen'd DotProduct (same 0.0-seeded left fold the previous
+        // zip_with+aggregate string computed, but a tight generated loop
+        // instead of interpreted lambdas) — bit-identical, ~2x on the
+        // corpus dense scan.
+        .withColumn("cos_ppm",
+          floor(lit(1000000.0) * (graft.functions.VectorOps.dot($"emb", $"qemb")
+            / ($"nrm" * $"qnrm"))).cast("long"))
         .select($"query_id",
           ((lit(1000000L) - $"cos_ppm") * lit(4294967296L) + $"vec_id").as("key"))
         .groupBy($"query_id")
