@@ -3812,6 +3812,72 @@ object Analytics {
            |FROM h ORDER BY bucket""".stripMargin),
   )
 
+  /** q446 — watermark-delay drop-budget sweep: given the stream's OWN
+    * measured disorder (q445), how many events would a watermark of
+    * delay δ ∈ {60 s, 600 s, 3600 s} actually drop? An event is late by
+    * (running-max prior ts − its ts) in ingestion order — per-key
+    * (user) watermarks, the transformWithState discipline, so the
+    * running max is a bounded per-user frame, never a single-partition
+    * global order. One window pass; every δ reads its drop count from
+    * conditional sums in one aggregate (q432's sweep discipline). The
+    * curve is what spark.watermarkDelayMs is chosen from. */
+  val q446 = QuerySpec(
+    "q446_watermark_drop_sweep",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val wu = Window.partitionBy($"user_id").orderBy($"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // prior-max is NULL on a user's first event; the NULL-ness is made
+      // EXPLICIT (prior IS NULL → drop) rather than left to greatest()'s
+      // engine-specific null handling.
+      val late = Tables.fanOut(Tables.events(s, d), col("user_id"))
+        .select($"user_id", $"event_id", $"ts")
+        .withColumn("prior", expr(
+          """max(unix_micros(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+            | ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"""
+            .stripMargin.replaceAll("\n", "")))
+        .filter($"prior".isNotNull)
+        .withColumn("late_s",
+          greatest(expr("(prior - unix_micros(ts)) div 1000000L"), lit(0L)))
+      def dropped(delta: Long) =
+        sum(when($"late_s" > delta, 1L).otherwise(0L))
+      val one = late.agg(count(lit(1)).as("n_events"),
+        max($"late_s").as("max_late_s"),
+        dropped(60L).as("d60"), dropped(600L).as("d600"),
+        dropped(3600L).as("d3600"))
+      one.select(expr(
+        """stack(3, 60L, d60, 600L, d600, 3600L, d3600)
+          | AS (delay_s, n_dropped)""".stripMargin.replaceAll("\n", "")),
+        $"n_events", $"max_late_s")
+        .select($"delay_s", $"n_dropped",
+          expr("n_dropped * 1000000L div n_events").as("drop_ppm"),
+          $"max_late_s")
+        .orderBy($"delay_s")
+    },
+    Some("""WITH pri AS (
+           |  SELECT epoch_us(ts) AS tsu,
+           |    max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+           |  FROM events),
+           |late AS (SELECT greatest((prior - tsu) // 1000000, 0) AS late_s
+           |  FROM pri WHERE prior IS NOT NULL),
+           |agg AS (SELECT count(*) AS n_events,
+           |    CAST(max(late_s) AS BIGINT) AS max_late_s,
+           |    CAST(sum(CASE WHEN late_s > 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+           |    CAST(sum(CASE WHEN late_s > 600 THEN 1 ELSE 0 END) AS BIGINT) AS d600,
+           |    CAST(sum(CASE WHEN late_s > 3600 THEN 1 ELSE 0 END) AS BIGINT) AS d3600
+           |  FROM late),
+           |u AS (
+           |  SELECT CAST(60 AS BIGINT) AS delay_s, d60 AS n_dropped, n_events, max_late_s FROM agg
+           |  UNION ALL SELECT 600, d600, n_events, max_late_s FROM agg
+           |  UNION ALL SELECT 3600, d3600, n_events, max_late_s FROM agg)
+           |SELECT delay_s, n_dropped,
+           |  CAST(n_dropped * 1000000 // n_events AS BIGINT) AS drop_ppm,
+           |  max_late_s
+           |FROM u ORDER BY delay_s""".stripMargin),
+  )
+
   /** q444 — data-freshness SLA audit: per event stream (event_type),
     * how far does its newest record lag the pipeline's watermark (the
     * global max ts) — the first page of every ingestion runbook. Lag in
@@ -4280,5 +4346,5 @@ object Analytics {
       q286, q288, q289, q291, q292, q293, q295, q297, q298, q299, q300, q303,
       q306, q308, q311, q312, q314, q315, q316, q319, q321, q323, q325, q331,
       q332, q333, q334, q335, q336, q339, q373, q381, q414, q415, q424, q426,
-      q432, q437, q438, q439, q441, q444, q445)
+      q432, q437, q438, q439, q441, q444, q445, q446)
 }

@@ -787,6 +787,60 @@ object GraphOps {
            |ORDER BY com""".stripMargin),
   )
 
+  /** q448 — HITS hubs & authorities (Kleinberg) over the bipartite
+    * customer–supplier trade graph, two synchronous rounds with
+    * MAX-normalization instead of the textbook L2 (divide by the
+    * iterate's max, quantized to ppm — a positive rescale preserves
+    * every ranking HITS cares about and keeps the whole iteration in
+    * exact integers; the q126 fixed-point-PageRank move). h⁰=1 ⇒
+    * a¹ ∝ supplier degree; h¹ = Σ a¹ over the customer's suppliers;
+    * a² = Σ h¹ — top-10 authority suppliers with their scores. Edges
+    * are DISTINCT (cust, supp) pairs (one fact-fact shuffle to build);
+    * each round is an edge-sized join against the previous node frame;
+    * the 1-row max normalizers broadcast. */
+  val q448 = QuerySpec(
+    "q448_hits_authorities",
+    (s, d) => {
+      import s.implicits._
+      val edges = graft.Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey")
+        .join(graft.Tables.orders(s, d).select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .select($"o_custkey".as("cust"), $"l_suppkey".as("supp"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        // h0 = 1 for every customer => a1(s) = degree(s).
+        val a1 = edges.groupBy($"supp").agg(count(lit(1)).as("a"))
+        val a1n = a1.crossJoin(broadcast(a1.agg(max($"a").as("mx"))))
+          .select($"supp", expr("a * 1000000L div mx").as("a_ppm"))
+        val h1 = edges.join(a1n, "supp")
+          .groupBy($"cust").agg(sum($"a_ppm").as("h"))
+        val h1n = h1.crossJoin(broadcast(h1.agg(max($"h").as("mx"))))
+          .select($"cust", expr("h * 1000000L div mx").as("h_ppm"))
+        val a2 = edges.join(h1n, "cust")
+          .groupBy($"supp").agg(sum($"h_ppm").as("a2"))
+        val a2n = a2.crossJoin(broadcast(a2.agg(max($"a2").as("mx"))))
+          .select($"supp".as("s_suppkey"),
+            expr("a2 * 1000000L div mx").as("authority_ppm"))
+        val out = a2n.orderBy($"authority_ppm".desc, $"s_suppkey").limit(10)
+        Eager(out)
+      } finally edges.unpersist(blocking = false)
+    },
+    Some("""WITH edges AS (
+           |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |a1 AS (SELECT supp, count(*) AS a FROM edges GROUP BY supp),
+           |a1n AS (SELECT supp, a * 1000000 // (SELECT max(a) FROM a1) AS a_ppm FROM a1),
+           |h1 AS (SELECT cust, CAST(sum(a_ppm) AS BIGINT) AS h
+           |  FROM edges JOIN a1n USING (supp) GROUP BY cust),
+           |h1n AS (SELECT cust, h * 1000000 // (SELECT max(h) FROM h1) AS h_ppm FROM h1),
+           |a2 AS (SELECT supp, CAST(sum(h_ppm) AS BIGINT) AS a2
+           |  FROM edges JOIN h1n USING (cust) GROUP BY supp)
+           |SELECT supp AS s_suppkey,
+           |  CAST(a2 * 1000000 // (SELECT max(a2) FROM a2) AS BIGINT) AS authority_ppm
+           |FROM a2 ORDER BY authority_ppm DESC, s_suppkey LIMIT 10""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q59, q94, q126, q148, q226, q304, q310, q378, q435)
+    Seq(q59, q94, q126, q148, q226, q304, q310, q378, q435, q448)
 }

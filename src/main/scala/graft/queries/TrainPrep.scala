@@ -2259,8 +2259,84 @@ object TrainPrep {
            |ORDER BY sz.fold""".stripMargin),
   )
 
+  /** q447 — farthest-first traversal (Gonzalez 1985 k-center greedy):
+    * the deterministic seeding/coreset pass k-means++ randomizes —
+    * start at the lowest vec_id, then k−1 times pick the vector
+    * farthest (max min-distance, micro-quantized, tie → lowest id)
+    * from the chosen set, reporting each selection's coverage radius.
+    * Squared L2 computed as ‖a‖² + ‖b‖² − 2·a·b with IDENTICAL operand
+    * trees on both engines (codegen'd dot, precomputed norms), so the
+    * argmax key is engine-exact. Each of the k−1 rounds is one corpus
+    * pass against a ≤k-row broadcast center set and collects exactly
+    * ONE row (the new center) — bounded driver state by construction,
+    * the q341 probe-collect discipline. */
+  val q447 = QuerySpec(
+    "q447_kcenter_farthest_first",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.VectorOps.{asDouble, dot, normSq}
+      val base = Tables.fanOut(Tables.embeddings(s, d), col("vec_id"))
+        .select($"vec_id", asDouble($"embedding").as("emb"))
+        .withColumn("n2", normSq($"emb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val seed = base.orderBy($"vec_id").limit(1)
+          .select($"vec_id", $"emb", $"n2").head
+        var centers = Seq((seed.getLong(0), seed.getSeq[Double](1), 0L))
+        for (_ <- 2 to 4) {
+          val cent = s.createDataFrame(
+              centers.map { case (id, e, _) => (id, e) })
+            .toDF("cid", "cemb")
+            .withColumn("cn2", normSq($"cemb"))
+          val next = base.crossJoin(broadcast(cent))
+            .withColumn("d2_micro",
+              floor(lit(1000000.0) * ($"n2" + $"cn2" - lit(2.0) * dot($"emb", $"cemb")))
+                .cast("long"))
+            .groupBy($"vec_id")
+            .agg(min($"d2_micro").as("mind2"), first($"emb").as("emb"))
+            .agg(max_by(struct($"vec_id", $"emb"), struct($"mind2", -$"vec_id"))
+              .as("pick"), max($"mind2").as("radius"))
+            .select($"pick.vec_id", $"pick.emb", $"radius").head
+          centers = centers :+ ((next.getLong(0), next.getSeq[Double](1),
+            next.getLong(2)))
+        }
+        val out = centers.zipWithIndex.map { case ((id, _, r), i) =>
+          (i + 1, id, r)
+        }
+        s.createDataFrame(out).toDF("k", "center_id", "radius_d2_micro")
+          .select($"k".cast("int").as("k"), $"center_id", $"radius_d2_micro")
+          .orderBy($"k")
+      } finally base.unpersist(blocking = false)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+            |    ${Det.sqlNormSq("CAST(embedding AS DOUBLE[])")} AS n2
+            |  FROM embeddings),
+            |c1 AS (SELECT vec_id, emb, n2 FROM e ORDER BY vec_id LIMIT 1),
+            |d1 AS (SELECT e.vec_id, e.emb, e.n2,
+            |    CAST(floor(1000000.0 * (e.n2 + c.n2 - 2.0 * ${Det.sqlDot("e.emb", "c.emb")})) AS BIGINT) AS mind2
+            |  FROM e CROSS JOIN c1 c),
+            |c2 AS (SELECT vec_id, emb, n2, mind2 FROM d1 ORDER BY mind2 DESC, vec_id LIMIT 1),
+            |d2 AS (SELECT d1.vec_id, d1.emb, d1.n2,
+            |    least(d1.mind2,
+            |      CAST(floor(1000000.0 * (d1.n2 + c.n2 - 2.0 * ${Det.sqlDot("d1.emb", "c.emb")})) AS BIGINT)) AS mind2
+            |  FROM d1 CROSS JOIN c2 c),
+            |c3 AS (SELECT vec_id, emb, n2, mind2 FROM d2 ORDER BY mind2 DESC, vec_id LIMIT 1),
+            |d3 AS (SELECT d2.vec_id, d2.n2,
+            |    least(d2.mind2,
+            |      CAST(floor(1000000.0 * (d2.n2 + c.n2 - 2.0 * ${Det.sqlDot("d2.emb", "c.emb")})) AS BIGINT)) AS mind2
+            |  FROM d2 CROSS JOIN c3 c),
+            |c4 AS (SELECT vec_id, mind2 FROM d3 ORDER BY mind2 DESC, vec_id LIMIT 1)
+            |SELECT CAST(1 AS INT) AS k, (SELECT vec_id FROM c1) AS center_id,
+            |  CAST(0 AS BIGINT) AS radius_d2_micro
+            |UNION ALL SELECT 2, vec_id, mind2 FROM c2
+            |UNION ALL SELECT 3, vec_id, mind2 FROM c3
+            |UNION ALL SELECT 4, vec_id, mind2 FROM c4
+            |ORDER BY k""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q60, q61, q62, q63, q64, q65, q67, q68, q69, q70,
     q86, q87, q88, q89, q90, q96, q100, q101, q106, q110, q149, q150, q160,
     q192, q194, q200, q214, q215, q236, q243, q263, q274, q275, q317, q318,
-    q328, q330, q347, q348, q351, q387, q397, q403, q409, q411, q412, q440)
+    q328, q330, q347, q348, q351, q387, q397, q403, q409, q411, q412, q440,
+    q447)
 }
