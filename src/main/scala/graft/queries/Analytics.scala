@@ -3812,6 +3812,58 @@ object Analytics {
            |FROM h ORDER BY bucket""".stripMargin),
   )
 
+  /** q450 — discrete churn-hazard table (the Kaplan–Meier life table
+    * WITHOUT the cumulative float product — hazards per tenure day are
+    * the exact, mergeable readout; survival is their downstream
+    * product): per user, tenure = last-active − first-active DAY;
+    * users whose last day is the observation boundary are CENSORED
+    * (still alive), everyone else churned at their tenure. at-risk(w)
+    * is the suffix sum of the tenure histogram (a window over the
+    * bounded day domain), hazard = churned/at-risk in exact ppm. One
+    * events→user aggregate, then day-domain algebra. */
+  val q450 = QuerySpec(
+    "q450_churn_hazard_table",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val per = Tables.fanOut(Tables.events(s, d), col("user_id"))
+        .groupBy($"user_id")
+        .agg(expr("min(unix_micros(ts) div 86400000000L)").as("first_w"),
+          expr("max(unix_micros(ts) div 86400000000L)").as("last_w"))
+      val bound = per.agg(max($"last_w").as("wmax"))
+      val hist = per.crossJoin(broadcast(bound))
+        .select(($"last_w" - $"first_w").as("tenure_d"),
+          ($"last_w" === $"wmax").as("censored"))
+        .groupBy($"tenure_d")
+        .agg(sum(when(!$"censored", 1L).otherwise(0L)).as("churned"),
+          sum(when($"censored", 1L).otherwise(0L)).as("censored"))
+      val wAtRisk = Window.orderBy($"tenure_d".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("at_risk", sum($"churned" + $"censored").over(wAtRisk))
+        .select($"tenure_d", $"at_risk", $"churned", $"censored",
+          expr("churned * 1000000L div at_risk").as("hazard_ppm"))
+        .orderBy($"tenure_d")
+    },
+    Some("""WITH per AS (
+           |  SELECT user_id,
+           |    min(epoch_us(ts) // 86400000000) AS first_w,
+           |    max(epoch_us(ts) // 86400000000) AS last_w
+           |  FROM events GROUP BY user_id),
+           |b AS (SELECT max(last_w) AS wmax FROM per),
+           |hist AS (SELECT last_w - first_w AS tenure_d,
+           |    CAST(sum(CASE WHEN last_w <> wmax THEN 1 ELSE 0 END) AS BIGINT) AS churned,
+           |    CAST(sum(CASE WHEN last_w = wmax THEN 1 ELSE 0 END) AS BIGINT) AS censored
+           |  FROM per CROSS JOIN b GROUP BY 1)
+           |SELECT tenure_d,
+           |  CAST(sum(churned + censored) OVER (ORDER BY tenure_d DESC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS at_risk,
+           |  churned, censored,
+           |  CAST(churned * 1000000 // sum(churned + censored) OVER (ORDER BY tenure_d DESC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hazard_ppm
+           |FROM hist ORDER BY tenure_d""".stripMargin),
+  )
+
   /** q446 — watermark-delay drop-budget sweep: given the stream's OWN
     * measured disorder (q445), how many events would a watermark of
     * delay δ ∈ {60 s, 600 s, 3600 s} actually drop? An event is late by
@@ -4346,5 +4398,5 @@ object Analytics {
       q286, q288, q289, q291, q292, q293, q295, q297, q298, q299, q300, q303,
       q306, q308, q311, q312, q314, q315, q316, q319, q321, q323, q325, q331,
       q332, q333, q334, q335, q336, q339, q373, q381, q414, q415, q424, q426,
-      q432, q437, q438, q439, q441, q444, q445, q446)
+      q432, q437, q438, q439, q441, q444, q445, q446, q450)
 }

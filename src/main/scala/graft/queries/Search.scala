@@ -786,6 +786,96 @@ object Search {
             |FROM pool ORDER BY query_id, pool_rank""".stripMargin),
   )
 
+  /** q449 — maximal-marginal-relevance (MMR, Carbonell–Goldstein)
+    * diversity re-rank of the BM25 top-10: greedy selection where each
+    * step picks the candidate maximizing relevance MINUS its worst
+    * redundancy against everything already chosen — the de-duplicating
+    * re-rank between retrieval and a context window. Equal-weight form
+    * (λ=1/2 cancels in the argmax), 3 greedy steps as three bounded
+    * DataFrame stages (each a ≤10-row-per-query frame joined against
+    * the ≤2-row broadcast chosen set — never a driver loop over
+    * unbounded data). Relevance is per-query max-normalized BM25 in
+    * exact milli; redundancy is the codegen'd cosine quantized to
+    * milli; ties → lowest doc_id. */
+  val q449 = QuerySpec(
+    "q449_mmr_diversity_rerank",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.VectorOps.{asDouble, dot, l2Norm}
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", asDouble($"embedding").as("emb"))
+        .withColumn("nrm", l2Norm($"emb"))
+      val cand = {
+        val w = Window.partitionBy($"query_id")
+          .orderBy($"score_ppm".desc, $"doc_id")
+        bm25Scored(s, d)
+          .withColumn("r", row_number().over(w))
+          .filter($"r" <= 10)
+          .withColumn("rel_milli", expr(
+            "score_ppm * 1000L div max(score_ppm) OVER (PARTITION BY query_id)"))
+          .join(e, $"doc_id" === $"vec_id")
+          .select($"query_id", $"doc_id", $"rel_milli", $"emb", $"nrm")
+      }
+      def simMilli(ea: org.apache.spark.sql.Column, na: org.apache.spark.sql.Column,
+          eb: org.apache.spark.sql.Column, nb: org.apache.spark.sql.Column) =
+        floor(lit(1000.0) * (dot(ea, eb) / (na * nb))).cast("long")
+      def argmax(df: org.apache.spark.sql.DataFrame) = {
+        val w = Window.partitionBy($"query_id").orderBy($"mmr".desc, $"doc_id")
+        df.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+          .select($"query_id", $"doc_id", $"mmr", $"emb", $"nrm")
+      }
+      val c1 = argmax(cand.withColumn("mmr", $"rel_milli"))
+      val rem1 = cand.join(
+        broadcast(c1.select($"query_id", $"doc_id".as("ch1"),
+          $"emb".as("e1"), $"nrm".as("n1"))), "query_id")
+        .filter($"doc_id" =!= $"ch1")
+      val c2 = argmax(rem1.withColumn("mmr",
+        $"rel_milli" - simMilli($"emb", $"nrm", $"e1", $"n1")))
+      val rem2 = rem1
+        .join(broadcast(c2.select($"query_id", $"doc_id".as("ch2"),
+          $"emb".as("e2"), $"nrm".as("n2"))), "query_id")
+        .filter($"doc_id" =!= $"ch2")
+      val c3 = argmax(rem2.withColumn("mmr",
+        $"rel_milli" - greatest(simMilli($"emb", $"nrm", $"e1", $"n1"),
+          simMilli($"emb", $"nrm", $"e2", $"n2"))))
+      c1.select($"query_id", lit(1).as("rank"), $"doc_id", $"mmr".as("mmr_milli"))
+        .unionAll(c2.select($"query_id", lit(2).as("rank"), $"doc_id", $"mmr"))
+        .unionAll(c3.select($"query_id", lit(3).as("rank"), $"doc_id", $"mmr"))
+        .orderBy($"query_id", $"rank")
+    },
+    Some {
+      def sim(a: String, b: String) =
+        s"CAST(floor(1000.0 * ${Det.sqlCosine(a, b)}) AS BIGINT)"
+      s"""$sqlScoredCtes,
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cand AS (SELECT query_id, doc_id, rel_milli, emb FROM (
+         |    SELECT query_id, doc_id,
+         |      score_ppm * 1000 // max(score_ppm) OVER (PARTITION BY query_id) AS rel_milli,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) AS r
+         |    FROM scored) s JOIN e ON s.doc_id = e.vec_id WHERE r <= 10),
+         |c1 AS (SELECT query_id, doc_id, rel_milli AS mmr, emb FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel_milli DESC, doc_id) AS rn
+         |    FROM cand) WHERE rn = 1),
+         |m2 AS (SELECT cand.query_id, cand.doc_id,
+         |    cand.rel_milli - ${sim("cand.emb", "c1.emb")} AS mmr, cand.emb
+         |  FROM cand JOIN c1 USING (query_id) WHERE cand.doc_id <> c1.doc_id),
+         |c2 AS (SELECT query_id, doc_id, mmr, emb FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, doc_id) AS rn
+         |    FROM m2) WHERE rn = 1),
+         |m3 AS (SELECT cand.query_id, cand.doc_id,
+         |    cand.rel_milli - greatest(${sim("cand.emb", "c1.emb")}, ${sim("cand.emb", "c2.emb")}) AS mmr
+         |  FROM cand JOIN c1 USING (query_id) JOIN c2 USING (query_id)
+         |  WHERE cand.doc_id <> c1.doc_id AND cand.doc_id <> c2.doc_id),
+         |c3 AS (SELECT query_id, doc_id, mmr FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, doc_id) AS rn
+         |    FROM m3) WHERE rn = 1)
+         |SELECT query_id, CAST(1 AS INT) AS rank, doc_id, CAST(mmr AS BIGINT) AS mmr_milli FROM c1
+         |UNION ALL SELECT query_id, 2, doc_id, CAST(mmr AS BIGINT) FROM c2
+         |UNION ALL SELECT query_id, 3, doc_id, CAST(mmr AS BIGINT) FROM c3
+         |ORDER BY query_id, rank""".stripMargin
+    },
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q278, q279, q290, q404, q405, q406, q407, q421, q428)
+    Seq(q278, q279, q290, q404, q405, q406, q407, q421, q428, q449)
 }
