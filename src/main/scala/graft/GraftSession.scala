@@ -25,14 +25,15 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
   def builder(cores: String): SparkSession.Builder =
-    SparkSession.builder()
-      .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    Confs.withS3aProfile(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .config("spark.sql.shuffle.partitions", cores)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.optimizer.excludedRules",
+          "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+        .config("spark.sql.extensions", "graft.functions.GraftExtensions"))
 }
