@@ -3812,6 +3812,98 @@ object Analytics {
            |FROM h ORDER BY bucket""".stripMargin),
   )
 
+  /** q451 — half-life–decayed popularity ranking: each event's weight
+    * halves per week of age (the HN/Reddit-style freshness prior), with
+    * the transcendental EXP dodged exactly — ages are bounded integer
+    * weeks, so 2^(maxage−age) is an exact BIGINT left-shift and every
+    * score is an integer in units of 2^(-maxage) (mirrored verbatim;
+    * the q403 dodge-pow discipline). Per event type: decayed score,
+    * raw count, and the rank flips the decay causes vs the raw-count
+    * ranking — the readout that justifies the decay at all. One events
+    * aggregate; the age bound comes from the data's own span. */
+  val q451 = QuerySpec(
+    "q451_halflife_popularity",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.fanOut(Tables.events(s, d), col("event_type"))
+        .select($"event_type", expr("unix_micros(ts) div 604800000000L").as("w"))
+      val span = ev.agg(max($"w").as("wmax"), min($"w").as("wmin"))
+      val sc = ev.crossJoin(broadcast(span))
+        .select($"event_type",
+          expr("shiftleft(1L, CAST(wmax - wmin AS INT) - CAST(wmax - w AS INT))")
+            .as("wt"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_raw"), sum($"wt").as("score_q"))
+      sc
+        .withColumn("rank_decayed", row_number().over(
+          Window.orderBy($"score_q".desc, $"event_type")).cast("int"))
+        .withColumn("rank_raw", row_number().over(
+          Window.orderBy($"n_raw".desc, $"event_type")).cast("int"))
+        .withColumn("rank_shift", $"rank_raw" - $"rank_decayed")
+        .orderBy($"rank_decayed")
+    },
+    Some("""WITH ev AS (
+           |  SELECT event_type, epoch_us(ts) // 604800000000 AS w FROM events),
+           |span AS (SELECT max(w) AS wmax, min(w) AS wmin FROM ev),
+           |sc AS (SELECT event_type, count(*) AS n_raw,
+           |    CAST(sum((CAST(1 AS BIGINT) << CAST(wmax - wmin AS INT))
+           |      >> CAST(wmax - w AS INT)) AS BIGINT) AS score_q
+           |  FROM ev CROSS JOIN span GROUP BY event_type),
+           |r AS (SELECT event_type, n_raw, score_q,
+           |    CAST(row_number() OVER (ORDER BY score_q DESC, event_type) AS INT) AS rank_decayed,
+           |    CAST(row_number() OVER (ORDER BY n_raw DESC, event_type) AS INT) AS rank_raw
+           |  FROM sc)
+           |SELECT event_type, n_raw, score_q, rank_decayed, rank_raw,
+           |  rank_raw - rank_decayed AS rank_shift
+           |FROM r ORDER BY rank_decayed""".stripMargin),
+  )
+
+  /** q453 — per-key rate-limit planner: if ingestion throttled each
+    * user at r events/minute, how much traffic would each candidate r ∈
+    * {5, 10, 20} reject? Overflow above r within each (user, minute)
+    * cell, every r read from conditional sums over the cell histogram
+    * in ONE pass (q432's sweep discipline) — the table an API quota is
+    * chosen from. One (user, minute) aggregate, then a 3-row unpivot. */
+  val q453 = QuerySpec(
+    "q453_rate_limit_sweep",
+    (s, d) => {
+      import s.implicits._
+      val cells = Tables.fanOut(Tables.events(s, d), col("user_id"))
+        .groupBy($"user_id", expr("unix_micros(ts) div 60000000L").as("m"))
+        .agg(count(lit(1)).as("c"))
+      def over(r: Long) = sum(when($"c" > r, $"c" - r).otherwise(0L))
+      val one = cells.agg(sum($"c").as("n_events"),
+        count(lit(1)).as("n_cells"), max($"c").as("peak_per_min"),
+        over(5L).as("o5"), over(10L).as("o10"), over(20L).as("o20"))
+      one.select(expr(
+        """stack(3, 5L, o5, 10L, o10, 20L, o20)
+          | AS (limit_per_min, n_rejected)""".stripMargin.replaceAll("\n", "")),
+        $"n_events", $"peak_per_min")
+        .select($"limit_per_min", $"n_rejected",
+          expr("n_rejected * 1000000L div n_events").as("rejected_ppm"),
+          $"peak_per_min")
+        .orderBy($"limit_per_min")
+    },
+    Some("""WITH cells AS (
+           |  SELECT user_id, epoch_us(ts) // 60000000 AS m, count(*) AS c
+           |  FROM events GROUP BY 1, 2),
+           |agg AS (SELECT CAST(sum(c) AS BIGINT) AS n_events,
+           |    CAST(max(c) AS BIGINT) AS peak_per_min,
+           |    CAST(sum(CASE WHEN c > 5 THEN c - 5 ELSE 0 END) AS BIGINT) AS o5,
+           |    CAST(sum(CASE WHEN c > 10 THEN c - 10 ELSE 0 END) AS BIGINT) AS o10,
+           |    CAST(sum(CASE WHEN c > 20 THEN c - 20 ELSE 0 END) AS BIGINT) AS o20
+           |  FROM cells),
+           |u AS (
+           |  SELECT CAST(5 AS BIGINT) AS limit_per_min, o5 AS n_rejected, n_events, peak_per_min FROM agg
+           |  UNION ALL SELECT 10, o10, n_events, peak_per_min FROM agg
+           |  UNION ALL SELECT 20, o20, n_events, peak_per_min FROM agg)
+           |SELECT limit_per_min, n_rejected,
+           |  CAST(n_rejected * 1000000 // n_events AS BIGINT) AS rejected_ppm,
+           |  peak_per_min
+           |FROM u ORDER BY limit_per_min""".stripMargin),
+  )
+
   /** q450 — discrete churn-hazard table (the Kaplan–Meier life table
     * WITHOUT the cumulative float product — hazards per tenure day are
     * the exact, mergeable readout; survival is their downstream
@@ -4398,5 +4490,5 @@ object Analytics {
       q286, q288, q289, q291, q292, q293, q295, q297, q298, q299, q300, q303,
       q306, q308, q311, q312, q314, q315, q316, q319, q321, q323, q325, q331,
       q332, q333, q334, q335, q336, q339, q373, q381, q414, q415, q424, q426,
-      q432, q437, q438, q439, q441, q444, q445, q446, q450)
+      q432, q437, q438, q439, q441, q444, q445, q446, q450, q451, q453)
 }

@@ -1500,7 +1500,54 @@ object ScaleOps {
            |FROM t ORDER BY tbl""".stripMargin),
   )
 
+  /** q452 — storage-tiering planner (the lifecycle-policy sibling of
+    * q436's broadcast planner): bucket the fact table by order year,
+    * estimate each bucket's bytes with q436's exact column-stat
+    * formula, and assign hot/warm/cold tiers by age against the
+    * newest year — plus the exact byte share that a cold tier would
+    * move off premium storage. Pure-integer estimates; one
+    * orders-sized aggregate to a |years|-row frame. */
+  val q452 = QuerySpec(
+    "q452_storage_tier_planner",
+    (s, d) => {
+      import s.implicits._
+      val per = Tables.fanOut(Tables.orders(s, d), col("o_orderkey"))
+        .groupBy(year($"o_orderdate").cast("bigint").as("o_year"))
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(length($"o_orderstatus") + length($"o_orderpriority"))
+            + count(lit(1)) * lit(44L)).as("est_bytes"))
+      val mx = per.agg(max($"o_year").as("ymax"),
+        sum($"est_bytes").as("total_bytes"))
+      per.crossJoin(broadcast(mx))
+        .select($"o_year", $"n_rows", $"est_bytes",
+          when($"ymax" - $"o_year" <= 1L, "hot")
+            .when($"ymax" - $"o_year" <= 3L, "warm")
+            .otherwise("cold").as("tier"),
+          expr("est_bytes * 1000000L div total_bytes").as("share_ppm"))
+        .withColumn("cold_savings_ppm",
+          when($"tier" === "cold", $"share_ppm").otherwise(0L))
+        .orderBy($"o_year")
+    },
+    Some("""WITH per AS (
+           |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           |    count(*) AS n_rows,
+           |    CAST(sum(length(o_orderstatus) + length(o_orderpriority))
+           |      + count(*) * 44 AS BIGINT) AS est_bytes
+           |  FROM orders GROUP BY 1),
+           |mx AS (SELECT max(o_year) AS ymax,
+           |    CAST(sum(est_bytes) AS BIGINT) AS total_bytes FROM per)
+           |SELECT o_year, n_rows, est_bytes,
+           |  CASE WHEN ymax - o_year <= 1 THEN 'hot'
+           |       WHEN ymax - o_year <= 3 THEN 'warm'
+           |       ELSE 'cold' END AS tier,
+           |  CAST(est_bytes * 1000000 // total_bytes AS BIGINT) AS share_ppm,
+           |  CASE WHEN ymax - o_year > 3
+           |    THEN CAST(est_bytes * 1000000 // total_bytes AS BIGINT)
+           |    ELSE 0 END AS cold_savings_ppm
+           |FROM per CROSS JOIN mx ORDER BY o_year""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q207, q208, q209, q210, q248, q249, q250,
     q256, q257, q258, q259, q269, q270, q273, q283, q287, q294, q301, q307,
-    q309, q322, q327, q340, q427, q431, q436)
+    q309, q322, q327, q340, q427, q431, q436, q452)
 }
