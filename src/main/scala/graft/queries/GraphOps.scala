@@ -841,6 +841,87 @@ object GraphOps {
            |FROM a2 ORDER BY authority_ppm DESC, s_suppkey LIMIT 10""".stripMargin),
   )
 
+  /** q454 — item–item collaborative filtering (the Amazon/Sarwar
+    * recipe) over the bipartite trade graph: suppliers co-purchased by
+    * the same customers are neighbors; a customer's recommendations are
+    * the top suppliers they DON'T buy from, scored by total
+    * co-occurrence with the ones they do. Every stage is capped the
+    * NearDup way rather than trusted: per-customer supplier sets cap at
+    * the 16 lowest suppkeys before pairing (pair volume ≤ 256/customer,
+    * enforced — a whale account cannot go quadratic), the item–item
+    * model keeps each supplier's top-8 neighbors (bounded model, the
+    * thing production CF ships), and the readout is the 10 lowest
+    * custkeys' top-3. Exact integer scores; two fact-sized shuffles
+    * (edge build, co-count), everything else model-sized. */
+  val q454 = QuerySpec(
+    "q454_itemitem_recommend",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val edges = graft.Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey")
+        .join(graft.Tables.orders(s, d).select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .select($"o_custkey".as("cust"), $"l_suppkey".as("supp"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val capped = edges
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"cust").orderBy($"supp")))
+          .filter($"rn" <= 16)
+          .select($"cust", $"supp")
+        val co = capped.as("a").join(capped.as("b"),
+            $"a.cust" === $"b.cust" && $"a.supp" =!= $"b.supp")
+          .groupBy($"a.supp".as("sa"), $"b.supp".as("sb"))
+          .agg(count(lit(1)).as("co"))
+        val model = co
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"sa").orderBy($"co".desc, $"sb")))
+          .filter($"rn" <= 8)
+          .select($"sa", $"sb", $"co")
+        val probes = capped.filter($"cust" <= 10)
+        val recs = probes.join(model, $"supp" === $"sa")
+          .join(edges.select($"cust".as("c2"), $"supp".as("owned")),
+            $"cust" === $"c2" && $"sb" === $"owned", "left_anti")
+          .groupBy($"cust", $"sb")
+          .agg(sum($"co").as("score"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy($"cust").orderBy($"score".desc, $"sb")).cast("int"))
+          .filter($"rank" <= 3)
+          .select($"cust".as("c_custkey"), $"rank",
+            $"sb".as("recommended_suppkey"), $"score")
+          .orderBy($"c_custkey", $"rank")
+        val out = Eager(recs)
+        out
+      } finally edges.unpersist(blocking = false)
+    },
+    Some("""WITH edges AS (
+           |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |capped AS (SELECT cust, supp FROM (
+           |    SELECT cust, supp, row_number() OVER (PARTITION BY cust ORDER BY supp) AS rn
+           |    FROM edges) WHERE rn <= 16),
+           |co AS (SELECT a.supp AS sa, b.supp AS sb, count(*) AS co
+           |  FROM capped a JOIN capped b ON a.cust = b.cust AND a.supp <> b.supp
+           |  GROUP BY 1, 2),
+           |model AS (SELECT sa, sb, co FROM (
+           |    SELECT sa, sb, co, row_number() OVER (PARTITION BY sa ORDER BY co DESC, sb) AS rn
+           |    FROM co) WHERE rn <= 8),
+           |probes AS (SELECT cust, supp FROM capped WHERE cust <= 10),
+           |recs AS (SELECT p.cust, m.sb, CAST(sum(m.co) AS BIGINT) AS score
+           |  FROM probes p JOIN model m ON p.supp = m.sa
+           |  WHERE NOT EXISTS (SELECT 1 FROM edges e
+           |    WHERE e.cust = p.cust AND e.supp = m.sb)
+           |  GROUP BY 1, 2)
+           |SELECT c_custkey, rank, recommended_suppkey, score FROM (
+           |  SELECT cust AS c_custkey,
+           |    CAST(row_number() OVER (PARTITION BY cust ORDER BY score DESC, sb) AS INT) AS rank,
+           |    sb AS recommended_suppkey, score
+           |  FROM recs)
+           |WHERE rank <= 3
+           |ORDER BY c_custkey, rank""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q59, q94, q126, q148, q226, q304, q310, q378, q435, q448)
+    Seq(q59, q94, q126, q148, q226, q304, q310, q378, q435, q448, q454)
 }

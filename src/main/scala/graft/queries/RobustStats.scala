@@ -607,6 +607,57 @@ object RobustStats {
            |FROM m""".stripMargin),
   )
 
+  /** q455 — bimodality screen over the doc-length distribution: a mixed
+    * corpus (two templating regimes, two upstream feeds) shows up as
+    * two histogram modes with a valley between them — the cheap test
+    * that decides whether per-source stats (q429) even make sense
+    * pooled. Mode 1 = global argmax bin; mode 2 = argmax among bins ≥ 3
+    * bins away (so a fat unimodal peak can't nominate its own
+    * shoulder); valley = min count strictly between them. The dip ratio
+    * valley/min(mode₁, mode₂) in exact ppm flags bimodal < 0.5. All
+    * argmaxes tie-break on the lower bin; one corpus aggregate to a
+    * bounded 32-char-bin histogram, then bin-domain algebra. */
+  val q455 = QuerySpec(
+    "q455_bimodality_screen",
+    (s, d) => {
+      import s.implicits._
+      val hist = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .groupBy(expr("n_chars div 32L").as("bin"))
+        .agg(count(lit(1)).as("c"))
+      val m1 = hist.orderBy($"c".desc, $"bin").limit(1)
+        .select($"bin".as("bin1"), $"c".as("c1"))
+      val m2 = hist.crossJoin(broadcast(m1))
+        .filter(abs($"bin" - $"bin1") >= 3)
+        .orderBy($"c".desc, $"bin").limit(1)
+        .select($"bin".as("bin2"), $"c".as("c2"))
+      hist.crossJoin(broadcast(m1)).crossJoin(broadcast(m2))
+        .filter($"bin" > least($"bin1", $"bin2")
+          && $"bin" < greatest($"bin1", $"bin2"))
+        .agg(max($"bin1").as("bin1"), max($"c1").as("c1"),
+          max($"bin2").as("bin2"), max($"c2").as("c2"),
+          min($"c").as("valley_min"))
+        .select($"bin1", $"c1", $"bin2", $"c2", $"valley_min",
+          expr("valley_min * 1000000L div least(c1, c2)").as("dip_ppm"))
+        .withColumn("bimodal", $"dip_ppm" < 500000L)
+    },
+    Some("""WITH hist AS (
+           |  SELECT n_chars // 32 AS bin, count(*) AS c
+           |  FROM documents GROUP BY 1),
+           |m1 AS (SELECT bin AS bin1, c AS c1 FROM hist ORDER BY c DESC, bin LIMIT 1),
+           |m2 AS (SELECT bin AS bin2, c AS c2 FROM hist CROSS JOIN m1
+           |  WHERE abs(bin - bin1) >= 3 ORDER BY c DESC, bin LIMIT 1),
+           |v AS (SELECT max(bin1) AS bin1, CAST(max(c1) AS BIGINT) AS c1,
+           |    max(bin2) AS bin2, CAST(max(c2) AS BIGINT) AS c2,
+           |    CAST(min(c) AS BIGINT) AS valley_min
+           |  FROM hist CROSS JOIN m1 CROSS JOIN m2
+           |  WHERE bin > least(bin1, bin2) AND bin < greatest(bin1, bin2))
+           |SELECT bin1, c1, bin2, c2, valley_min,
+           |  CAST(valley_min * 1000000 // least(c1, c2) AS BIGINT) AS dip_ppm,
+           |  valley_min * 1000000 // least(c1, c2) < 500000 AS bimodal
+           |FROM v""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q343, q344, q345, q346, q349, q374, q380, q419, q420, q429, q430)
+    Seq(q343, q344, q345, q346, q349, q374, q380, q419, q420, q429, q430,
+      q455)
 }
