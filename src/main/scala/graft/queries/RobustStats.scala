@@ -528,8 +528,10 @@ object RobustStats {
         // F's numerator is ssb_micro·(N−k)·1000 ≈ 1e24 at sf1 — lifted
         // termwise to DECIMAL(38,0)/HUGEINT (the q381 discipline).
         .select($"k", $"n_total", $"ssb_micro", $"ssw_micro",
+          // outer nullif: k=1 (single group) zeroes the divisor AFTER
+          // the ssw guard — F is undefined, return NULL not an error.
           expr("""CAST(CAST(ssb_micro AS DECIMAL(38,0)) * (n_total - k) * 1000
-            | div (nullif(CAST(ssw_micro AS DECIMAL(38,0)), 0) * (k - 1L)) AS BIGINT)"""
+            | div nullif(nullif(CAST(ssw_micro AS DECIMAL(38,0)), 0) * (k - 1L), 0) AS BIGINT)"""
             .stripMargin.replaceAll("\n", "")).as("f_milli"),
           expr("""CAST(CAST(ssb_micro AS DECIMAL(38,0)) * 1000000
             | div nullif(CAST(ssb_micro AS DECIMAL(38,0)) + ssw_micro, 0) AS BIGINT)"""
@@ -554,7 +556,7 @@ object RobustStats {
            |  FROM a)
            |SELECT k, n_total, ssb_micro, ssw_micro,
            |  CAST(CAST(ssb_micro AS HUGEINT) * (n_total - k) * 1000
-           |    // (nullif(CAST(ssw_micro AS HUGEINT), 0) * (k - 1)) AS BIGINT) AS f_milli,
+           |    // nullif(nullif(CAST(ssw_micro AS HUGEINT), 0) * (k - 1), 0) AS BIGINT) AS f_milli,
            |  CAST(CAST(ssb_micro AS HUGEINT) * 1000000
            |    // nullif(CAST(ssb_micro AS HUGEINT) + ssw_micro, 0) AS BIGINT) AS eta2_ppm
            |FROM b""".stripMargin),

@@ -84,6 +84,31 @@ class Round7cEdgeSpec extends SparkTestBase {
     }
   }
 
+  test("q429: a single-source corpus yields NULL F (k-1 = 0 guard), not an error") {
+    val dir = tmpDir("graft_q429_edge")
+    spark.createDataFrame((1L to 20L).map(i =>
+        (i, s"doc number $i content", "en", "only_src", 100L + i)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/documents.parquet")
+    val r = RobustStats.q429.run(spark, dir).collect()(0)
+    assert(r.getAs[Long]("k") === 1L)
+    assert(r.isNullAt(r.fieldIndex("f_milli")))
+  }
+
+  test("q455: a histogram too narrow for a second mode returns the null row, not a crash") {
+    val dir = tmpDir("graft_q455_edge")
+    // All lengths inside one 32-char bin -> no bin >= 3 away -> m2 empty.
+    spark.createDataFrame((1L to 20L).map(i =>
+        (i, "x", "en", "src", 40L + (i % 8))))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/documents.parquet")
+    val rows = RobustStats.q455.run(spark, dir).collect()
+    assert(rows.length === 1)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("valley_min")))
+  }
+
   test("q427: a single hot key reads 32e6 ppm against the target mean") {
     val dir = tmpDir("graft_q427_edge")
     spark.createDataFrame((1 to 64).map(i =>
