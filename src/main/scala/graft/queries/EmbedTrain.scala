@@ -929,7 +929,73 @@ object EmbedTrain {
             |FROM u ORDER BY tau_ppm""".stripMargin),
   )
 
+  /** q457 — kNN-distance outlier scoring (the LOF-family's cheap
+    * deterministic core): a vector whose 3rd-nearest neighbor is still
+    * FAR is an out-of-distribution or corrupted embedding — the
+    * curation screen value-based outlier tests (z-score/MAD) can't see,
+    * because a broken vector's COORDINATES look normal while its
+    * NEIGHBORHOOD is empty. Candidates come from the capped IVF pool
+    * (q423's O(n·cap) generator); each anchor's 3rd-highest cosine is a
+    * bounded window rank; outlier score = 10⁶ − that cosine (ppm). The
+    * top-15 worst anchors with their labels are the review queue. */
+  val q457 = QuerySpec(
+    "q457_knn_outlier_score",
+    (s, d) => {
+      import s.implicits._
+      val base = Tables.fanOut(Tables.embeddings(s, d), col("vec_id"))
+        .select($"vec_id", $"label", asDouble($"embedding").as("emb"))
+        .withColumn("nrm", l2Norm($"emb"))
+      val cent = base.filter($"vec_id".between(2, 9))
+        .select($"vec_id".as("cid"), $"emb".as("cemb"), $"nrm".as("cnrm"))
+      val assigned = base.crossJoin(broadcast(cent))
+        .withColumn("c", dot($"emb", $"cemb") / ($"nrm" * $"cnrm"))
+        .groupBy($"vec_id")
+        .agg(max_by($"cid", struct($"c", -$"cid")).as("cid"),
+          first($"label").as("label"), first($"emb").as("emb"),
+          first($"nrm").as("nrm"))
+      val bottomK = udaf(graft.functions.BottomKLong(MaxIvfPool))
+      val pool = assigned.groupBy($"cid")
+        .agg(bottomK($"vec_id").as("pool"))
+        .select($"cid", explode($"pool").as("vec_id"))
+      val a = assigned.select($"cid", $"vec_id".as("anchor"),
+        $"label".as("la"), $"emb".as("ea"), $"nrm".as("na"))
+      val b = assigned.join(pool, Seq("cid", "vec_id"))
+        .select($"cid", $"vec_id".as("nbr"), $"emb".as("eb"), $"nrm".as("nb"))
+      val w = Window.partitionBy($"anchor").orderBy($"cos_ppm".desc, $"nbr")
+      val nn3 = a.join(b, Seq("cid"))
+        .filter($"anchor" =!= $"nbr")
+        .withColumn("cos_ppm",
+          floor(lit(1000000.0) * (dot($"ea", $"eb") / ($"na" * $"nb"))).cast("long"))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" === 3)
+        .select($"anchor".as("vec_id"), $"la".as("label"),
+          $"cos_ppm".as("nn3_cos_ppm"),
+          (lit(1000000L) - $"cos_ppm").as("outlier_score_ppm"))
+      nn3.orderBy($"outlier_score_ppm".desc, $"vec_id").limit(15)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            |cent AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id BETWEEN 2 AND 9),
+            |assign AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cid) AS rn
+            |           FROM (SELECT v.vec_id, c2.cid, ${sqlCosine("v.emb", "c2.cemb")} AS c FROM e v, cent c2)),
+            |m AS (SELECT a.vec_id, a.cid, e.label, e.emb FROM assign a JOIN e ON a.vec_id = e.vec_id WHERE a.rn = 1),
+            |pool AS (SELECT cid, vec_id FROM (
+            |    SELECT cid, vec_id, row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS pr FROM m)
+            |  WHERE pr <= $MaxIvfPool),
+            |sc AS (SELECT x.vec_id AS anchor, x.label AS la, y.vec_id AS nbr,
+            |    CAST(floor(1000000.0 * ${sqlCosine("x.emb", "y.emb")}) AS BIGINT) AS cos_ppm
+            |  FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+            |  JOIN pool ON pool.cid = y.cid AND pool.vec_id = y.vec_id),
+            |nn3 AS (SELECT anchor AS vec_id, la AS label, cos_ppm AS nn3_cos_ppm,
+            |    1000000 - cos_ppm AS outlier_score_ppm
+            |  FROM (SELECT anchor, la, cos_ppm,
+            |      row_number() OVER (PARTITION BY anchor ORDER BY cos_ppm DESC, nbr) AS rnk
+            |    FROM sc) WHERE rnk = 3)
+            |SELECT vec_id, label, nn3_cos_ppm,
+            |  CAST(outlier_score_ppm AS BIGINT) AS outlier_score_ppm
+            |FROM nn3 ORDER BY outlier_score_ppm DESC, vec_id LIMIT 15""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q352, q353, q354, q355, q356, q357, q358, q371, q399, q400, q422,
-      q423, q433, q434)
+      q423, q433, q434, q457)
 }

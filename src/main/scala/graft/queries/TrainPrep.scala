@@ -2334,9 +2334,63 @@ object TrainPrep {
             |ORDER BY k""".stripMargin),
   )
 
+  /** q456 — out-of-fold target encoding (the leakage-proof categorical
+    * feature): encode each market segment by the mean order value
+    * computed WITHOUT the encoded fold's own rows — the K-fold
+    * discipline that keeps a target encoding from memorizing its own
+    * labels (plain per-category means leak; q440 audits folds, this
+    * builds the feature on them). Folds are the salted md5 mod 5 on
+    * custkey; out-of-fold mean = (segment Σ − fold Σ)/(segment n −
+    * fold n) in exact cents (nullif-guarded for a fold owning its whole
+    * segment). One orders aggregate to the (segment × fold) frame,
+    * segment totals broadcast back. */
+  val q456 = QuerySpec(
+    "q456_oof_target_encoding",
+    (s, d) => {
+      import s.implicits._
+      val base = Tables.fanOut(Tables.orders(s, d), col("o_custkey"))
+        .join(broadcast(Tables.customer(s, d)
+          .select($"c_custkey", $"c_mktsegment")), $"o_custkey" === $"c_custkey")
+        .select($"c_mktsegment".as("segment"),
+          (conv(substring(md5(concat(lit("cv|"), $"o_custkey".cast("string"))
+            .cast("binary")), 1, 2), 16, 10).cast("long") % 5).as("fold"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val perFold = base.groupBy($"segment", $"fold")
+        .agg(count(lit(1)).as("n_fold"), sum($"cents").as("sum_fold"))
+      val perSeg = perFold.groupBy($"segment")
+        .agg(sum($"n_fold").as("n_seg"), sum($"sum_fold").as("sum_seg"))
+      perFold.join(broadcast(perSeg), "segment")
+        .select($"segment", $"fold", $"n_fold",
+          expr("(sum_seg - sum_fold) div nullif(n_seg - n_fold, 0L)")
+            .as("oof_mean_cents"),
+          expr("sum_seg div n_seg").as("full_mean_cents"))
+        .withColumn("leakage_gap_cents",
+          abs($"oof_mean_cents" - $"full_mean_cents"))
+        .orderBy($"segment", $"fold")
+    },
+    Some("""WITH base AS (
+           |  SELECT c_mktsegment AS segment,
+           |    (CAST(strpos('0123456789abcdef', substr(md5('cv|' || o_custkey), 1, 1)) - 1 AS BIGINT) * 16
+           |     + CAST(strpos('0123456789abcdef', substr(md5('cv|' || o_custkey), 2, 1)) - 1 AS BIGINT)) % 5 AS fold,
+           |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           |  FROM orders JOIN customer ON o_custkey = c_custkey),
+           |pf AS (SELECT segment, fold, count(*) AS n_fold,
+           |    CAST(sum(cents) AS BIGINT) AS sum_fold
+           |  FROM base GROUP BY 1, 2),
+           |ps AS (SELECT segment, CAST(sum(n_fold) AS BIGINT) AS n_seg,
+           |    CAST(sum(sum_fold) AS BIGINT) AS sum_seg FROM pf GROUP BY 1)
+           |SELECT pf.segment, pf.fold, pf.n_fold,
+           |  CAST((sum_seg - sum_fold) // nullif(n_seg - n_fold, 0) AS BIGINT) AS oof_mean_cents,
+           |  CAST(sum_seg // n_seg AS BIGINT) AS full_mean_cents,
+           |  CAST(abs((sum_seg - sum_fold) // nullif(n_seg - n_fold, 0)
+           |    - sum_seg // n_seg) AS BIGINT) AS leakage_gap_cents
+           |FROM pf JOIN ps ON pf.segment = ps.segment
+           |ORDER BY pf.segment, pf.fold""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q60, q61, q62, q63, q64, q65, q67, q68, q69, q70,
     q86, q87, q88, q89, q90, q96, q100, q101, q106, q110, q149, q150, q160,
     q192, q194, q200, q214, q215, q236, q243, q263, q274, q275, q317, q318,
     q328, q330, q347, q348, q351, q387, q397, q403, q409, q411, q412, q440,
-    q447)
+    q447, q456)
 }
