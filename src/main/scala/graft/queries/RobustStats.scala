@@ -659,7 +659,141 @@ object RobustStats {
            |FROM v""".stripMargin),
   )
 
+  /** Shared fixture for the fairness trio (q458–q460): q430's two
+    * deterministic document classifiers against the length-quality
+    * truth, grouped by source — (source, truth, pred) per doc. */
+  private def classified(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+      .select($"source",
+        ($"n_chars" >= 300L).as("truth"),
+        (size(split($"text", " ")) >= 55).as("pred"))
+  }
+
+  private val sqlClassified: String =
+    """cls AS (
+      |  SELECT source, (n_chars >= 300) AS truth,
+      |    (len(string_split(text, ' ')) >= 55) AS pred
+      |  FROM documents)""".stripMargin
+
+  /** q458 — per-group accuracy fairness gap: the first fairness page —
+    * does the classifier work EQUALLY WELL across sources, or does its
+    * aggregate accuracy hide a group it fails? Accuracy per source in
+    * exact ppm plus each group's gap to the best group; worst gap
+    * above 50 000 ppm flags review. One corpus aggregate to |sources|
+    * rows, the 1-row max broadcast back. */
+  val q458 = QuerySpec(
+    "q458_accuracy_fairness_gap",
+    (s, d) => {
+      import s.implicits._
+      val per = classified(s, d).groupBy($"source")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"pred" === $"truth", 1L).otherwise(0L)).as("n_correct"))
+        .withColumn("acc_ppm", expr("n_correct * 1000000L div n"))
+      per.crossJoin(broadcast(per.agg(max($"acc_ppm").as("best_ppm"))))
+        .select($"source", $"n", $"acc_ppm",
+          ($"best_ppm" - $"acc_ppm").as("gap_ppm"))
+        .withColumn("review_flag", $"gap_ppm" > 50000L)
+        .orderBy($"source")
+    },
+    Some(s"""WITH $sqlClassified,
+            |per AS (SELECT source, count(*) AS n,
+            |    CAST(sum(CASE WHEN pred = truth THEN 1 ELSE 0 END) * 1000000
+            |      // count(*) AS BIGINT) AS acc_ppm
+            |  FROM cls GROUP BY source),
+            |b AS (SELECT max(acc_ppm) AS best_ppm FROM per)
+            |SELECT source, n, acc_ppm,
+            |  best_ppm - acc_ppm AS gap_ppm,
+            |  best_ppm - acc_ppm > 50000 AS review_flag
+            |FROM per CROSS JOIN b ORDER BY source""".stripMargin),
+  )
+
+  /** q459 — disparate-impact (four-fifths rule) audit: per source, the
+    * classifier's positive-selection rate, and each group's impact
+    * ratio against the MOST-selected group — the EEOC 80% screen: a
+    * ratio under 800 000 ppm is adverse impact. Exact ppm integer
+    * chains; same single-aggregate shape as q458. */
+  val q459 = QuerySpec(
+    "q459_disparate_impact",
+    (s, d) => {
+      import s.implicits._
+      val per = classified(s, d).groupBy($"source")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"pred", 1L).otherwise(0L)).as("n_selected"))
+        .withColumn("sel_ppm", expr("n_selected * 1000000L div n"))
+      per.crossJoin(broadcast(per.agg(max($"sel_ppm").as("best_sel_ppm"))))
+        .select($"source", $"n", $"n_selected", $"sel_ppm",
+          expr("sel_ppm * 1000000L div nullif(best_sel_ppm, 0L)")
+            .as("impact_ratio_ppm"))
+        .withColumn("adverse_impact", $"impact_ratio_ppm" < 800000L)
+        .orderBy($"source")
+    },
+    Some(s"""WITH $sqlClassified,
+            |per AS (SELECT source, count(*) AS n,
+            |    CAST(sum(CASE WHEN pred THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+            |    CAST(sum(CASE WHEN pred THEN 1 ELSE 0 END) * 1000000
+            |      // count(*) AS BIGINT) AS sel_ppm
+            |  FROM cls GROUP BY source),
+            |b AS (SELECT max(sel_ppm) AS best_sel_ppm FROM per)
+            |SELECT source, n, n_selected, sel_ppm,
+            |  CAST(sel_ppm * 1000000 // nullif(best_sel_ppm, 0) AS BIGINT) AS impact_ratio_ppm,
+            |  sel_ppm * 1000000 // nullif(best_sel_ppm, 0) < 800000 AS adverse_impact
+            |FROM per CROSS JOIN b ORDER BY source""".stripMargin),
+  )
+
+  /** q460 — equalized-odds gap (Hardt et al.): per source, the
+    * classifier's TRUE-positive and FALSE-positive rates, and each
+    * group's absolute gap to the corpus-wide pooled rates — error-rate
+    * parity conditioned on the truth, the fairness criterion accuracy
+    * (q458) and selection rate (q459) both miss. nullif guards the
+    * all-one-class group (TPR/FPR undefined → NULL, not ÷0). */
+  val q460 = QuerySpec(
+    "q460_equalized_odds_gap",
+    (s, d) => {
+      import s.implicits._
+      val per = classified(s, d).groupBy($"source")
+        .agg(
+          sum(when($"truth" && $"pred", 1L).otherwise(0L)).as("tp"),
+          sum(when($"truth" && !$"pred", 1L).otherwise(0L)).as("fn"),
+          sum(when(!$"truth" && $"pred", 1L).otherwise(0L)).as("fp"),
+          sum(when(!$"truth" && !$"pred", 1L).otherwise(0L)).as("tn"))
+        .withColumn("tpr_ppm", expr("tp * 1000000L div nullif(tp + fn, 0L)"))
+        .withColumn("fpr_ppm", expr("fp * 1000000L div nullif(fp + tn, 0L)"))
+      val pooled = per.agg(
+        expr("sum(tp) * 1000000L div nullif(sum(tp) + sum(fn), 0L)").as("tpr_all"),
+        expr("sum(fp) * 1000000L div nullif(sum(fp) + sum(tn), 0L)").as("fpr_all"))
+      per.crossJoin(broadcast(pooled))
+        .select($"source", $"tpr_ppm", $"fpr_ppm",
+          abs($"tpr_ppm" - $"tpr_all").as("tpr_gap_ppm"),
+          abs($"fpr_ppm" - $"fpr_all").as("fpr_gap_ppm"))
+        .withColumn("odds_violation",
+          greatest($"tpr_gap_ppm", $"fpr_gap_ppm") > 100000L)
+        .orderBy($"source")
+    },
+    Some(s"""WITH $sqlClassified,
+            |per AS (SELECT source,
+            |    CAST(sum(CASE WHEN truth AND pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+            |    CAST(sum(CASE WHEN truth AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+            |    CAST(sum(CASE WHEN NOT truth AND pred THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+            |    CAST(sum(CASE WHEN NOT truth AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS tn
+            |  FROM cls GROUP BY source),
+            |r AS (SELECT source,
+            |    tp * 1000000 // nullif(tp + fn, 0) AS tpr_ppm,
+            |    fp * 1000000 // nullif(fp + tn, 0) AS fpr_ppm
+            |  FROM per),
+            |pl AS (SELECT
+            |    sum(tp) * 1000000 // nullif(sum(tp) + sum(fn), 0) AS tpr_all,
+            |    sum(fp) * 1000000 // nullif(sum(fp) + sum(tn), 0) AS fpr_all
+            |  FROM per)
+            |SELECT source, CAST(tpr_ppm AS BIGINT) AS tpr_ppm,
+            |  CAST(fpr_ppm AS BIGINT) AS fpr_ppm,
+            |  CAST(abs(tpr_ppm - tpr_all) AS BIGINT) AS tpr_gap_ppm,
+            |  CAST(abs(fpr_ppm - fpr_all) AS BIGINT) AS fpr_gap_ppm,
+            |  greatest(abs(tpr_ppm - tpr_all), abs(fpr_ppm - fpr_all)) > 100000 AS odds_violation
+            |FROM r CROSS JOIN pl ORDER BY source""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q343, q344, q345, q346, q349, q374, q380, q419, q420, q429, q430,
-      q455)
+      q455, q458, q459, q460)
 }
