@@ -465,6 +465,63 @@ object DecisionSupport {
            |FROM sh GROUP BY segment ORDER BY segment""".stripMargin),
   )
 
+  /** q461 — ABC (Pareto) supplier classification: rank suppliers by
+    * revenue, classify the head covering the first 80% of cumulative
+    * revenue as A, the next 15% as B, the tail as C, and report each
+    * class's member count and exact revenue share — the inventory-
+    * management 80/20 readout (and the data-layout heuristic behind
+    * "hot keys get their own files"). Revenue in exact cents; the
+    * cumulative rank runs over the SUPPLIER DIMENSION (bounded,
+    * dimension-sized — never the fact table); class boundaries compare
+    * exact integer cumulative cents against total·thresholds. */
+  val q461 = QuerySpec(
+    "q461_abc_pareto_class",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.lineitem(s, d)
+        .groupBy($"l_suppkey")
+        .agg(sum(expr(
+          "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+          .as("cents"))
+      val w = Window.orderBy($"cents".desc, $"l_suppkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = rev.agg(sum($"cents").as("total"))
+      rev.crossJoin(broadcast(tot))
+        .withColumn("cum", sum($"cents").over(w))
+        .withColumn("cls",
+          when($"cum" * 100L <= $"total" * 80L, "A")
+            .when($"cum" * 100L <= $"total" * 95L, "B")
+            .otherwise("C"))
+        .groupBy($"cls")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum($"cents").as("class_cents"))
+        .crossJoin(broadcast(tot))
+        // class_cents·10⁶ crosses 2⁶³ at sf1 totals — DECIMAL lift.
+        .select($"cls", $"n_suppliers",
+          expr("CAST(CAST(class_cents AS DECIMAL(38,0)) * 1000000 div total AS BIGINT)")
+            .as("revenue_share_ppm"))
+        .orderBy($"cls")
+    },
+    Some("""WITH rev AS (
+           |  SELECT l_suppkey,
+           |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS cents
+           |  FROM lineitem GROUP BY 1),
+           |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM rev),
+           |c AS (SELECT cents,
+           |    sum(cents) OVER (ORDER BY cents DESC, l_suppkey
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM rev),
+           |k AS (SELECT cents,
+           |    CASE WHEN cum * 100 <= total * 80 THEN 'A'
+           |         WHEN cum * 100 <= total * 95 THEN 'B'
+           |         ELSE 'C' END AS cls
+           |  FROM c CROSS JOIN t)
+           |SELECT cls, count(*) AS n_suppliers,
+           |  CAST(CAST(sum(cents) AS HUGEINT) * 1000000 // (SELECT total FROM t) AS BIGINT) AS revenue_share_ppm
+           |FROM k GROUP BY cls ORDER BY cls""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q201, q202, q203, q204, q205, q206, q410, q417, q418, q442)
+    Seq(q201, q202, q203, q204, q205, q206, q410, q417, q418, q442, q461)
 }
