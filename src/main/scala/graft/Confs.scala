@@ -34,8 +34,9 @@ object Confs {
     * re-expressed as a builder decorator so a production launcher gets
     * the same tuning the blueprint's SparkApplication manifest sets:
     *
-    *  - WebIdentity (IRSA) credentials + the S3A filesystem impl —
-    *    keyless auth on EKS (yaml:18-19);
+    *  - the S3A filesystem impl (yaml:19); credentials are NOT pinned
+    *    here — the default AWS chain stands, and EKS launchers opt into
+    *    IRSA via [[withIrsaCredentials]] (yaml:18);
     *  - committer algorithm v2 — task commits move output once instead
     *    of the double-rename that makes S3 job commits O(files) twice
     *    (yaml:20);
@@ -57,8 +58,6 @@ object Confs {
     * cluster with hadoop-aws on the classpath and the scan/commit
     * behavior is the reference's. */
   val S3aProfile: Seq[(String, String)] = Seq(
-    "spark.hadoop.fs.s3a.aws.credentials.provider" ->
-      "com.amazonaws.auth.WebIdentityTokenCredentialsProvider",
     "spark.hadoop.fs.s3a.impl" -> "org.apache.hadoop.fs.s3a.S3AFileSystem",
     "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version" -> "2",
     "spark.hadoop.fs.s3a.input.fadvise" -> "random",
@@ -71,4 +70,18 @@ object Confs {
 
   def withS3aProfile(b: SparkSession.Builder): SparkSession.Builder =
     S3aProfile.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+
+  /** EKS/IRSA credential binding — OPT-IN, not part of [[S3aProfile]]:
+    * pinning WebIdentityTokenCredentialsProvider replaces the default
+    * AWS credential chain, so baking it into every session would break
+    * auth for non-EKS deployments (static keys, instance profile, SSO).
+    * The reference manifest sets it because its launcher IS an EKS
+    * service account (spark-operator-taxi.yaml:18); a launcher in that
+    * position opts in by stacking this decorator on withS3aProfile. */
+  val IrsaCredentials: Seq[(String, String)] = Seq(
+    "spark.hadoop.fs.s3a.aws.credentials.provider" ->
+      "com.amazonaws.auth.WebIdentityTokenCredentialsProvider")
+
+  def withIrsaCredentials(b: SparkSession.Builder): SparkSession.Builder =
+    IrsaCredentials.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
 }

@@ -3829,9 +3829,15 @@ object Analytics {
       val ev = Tables.fanOut(Tables.events(s, d), col("event_type"))
         .select($"event_type", expr("unix_micros(ts) div 604800000000L").as("w"))
       val span = ev.agg(max($"w").as("wmax"), min($"w").as("wmin"))
+      // Exponent clamped to [0, 32]: an unclamped span (w - wmin) on
+      // >=63-week data would overflow BIGINT and diverge between
+      // Spark's mod-64 shift wrap and DuckDB's shift semantics. Capping
+      // the decay range at 2^32 keeps sum(wt) exact for corpora up to
+      // ~2^30 rows on BOTH engines; events older than 32 weeks below
+      // the newest in-span week all share the floor weight 1.
       val sc = ev.crossJoin(broadcast(span))
         .select($"event_type",
-          expr("shiftleft(1L, CAST(wmax - wmin AS INT) - CAST(wmax - w AS INT))")
+          expr("shiftleft(1L, CAST(greatest(0L, least(wmax - wmin, 32L) - (wmax - w)) AS INT))")
             .as("wt"))
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n_raw"), sum($"wt").as("score_q"))
@@ -3847,8 +3853,8 @@ object Analytics {
            |  SELECT event_type, epoch_us(ts) // 604800000000 AS w FROM events),
            |span AS (SELECT max(w) AS wmax, min(w) AS wmin FROM ev),
            |sc AS (SELECT event_type, count(*) AS n_raw,
-           |    CAST(sum((CAST(1 AS BIGINT) << CAST(wmax - wmin AS INT))
-           |      >> CAST(wmax - w AS INT)) AS BIGINT) AS score_q
+           |    CAST(sum(CAST(1 AS BIGINT) << CAST(greatest(0,
+           |      least(wmax - wmin, 32) - (wmax - w)) AS INT)) AS BIGINT) AS score_q
            |  FROM ev CROSS JOIN span GROUP BY event_type),
            |r AS (SELECT event_type, n_raw, score_q,
            |    CAST(row_number() OVER (ORDER BY score_q DESC, event_type) AS INT) AS rank_decayed,
@@ -3969,9 +3975,6 @@ object Analytics {
     "q446_watermark_drop_sweep",
     (s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val wu = Window.partitionBy($"user_id").orderBy($"event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
       // prior-max is NULL on a user's first event; the NULL-ness is made
       // EXPLICIT (prior IS NULL → drop) rather than left to greatest()'s
       // engine-specific null handling.
@@ -4065,8 +4068,6 @@ object Analytics {
     "q445_clock_skew_audit",
     (s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val wu = Window.partitionBy($"user_id").orderBy($"event_id")
       val pairs = Tables.fanOut(Tables.events(s, d), col("user_id"))
         .select($"user_id", $"event_id", $"event_type", $"ts")
         .withColumn("skew_s",
@@ -4334,8 +4335,6 @@ object Analytics {
     "q432_session_timeout_sweep",
     (s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val wu = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       val gaps = Tables.fanOut(Tables.events(s, d), col("user_id"))
         .select($"user_id", $"ts", $"event_id")
         .withColumn("gap_s",

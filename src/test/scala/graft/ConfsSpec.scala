@@ -25,4 +25,16 @@ class ConfsSpec extends SparkTestBase {
       case _ => ()
     }
   }
+
+  test("IRSA credential provider is opt-in, NOT in the default session") {
+    // Pinning WebIdentityTokenCredentialsProvider by default would
+    // replace the AWS credential chain and break non-EKS deployments;
+    // the library session must leave the chain alone.
+    Confs.IrsaCredentials.foreach { case (k, _) =>
+      assert(spark.conf.getOption(k).isEmpty, s"conf $k must be unset")
+      assert(!S3aProfileKeys.contains(k), s"$k must not be in S3aProfile")
+    }
+  }
+
+  private def S3aProfileKeys = Confs.S3aProfile.map(_._1).toSet
 }
