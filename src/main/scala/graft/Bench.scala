@@ -141,7 +141,21 @@ object Bench {
     // Full-precision detail line (full query names; cold + warm wall,
     // GC, process-CPU, pre-query load average and page-cache GiB) — for
     // local diagnosis; too long for the driver's capture window.
-    println(s"""{"metric":"detail","value":$total,"unit":"sec","queries":$qs,"total_warm":$totalWarm,"queries_warm":$qw,"gc_cold_secs":$qg,"cpu_cold_secs":$qc,"cpu_warm_secs":$qcw,"load_before":$ql,"cached_gb_before":$qm,"errors":$errs,"failed_secs":$failedSecs,"sf":"$sfDir"}""")
+    val detail = s"""{"metric":"detail","value":$total,"unit":"sec","queries":$qs,"total_warm":$totalWarm,"queries_warm":$qw,"gc_cold_secs":$qg,"cpu_cold_secs":$qc,"cpu_warm_secs":$qcw,"load_before":$ql,"cached_gb_before":$qm,"errors":$errs,"failed_secs":$failedSecs,"sf":"$sfDir"}"""
+    println(detail)
+    // Self-adjudication (round-7 ask #1): the detail line ALSO lands in
+    // a file that survives the capture window, so every headline wall
+    // second has its process-CPU/GC/load context recoverable from a
+    // committed artifact instead of from prose. Path override via
+    // SPARK_GRAFT_DETAIL_OUT; default = BENCH_DETAIL_latest.json in the
+    // working directory (the repo root under both the driver and local
+    // runs). Best-effort — a read-only cwd must not fail the bench.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT",
+      "BENCH_DETAIL_latest.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case scala.util.control.NonFatal(_) => () }
     // Final line is the one the driver parses, and it only keeps the LAST
     // ~2000 chars of output (BENCH_r03.json's tail cut the r3 line mid-key
     // → parsed:null). So the headline line must stay compact: per-query
@@ -189,7 +203,18 @@ object Bench {
     }
     val errsBudgeted = errKept.mkString("[", ",", "]")
     val errsOmitted = errors.size - errKept.length
-    val budget = math.max(0, 1400 - errsBudgeted.length)
+    // Per-family cold subtotals (round-7 ask #8): the q01–q23 anchor is
+    // ~5% of a 460-query run, so a regression inside one module family
+    // must be readable from the captured headline alone. Families come
+    // from SparkEntry's module registry; each costs ~14 chars, paid for
+    // by shrinking the per-query map budget below — the line's total
+    // length envelope stays what survived r07's capture window.
+    val famOf = SparkEntry.families
+    val famTotals = good.groupBy(r => famOf.getOrElse(r.name, "other"))
+      .toSeq.sortBy(_._1)
+      .map { case (f, rs) => "\"" + f + "\":" + r3(rs.map(_.cold.wall).sum) }
+      .mkString("{", ",", "}")
+    val budget = math.max(0, 1400 - errsBudgeted.length - famTotals.length)
     val kept = scala.collection.mutable.ListBuffer[String]()
     var used = 0
     ordered.foreach { e =>
@@ -206,7 +231,7 @@ object Bench {
     // value ≫ cpu means the process spent the round waiting — read
     // "stalled" for the per-query breakdown before calling any number a
     // plan regression.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"omitted":$omitted,"total_warm":${r3(totalWarm)},"gc_cold":${r3(gcCold)},"gc_warm":${r3(gcWarm)},"cpu_cold":${r3(cpuCold)},"cpu_warm":${r3(cpuWarm)},"stalled":$stalled,"errors":$errsBudgeted,"errors_omitted":$errsOmitted,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"omitted":$omitted,"families":$famTotals,"total_warm":${r3(totalWarm)},"gc_cold":${r3(gcCold)},"gc_warm":${r3(gcWarm)},"cpu_cold":${r3(cpuCold)},"cpu_warm":${r3(cpuWarm)},"stalled":$stalled,"errors":$errsBudgeted,"errors_omitted":$errsOmitted,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

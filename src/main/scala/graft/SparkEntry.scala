@@ -33,4 +33,21 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     specs.flatMap(sp => sp.oracle.map(sp.name -> _)).toMap
+
+  /** Query name → owning module family (short labels), for the bench
+    * headline's per-family subtotals: a family-level regression must be
+    * visible from the captured headline alone, without the detail file
+    * (round-7 ask #8 — q01–q23 is only ~5% of the suite's wall time). */
+  def families: Map[String, String] = {
+    val fams: Seq[(Seq[QuerySpec], String)] = Seq(
+      Relational.all -> "rel", LlmOps.all -> "llm", NearDup.all -> "ndup",
+      TextMedia.all -> "text", StreamingOps.all -> "strm",
+      SqlSurface.all -> "sql", Extras.all -> "extra", GraphOps.all -> "graph",
+      TrainPrep.all -> "prep", SourcesIO.all -> "io",
+      Analytics.all -> "analyt", DecisionSupport.all -> "dss",
+      ScaleOps.all -> "scale", Search.all -> "srch", Indexes.all -> "idx",
+      RobustStats.all -> "robust", EmbedTrain.all -> "embed",
+      Curation.all -> "cur")
+    fams.flatMap { case (qs, f) => qs.map(_.name -> f) }.toMap
+  }
 }
