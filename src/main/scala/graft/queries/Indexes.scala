@@ -325,6 +325,121 @@ object Indexes {
     q341.oracle,
   )
 
+  /** q462's delete stage, factored so the plan/file audit can drive it
+    * directly: erase `deadIds` from the maintained inverted file at
+    * `ivfDir` by rewriting ONLY the partitions that hold them. The
+    * affected cluster ids are recomputed from the FROZEN coarse
+    * quantizer (assignment is deterministic, so no index scan is needed
+    * to locate a vector's partition — the same property that makes
+    * q360's maintenance append-only). Survivors of the affected
+    * partitions are staged to a sibling dir (Spark refuses to overwrite
+    * a path it is reading, and rightly so), then swapped in with
+    * directory-level moves — the file-commit shape of a production
+    * dynamic-partition overwrite, one O(1) FS op per affected
+    * partition. Partitions without deleted vectors are NEVER read,
+    * rewritten, or touched (the audit pins their files byte-identical).
+    * Returns the affected cid set. */
+  def deleteFromIvf(s: SparkSession, ivfDir: String,
+      assignDead: DataFrame, deadPred: org.apache.spark.sql.Column): Seq[Long] = {
+    import s.implicits._
+    val deadCids = assignDead.select($"cid").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted // bounded by the centroid count
+    if (deadCids.nonEmpty) {
+      val stage = s"$ivfDir.__delete_stage"
+      s.read.parquet(ivfDir)
+        .filter($"cid".isin(deadCids: _*)) // partition-pruned read
+        .filter(!deadPred)
+        .write.partitionBy("cid").parquet(stage)
+      deadCids.foreach { cid =>
+        val dst = java.nio.file.Paths.get(s"$ivfDir/cid=$cid")
+        val src = java.nio.file.Paths.get(s"$stage/cid=$cid")
+        graft.Fs.deleteTree(dst)
+        // A partition whose every member was erased has no staged dir —
+        // the delete above already removed it from the index.
+        if (java.nio.file.Files.exists(src))
+          java.nio.file.Files.move(src, dst)
+      }
+      graft.Fs.deleteTree(stage)
+    }
+    deadCids
+  }
+
+  /** q462 — DELETION from the maintained IVF index (the lifecycle verb
+    * q359–q361 stop short of — production right-to-be-forgotten must
+    * reach the index files, not just the source tables q325 erases
+    * from). The q360 inverted file is built and maintained over two
+    * epochs, then an erasure request lands for vec_id % 7 = 3:
+    * [[deleteFromIvf]] rewrites exactly the affected cluster
+    * partitions. The probe then runs the standard q341 shape over the
+    * post-delete files, plus an audit column counting erased ids still
+    * readable anywhere in the index — the GDPR verification read
+    * (column-pruned: ids only, never vectors). Oracle: the from-scratch
+    * IVF on the REDUCED corpus — deletion ≡ rebuild-without-them, and
+    * the audit count is pinned at zero. Scale: the erase batch is tiny
+    * by nature; the rewrite IO is |affected partitions|, not the index;
+    * the swap is one FS move per partition. */
+  val q462 = QuerySpec(
+    "q462_ivf_index_delete",
+    (s, d) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfd").toString
+      try {
+        val base = Tables.embeddings(s, d)
+          .select($"vec_id", asDouble($"embedding").as("emb"))
+          .withColumn("nrm", l2Norm($"emb"))
+        val cent = base.filter($"vec_id".between(2, 9))
+          .select($"vec_id".as("cid"), $"emb".as("cemb"), $"nrm".as("cnrm"))
+        val qv = base.filter($"vec_id" === 1)
+          .select($"emb".as("qemb"), $"nrm".as("qnrm"))
+        def assign(df: DataFrame) = Tables.fanOut(df, col("vec_id"))
+          .crossJoin(broadcast(cent))
+          .withColumn("c", dot($"emb", $"cemb") / ($"nrm" * $"cnrm"))
+          .groupBy($"vec_id")
+          .agg(max_by($"cid", struct($"c", -$"cid")).as("cid"),
+            first($"emb").as("emb"), first($"nrm").as("nrm"))
+        // BUILD + MAINTAIN: q360's two-epoch append lifecycle.
+        assign(base.filter($"vec_id" % 2 === 0))
+          .write.partitionBy("cid").parquet(s"$tmp/ivf")
+        assign(base.filter($"vec_id" % 2 === 1))
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .partitionBy("cid").parquet(s"$tmp/ivf")
+        // DELETE: the erasure batch spans both epochs' files.
+        deleteFromIvf(s, s"$tmp/ivf",
+          assign(base.filter($"vec_id" % 7 === 3)), $"vec_id" % 7 === 3)
+        // AUDIT: erased ids still readable anywhere in the index.
+        val left = s.read.parquet(s"$tmp/ivf")
+          .filter($"vec_id" % 7 === 3)
+          .agg(count(lit(1)).as("n_erased_left"))
+        // PROBE the post-delete index, q341's shape.
+        val probeCids = cent.crossJoin(broadcast(qv))
+          .withColumn("c", dot($"cemb", $"qemb") / ($"cnrm" * $"qnrm"))
+          .orderBy($"c".desc, $"cid")
+          .limit(2)
+          .select($"cid").collect().map(_.getLong(0))
+        val hits = s.read.parquet(s"$tmp/ivf")
+          .filter($"cid".isin(probeCids: _*) && $"vec_id" =!= 1)
+          .crossJoin(broadcast(qv))
+          .select($"vec_id", $"cid".cast("long").as("cluster_id"),
+            round(dot($"emb", $"qemb") / ($"nrm" * $"qnrm"), 4).as("cos_sim"))
+          .orderBy($"cos_sim".desc, $"vec_id")
+          .limit(10)
+        Eager(hits.crossJoin(broadcast(left)))
+      } finally graft.Fs.deleteTree(tmp)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            |cent AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id BETWEEN 2 AND 9),
+            |assign AS (SELECT vec_id, cid, c, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cid) AS rn
+            |           FROM (SELECT v.vec_id, c2.cid, ${sqlCosine("v.emb", "c2.cemb")} AS c FROM e v, cent c2)),
+            |member AS (SELECT vec_id, cid FROM assign WHERE rn = 1 AND vec_id % 7 <> 3),
+            |q AS (SELECT emb AS qemb FROM e WHERE vec_id = 1),
+            |probe AS (SELECT cid FROM assign WHERE vec_id = 1 AND rn <= 2)
+            |SELECT m.vec_id AS vec_id, m.cid AS cluster_id, round(${sqlCosine("v.emb", "qemb")}, 4) AS cos_sim,
+            |  CAST(0 AS BIGINT) AS n_erased_left
+            |FROM member m JOIN e v ON m.vec_id = v.vec_id, q
+            |WHERE m.cid IN (SELECT cid FROM probe) AND m.vec_id <> 1
+            |ORDER BY cos_sim DESC, m.vec_id LIMIT 10""".stripMargin),
+  )
+
   /** q361 — LSH index COMPACTION (the lifecycle step after q359's
     * appends): buckets whose lifetime totals crossed the cap are
     * tombstoned in meta — the probe already ignores them, but their
@@ -782,5 +897,5 @@ object Indexes {
   )
 
   val all: Seq[QuerySpec] =
-    Seq(q341, q342, q359, q360, q361, q362, q366, q369, q372, q375, q384, q388)
+    Seq(q341, q342, q359, q360, q361, q362, q366, q369, q372, q375, q384, q388, q462)
 }
