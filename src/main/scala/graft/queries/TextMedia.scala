@@ -611,6 +611,105 @@ object TextMedia {
            |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin),
   )
 
+  /** q463 — multi-round BPE TRAINER (q261 computes the pair census of
+    * round 1; this runs the full loop): 8 merge rounds over the corpus
+    * word census, emitting the trained merge table — the tokenizer-
+    * training half of the LLM brief whose artifacts q31/q390 consume
+    * downstream. Round r: adjacent-pair census weighted by word
+    * frequency → argmax pair (cnt desc, lexicographic tiebreak — fully
+    * deterministic) → greedy left-to-right merge applied in-row to
+    * every word's symbol array via a string-encoded `aggregate` fold
+    * (codegen'd; no UDF). Scale: the corpus is touched ONCE (the word
+    * census — group-by-word collapses 100 TB of text to a vocab-sized
+    * frame); all 8 rounds loop over the persisted vocab frame
+    * (q236/q310's driver-loop discipline: persist per round, unpersist
+    * the previous), each round one pair-census aggregate over ≤11
+    * pairs/word and one in-row rewrite. Words clip to 12 chars — the
+    * per-word cost ceiling a real trainer sets. The oracle replays all
+    * 8 rounds as a chained CTE whose merge application is the SAME
+    * greedy fold (list_reduce over the same string encoding), so the
+    * learned rules must agree exactly. */
+  val q463 = QuerySpec(
+    "q463_bpe_train_merges",
+    (s, d) => {
+      import s.implicits._
+      val R = 8
+      val words0 = Tables.documents(s, d)
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("u"))
+        .select(substring($"u", 1, 12).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("freq"))
+        .select(expr(
+          "transform(sequence(1, char_length(w)), i -> substring(w, i, 1))")
+          .as("syms"), $"freq")
+      var words = words0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val merges = scala.collection.mutable.ListBuffer[(Int, String, String, String, Long)]()
+      try {
+        for (r <- 1 to R) {
+          // Pair census: 1-char words carry no pairs; the size guard also
+          // dodges Spark's DESCENDING sequence(1, 0) corner.
+          val top = words.filter(size($"syms") >= 2)
+            .select(explode(expr(
+              """transform(sequence(1, size(syms) - 1),
+                | i -> named_struct('a', element_at(syms, i),
+                |                   'b', element_at(syms, i + 1)))"""
+                .stripMargin.replaceAll("\n", ""))).as("p"), $"freq")
+            .groupBy($"p.a".as("a"), $"p.b".as("b"))
+            .agg(sum($"freq").as("cnt"))
+            .orderBy($"cnt".desc, $"a", $"b")
+            .limit(1).collect()(0)
+          val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+          merges += ((r, a, b, a + b, cnt))
+          // Greedy left-to-right merge, as a left fold over the symbol
+          // array with a \x1f-separated string accumulator (symbols are
+          // [a-z]+ by construction, so the literals inline safely and
+          // the separator can't collide). Single-symbol words fold over
+          // an empty slice and pass through as their seed.
+          val applied = words.select(split(expr(
+            s"""aggregate(slice(syms, 2, size(syms) - 1), element_at(syms, 1),
+               | (acc, x) -> CASE WHEN x = '$b'
+               |   AND regexp_extract(acc, concat('[^', char(31), ']+', '$$'), 0) = '$a'
+               |  THEN concat(substring(acc, 1, char_length(acc) - ${a.length}), '${a + b}')
+               |  ELSE concat(acc, char(31), x) END)"""
+              .stripMargin.replaceAll("\n", "")), "").as("syms"), $"freq")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          applied.count()
+          words.unpersist()
+          words = applied
+        }
+        s.createDataFrame(merges.toSeq)
+          .toDF("merge_round", "l_sym", "r_sym", "merged", "pair_cnt")
+          .orderBy($"merge_round")
+      } finally { words.unpersist(); () }
+    },
+    Some {
+      val R = 8
+      val words =
+        """words AS (SELECT w, count(*) AS freq FROM (
+          |  SELECT substr(u, 1, 12) AS w FROM (
+          |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS u
+          |    FROM documents)) GROUP BY w),
+          |w0 AS (SELECT list_transform(generate_series(1, length(w)),
+          |  i -> substr(w, i, 1)) AS syms, freq FROM words)""".stripMargin
+      val rounds = (1 to R).map { r =>
+        s"""c$r AS (SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           |  SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+           |    i -> struct_pack(a := syms[i], b := syms[i+1]))) AS p, freq
+           |  FROM w${r - 1}) GROUP BY 1, 2),
+           |m$r AS (SELECT a AS ma, b AS mb, a || b AS mm, cnt FROM c$r
+           |  ORDER BY cnt DESC, a, b LIMIT 1),
+           |w$r AS (SELECT string_split(list_reduce(syms, (acc, x) ->
+           |    CASE WHEN x = mb AND regexp_extract(acc, '[^\\x1f]+$$') = ma
+           |      THEN substr(acc, 1, length(acc) - length(ma)) || mm
+           |      ELSE acc || chr(31) || x END), chr(31)) AS syms, freq
+           |  FROM w${r - 1}, m$r)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to R).map { r =>
+        s"SELECT CAST($r AS INT) AS merge_round, ma AS l_sym, mb AS r_sym, mm AS merged, cnt AS pair_cnt FROM m$r"
+      }.mkString("\nUNION ALL ")
+      s"WITH $words,\n$rounds\nSELECT * FROM (\n$union) ORDER BY merge_round"
+    },
+  )
+
   /** q390 — tokenizer fertility audit per language: how many BPE-ish
     * pre-tokens (q31's `[a-z]+|[0-9]|[^a-z0-9\s]` pattern) the corpus
     * yields per character and per whitespace word, by language. The
@@ -891,5 +990,5 @@ object TextMedia {
   )
 
   val all: Seq[QuerySpec] = Seq(q29, q30, q31, q32, q33, q34, q36, q45, q73, q78,
-    q111, q163, q168, q260, q261, q390, q408, q416, q425, q443)
+    q111, q163, q168, q260, q261, q390, q408, q416, q425, q443, q463)
 }
