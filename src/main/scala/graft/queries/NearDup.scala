@@ -1389,6 +1389,70 @@ object NearDup {
            |ORDER BY wjaccard_ppm DESC, doc_a, doc_b LIMIT 20""".stripMargin),
   )
 
+  /** q464 — exact-substring duplicate SPANS (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * ExactSubstr shape, the dedup rung above MinHash/SimHash/PPJoin:
+    * find the repeated regions themselves, not just near-dup doc
+    * pairs): every character span that some length-≥T substring shares
+    * with any other position in the corpus (T = 24 chars), reported as
+    * MERGED per-doc intervals — the spans a curator cuts out of
+    * training text. Construction: a substring of length ≥ T repeats iff
+    * every one of its length-T windows repeats, so repeated-T-gram
+    * positions, merged when closer than T, cover exactly the maximal
+    * ≥T repeats (suffix-array output, reached by counting instead of
+    * sorting suffixes — Round8EdgeSpec pins the planted-repeat
+    * coverage). Per-doc gram hashes are computed IN-ROW (one pass over
+    * the text, no 24× substring blow-up on the shuffle: 16 hex chars
+    * travel per position, not the gram); the census is one groupBy on
+    * the hash with map-side combine; the island merge is a per-doc
+    * window over only the REPEATED positions. md5 is the portable-
+    * oracle stand-in for the rolling Karp-Rabin hash a 100 TB run would
+    * use (q32's note) — swap the hash, keep the plan. */
+  val q464 = QuerySpec(
+    "q464_exact_substring_spans",
+    (s, d) => {
+      import s.implicits._
+      val T = 24
+      val grams = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .filter(length($"text") >= T)
+        .select($"doc_id", explode(expr(
+          s"""transform(sequence(1, length(text) - ${T - 1}),
+             | i -> named_struct('i', i,
+             |   'h', substring(md5(substring(text, i, $T)), 1, 16)))"""
+            .stripMargin.replaceAll("\n", ""))).as("p"))
+        .select($"doc_id", $"p.i".as("i"), $"p.h".as("h"))
+      val rep = grams.groupBy($"h").agg(count(lit(1)).as("n")).filter($"n" > 1)
+      val hits = grams.join(rep.select($"h"), Seq("h"), "left_semi")
+      val w = Window.partitionBy($"doc_id").orderBy($"i")
+      hits
+        .withColumn("brk", when(lag($"i", 1).over(w).isNull
+          || $"i" - lag($"i", 1).over(w) > T, 1).otherwise(0))
+        .withColumn("island", sum($"brk").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"doc_id", $"island")
+        .agg(min($"i").cast("long").as("span_start"),
+          (max($"i") + (T - 1)).cast("long").as("span_end"),
+          (max($"i") + T - min($"i")).cast("long").as("span_len"),
+          count(lit(1)).as("n_grams"))
+        .select($"doc_id", $"span_start", $"span_end", $"span_len", $"n_grams")
+        .orderBy($"doc_id", $"span_start")
+    },
+    Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 24),
+           |gr AS (SELECT doc_id, p.i AS i, p.h AS h FROM (
+           |   SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 23),
+           |     i -> struct_pack(i := i, h := substr(md5(substr(text, i, 24)), 1, 16)))) AS p FROM d)),
+           |rep AS (SELECT h FROM gr GROUP BY h HAVING count(*) > 1),
+           |ht AS (SELECT doc_id, i FROM gr WHERE h IN (SELECT h FROM rep)),
+           |b AS (SELECT doc_id, i,
+           |   CASE WHEN lag(i) OVER w IS NULL OR i - lag(i) OVER w > 24 THEN 1 ELSE 0 END AS brk
+           |   FROM ht WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+           |isl AS (SELECT doc_id, i, sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island FROM b)
+           |SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+           |  CAST(max(i) + 23 AS BIGINT) AS span_end,
+           |  CAST(max(i) + 24 - min(i) AS BIGINT) AS span_len, count(*) AS n_grams
+           |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q24, q25, q26, q27, q28, q52, q55, q81, q125,
-    q138, q296, q302, q320, q329, q383, q385, q389, q391, q393)
+    q138, q296, q302, q320, q329, q383, q385, q389, q391, q393, q464)
 }
