@@ -440,6 +440,122 @@ object Indexes {
             |ORDER BY cos_sim DESC, m.vec_id LIMIT 10""".stripMargin),
   )
 
+  /** q465 — quantizer-training → index-build → probe CAPSTONE (the full
+    * Faiss-style lifecycle in one query; q236 trains but never builds,
+    * q341/q360 build from FIXED centroids): k=4 Lloyd's k-means runs
+    * exactly q236's two decimal-exact iterations, the TRAINED centroids
+    * become the coarse quantizer of a persisted inverted file
+    * (partitioned by cluster id), the probe reads the 2 nearest-to-
+    * query partitions back (pruned — PlanAuditSpec pins it), and a
+    * recall@10 gate scores the pruned answer against the brute-force
+    * top-10 (the q369-style audit, attached as a column so the oracle
+    * verifies the recall arithmetic too). Distances are decimal-exact
+    * sums (q236's rule) and the output distance is floor(d·10⁶) — an
+    * exact integer on both engines (the decimal's fractional part is a
+    * multiple of 10⁻⁶, so no conversion can cross a floor boundary).
+    * Scale: training and recall both touch the persisted long frame;
+    * the index write is one corpus pass; the probe IO is 2/k of the
+    * index. */
+  val q465 = QuerySpec(
+    "q465_kmeans_ivf_capstone",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfcap").toString
+      val long = Tables.fanOut(Tables.embeddings(s, d), col("vec_id"))
+        .select($"vec_id", posexplode($"embedding").as(Seq("dim", "xf")))
+        .select($"vec_id", $"dim", $"xf".cast("double").as("x"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val byVec = Window.partitionBy($"vec_id").orderBy($"dist", $"cid")
+        def centroids(assign: DataFrame) = long.join(assign, Seq("vec_id"))
+          .groupBy($"cid", $"dim")
+          .agg((Det.dsum($"x", 6) / count($"x")).as("c"))
+        def reassign(cent: DataFrame) = long.join(broadcast(cent), Seq("dim"))
+          .groupBy($"vec_id", $"cid")
+          .agg(sum((($"x" - $"c") * ($"x" - $"c")).cast("decimal(30,12)"))
+            .as("dist"))
+          .withColumn("rn", row_number().over(byVec))
+          .where($"rn" === 1)
+          .select($"vec_id", $"cid")
+        // TRAIN: q236's two Lloyd iterations, verbatim semantics.
+        val init = Tables.embeddings(s, d)
+          .select($"vec_id", ($"vec_id" % 4).as("cid"))
+        val c2 = centroids(reassign(centroids(init)))
+        // BUILD: inverted file from the TRAINED quantizer.
+        long.join(reassign(c2), Seq("vec_id"))
+          .write.partitionBy("cid").parquet(s"$tmp/ivf")
+        // PROBE: nprobe=2 nearest trained centroids to query vec 1.
+        val qdim = long.filter($"vec_id" === 1).select($"dim", $"x".as("xq"))
+        val probeCids = c2.join(broadcast(qdim), Seq("dim"))
+          .groupBy($"cid")
+          .agg(sum((($"c" - $"xq") * ($"c" - $"xq")).cast("decimal(30,12)"))
+            .as("dist"))
+          .orderBy($"dist", $"cid").limit(2)
+          .select($"cid").collect().map(_.getLong(0))
+        def sqDist(df: DataFrame) = df.join(broadcast(qdim), Seq("dim"))
+          .groupBy($"vec_id", $"cid")
+          .agg(sum((($"x" - $"xq") * ($"x" - $"xq")).cast("decimal(30,12)"))
+            .as("dq"))
+        val hits = sqDist(s.read.parquet(s"$tmp/ivf")
+            .filter($"cid".isin(probeCids: _*) && $"vec_id" =!= 1))
+          .orderBy($"dq", $"vec_id").limit(10)
+          .select($"vec_id", $"cid".cast("long").as("cluster_id"),
+            floor($"dq" * 1000000).cast("long").as("dist_micros"))
+        // RECALL GATE: brute force over the full corpus (the audit read).
+        val brute = long.filter($"vec_id" =!= 1)
+          .withColumn("cid", lit(0L)).transform(sqDist)
+          .orderBy($"dq", $"vec_id").limit(10).select($"vec_id")
+        val recall = hits.select($"vec_id")
+          .join(brute, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).cast("int").as("recall_at_10"))
+        Eager(hits.crossJoin(broadcast(recall))
+          .orderBy($"dist_micros", $"vec_id"))
+      } finally { long.unpersist(); graft.Fs.deleteTree(tmp) }
+    },
+    Some("""WITH long AS (
+           |  SELECT vec_id, CAST(unnest(range(len(v))) AS INT) AS dim, unnest(v) AS x
+           |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+           |a0 AS (SELECT vec_id, vec_id % 4 AS cid FROM embeddings),
+           |c1 AS (
+           |  SELECT cid, dim, CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / count(x) AS c
+           |  FROM long JOIN a0 USING (vec_id) GROUP BY cid, dim),
+           |d1 AS (
+           |  SELECT vec_id, cid, sum(CAST((x - c) * (x - c) AS DECIMAL(30,12))) AS dist
+           |  FROM long JOIN c1 USING (dim) GROUP BY vec_id, cid),
+           |a1 AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT vec_id, cid,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |    FROM d1) WHERE rn = 1),
+           |c2 AS (
+           |  SELECT cid, dim, CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / count(x) AS c
+           |  FROM long JOIN a1 USING (vec_id) GROUP BY cid, dim),
+           |d2 AS (
+           |  SELECT vec_id, cid, sum(CAST((x - c) * (x - c) AS DECIMAL(30,12))) AS dist
+           |  FROM long JOIN c2 USING (dim) GROUP BY vec_id, cid),
+           |a2 AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT vec_id, cid,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |    FROM d2) WHERE rn = 1),
+           |qd AS (SELECT dim, x AS xq FROM long WHERE vec_id = 1),
+           |pc AS (SELECT cid FROM (
+           |  SELECT cid, row_number() OVER (ORDER BY dist, cid) AS rn FROM (
+           |    SELECT cid, sum(CAST((c - xq) * (c - xq) AS DECIMAL(30,12))) AS dist
+           |    FROM c2 JOIN qd USING (dim) GROUP BY cid)) WHERE rn <= 2),
+           |dq AS (SELECT l.vec_id, sum(CAST((x - xq) * (x - xq) AS DECIMAL(30,12))) AS dq
+           |  FROM long l JOIN qd USING (dim) WHERE l.vec_id <> 1 GROUP BY l.vec_id),
+           |hits AS (SELECT a2.vec_id, a2.cid, dq FROM a2 JOIN dq USING (vec_id)
+           |  WHERE a2.cid IN (SELECT cid FROM pc) ORDER BY dq, a2.vec_id LIMIT 10),
+           |brute AS (SELECT vec_id FROM dq ORDER BY dq, vec_id LIMIT 10),
+           |rec AS (SELECT CAST(count(*) AS INT) AS recall_at_10
+           |  FROM hits JOIN brute USING (vec_id))
+           |SELECT h.vec_id, CAST(h.cid AS BIGINT) AS cluster_id,
+           |  CAST(floor(dq * 1000000) AS BIGINT) AS dist_micros, rec.recall_at_10
+           |FROM hits h, rec ORDER BY dq, h.vec_id""".stripMargin),
+  )
+
   /** q361 — LSH index COMPACTION (the lifecycle step after q359's
     * appends): buckets whose lifetime totals crossed the cap are
     * tombstoned in meta — the probe already ignores them, but their
@@ -897,5 +1013,5 @@ object Indexes {
   )
 
   val all: Seq[QuerySpec] =
-    Seq(q341, q342, q359, q360, q361, q362, q366, q369, q372, q375, q384, q388, q462)
+    Seq(q341, q342, q359, q360, q361, q362, q366, q369, q372, q375, q384, q388, q462, q465)
 }
