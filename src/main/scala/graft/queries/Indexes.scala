@@ -350,15 +350,7 @@ object Indexes {
         .filter($"cid".isin(deadCids: _*)) // partition-pruned read
         .filter(!deadPred)
         .write.partitionBy("cid").parquet(stage)
-      deadCids.foreach { cid =>
-        val dst = java.nio.file.Paths.get(s"$ivfDir/cid=$cid")
-        val src = java.nio.file.Paths.get(s"$stage/cid=$cid")
-        graft.Fs.deleteTree(dst)
-        // A partition whose every member was erased has no staged dir —
-        // the delete above already removed it from the index.
-        if (java.nio.file.Files.exists(src))
-          java.nio.file.Files.move(src, dst)
-      }
+      graft.Fs.swapPartitionDirs(ivfDir, stage, deadCids.map(c => s"cid=$c"))
       graft.Fs.deleteTree(stage)
     }
     deadCids

@@ -97,11 +97,16 @@ object Search {
   /** DuckDB mirror of [[bm25Scored]] as a WITH-clause prefix ending in a
     * `scored(query_id, doc_id, n_terms_matched, score_ppm)` CTE — both
     * q278's and q290's oracles append their own final SELECT. */
-  private def sqlScoredCtes: String =
+  private def sqlScoredCtes: String = sqlScoredCtesWhere("")
+
+  /** [[sqlScoredCtes]] over a filtered corpus — deletion oracles (q466)
+    * rank against the REDUCED document set; `where` is a full WHERE
+    * clause or empty. */
+  private def sqlScoredCtesWhere(where: String): String =
     s"""WITH q(query_id, term) AS (VALUES $sqlQueryTerms),
        |toks AS (SELECT doc_id,
        |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS t
-       |  FROM documents),
+       |  FROM documents $where),
        |g AS (SELECT count(*) AS n_docs,
        |    CAST(sum(len(t)) AS BIGINT) * 1000000 // count(*) AS avgdl_ppm FROM toks),
        |tf AS (SELECT doc_id, len(t) AS dl, term, count(*) AS tf
@@ -876,6 +881,133 @@ object Search {
     },
   )
 
+  /** q466 — DELETION from the maintained BM25 index (the postings half
+    * of the q462 lifecycle verb): postings live in a HASH-BUCKETED
+    * layout (`tb = xxhash64(term) mod 16` — integer partition dirs,
+    * which is also the honest 100 TB layout: one-dir-per-term dies at
+    * web vocabulary, and bucket dirs sidestep Hive escaping of
+    * arbitrary term strings), maintained over two epochs; df stats and
+    * corpus globals are versioned epoch frames merged on read. An
+    * erasure batch (doc_id % 9 = 4) then lands three ways at once:
+    * affected postings BUCKETS are rewritten without the erased docs
+    * (staged + dir-swapped, [[graft.Fs.swapPartitionDirs]] — untouched
+    * buckets keep their files byte-identical), while stats and globals
+    * get NEGATIVE epoch rows (df := −df_deleted, n_docs := −|batch|) —
+    * the same merge-on-read discipline the epoch append already uses,
+    * so deletion needs no new read path. The affected buckets and the
+    * negative rows are both computed by re-tokenizing ONLY the erasure
+    * batch — never the corpus. Probe: partition-pruned BM25 top-5 from
+    * the maintained files, plus the erased-postings audit count.
+    * Oracle: from-scratch BM25 on the reduced corpus — deletion ≡
+    * rebuild-without-them, down to df/avgdl arithmetic. */
+  val q466 = QuerySpec(
+    "q466_bm25_index_delete",
+    (s, d) => {
+      import s.implicits._
+      val NB = 16
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bm25d").toString
+      try {
+        val docs = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+          .select($"doc_id", toks(s).as("t"))
+          .select($"doc_id", size($"t").as("dl"), $"t")
+        def postings(e: DataFrame) = e
+          .select($"doc_id", $"dl", explode($"t").as("term"))
+          .groupBy($"doc_id", $"dl", $"term")
+          .agg(count(lit(1)).as("tf"))
+          .withColumn("tb", pmod(xxhash64($"term"), lit(NB)))
+        def stats(post: DataFrame) = post.groupBy($"term")
+          .agg(count(lit(1)).cast("long").as("df"))
+        def globals(e: DataFrame) = e
+          .agg(count(lit(1)).as("n_docs"), sum($"dl").as("len_sum"))
+        val e0 = docs.filter($"doc_id" % 2 === 0)
+        val e1 = docs.filter($"doc_id" % 2 === 1)
+        // BUILD + MAINTAIN: bucketed postings, appended stats/globals epochs.
+        postings(e0).repartition($"tb")
+          .write.partitionBy("tb").parquet(s"$tmp/post")
+        postings(e1).repartition($"tb")
+          .write.mode("append").partitionBy("tb").parquet(s"$tmp/post")
+        stats(postings(e0)).write.parquet(s"$tmp/stats")
+        stats(postings(e1)).write.mode("append").parquet(s"$tmp/stats")
+        globals(e0).write.parquet(s"$tmp/globals")
+        globals(e1).write.mode("append").parquet(s"$tmp/globals")
+        // DELETE: bucket rewrite + negative stats/globals epochs, all
+        // derived from re-tokenizing the erasure batch alone.
+        val del = docs.filter($"doc_id" % 9 === 4)
+        val delPost = postings(del)
+        val deadTbs = delPost.select($"tb").distinct()
+          .collect().map(_.getLong(0)).toSeq.sorted
+        if (deadTbs.nonEmpty) {
+          val stage = s"$tmp/post.__delete_stage"
+          s.read.parquet(s"$tmp/post")
+            .filter($"tb".isin(deadTbs: _*)) // partition-pruned read
+            .filter(!($"doc_id" % 9 === 4))
+            .repartition($"tb")
+            .write.partitionBy("tb").parquet(stage)
+          graft.Fs.swapPartitionDirs(s"$tmp/post", stage,
+            deadTbs.map(tb => s"tb=$tb"))
+          graft.Fs.deleteTree(stage)
+        }
+        stats(delPost).select($"term", (-$"df").as("df"))
+          .write.mode("append").parquet(s"$tmp/stats")
+        globals(del).select((-$"n_docs").as("n_docs"),
+          (-$"len_sum").as("len_sum"))
+          .write.mode("append").parquet(s"$tmp/globals")
+        // PROBE from the maintained files (merge-on-read stats/globals,
+        // postings pruned to the query terms' buckets).
+        val queries = s.createDataFrame(QueryTerms).toDF("query_id", "term")
+        val terms = QueryTerms.map(_._2).distinct
+        val qtbs = s.createDataFrame(terms.map(Tuple1(_))).toDF("term")
+          .select(pmod(xxhash64($"term"), lit(NB)).as("tb"))
+          .distinct().collect().map(_.getLong(0))
+        val tf = s.read.parquet(s"$tmp/post")
+          .filter($"tb".isin(qtbs: _*) && $"term".isin(terms: _*))
+        val df_ = s.read.parquet(s"$tmp/stats")
+          .filter($"term".isin(terms: _*))
+          .groupBy($"term").agg(sum($"df").as("df"))
+          .filter($"df" > 0)
+        val g = s.read.parquet(s"$tmp/globals")
+          .agg(sum($"n_docs").as("n_docs"), sum($"len_sum").as("len_sum"))
+          .select($"n_docs",
+            expr("len_sum * 1000000L div n_docs").as("avgdl_ppm"))
+        val scored = tf
+          .join(broadcast(df_), "term")
+          .join(broadcast(queries), "term")
+          .crossJoin(broadcast(g))
+          .withColumn("dl_norm_ppm",
+            expr("250000L + (750000L * dl * 1000000L) div avgdl_ppm"))
+          .withColumn("tf_sat_ppm",
+            expr("(tf * 2200000L * 1000000L) div (tf * 1000000L + (12L * dl_norm_ppm) div 10L)"))
+          .withColumn("idf_ppm",
+            expr("((n_docs - df + 1) * 1000000L) div (df + 1)"))
+          .withColumn("contrib_ppm",
+            expr("(idf_ppm * (tf_sat_ppm div 1000L)) div 1000L"))
+          .groupBy($"query_id", $"doc_id")
+          .agg(count(lit(1)).as("n_terms_matched"),
+            sum($"contrib_ppm").as("score_ppm"))
+        // AUDIT: erased docs' postings still readable anywhere.
+        val audit = s.read.parquet(s"$tmp/post")
+          .filter($"doc_id" % 9 === 4)
+          .agg(count(lit(1)).as("n_erased_left"))
+        val w = Window.partitionBy($"query_id")
+          .orderBy($"score_ppm".desc, $"doc_id")
+        Eager(scored
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 5)
+          .select($"query_id", $"rank", $"doc_id", $"n_terms_matched",
+            $"score_ppm")
+          .crossJoin(broadcast(audit))
+          .orderBy($"query_id", $"rank"))
+      } finally graft.Fs.deleteTree(tmp)
+    },
+    Some(s"""${sqlScoredCtesWhere("WHERE doc_id % 9 <> 4")}
+            |SELECT query_id, rank, doc_id, n_terms_matched, score_ppm,
+            |  CAST(0 AS BIGINT) AS n_erased_left FROM (
+            |  SELECT *, CAST(row_number() OVER
+            |      (PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) AS INT) AS rank
+            |  FROM scored) WHERE rank <= 5
+            |ORDER BY query_id, rank""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q278, q279, q290, q404, q405, q406, q407, q421, q428, q449)
+    Seq(q278, q279, q290, q404, q405, q406, q407, q421, q428, q449, q466)
 }
