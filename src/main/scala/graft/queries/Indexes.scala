@@ -548,6 +548,125 @@ object Indexes {
            |FROM hits h, rec ORDER BY dq, h.vec_id""".stripMargin),
   )
 
+  /** q467 — DELETION from the maintained LSH index (the band-buckets
+    * half of the q462/q466 lifecycle verb, and the subtle one: the
+    * member table is CAPPED, so erasing docs can pull a tombstoned-hot
+    * bucket back under cap — "resurrection" — and a correct delete must
+    * restore members the original build never wrote). The enabler is
+    * the ingest-time SIGNATURE LOG: production computes band signatures
+    * once per document ever (q342's note); here they are also PERSISTED
+    * per epoch, bucketed like the member table. Deletion then works
+    * from ids alone — the erased docs' text is by assumption already
+    * gone: (1) the log yields the erased docs' band keys → the affected
+    * bucket set; (2) ONLY those buckets are recomputed, from surviving
+    * log rows (semi-join on the bucket keys — exchange-free against the
+    * bucketed log), which restores resurrected buckets' full member
+    * lists exactly; (3) members/meta are rewritten as untouched-rows ∪
+    * recomputed-buckets — the compaction-shaped pass production folds
+    * deletes into (Lucene's model; q361 is the standalone verb).
+    * Probe + audit prove erased docs gone AND survivors identical to a
+    * from-scratch rebuild on the reduced corpus — which is exactly what
+    * the oracle computes. */
+  val q467 = QuerySpec(
+    "q467_lsh_index_delete",
+    (s, d) => {
+      import s.implicits._
+      val cap = NearDup.MaxLshBucket
+      val sfx = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val (tblM, tblM2, tblS) =
+        (s"graft_lshd_$sfx", s"graft_lshd2_$sfx", s"graft_lshds_$sfx")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lshd").toString
+      try {
+        val docs = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+          .select($"doc_id", tokens($"text").as("t"))
+          .filter(size($"t") >= 3)
+        // BUILD + MAINTAIN, with the signature log written at ingest.
+        def writeEpoch(df: DataFrame, first: Boolean): Unit = {
+          val mode = if (first) org.apache.spark.sql.SaveMode.ErrorIfExists
+                     else org.apache.spark.sql.SaveMode.Append
+          val sig = bandSigs(df)
+          sig.write.mode(mode)
+            .bucketBy(8, "b", "band_key").sortBy("b", "band_key")
+            .option("path", s"$tmp/sigs").saveAsTable(tblS)
+          val eb = s.table(tblS).join(df.select($"doc_id"), Seq("doc_id"), "left_semi")
+            .groupBy($"b", $"band_key")
+            .agg(count(lit(1)).as("k"), collectCapped($"doc_id", cap).as("ids"))
+          eb.select($"b", $"band_key", $"k")
+            .write.mode(mode).parquet(s"$tmp/meta")
+          eb.filter($"k" <= cap)
+            .select($"b", $"band_key", explode($"ids").as("corpus_id"))
+            .write.mode(mode)
+            .bucketBy(8, "b", "band_key").sortBy("b", "band_key")
+            .option("path", s"$tmp/members").saveAsTable(tblM)
+        }
+        writeEpoch(docs.filter($"doc_id" % 4 === 1), first = true)
+        writeEpoch(docs.filter($"doc_id" % 4 === 2
+          || $"doc_id" % 4 === 3), first = false)
+        // DELETE doc_id % 5 = 2, BY ID, from the log.
+        val delPred = $"doc_id" % 5 === 2
+        val affected = s.table(tblS).filter(delPred)
+          .select($"b", $"band_key").distinct()
+        val newBuckets = s.table(tblS)
+          .join(affected, Seq("b", "band_key"), "left_semi")
+          .filter(!delPred)
+          .groupBy($"b", $"band_key")
+          .agg(count(lit(1)).as("k"), collectCapped($"doc_id", cap).as("ids"))
+        s.table(tblM)
+          .join(affected, Seq("b", "band_key"), "left_anti")
+          .unionByName(newBuckets.filter($"k" <= cap)
+            .select($"b", $"band_key", explode($"ids").as("corpus_id")))
+          .write.bucketBy(8, "b", "band_key").sortBy("b", "band_key")
+          .option("path", s"$tmp/members_v2").saveAsTable(tblM2)
+        s.read.parquet(s"$tmp/meta")
+          .join(affected, Seq("b", "band_key"), "left_anti")
+          .unionByName(newBuckets.select($"b", $"band_key", $"k"))
+          .write.parquet(s"$tmp/meta_v2")
+        // PROBE the post-delete index + AUDIT the erased ids.
+        val matches = maintainedLshProbe(s, tblM2, s"$tmp/meta_v2",
+          docs.filter($"doc_id" % 4 === 0), cap)
+        val audit = s.table(tblM2).filter($"corpus_id" % 5 === 2)
+          .agg(count(lit(1)).as("n_erased_left"))
+        val out = docs.filter($"doc_id" % 4 === 0).select($"doc_id")
+          .join(matches, Seq("doc_id"), "left")
+          .select($"doc_id", $"dup_of".isNotNull.as("is_dup"), $"dup_of")
+          .crossJoin(broadcast(audit))
+          .orderBy($"doc_id")
+        Eager(out)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $tblM")
+        s.sql(s"DROP TABLE IF EXISTS $tblM2")
+        s.sql(s"DROP TABLE IF EXISTS $tblS")
+        graft.Fs.deleteTree(tmp)
+      }
+    },
+    // From-scratch rebuild on the REDUCED corpus (q342's semantics with
+    // the erased ids gone), plus the pinned-zero erasure audit.
+    Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+           |docs AS (SELECT doc_id, t FROM toks WHERE len(t) >= 3),
+           |sh AS (SELECT doc_id, list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS s
+           |       FROM docs),
+           |hs AS (SELECT doc_id,
+           |        list_transform(s, x -> md5(x || ':0')) AS h0,
+           |        list_transform(s, x -> md5(x || ':1')) AS h1 FROM sh),
+           |sig AS (SELECT doc_id, b,
+           |        list_aggregate(list_transform(h0, x -> substring(x, 1 + 8*b, 8)), 'min')
+           |        || '|' ||
+           |        list_aggregate(list_transform(h1, x -> substring(x, 1 + 8*b, 8)), 'min') AS band_key
+           |        FROM hs, generate_series(0, 3) g(b)),
+           |corpus AS (SELECT b, band_key, doc_id FROM (
+           |  SELECT b, band_key, doc_id, count(*) OVER (PARTITION BY b, band_key) AS bn
+           |  FROM sig WHERE doc_id % 4 <> 0 AND doc_id % 5 <> 2) WHERE bn <= 64),
+           |matches AS (
+           |  SELECT s2.doc_id, min(c.doc_id) AS dup_of
+           |  FROM sig s2 JOIN corpus c ON s2.b = c.b AND s2.band_key = c.band_key
+           |  WHERE s2.doc_id % 4 = 0 GROUP BY s2.doc_id)
+           |SELECT d.doc_id, m.dup_of IS NOT NULL AS is_dup, m.dup_of,
+           |  CAST(0 AS BIGINT) AS n_erased_left
+           |FROM (SELECT DISTINCT doc_id FROM docs WHERE doc_id % 4 = 0) d
+           |LEFT JOIN matches m ON d.doc_id = m.doc_id
+           |ORDER BY d.doc_id""".stripMargin),
+  )
+
   /** q361 — LSH index COMPACTION (the lifecycle step after q359's
     * appends): buckets whose lifetime totals crossed the cap are
     * tombstoned in meta — the probe already ignores them, but their
@@ -1005,5 +1124,5 @@ object Indexes {
   )
 
   val all: Seq[QuerySpec] =
-    Seq(q341, q342, q359, q360, q361, q362, q366, q369, q372, q375, q384, q388, q462, q465)
+    Seq(q341, q342, q359, q360, q361, q362, q366, q369, q372, q375, q384, q388, q462, q465, q467)
 }
