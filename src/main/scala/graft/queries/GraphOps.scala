@@ -798,33 +798,47 @@ object GraphOps {
     * are DISTINCT (cust, supp) pairs (one fact-fact shuffle to build);
     * each round is an edge-sized join against the previous node frame;
     * the 1-row max normalizers broadcast. */
+  /** q448's pipeline on an already-persisted edge frame, factored so
+    * PlanAuditSpec can pin the shape: every per-round join reads the
+    * in-memory edges (one fact-fact shuffle EVER, at build), and every
+    * normalizer is a broadcast 1-row frame. */
+  private[graft] def hitsAuthorities(edges: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import edges.sparkSession.implicits._
+    // h0 = 1 for every customer => a1(s) = degree(s).
+    val a1 = edges.groupBy($"supp").agg(count(lit(1)).as("a"))
+    val a1n = a1.crossJoin(broadcast(a1.agg(max($"a").as("mx"))))
+      .select($"supp", expr("a * 1000000L div mx").as("a_ppm"))
+    val h1 = edges.join(a1n, "supp")
+      .groupBy($"cust").agg(sum($"a_ppm").as("h"))
+    val h1n = h1.crossJoin(broadcast(h1.agg(max($"h").as("mx"))))
+      .select($"cust", expr("h * 1000000L div mx").as("h_ppm"))
+    val a2 = edges.join(h1n, "cust")
+      .groupBy($"supp").agg(sum($"h_ppm").as("a2"))
+    val a2n = a2.crossJoin(broadcast(a2.agg(max($"a2").as("mx"))))
+      .select($"supp".as("s_suppkey"),
+        expr("a2 * 1000000L div mx").as("authority_ppm"))
+    a2n.orderBy($"authority_ppm".desc, $"s_suppkey").limit(10)
+  }
+
+  /** DISTINCT (cust, supp) trade edges — the shared bipartite graph of
+    * q448/q454 (one fact-fact shuffle to build; callers persist). */
+  private[graft] def tradeEdges(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    graft.Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey")
+      .join(graft.Tables.orders(s, d).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("cust"), $"l_suppkey".as("supp"))
+      .distinct()
+  }
+
   val q448 = QuerySpec(
     "q448_hits_authorities",
     (s, d) => {
-      import s.implicits._
-      val edges = graft.Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey")
-        .join(graft.Tables.orders(s, d).select($"o_orderkey", $"o_custkey"),
-          $"l_orderkey" === $"o_orderkey")
-        .select($"o_custkey".as("cust"), $"l_suppkey".as("supp"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        // h0 = 1 for every customer => a1(s) = degree(s).
-        val a1 = edges.groupBy($"supp").agg(count(lit(1)).as("a"))
-        val a1n = a1.crossJoin(broadcast(a1.agg(max($"a").as("mx"))))
-          .select($"supp", expr("a * 1000000L div mx").as("a_ppm"))
-        val h1 = edges.join(a1n, "supp")
-          .groupBy($"cust").agg(sum($"a_ppm").as("h"))
-        val h1n = h1.crossJoin(broadcast(h1.agg(max($"h").as("mx"))))
-          .select($"cust", expr("h * 1000000L div mx").as("h_ppm"))
-        val a2 = edges.join(h1n, "cust")
-          .groupBy($"supp").agg(sum($"h_ppm").as("a2"))
-        val a2n = a2.crossJoin(broadcast(a2.agg(max($"a2").as("mx"))))
-          .select($"supp".as("s_suppkey"),
-            expr("a2 * 1000000L div mx").as("authority_ppm"))
-        val out = a2n.orderBy($"authority_ppm".desc, $"s_suppkey").limit(10)
-        Eager(out)
-      } finally edges.unpersist(blocking = false)
+      val edges = tradeEdges(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+      try Eager(hitsAuthorities(edges))
+      finally edges.unpersist(blocking = false)
     },
     Some("""WITH edges AS (
            |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
@@ -853,18 +867,16 @@ object GraphOps {
     * thing production CF ships), and the readout is the 10 lowest
     * custkeys' top-3. Exact integer scores; two fact-sized shuffles
     * (edge build, co-count), everything else model-sized. */
-  val q454 = QuerySpec(
-    "q454_itemitem_recommend",
-    (s, d) => {
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val edges = graft.Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey")
-        .join(graft.Tables.orders(s, d).select($"o_orderkey", $"o_custkey"),
-          $"l_orderkey" === $"o_orderkey")
-        .select($"o_custkey".as("cust"), $"l_suppkey".as("supp"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      try {
+  /** q454's pipeline on an already-persisted edge frame, factored so
+    * PlanAuditSpec can pin the cap discipline (the 16-per-customer
+    * WindowGroupLimit that bounds the co-occurrence join) and
+    * Round8EdgeSpec can prove capped-out suppliers never enter the
+    * model. */
+  private[graft] def itemItemRecs(edges: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import edges.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    {
         val capped = edges
           .withColumn("rn", row_number().over(
             Window.partitionBy($"cust").orderBy($"supp")))
@@ -891,9 +903,16 @@ object GraphOps {
           .select($"cust".as("c_custkey"), $"rank",
             $"sb".as("recommended_suppkey"), $"score")
           .orderBy($"c_custkey", $"rank")
-        val out = Eager(recs)
-        out
-      } finally edges.unpersist(blocking = false)
+        recs
+    }
+  }
+
+  val q454 = QuerySpec(
+    "q454_itemitem_recommend",
+    (s, d) => {
+      val edges = tradeEdges(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+      try Eager(itemItemRecs(edges))
+      finally edges.unpersist(blocking = false)
     },
     Some("""WITH edges AS (
            |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp

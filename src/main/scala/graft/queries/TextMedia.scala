@@ -644,7 +644,8 @@ object TextMedia {
       var words = words0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val merges = scala.collection.mutable.ListBuffer[(Int, String, String, String, Long)]()
       try {
-        for (r <- 1 to R) {
+        var exhausted = false
+        for (r <- 1 to R if !exhausted) {
           // Pair census: 1-char words carry no pairs; the size guard also
           // dodges Spark's DESCENDING sequence(1, 0) corner.
           val top = words.filter(size($"syms") >= 2)
@@ -656,8 +657,16 @@ object TextMedia {
             .groupBy($"p.a".as("a"), $"p.b".as("b"))
             .agg(sum($"freq").as("cnt"))
             .orderBy($"cnt".desc, $"a", $"b")
-            .limit(1).collect()(0)
-          val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+            .limit(1).collect().headOption
+          // A tiny/degenerate corpus can run out of pairs before round R
+          // (every word fused to one symbol) — a real trainer stops
+          // there; the oracle's CTE chain mirrors it (an empty census
+          // CTE empties every later round's merge row). Round8EdgeSpec
+          // pins the no-crash path.
+          if (top.isEmpty) { exhausted = true }
+          else {
+          val t = top.get
+          val (a, b, cnt) = (t.getString(0), t.getString(1), t.getLong(2))
           merges += ((r, a, b, a + b, cnt))
           // Greedy left-to-right merge, as a left fold over the symbol
           // array with a \x1f-separated string accumulator (symbols are
@@ -675,6 +684,7 @@ object TextMedia {
           applied.count()
           words.unpersist()
           words = applied
+          }
         }
         s.createDataFrame(merges.toSeq)
           .toDF("merge_round", "l_sym", "r_sym", "merged", "pair_cnt")
