@@ -487,11 +487,16 @@ object DecisionSupport {
       val w = Window.orderBy($"cents".desc, $"l_suppkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = rev.agg(sum($"cents").as("total"))
+      // Classes cut on where each supplier's cumulative share STARTS
+      // (cum − own cents): the boundary-CROSSING supplier belongs to the
+      // class it completes, so class A genuinely covers ≥80% of revenue
+      // and a single-supplier corpus is A, not C (Round8EdgeSpec pins
+      // the degenerate case).
       rev.crossJoin(broadcast(tot))
         .withColumn("cum", sum($"cents").over(w))
         .withColumn("cls",
-          when($"cum" * 100L <= $"total" * 80L, "A")
-            .when($"cum" * 100L <= $"total" * 95L, "B")
+          when(($"cum" - $"cents") * 100L < $"total" * 80L, "A")
+            .when(($"cum" - $"cents") * 100L < $"total" * 95L, "B")
             .otherwise("C"))
         .groupBy($"cls")
         .agg(count(lit(1)).as("n_suppliers"),
@@ -513,8 +518,8 @@ object DecisionSupport {
            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
            |  FROM rev),
            |k AS (SELECT cents,
-           |    CASE WHEN cum * 100 <= total * 80 THEN 'A'
-           |         WHEN cum * 100 <= total * 95 THEN 'B'
+           |    CASE WHEN (cum - cents) * 100 < total * 80 THEN 'A'
+           |         WHEN (cum - cents) * 100 < total * 95 THEN 'B'
            |         ELSE 'C' END AS cls
            |  FROM c CROSS JOIN t)
            |SELECT cls, count(*) AS n_suppliers,
