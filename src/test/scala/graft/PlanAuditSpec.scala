@@ -842,4 +842,96 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), "1-row total must broadcast\n" + p)
     assert(!p.contains("Window"), "planner is aggregate-only\n" + p)
   }
+
+  // ---- round-8 pins: the q432–q461 band (the round-7 gap) + q462–q467 ----
+
+  private def singles(p: String): Int =
+    p.sliding("SinglePartition".length).count(_ == "SinglePartition")
+
+  test("q432/q446/q453: sweeps are per-user windows/cells + ONE 1-row readout aggregate") {
+    Seq("q432_session_timeout_sweep", "q446_watermark_drop_sweep",
+        "q453_rate_limit_sweep").foreach { n =>
+      val p = plan(n)
+      assert(singles(p) <= 1, s"$n: a window/agg moved onto a single partition\n" + p)
+      assert(!p.contains("SortMergeJoin"), s"$n grew a shuffle join\n" + p)
+    }
+  }
+
+  test("q445: clock-skew lag() runs per-user — zero single-partition stages") {
+    val p = plan("q445_clock_skew_audit")
+    assert(singles(p) === 0, "the ingestion-order window went global\n" + p)
+  }
+
+  test("q451: decay weights broadcast the 1-row span; ranks window the |types| frame only") {
+    val p = plan("q451_halflife_popularity")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "span must broadcast\n" + p)
+    // The two global rank windows are over the post-aggregate |event
+    // types| frame: each single-partition Window must sit ABOVE an
+    // aggregate in the printed tree (children print after parents).
+    val w = p.indexOf("Window")
+    assert(w >= 0 && p.indexOf("HashAggregate", w) > w,
+      "rank window lost its pre-aggregation\n" + p)
+    assert(singles(p) <= 2, "more single-partition stages than the two rank windows\n" + p)
+  }
+
+  test("q458/q459/q460: one corpus aggregate; the 1-row best/pooled frame broadcasts") {
+    Seq("q458_accuracy_fairness_gap", "q459_disparate_impact",
+        "q460_equalized_odds_gap").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("BroadcastNestedLoopJoin"), s"$n: 1-row frame must broadcast\n" + p)
+      assert(!p.contains("SortMergeJoin"), s"$n: grew a shuffle join\n" + p)
+      assert(singles(p) <= 1, s"$n: beyond the 1-row reduction\n" + p)
+    }
+  }
+
+  test("q461: the Pareto window runs over the supplier aggregate, never the fact table") {
+    val p = plan("q461_abc_pareto_class")
+    val w = p.indexOf("Window")
+    assert(w >= 0 && p.indexOf("HashAggregate", w) > w,
+      "cumulative window lost its supplier pre-aggregation\n" + p)
+    assert(!p.contains("SortMergeJoin"), "1-row total must broadcast\n" + p)
+  }
+
+  test("q448 (factored): HITS rounds reuse the persisted edges — no parquet rescan") {
+    val edges = graft.queries.GraphOps.tradeEdges(spark, sf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val p = graft.queries.GraphOps.hitsAuthorities(edges)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // Three cache reads (a1 census + the two per-round joins); the
+      // "Scan parquet" text inside each InMemoryRelation is the cached
+      // build's DESCRIPTION, not a re-execution, so the pin counts
+      // distinct InMemoryTableScan nodes instead.
+      val imts = "InMemoryTableScan \\((\\d+)\\)".r
+        .findAllMatchIn(p).map(_.group(1)).toSet
+      assert(imts.size >= 3,
+        s"expected >=3 cache reads of edges, saw ${imts.size}\n" + p)
+      assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+        "max normalizers must broadcast\n" + p)
+    } finally { edges.unpersist(blocking = false); () }
+  }
+
+  test("q454 (factored): the 16-per-customer cap plans WindowGroupLimit, no cartesian") {
+    val edges = graft.queries.GraphOps.tradeEdges(spark, sf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val p = graft.queries.GraphOps.itemItemRecs(edges)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("WindowGroupLimit"),
+        "rank<=k caps lost the group-limit rewrite (full per-key sort)\n" + p)
+      assert(!p.contains("CartesianProduct"),
+        "co-occurrence join degraded to a cartesian\n" + p)
+    } finally { edges.unpersist(blocking = false); () }
+  }
+
+  test("q464: repeated-gram filter is a semi-join; islands window per-doc") {
+    val p = plan("q464_exact_substring_spans")
+    assert(p.contains("LeftSemi"), "repeated-gram membership must be a semi-join\n" + p)
+    assert(singles(p) === 0, "per-doc island window went global\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "gram census must stay an equi-join\n" + p)
+  }
 }
