@@ -629,11 +629,12 @@ object TextMedia {
     * 8 rounds as a chained CTE whose merge application is the SAME
     * greedy fold (list_reduce over the same string encoding), so the
     * learned rules must agree exactly. */
-  val q463 = QuerySpec(
-    "q463_bpe_train_merges",
-    (s, d) => {
+  /** q463/q468's shared trainer: runs up to `R` BPE merge rounds over
+    * the corpus word census and returns (merge rows, final word frame).
+    * The returned frame is PERSISTED — callers unpersist it. */
+  private[graft] def bpeTrainRounds(s: SparkSession, d: String, R: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
       import s.implicits._
-      val R = 8
       val words0 = Tables.documents(s, d)
         .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("u"))
         .select(substring($"u", 1, 12).as("w"))
@@ -686,12 +687,14 @@ object TextMedia {
           words = applied
           }
         }
-        s.createDataFrame(merges.toSeq)
-          .toDF("merge_round", "l_sym", "r_sym", "merged", "pair_cnt")
-          .orderBy($"merge_round")
-      } finally { words.unpersist(); () }
-    },
-    Some {
+        (merges.toList, words)
+      } catch { case e: Throwable => words.unpersist(); throw e }
+  }
+
+  /** The 8-round oracle CTE chain shared by q463 (merge table) and q468
+    * (encode readout) — callers append their own final SELECT over the
+    * m1..m8 rule rows and the w8 encoded word frame. */
+  private def sqlBpeCtes: String = {
       val R = 8
       val words =
         """words AS (SELECT w, count(*) AS freq FROM (
@@ -713,11 +716,67 @@ object TextMedia {
            |      ELSE acc || chr(31) || x END), chr(31)) AS syms, freq
            |  FROM w${r - 1}, m$r)""".stripMargin
       }.mkString(",\n")
-      val union = (1 to R).map { r =>
+      s"WITH $words,\n$rounds"
+  }
+
+  val q463 = QuerySpec(
+    "q463_bpe_train_merges",
+    (s, d) => {
+      import s.implicits._
+      val (merges, words) = bpeTrainRounds(s, d, 8)
+      words.unpersist()
+      s.createDataFrame(merges)
+        .toDF("merge_round", "l_sym", "r_sym", "merged", "pair_cnt")
+        .orderBy($"merge_round")
+    },
+    Some {
+      val union = (1 to 8).map { r =>
         s"SELECT CAST($r AS INT) AS merge_round, ma AS l_sym, mb AS r_sym, mm AS merged, cnt AS pair_cnt FROM m$r"
       }.mkString("\nUNION ALL ")
-      s"WITH $words,\n$rounds\nSELECT * FROM (\n$union) ORDER BY merge_round"
+      s"$sqlBpeCtes\nSELECT * FROM (\n$union) ORDER BY merge_round"
     },
+  )
+
+  /** q468 — BPE ENCODE with the trained merges (the consumer half of
+    * q463, closing the tokenizer lifecycle: train -> encode -> budget
+    * readout): the corpus word census re-encoded under all 8 learned
+    * merges, reported as the exact corpus token budget — words, chars
+    * (= char-level token baseline), BPE tokens, and the ppm saved by
+    * the merge table. This is THE number a tokenizer change is judged
+    * by before anyone retrains on 100 TB. Same scale shape as q463
+    * (corpus touched once for the census; rounds loop over the vocab
+    * frame); the readout is one vocab-frame aggregate, all exact
+    * integers. Oracle: the shared 8-round CTE chain aggregated at w8 —
+    * training AND encoding must agree end-to-end. */
+  val q468 = QuerySpec(
+    "q468_bpe_encode_ratio",
+    (s, d) => {
+      import s.implicits._
+      val (merges, words) = bpeTrainRounds(s, d, 8)
+      try {
+        Eager(words.agg(
+          sum($"freq").as("n_words"),
+          sum($"freq" * expr(
+            "aggregate(syms, 0, (a, x) -> a + char_length(x))")).as("n_chars"),
+          sum($"freq" * size($"syms")).as("bpe_tokens"))
+          .select($"n_words", $"n_chars", $"bpe_tokens",
+            lit(merges.size).cast("int").as("n_merges"),
+            expr("(n_chars - bpe_tokens) * 1000000L div n_chars")
+              .as("saved_ppm")))
+      } finally { words.unpersist(); () }
+    },
+    Some(s"""$sqlBpeCtes
+            |SELECT CAST(sum(freq) AS BIGINT) AS n_words,
+            |  CAST(sum(freq * list_reduce(list_prepend(0,
+            |    list_transform(syms, x -> length(x))), (a, b) -> a + b)) AS BIGINT) AS n_chars,
+            |  CAST(sum(freq * len(syms)) AS BIGINT) AS bpe_tokens,
+            |  CAST(8 AS INT) AS n_merges,
+            |  CAST((sum(freq * list_reduce(list_prepend(0,
+            |      list_transform(syms, x -> length(x))), (a, b) -> a + b))
+            |    - sum(freq * len(syms))) * 1000000
+            |    // sum(freq * list_reduce(list_prepend(0,
+            |      list_transform(syms, x -> length(x))), (a, b) -> a + b)) AS BIGINT) AS saved_ppm
+            |FROM w8""".stripMargin),
   )
 
   /** q390 — tokenizer fertility audit per language: how many BPE-ish
@@ -1000,5 +1059,5 @@ object TextMedia {
   )
 
   val all: Seq[QuerySpec] = Seq(q29, q30, q31, q32, q33, q34, q36, q45, q73, q78,
-    q111, q163, q168, q260, q261, q390, q408, q416, q425, q443, q463)
+    q111, q163, q168, q260, q261, q390, q408, q416, q425, q443, q463, q468)
 }
