@@ -527,6 +527,229 @@ object DecisionSupport {
            |FROM k GROUP BY cls ORDER BY cls""".stripMargin),
   )
 
+  /** q469 — order-priority waiting report (TPC-H Q4 shape, adapted: no
+    * commit date in the schema, so "waiting" is any lineitem shipped
+    * > 300 days after the order date): for orders placed in 1996,
+    * count per priority the orders with at least one such lineitem.
+    * The EXISTS is a LEFT SEMI join with a non-equi residual on the
+    * order-date — one fact-fact shuffle on orderkey, then a
+    * |priorities|-row aggregate. The oracle states the textbook
+    * correlated EXISTS; the gate certifies semi ≡ exists. */
+  val q469 = QuerySpec(
+    "q469_priority_waiting_count",
+    (s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+        .filter($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1997-01-01")
+        .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      val l = Tables.lineitem(s, d).select($"l_orderkey", $"l_shipdate")
+      o.join(l, $"l_orderkey" === $"o_orderkey"
+          && $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 300 DAYS"),
+          "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS order_count
+           |FROM orders o
+           |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+           |  AND EXISTS (SELECT 1 FROM lineitem l
+           |    WHERE l.l_orderkey = o.o_orderkey
+           |      AND l.l_shipdate > o.o_orderdate + INTERVAL 300 DAY)
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+  )
+
+  /** q470 — important-part supply value (TPC-H Q11 shape over the fact
+    * table — the schema has no partsupp, so "supply value" is shipped
+    * revenue): parts whose exact-cents revenue exceeds 1.5x the MEAN
+    * part revenue (the HAVING-vs-global-scalar shape). The threshold is
+    * deliberately scale-FREE — Q11's fixed-fraction cut goes vacuous
+    * the moment the part population grows (the sf1 sweep caught
+    * exactly that: 10x parts diluted every share 10x and emptied the
+    * result), while x-of-mean selects the same head at every SF. One
+    * fact aggregate to |parts| rows; the 2-row global frame broadcasts
+    * back; exact integer cents, DECIMAL-lifted products. */
+  val q470 = QuerySpec(
+    "q470_important_part_value",
+    (s, d) => {
+      import s.implicits._
+      val r = Tables.lineitem(s, d)
+        .groupBy($"l_partkey")
+        .agg(sum(expr(
+          "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+          .as("cents"))
+      r.crossJoin(broadcast(r.agg(sum($"cents").as("total"),
+          count(lit(1)).as("n_parts"))))
+        .filter(expr(
+          "CAST(cents AS DECIMAL(38,0)) * n_parts * 2 > CAST(total AS DECIMAL(38,0)) * 3"))
+        .select($"l_partkey", $"cents",
+          expr("CAST(CAST(cents AS DECIMAL(38,0)) * n_parts * 1000000 div total AS BIGINT)")
+            .as("vs_mean_ppm"))
+        .orderBy($"cents".desc, $"l_partkey")
+    },
+    Some("""WITH r AS (SELECT l_partkey,
+           |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS cents
+           |  FROM lineitem GROUP BY 1),
+           |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total,
+           |  CAST(count(*) AS BIGINT) AS n_parts FROM r)
+           |SELECT l_partkey, cents,
+           |  CAST(CAST(cents AS HUGEINT) * n_parts * 1000000 // total AS BIGINT) AS vs_mean_ppm
+           |FROM r CROSS JOIN t
+           |WHERE CAST(cents AS HUGEINT) * n_parts * 2 > CAST(total AS HUGEINT) * 3
+           |ORDER BY cents DESC, l_partkey""".stripMargin),
+  )
+
+  /** q471 — promo revenue share by ship year (TPC-H Q14 shape,
+    * widened from one month to the year series): the conditional-
+    * share-of-total readout — PROMO-type parts' exact-cents revenue
+    * over each year's total, in ppm. Part type broadcasts into the
+    * fact scan; ONE aggregate computes both the conditional and the
+    * total sum (no second pass, no self-join). */
+  val q471 = QuerySpec(
+    "q471_promo_revenue_share",
+    (s, d) => {
+      import s.implicits._
+      val p = Tables.part(s, d).select($"p_partkey", $"p_type")
+      Tables.lineitem(s, d)
+        .join(broadcast(p), $"l_partkey" === $"p_partkey")
+        .select(year($"l_shipdate").as("yr"),
+          expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)").as("cents"),
+          ($"p_type" === "PROMO").as("promo"))
+        .groupBy($"yr")
+        .agg(sum(when($"promo", $"cents").otherwise(0L)).as("promo_cents"),
+          sum($"cents").as("total_cents"))
+        .select($"yr", $"promo_cents", $"total_cents",
+          expr("promo_cents * 1000000L div total_cents").as("promo_share_ppm"))
+        .orderBy($"yr")
+    },
+    Some("""SELECT CAST(year(l_shipdate) AS INT) AS yr,
+           |  CAST(sum(CASE WHEN p_type = 'PROMO'
+           |    THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           |    ELSE 0 END) AS BIGINT) AS promo_cents,
+           |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           |  CAST(sum(CASE WHEN p_type = 'PROMO'
+           |    THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           |    ELSE 0 END) * 1000000
+           |    // sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS promo_share_ppm
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |GROUP BY 1 ORDER BY yr""".stripMargin),
+  )
+
+  /** q472 — large-volume orders (TPC-H Q18 shape): orders whose total
+    * quantity exceeds 250, with their customer — the grouped-HAVING-
+    * subquery-feeding-a-join shape. The qty census is one fact
+    * aggregate (exact DECIMAL sums — quantity is a double column);
+    * survivors (hundreds, not millions) join back to orders+customer
+    * broadcast-side. Top 20 by quantity. */
+  val q472 = QuerySpec(
+    "q472_large_volume_orders",
+    (s, d) => {
+      import s.implicits._
+      val big = Tables.lineitem(s, d)
+        .groupBy($"l_orderkey")
+        .agg(sum($"l_quantity".cast(DecimalType(12, 2))).as("qty"))
+        .filter($"qty" > 250)
+      big.join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.customer(s, d)
+          .select($"c_custkey", $"c_name")), $"o_custkey" === $"c_custkey")
+        .select($"c_name", $"o_orderkey", dstr($"o_orderdate").as("o_date"),
+          $"qty".cast("double").as("total_qty"))
+        .orderBy($"total_qty".desc, $"o_orderkey")
+        .limit(20)
+    },
+    Some("""WITH big AS (
+           |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+           |  FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+           |SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+           |  CAST(qty AS DOUBLE) AS total_qty
+           |FROM big JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin),
+  )
+
+  /** q473 — dormant rich customers (TPC-H Q22 shape, nation-grouped —
+    * the schema has no phone column): customers with an account
+    * balance above the positive-balance average with no orders since
+    * 1999 (every synthetic customer ordered at least once, so Q22's
+    * never-ordered filter would be vacuous — churn is the live
+    * version) — per nation, how many and how much idle budget. The
+    * scalar average is exact integer cents over a broadcast 1-row
+    * frame; the churn test is a LEFT ANTI join against the recent
+    * order slice (the oracle states NOT EXISTS). */
+  val q473 = QuerySpec(
+    "q473_dormant_rich_customers",
+    (s, d) => {
+      import s.implicits._
+      val c = Tables.customer(s, d)
+        .select($"c_custkey", $"c_nationkey",
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_c"))
+      val avgPos = c.filter($"bal_c" > 0L)
+        .agg((sum($"bal_c") / count(lit(1))).cast("long").as("avg_c"))
+      c.crossJoin(broadcast(avgPos))
+        .filter($"bal_c" > $"avg_c")
+        .join(Tables.orders(s, d)
+          .filter($"o_orderdate" >= "1999-01-01").select($"o_custkey"),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_customers"), sum($"bal_c").as("idle_cents"))
+        .orderBy($"c_nationkey")
+    },
+    Some("""WITH c AS (SELECT c_custkey, c_nationkey,
+           |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c FROM customer),
+           |a AS (SELECT CAST(sum(bal_c) / count(*) AS BIGINT) AS avg_c
+           |  FROM c WHERE bal_c > 0)
+           |SELECT c_nationkey, count(*) AS n_customers,
+           |  CAST(sum(bal_c) AS BIGINT) AS idle_cents
+           |FROM c CROSS JOIN a
+           |WHERE bal_c > avg_c
+           |  AND NOT EXISTS (SELECT 1 FROM orders o
+           |    WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= '1999-01-01')
+           |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+  )
+
+  /** q474 — dominant suppliers of scarce parts (TPC-H Q20 shape over
+    * the fact table — no partsupp, so "holds the stock" becomes "ships
+    * ≥10% of the part's volume"): for red parts, suppliers dominating
+    * at least TWO parts' shipped quantity. The nested semi chain: part
+    * name filter broadcasts into the fact scan; per-(part, supplier)
+    * qty and per-part totals are two key-clustered aggregates; the
+    * dominance test and the ≥2 HAVING reduce to a supplier-keyed frame
+    * joined to the supplier dim. Quantities exact DECIMAL. */
+  val q474 = QuerySpec(
+    "q474_dominant_part_suppliers",
+    (s, d) => {
+      import s.implicits._
+      val pp = Tables.part(s, d).filter($"p_name".like("red%"))
+        .select($"p_partkey")
+      val f = Tables.lineitem(s, d)
+        .join(broadcast(pp), $"l_partkey" === $"p_partkey")
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(sum($"l_quantity".cast(DecimalType(12, 2))).as("q"))
+      val t = f.groupBy($"l_partkey").agg(sum($"q").as("tq"))
+      val dom = f.join(t, Seq("l_partkey"))
+        .filter($"q" * 10 > $"tq")
+        .groupBy($"l_suppkey")
+        .agg(count(lit(1)).as("n_dominated"))
+        .filter($"n_dominated" >= 2)
+      dom.join(broadcast(Tables.supplier(s, d)
+          .select($"s_suppkey", $"s_name")), $"l_suppkey" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name", $"n_dominated")
+        .orderBy($"n_dominated".desc, $"s_suppkey")
+    },
+    Some("""WITH pp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+           |f AS (SELECT l_partkey, l_suppkey,
+           |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS q
+           |  FROM lineitem JOIN pp ON l_partkey = p_partkey GROUP BY 1, 2),
+           |t AS (SELECT l_partkey, sum(q) AS tq FROM f GROUP BY 1),
+           |dom AS (SELECT l_suppkey, count(*) AS n_dominated
+           |  FROM f JOIN t USING (l_partkey) WHERE q * 10 > tq
+           |  GROUP BY 1 HAVING count(*) >= 2)
+           |SELECT s_suppkey, s_name, n_dominated
+           |FROM dom JOIN supplier ON l_suppkey = s_suppkey
+           |ORDER BY n_dominated DESC, s_suppkey""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q201, q202, q203, q204, q205, q206, q410, q417, q418, q442, q461)
+    Seq(q201, q202, q203, q204, q205, q206, q410, q417, q418, q442, q461,
+      q469, q470, q471, q472, q473, q474)
 }
