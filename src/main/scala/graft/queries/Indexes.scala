@@ -952,6 +952,24 @@ object Indexes {
     q341.oracle,
   )
 
+  /** q475 — streaming CDC maintenance WITH DELETES (the verb q372/q375
+    * stop short of, and q462's batch delete made streamable): the feed
+    * is a change log — upsert batches carrying vectors, then a
+    * tombstone batch carrying ONLY keys — applied per micro-batch
+    * inside `foreachBatch`: upserts land replay-idempotently under
+    * (cid, batch_id) dynamic overwrite; deletes locate victims via the
+    * index's own id columns and dir-swap ONLY the affected partitions
+    * (naturally replay-idempotent: a second pass finds nothing left).
+    * See [[graft.streaming.StreamIvfCdc]]; kill-and-restart
+    * exactly-once is pinned by Round8EdgeSpec. Oracle: q462's
+    * from-scratch IVF on the reduced corpus + the zero erased-ids
+    * audit — stream-deleted ≡ rebuilt-without-them. */
+  val q475 = QuerySpec(
+    "q475_stream_ivf_cdc_delete",
+    (s, d) => graft.streaming.StreamIvfCdc.runOnce(s, d),
+    q462.oracle,
+  )
+
   /** q384 — IVF nprobe RECALL CURVE (q369 generalized from a point to
     * the tuning sweep): recall@10 and scanned-fraction for
     * nprobe ∈ {1,2,4,8} in one pass — the curve an index operator
@@ -1124,5 +1142,5 @@ object Indexes {
   )
 
   val all: Seq[QuerySpec] =
-    Seq(q341, q342, q359, q360, q361, q362, q366, q369, q372, q375, q384, q388, q462, q465, q467)
+    Seq(q341, q342, q359, q360, q361, q362, q366, q369, q372, q375, q384, q388, q462, q465, q467, q475)
 }

@@ -203,6 +203,19 @@ class Round8EdgeSpec extends SparkTestBase {
     assert(rows(8L).getAs[Boolean]("is_dup") === false)
   }
 
+  test("q475: CDC maintainer killed mid-stream + restarted answers exactly-once") {
+    // Upsert replays overwrite their own (cid, batch_id) partitions;
+    // delete replays find no remaining victims — the drained index must
+    // answer exactly like an uninterrupted run (≡ from-scratch rebuild
+    // on the reduced corpus, which the oracle gate already pins for
+    // runOnce; here the two paths are pinned against each other).
+    val uninterrupted = Indexes.q475.run(spark, sf).collect().toSeq
+    val restarted = graft.streaming.StreamIvfCdc
+      .runWithRestart(spark, sf).collect().toSeq
+    assert(restarted === uninterrupted)
+    assert(uninterrupted.forall(_.getAs[Long]("n_erased_left") === 0L))
+  }
+
   test("deleteFromIvf: untouched partitions keep their files byte-identical") {
     val dir = tmpDir("graft_ivfdel_edge")
     val ivf = s"$dir/ivf"
