@@ -3339,7 +3339,10 @@ object Analytics {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val hx = md5($"user_id".cast("string").cast("binary"))
-      val hourly = Tables.events(s, d)
+      // fanOut: sf0.1 events fit one parquet split, which would run the
+      // per-row md5/conv register math on a single task (the bench read
+      // cpu/wall ≈ 1.6 on 32 cores before this).
+      val hourly = Tables.fanOut(Tables.events(s, d), col("user_id"))
         .select(date_trunc("hour", $"ts").as("h"), hx.as("hx"))
         .select($"h",
           expr("conv(substring(hx, 1, 1), 16, 10)").cast("long").as("bucket"),
@@ -3366,11 +3369,14 @@ object Analytics {
         .agg(sum(expr("shiftleft(1L, cast(41 - m6 as int))")).as("zp"))
         .select($"h",
           expr(s"${673L * 256L} * shiftleft(1L, 41) div zp").as("est_milli"))
-      val hours = Tables.events(s, d)
-        .select(date_trunc("hour", $"ts").as("h")).distinct()
-      val exact = hours.join(Tables.events(s, d)
-          .select(date_trunc("hour", $"ts").as("eh"), $"user_id"),
-          $"eh".between(expr("h - INTERVAL 5 HOURS"), $"h"))
+      // Exact side: hour-truncated `eh BETWEEN h-5h AND h` is the same
+      // as h = eh + k hours, k in 0..5 — so the hours x events
+      // range NLJ rewrites to a 6x explode + equi-join shape (phantom
+      // hours past the corpus max fall out of the final inner join).
+      val exact = Tables.fanOut(Tables.events(s, d), col("user_id"))
+          .select(date_trunc("hour", $"ts").as("eh"), $"user_id")
+          .withColumn("h", explode(expr(
+            "sequence(eh, eh + INTERVAL 5 HOURS, INTERVAL 1 HOUR)")))
         .groupBy($"h").agg(countDistinct($"user_id").as("exact_distinct"))
       est.join(exact, Seq("h"))
         .orderBy($"h")

@@ -811,20 +811,27 @@ object SqlSurface {
     * dropping fields). The oracle rebuilds the same JSON with DuckDB's
     * json type and extracts the same paths — value equality pins that
     * both engines' JSON round trip is lossless for BIGINT/DOUBLE/STRING.
-    * Scale: parse_json is a per-row codegen'd expression — no shuffle,
-    * no UDF; VARIANT's binary encoding decodes each path without
-    * re-parsing the text, which is the point at 100 TB: parse once at
-    * ingest, bind schema lazily at query time. */
+    * Scale: parse_json is a per-row codegen'd expression — no UDF;
+    * VARIANT's binary encoding decodes each path without re-parsing
+    * the text, which is the point at 100 TB: parse once at ingest,
+    * bind schema lazily at query time. The REPARTITION hint spreads
+    * the parse across the cluster when the input arrives in few
+    * splits (one 128 MB split would otherwise serialize it — the
+    * bench read cpu/wall ≈ 1.6 on 32 cores before the hint). */
   val q251 = QuerySpec(
     "q251_variant_extract",
     (s, d) => {
       registerViews(s, d)
-      s.sql("""WITH j AS (
+      s.sql("""WITH r AS (
+              |  SELECT /*+ REPARTITION(32, l_orderkey) */
+              |    l_quantity, l_orderkey, l_partkey, l_returnflag, l_linestatus
+              |  FROM lineitem),
+              |j AS (
               |  SELECT parse_json(to_json(named_struct(
               |    'qty', l_quantity,
               |    'keys', named_struct('ok', l_orderkey, 'pk', l_partkey),
               |    'tags', array(l_returnflag, l_linestatus)))) AS v
-              |  FROM lineitem)
+              |  FROM r)
               |SELECT
               |  variant_get(v, '$.tags[1]', 'string') AS status_tag,
               |  count(*) AS n,
