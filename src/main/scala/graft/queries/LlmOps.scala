@@ -245,7 +245,7 @@ object LlmOps {
     "q173_array_set_ops",
     (s, d) => {
       import s.implicits._
-      Tables.lineitem(s, d)
+      Tables.fanOut(Tables.lineitem(s, d), col("l_orderkey"))
         .select($"l_returnflag",
           expr("array(l_orderkey % 7, l_partkey % 7, l_suppkey % 7)").as("a"),
           expr("array(l_partkey % 7, CAST(l_linenumber AS BIGINT))").as("b"),

@@ -941,7 +941,11 @@ object SqlSurface {
     "q271_variant_schema_infer",
     (s, d) => {
       registerViews(s, d)
-      s.sql("""WITH j AS (
+      s.sql("""WITH r AS (
+              |  SELECT /*+ REPARTITION(32, l_orderkey) */
+              |    l_orderkey, l_quantity, l_returnflag
+              |  FROM lineitem),
+              |j AS (
               |  SELECT l_orderkey % 3 AS shape,
               |    parse_json(CASE l_orderkey % 3
               |      WHEN 0 THEN '{"qty": ' || CAST(CAST(l_quantity AS BIGINT) AS STRING) || '}'
@@ -950,7 +954,7 @@ object SqlSurface {
               |      ELSE '{"qty": ' || CAST(CAST(l_quantity AS BIGINT) AS STRING)
               |        || ', "tags": ["' || l_returnflag || '"]}'
               |    END) AS v
-              |  FROM lineitem)
+              |  FROM r)
               |SELECT shape, count(*) AS n,
               |  count(DISTINCT schema_of_variant(v)) AS n_row_schemas,
               |  schema_of_variant_agg(v) AS merged_schema
