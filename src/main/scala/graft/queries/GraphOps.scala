@@ -941,6 +941,167 @@ object GraphOps {
            |ORDER BY c_custkey, rank""".stripMargin),
   )
 
+  /** The capped, support-thresholded co-purchase supplier projection
+    * shared by q476/q477: undirected (sa < sb) edges between suppliers
+    * sharing at least 8 customers, baskets capped at 16 per customer.
+    * Two bounds, two reasons: the basket cap (q454's) keeps the pair
+    * fan-out linear in customers at 100 TB, and the SUPPORT threshold
+    * keeps the projected graph sparse — an unthresholded projection of
+    * random baskets is near-complete, and a near-complete graph makes
+    * every triangle/core algorithm quadratic no matter how it is
+    * written (the sf1 dry-run spilled the naive oracle to 60+ GB
+    * before this threshold existed). */
+  private[graft] def coPurchaseEdges(edges: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import edges.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val capped = edges
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"cust").orderBy($"supp")))
+      .filter($"rn" <= 16)
+      .select($"cust", $"supp")
+    capped.as("a").join(capped.as("b"),
+        $"a.cust" === $"b.cust" && $"a.supp" < $"b.supp")
+      .groupBy($"a.supp".as("u"), $"b.supp".as("v"))
+      .agg(count(lit(1)).as("sup"))
+      .filter($"sup" >= 8)
+      .select($"u", $"v")
+  }
+
+  private val sqlCoPurchaseCtes: String =
+    """ed AS (
+      |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |capped AS (SELECT cust, supp FROM (
+      |    SELECT cust, supp, row_number() OVER (PARTITION BY cust ORDER BY supp) AS rn
+      |    FROM ed) WHERE rn <= 16),
+      |g AS MATERIALIZED (SELECT u, v FROM (
+      |    SELECT a.supp AS u, b.supp AS v, count(*) AS sup
+      |    FROM capped a JOIN capped b ON a.cust = b.cust AND a.supp < b.supp
+      |    GROUP BY 1, 2) WHERE sup >= 8)""".stripMargin
+
+  /** q476 — triangle census + global clustering coefficient over the
+    * co-purchase projection: triangles via the ordered two-path join
+    * g(a,b) ⋈ g(b,c) ⋈ g(a,c) (each triangle counted exactly once by
+    * the a<b<c orientation), wedges from the degree census
+    * (Σ deg·(deg−1)/2), coefficient = 3·triangles/wedges in exact ppm —
+    * the graph-density readout behind community detection and spam
+    * screens. Scale: id-orientation is the textbook compromise (a true
+    * 100 TB run orients by (degree, id) so each edge's join fan-out is
+    * bounded by the SMALLER endpoint's degree); the capped projection
+    * bounds degrees before the join ever runs. Two self-joins on edge
+    * keys + one dimension-sized degree aggregate. */
+  val q476 = QuerySpec(
+    "q476_triangle_census",
+    (s, d) => {
+      import s.implicits._
+      val edges = tradeEdges(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+      val g = coPurchaseEdges(edges).persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val deg = g.select($"u".as("n")).unionAll(g.select($"v".as("n")))
+          .groupBy($"n").agg(count(lit(1)).as("deg"))
+        val wedges = deg.agg(
+          count(lit(1)).as("n_nodes"),
+          sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+        val tri = g.as("e1")
+          .join(g.as("e2"), $"e1.v" === $"e2.u")
+          .join(g.as("e3"),
+            $"e1.u" === $"e3.u" && $"e2.v" === $"e3.v", "left_semi")
+          .agg(count(lit(1)).as("n_triangles"))
+        val nEdges = g.agg(count(lit(1)).as("n_edges"))
+        Eager(wedges.crossJoin(broadcast(nEdges)).crossJoin(broadcast(tri))
+          .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
+            expr("n_triangles * 3000000L div nullif(n_wedges, 0L)")
+              .as("clustering_ppm")))
+      } finally { g.unpersist(blocking = false); edges.unpersist(blocking = false) }
+    },
+    Some(s"""WITH $sqlCoPurchaseCtes,
+            |deg AS (SELECT n, count(*) AS deg FROM (
+            |  SELECT u AS n FROM g UNION ALL SELECT v FROM g) GROUP BY n),
+            |w AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+            |  CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+            |wed AS (SELECT e1.u AS a, e2.v AS c FROM g e1 JOIN g e2 ON e1.v = e2.u),
+            |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            |  FROM wed JOIN g e3 ON wed.a = e3.u AND wed.c = e3.v),
+            |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM g)
+            |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+            |  CAST(n_triangles * 3000000 // nullif(n_wedges, 0) AS BIGINT) AS clustering_ppm
+            |FROM w CROSS JOIN ne CROSS JOIN tri""".stripMargin),
+  )
+
+  /** q477 — 3-core peeling over the co-purchase projection: iteratively
+    * remove nodes with degree < 3 until fixpoint (8 synchronized
+    * rounds — both engines run EXACTLY 8, so a corpus that needs more
+    * reports the same partial state on both sides), reporting survivors
+    * and per-round removal counts — the "dense cohesive core" screen
+    * (k-core is the standard preprocessing cut before community
+    * detection, and the model of cascading-dropout robustness). Each
+    * round is one degree census + two semi-joins over the CURRENT edge
+    * frame, which is localCheckpoint'ed per round — each round's plan
+    * references its parent three times, so without lineage truncation
+    * the logical tree grows 3^rounds and the OPTIMIZER (not the data)
+    * blows the heap; the checkpoint keeps every round's plan one scan
+    * deep. The oracle replays the peel as a chained CTE. */
+  val q477 = QuerySpec(
+    "q477_kcore_peeling",
+    (s, d) => {
+      import s.implicits._
+      val R = 8
+      val edges = tradeEdges(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        var g = coPurchaseEdges(edges).localCheckpoint()
+        val removed = scala.collection.mutable.ListBuffer[Long]()
+        for (_ <- 1 to R) {
+          val deg = g.select($"u".as("n")).unionAll(g.select($"v".as("n")))
+            .groupBy($"n").agg(count(lit(1)).as("deg"))
+          val keep = deg.filter($"deg" >= 3).select($"n")
+          removed += deg.filter($"deg" < 3).count()
+          g = g
+            .join(keep.select($"n".as("u")), Seq("u"), "left_semi")
+            .join(keep.select($"n".as("v")), Seq("v"), "left_semi")
+            .select($"u", $"v")
+            .localCheckpoint()
+        }
+        val core = g.select($"u".as("n")).unionAll(g.select($"v".as("n")))
+          .distinct().agg(count(lit(1)).as("core_nodes"))
+        Eager(g.agg(count(lit(1)).as("core_edges"))
+          .crossJoin(broadcast(core))
+          .select($"core_nodes", $"core_edges",
+            lit(removed.sum).as("n_removed")))
+      } finally edges.unpersist(blocking = false)
+    },
+    Some {
+      val peel = (1 to 8).map { r =>
+        // MATERIALIZED: DuckDB inlines CTEs by default, and each round
+        // references its parent three times — the same 3^rounds blowup
+        // the Spark side dodges with localCheckpoint (surfaced as fd
+        // exhaustion re-opening the parquet at every inlined leaf).
+        s"""d$r AS MATERIALIZED (SELECT n, count(*) AS deg FROM (
+           |  SELECT u AS n FROM g${r - 1} UNION ALL SELECT v FROM g${r - 1}) GROUP BY n),
+           |k$r AS (SELECT n FROM d$r WHERE deg >= 3),
+           |g$r AS MATERIALIZED (SELECT u, v FROM g${r - 1}
+           |  WHERE u IN (SELECT n FROM k$r) AND v IN (SELECT n FROM k$r))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $sqlCoPurchaseCtes,
+         |g0 AS MATERIALIZED (SELECT u, v FROM g),
+         |$peel,
+         |core AS (SELECT CAST(count(DISTINCT n) AS BIGINT) AS core_nodes FROM (
+         |  SELECT u AS n FROM g8 UNION ALL SELECT v FROM g8)),
+         |ce AS (SELECT CAST(count(*) AS BIGINT) AS core_edges FROM g8),
+         |rm AS (SELECT (SELECT count(*) FROM d1 WHERE deg < 3)
+         |  + (SELECT count(*) FROM d2 WHERE deg < 3)
+         |  + (SELECT count(*) FROM d3 WHERE deg < 3)
+         |  + (SELECT count(*) FROM d4 WHERE deg < 3)
+         |  + (SELECT count(*) FROM d5 WHERE deg < 3)
+         |  + (SELECT count(*) FROM d6 WHERE deg < 3)
+         |  + (SELECT count(*) FROM d7 WHERE deg < 3)
+         |  + (SELECT count(*) FROM d8 WHERE deg < 3) AS n_removed)
+         |SELECT core_nodes, core_edges, CAST(n_removed AS BIGINT) AS n_removed
+         |FROM core CROSS JOIN ce CROSS JOIN rm""".stripMargin
+    },
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q59, q94, q126, q148, q226, q304, q310, q378, q435, q448, q454)
+    Seq(q59, q94, q126, q148, q226, q304, q310, q378, q435, q448, q454,
+      q476, q477)
 }
