@@ -27,7 +27,7 @@ object Extras {
     "q39_agg_approx_distinct",
     (s, d) => {
       import s.implicits._
-      Tables.lineitem(s, d)
+      Tables.fanOut(Tables.lineitem(s, d), col("l_orderkey"))
         .groupBy($"l_returnflag")
         .agg(
           countDistinct($"l_partkey").as("n_parts_exact"),
@@ -825,7 +825,9 @@ object Extras {
     "q107_column_profile",
     (s, d) => {
       import s.implicits._
-      val o = Tables.orders(s, d)
+      // fanOut: the 5x countDistinct EXPAND otherwise runs on orders'
+      // single sf0.1 input split (bench read cpu/wall ~= 2 on 32 cores).
+      val o = Tables.fanOut(Tables.orders(s, d), col("o_orderkey"))
       val stats = o.agg(
         count(lit(1)).as("n"),
         count($"o_orderkey").as("nn_key"), countDistinct($"o_orderkey").as("ndv_key"),
