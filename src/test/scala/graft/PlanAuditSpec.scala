@@ -927,6 +927,56 @@ class PlanAuditSpec extends SparkTestBase {
     } finally { edges.unpersist(blocking = false); () }
   }
 
+  test("q469: the waiting-order EXISTS plans as a semi-join, never a correlated probe") {
+    val p = plan("q469_priority_waiting_count")
+    assert(p.contains("LeftSemi"), "EXISTS must be a semi-join\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the date residual degraded the semi-join to a loop join\n" + p)
+  }
+
+  test("q470/q471/q473: global scalars broadcast; dims broadcast into the fact scan") {
+    Seq("q470_important_part_value", "q473_dormant_rich_customers").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"$n: 1-row global frame must broadcast\n" + p)
+    }
+    val p = plan("q471_promo_revenue_share")
+    assert(p.contains("BroadcastHashJoin"), "part dim must broadcast\n" + p)
+    assert(!p.contains("SortMergeJoin"), "part dim degraded to sort-merge\n" + p)
+  }
+
+  test("q472: the qty census aggregates BEFORE any join; customer broadcasts") {
+    val p = plan("q472_large_volume_orders")
+    // The lineitem aggregate must sit below the order join in the tree.
+    val j = p.indexOf("Join")
+    assert(j >= 0 && p.indexOf("HashAggregate", j) > j,
+      "qty census did not pre-aggregate below the join\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "customer dim must broadcast\n" + p)
+  }
+
+  test("q474: nested semi chain keeps every join an equi-join on pruned frames") {
+    val p = plan("q474_dominant_part_suppliers")
+    assert(p.contains("BroadcastHashJoin"), "part filter/supplier dim must broadcast\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "dominance chain degraded to a loop join\n" + p)
+  }
+
+  test("q476 (factored): the projection is capped+thresholded before the triangle joins") {
+    val edges = graft.queries.GraphOps.tradeEdges(spark, sf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val p = graft.queries.GraphOps.coPurchaseEdges(edges)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("WindowGroupLimit"),
+        "basket cap lost the group-limit rewrite\n" + p)
+      // The support threshold is an aggregate filter — the projection
+      // must END in an aggregate, not a bare distinct of raw pairs.
+      assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+        "support threshold aggregate missing\n" + p)
+    } finally { edges.unpersist(blocking = false); () }
+  }
+
   test("q464: repeated-gram filter is a semi-join; islands window per-doc") {
     val p = plan("q464_exact_substring_spans")
     assert(p.contains("LeftSemi"), "repeated-gram membership must be a semi-join\n" + p)
