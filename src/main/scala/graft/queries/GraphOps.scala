@@ -1101,7 +1101,57 @@ object GraphOps {
     },
   )
 
+  /** q478 — degree assortativity (Newman's r) over the co-purchase
+    * projection: the Pearson correlation of endpoint degrees across
+    * every directed edge instance — do hubs trade with hubs
+    * (assortative, r>0) or with the periphery (disassortative, r<0)?
+    * The readout that distinguishes social-style graphs from
+    * web/biology-style ones, and the skew early-warning for join
+    * planning on the projected graph. Sufficient statistics are EXACT
+    * BIGINTs (degrees are integers; Σd, Σd², Σdxdy stay under 2⁶³ to
+    * ~10⁹-endpoint graphs); the final r is one double expression over
+    * those identical integers on both engines (the symmetric edge list
+    * makes var(x)=var(y), so the denominator needs no sqrt; IEEE * and
+    * / on identical operands match bit-for-bit).
+    * One node-sized degree frame broadcast onto the edge list; one
+    * 1-row aggregate. */
+  val q478 = QuerySpec(
+    "q478_degree_assortativity",
+    (s, d) => {
+      import s.implicits._
+      val edges = tradeEdges(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val g = coPurchaseEdges(edges)
+        val both = g.select($"u".as("src"), $"v".as("dst"))
+          .unionAll(g.select($"v".as("src"), $"u".as("dst")))
+        val deg = both.groupBy($"src".as("n")).agg(count(lit(1)).as("deg"))
+        val st = both
+          .join(broadcast(deg.select($"n".as("src"), $"deg".as("dx"))), Seq("src"))
+          .join(broadcast(deg.select($"n".as("dst"), $"deg".as("dy"))), Seq("dst"))
+          .agg(count(lit(1)).as("m2"),
+            sum($"dx").as("sx"), sum($"dx" * $"dx").as("sxx"),
+            sum($"dx" * $"dy").as("sxy"))
+        Eager(st.select($"m2", $"sx", $"sxx", $"sxy",
+          round(($"m2" * $"sxy" - $"sx" * $"sx").cast("double") /
+            ($"m2" * $"sxx" - $"sx" * $"sx").cast("double"), 4)
+            .as("assortativity_r")))
+      } finally edges.unpersist(blocking = false)
+    },
+    Some(s"""WITH $sqlCoPurchaseCtes,
+            |bi AS (SELECT u AS src, v AS dst FROM g
+            |  UNION ALL SELECT v, u FROM g),
+            |deg AS (SELECT src AS n, count(*) AS deg FROM bi GROUP BY 1)
+            |SELECT CAST(count(*) AS BIGINT) AS m2,
+            |  CAST(sum(x.deg) AS BIGINT) AS sx,
+            |  CAST(sum(x.deg * x.deg) AS BIGINT) AS sxx,
+            |  CAST(sum(x.deg * y.deg) AS BIGINT) AS sxy,
+            |  round(CAST(count(*) * sum(x.deg * y.deg) - sum(x.deg) * sum(x.deg) AS DOUBLE)
+            |    / CAST(count(*) * sum(x.deg * x.deg) - sum(x.deg) * sum(x.deg) AS DOUBLE), 4)
+            |    AS assortativity_r
+            |FROM bi b JOIN deg x ON b.src = x.n JOIN deg y ON b.dst = y.n""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q59, q94, q126, q148, q226, q304, q310, q378, q435, q448, q454,
-      q476, q477)
+      q476, q477, q478)
 }
