@@ -1131,9 +1131,14 @@ object GraphOps {
           .agg(count(lit(1)).as("m2"),
             sum($"dx").as("sx"), sum($"dx" * $"dx").as("sxx"),
             sum($"dx" * $"dy").as("sxy"))
+        // nullif: a degree-REGULAR projection (every node the same
+        // degree — the complete graph sf0.001 yields) has zero degree
+        // variance, where assortativity is mathematically undefined —
+        // NULL, not a divide-by-zero (Round8EdgeSpec-class guard,
+        // caught by QueriesSpec's sf0.001 sweep).
         Eager(st.select($"m2", $"sx", $"sxx", $"sxy",
           round(($"m2" * $"sxy" - $"sx" * $"sx").cast("double") /
-            ($"m2" * $"sxx" - $"sx" * $"sx").cast("double"), 4)
+            nullif(($"m2" * $"sxx" - $"sx" * $"sx").cast("double"), lit(0.0)), 4)
             .as("assortativity_r")))
       } finally edges.unpersist(blocking = false)
     },
@@ -1146,7 +1151,7 @@ object GraphOps {
             |  CAST(sum(x.deg * x.deg) AS BIGINT) AS sxx,
             |  CAST(sum(x.deg * y.deg) AS BIGINT) AS sxy,
             |  round(CAST(count(*) * sum(x.deg * y.deg) - sum(x.deg) * sum(x.deg) AS DOUBLE)
-            |    / CAST(count(*) * sum(x.deg * x.deg) - sum(x.deg) * sum(x.deg) AS DOUBLE), 4)
+            |    / nullif(CAST(count(*) * sum(x.deg * x.deg) - sum(x.deg) * sum(x.deg) AS DOUBLE), 0), 4)
             |    AS assortativity_r
             |FROM bi b JOIN deg x ON b.src = x.n JOIN deg y ON b.dst = y.n""".stripMargin),
   )
