@@ -683,8 +683,13 @@ object DecisionSupport {
       val c = Tables.customer(s, d)
         .select($"c_custkey", $"c_nationkey",
           expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_c"))
+      // Integer division on BOTH engines: (sum/count).cast("long") would
+      // TRUNCATE the double toward zero while DuckDB's CAST(... AS
+      // BIGINT) rounds to nearest — a customer sitting exactly on the
+      // rounded cent would flip the bal_c > avg_c cut. `div` and `//`
+      // are the same exact floor over identical integers.
       val avgPos = c.filter($"bal_c" > 0L)
-        .agg((sum($"bal_c") / count(lit(1))).cast("long").as("avg_c"))
+        .agg(expr("sum(bal_c) div count(1)").as("avg_c"))
       c.crossJoin(broadcast(avgPos))
         .filter($"bal_c" > $"avg_c")
         .join(Tables.orders(s, d)
@@ -696,7 +701,7 @@ object DecisionSupport {
     },
     Some("""WITH c AS (SELECT c_custkey, c_nationkey,
            |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c FROM customer),
-           |a AS (SELECT CAST(sum(bal_c) / count(*) AS BIGINT) AS avg_c
+           |a AS (SELECT CAST(sum(bal_c) // count(*) AS BIGINT) AS avg_c
            |  FROM c WHERE bal_c > 0)
            |SELECT c_nationkey, count(*) AS n_customers,
            |  CAST(sum(bal_c) AS BIGINT) AS idle_cents

@@ -980,40 +980,62 @@ object GraphOps {
       |    FROM capped a JOIN capped b ON a.cust = b.cust AND a.supp < b.supp
       |    GROUP BY 1, 2) WHERE sup >= 8)""".stripMargin
 
+  /** q476's pipeline over an already-persisted projection, factored so
+    * PlanAuditSpec can pin the orientation shape: triangles via the
+    * DEGREE-ORDERED two-path join — each undirected edge is oriented
+    * from its (degree, id)-smaller endpoint to the larger, so a node's
+    * out-degree (and therefore each edge's two-path fan-out) is bounded
+    * by its SMALLER endpoint's degree. That is the standard trick that
+    * makes triangle counting survive hub nodes: a degree-D hub
+    * contributes O(Σ smaller-endpoint degrees) wedges instead of O(D²),
+    * so the census holds up even if the projection's support threshold
+    * is ever loosened. Orientation is a total order ((deg, id) pairs are
+    * distinct for distinct nodes), every triangle is counted exactly
+    * once as its unique oriented 2-path + closing edge, and the COUNTS
+    * are orientation-invariant — the oracle's id-ordered SQL is
+    * unchanged. Wedges from the degree census (Σ deg·(deg−1)/2),
+    * coefficient = 3·triangles/wedges in exact ppm. The degree frame is
+    * node-sized (a dimension) and broadcasts into the orientation. */
+  private[graft] def triangleCensus(g: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import g.sparkSession.implicits._
+    val deg = g.select($"u".as("n")).unionAll(g.select($"v".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("deg"))
+    val wedges = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    val du = struct($"du", $"u")
+    val dv = struct($"dv", $"v")
+    val oriented = g
+      .join(broadcast(deg.select($"n".as("u"), $"deg".as("du"))), Seq("u"))
+      .join(broadcast(deg.select($"n".as("v"), $"deg".as("dv"))), Seq("v"))
+      .select(when(du < dv, $"u").otherwise($"v").as("lo"),
+        when(du < dv, $"v").otherwise($"u").as("hi"))
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"), $"e1.hi" === $"e2.lo")
+      .join(oriented.as("e3"),
+        $"e1.lo" === $"e3.lo" && $"e2.hi" === $"e3.hi", "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val nEdges = g.agg(count(lit(1)).as("n_edges"))
+    wedges.crossJoin(broadcast(nEdges)).crossJoin(broadcast(tri))
+      .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
+        expr("n_triangles * 3000000L div nullif(n_wedges, 0L)")
+          .as("clustering_ppm"))
+  }
+
   /** q476 — triangle census + global clustering coefficient over the
-    * co-purchase projection: triangles via the ordered two-path join
-    * g(a,b) ⋈ g(b,c) ⋈ g(a,c) (each triangle counted exactly once by
-    * the a<b<c orientation), wedges from the degree census
-    * (Σ deg·(deg−1)/2), coefficient = 3·triangles/wedges in exact ppm —
+    * co-purchase projection (see [[triangleCensus]] for the
+    * degree-ordered orientation and why the oracle is unchanged by it) —
     * the graph-density readout behind community detection and spam
-    * screens. Scale: id-orientation is the textbook compromise (a true
-    * 100 TB run orients by (degree, id) so each edge's join fan-out is
-    * bounded by the SMALLER endpoint's degree); the capped projection
-    * bounds degrees before the join ever runs. Two self-joins on edge
-    * keys + one dimension-sized degree aggregate. */
+    * screens. The projection is persisted once and read by the degree
+    * census, the orientation joins, and the edge count. */
   val q476 = QuerySpec(
     "q476_triangle_census",
     (s, d) => {
-      import s.implicits._
       val edges = tradeEdges(s, d).persist(StorageLevel.MEMORY_AND_DISK)
       val g = coPurchaseEdges(edges).persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        val deg = g.select($"u".as("n")).unionAll(g.select($"v".as("n")))
-          .groupBy($"n").agg(count(lit(1)).as("deg"))
-        val wedges = deg.agg(
-          count(lit(1)).as("n_nodes"),
-          sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
-        val tri = g.as("e1")
-          .join(g.as("e2"), $"e1.v" === $"e2.u")
-          .join(g.as("e3"),
-            $"e1.u" === $"e3.u" && $"e2.v" === $"e3.v", "left_semi")
-          .agg(count(lit(1)).as("n_triangles"))
-        val nEdges = g.agg(count(lit(1)).as("n_edges"))
-        Eager(wedges.crossJoin(broadcast(nEdges)).crossJoin(broadcast(tri))
-          .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
-            expr("n_triangles * 3000000L div nullif(n_wedges, 0L)")
-              .as("clustering_ppm")))
-      } finally { g.unpersist(blocking = false); edges.unpersist(blocking = false) }
+      try Eager(triangleCensus(g))
+      finally { g.unpersist(blocking = false); edges.unpersist(blocking = false) }
     },
     Some(s"""WITH $sqlCoPurchaseCtes,
             |deg AS (SELECT n, count(*) AS deg FROM (
@@ -1042,32 +1064,47 @@ object GraphOps {
     * the logical tree grows 3^rounds and the OPTIMIZER (not the data)
     * blows the heap; the checkpoint keeps every round's plan one scan
     * deep. The oracle replays the peel as a chained CTE. */
+  /** q477's peel loop, factored so edge tests can drive it on synthetic
+    * corpora (all-removed, nothing-removed — the fixpoint-before-R
+    * edges): exactly `rounds` synchronized peel rounds of min-degree-3
+    * over the given undirected edge frame, each round one degree census
+    * + two semi-joins, each round's frame localCheckpoint'ed (see the
+    * q477 doc for why lineage truncation is load-bearing). A fixpoint
+    * reached early just runs the remaining rounds as no-ops (removed
+    * count 0) — both engines execute the same R rounds. Returns the
+    * final edge frame and the total removed-node count. */
+  private[graft] def peel3Core(g0: org.apache.spark.sql.DataFrame, rounds: Int)
+      : (org.apache.spark.sql.DataFrame, Long) = {
+    import g0.sparkSession.implicits._
+    var g = g0.localCheckpoint()
+    var removed = 0L
+    for (_ <- 1 to rounds) {
+      val deg = g.select($"u".as("n")).unionAll(g.select($"v".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter($"deg" >= 3).select($"n")
+      removed += deg.filter($"deg" < 3).count()
+      g = g
+        .join(keep.select($"n".as("u")), Seq("u"), "left_semi")
+        .join(keep.select($"n".as("v")), Seq("v"), "left_semi")
+        .select($"u", $"v")
+        .localCheckpoint()
+    }
+    (g, removed)
+  }
+
   val q477 = QuerySpec(
     "q477_kcore_peeling",
     (s, d) => {
       import s.implicits._
-      val R = 8
       val edges = tradeEdges(s, d).persist(StorageLevel.MEMORY_AND_DISK)
       try {
-        var g = coPurchaseEdges(edges).localCheckpoint()
-        val removed = scala.collection.mutable.ListBuffer[Long]()
-        for (_ <- 1 to R) {
-          val deg = g.select($"u".as("n")).unionAll(g.select($"v".as("n")))
-            .groupBy($"n").agg(count(lit(1)).as("deg"))
-          val keep = deg.filter($"deg" >= 3).select($"n")
-          removed += deg.filter($"deg" < 3).count()
-          g = g
-            .join(keep.select($"n".as("u")), Seq("u"), "left_semi")
-            .join(keep.select($"n".as("v")), Seq("v"), "left_semi")
-            .select($"u", $"v")
-            .localCheckpoint()
-        }
+        val (g, removed) = peel3Core(coPurchaseEdges(edges), 8)
         val core = g.select($"u".as("n")).unionAll(g.select($"v".as("n")))
           .distinct().agg(count(lit(1)).as("core_nodes"))
         Eager(g.agg(count(lit(1)).as("core_edges"))
           .crossJoin(broadcast(core))
           .select($"core_nodes", $"core_edges",
-            lit(removed.sum).as("n_removed")))
+            lit(removed).as("n_removed")))
       } finally edges.unpersist(blocking = false)
     },
     Some {
@@ -1115,32 +1152,46 @@ object GraphOps {
     * / on identical operands match bit-for-bit).
     * One node-sized degree frame broadcast onto the edge list; one
     * 1-row aggregate. */
+  /** q478's sufficient-statistic pipeline over an already-persisted
+    * projection, factored so PlanAuditSpec can pin its shape and edge
+    * tests can feed it synthetic graphs (the degree-regular NULL case):
+    * one bidirected frame, one node-sized degree census broadcast back
+    * onto it, one 1-row aggregate. */
+  private[graft] def assortativityStats(g: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import g.sparkSession.implicits._
+    val both = g.select($"u".as("src"), $"v".as("dst"))
+      .unionAll(g.select($"v".as("src"), $"u".as("dst")))
+    val deg = both.groupBy($"src".as("n")).agg(count(lit(1)).as("deg"))
+    val st = both
+      .join(broadcast(deg.select($"n".as("src"), $"deg".as("dx"))), Seq("src"))
+      .join(broadcast(deg.select($"n".as("dst"), $"deg".as("dy"))), Seq("dst"))
+      .agg(count(lit(1)).as("m2"),
+        sum($"dx").as("sx"), sum($"dx" * $"dx").as("sxx"),
+        sum($"dx" * $"dy").as("sxy"))
+    // nullif: a degree-REGULAR graph (every node the same degree — the
+    // complete graph sf0.001 yields, or any cycle) has zero degree
+    // variance, where assortativity is mathematically undefined — NULL,
+    // not a divide-by-zero (named Round9EdgeSpec case).
+    st.select($"m2", $"sx", $"sxx", $"sxy",
+      round(($"m2" * $"sxy" - $"sx" * $"sx").cast("double") /
+        nullif(($"m2" * $"sxx" - $"sx" * $"sx").cast("double"), lit(0.0)), 4)
+        .as("assortativity_r"))
+  }
+
   val q478 = QuerySpec(
     "q478_degree_assortativity",
     (s, d) => {
-      import s.implicits._
       val edges = tradeEdges(s, d).persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        val g = coPurchaseEdges(edges)
-        val both = g.select($"u".as("src"), $"v".as("dst"))
-          .unionAll(g.select($"v".as("src"), $"u".as("dst")))
-        val deg = both.groupBy($"src".as("n")).agg(count(lit(1)).as("deg"))
-        val st = both
-          .join(broadcast(deg.select($"n".as("src"), $"deg".as("dx"))), Seq("src"))
-          .join(broadcast(deg.select($"n".as("dst"), $"deg".as("dy"))), Seq("dst"))
-          .agg(count(lit(1)).as("m2"),
-            sum($"dx").as("sx"), sum($"dx" * $"dx").as("sxx"),
-            sum($"dx" * $"dy").as("sxy"))
-        // nullif: a degree-REGULAR projection (every node the same
-        // degree — the complete graph sf0.001 yields) has zero degree
-        // variance, where assortativity is mathematically undefined —
-        // NULL, not a divide-by-zero (Round8EdgeSpec-class guard,
-        // caught by QueriesSpec's sf0.001 sweep).
-        Eager(st.select($"m2", $"sx", $"sxx", $"sxy",
-          round(($"m2" * $"sxy" - $"sx" * $"sx").cast("double") /
-            nullif(($"m2" * $"sxx" - $"sx" * $"sx").cast("double"), lit(0.0)), 4)
-            .as("assortativity_r")))
-      } finally edges.unpersist(blocking = false)
+      // The projection is PERSISTED: the plan references it four times
+      // (both sides of the bidirected union, each feeding the degree
+      // census and the stats join) — unpersisted, each reference
+      // re-ran the capped-pair self-join, ~4× the build cost for one
+      // projection's worth of answer (the round-8 detail line showed
+      // ~120 cpu-s where one build costs ~35).
+      val g = coPurchaseEdges(edges).persist(StorageLevel.MEMORY_AND_DISK)
+      try Eager(assortativityStats(g))
+      finally { g.unpersist(blocking = false); edges.unpersist(blocking = false) }
     },
     Some(s"""WITH $sqlCoPurchaseCtes,
             |bi AS (SELECT u AS src, v AS dst FROM g
@@ -1156,7 +1207,127 @@ object GraphOps {
             |FROM bi b JOIN deg x ON b.src = x.n JOIN deg y ON b.dst = y.n""".stripMargin),
   )
 
+  /** q481's propagation loop, factored for edge tests: `rounds`
+    * SYNCHRONOUS label-propagation sweeps over an undirected edge frame
+    * (init: every node labels itself; each round, a node adopts the
+    * most frequent label among its NEIGHBORS, ties to the smallest
+    * label — fully deterministic, the q59/q126 fixed-round integer
+    * discipline, so the oracle can unroll the same rounds). Each round
+    * is one edge-sized join against the previous label frame + one
+    * (node, label) census + one per-node argmax window, and each
+    * round's frame is localCheckpoint'ed (the q477 rule — the census
+    * and window reference the parent more than once, so an
+    * unchecked-pointed loop compounds the logical plan). Returns the
+    * round-`rounds` (node, lbl) frame. */
+  private[graft] def propagateLabels(g: org.apache.spark.sql.DataFrame,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    import g.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val bi = g.select($"u".as("src"), $"v".as("dst"))
+      .unionAll(g.select($"v".as("src"), $"u".as("dst")))
+    var lbl = bi.select($"dst".as("n")).distinct()
+      .select($"n", $"n".as("lbl")).localCheckpoint()
+    val w = Window.partitionBy($"dst").orderBy($"cnt".desc, $"lbl")
+    for (_ <- 1 to rounds) {
+      lbl = bi.join(lbl.select($"n".as("src"), $"lbl"), Seq("src"))
+        .groupBy($"dst", $"lbl").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"dst".as("n"), $"lbl")
+        .localCheckpoint()
+    }
+    lbl
+  }
+
+  /** q481 — community DETECTION by synchronous label propagation over
+    * the co-purchase projection, closing the loop q435 only scores:
+    * q435 computes the modularity of a GIVEN partition (nations); this
+    * FINDS one (4 fixed LPA sweeps — see [[propagateLabels]]) and
+    * reports, per found community, its census (n_members) plus q435's
+    * exact-integer modularity decomposition over the projection
+    * (internal edges, degree mass, signed contribution_ppm), and a
+    * com = −1 total row whose contribution IS the found partition's Q —
+    * the number that says whether the detected structure beats noise.
+    * Scale: the corpus is touched once (the projection build, shared
+    * machinery with q476–q478); every sweep is projection-edge-sized
+    * with a node-sized label frame; the modularity readout is two
+    * label joins + |communities|-row aggregates, the d² term lifted to
+    * DECIMAL(38,0)/HUGEINT exactly as q435 does. */
+  val q481 = QuerySpec(
+    "q481_label_propagation",
+    (s, d) => {
+      import s.implicits._
+      val edges = tradeEdges(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+      val g = coPurchaseEdges(edges).persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val lbl = propagateLabels(g, 4)
+        val sizes = lbl.groupBy($"lbl".as("com")).agg(count(lit(1)).as("n_members"))
+        val ge = g
+          .join(lbl.select($"n".as("u"), $"lbl".as("cu")), Seq("u"))
+          .join(lbl.select($"n".as("v"), $"lbl".as("cv")), Seq("v"))
+          .select($"cu", $"cv")
+        val m = g.agg(count(lit(1)).as("m"))
+        val deg = ge.select($"cu".as("com")).unionAll(ge.select($"cv".as("com")))
+          .groupBy($"com").agg(count(lit(1)).as("d"))
+        val internal = ge.filter($"cu" === $"cv")
+          .groupBy($"cu".as("com")).agg(count(lit(1)).as("e_in"))
+        // Eager: the per-community frame feeds both the row output and
+        // the total row — tiny (|communities| rows), materialized once.
+        val per = Eager(sizes.join(deg, Seq("com"))
+          .join(internal, Seq("com"), "left")
+          .na.fill(0L, Seq("e_in"))
+          .crossJoin(broadcast(m))
+          .select($"com", $"n_members", $"e_in", $"d",
+            (expr("e_in * 1000000L div m") - expr(
+              "CAST(CAST(d AS DECIMAL(38,0)) * d * 1000000 div (CAST(m AS DECIMAL(38,0)) * m * 4) AS BIGINT)"))
+              .as("contribution_ppm")))
+        Eager(per.unionAll(
+            per.agg(lit(-1L).as("com"), sum($"n_members").as("n_members"),
+              sum($"e_in").as("e_in"), sum($"d").as("d"),
+              sum($"contribution_ppm").as("contribution_ppm")))
+          .orderBy($"com"))
+      } finally { g.unpersist(blocking = false); edges.unpersist(blocking = false) }
+    },
+    Some {
+      // Each round MATERIALIZED: l_r is referenced by the next census
+      // and (for l4) by three readout CTEs — DuckDB's default inlining
+      // would otherwise recompute the whole chain per reference (the
+      // q477-oracle lesson).
+      val rounds = (1 to 4).map { r =>
+        s"""c$r AS (SELECT b.dst, l.lbl, count(*) AS cnt
+           |  FROM bi b JOIN l${r - 1} l ON b.src = l.n GROUP BY 1, 2),
+           |l$r AS MATERIALIZED (SELECT dst AS n, lbl FROM (
+           |  SELECT dst, lbl, row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, lbl) AS rn
+           |  FROM c$r) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $sqlCoPurchaseCtes,
+         |bi AS MATERIALIZED (SELECT u AS src, v AS dst FROM g
+         |  UNION ALL SELECT v, u FROM g),
+         |l0 AS MATERIALIZED (SELECT DISTINCT dst AS n, dst AS lbl FROM bi),
+         |$rounds,
+         |sz AS (SELECT lbl AS com, CAST(count(*) AS BIGINT) AS n_members FROM l4 GROUP BY 1),
+         |ge AS MATERIALIZED (SELECT lu.lbl AS cu, lv.lbl AS cv
+         |  FROM g JOIN l4 lu ON g.u = lu.n JOIN l4 lv ON g.v = lv.n),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM g),
+         |deg AS (SELECT com, CAST(count(*) AS BIGINT) AS d FROM (
+         |    SELECT cu AS com FROM ge UNION ALL SELECT cv FROM ge) GROUP BY com),
+         |intl AS (SELECT cu AS com, CAST(count(*) AS BIGINT) AS e_in
+         |  FROM ge WHERE cu = cv GROUP BY cu),
+         |per AS (SELECT sz.com, sz.n_members, coalesce(intl.e_in, 0) AS e_in, deg.d,
+         |    e_in * 1000000 // m
+         |      - CAST(CAST(d AS HUGEINT) * d * 1000000 // (CAST(m AS HUGEINT) * m * 4) AS BIGINT)
+         |      AS contribution_ppm
+         |  FROM sz JOIN deg USING (com) LEFT JOIN intl USING (com) CROSS JOIN m)
+         |SELECT CAST(com AS BIGINT) AS com, n_members, CAST(e_in AS BIGINT) AS e_in,
+         |  d, CAST(contribution_ppm AS BIGINT) AS contribution_ppm FROM per
+         |UNION ALL
+         |SELECT -1, CAST(sum(n_members) AS BIGINT), CAST(sum(e_in) AS BIGINT),
+         |  CAST(sum(d) AS BIGINT), CAST(sum(contribution_ppm) AS BIGINT) FROM per
+         |ORDER BY com""".stripMargin
+    },
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q59, q94, q126, q148, q226, q304, q310, q378, q435, q448, q454,
-      q476, q477, q478)
+      q476, q477, q478, q481)
 }

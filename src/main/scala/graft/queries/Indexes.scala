@@ -1141,6 +1141,25 @@ object Indexes {
             |FROM sil GROUP BY 1 ORDER BY 1""".stripMargin),
   )
 
+  /** q480 — streaming CDC maintenance of the LSH index WITH DELETES
+    * (q475's verb for the band-bucket family, carrying q467's
+    * RESURRECTION subtlety into micro-batch delivery): upsert batches
+    * append signature log + capped members + per-batch meta; a
+    * tombstone batch records ids, writes a NEGATIVE meta epoch (q466's
+    * negative-stat discipline), and recomputes the full member lists of
+    * buckets the delete pulled back under cap from the deduped log —
+    * members the appends never wrote. The probe masks deleted ids and
+    * re-caps from lifetime meta totals. Every step replay-idempotent
+    * (see [[graft.streaming.StreamLshCdc]]); kill-and-restart
+    * exactly-once pinned by Round9EdgeSpec. Oracle: q467's from-scratch
+    * rebuild on the reduced corpus + the zero erased-visible audit. */
+  val q480 = QuerySpec(
+    "q480_stream_lsh_cdc_delete",
+    (s, d) => graft.streaming.StreamLshCdc.runOnce(s, d),
+    q467.oracle,
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q341, q342, q359, q360, q361, q362, q366, q369, q372, q375, q384, q388, q462, q465, q467, q475)
+    Seq(q341, q342, q359, q360, q361, q362, q366, q369, q372, q375, q384,
+      q388, q462, q465, q467, q475, q480)
 }

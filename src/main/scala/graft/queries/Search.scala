@@ -28,7 +28,7 @@ object Search {
     * against. Terms chosen from the corpus vocabulary: `dup` is the one
     * rare term (df≈25/500), the rest are df≈380-400 common terms, so
     * scores exercise both the idf extremes and tf saturation. */
-  private val QueryTerms: Seq[(String, String)] = Seq(
+  private[graft] val QueryTerms: Seq[(String, String)] = Seq(
     "ann_dedup"     -> "dup", "ann_dedup" -> "vector", "ann_dedup" -> "hash",
     "stream_join"   -> "stream", "stream_join" -> "join", "stream_join" -> "window",
     "scan_pushdown" -> "scan", "scan_pushdown" -> "filter", "scan_pushdown" -> "batch",
@@ -1008,6 +1008,27 @@ object Search {
             |ORDER BY query_id, rank""".stripMargin),
   )
 
+  /** q479 — the BM25 inverted index maintained BY the stream (q372/
+    * q375's discipline applied to the third index family, closing the
+    * streaming-maintainer matrix): epoch-1 documents arrive as a
+    * rate-limited file stream, every micro-batch appending its
+    * hash-bucketed postings plus versioned df/globals epoch rows inside
+    * `foreachBatch` — all three writes under the batch's OWN batch_id
+    * partition with dynamic overwrite, because BM25 rows carry tf/df
+    * MASS and a replayed plain append would double-score (the q372 meta
+    * rule promoted to the whole index; see
+    * [[graft.streaming.StreamBm25Maintain]]). The probe partition-
+    * prunes postings to the query terms' buckets and merges stats
+    * across epochs. Kill-and-restart exactly-once is pinned by
+    * Round9EdgeSpec. Oracle = the from-scratch q278 BM25 over the full
+    * corpus (q405's contract): stream-maintained ≡ rebuilt. */
+  val q479 = QuerySpec(
+    "q479_stream_bm25_maintain",
+    (s, d) => graft.streaming.StreamBm25Maintain.runOnce(s, d),
+    q405.oracle,
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q278, q279, q290, q404, q405, q406, q407, q421, q428, q449, q466)
+    Seq(q278, q279, q290, q404, q405, q406, q407, q421, q428, q449, q466,
+      q479)
 }

@@ -703,6 +703,16 @@ object TextMedia {
           |    FROM documents)) GROUP BY w),
           |w0 AS (SELECT list_transform(generate_series(1, length(w)),
           |  i -> substr(w, i, 1)) AS syms, freq FROM words)""".stripMargin
+      // Each w$r is MATERIALIZED: the exhaustion fallback makes every
+      // round reference its parent TWICE (merged branch + pass-through),
+      // and DuckDB inlines CTEs by default — 2^rounds leaf scans without
+      // the pin (q477's oracle hit the same blowup). The pass-through
+      // UNION branch fires only when m$r is EMPTY (pair-exhausted tiny
+      // corpus): the Scala trainer stops merging there and q468's encode
+      // readout sums the LAST real frame, so the oracle must carry
+      // w${"$"}{r-1} forward instead of cross-joining it against an empty
+      // rule row (which would empty every later round and NULL the
+      // readout).
       val rounds = (1 to R).map { r =>
         s"""c$r AS (SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
            |  SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
@@ -710,11 +720,15 @@ object TextMedia {
            |  FROM w${r - 1}) GROUP BY 1, 2),
            |m$r AS (SELECT a AS ma, b AS mb, a || b AS mm, cnt FROM c$r
            |  ORDER BY cnt DESC, a, b LIMIT 1),
-           |w$r AS (SELECT string_split(list_reduce(syms, (acc, x) ->
+           |w$r AS MATERIALIZED (
+           |  SELECT string_split(list_reduce(syms, (acc, x) ->
            |    CASE WHEN x = mb AND regexp_extract(acc, '[^\\x1f]+$$') = ma
            |      THEN substr(acc, 1, length(acc) - length(ma)) || mm
            |      ELSE acc || chr(31) || x END), chr(31)) AS syms, freq
-           |  FROM w${r - 1}, m$r)""".stripMargin
+           |  FROM w${r - 1}, m$r
+           |  UNION ALL
+           |  SELECT syms, freq FROM w${r - 1}
+           |  WHERE NOT EXISTS (SELECT 1 FROM m$r))""".stripMargin
       }.mkString(",\n")
       s"WITH $words,\n$rounds"
   }
@@ -765,12 +779,16 @@ object TextMedia {
               .as("saved_ppm")))
       } finally { words.unpersist(); () }
     },
-    Some(s"""$sqlBpeCtes
+    // n_merges counts the rule rows that actually materialized (= the
+    // rounds the Scala trainer ran before exhaustion), never a literal 8.
+    Some(s"""$sqlBpeCtes,
+            |nm AS (SELECT CAST(count(*) AS INT) AS n_merges FROM (
+            |  ${(1 to 8).map(r => s"SELECT 1 FROM m$r").mkString(" UNION ALL ")}))
             |SELECT CAST(sum(freq) AS BIGINT) AS n_words,
             |  CAST(sum(freq * list_reduce(list_prepend(0,
             |    list_transform(syms, x -> length(x))), (a, b) -> a + b)) AS BIGINT) AS n_chars,
             |  CAST(sum(freq * len(syms)) AS BIGINT) AS bpe_tokens,
-            |  CAST(8 AS INT) AS n_merges,
+            |  (SELECT n_merges FROM nm) AS n_merges,
             |  CAST((sum(freq * list_reduce(list_prepend(0,
             |      list_transform(syms, x -> length(x))), (a, b) -> a + b))
             |    - sum(freq * len(syms))) * 1000000

@@ -31,11 +31,15 @@ import graft.functions.VectorOps._
   *    partitions never read or written.
   *
   * Restart safety: upsert replays regenerate identical partitions
-  * (dynamic overwrite); delete replays are NATURALLY idempotent — a
-  * second pass finds no victims (or only the not-yet-swapped
-  * partitions' victims, if the kill landed mid-swap) and rewrites
-  * nothing it already rewrote. The kill-and-restart test asserts the
-  * drained index answers exactly like an uninterrupted run.
+  * (dynamic overwrite); delete replays recover FIRST
+  * ([[graft.Fs.recoverStagedSwap]] at the top of every batch): a kill
+  * mid-stage-write leaves an uncommitted stage that is discarded and
+  * recomputed, and a kill mid-swap leaves survivor rows that exist
+  * ONLY in the committed stage — the pending swap is completed before
+  * victims are recomputed, after which the replay finds nothing left
+  * to erase and rewrites nothing it already rewrote. The
+  * kill-and-restart test asserts the drained index answers exactly
+  * like an uninterrupted run.
   * Oracle: from-scratch IVF on the reduced corpus (q462's contract) —
   * stream-deleted ≡ rebuilt-without-them, plus the erased-ids audit
   * column pinned 0.
@@ -103,6 +107,14 @@ object StreamIvfCdc {
   /** Apply one CDC micro-batch to the inverted file. */
   private def applyBatch(st: Staged, batch: DataFrame, batchId: Long): Unit = {
     import st.spark.implicits._
+    // Crash recovery FIRST, before anything reads the index: a kill in
+    // a previous delete attempt can leave (a) an uncommitted stage
+    // (discard it — the replay recomputes) or (b) a committed stage
+    // with some partitions' dst deleted but not yet swapped — those
+    // survivors exist ONLY in the stage, so the pending swap must
+    // complete or the rows are lost AND the replayed stage write would
+    // wedge on the leftover dir. See [[graft.Fs.recoverStagedSwap]].
+    graft.Fs.recoverStagedSwap(s"${st.tmp}/ivf", s"${st.tmp}/ivf.__cdc_delete_stage")
     val ups = batch.filter(col("op") === "U")
     if (!ups.isEmpty) {
       assign(st, ups
@@ -123,10 +135,16 @@ object StreamIvfCdc {
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       if (victims.nonEmpty) {
         val stage = s"${st.tmp}/ivf.__cdc_delete_stage"
-        val cids = victims.map(_._1).distinct.toSeq
-        val bids = victims.map(_._2).distinct.toSeq
+        // Exact (cid, batch_id) victim PAIRS as an OR-of-literals
+        // predicate — partition-prunable AND precise. The cross product
+        // (cid IN ... AND batch_id IN ...) would also read non-victim
+        // partitions that share a cid with one victim and a batch_id
+        // with another, staging rows only the swap then discards.
+        val pairPred = victims
+          .map { case (c, b) => $"cid" === c && $"batch_id" === b }
+          .reduce(_ || _)
         st.spark.read.parquet(s"${st.tmp}/ivf")
-          .filter($"cid".isin(cids: _*) && $"batch_id".isin(bids: _*))
+          .filter(pairPred)
           .join(broadcast(dels), Seq("vec_id"), "left_anti")
           .write.partitionBy("cid", "batch_id").parquet(stage)
         graft.Fs.swapPartitionDirs(s"${st.tmp}/ivf", stage,

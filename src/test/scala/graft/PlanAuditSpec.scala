@@ -977,6 +977,74 @@ class PlanAuditSpec extends SparkTestBase {
     } finally { edges.unpersist(blocking = false); () }
   }
 
+  test("q476 (factored): triangle two-path joins the degree-ORIENTED list from the cached projection") {
+    val edges = graft.queries.GraphOps.tradeEdges(spark, sf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = graft.queries.GraphOps.coPurchaseEdges(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val p = graft.queries.GraphOps.triangleCensus(g)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // The two-path join must build from the (deg, id)-oriented
+      // (lo, hi) columns — the hub-proofing orientation — not raw (u, v).
+      assert(p.contains("lo#") && p.contains("hi#"),
+        "triangle join lost the degree orientation\n" + p)
+      // Projection built once: every reference is a cache read.
+      val imts = "InMemoryTableScan \\((\\d+)\\)".r
+        .findAllMatchIn(p).map(_.group(1)).toSet
+      assert(imts.size >= 3,
+        s"expected >=3 cache reads of the projection, saw ${imts.size}\n" + p)
+      // Node-sized degree frames broadcast into the orientation joins.
+      assert(p.contains("BroadcastHashJoin"), "degree joins must broadcast\n" + p)
+    } finally { g.unpersist(blocking = false); edges.unpersist(blocking = false) }
+  }
+
+  test("q478 (factored): assortativity stats read the cached projection, never rebuild it") {
+    val edges = graft.queries.GraphOps.tradeEdges(spark, sf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = graft.queries.GraphOps.coPurchaseEdges(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val p = graft.queries.GraphOps.assortativityStats(g)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // Four projection references (both union branches × census/stats):
+      // all must be cache reads — the round-8 detail line showed the
+      // unpersisted form paying ~4 projection builds.
+      val imts = "InMemoryTableScan \\((\\d+)\\)".r
+        .findAllMatchIn(p).map(_.group(1)).toSet
+      assert(imts.size >= 4,
+        s"expected >=4 cache reads of the projection, saw ${imts.size}\n" + p)
+      assert(p.contains("BroadcastHashJoin"), "degree frames must broadcast\n" + p)
+      assert(!p.contains("CartesianProduct"), "stats join degraded\n" + p)
+    } finally { g.unpersist(blocking = false); edges.unpersist(blocking = false) }
+  }
+
+  test("q477/q481 (factored): loop outputs are one checkpoint scan deep — no replayed lineage") {
+    val edges = graft.queries.GraphOps.tradeEdges(spark, sf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val g = graft.queries.GraphOps.coPurchaseEdges(edges)
+      // The returned frames must be localCheckpoint scans (ExistingRDD),
+      // not re-derivations of the projection: the peel/propagation
+      // rounds reference their parent 2-3 times each, so an
+      // un-truncated loop compounds the logical plan k^rounds.
+      val (core, _) = graft.queries.GraphOps.peel3Core(g, 2)
+      val pCore = core.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(pCore.contains("ExistingRDD"),
+        "peel round output is not a checkpoint scan\n" + pCore)
+      assert(!pCore.contains("WindowGroupLimit"),
+        "peel output replays the projection build\n" + pCore)
+      val lbl = graft.queries.GraphOps.propagateLabels(g, 2)
+      val pLbl = lbl.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(pLbl.contains("ExistingRDD"),
+        "LPA round output is not a checkpoint scan\n" + pLbl)
+    } finally edges.unpersist(blocking = false)
+  }
+
   test("q464: repeated-gram filter is a semi-join; islands window per-doc") {
     val p = plan("q464_exact_substring_spans")
     assert(p.contains("LeftSemi"), "repeated-gram membership must be a semi-join\n" + p)

@@ -1,0 +1,225 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+import graft.queries.{GraphOps, Indexes, NearDup, Search}
+
+/** Named edge cases for the round-9 graph additions and the delete
+  * crash-recovery seam the round-8 ADVICE flagged: q477's peel loop on
+  * fixpoint-before-8-rounds corpora (all-removed / nothing-removed /
+  * cascading), q478's degree-regular NULL guard as a first-class case
+  * (previously only a side effect of the sf0.001 sweep), q476's
+  * degree-ordered triangle orientation on graphs with known censuses,
+  * q481's label propagation on disjoint cliques, and
+  * [[Fs.recoverStagedSwap]]'s two crash windows (mid-stage-write,
+  * mid-swap).
+  */
+class Round9EdgeSpec extends SparkTestBase {
+
+  private def edges(pairs: (Long, Long)*): DataFrame =
+    spark.createDataFrame(pairs).toDF("u", "v")
+
+  private def k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+
+  test("peel3Core: a path graph (all degrees < 3) empties in round one") {
+    val path = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val (g, removed) = GraphOps.peel3Core(path, 8)
+    assert(g.count() === 0L)
+    assert(removed === 6L) // all six nodes, all in round 1; rounds 2-8 no-op
+  }
+
+  test("peel3Core: a K5 clique is already its own 3-core — nothing removed") {
+    val k5 = edges((for {
+      a <- 1L to 5L; b <- (a + 1) to 5L
+    } yield (a, b)): _*)
+    val (g, removed) = GraphOps.peel3Core(k5, 8)
+    assert(removed === 0L)
+    assert(g.count() === 10L)
+  }
+
+  test("peel3Core: a pendant chain cascades off while the K4 core survives") {
+    // K4 {1,2,3,4} + chain 4-5-6: round 1 removes 5 (deg 2) and 6
+    // (deg 1); the K4 (all deg 3 after the chain drops) then holds.
+    val g0 = k4.unionAll(edges((4L, 5L), (5L, 6L)))
+    val (g, removed) = GraphOps.peel3Core(g0, 8)
+    assert(removed === 2L)
+    assert(g.count() === 6L)
+    val nodes = g.select("u").unionAll(g.select("v")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(nodes.toSeq === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("assortativityStats: a degree-regular cycle reports NULL r, not /0") {
+    // C6: every node degree 2 — zero degree variance, r undefined.
+    val c6 = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 1L))
+    val r = GraphOps.assortativityStats(c6).collect().head
+    assert(r.getAs[Long]("m2") === 12L)
+    assert(r.getAs[Long]("sx") === 24L)
+    assert(r.getAs[Long]("sxx") === 48L)
+    assert(r.getAs[Long]("sxy") === 48L)
+    assert(r.isNullAt(r.fieldIndex("assortativity_r")), r.toString)
+  }
+
+  test("assortativityStats: a star is maximally disassortative (r = -1)") {
+    val star = edges((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    val r = GraphOps.assortativityStats(star).collect().head
+    assert(r.getAs[Long]("m2") === 8L)
+    assert(r.getAs[Double]("assortativity_r") === -1.0)
+  }
+
+  test("triangleCensus: K4 — 4 triangles, clustering 1.0, under degree orientation") {
+    val r = GraphOps.triangleCensus(k4).collect().head
+    assert(r.getAs[Long]("n_nodes") === 4L)
+    assert(r.getAs[Long]("n_edges") === 6L)
+    assert(r.getAs[Long]("n_wedges") === 12L)
+    assert(r.getAs[Long]("n_triangles") === 4L)
+    assert(r.getAs[Long]("clustering_ppm") === 1000000L)
+  }
+
+  test("triangleCensus: a hub star counts zero triangles; a bowtie hub counts both exactly once") {
+    // Star K1,4: the degree orientation points every edge INTO the hub
+    // (leaves are (deg,id)-smaller), so the two-path join finds nothing —
+    // zero triangles, 6 hub wedges, clustering 0.
+    val star = GraphOps.triangleCensus(
+      edges((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))).collect().head
+    assert(star.getAs[Long]("n_triangles") === 0L)
+    assert(star.getAs[Long]("n_wedges") === 6L)
+    assert(star.getAs[Long]("clustering_ppm") === 0L)
+    // Bowtie (two triangles sharing hub 3): each triangle must be
+    // counted exactly once even though the shared node dominates the
+    // degree order. wedges = 6 (hub) + 4×1 = 10 → 6/10.
+    val bow = GraphOps.triangleCensus(
+      edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (3L, 5L), (4L, 5L)))
+      .collect().head
+    assert(bow.getAs[Long]("n_triangles") === 2L)
+    assert(bow.getAs[Long]("n_wedges") === 10L)
+    assert(bow.getAs[Long]("clustering_ppm") === 600000L)
+  }
+
+  test("propagateLabels: two disjoint cliques converge to their min ids in 4 rounds") {
+    val g = edges((1L, 2L), (1L, 3L), (2L, 3L)) // K3
+      .unionAll(edges((10L, 11L), (10L, 12L), (10L, 13L),
+        (11L, 12L), (11L, 13L), (12L, 13L))) // K4
+    val lbl = GraphOps.propagateLabels(g, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
+  }
+
+  private def writeFile(path: String, content: String): Unit = {
+    Files.createDirectories(Paths.get(path).getParent)
+    Files.writeString(Paths.get(path), content)
+    ()
+  }
+
+  private def readFile(path: String): String =
+    Files.readString(Paths.get(path))
+
+  test("recoverStagedSwap: a committed stage's pending partitions swap in; finished ones stay") {
+    val dir = Files.createTempDirectory("graft_recover_edge").toString
+    val (root, stage) = (s"$dir/ivf", s"$dir/ivf.__stage")
+    // Index with three partitions. The crashed delete had victims in
+    // cid=1 and cid=2: cid=1's swap FINISHED (survivors in root, gone
+    // from stage); cid=2's crashed between deleteTree(dst) and move —
+    // its survivors exist ONLY in the committed stage. cid=0 untouched.
+    writeFile(s"$root/cid=0/part-0.parquet", "cid0-original")
+    writeFile(s"$root/cid=1/part-0.parquet", "cid1-survivors")
+    // cid=2 absent from root: deleteTree(dst) already ran.
+    writeFile(s"$stage/_SUCCESS", "")
+    writeFile(s"$stage/cid=2/part-0.parquet", "cid2-survivors")
+    Fs.recoverStagedSwap(root, stage)
+    assert(readFile(s"$root/cid=0/part-0.parquet") === "cid0-original")
+    assert(readFile(s"$root/cid=1/part-0.parquet") === "cid1-survivors")
+    assert(readFile(s"$root/cid=2/part-0.parquet") === "cid2-survivors")
+    assert(!Files.exists(Paths.get(stage)), "stage must be removed")
+    // Idempotent: a second recovery (the replay's own call) is a no-op.
+    Fs.recoverStagedSwap(root, stage)
+    assert(readFile(s"$root/cid=2/part-0.parquet") === "cid2-survivors")
+  }
+
+  test("recoverStagedSwap: an uncommitted (mid-write) stage is discarded, index untouched") {
+    val dir = Files.createTempDirectory("graft_recover_edge2").toString
+    val (root, stage) = (s"$dir/ivf", s"$dir/ivf.__stage")
+    writeFile(s"$root/cid=0/part-0.parquet", "cid0-with-victims")
+    // No _SUCCESS: the stage write itself was interrupted — partial
+    // survivor data that must NOT replace anything.
+    writeFile(s"$stage/cid=0/part-0.parquet", "partial-garbage")
+    Fs.recoverStagedSwap(root, stage)
+    assert(readFile(s"$root/cid=0/part-0.parquet") === "cid0-with-victims")
+    assert(!Files.exists(Paths.get(stage)),
+      "uncommitted stage must be removed so the replay's write can't collide")
+  }
+
+  /** documents fixture rows: (doc_id, text, lang, source, n_chars). */
+  private def writeDocs(dir: String,
+      rows: Seq[(Long, String, String, String, Long)]): Unit =
+    spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/documents.parquet")
+
+  test("q479: BM25 maintainer killed mid-stream + restarted answers exactly-once") {
+    // Every replayed write dynamically overwrites its own batch_id
+    // partition (postings carry tf MASS — a plain-append replay would
+    // double-score), so the drained index must answer exactly like an
+    // uninterrupted run (≡ from-scratch rebuild, which the oracle gate
+    // already pins for runOnce).
+    val uninterrupted = Search.q479.run(spark, sf).collect().toSeq
+    val restarted = graft.streaming.StreamBm25Maintain
+      .runWithRestart(spark, sf).collect().toSeq
+    assert(restarted === uninterrupted)
+  }
+
+  test("q480: LSH CDC maintainer killed mid-stream + restarted answers exactly-once") {
+    val uninterrupted = Indexes.q480.run(spark, sf).collect().toSeq
+    val restarted = graft.streaming.StreamLshCdc
+      .runWithRestart(spark, sf).collect().toSeq
+    assert(restarted === uninterrupted)
+    assert(uninterrupted.forall(_.getAs[Long]("n_erased_left") === 0L))
+  }
+
+  test("q480: a bucket over cap within ONE micro-batch resurrects after streamed deletes") {
+    val cap = NearDup.MaxLshBucket
+    // 70 identical docs ALL in the %4==2 stream batch: that batch's
+    // per-batch k = 70 > cap, so it wrote NO member rows at all (unlike
+    // the q467 edge fixture, where every epoch stayed under cap and
+    // masking alone would pass). Deleting %5==2 pulls the lifetime
+    // total to 56 <= cap — the probe can only match if the delete
+    // micro-batch recomputed the bucket's members from the signature
+    // log.
+    val corpusIds = (0L until 300L).filter(_ % 4 == 2).take(70)
+    val erased = corpusIds.filter(_ % 5 == 2)
+    assert(corpusIds.size > cap, "fixture must overflow the cap in one batch")
+    assert(corpusIds.size - erased.size <= cap,
+      "fixture must fall back under cap after the delete")
+    val dir = Files.createTempDirectory("graft_q480_edge").toString
+    val text = "alpha beta gamma delta epsilon"
+    writeDocs(dir,
+      corpusIds.map(i => (i, text, "en", "s", text.length.toLong)) ++
+      Seq((4L, text, "en", "s", text.length.toLong), // probe, same text
+          (8L, "zeta eta theta iota kappa", "en", "s", 25L))) // probe, unique
+    val rows = Indexes.q480.run(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val hit = rows(4L)
+    assert(hit.getAs[Boolean]("is_dup") === true, hit.toString)
+    assert(hit.getAs[Long]("dup_of") ===
+      corpusIds.filter(_ % 5 != 2).min, hit.toString)
+    assert(hit.getAs[Long]("n_erased_left") === 0L)
+    assert(rows(8L).getAs[Boolean]("is_dup") === false)
+  }
+
+  test("recoverStagedSwap: two-level (cid, batch_id) pending partitions recover too") {
+    // The q475 CDC layout: leaf partition dirs are cid=X/batch_id=Y.
+    val dir = Files.createTempDirectory("graft_recover_edge3").toString
+    val (root, stage) = (s"$dir/ivf", s"$dir/ivf.__stage")
+    writeFile(s"$root/cid=0/batch_id=-1/part-0.parquet", "untouched")
+    writeFile(s"$stage/_SUCCESS", "")
+    writeFile(s"$stage/cid=1/batch_id=0/part-0.parquet", "survivors-1-0")
+    Fs.recoverStagedSwap(root, stage)
+    assert(readFile(s"$root/cid=0/batch_id=-1/part-0.parquet") === "untouched")
+    assert(readFile(s"$root/cid=1/batch_id=0/part-0.parquet") === "survivors-1-0")
+    assert(!Files.exists(Paths.get(stage)))
+  }
+}
