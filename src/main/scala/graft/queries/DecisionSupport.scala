@@ -754,7 +754,109 @@ object DecisionSupport {
            |ORDER BY n_dominated DESC, s_suppkey""".stripMargin),
   )
 
+  /** q482 — priority shipping census (TPC-H Q12 shape — the schema has
+    * no shipmode/commitdate columns, so the mode is the return flag and
+    * the late-vs-committed filters collapse to the ship-date window):
+    * per flag, how many 1998-shipped lines belong to URGENT/HIGH
+    * orders vs the rest — the two-way CASE-pivot-inside-one-aggregate
+    * shape (never two passes), with the date filter pushed into the
+    * fact scan and orders joined on the key. One fact-fact shuffle;
+    * the output is |flags| rows. */
+  val q482 = QuerySpec(
+    "q482_priority_shipping_census",
+    (s, d) => {
+      import s.implicits._
+      val hi = Seq("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= "1998-01-01" && $"l_shipdate" < "1999-01-01")
+        .select($"l_orderkey", $"l_returnflag")
+        .join(Tables.orders(s, d).select($"o_orderkey", $"o_orderpriority"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_returnflag")
+        .agg(
+          sum(when($"o_orderpriority".isin(hi: _*), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when($"o_orderpriority".isin(hi: _*), 0L).otherwise(1L))
+            .as("low_line_count"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+           |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |WHERE l_shipdate >= '1998-01-01' AND l_shipdate < '1999-01-01'
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+  )
+
+  /** q483 — min-cost supplier per part (TPC-H Q2 shape, completing the
+    * analogue set — no partsupp table, so supply cost is the minimum
+    * discounted line price in exact cents a supplier has ever shipped
+    * the part for): for small PROMO parts, the ASIA-region supplier(s)
+    * achieving each part's minimum cost. The Q2 essentials survive the
+    * adaptation: the correlated scalar-min subquery (rewritten as a
+    * per-part min aggregate joined back on equality — the decorrelation
+    * Spark and every warehouse plan), the two-level region→nation→
+    * supplier dim reduction (broadcast semi into the fact scan), and a
+    * deterministic top-100. Costs are exact BIGINT cents — no double
+    * division anywhere. */
+  val q483 = QuerySpec(
+    "q483_min_cost_supplier",
+    (s, d) => {
+      import s.implicits._
+      val asiaSupp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d).filter($"r_name" === "ASIA")),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"s_suppkey", $"s_name", $"n_name")
+      val pp = Tables.part(s, d)
+        .filter($"p_type" === "PROMO" && $"p_size" <= 10)
+        .select($"p_partkey", $"p_name")
+      val cost = Tables.lineitem(s, d)
+        .join(broadcast(pp.select($"p_partkey")),
+          $"l_partkey" === $"p_partkey", "left_semi")
+        .join(broadcast(asiaSupp.select($"s_suppkey")),
+          $"l_suppkey" === $"s_suppkey", "left_semi")
+        .select($"l_partkey", $"l_suppkey",
+          expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+            .as("c"))
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(min($"c").as("cost_c"))
+      val minCost = cost.groupBy($"l_partkey").agg(min($"cost_c").as("min_c"))
+      cost.join(minCost, Seq("l_partkey"))
+        .filter($"cost_c" === $"min_c")
+        .join(broadcast(pp), $"l_partkey" === $"p_partkey")
+        .join(broadcast(asiaSupp), $"l_suppkey" === $"s_suppkey")
+        .select($"p_partkey", $"p_name", $"s_suppkey", $"s_name", $"n_name",
+          $"cost_c")
+        .orderBy($"cost_c", $"p_partkey", $"s_suppkey")
+        .limit(100)
+    },
+    Some("""WITH asia AS (
+           |  SELECT s_suppkey, s_name, n_name
+           |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           |  JOIN region ON n_regionkey = r_regionkey
+           |  WHERE r_name = 'ASIA'),
+           |pp AS (SELECT p_partkey, p_name FROM part
+           |  WHERE p_type = 'PROMO' AND p_size <= 10),
+           |cost AS (
+           |  SELECT l_partkey, l_suppkey,
+           |    min(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS cost_c
+           |  FROM lineitem
+           |  WHERE l_partkey IN (SELECT p_partkey FROM pp)
+           |    AND l_suppkey IN (SELECT s_suppkey FROM asia)
+           |  GROUP BY 1, 2)
+           |SELECT p_partkey, p_name, s_suppkey, s_name, n_name, cost_c
+           |FROM cost
+           |JOIN pp ON l_partkey = p_partkey
+           |JOIN asia ON l_suppkey = s_suppkey
+           |WHERE cost_c = (SELECT min(c2.cost_c) FROM cost c2
+           |  WHERE c2.l_partkey = cost.l_partkey)
+           |ORDER BY cost_c, p_partkey, s_suppkey LIMIT 100""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q201, q202, q203, q204, q205, q206, q410, q417, q418, q442, q461,
-      q469, q470, q471, q472, q473, q474)
+      q469, q470, q471, q472, q473, q474, q482, q483)
 }

@@ -1327,7 +1327,206 @@ object GraphOps {
     },
   )
 
+  /** q485 — connected components of the co-purchase projection (the
+    * CONNECTIVITY readout beside q481's density communities — LPA can
+    * split a connected graph, components never do; comparing the two
+    * is how an analyst tells "separate markets" from "one market with
+    * dense pockets"): [[minLabel]]'s convergent min-propagation over
+    * the projection, reported as one row per component (id = min
+    * supplier key, node and edge census). Component ids are a unique
+    * fixed point, so the oracle's recursive transitive-closure CTE
+    * computes the identical labels; the closure is |component|-bounded
+    * per node and the support-thresholded projection keeps components
+    * dimension-sized. At 100 TB diameter grows past plain propagation
+    * — minLabel's doc names the large-star/small-star switch. */
+  /** q485's pipeline over an already-persisted projection, factored
+    * for edge tests: minLabel components + per-component node/edge
+    * census. Releases the label frame before returning. */
+  private[graft] def componentCensus(g: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import g.sparkSession.implicits._
+    val labels = minLabel(g.select($"u".as("src"), $"v".as("dst")))
+    val nodes = labels.groupBy($"label".as("component_id"))
+      .agg(count(lit(1)).as("n_nodes"))
+    // Edge census by the u endpoint's label — u and v always share a
+    // component by construction.
+    val edgesC = g
+      .join(labels.select($"node".as("u"), $"label".as("component_id")), Seq("u"))
+      .groupBy($"component_id").agg(count(lit(1)).as("n_edges"))
+    val out = Eager(nodes.join(edgesC, Seq("component_id"))
+      .orderBy($"component_id"))
+    labels.unpersist(blocking = false)
+    out
+  }
+
+  val q485 = QuerySpec(
+    "q485_copurchase_components",
+    (s, d) => {
+      import s.implicits._
+      val edges = tradeEdges(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+      val g = coPurchaseEdges(edges).persist(StorageLevel.MEMORY_AND_DISK)
+      try Eager(componentCensus(g))
+      finally { g.unpersist(blocking = false); edges.unpersist(blocking = false) }
+    },
+    Some(s"""WITH RECURSIVE $sqlCoPurchaseCtes,
+            |bi AS (SELECT u AS a, v AS b FROM g UNION ALL SELECT v, u FROM g),
+            |reach(src, node) AS (
+            |  SELECT DISTINCT a, a FROM bi
+            |  UNION
+            |  SELECT r.src, e.b FROM reach r JOIN bi e ON r.node = e.a),
+            |lbl AS (SELECT src, min(node) AS label FROM reach GROUP BY src),
+            |nodes AS (SELECT label AS component_id, CAST(count(*) AS BIGINT) AS n_nodes
+            |  FROM lbl GROUP BY 1),
+            |ec AS (SELECT l.label AS component_id, CAST(count(*) AS BIGINT) AS n_edges
+            |  FROM g JOIN lbl l ON g.u = l.src GROUP BY 1)
+            |SELECT component_id, n_nodes, n_edges
+            |FROM nodes JOIN ec USING (component_id)
+            |ORDER BY component_id""".stripMargin),
+  )
+
+  /** q486 — common-neighbor link strength over the co-purchase
+    * projection (the classic link-prediction / edge-embeddedness
+    * readout: an edge whose endpoints share many neighbors is inside a
+    * community; one with none is a bridge — the weak-tie screen run
+    * before recommending across it): for every projection edge, the
+    * count of common neighbors (= triangles through the edge) and the
+    * neighborhood Jaccard in exact ppm, top 20 strongest. Shape: one
+    * edge⋈adjacency join fanned by the u endpoint's degree, re-capped
+    * by a semi-join on v's adjacency — never a neighborhood×
+    * neighborhood cross — plus the broadcast node-sized degree frame;
+    * nullif guards the isolated-edge denominator (an edge whose
+    * endpoints have no OTHER neighbors: Jaccard undefined, NULL). */
+  /** q486's pipeline over an already-persisted projection, factored
+    * for edge tests (isolated edge → NULL, bridge → 0, triangle edge
+    * → 10⁶). */
+  private[graft] def commonNeighborStrength(g: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import g.sparkSession.implicits._
+    val deg = g.select($"u".as("n")).unionAll(g.select($"v".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("deg"))
+    edgeSupport(g)
+      .join(broadcast(deg.select($"n".as("u"), $"deg".as("du"))), Seq("u"))
+      .join(broadcast(deg.select($"n".as("v"), $"deg".as("dv"))), Seq("v"))
+      .select($"u", $"v", $"cn", $"du", $"dv",
+        expr("cn * 1000000L div nullif(du + dv - 2 - cn, 0L)")
+          .as("jaccard_ppm"))
+      .orderBy($"jaccard_ppm".desc_nulls_last, $"u", $"v")
+      .limit(20)
+  }
+
+  /** The per-edge triangle-support frame shared by q486 (readout) and
+    * q487 (peeling): (u, v, cn) for EVERY edge of `g`, cn = common
+    * neighbors = triangles through the edge, 0-filled for edges in no
+    * triangle. Edge⋈adjacency fan re-capped by a semi-join — never a
+    * neighborhood×neighborhood cross. */
+  private[graft] def edgeSupport(g: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import g.sparkSession.implicits._
+    val bi = g.select($"u".as("src"), $"v".as("dst"))
+      .unionAll(g.select($"v".as("src"), $"u".as("dst")))
+    val cn = g
+      .join(bi.select($"src".as("u"), $"dst".as("w")), Seq("u"))
+      .filter($"w" =!= $"v")
+      .join(bi.select($"src".as("v"), $"dst".as("w")), Seq("v", "w"), "left_semi")
+      .groupBy($"u", $"v").agg(count(lit(1)).as("cn"))
+    g.join(cn, Seq("u", "v"), "left").na.fill(0L, Seq("cn"))
+  }
+
+  /** q487's peel loop, factored for edge tests: exactly `rounds`
+    * synchronized 4-truss peels — drop every edge supported by fewer
+    * than 2 triangles, recompute support, repeat — each round's frame
+    * localCheckpoint'ed (the support join references its parent three
+    * times; the q477 lineage rule). Returns the surviving edge frame
+    * and the total removed-edge count. */
+  private[graft] def trussPeel(g0: org.apache.spark.sql.DataFrame, rounds: Int)
+      : (org.apache.spark.sql.DataFrame, Long) = {
+    import g0.sparkSession.implicits._
+    var g = g0.localCheckpoint()
+    var removed = 0L
+    for (_ <- 1 to rounds) {
+      val sup = edgeSupport(g)
+      removed += sup.filter($"cn" < 2).count()
+      g = sup.filter($"cn" >= 2).select($"u", $"v").localCheckpoint()
+    }
+    (g, removed)
+  }
+
+  /** q487 — 4-truss peeling over the co-purchase projection (the
+    * EDGE-level cohesion core beside q477's node-level 3-core: an edge
+    * survives only while ≥2 triangles run through it, so bridges and
+    * weak ties peel away even between high-degree nodes — the
+    * community-core screen k-core is too coarse for): 4 synchronized
+    * rounds (both engines run exactly 4; a fixpoint reached early makes
+    * the rest no-ops), reporting surviving edges/nodes and edges
+    * removed. Each round is one [[edgeSupport]] pass over the CURRENT
+    * edge frame, localCheckpoint'ed per the q477 lineage rule; the
+    * oracle replays the peel as 4 chained MATERIALIZED CTE rounds. */
+  val q487 = QuerySpec(
+    "q487_ktruss_peeling",
+    (s, d) => {
+      import s.implicits._
+      val edges = tradeEdges(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val (g, removed) = trussPeel(coPurchaseEdges(edges), 4)
+        val core = g.select($"u".as("n")).unionAll(g.select($"v".as("n")))
+          .distinct().agg(count(lit(1)).as("core_nodes"))
+        Eager(g.agg(count(lit(1)).as("core_edges"))
+          .crossJoin(broadcast(core))
+          .select($"core_nodes", $"core_edges",
+            lit(removed).as("n_removed")))
+      } finally edges.unpersist(blocking = false)
+    },
+    Some {
+      val peel = (1 to 4).map { r =>
+        s"""bi$r AS (SELECT u AS src, v AS dst FROM g${r - 1}
+           |  UNION ALL SELECT v, u FROM g${r - 1}),
+           |cn$r AS (SELECT g0r.u, g0r.v, CAST(count(*) AS BIGINT) AS cn
+           |  FROM g${r - 1} g0r JOIN bi$r a ON g0r.u = a.src AND a.dst <> g0r.v
+           |  WHERE EXISTS (SELECT 1 FROM bi$r b WHERE b.src = g0r.v AND b.dst = a.dst)
+           |  GROUP BY 1, 2),
+           |g$r AS MATERIALIZED (SELECT g0r.u, g0r.v FROM g${r - 1} g0r
+           |  JOIN cn$r c ON g0r.u = c.u AND g0r.v = c.v
+           |  WHERE c.cn >= 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $sqlCoPurchaseCtes,
+         |g0 AS MATERIALIZED (SELECT u, v FROM g),
+         |$peel,
+         |core AS (SELECT CAST(count(DISTINCT n) AS BIGINT) AS core_nodes FROM (
+         |  SELECT u AS n FROM g4 UNION ALL SELECT v FROM g4)),
+         |ce AS (SELECT CAST(count(*) AS BIGINT) AS core_edges FROM g4),
+         |ne0 AS (SELECT count(*) AS n FROM g0),
+         |ne4 AS (SELECT count(*) AS n FROM g4)
+         |SELECT core_nodes, core_edges,
+         |  CAST(ne0.n - ne4.n AS BIGINT) AS n_removed
+         |FROM core CROSS JOIN ce CROSS JOIN ne0 CROSS JOIN ne4""".stripMargin
+    },
+  )
+
+  val q486 = QuerySpec(
+    "q486_common_neighbor_strength",
+    (s, d) => {
+      import s.implicits._
+      val edges = tradeEdges(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+      val g = coPurchaseEdges(edges).persist(StorageLevel.MEMORY_AND_DISK)
+      try Eager(commonNeighborStrength(g))
+      finally { g.unpersist(blocking = false); edges.unpersist(blocking = false) }
+    },
+    Some(s"""WITH $sqlCoPurchaseCtes,
+            |bi AS (SELECT u AS src, v AS dst FROM g UNION ALL SELECT v, u FROM g),
+            |deg AS (SELECT src AS n, CAST(count(*) AS BIGINT) AS deg FROM bi GROUP BY 1),
+            |cn AS (SELECT g.u, g.v, CAST(count(*) AS BIGINT) AS cn
+            |  FROM g JOIN bi a ON g.u = a.src AND a.dst <> g.v
+            |  WHERE EXISTS (SELECT 1 FROM bi b WHERE b.src = g.v AND b.dst = a.dst)
+            |  GROUP BY 1, 2)
+            |SELECT g.u, g.v, coalesce(cn.cn, 0) AS cn, du.deg AS du, dv.deg AS dv,
+            |  CAST(coalesce(cn.cn, 0) * 1000000
+            |    // nullif(du.deg + dv.deg - 2 - coalesce(cn.cn, 0), 0) AS BIGINT) AS jaccard_ppm
+            |FROM g LEFT JOIN cn ON g.u = cn.u AND g.v = cn.v
+            |JOIN deg du ON g.u = du.n JOIN deg dv ON g.v = dv.n
+            |ORDER BY jaccard_ppm DESC NULLS LAST, g.u, g.v LIMIT 20""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q59, q94, q126, q148, q226, q304, q310, q378, q435, q448, q454,
-      q476, q477, q478, q481)
+      q476, q477, q478, q481, q485, q486, q487)
 }

@@ -1028,7 +1028,24 @@ object Search {
     q405.oracle,
   )
 
+  /** q484 — streaming CDC deletes through the BM25 maintainer, the
+    * third and final cell of the streaming-delete matrix (IVF q475,
+    * LSH q480): key-only tombstone batches locate victims via the
+    * index's own id columns, write NEGATIVE df/globals epochs BEFORE
+    * dir-swapping only the exact victim (batch_id, tb) partitions —
+    * the ordering that makes replays exactly-once (a post-swap replay's
+    * empty negative rewrite replaces nothing, a pre-swap replay's is
+    * identical; see [[graft.streaming.StreamBm25Cdc]]). Probe = q479's
+    * pruned top-5 with the df > 0 guard now load-bearing, plus the
+    * erased audit. Kill-and-restart pinned by Round9EdgeSpec. Oracle:
+    * q466's from-scratch BM25 on the reduced corpus. */
+  val q484 = QuerySpec(
+    "q484_stream_bm25_cdc_delete",
+    (s, d) => graft.streaming.StreamBm25Cdc.runOnce(s, d),
+    q466.oracle,
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q278, q279, q290, q404, q405, q406, q407, q421, q428, q449, q466,
-      q479)
+      q479, q484)
 }

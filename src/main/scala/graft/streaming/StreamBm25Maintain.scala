@@ -39,19 +39,24 @@ import graft.functions.TextFns._
   */
 object StreamBm25Maintain {
 
-  private val NB = 16 // term hash buckets (q466's layout)
+  private[streaming] val NB = 16 // term hash buckets (q466's layout)
 
   private final case class Staged(spark: SparkSession, sfDir: String, tmp: String)
 
-  private def docsOf(st: Staged): DataFrame = {
-    import st.spark.implicits._
-    Tables.fanOut(Tables.documents(st.spark, st.sfDir), col("doc_id"))
-      .select($"doc_id",
+  /** (doc_id, text) → (doc_id, dl, t): the fixed tokenization every
+    * BM25 surface shares (q278's non-empty lowercase tokens). */
+  private[streaming] def tokenize(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select($"doc_id",
         filter(tokens($"text"), t => char_length(t) > 0).as("t"))
       .select($"doc_id", size($"t").as("dl"), $"t")
   }
 
-  private def postings(e: DataFrame): DataFrame = {
+  private def docsOf(st: Staged): DataFrame =
+    tokenize(Tables.fanOut(Tables.documents(st.spark, st.sfDir), col("doc_id"))
+      .select(col("doc_id"), col("text")))
+
+  private[streaming] def postings(e: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
     e.select($"doc_id", $"dl", explode($"t").as("term"))
       .groupBy($"doc_id", $"dl", $"term")
@@ -64,24 +69,28 @@ object StreamBm25Maintain {
     * repartitioned by bucket before the partitioned write (q405's
     * file-count discipline — one file per (batch, bucket), not
     * shuffle-partitions × buckets slivers). */
-  private def writeBatch(st: Staged, e: DataFrame, batchId: Long): Unit = {
-    import st.spark.implicits._
+  private def writeBatch(st: Staged, e: DataFrame, batchId: Long): Unit =
+    writeBatchTo(st.tmp, e, batchId)
+
+  private[streaming] def writeBatchTo(tmp: String, e: DataFrame,
+      batchId: Long): Unit = {
+    import e.sparkSession.implicits._
     val post = postings(e)
     post.withColumn("batch_id", lit(batchId))
       .repartition($"tb")
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id", "tb").parquet(s"${st.tmp}/post")
+      .partitionBy("batch_id", "tb").parquet(s"$tmp/post")
     post.groupBy($"term").agg(count(lit(1)).cast("long").as("df"))
       .withColumn("batch_id", lit(batchId))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(s"${st.tmp}/stats")
+      .partitionBy("batch_id").parquet(s"$tmp/stats")
     e.agg(count(lit(1)).as("n_docs"), sum($"dl").as("len_sum"))
       .withColumn("batch_id", lit(batchId))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(s"${st.tmp}/globals")
+      .partitionBy("batch_id").parquet(s"$tmp/globals")
   }
 
   /** Epoch-0 batch build + epoch-1 files staged into the stream inbox. */
@@ -127,25 +136,34 @@ object StreamBm25Maintain {
   /** PROBE the stream-maintained files: q405's partition-pruned BM25
     * top-5 — postings pruned to the query terms' buckets, df/avgdl
     * merged across every epoch row. Severed from tmp state. */
-  private def probe(st: Staged): DataFrame = {
-    import st.spark.implicits._
+  private def probe(st: Staged): DataFrame =
+    graft.queries.Eager(topKFromFiles(st.spark, st.tmp))
+
+  /** q479/q484's shared probe: BM25 top-5 per query from the maintained
+    * files alone — postings partition-pruned to the query terms'
+    * buckets (computed with the SAME xxhash64 expression the writer
+    * used, never hand-rolled driver-side — the probe IO is
+    * |query buckets|/16 of the postings regardless of how many batches
+    * the stream appended), df/avgdl merged across every epoch row. The
+    * df > 0 guard drops terms whose postings were entirely deleted
+    * (q466's rule; vacuous for the append-only q479). */
+  private[streaming] def topKFromFiles(spark: SparkSession, tmp: String)
+      : DataFrame = {
+    import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val queries = st.spark.createDataFrame(graft.queries.Search.QueryTerms)
+    val queries = spark.createDataFrame(graft.queries.Search.QueryTerms)
       .toDF("query_id", "term")
     val terms = graft.queries.Search.QueryTerms.map(_._2).distinct
-    // Query-term buckets computed with the SAME xxhash64 expression the
-    // writer used (never hand-rolled driver-side), pushed into the read
-    // as a partition filter — the probe IO is |query buckets|/16 of the
-    // postings regardless of how many batches the stream appended.
-    val qtbsDf = st.spark.createDataFrame(terms.map(Tuple1(_))).toDF("term")
+    val qtbsDf = spark.createDataFrame(terms.map(Tuple1(_))).toDF("term")
       .select(pmod(xxhash64($"term"), lit(NB)).as("tb"))
       .distinct().collect().map(_.getLong(0))
-    val tf = st.spark.read.parquet(s"${st.tmp}/post")
+    val tf = spark.read.parquet(s"$tmp/post")
       .filter($"tb".isin(qtbsDf: _*) && $"term".isin(terms: _*))
-    val df_ = st.spark.read.parquet(s"${st.tmp}/stats")
+    val df_ = spark.read.parquet(s"$tmp/stats")
       .filter($"term".isin(terms: _*))
       .groupBy($"term").agg(sum($"df").as("df"))
-    val g = st.spark.read.parquet(s"${st.tmp}/globals")
+      .filter($"df" > 0)
+    val g = spark.read.parquet(s"$tmp/globals")
       .agg(sum($"n_docs").as("n_docs"), sum($"len_sum").as("len_sum"))
       .select($"n_docs",
         expr("len_sum * 1000000L div n_docs").as("avgdl_ppm"))
@@ -164,11 +182,11 @@ object StreamBm25Maintain {
       .groupBy($"query_id", $"doc_id")
       .agg(count(lit(1)).as("n_terms_matched"), sum($"contrib_ppm").as("score_ppm"))
     val w = Window.partitionBy($"query_id").orderBy($"score_ppm".desc, $"doc_id")
-    graft.queries.Eager(scored
+    scored
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 5)
       .select($"query_id", $"rank", $"doc_id", $"n_terms_matched", $"score_ppm")
-      .orderBy($"query_id", $"rank"))
+      .orderBy($"query_id", $"rank")
   }
 
   private def cleanup(st: Staged): Unit = graft.Fs.deleteTree(st.tmp)

@@ -1045,6 +1045,25 @@ class PlanAuditSpec extends SparkTestBase {
     } finally edges.unpersist(blocking = false)
   }
 
+  test("q486 (factored): common-neighbor fan is a semi-join re-cap, never neighborhood×neighborhood") {
+    val edges = graft.queries.GraphOps.tradeEdges(spark, sf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = graft.queries.GraphOps.coPurchaseEdges(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val p = graft.queries.GraphOps.commonNeighborStrength(g)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("LeftSemi"),
+        "v-adjacency re-cap must be a semi-join\n" + p)
+      assert(!p.contains("CartesianProduct"),
+        "common-neighbor count degraded to a cross\n" + p)
+      assert(p.contains("BroadcastHashJoin"), "degree frames must broadcast\n" + p)
+      assert(p.contains("TakeOrderedAndProject"),
+        "top-20 must avoid a global sort\n" + p)
+    } finally { g.unpersist(blocking = false); edges.unpersist(blocking = false) }
+  }
+
   test("q464: repeated-gram filter is a semi-join; islands window per-doc") {
     val p = plan("q464_exact_substring_spans")
     assert(p.contains("LeftSemi"), "repeated-gram membership must be a semi-join\n" + p)

@@ -108,6 +108,62 @@ class Round9EdgeSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
   }
 
+  test("q484: BM25 CDC maintainer killed mid-stream + restarted answers exactly-once") {
+    // Negative-stats-before-swap ordering: a pre-swap replay rewrites
+    // identical negatives, a post-swap replay's EMPTY negative rewrite
+    // replaces nothing — either way the drained index must answer
+    // exactly like an uninterrupted run.
+    val uninterrupted = Search.q484.run(spark, sf).collect().toSeq
+    val restarted = graft.streaming.StreamBm25Cdc
+      .runWithRestart(spark, sf).collect().toSeq
+    assert(restarted === uninterrupted)
+    assert(uninterrupted.forall(_.getAs[Long]("n_erased_left") === 0L))
+  }
+
+  test("componentCensus: disjoint cliques come back as separate components with exact censuses") {
+    val g = k4.unionAll(edges((10L, 11L), (11L, 12L)))
+    val rows = GraphOps.componentCensus(g).collect()
+      .map(r => r.getAs[Long]("component_id") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"))).toMap
+    assert(rows === Map(1L -> ((4L, 6L)), 10L -> ((3L, 2L))))
+  }
+
+  test("commonNeighborStrength: isolated edge NULL, bridge 0, triangle edge 1e6") {
+    // Triangle {1,2,3} + bridge 3-10 + isolated edge 20-21.
+    val g = edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 10L), (20L, 21L))
+    val rows = GraphOps.commonNeighborStrength(g).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v")) -> r).toMap
+    val tri = rows((1L, 2L))
+    assert(tri.getAs[Long]("cn") === 1L)
+    assert(tri.getAs[Long]("jaccard_ppm") === 1000000L)
+    val bridge = rows((3L, 10L))
+    assert(bridge.getAs[Long]("cn") === 0L)
+    assert(bridge.getAs[Long]("jaccard_ppm") === 0L)
+    val iso = rows((20L, 21L))
+    assert(iso.getAs[Long]("cn") === 0L)
+    // du + dv - 2 - cn = 0: Jaccard undefined — NULL, not /0.
+    assert(iso.isNullAt(iso.fieldIndex("jaccard_ppm")), iso.toString)
+  }
+
+  test("trussPeel: K4 is its own 4-truss; a bowtie dissolves; weak appendages cascade off") {
+    // K4: every edge carries exactly 2 triangles — stable.
+    val (gK4, rK4) = GraphOps.trussPeel(k4, 4)
+    assert(rK4 === 0L)
+    assert(gK4.count() === 6L)
+    // Bowtie: every edge carries exactly ONE triangle — all 6 edges
+    // peel in round one (4-truss needs >= 2).
+    val bow = edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (3L, 5L), (4L, 5L))
+    val (gBow, rBow) = GraphOps.trussPeel(bow, 4)
+    assert(rBow === 6L)
+    assert(gBow.count() === 0L)
+    // K4 + a pendant wedge through node 10: the two wedge edges carry
+    // one triangle each and peel; the K4 survives untouched.
+    val (gMix, rMix) = GraphOps.trussPeel(
+      k4.unionAll(edges((1L, 10L), (2L, 10L))), 4)
+    assert(rMix === 2L)
+    assert(gMix.count() === 6L)
+  }
+
   private def writeFile(path: String, content: String): Unit = {
     Files.createDirectories(Paths.get(path).getParent)
     Files.writeString(Paths.get(path), content)
