@@ -31,9 +31,14 @@ object GraphOps {
     * algorithm (Kiveris et al. 2014, "Connected Components in MapReduce
     * and Beyond" — O(log²​ n) rounds) or pointer doubling; for dedup
     * families (diameter ≲ 5) plain propagation does fewer total shuffles.
-    * Each round's result is materialized via persist + count so the
-    * lineage stays one round deep (an uncached loop would re-execute
-    * every prior round per action, exponentially). */
+    * Each round's result is localCheckpoint'ed so BOTH the execution
+    * lineage AND the logical plan stay one round deep: persist alone
+    * truncates execution but the analyzer/optimizer still re-walk the
+    * whole accumulated tree every round — each round references its
+    * parent twice (propagation + union), so an unpersisted-plan loop
+    * pays 2^rounds optimizer work (the q477 lesson; on the dense
+    * co-purchase projection rounds 4–5 took 11 s and 34 s of pure
+    * planning before the truncation). */
   private[graft] def minLabel(edges: DataFrame): DataFrame = {
     // The propagation loop runs join+agg PER ROUND over a pair-list-
     // sized frame (thousands of rows at test scale; pair lists are
@@ -53,9 +58,14 @@ object GraphOps {
     val sym = edges.select($"src", $"dst")
       .unionAll(edges.select($"dst".as("src"), $"src".as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Lazy checkpoints: each round already runs exactly one action (the
+    // labelSum probe), which materializes the round's RDD — an eager
+    // checkpoint would pay a SECOND action per round just to force what
+    // the probe forces anyway. The logical-plan truncation (the point)
+    // happens at wrap time either way.
     var labels = sym.select($"src".as("node")).distinct()
       .withColumn("label", $"node")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     // Convergence probe: per-node labels only ever DECREASE (min-merge),
     // so Σlabel strictly decreases until the fixed point — comparing two
     // longs replaces a per-round anti-join, and the agg is a partial
@@ -79,14 +89,18 @@ object GraphOps {
         require(iters <= MaxIters,
           s"connected components did not converge in $MaxIters rounds")
         // Labels flowing across edges, min-merged with each node's own.
-        val prop = sym.join(labels, $"dst" === $"node")
+        // The label frame is NODE-sized (dedup-cluster members / the
+        // projected dimension — MBs even at 100 TB corpora) and a
+        // checkpointed RDD carries no stats, so without the hint every
+        // round plans a sort-merge join of the edge frame against a
+        // dimension — broadcast it explicitly.
+        val prop = sym.join(broadcast(labels), $"dst" === $"node")
           .select($"src".as("node"), $"label")
         val next = labels.unionAll(prop)
           .groupBy($"node").agg(min($"label").as("label"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(false)
         pending = next
         val curSum = labelSum(next)
-        labels.unpersist(blocking = false)
         labels = next
         pending = null
         converged = curSum == prevSum
@@ -960,9 +974,23 @@ object GraphOps {
         Window.partitionBy($"cust").orderBy($"supp")))
       .filter($"rn" <= 16)
       .select($"cust", $"supp")
-    capped.as("a").join(capped.as("b"),
-        $"a.cust" === $"b.cust" && $"a.supp" < $"b.supp")
-      .groupBy($"a.supp".as("u"), $"b.supp".as("v"))
+    // Pairs via a per-customer basket + in-row C(k,2) expansion (q24's
+    // bucket pair emit) instead of a capped self-join: the basket
+    // aggregate reuses the window's cust clustering with NO new
+    // exchange, and the ordered expansion gives u < v for free — one
+    // shuffle total where the self-join form paid the cust shuffle
+    // twice plus a join. ~40% of every projection consumer's build
+    // time at sf0.1.
+    capped.groupBy($"cust")
+      .agg(sort_array(collect_list($"supp")).as("ss"))
+      // 1-supplier baskets carry no pairs — and guard Spark's
+      // DESCENDING sequence(0, -1) corner in the expansion.
+      .filter(size($"ss") >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ss)-2),
+          |  i -> transform(sequence(i+1, size(ss)-1),
+          |    j -> struct(ss[i] AS u, ss[j] AS v))))""".stripMargin)).as("p"))
+      .groupBy($"p.u".as("u"), $"p.v".as("v"))
       .agg(count(lit(1)).as("sup"))
       .filter($"sup" >= 8)
       .select($"u", $"v")
@@ -1070,24 +1098,34 @@ object GraphOps {
     * over the given undirected edge frame, each round one degree census
     * + two semi-joins, each round's frame localCheckpoint'ed (see the
     * q477 doc for why lineage truncation is load-bearing). A fixpoint
-    * reached early just runs the remaining rounds as no-ops (removed
-    * count 0) — both engines execute the same R rounds. Returns the
-    * final edge frame and the total removed-node count. */
+    * reached early SHORT-CIRCUITS the remaining rounds — they are
+    * no-ops on an identical frame, so the result still equals the
+    * oracle's full R-round unroll while skipping their census cost.
+    * Returns the final edge frame and the total removed-node count. */
   private[graft] def peel3Core(g0: org.apache.spark.sql.DataFrame, rounds: Int)
       : (org.apache.spark.sql.DataFrame, Long) = {
     import g0.sparkSession.implicits._
     var g = g0.localCheckpoint()
     var removed = 0L
-    for (_ <- 1 to rounds) {
+    var fixed = false
+    for (_ <- 1 to rounds if !fixed) {
       val deg = g.select($"u".as("n")).unionAll(g.select($"v".as("n")))
         .groupBy($"n").agg(count(lit(1)).as("deg"))
       val keep = deg.filter($"deg" >= 3).select($"n")
-      removed += deg.filter($"deg" < 3).count()
-      g = g
-        .join(keep.select($"n".as("u")), Seq("u"), "left_semi")
-        .join(keep.select($"n".as("v")), Seq("v"), "left_semi")
-        .select($"u", $"v")
-        .localCheckpoint()
+      val r = deg.filter($"deg" < 3).count()
+      // Fixpoint early-exit: a round removing no nodes leaves the edge
+      // frame identical, so the remaining rounds are censuses that
+      // cannot change anything — the oracle's fixed unroll reaches the
+      // same frame through no-op rounds.
+      if (r == 0L) fixed = true
+      else {
+        removed += r
+        g = g
+          .join(keep.select($"n".as("u")), Seq("u"), "left_semi")
+          .join(keep.select($"n".as("v")), Seq("v"), "left_semi")
+          .select($"u", $"v")
+          .localCheckpoint()
+      }
     }
     (g, removed)
   }
@@ -1422,12 +1460,31 @@ object GraphOps {
   private[graft] def edgeSupport(g: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import g.sparkSession.implicits._
-    val bi = g.select($"u".as("src"), $"v".as("dst"))
-      .unionAll(g.select($"v".as("src"), $"u".as("dst")))
-    val cn = g
-      .join(bi.select($"src".as("u"), $"dst".as("w")), Seq("u"))
-      .filter($"w" =!= $"v")
-      .join(bi.select($"src".as("v"), $"dst".as("w")), Seq("v", "w"), "left_semi")
+    // Degree-ordered triangle ENUMERATION (q476's orientation with the
+    // triple kept): each triangle is found once as its unique oriented
+    // wedge + closing semi-check, then exploded into its three
+    // id-ordered edges and counted per edge. On the dense projection
+    // this is decisively cheaper than fanning every edge by a full
+    // endpoint adjacency (Σ C(outdeg,2) wedges, outdeg bounded by the
+    // SMALLER endpoint's degree, vs Σ deg(u) edge-neighbor rows).
+    val deg = g.select($"u".as("n")).unionAll(g.select($"v".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("deg"))
+    val du = struct($"du", $"u")
+    val dv = struct($"dv", $"v")
+    val or = g
+      .join(broadcast(deg.select($"n".as("u"), $"deg".as("du"))), Seq("u"))
+      .join(broadcast(deg.select($"n".as("v"), $"deg".as("dv"))), Seq("v"))
+      .select(when(du < dv, $"u").otherwise($"v").as("lo"),
+        when(du < dv, $"v").otherwise($"u").as("hi"))
+    val tri = or.as("e1")
+      .join(or.select($"lo".as("hi"), $"hi".as("z")).as("e2"), Seq("hi"))
+      .select($"lo".as("x"), $"hi".as("y"), $"z")
+      .join(or.select($"lo".as("x"), $"hi".as("z")), Seq("x", "z"), "left_semi")
+    val cn = tri.select(explode(array(
+        struct(least($"x", $"y").as("u"), greatest($"x", $"y").as("v")),
+        struct(least($"y", $"z").as("u"), greatest($"y", $"z").as("v")),
+        struct(least($"x", $"z").as("u"), greatest($"x", $"z").as("v")))).as("e"))
+      .select($"e.u", $"e.v")
       .groupBy($"u", $"v").agg(count(lit(1)).as("cn"))
     g.join(cn, Seq("u", "v"), "left").na.fill(0L, Seq("cn"))
   }
@@ -1443,10 +1500,21 @@ object GraphOps {
     import g0.sparkSession.implicits._
     var g = g0.localCheckpoint()
     var removed = 0L
-    for (_ <- 1 to rounds) {
-      val sup = edgeSupport(g)
-      removed += sup.filter($"cn" < 2).count()
-      g = sup.filter($"cn" >= 2).select($"u", $"v").localCheckpoint()
+    var fixed = false
+    for (_ <- 1 to rounds if !fixed) {
+      val sup = edgeSupport(g).localCheckpoint()
+      val r = sup.filter($"cn" < 2).count()
+      // Fixpoint early-exit: a round that removes nothing leaves the
+      // frame bit-identical, so the remaining rounds are full-cost
+      // support passes that cannot change anything — the oracle's
+      // fixed-round unroll reaches the same frame through no-op rounds.
+      // (On the dense co-purchase projection round 1 already peels
+      // nothing, so this is 4x the query's wall time.)
+      if (r == 0L) fixed = true
+      else {
+        removed += r
+        g = sup.filter($"cn" >= 2).select($"u", $"v").localCheckpoint()
+      }
     }
     (g, removed)
   }

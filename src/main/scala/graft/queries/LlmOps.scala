@@ -371,5 +371,130 @@ object LlmOps {
            |FROM x GROUP BY 1, 2 ORDER BY n_doc_pairs DESC, src_a, src_b""".stripMargin),
   )
 
-  val all: Seq[QuerySpec] = Seq(q19, q20, q21, q22, q23, q57, q162, q173, q350, q392)
+  /** q488 — the DEDUP FUNNEL capstone (the table every curated-corpus
+    * datasheet prints, and q88's quality-funnel sibling on the dedup
+    * axis): the corpus pushed through the three dedup rungs in pipeline
+    * order — EXACT (normalized-md5 fingerprint, keep min id), NEAR-DUP
+    * (q24's banded MinHash buckets, capped at [[NearDup.MaxLshBucket]];
+    * a doc drops iff a lower-id survivor shares a live bucket), then
+    * SEMANTIC (q27's exact cosine ≥ 0.45 over the survivors'
+    * embeddings; lower id wins) — reporting per stage the docs in /
+    * removed / out and the surviving whitespace-token budget. Each
+    * stage's semantics are exactly its standalone query's, so the
+    * funnel certifies the STAGES COMPOSE: survivors of one rung are the
+    * input population of the next, which is the property a pipeline
+    * report asserts and ad-hoc per-stage runs don't. Scale: one corpus
+    * pass computes fingerprints + token counts (persisted); the LSH
+    * stage shuffles band signatures only; the semantic stage is the
+    * quadratic verifier and at 100 TB runs only inside q24/q28 blocks —
+    * here it runs whole-corpus exactly as q27 does, which is the
+    * documented baseline trade. All counts exact integers. */
+  val q488 = QuerySpec(
+    "q488_dedup_funnel",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.TextFns.tokens
+      val cap = NearDup.MaxLshBucket
+      val docs = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"doc_id", tokens($"text").as("t"), md5(lower($"text")).as("fp"))
+        .select($"doc_id", $"fp", $"t", size($"t").as("ntok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // Stage 1 — exact: keep the min id per normalized fingerprint.
+        val keep1 = docs.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+        val s1 = docs
+          .join(keep1.select($"doc_id"), Seq("doc_id"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // Stage 2 — banded MinHash over stage-1 survivors: q24's exact
+        // banding (shared bandSigs), live buckets 2..cap, drop a doc iff
+        // a LOWER-id survivor shares any live bucket.
+        val sig = Indexes.bandSigs(s1.filter($"ntok" >= 3).select($"doc_id", $"t"))
+        val buckets = sig.groupBy($"b", $"band_key")
+          .agg(count(lit(1)).as("k"), min($"doc_id").as("bmin"))
+          .filter($"k".between(2, cap))
+        val drop2 = sig.join(buckets, Seq("b", "band_key"))
+          .groupBy($"doc_id").agg(min($"bmin").as("peer_min"))
+          .filter($"peer_min" < $"doc_id")
+        val s2 = s1.join(drop2.select($"doc_id"), Seq("doc_id"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // Stage 3 — semantic: q27's exact cosine ≥ 0.45 among stage-2
+        // survivors' embeddings, lower id wins.
+        val e = Tables.fanOut(Tables.embeddings(s, d), col("vec_id"))
+          .select($"vec_id".as("doc_id"), asDouble($"embedding").as("emb"))
+          .withColumn("nrm", l2Norm($"emb"))
+          .join(s2.select($"doc_id"), Seq("doc_id"), "left_semi")
+        val drop3 = e.as("a").join(e.as("c"), $"a.doc_id" > $"c.doc_id")
+          .withColumn("cos", dot($"a.emb", $"c.emb") / ($"a.nrm" * $"c.nrm"))
+          .filter($"cos" >= 0.45)
+          .select($"a.doc_id").distinct()
+        val s3 = s2.join(drop3, Seq("doc_id"), "left_anti")
+        def census(df: DataFrame): (Long, Long) = {
+          val r = df.agg(count(lit(1)), coalesce(sum($"ntok"), lit(0L))).head
+          (r.getLong(0), r.getLong(1))
+        }
+        val (c0, t0) = census(docs)
+        val (c1, t1) = census(s1)
+        val (c2, t2) = census(s2)
+        val (c3, t3) = census(s3)
+        s1.unpersist(blocking = false); s2.unpersist(blocking = false)
+        val _ = (t0, t1, t2) // budgets reported for survivors per stage
+        s.createDataFrame(Seq(
+          (1, "exact", c0, c0 - c1, c1, t1),
+          (2, "minhash_lsh", c1, c1 - c2, c2, t2),
+          (3, "semantic", c2, c2 - c3, c3, t3)))
+          .toDF("stage", "name", "docs_in", "docs_removed", "docs_out",
+            "tokens_out")
+          .orderBy($"stage")
+      } finally docs.unpersist(blocking = false)
+    },
+    Some(s"""WITH dd AS (SELECT doc_id, md5(lower(text)) AS fp,
+           |    regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
+           |d2 AS (SELECT doc_id, fp, t, len(t) AS ntok FROM dd),
+           |k1 AS (SELECT fp, min(doc_id) AS doc_id FROM d2 GROUP BY fp),
+           |s1 AS (SELECT d2.* FROM d2
+           |  WHERE doc_id IN (SELECT doc_id FROM k1)),
+           |sh AS (SELECT doc_id, list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS s
+           |       FROM s1 WHERE len(t) >= 3),
+           |hs AS (SELECT doc_id,
+           |        list_transform(s, x -> md5(x || ':0')) AS h0,
+           |        list_transform(s, x -> md5(x || ':1')) AS h1 FROM sh),
+           |sig AS (SELECT doc_id, b,
+           |        list_aggregate(list_transform(h0, x -> substring(x, 1 + 8*b, 8)), 'min')
+           |        || '|' ||
+           |        list_aggregate(list_transform(h1, x -> substring(x, 1 + 8*b, 8)), 'min') AS band_key
+           |        FROM hs, generate_series(0, 3) g(b)),
+           |sigw AS (SELECT doc_id,
+           |    min(doc_id) OVER (PARTITION BY b, band_key) AS bmin,
+           |    count(*) OVER (PARTITION BY b, band_key) AS bn FROM sig),
+           |drop2 AS (SELECT DISTINCT doc_id FROM sigw
+           |  WHERE bn BETWEEN 2 AND 64 AND bmin < doc_id),
+           |s2 AS (SELECT s1.* FROM s1
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM drop2)),
+           |e AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+           |e2 AS (SELECT e.* FROM e WHERE doc_id IN (SELECT doc_id FROM s2)),
+           |drop3 AS (SELECT DISTINCT a.doc_id
+           |  FROM e2 a JOIN e2 b ON a.doc_id > b.doc_id
+           |  WHERE ${sqlCosine("a.emb", "b.emb")} >= 0.45),
+           |s3 AS (SELECT s2.* FROM s2
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM drop3)),
+           |c0 AS (SELECT count(*) AS n FROM d2),
+           |c1 AS (SELECT count(*) AS n, coalesce(sum(ntok), 0) AS tk FROM s1),
+           |c2 AS (SELECT count(*) AS n, coalesce(sum(ntok), 0) AS tk FROM s2),
+           |c3 AS (SELECT count(*) AS n, coalesce(sum(ntok), 0) AS tk FROM s3)
+           |SELECT * FROM (
+           |  SELECT CAST(1 AS INT) AS stage, 'exact' AS name,
+           |    CAST(c0.n AS BIGINT) AS docs_in, CAST(c0.n - c1.n AS BIGINT) AS docs_removed,
+           |    CAST(c1.n AS BIGINT) AS docs_out, CAST(c1.tk AS BIGINT) AS tokens_out
+           |  FROM c0, c1
+           |  UNION ALL
+           |  SELECT CAST(2 AS INT), 'minhash_lsh', CAST(c1.n AS BIGINT), CAST(c1.n - c2.n AS BIGINT),
+           |    CAST(c2.n AS BIGINT), CAST(c2.tk AS BIGINT) FROM c1, c2
+           |  UNION ALL
+           |  SELECT CAST(3 AS INT), 'semantic', CAST(c2.n AS BIGINT), CAST(c2.n - c3.n AS BIGINT),
+           |    CAST(c3.n AS BIGINT), CAST(c3.tk AS BIGINT) FROM c2, c3)
+           |ORDER BY stage""".stripMargin),
+  )
+
+  val all: Seq[QuerySpec] =
+    Seq(q19, q20, q21, q22, q23, q57, q162, q173, q350, q392, q488)
 }
