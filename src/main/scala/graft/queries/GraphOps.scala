@@ -968,6 +968,18 @@ object GraphOps {
   private[graft] def coPurchaseEdges(edges: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import edges.sparkSession.implicits._
+    basketPairCounts(edges).filter($"sup" >= 8).select($"u", $"v")
+  }
+
+  /** The capped per-customer basket pair COUNTS (pre-threshold),
+    * factored from [[coPurchaseEdges]] because the counts are ADDITIVE
+    * per customer — Σ_cust pairs(basket(cust)) — which is exactly what
+    * makes the projection incrementally maintainable (q489): a
+    * customer's contribution can be subtracted and re-added without
+    * touching anyone else's. */
+  private[graft] def basketPairCounts(edges: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import edges.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     val capped = edges
       .withColumn("rn", row_number().over(
@@ -992,8 +1004,6 @@ object GraphOps {
           |    j -> struct(ss[i] AS u, ss[j] AS v))))""".stripMargin)).as("p"))
       .groupBy($"p.u".as("u"), $"p.v".as("v"))
       .agg(count(lit(1)).as("sup"))
-      .filter($"sup" >= 8)
-      .select($"u", $"v")
   }
 
   private val sqlCoPurchaseCtes: String =
@@ -1594,7 +1604,81 @@ object GraphOps {
             |ORDER BY jaccard_ppm DESC NULLS LAST, g.u, g.v LIMIT 20""".stripMargin),
   )
 
+  /** q489 — INCREMENTAL maintenance of the co-purchase projection (the
+    * q379/q316 delta discipline applied to the graph artifact all of
+    * q476–q487 consume — at 100 TB you never rebuild the projection
+    * from scratch when a day of orders lands): the epoch-0 pair-count
+    * frame is the maintained artifact; when epoch-1 orders arrive, only
+    * AFFECTED customers (those with a new order) have their basket
+    * contributions subtracted at their old state and re-added at their
+    * new one — pair counts are additive per customer
+    * ([[basketPairCounts]]), so everyone else's contribution is never
+    * recomputed. This is exact even under the subtle cap case: a new
+    * low-id supplier can EVICT an old one from a customer's 16-basket,
+    * silently deleting pairs the append never mentioned — the
+    * subtract/re-add absorbs it (Round9EdgeSpec pins that fixture).
+    * Readout: the re-thresholded projection's census + an exact
+    * integer checksum over (edge, support) — the ≡-rebuild proof the
+    * oracle computes from scratch over ALL orders. Scale: the delta
+    * touches |affected customers|' edges, epoch volume, not corpus
+    * volume; the merge is one aggregate over v1 ∪ deltas. */
+  val q489 = QuerySpec(
+    "q489_incremental_projection",
+    (s, d) => {
+      import s.implicits._
+      val li = graft.Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey")
+      val ord = graft.Tables.orders(s, d)
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      def edgesOf(o: org.apache.spark.sql.DataFrame) =
+        li.join(o, $"l_orderkey" === $"o_orderkey")
+          .select($"o_custkey".as("cust"), $"l_suppkey".as("supp")).distinct()
+      val o0 = ord.filter($"o_orderdate" < "2001-01-01")
+      val o1 = ord.filter($"o_orderdate" >= "2001-01-01")
+      // v1: the maintained epoch-0 artifact.
+      val v1 = basketPairCounts(edgesOf(o0.select($"o_orderkey", $"o_custkey")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val affected = o1.select($"o_custkey".as("cust")).distinct()
+        val e0A = edgesOf(o0.select($"o_orderkey", $"o_custkey"))
+          .join(affected, Seq("cust"), "left_semi")
+        val e1 = edgesOf(o1.select($"o_orderkey", $"o_custkey"))
+        val eFullA = e0A.unionAll(e1).distinct()
+        val v2 = v1.select($"u", $"v", $"sup".as("d"))
+          .unionAll(basketPairCounts(e0A).select($"u", $"v", (-$"sup").as("d")))
+          .unionAll(basketPairCounts(eFullA).select($"u", $"v", $"sup".as("d")))
+          .groupBy($"u", $"v").agg(sum($"d").as("sup"))
+          .filter($"sup" >= 8)
+        val nodes = v2.select($"u".as("n")).unionAll(v2.select($"v".as("n")))
+          .distinct().agg(count(lit(1)).as("n_nodes"))
+        Eager(v2.agg(count(lit(1)).as("n_edges"),
+            sum($"sup").as("sup_sum"),
+            sum(($"u" * 131071L + $"v") * $"sup").as("chk"))
+          .crossJoin(broadcast(nodes))
+          .select($"n_nodes", $"n_edges", $"sup_sum", $"chk"))
+      } finally { v1.unpersist(blocking = false); () }
+    },
+    // From-scratch projection over ALL orders — maintained ≡ rebuilt,
+    // down to per-edge supports via the exact checksum.
+    Some("""WITH ed AS (
+           |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |capped AS (SELECT cust, supp FROM (
+           |    SELECT cust, supp, row_number() OVER (PARTITION BY cust ORDER BY supp) AS rn
+           |    FROM ed) WHERE rn <= 16),
+           |g AS (SELECT u, v, sup FROM (
+           |    SELECT a.supp AS u, b.supp AS v, count(*) AS sup
+           |    FROM capped a JOIN capped b ON a.cust = b.cust AND a.supp < b.supp
+           |    GROUP BY 1, 2) WHERE sup >= 8),
+           |nodes AS (SELECT CAST(count(DISTINCT n) AS BIGINT) AS n_nodes FROM (
+           |  SELECT u AS n FROM g UNION ALL SELECT v FROM g))
+           |SELECT (SELECT n_nodes FROM nodes) AS n_nodes,
+           |  CAST(count(*) AS BIGINT) AS n_edges,
+           |  CAST(sum(sup) AS BIGINT) AS sup_sum,
+           |  CAST(sum((u * 131071 + v) * sup) AS BIGINT) AS chk
+           |FROM g""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q59, q94, q126, q148, q226, q304, q310, q378, q435, q448, q454,
-      q476, q477, q478, q481, q485, q486, q487)
+      q476, q477, q478, q481, q485, q486, q487, q489)
 }

@@ -164,6 +164,36 @@ class Round9EdgeSpec extends SparkTestBase {
     assert(gMix.count() === 6L)
   }
 
+  test("q489: an appended low-id supplier EVICTS a capped one — the delta absorbs it") {
+    // 8 identical customers each hold suppliers 10..25 (exactly 16 — at
+    // cap) in epoch 0; epoch 1 adds supplier 5 to each. The full basket
+    // {5, 10..25} caps to {5, 10..24}: supplier 25's pairs — which the
+    // appended orders never mention — must vanish from the maintained
+    // projection exactly as a rebuild drops them.
+    val dir = Files.createTempDirectory("graft_q489_edge").toString
+    val e0 = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+    val e1 = java.sql.Timestamp.valueOf("2001-06-01 00:00:00")
+    val orders = for (c <- 1L to 8L; k <- 1L to 17L)
+      yield (c * 100 + k, c, if (k <= 16) e0 else e1)
+    val lines = for (c <- 1L to 8L; k <- 1L to 17L)
+      yield (c * 100 + k, if (k <= 16) 9L + k else 5L)
+    spark.createDataFrame(orders)
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/orders.parquet")
+    spark.createDataFrame(lines).toDF("l_orderkey", "l_suppkey")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/lineitem.parquet")
+    val r = GraphOps.q489.run(spark, dir).collect().head
+    val supps = 5L +: (10L to 24L)
+    val pairs = for {
+      i <- supps.indices; j <- (i + 1) until supps.size
+    } yield (supps(i), supps(j))
+    assert(r.getAs[Long]("n_nodes") === 16L)
+    assert(r.getAs[Long]("n_edges") === pairs.size.toLong) // C(16,2) = 120
+    assert(r.getAs[Long]("sup_sum") === pairs.size * 8L)
+    assert(r.getAs[Long]("chk") ===
+      pairs.map { case (u, v) => (u * 131071L + v) * 8L }.sum)
+  }
+
   private def writeFile(path: String, content: String): Unit = {
     Files.createDirectories(Paths.get(path).getParent)
     Files.writeString(Paths.get(path), content)
