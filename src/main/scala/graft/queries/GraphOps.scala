@@ -1501,32 +1501,71 @@ object GraphOps {
 
   /** q487's peel loop, factored for edge tests: exactly `rounds`
     * synchronized 4-truss peels — drop every edge supported by fewer
-    * than 2 triangles, recompute support, repeat — each round's frame
-    * localCheckpoint'ed (the support join references its parent three
-    * times; the q477 lineage rule). Returns the surviving edge frame
-    * and the total removed-edge count. */
+    * than 2 triangles, repeat — returning the surviving edge frame and
+    * the total removed-edge count.
+    *
+    * Support is ENUMERATED once and then maintained INCREMENTALLY:
+    * removing round t's victim edges kills exactly the G_t triangles
+    * that contain one, so only the alive edges of those dying
+    * triangles change support. Each later round therefore costs one
+    * victim⋈adjacency join (O(|victims|·degree) rows) plus a
+    * broadcast decrement — never a re-enumeration. The naive loop
+    * re-ran the full degree-ordered wedge join per round; on the
+    * dense sf0.1 projection (78k edges, round 1 peels ~105) that was
+    * up to 4 full enumerations for rounds that touch <1% of edges,
+    * and at 100 TB the gap is the whole job. Every round's support
+    * frame is localCheckpoint'ed (three self-references per round;
+    * the q477 lineage rule). */
   private[graft] def trussPeel(g0: org.apache.spark.sql.DataFrame, rounds: Int)
       : (org.apache.spark.sql.DataFrame, Long) = {
     import g0.sparkSession.implicits._
-    var g = g0.localCheckpoint()
+    val g = g0.localCheckpoint()
+    var sup = edgeSupport(g).localCheckpoint()
     var removed = 0L
     var fixed = false
     for (_ <- 1 to rounds if !fixed) {
-      val sup = edgeSupport(g).localCheckpoint()
-      val r = sup.filter($"cn" < 2).count()
+      val victims = sup.filter($"cn" < 2).select($"u", $"v")
+      val r = victims.count()
       // Fixpoint early-exit: a round that removes nothing leaves the
-      // frame bit-identical, so the remaining rounds are full-cost
-      // support passes that cannot change anything — the oracle's
-      // fixed-round unroll reaches the same frame through no-op rounds.
-      // (On the dense co-purchase projection round 1 already peels
-      // nothing, so this is 4x the query's wall time.)
+      // frame bit-identical, so the remaining rounds cannot change
+      // anything — the oracle's fixed-round unroll reaches the same
+      // frame through no-op rounds.
       if (r == 0L) fixed = true
       else {
         removed += r
-        g = sup.filter($"cn" >= 2).select($"u", $"v").localCheckpoint()
+        // Dying triangles of the CURRENT graph: a victim (a, b)
+        // closes a triangle with every w adjacent to BOTH endpoints —
+        // w comes off a's adjacency (bi), membership of (b, w) is a
+        // semi-join against the current edge frame (victims included:
+        // a G_t triangle may carry two victims and must still count
+        // ONCE for its surviving edge, hence the id-sorted distinct).
+        val bi = sup.select($"u".as("src"), $"v".as("dst"))
+          .unionAll(sup.select($"v".as("src"), $"u".as("dst")))
+        val tri = bi
+          .join(broadcast(victims.select($"u".as("src"), $"v".as("b"))), Seq("src"))
+          .filter($"dst" =!= $"b")
+          .select($"src".as("a"), $"b", $"dst".as("w"))
+          .join(sup.select($"u", $"v"),
+            least($"b", $"w") === $"u" && greatest($"b", $"w") === $"v",
+            "left_semi")
+          .select(array_sort(array($"a", $"b", $"w")).as("t"))
+          .select($"t"(0).as("x"), $"t"(1).as("y"), $"t"(2).as("z"))
+          .distinct()
+        // The components are id-sorted, so the three edges are
+        // (x,y), (y,z), (x,z) with u < v for free.
+        val dec = tri.select(explode(array(
+            struct($"x".as("u"), $"y".as("v")),
+            struct($"y".as("u"), $"z".as("v")),
+            struct($"x".as("u"), $"z".as("v")))).as("e"))
+          .select($"e.u", $"e.v")
+          .groupBy($"u", $"v").agg(count(lit(1)).as("dec"))
+        sup = sup.filter($"cn" >= 2)
+          .join(broadcast(dec), Seq("u", "v"), "left")
+          .select($"u", $"v", ($"cn" - coalesce($"dec", lit(0L))).as("cn"))
+          .localCheckpoint()
       }
     }
-    (g, removed)
+    (sup.select($"u", $"v"), removed)
   }
 
   /** q487 — 4-truss peeling over the co-purchase projection (the
@@ -1536,9 +1575,12 @@ object GraphOps {
     * community-core screen k-core is too coarse for): 4 synchronized
     * rounds (both engines run exactly 4; a fixpoint reached early makes
     * the rest no-ops), reporting surviving edges/nodes and edges
-    * removed. Each round is one [[edgeSupport]] pass over the CURRENT
-    * edge frame, localCheckpoint'ed per the q477 lineage rule; the
-    * oracle replays the peel as 4 chained MATERIALIZED CTE rounds. */
+    * removed. Support is enumerated once ([[edgeSupport]]) and then
+    * maintained incrementally through the peel rounds ([[trussPeel]]:
+    * only triangles dying through a victim edge are re-touched),
+    * localCheckpoint'ed per the q477 lineage rule; the oracle replays
+    * the peel as 4 chained full-recompute MATERIALIZED CTE rounds —
+    * same unique fixed point. */
   val q487 = QuerySpec(
     "q487_ktruss_peeling",
     (s, d) => {
@@ -1678,7 +1720,128 @@ object GraphOps {
            |FROM g""".stripMargin),
   )
 
+  /** One multi-source BFS expansion round, factored so PlanAuditSpec
+    * can pin its shape: the frontier and visited sides BROADCAST onto
+    * the persisted symmetric closure (frontier ≪ edges, the BFS norm —
+    * q226's rule), so the edge list never re-shuffles across rounds;
+    * the anti join keeps first-visit (= minimal) distances only. */
+  private[graft] def bfsRound(
+      bi: org.apache.spark.sql.DataFrame,
+      frontier: org.apache.spark.sql.DataFrame,
+      best: org.apache.spark.sql.DataFrame,
+      dist: Int): org.apache.spark.sql.DataFrame = {
+    import bi.sparkSession.implicits._
+    bi.join(broadcast(frontier.select($"seed", $"node".as("src"))), Seq("src"))
+      .select($"seed", $"dst".as("node")).distinct()
+      .join(broadcast(best.select($"seed", $"node")), Seq("seed", "node"),
+        "left_anti")
+      .select($"seed", $"node", lit(dist.toLong).as("dist"))
+  }
+
+  /** q490's pipeline over an already-persisted projection, factored
+    * for edge tests: harmonic centrality of the top-`k` hubs by
+    * (degree, id) via one multi-source BFS, `rounds` hops deep. */
+  private[graft] def harmonicFromHubs(
+      g: org.apache.spark.sql.DataFrame, k: Int, rounds: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import g.sparkSession.implicits._
+    // localCheckpoint, not persist: the symmetric closure sits under
+    // EVERY round's plan, and each round's frame also references the
+    // union of all previous rounds — with lazy lineage the round-r
+    // logical tree grows ~3^r copies of the projection build and
+    // planning itself dwarfs execution (the q477 k-core lesson,
+    // re-observed here: round 3 spent 11 s PLANNING 40 rows). The
+    // checkpoint also materializes the projection at the session's
+    // full shuffle width, outside the narrowed loop scope below.
+    val bi = g.select($"u".as("src"), $"v".as("dst"))
+      .unionAll(g.select($"v".as("src"), $"u".as("dst")))
+      .localCheckpoint()
+    graft.Confs.withShufflePartitions(g.sparkSession, 8) {
+      val deg = bi.groupBy($"src".as("n")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      // Deterministic seed pick: (deg, n) is a total order (node ids
+      // are unique), so top-k is engine-independent.
+      val seeds = deg.orderBy($"deg".desc, $"n").limit(k)
+        .select($"n".as("seed"), $"deg".as("seed_deg"))
+        .localCheckpoint()
+      val seed0 = seeds.select($"seed", $"seed".as("node"), lit(0L).as("dist"))
+        .localCheckpoint()
+      // q226's BFS discipline, multi-source: the frontier is keyed
+      // (seed, node) so all k sources ride ONE edge join per round;
+      // frontier/visited sides broadcast (k × component-size rows),
+      // the checkpointed closure never re-shuffles. Every round frame
+      // is checkpointed, so `best` is a union of flat leaves.
+      var roundFrames = List(seed0)
+      var frontier = seed0
+      for (i <- 1 to rounds) {
+        val best = roundFrames.reduce(_ unionByName _)
+        val nxt = bfsRound(bi, frontier, best, i).localCheckpoint()
+        roundFrames = nxt :: roundFrames
+        frontier = nxt
+      }
+      Eager(roundFrames.reduce(_ unionByName _)
+        .filter($"dist" > 0)
+        .groupBy($"seed")
+        .agg(count(lit(1)).as("n_reached"),
+          sum(expr("12L div dist")).as("harmonic_x12"),
+          sum($"node").as("node_checksum"))
+        .join(broadcast(seeds), Seq("seed"))
+        .select($"seed", $"seed_deg", $"n_reached", $"harmonic_x12",
+          $"node_checksum")
+        .orderBy($"seed"))
+    }
+  }
+
+  /** q490 — harmonic centrality of the projection's top-8 hubs (the
+    * GEODESIC centrality beside q126's random-walk PageRank and q448's
+    * HITS: how CLOSE a supplier sits to the rest of the market through
+    * co-purchase ties, not how heavy its neighborhood is; HARMONIC
+    * (Σ 1/d) rather than classic closeness because it stays defined
+    * when the hop horizon or a component boundary leaves nodes
+    * unreached — absent terms instead of a poisoned mean): seeds =
+    * top-8 nodes by (degree, id), one multi-source BFS over the
+    * symmetric closure, 3 hops. The 1/d readout is exact twelfths
+    * (d ∈ {1,2,3} → 12/6/4; lcm scaling, no float division — q435's
+    * integer discipline). Scale: rounds move O(frontier·degree) rows
+    * (q226's property); at a 100 TB edge list the per-source frontier
+    * is component-bounded and the hop cap is the cost governor, the
+    * same "within k handoffs" bound a production centrality sweep
+    * ships with. Oracle: recursive CTE from the same seeds —
+    * first-visit distance is minimal by BFS invariant, so both
+    * engines land on the unique fixed point. */
+  val q490 = QuerySpec(
+    "q490_harmonic_centrality",
+    (s, d) => {
+      import s.implicits._
+      val edges = tradeEdges(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+      val g = coPurchaseEdges(edges).persist(StorageLevel.MEMORY_AND_DISK)
+      try harmonicFromHubs(g, 8, 3)
+      finally { g.unpersist(blocking = false); edges.unpersist(blocking = false) }
+    },
+    Some(s"""WITH RECURSIVE $sqlCoPurchaseCtes,
+            |bi AS MATERIALIZED (SELECT u AS src, v AS dst FROM g
+            |  UNION ALL SELECT v, u FROM g),
+            |deg AS (SELECT src AS n, CAST(count(*) AS BIGINT) AS deg
+            |  FROM bi GROUP BY 1),
+            |seeds AS MATERIALIZED (SELECT n AS seed FROM deg
+            |  ORDER BY deg DESC, n LIMIT 8),
+            |bfs(seed, node, dist) AS (
+            |  SELECT seed, seed, 0 FROM seeds
+            |  UNION
+            |  SELECT b.seed, e.dst, b.dist + 1
+            |  FROM bfs b JOIN bi e ON e.src = b.node WHERE b.dist < 3),
+            |best AS (SELECT seed, node, min(dist) AS dist
+            |  FROM bfs GROUP BY 1, 2)
+            |SELECT seed, d.deg AS seed_deg,
+            |  CAST(count(*) AS BIGINT) AS n_reached,
+            |  CAST(sum(12 // dist) AS BIGINT) AS harmonic_x12,
+            |  CAST(sum(node) AS BIGINT) AS node_checksum
+            |FROM best JOIN deg d ON d.n = best.seed
+            |WHERE dist > 0
+            |GROUP BY 1, 2 ORDER BY 1""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q59, q94, q126, q148, q226, q304, q310, q378, q435, q448, q454,
-      q476, q477, q478, q481, q485, q486, q487, q489)
+      q476, q477, q478, q481, q485, q486, q487, q489, q490)
 }

@@ -1453,6 +1453,131 @@ object NearDup {
            |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin),
   )
 
+  /** q493's clustering over an ε-graph, factored for edge tests:
+    * DBSCAN roles from a pair list — CORE points have ≥ 2 neighbors,
+    * clusters are connected components of the core-core subgraph
+    * (min-label, so ids are the unique fixed point; an isolated core
+    * is its own singleton cluster), BORDER points attach to the
+    * minimum adjacent core cluster, everything else is NOISE.
+    * `ids` = the full point set (noise includes never-paired points).
+    * Returns one row per cluster (+ the cluster_id = -1 noise row). */
+  private[graft] def dbscanClusters(pairs: DataFrame, ids: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val bi = pairs.select($"u".as("n"), $"v".as("m"))
+      .unionAll(pairs.select($"v".as("n"), $"u".as("m")))
+    val core = bi.groupBy($"n").agg(count(lit(1)).as("d"))
+      .filter($"d" >= 2).select($"n")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val coreEdges = pairs
+        .join(core.select($"n".as("u")), Seq("u"), "left_semi")
+        .join(core.select($"n".as("v")), Seq("v"), "left_semi")
+        .select($"u".as("src"), $"v".as("dst"))
+      val lbl0 = GraphOps.minLabel(coreEdges)
+      val isolated = core.select($"n".as("node"))
+        .join(lbl0.select($"node"), Seq("node"), "left_anti")
+        .select($"node", $"node".as("label"))
+      val lbl = lbl0.select($"node", $"label").unionByName(isolated)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val borders = bi
+        .join(core, Seq("n"), "left_anti")
+        .join(lbl.select($"node".as("m"), $"label"), Seq("m"))
+        .groupBy($"n").agg(min($"label").as("label"))
+        .select($"n".as("node"), $"label")
+      val members = lbl.select($"node", $"label", lit(1L).as("is_core"))
+        .unionByName(borders.select($"node", $"label", lit(0L).as("is_core")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val clusters = members.groupBy($"label".as("cluster_id"))
+        .agg(sum($"is_core").as("n_core"),
+          sum(lit(1L) - $"is_core").as("n_border"),
+          count(lit(1)).as("n_total"),
+          sum($"node").as("chk"))
+      val noise = ids
+        .join(members.select($"node".as("id")), Seq("id"), "left_anti")
+        .agg(count(lit(1)).as("n_total"),
+          coalesce(sum($"id"), lit(0L)).as("chk"))
+        .select(lit(-1L).as("cluster_id"), lit(0L).as("n_core"),
+          lit(0L).as("n_border"), $"n_total", $"chk")
+      val out = Eager(clusters.unionByName(noise).orderBy($"cluster_id"))
+      lbl0.unpersist(blocking = false)
+      lbl.unpersist(blocking = false)
+      members.unpersist(blocking = false)
+      out
+    } finally { core.unpersist(blocking = false); () }
+  }
+
+  /** q493 — DBSCAN-style density clustering over the embedding corpus
+    * (the density companion to q236's centroid k-means and q59's
+    * exact-duplicate components: clusters of ANY shape, with an
+    * explicit NOISE verdict — the structure a curation pass wants
+    * before deciding what a "topic" is): ε-graph = exact cosine ≥ 0.35
+    * pairs (this corpus is near-orthogonal — 0.35 keeps the planted
+    * neighborhoods and little else), minPts = 3 (self + 2 neighbors),
+    * so CORE points have ≥ 2 ε-neighbors; clusters = components of the
+    * core-core subgraph by min-label (unique fixed point), border
+    * points attach to their minimum adjacent core cluster, the rest is
+    * noise — reported as one census row per cluster plus the -1 noise
+    * row. Cosines are sequential-fold doubles (q27's bit-identical
+    * discipline), every count an exact integer. Scale: the quadratic
+    * pair join is the deliberate exact baseline (q27's stance) — at
+    * 100 TB candidates come from the LSH/IVF blocks (q24/q28/q55) and
+    * THIS pipeline runs inside each block; the role/label machinery
+    * downstream of the pair list is all key-sized joins + min-label
+    * rounds. Oracle: recursive transitive-closure CTE over the same
+    * core edges. */
+  val q493 = QuerySpec(
+    "q493_dbscan_embeddings",
+    (s, d) => {
+      import s.implicits._
+      val base = Tables.embeddings(s, d)
+        .select($"vec_id", asDouble($"embedding").as("emb"))
+        .withColumn("nrm", l2Norm($"emb"))
+      val e = Tables.fanOut(base, col("vec_id"))
+      val pairs = e
+        .join(broadcast(base.select($"vec_id".as("v2"), $"emb".as("e2"),
+          $"nrm".as("n2"))), $"vec_id" < $"v2")
+        .withColumn("cos", dot($"emb", $"e2") / ($"nrm" * $"n2"))
+        .filter($"cos" >= 0.35)
+        .select($"vec_id".as("u"), $"v2".as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try dbscanClusters(pairs, base.select($"vec_id".as("id")))
+      finally { pairs.unpersist(blocking = false); () }
+    },
+    Some(s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            |p AS (SELECT a.vec_id AS u, b.vec_id AS v, ${sqlCosine("a.emb", "b.emb")} AS c
+            |      FROM e a JOIN e b ON a.vec_id < b.vec_id),
+            |ed AS MATERIALIZED (SELECT u, v FROM p WHERE c >= 0.35),
+            |bi AS (SELECT u AS n, v AS m FROM ed UNION ALL SELECT v, u FROM ed),
+            |core AS MATERIALIZED (SELECT n FROM bi GROUP BY n HAVING count(*) >= 2),
+            |ce AS (SELECT u, v FROM ed
+            |  WHERE u IN (SELECT n FROM core) AND v IN (SELECT n FROM core)),
+            |cbi AS (SELECT u AS a, v AS b FROM ce UNION ALL SELECT v, u FROM ce),
+            |reach(src, node) AS (
+            |  SELECT n, n FROM core
+            |  UNION
+            |  SELECT r.src, e2.b FROM reach r JOIN cbi e2 ON e2.a = r.node),
+            |lbl AS (SELECT src AS node, min(node) AS label FROM reach GROUP BY src),
+            |border AS (SELECT bi.n AS node, min(l.label) AS label
+            |  FROM bi JOIN lbl l ON l.node = bi.m
+            |  WHERE bi.n NOT IN (SELECT n FROM core)
+            |  GROUP BY bi.n),
+            |members AS (SELECT node, label, 1 AS is_core FROM lbl
+            |  UNION ALL SELECT node, label, 0 FROM border),
+            |clusters AS (SELECT label AS cluster_id,
+            |    CAST(sum(is_core) AS BIGINT) AS n_core,
+            |    CAST(sum(1 - is_core) AS BIGINT) AS n_border,
+            |    CAST(count(*) AS BIGINT) AS n_total,
+            |    CAST(sum(node) AS BIGINT) AS chk
+            |  FROM members GROUP BY 1),
+            |noise AS (SELECT CAST(-1 AS BIGINT) AS cluster_id,
+            |    CAST(0 AS BIGINT) AS n_core, CAST(0 AS BIGINT) AS n_border,
+            |    CAST(count(*) AS BIGINT) AS n_total,
+            |    CAST(coalesce(sum(vec_id), 0) AS BIGINT) AS chk
+            |  FROM e WHERE vec_id NOT IN (SELECT node FROM members))
+            |SELECT * FROM clusters UNION ALL SELECT * FROM noise
+            |ORDER BY cluster_id""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q24, q25, q26, q27, q28, q52, q55, q81, q125,
-    q138, q296, q302, q320, q329, q383, q385, q389, q391, q393, q464)
+    q138, q296, q302, q320, q329, q383, q385, q389, q391, q393, q464, q493)
 }

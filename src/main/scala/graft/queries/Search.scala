@@ -1045,7 +1045,106 @@ object Search {
     q466.oracle,
   )
 
+  /** q494 — max-passage retrieval over the RAG chunk windows (how a
+    * retrieval stack actually ranks long documents: score every
+    * 256/192 chunk as its own BM25 "document" — chunk-level dl, df,
+    * and corpus globals — then rank each DOC by its best chunk, the
+    * MaxP rule from passage-retrieval practice; a long doc can no
+    * longer win on accumulated length, and the winning passage
+    * ordinal ships with the result for snippet display): q278's exact
+    * fixed-point BM25 formula verbatim with chunks as the unit, best
+    * chunk per (query, doc) by (score, lowest ordinal), top-5 docs per
+    * query. Scale: tokens explode once, immediately pruned to the
+    * broadcast query-term set, so the tf table is |queries|-bounded;
+    * the chunk fan-out multiplies rows ~3× but every join/agg stays
+    * keyed on (doc, ck, term) — no new corpus-sized shuffle beyond
+    * q278's. Oracle: the identical chunked pipeline in SQL (windows
+    * via unnest(range())). */
+  val q494 = QuerySpec(
+    "q494_max_passage_retrieval",
+    (s, d) => {
+      import s.implicits._
+      val queries = s.createDataFrame(QueryTerms).toDF("query_id", "term")
+      val terms = QueryTerms.map(_._2).distinct
+      val ch = graft.queries.TextMedia.chunkTokens(
+        Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+          .select($"doc_id", $"text"))
+      val globals = ch.agg(
+        count(lit(1)).as("n_docs"),
+        sum(size($"t")).as("len_sum"))
+        .select($"n_docs",
+          expr("len_sum * 1000000L div n_docs").as("avgdl_ppm"))
+      val tf = ch
+        .select($"doc_id", $"ck", size($"t").as("dl"), explode($"t").as("term"))
+        .filter($"term".isin(terms: _*))
+        .groupBy($"doc_id", $"ck", $"dl", $"term")
+        .agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val scored = tf
+        .join(broadcast(df_), "term")
+        .join(broadcast(queries), "term")
+        .crossJoin(broadcast(globals))
+        .withColumn("dl_norm_ppm",
+          expr("250000L + (750000L * dl * 1000000L) div avgdl_ppm"))
+        .withColumn("tf_sat_ppm",
+          expr("(tf * 2200000L * 1000000L) div (tf * 1000000L + (12L * dl_norm_ppm) div 10L)"))
+        .withColumn("idf_ppm",
+          expr("((n_docs - df + 1) * 1000000L) div (df + 1)"))
+        .withColumn("contrib_ppm",
+          expr("(idf_ppm * (tf_sat_ppm div 1000L)) div 1000L"))
+        .groupBy($"query_id", $"doc_id", $"ck")
+        .agg(count(lit(1)).as("n_terms_matched"),
+          sum($"contrib_ppm").as("score_ppm"))
+      val wBest = Window.partitionBy($"query_id", $"doc_id")
+        .orderBy($"score_ppm".desc, $"ck")
+      val wTop = Window.partitionBy($"query_id")
+        .orderBy($"score_ppm".desc, $"doc_id")
+      scored
+        .withColumn("rb", row_number().over(wBest))
+        .filter($"rb" === 1)
+        .withColumn("rank", row_number().over(wTop))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"rank", $"doc_id", $"ck".as("best_chunk"),
+          $"n_terms_matched", $"score_ppm")
+        .orderBy($"query_id", $"rank")
+    },
+    Some(s"""WITH q(query_id, term) AS (VALUES $sqlQueryTerms),
+            |ch AS (SELECT doc_id, i AS ck,
+            |    list_filter(regexp_split_to_array(
+            |      lower(substr(text, CAST(i * 192 + 1 AS BIGINT), 256)), '\\s+'),
+            |      x -> len(x) > 0) AS t
+            |  FROM (SELECT doc_id, text,
+            |      unnest(range(0, (length(text) - 1) // 192 + 1)) AS i
+            |    FROM documents WHERE length(text) > 0)),
+            |g AS (SELECT count(*) AS n_docs,
+            |    CAST(sum(len(t)) AS BIGINT) * 1000000 // count(*) AS avgdl_ppm FROM ch),
+            |tf AS (SELECT doc_id, ck, len(t) AS dl, term, count(*) AS tf
+            |  FROM (SELECT doc_id, ck, t, unnest(t) AS term FROM ch)
+            |  WHERE term IN (SELECT DISTINCT term FROM q)
+            |  GROUP BY doc_id, ck, len(t), term),
+            |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            |scored AS (
+            |  SELECT query_id, doc_id, ck,
+            |    CAST(count(*) AS BIGINT) AS n_terms_matched,
+            |    CAST(sum(((CAST(n_docs AS BIGINT) - df + 1) * 1000000 // (df + 1))
+            |      * ((tf * 2200000 * 1000000
+            |          // (tf * 1000000 + (12 * (250000 + (750000 * dl * 1000000) // avgdl_ppm)) // 10))
+            |         // 1000) // 1000) AS BIGINT) AS score_ppm
+            |  FROM tf JOIN dfx USING (term) JOIN q USING (term) CROSS JOIN g
+            |  GROUP BY query_id, doc_id, ck),
+            |best AS (SELECT * FROM (
+            |  SELECT *, row_number() OVER
+            |      (PARTITION BY query_id, doc_id ORDER BY score_ppm DESC, ck) AS rb
+            |  FROM scored) WHERE rb = 1)
+            |SELECT query_id, rank, doc_id, best_chunk, n_terms_matched, score_ppm FROM (
+            |  SELECT query_id, CAST(row_number() OVER
+            |      (PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) AS INT) AS rank,
+            |    doc_id, CAST(ck AS INT) AS best_chunk, n_terms_matched, score_ppm
+            |  FROM best) WHERE rank <= 5
+            |ORDER BY query_id, rank""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q278, q279, q290, q404, q405, q406, q407, q421, q428, q449, q466,
-      q479, q484)
+      q479, q484, q494)
 }

@@ -1076,6 +1076,122 @@ object TextMedia {
             |FROM j ORDER BY cls""".stripMargin),
   )
 
+  /** q491 — sliding-window RAG chunker + cross-document boilerplate
+    * census: every document split into fixed 256-char windows at
+    * stride 192 (64-char overlap, the standard retrieval-chunk shape —
+    * overlap so no fact straddling a boundary is lost to BOTH
+    * neighbors), chunks identified by md5, and the chunk store
+    * deduplicated per language — n_chunks vs distinct hashes, plus the
+    * BOILERPLATE count (hashes appearing in >1 document: headers,
+    * licence blocks, templated intros — the rot a RAG store indexes
+    * once, not per page). Offsets come from an in-row
+    * sequence→transform→explode (codegen, no join, no UDF); a
+    * zero-length doc contributes no chunks but still counts as a doc.
+    * Scale: per-doc work is |text|-linear and partition-local — the
+    * only shuffle is the (lang, hash)-keyed census, map-side combined;
+    * chunk text itself never leaves the row (only its 32-byte hash
+    * shuffles), which is what keeps a 100 TB corpus chunk-dedup
+    * IO-bound on the scan, not the exchange. */
+  /** The fixed 256/192 sliding-window chunker shared by q491 and the
+    * streaming chunk store (q492): (doc_id, lang, text) → one row per
+    * chunk, identified by md5 — the chunk text itself never leaves the
+    * row. A zero-length doc contributes no chunk rows. */
+  private[graft] def chunkRows(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", $"lang", length($"text").as("len"), $"text")
+      .filter($"len" > 0)
+      .select($"doc_id", $"lang", explode(expr(
+        """transform(sequence(0, CAST((len - 1) div 192 AS INT)),
+          |  i -> md5(substring(text, i * 192 + 1, 256)))""".stripMargin))
+        .as("h"))
+  }
+
+  /** The same 256/192 windows kept as TOKEN LISTS instead of hashes —
+    * (doc_id, ck, t) with ck the chunk ordinal — for passage-level
+    * retrieval (q494): window boundaries deliberately cut mid-word
+    * (the naive-chunker reality both engines reproduce byte-for-byte
+    * via identical substring semantics). */
+  private[graft] def chunkTokens(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", length($"text").as("len"), $"text")
+      .filter($"len" > 0)
+      .select($"doc_id", posexplode(expr(
+        """transform(sequence(0, CAST((len - 1) div 192 AS INT)),
+          |  i -> substring(text, i * 192 + 1, 256))""".stripMargin)))
+      .select($"doc_id", $"pos".as("ck"),
+        filter(tokens($"col"), t => char_length(t) > 0).as("t"))
+  }
+
+  /** q491's census over a chunk frame (doc_id, lang, h) + a per-lang
+    * doc count frame — factored so the streaming store's probe (q492)
+    * computes the identical readout from its maintained files. */
+  private[graft] def chunkCensus(
+      ch: org.apache.spark.sql.DataFrame,
+      dc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import ch.sparkSession.implicits._
+    val perHash = ch.groupBy($"lang", $"h")
+      .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("nd"))
+    val langAgg = perHash.groupBy($"lang")
+      .agg(sum($"n").as("n_chunks"),
+        count(lit(1)).as("n_unique"),
+        sum(when($"nd" > 1, 1L).otherwise(0L)).as("n_boiler"))
+    dc.join(langAgg, Seq("lang"))
+      .select($"lang", $"n_docs", $"n_chunks", $"n_unique", $"n_boiler",
+        expr("(n_chunks - n_unique) * 1000000L div n_chunks").as("dup_ppm"))
+      .orderBy($"lang")
+  }
+
+  val q491 = QuerySpec(
+    "q491_rag_chunk_dedup",
+    (s, d) => {
+      import s.implicits._
+      val docs = graft.Tables.documents(s, d)
+        .select($"doc_id", $"lang", $"text")
+      chunkCensus(chunkRows(docs),
+        docs.groupBy($"lang").agg(count(lit(1)).as("n_docs")))
+    },
+    Some("""WITH d AS (SELECT doc_id, lang, text, length(text) AS len
+           |    FROM documents),
+           |ch AS (SELECT doc_id, lang,
+           |    md5(substr(text, CAST(i * 192 + 1 AS BIGINT), 256)) AS h
+           |  FROM (SELECT doc_id, lang, text,
+           |      unnest(range(0, (len - 1) // 192 + 1)) AS i
+           |    FROM d WHERE len > 0)),
+           |hh AS (SELECT lang, h, count(*) AS n,
+           |    count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1, 2),
+           |la AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_chunks,
+           |    CAST(count(*) AS BIGINT) AS n_unique,
+           |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_boiler
+           |  FROM hh GROUP BY 1),
+           |dc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+           |  FROM d GROUP BY 1)
+           |SELECT lang, n_docs, n_chunks, n_unique, n_boiler,
+           |  CAST((n_chunks - n_unique) * 1000000 // n_chunks AS BIGINT)
+           |    AS dup_ppm
+           |FROM dc JOIN la USING (lang) ORDER BY lang""".stripMargin),
+  )
+
+  /** q492 — the RAG chunk store maintained BY the stream (q491's
+    * chunker as continuous ingest; the q372/q375/q479 foreachBatch
+    * discipline applied to a fourth maintained artifact): epoch-1
+    * documents arrive as a rate-limited file stream, every micro-batch
+    * appending its hash-bucketed chunk rows + per-batch doc census
+    * under the batch's OWN batch_id partition with dynamic overwrite —
+    * chunk rows carry count mass, so a replayed plain append would
+    * double-count (see [[graft.streaming.StreamChunkStore]]).
+    * Kill-and-restart exactly-once is pinned by Round9EdgeSpec.
+    * Oracle = q491's from-scratch census over the full corpus:
+    * stream-maintained ≡ rebuilt. */
+  val q492 = QuerySpec(
+    "q492_stream_chunk_store",
+    (s, d) => graft.streaming.StreamChunkStore.runOnce(s, d),
+    q491.oracle,
+  )
+
   val all: Seq[QuerySpec] = Seq(q29, q30, q31, q32, q33, q34, q36, q45, q73, q78,
-    q111, q163, q168, q260, q261, q390, q408, q416, q425, q443, q463, q468)
+    q111, q163, q168, q260, q261, q390, q408, q416, q425, q443, q463, q468,
+    q491, q492)
 }

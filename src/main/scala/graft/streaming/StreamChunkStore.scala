@@ -1,0 +1,148 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+import graft.Tables
+
+/** Streaming MAINTENANCE of the RAG chunk store (q492) — q491's
+  * sliding-window chunker run as continuous ingest, the fourth
+  * stream-maintained artifact beside the LSH/IVF/BM25 index families
+  * (q372/q375/q479): epoch-0 documents build the chunk table in batch,
+  * then epoch-1 documents arrive as a rate-limited file stream and
+  * every micro-batch appends its (doc_id, lang, chunk-hash) rows,
+  * hash-bucketed by `hb = xxhash64(h) mod 16` — the layout a
+  * dedup-on-arrival probe partition-prunes against (bucket of the
+  * incoming chunk's hash → one 1/16 slice read, however many batches
+  * the stream has appended).
+  *
+  * Restart safety (`foreachBatch` is at-least-once): chunk rows carry
+  * count mass (the census sums them), so a replayed append would
+  * double-count — every per-batch write therefore lands under the
+  * batch's OWN `batch_id` partition with dynamic-partition OVERWRITE
+  * (the q372 meta rule): a replay replaces its previous, possibly
+  * partial, output. The per-batch doc-census table rides the same
+  * rule. The kill-and-restart test pins drained ≡ uninterrupted.
+  *
+  * At 100 TB this is the ingestion half of a RAG corpus: chunkers
+  * append partition-locally with replay-idempotent commits, the
+  * boilerplate census (and any dedup probe) reads merged state without
+  * locking the writers. Oracle: q491's from-scratch census over the
+  * full corpus — the stream-maintained store must answer identically
+  * to a batch rebuild.
+  */
+object StreamChunkStore {
+
+  private[streaming] val NB = 16 // chunk-hash buckets
+
+  private final case class Staged(spark: SparkSession, sfDir: String, tmp: String)
+
+  private[streaming] def writeBatchTo(tmp: String, docs: DataFrame,
+      batchId: Long): Unit = {
+    import docs.sparkSession.implicits._
+    graft.queries.TextMedia.chunkRows(docs)
+      .withColumn("hb", pmod(xxhash64($"h"), lit(NB)))
+      .withColumn("batch_id", lit(batchId))
+      .repartition($"hb")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "hb").parquet(s"$tmp/chunks")
+    docs.groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$tmp/docs")
+  }
+
+  /** Epoch-0 batch build + epoch-1 files staged into the stream inbox. */
+  private def stage(spark: SparkSession, sfDir: String): Staged = {
+    import spark.implicits._
+    val st = Staged(spark, sfDir,
+      s"${System.getProperty("java.io.tmpdir")}/graft_schunk_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(12))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"${st.tmp}/in"))
+    writeBatchTo(st.tmp,
+      Tables.fanOut(Tables.documents(spark, sfDir), col("doc_id"))
+        .filter($"doc_id" % 2 === 0)
+        .select($"doc_id", $"lang", $"text"),
+      batchId = -1L)
+    Seq($"doc_id" % 4 === 1, $"doc_id" % 4 === 3).zipWithIndex.foreach {
+      case (pred, i) =>
+        val stg = s"${st.tmp}/stage_$i"
+        Tables.documents(spark, sfDir).filter(pred)
+          .select($"doc_id", $"lang", $"text")
+          .coalesce(1).write.parquet(stg)
+        val ls = java.nio.file.Files.list(java.nio.file.Paths.get(stg))
+        try ls.filter(_.toString.endsWith(".parquet")).findFirst.ifPresent { p =>
+          java.nio.file.Files.move(p,
+            java.nio.file.Paths.get(s"${st.tmp}/in/docs_$i.parquet"))
+          ()
+        }
+        finally ls.close()
+    }
+    st
+  }
+
+  private def writer(st: Staged): DataStreamWriter[Row] = {
+    val schema = st.spark.read.parquet(s"${st.tmp}/in").schema
+    st.spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"${st.tmp}/in")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchTo(st.tmp, batch, batchId)
+      }
+      .option("checkpointLocation", s"${st.tmp}/ckpt")
+  }
+
+  /** The q491 census computed from the maintained files alone —
+    * byte-identical readout to a from-scratch batch chunking of the
+    * full corpus. Severed from tmp state before cleanup. */
+  private def probe(st: Staged): DataFrame = {
+    import st.spark.implicits._
+    val ch = st.spark.read.parquet(s"${st.tmp}/chunks")
+      .select($"doc_id", $"lang", $"h")
+    val dc = st.spark.read.parquet(s"${st.tmp}/docs")
+      .groupBy($"lang").agg(sum($"n_docs").as("n_docs"))
+    graft.queries.Eager(graft.queries.TextMedia.chunkCensus(ch, dc))
+  }
+
+  private def cleanup(st: Staged): Unit = graft.Fs.deleteTree(st.tmp)
+
+  def runOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = stage(spark, sfDir)
+    try {
+      val q = writer(st).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      probe(st)
+    } finally cleanup(st)
+  }
+
+  /** Kill the maintainer once the first streamed batch partition
+    * appears (possibly mid-batch — chunks written, doc census
+    * missing), restart on the SAME checkpoint, drain, probe: every
+    * replayed write dynamically overwrites its own batch_id partition,
+    * so the drained store must answer exactly like an uninterrupted
+    * run. */
+  def runWithRestart(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = stage(spark, sfDir)
+    try {
+      val q1 = writer(st).trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      def streamed(): Boolean = {
+        val d = new java.io.File(s"${st.tmp}/chunks")
+        d.exists && d.listFiles != null &&
+          d.listFiles.exists(f => f.getName.startsWith("batch_id=") &&
+            !f.getName.endsWith("=-1"))
+      }
+      while (!streamed() && q1.isActive && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      q1.stop()
+      try q1.awaitTermination()
+      catch { case scala.util.control.NonFatal(_) => () }
+      val q2 = writer(st).trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination()
+      probe(st)
+    } finally cleanup(st)
+  }
+}

@@ -1071,4 +1071,39 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "gram census must stay an equi-join\n" + p)
   }
+
+  test("q490 (factored): BFS rounds broadcast frontier+visited onto the closure, anti-joined") {
+    import org.apache.spark.sql.functions._
+    val bi = spark.range(0, 100)
+      .select((col("id") % 10).as("src"), ((col("id") + 3) % 10).as("dst"))
+    val frontier = spark.range(0, 2).select(col("id").as("seed"), col("id").as("node"))
+    val p = graft.queries.GraphOps.bfsRound(bi, frontier, frontier, 1)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // Both the frontier expansion and the visited-set rejection must be
+    // broadcast hash joins — the edge list never re-shuffles per round.
+    assert(p.contains("BroadcastHashJoin"), "frontier join must broadcast\n" + p)
+    assert(p.contains("LeftAnti"), "visited rejection must be an anti join\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "a BFS round must not shuffle the edge list\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "BFS round degraded to a non-equi join\n" + p)
+  }
+
+  test("q491: chunk offsets are in-row generate; scan pruned; only hashes shuffle") {
+    val p = plan("q491_rag_chunk_dedup")
+    // The offset fan-out is an in-row generator, not a join against an
+    // offsets table.
+    assert(p.contains("Generate"), "chunk offsets must be an in-row explode\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "chunker must not join for offsets\n" + p)
+    // Column pruning: the documents scan must not read source/n_chars.
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toList
+    assert(reads.nonEmpty, p)
+    assert(reads.forall(r => !r.contains("source") && !r.contains("n_chars")),
+      "documents scan reads unused columns\n" + p)
+    // The chunk text itself never shuffles: every exchange below the
+    // hash census carries md5 output (h), never a 256-char chunk column.
+    assert(!p.contains("chunk#"), "raw chunk text must not be a named column\n" + p)
+  }
 }

@@ -164,6 +164,84 @@ class Round9EdgeSpec extends SparkTestBase {
     assert(gMix.count() === 6L)
   }
 
+  test("trussPeel: a triangle strip cascades over two rounds; rounds=1 stops mid-peel") {
+    // Strip T1={1,2,3}, T2={2,3,4}, T3={3,4,5}: the five rim edges
+    // carry one triangle each and peel in round 1; the two spine edges
+    // (2,3) and (3,4) start at support 2 and must be decremented to 0
+    // by the incremental maintenance (both their triangles died), then
+    // peel in round 2.
+    val strip = edges((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 5L), (4L, 5L))
+    val (g2, r2) = GraphOps.trussPeel(strip, 4)
+    assert(r2 === 7L)
+    assert(g2.count() === 0L)
+    // Bounded rounds stop mid-cascade: after one round only the two
+    // spine edges remain (the oracle's fixed-round unroll semantics).
+    val (g1, r1) = GraphOps.trussPeel(strip, 1)
+    assert(r1 === 5L)
+    val rest = g1.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(rest.toSeq === Seq((2L, 3L), (3L, 4L)))
+  }
+
+  test("trussPeel: a triangle dying through TWO victims decrements its survivor ONCE") {
+    // K4 {1,2,4,5} + appendage triangle {1,2,3} whose side edges (1,3)
+    // and (2,3) are both victims: edge (1,2) starts at support 3 and
+    // loses the {1,2,3} triangle exactly once (the id-sorted distinct
+    // in trussPeel) — support 2, K4 stable, nothing else peels. A
+    // per-victim double count would push (1,2) to 1 and dissolve the
+    // whole K4 in the next round.
+    val g0 = edges((1L, 2L), (1L, 4L), (1L, 5L), (2L, 4L), (2L, 5L),
+      (4L, 5L), (1L, 3L), (2L, 3L))
+    val (g, removed) = GraphOps.trussPeel(g0, 4)
+    assert(removed === 2L)
+    assert(g.count() === 6L)
+    val nodes = g.select("u").unionAll(g.select("v")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(nodes.toSeq === Seq(1L, 2L, 4L, 5L))
+  }
+
+  test("dbscanClusters: isolated core = singleton cluster; core-less pair = noise") {
+    // ε-graph 1-2, 2-3, 4-5 over ids 1..6: node 2 is the only core
+    // (deg 2) and has NO core neighbor — a singleton cluster that must
+    // come from the isolated-core union, with 1 and 3 as its borders.
+    // The 4-5 pair has no core at all (classic DBSCAN noise, NOT a
+    // cluster), and 6 never paired.
+    val pairs = edges((1L, 2L), (2L, 3L), (4L, 5L))
+    val ids = spark.range(1, 7).toDF("id")
+    val rows = graft.queries.NearDup.dbscanClusters(pairs, ids)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq === Seq((-1L, 0L, 0L, 3L, 15L), (2L, 1L, 2L, 3L, 6L)))
+  }
+
+  test("dbscanClusters: a core triangle absorbs its borders into one cluster") {
+    // 1,2,3 all core (triangle), 4 borders on 2, 5 borders on 1, 6 noise.
+    val pairs = edges((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (1L, 5L))
+    val ids = spark.range(1, 7).toDF("id")
+    val rows = graft.queries.NearDup.dbscanClusters(pairs, ids)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq === Seq((-1L, 0L, 0L, 1L, 6L), (1L, 3L, 2L, 5L, 15L)))
+  }
+
+  test("harmonicFromHubs: star + chord — exact twelfths at hops 1 and 2") {
+    // Star 1-{2,3,4,5} + chord (2,3). Degrees: 1→4, 2→2, 3→2, 4→1,
+    // 5→1; top-2 seeds by (deg, id) = {1, 2}. Seed 1 reaches all four
+    // others at d=1 (4×12); seed 2 reaches {1,3} at d=1 (2×12) and
+    // {4,5} at d=2 (2×6).
+    val g = edges((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L))
+    val rows = GraphOps.harmonicFromHubs(g, 2, 3).collect()
+    assert(rows.map(_.getAs[Long]("seed")).toSeq === Seq(1L, 2L))
+    val bySeed = rows.map(r => r.getAs[Long]("seed") -> r).toMap
+    assert(bySeed(1L).getAs[Long]("seed_deg") === 4L)
+    assert(bySeed(1L).getAs[Long]("n_reached") === 4L)
+    assert(bySeed(1L).getAs[Long]("harmonic_x12") === 48L)
+    assert(bySeed(1L).getAs[Long]("node_checksum") === 14L)
+    assert(bySeed(2L).getAs[Long]("n_reached") === 4L)
+    assert(bySeed(2L).getAs[Long]("harmonic_x12") === 36L)
+    assert(bySeed(2L).getAs[Long]("node_checksum") === 13L)
+  }
+
   test("q489: an appended low-id supplier EVICTS a capped one — the delta absorbs it") {
     // 8 identical customers each hold suppliers 10..25 (exactly 16 — at
     // cap) in epoch 0; epoch 1 adds supplier 5 to each. The full basket
@@ -245,6 +323,16 @@ class Round9EdgeSpec extends SparkTestBase {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$dir/documents.parquet")
+
+  test("q492: chunk-store maintainer killed mid-stream + restarted answers exactly-once") {
+    // Chunk rows carry count mass (the census sums them), so a
+    // plain-append replay would double-count; every replayed write
+    // dynamically overwrites its own batch_id partition instead.
+    val uninterrupted = graft.queries.TextMedia.q492.run(spark, sf).collect().toSeq
+    val restarted = graft.streaming.StreamChunkStore
+      .runWithRestart(spark, sf).collect().toSeq
+    assert(restarted === uninterrupted)
+  }
 
   test("q479: BM25 maintainer killed mid-stream + restarted answers exactly-once") {
     // Every replayed write dynamically overwrites its own batch_id
