@@ -200,6 +200,36 @@ class Round9EdgeSpec extends SparkTestBase {
     assert(nodes.toSeq === Seq(1L, 2L, 4L, 5L))
   }
 
+  test("q491: a zero-length doc counts as a doc but contributes no chunks") {
+    val dir = Files.createTempDirectory("graft_q491_edge").toString
+    // 300 chars → ceil(300/192) = 2 windows; the empty doc only bumps
+    // n_docs. Both rows share the lang so the census is one row.
+    writeDocs(dir, Seq(
+      (1L, "x " * 150, "en", "web", 300L),
+      (2L, "", "en", "web", 0L)))
+    val r = graft.queries.TextMedia.q491.run(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_docs") === 2L)
+    assert(r.head.getAs[Long]("n_chunks") === 2L)
+    Fs.deleteTree(dir)
+  }
+
+  test("q494: the winning passage is the chunk that actually contains the term") {
+    val dir = Files.createTempDirectory("graft_q494_edge").toString
+    // 'dup' sits at chars 299-301: inside window 1 (193-448) only —
+    // window 0 ends at 256, window 2 starts at 385. MaxP must report
+    // best_chunk = 1, never 0 (a doc-level scorer can't say which).
+    val text = ("x " * 149) + "dup " + ("y " * 120)
+    writeDocs(dir, Seq((1L, text, "en", "web", text.length.toLong)))
+    val rows = graft.queries.Search.q494.run(spark, dir).collect()
+      .filter(_.getAs[String]("query_id") == "ann_dedup")
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Int]("best_chunk") === 1)
+    assert(rows.head.getAs[Int]("rank") === 1)
+    assert(rows.head.getAs[Long]("n_terms_matched") === 1L)
+    Fs.deleteTree(dir)
+  }
+
   test("dbscanClusters: isolated core = singleton cluster; core-less pair = noise") {
     // ε-graph 1-2, 2-3, 4-5 over ids 1..6: node 2 is the only core
     // (deg 2) and has NO core neighbor — a singleton cluster that must
