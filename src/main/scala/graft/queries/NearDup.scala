@@ -1453,20 +1453,30 @@ object NearDup {
            |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin),
   )
 
-  /** q493's clustering over an ε-graph, factored for edge tests:
-    * DBSCAN roles from a pair list — CORE points have ≥ 2 neighbors,
-    * clusters are connected components of the core-core subgraph
-    * (min-label, so ids are the unique fixed point; an isolated core
-    * is its own singleton cluster), BORDER points attach to the
-    * minimum adjacent core cluster, everything else is NOISE.
-    * `ids` = the full point set (noise includes never-paired points).
-    * Returns one row per cluster (+ the cluster_id = -1 noise row). */
-  private[graft] def dbscanClusters(pairs: DataFrame, ids: DataFrame): DataFrame = {
+  /** q493's clustering over a collapsed ε-graph, factored for edge
+    * tests: DBSCAN roles from a REPRESENTATIVE pair list — every
+    * exact-duplicate group is one rep row (rid = min member id,
+    * g = group size, idsum = member-id sum), and because co-located
+    * duplicates are each other's ε-neighbors, a rep's neighbor MASS is
+    * (g − 1) + Σ g over adjacent reps; CORE ⇔ mass ≥ 2 (so a clone
+    * group of ≥ 3 is core on its own). Clusters are min-label
+    * components of the core-core subgraph (an isolated core is a
+    * singleton cluster), BORDER reps attach to the minimum adjacent
+    * core cluster, everything else is NOISE — all counts/checksums
+    * expand back through g/idsum, so the readout is EXACTLY the
+    * point-level DBSCAN's (clones share adjacency, so a whole group
+    * always lands in one role). Returns one row per cluster (+ the
+    * cluster_id = -1 noise row). */
+  private[graft] def dbscanClusters(pairs: DataFrame, reps: DataFrame): DataFrame = {
     import pairs.sparkSession.implicits._
     val bi = pairs.select($"u".as("n"), $"v".as("m"))
       .unionAll(pairs.select($"v".as("n"), $"u".as("m")))
-    val core = bi.groupBy($"n").agg(count(lit(1)).as("d"))
-      .filter($"d" >= 2).select($"n")
+    val mass = reps.select($"rid".as("n"), ($"g" - 1).as("w"))
+      .unionByName(bi.join(
+        broadcast(reps.select($"rid".as("m"), $"g")), Seq("m"))
+        .select($"n", $"g".as("w")))
+      .groupBy($"n").agg(sum($"w").as("mass"))
+    val core = mass.filter($"mass" >= 2).select($"n")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val coreEdges = pairs
@@ -1486,16 +1496,17 @@ object NearDup {
         .select($"n".as("node"), $"label")
       val members = lbl.select($"node", $"label", lit(1L).as("is_core"))
         .unionByName(borders.select($"node", $"label", lit(0L).as("is_core")))
+        .join(broadcast(reps.select($"rid".as("node"), $"g", $"idsum")), Seq("node"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val clusters = members.groupBy($"label".as("cluster_id"))
-        .agg(sum($"is_core").as("n_core"),
-          sum(lit(1L) - $"is_core").as("n_border"),
-          count(lit(1)).as("n_total"),
-          sum($"node").as("chk"))
-      val noise = ids
-        .join(members.select($"node".as("id")), Seq("id"), "left_anti")
-        .agg(count(lit(1)).as("n_total"),
-          coalesce(sum($"id"), lit(0L)).as("chk"))
+        .agg(sum($"is_core" * $"g").as("n_core"),
+          sum((lit(1L) - $"is_core") * $"g").as("n_border"),
+          sum($"g").as("n_total"),
+          sum($"idsum").as("chk"))
+      val noise = reps
+        .join(members.select($"node".as("rid")), Seq("rid"), "left_anti")
+        .agg(coalesce(sum($"g"), lit(0L)).as("n_total"),
+          coalesce(sum($"idsum"), lit(0L)).as("chk"))
         .select(lit(-1L).as("cluster_id"), lit(0L).as("n_core"),
           lit(0L).as("n_border"), $"n_total", $"chk")
       val out = Eager(clusters.unionByName(noise).orderBy($"cluster_id"))
@@ -1510,45 +1521,63 @@ object NearDup {
     * (the density companion to q236's centroid k-means and q59's
     * exact-duplicate components: clusters of ANY shape, with an
     * explicit NOISE verdict — the structure a curation pass wants
-    * before deciding what a "topic" is): ε-graph = exact cosine ≥ 0.35
-    * pairs (this corpus is near-orthogonal — 0.35 keeps the planted
-    * neighborhoods and little else), minPts = 3 (self + 2 neighbors),
-    * so CORE points have ≥ 2 ε-neighbors; clusters = components of the
-    * core-core subgraph by min-label (unique fixed point), border
-    * points attach to their minimum adjacent core cluster, the rest is
-    * noise — reported as one census row per cluster plus the -1 noise
-    * row. Cosines are sequential-fold doubles (q27's bit-identical
-    * discipline), every count an exact integer. Scale: the quadratic
-    * pair join is the deliberate exact baseline (q27's stance) — at
-    * 100 TB candidates come from the LSH/IVF blocks (q24/q28/q55) and
-    * THIS pipeline runs inside each block; the role/label machinery
-    * downstream of the pair list is all key-sized joins + min-label
-    * rounds. Oracle: recursive transitive-closure CTE over the same
-    * core edges. */
+    * before deciding what a "topic" is): exact-duplicate embeddings
+    * are COLLAPSED to one weighted representative first (bitwise
+    * group-by on the raw vector — a crawled corpus is clone-heavy, and
+    * every downstream cost then scales with DISTINCT vectors; clones
+    * are each other's ε-neighbors, so the collapse is exactly
+    * role-preserving — [[dbscanClusters]] proves the algebra), then
+    * ε-graph = exact cosine ≥ 0.35 rep pairs (this corpus is
+    * near-orthogonal — 0.35 keeps the planted neighborhoods), core ⇔
+    * neighbor mass ≥ 2, clusters = min-label components of the
+    * core-core subgraph, borders attach to their minimum adjacent core
+    * cluster, the rest is noise — one census row per cluster plus the
+    * -1 noise row, counts expanded back through group sizes. Cosines
+    * are sequential-fold doubles (q27's bit-identical discipline),
+    * every count an exact integer. Scale: the rep-level pair join is
+    * the deliberate exact baseline (q27's stance) — at 100 TB
+    * candidates come from the LSH/IVF blocks (q24/q28/q55) and THIS
+    * pipeline runs inside each block; the collapse is ALSO what keeps
+    * the oracle's transitive closure |distinct|²-bounded instead of
+    * clone-quadratic (the sf1 clone structure OOM'd the uncollapsed
+    * closure at 22 GB). */
   val q493 = QuerySpec(
     "q493_dbscan_embeddings",
     (s, d) => {
       import s.implicits._
-      val base = Tables.embeddings(s, d)
-        .select($"vec_id", asDouble($"embedding").as("emb"))
+      val reps = Tables.fanOut(Tables.embeddings(s, d), col("vec_id"))
+        .groupBy($"embedding")
+        .agg(min($"vec_id").as("rid"), count(lit(1)).as("g"),
+          sum($"vec_id").as("idsum"))
+        .select($"rid", asDouble($"embedding").as("emb"), $"g", $"idsum")
         .withColumn("nrm", l2Norm($"emb"))
-      val e = Tables.fanOut(base, col("vec_id"))
-      val pairs = e
-        .join(broadcast(base.select($"vec_id".as("v2"), $"emb".as("e2"),
-          $"nrm".as("n2"))), $"vec_id" < $"v2")
-        .withColumn("cos", dot($"emb", $"e2") / ($"nrm" * $"n2"))
-        .filter($"cos" >= 0.35)
-        .select($"vec_id".as("u"), $"v2".as("v"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try dbscanClusters(pairs, base.select($"vec_id".as("id")))
-      finally { pairs.unpersist(blocking = false); () }
+      try {
+        val pairs = reps
+          .join(broadcast(reps.select($"rid".as("r2"), $"emb".as("e2"),
+            $"nrm".as("n2"))), $"rid" < $"r2")
+          .withColumn("cos", dot($"emb", $"e2") / ($"nrm" * $"n2"))
+          .filter($"cos" >= 0.35)
+          .select($"rid".as("u"), $"r2".as("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try dbscanClusters(pairs, reps.select($"rid", $"g", $"idsum"))
+        finally { pairs.unpersist(blocking = false); () }
+      } finally { reps.unpersist(blocking = false); () }
     },
-    Some(s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-            |p AS (SELECT a.vec_id AS u, b.vec_id AS v, ${sqlCosine("a.emb", "b.emb")} AS c
-            |      FROM e a JOIN e b ON a.vec_id < b.vec_id),
+    Some(s"""WITH RECURSIVE grp AS (
+            |  SELECT min(vec_id) AS rid, count(*) AS g, sum(vec_id) AS idsum,
+            |    CAST(embedding AS DOUBLE[]) AS emb
+            |  FROM embeddings GROUP BY embedding),
+            |p AS (SELECT a.rid AS u, b.rid AS v, ${sqlCosine("a.emb", "b.emb")} AS c
+            |      FROM grp a JOIN grp b ON a.rid < b.rid),
             |ed AS MATERIALIZED (SELECT u, v FROM p WHERE c >= 0.35),
             |bi AS (SELECT u AS n, v AS m FROM ed UNION ALL SELECT v, u FROM ed),
-            |core AS MATERIALIZED (SELECT n FROM bi GROUP BY n HAVING count(*) >= 2),
+            |mass AS (SELECT n, sum(w) AS mass FROM (
+            |    SELECT rid AS n, g - 1 AS w FROM grp
+            |    UNION ALL
+            |    SELECT bi.n, grp.g FROM bi JOIN grp ON grp.rid = bi.m)
+            |  GROUP BY n),
+            |core AS MATERIALIZED (SELECT n FROM mass WHERE mass >= 2),
             |ce AS (SELECT u, v FROM ed
             |  WHERE u IN (SELECT n FROM core) AND v IN (SELECT n FROM core)),
             |cbi AS (SELECT u AS a, v AS b FROM ce UNION ALL SELECT v, u FROM ce),
@@ -1563,17 +1592,19 @@ object NearDup {
             |  GROUP BY bi.n),
             |members AS (SELECT node, label, 1 AS is_core FROM lbl
             |  UNION ALL SELECT node, label, 0 FROM border),
+            |mg AS (SELECT node, label, is_core, g, idsum
+            |  FROM members JOIN grp ON grp.rid = members.node),
             |clusters AS (SELECT label AS cluster_id,
-            |    CAST(sum(is_core) AS BIGINT) AS n_core,
-            |    CAST(sum(1 - is_core) AS BIGINT) AS n_border,
-            |    CAST(count(*) AS BIGINT) AS n_total,
-            |    CAST(sum(node) AS BIGINT) AS chk
-            |  FROM members GROUP BY 1),
+            |    CAST(sum(is_core * g) AS BIGINT) AS n_core,
+            |    CAST(sum((1 - is_core) * g) AS BIGINT) AS n_border,
+            |    CAST(sum(g) AS BIGINT) AS n_total,
+            |    CAST(sum(idsum) AS BIGINT) AS chk
+            |  FROM mg GROUP BY 1),
             |noise AS (SELECT CAST(-1 AS BIGINT) AS cluster_id,
             |    CAST(0 AS BIGINT) AS n_core, CAST(0 AS BIGINT) AS n_border,
-            |    CAST(count(*) AS BIGINT) AS n_total,
-            |    CAST(coalesce(sum(vec_id), 0) AS BIGINT) AS chk
-            |  FROM e WHERE vec_id NOT IN (SELECT node FROM members))
+            |    CAST(coalesce(sum(g), 0) AS BIGINT) AS n_total,
+            |    CAST(coalesce(sum(idsum), 0) AS BIGINT) AS chk
+            |  FROM grp WHERE rid NOT IN (SELECT node FROM members))
             |SELECT * FROM clusters UNION ALL SELECT * FROM noise
             |ORDER BY cluster_id""".stripMargin),
   )

@@ -230,15 +230,19 @@ class Round9EdgeSpec extends SparkTestBase {
     Fs.deleteTree(dir)
   }
 
+  /** Unit-weight reps for ids 1..6 (each its own group). */
+  private def unitReps: DataFrame =
+    spark.range(1, 7).selectExpr("id AS rid", "CAST(1 AS BIGINT) AS g",
+      "id AS idsum")
+
   test("dbscanClusters: isolated core = singleton cluster; core-less pair = noise") {
     // ε-graph 1-2, 2-3, 4-5 over ids 1..6: node 2 is the only core
-    // (deg 2) and has NO core neighbor — a singleton cluster that must
+    // (mass 2) and has NO core neighbor — a singleton cluster that must
     // come from the isolated-core union, with 1 and 3 as its borders.
     // The 4-5 pair has no core at all (classic DBSCAN noise, NOT a
     // cluster), and 6 never paired.
     val pairs = edges((1L, 2L), (2L, 3L), (4L, 5L))
-    val ids = spark.range(1, 7).toDF("id")
-    val rows = graft.queries.NearDup.dbscanClusters(pairs, ids)
+    val rows = graft.queries.NearDup.dbscanClusters(pairs, unitReps)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4)))
     assert(rows.toSeq === Seq((-1L, 0L, 0L, 3L, 15L), (2L, 1L, 2L, 3L, 6L)))
@@ -247,11 +251,30 @@ class Round9EdgeSpec extends SparkTestBase {
   test("dbscanClusters: a core triangle absorbs its borders into one cluster") {
     // 1,2,3 all core (triangle), 4 borders on 2, 5 borders on 1, 6 noise.
     val pairs = edges((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (1L, 5L))
-    val ids = spark.range(1, 7).toDF("id")
-    val rows = graft.queries.NearDup.dbscanClusters(pairs, ids)
+    val rows = graft.queries.NearDup.dbscanClusters(pairs, unitReps)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4)))
     assert(rows.toSeq === Seq((-1L, 0L, 0L, 1L, 6L), (1L, 3L, 2L, 5L, 15L)))
+  }
+
+  test("dbscanClusters: clone mass makes cores — of the group AND of its neighbor") {
+    // Rep 10 is a clone trio (members 10,11,12): mass g-1 = 2 → core
+    // with NO edges at all, a 3-point singleton cluster. Reps 40 (g=1)
+    // and 50 (a clone pair, members 50,51) share the only edge: both
+    // reach mass 2 THROUGH the clones (40 sees 50's two members; 50
+    // sees its own twin + 40) — one all-core cluster of 3 points. Rep
+    // 20's clone pair (members 20,21) has mass 1 → noise, with 30.
+    val pairs = edges((40L, 50L))
+    val reps = spark.createDataFrame(Seq(
+      (10L, 3L, 33L), (20L, 2L, 41L), (30L, 1L, 30L),
+      (40L, 1L, 40L), (50L, 2L, 101L))).toDF("rid", "g", "idsum")
+    val rows = graft.queries.NearDup.dbscanClusters(pairs, reps)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq === Seq(
+      (-1L, 0L, 0L, 3L, 71L),   // noise: 20,21,30
+      (10L, 3L, 0L, 3L, 33L),   // the clone-trio singleton cluster
+      (40L, 3L, 0L, 3L, 141L))) // 40 + 50's pair, all core
   }
 
   test("harmonicFromHubs: star + chord — exact twelfths at hops 1 and 2") {
