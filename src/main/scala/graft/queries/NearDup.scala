@@ -368,32 +368,37 @@ object NearDup {
     * the pair table is the small side: it broadcasts against the corpus
     * for both text lookups, so document text still never shuffles.
     *
-    * Scorer discipline (round-6, found by the sf1 sweep): the broadcast
-    * joins leave the pair stream on the CORPUS SCAN's partitioning —
-    * one task per 128 MB parquet split, i.e. a single task at small
-    * corpus sizes — so the joined stream is repartitioned by pair key
-    * before scoring (shuffles candidate pairs + their two texts:
-    * candidate-sized, never corpus-sized). Two fast paths then bound
-    * the O(n·m) work: the triangle inequality (dist ≥ length gap)
-    * prunes pairs whose gap alone exceeds the 15% bound BEFORE the
-    * matrix runs, and an equality memcmp answers dist=0 for exact
-    * clones — the common case in a mass-duplicated corpus (sf1's
-    * 10-clone clusters took q52 from wedged-on-one-core to seconds). */
+    * Scorer discipline (round-6, found by the sf1 sweep; re-worked by
+    * the round-9 one): the ID-PAIR list is what broadcasts — twice,
+    * once per endpoint — so each text lookup is a broadcast probe on
+    * the corpus scan, and the two candidate-sized (pair, one-text)
+    * streams then meet in ONE equi-join keyed (doc_a, doc_b), which is
+    * also the exchange that puts the scorer on pair-key partitioning.
+    * The previous shape broadcast the JOINED stream (pairs + full
+    * texts) for the second lookup: at sf1 that was a ~quarter-GB
+    * single-threaded driver collect and q52 read 42 s wall on 117
+    * cpu-s. Corpus text still never shuffles — only candidate-matched
+    * texts move, once, candidate-sized. Two fast paths then bound the
+    * O(n·m) work: the triangle inequality (dist ≥ length gap) prunes
+    * pairs whose gap alone exceeds the 15% bound BEFORE the matrix
+    * runs, and an equality memcmp answers dist=0 for exact clones —
+    * the common case in a mass-duplicated corpus (sf1's 10-clone
+    * clusters took q52 from wedged-on-one-core to seconds). */
   val q52 = QuerySpec(
     "q52_dedup_edit_verify",
     (s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d).select($"doc_id", $"text")
-      val cand = q24.run(s, d)
-      // Explicit broadcast pins the documented plan: the candidate-pair
-      // side is tiny, but Catalyst's static estimate for a
-      // post-aggregate relation is unknown — without the hint it could
-      // plan a sort-merge join that shuffles document text.
-      broadcast(cand)
-        .join(docs.select($"doc_id".as("doc_a"), $"text".as("ta")), Seq("doc_a"))
-        .hint("broadcast")
-        .join(docs.select($"doc_id".as("doc_b"), $"text".as("tb")), Seq("doc_b"))
-        .repartition(col("doc_a"), col("doc_b"))
+      // Materialized once: both broadcast builds read the id-pair list
+      // (without this the q24 LSH subplan would execute once per
+      // endpoint probe). The list is cap-bounded — the same bytes the
+      // broadcasts ship — so driver residence equals broadcast cost.
+      val cand = Eager(q24.run(s, d))
+      val withA = docs.select($"doc_id".as("doc_a"), $"text".as("ta"))
+        .join(broadcast(cand), Seq("doc_a"))
+      val withB = docs.select($"doc_id".as("doc_b"), $"text".as("tb"))
+        .join(broadcast(cand), Seq("doc_b"))
+      val out = withA.join(withB, Seq("doc_a", "doc_b"))
         .withColumn("max_len", greatest(length($"ta"), length($"tb")))
         .filter(abs(length($"ta") - length($"tb")) * lit(100) <= $"max_len" * lit(15))
         // Banded levenshtein with the pair's own 15% bound as threshold:
@@ -409,6 +414,7 @@ object NearDup {
         .select($"doc_a", $"doc_b", $"dist".cast("int").as("edit_distance"),
           $"max_len".cast("int").as("max_len"))
         .orderBy($"doc_a", $"doc_b")
+      out
     },
     // Built without stripMargin: the embedded q24 SQL contains lines
     // beginning with the || concat operator, which stripMargin would eat.
