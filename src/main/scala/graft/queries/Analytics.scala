@@ -1949,7 +1949,12 @@ object Analytics {
     "q291_er_candidate_scoring",
     (s, d) => {
       import s.implicits._
-      val a = Tables.customer(s, d).select(
+      // fanOut on the PROBE side: the broadcast block-join inherits its
+      // left input's partitioning, and customer arrives as one parquet
+      // split — without this every block's pair fan-out and all the
+      // scoring codegen lands on ONE task (9M pairs single-threaded at
+      // 10× bench scale; the q26/q52 single-split lesson).
+      val a = Tables.fanOut(Tables.customer(s, d), col("c_custkey")).select(
         $"c_custkey".as("a_key"), $"c_nationkey".as("nat"),
         expr("right(c_name, 2)").as("blk"),
         $"c_name".as("a_name"), $"c_acctbal".as("a_acct"),

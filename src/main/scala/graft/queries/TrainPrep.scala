@@ -135,7 +135,11 @@ object TrainPrep {
     "q63_quality_repeat_ngrams",
     (s, d) => {
       import s.implicits._
-      Tables.documents(s, d)
+      // fanOut: "nothing shuffles" also meant nothing PARALLELIZES when
+      // the corpus arrives as one parquet split — the whole per-row
+      // bigram census ran on one task at 10× bench scale (the
+      // q26/q52/q291 single-split lesson).
+      Tables.fanOut(Tables.documents(s, d), col("doc_id"))
         .select($"doc_id", graft.functions.TextFns.tokens($"text").as("t"))
         .filter(size($"t") >= 2)
         .select($"doc_id",
