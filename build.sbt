@@ -32,4 +32,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Round-10: a ~500-query bench compiles one whole-stage-codegen class
+  // set per query; the JDK-17 default 240m code cache fills late in the
+  // run, the JIT silently stops compiling, and fresh codegen runs
+  // interpreted (the r09 q101/q103/q310 warm-CPU anomaly — 8–15× CPU on
+  // untouched code, unreproducible on any fresh JVM). 512m keeps the
+  // compiler alive through the full contract; UseCodeCacheFlushing (on
+  // by default, kept explicit) reclaims cold nmethods if it ever fills.
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+UseCodeCacheFlushing",
 )

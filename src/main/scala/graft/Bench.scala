@@ -74,10 +74,26 @@ object Bench {
         }.getOrElse(-1.0)
         finally src.close()
       } catch { case scala.util.control.NonFatal(_) => -1.0 }
+    /** JIT code-cache occupancy in MiB, summed across the segmented
+      * CodeHeap pools — the round-9 warm-CPU-anomaly gauge. Three
+      * full-run queries (q101/q103/q310) burned 8–15× their fresh-JVM
+      * warm CPU in the r09 official detail while reproducing at normal
+      * cost in every fresh-JVM subset run: the signature of a FULL code
+      * cache (the JIT silently stops compiling and freshly-generated
+      * whole-stage-codegen classes run interpreted — pure extra CPU, no
+      * extra wall under load, invisible to the GC and load gauges).
+      * Recording occupancy beside every query makes that state readable
+      * from the committed artifact. */
+    def codeCacheMb(): Double =
+      try java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap"))
+        .map(_.getUsage.getUsed).sum / 1048576.0
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
     final case class Meas(wall: Double, ok: Boolean, gc: Double,
-        cpu: Double, load: Double, cached: Double)
+        cpu: Double, load: Double, cached: Double, ccMb: Double)
     def run(name: String,
-        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Meas = {
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+        recordErr: Boolean = true): Meas = {
       spark.catalog.clearCache()
       val load0 = osBean.getSystemLoadAverage
       val cache0 = cachedGb()
@@ -86,9 +102,12 @@ object Bench {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-        catch { case scala.util.control.NonFatal(_) => errors += name; false }
+        catch { case scala.util.control.NonFatal(_) =>
+          if (recordErr) errors += name
+          false }
       Meas((System.nanoTime() - t0) / 1e9, ok, (gcMillis() - g0) / 1e3,
-        if (c0 < 0) -1.0 else (cpuNanos() - c0) / 1e9, load0, cache0)
+        if (c0 < 0) -1.0 else (cpuNanos() - c0) / 1e9, load0, cache0,
+        codeCacheMb())
     }
     // Optional subset (comma-separated name prefixes, same contract as
     // Verify's third arg) — e.g. SPARK_GRAFT_QUERIES=q24,q59 for the
@@ -127,6 +146,16 @@ object Bench {
     val qcw = jmap(good.map(r => r.name -> r.warm.cpu))
     val ql = jmap(good.map(r => r.name -> r.cold.load))
     val qm = jmap(good.map(r => r.name -> r.cold.cached))
+    // Code-cache occupancy AFTER each query's warm run (MiB) — read
+    // together with the reserve below: occupancy within ~10% of the
+    // reserve at the point a query's warm CPU blows up is the code-
+    // cache-full signature (see codeCacheMb's doc).
+    val qcc = jmap(good.map(r => r.name -> r.warm.ccMb))
+    val ccReserveMb =
+      try java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap"))
+        .map(_.getUsage.getMax).sum / 1048576.0
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
     // Time of the run that actually FAILED (the cold one if both did) —
     // not the other run's duration, which would misdirect diagnosis.
     val failedSecs = jmap(results.filterNot(_.ok)
@@ -141,7 +170,35 @@ object Bench {
     // Full-precision detail line (full query names; cold + warm wall,
     // GC, process-CPU, pre-query load average and page-cache GiB) — for
     // local diagnosis; too long for the driver's capture window.
-    val detail = s"""{"metric":"detail","value":$total,"unit":"sec","queries":$qs,"total_warm":$totalWarm,"queries_warm":$qw,"gc_cold_secs":$qg,"cpu_cold_secs":$qc,"cpu_warm_secs":$qcw,"load_before":$ql,"cached_gb_before":$qm,"errors":$errs,"failed_secs":$failedSecs,"sf":"$sfDir"}"""
+    // Self-adjudicating retries (round-9 verdict ask #7: the official
+    // artifact should settle its own wall swings instead of needing a
+    // per-round adjudication table). Two pathologies get an automatic
+    // third run at the END of the bench, recorded separately:
+    //  - STALLED (wall ≫ cpu): the process was descheduled by neighbor
+    //    load — the retry under the then-current load bounds the plan's
+    //    true cost from above;
+    //  - CPU-ANOMALOUS (warm cpu > 3× cold cpu and > 15 s): real extra
+    //    compute appeared between two runs of identical code — the r09
+    //    trio signature; the retry (plus the code-cache gauge) says
+    //    whether the state persisted.
+    // "adjudicated_total" = cold total with each retried query's wall
+    // replaced by min(cold, retry) — the number to read when the
+    // headline total moved on a loaded host.
+    val retryCands = good.filter(r =>
+        (r.cold.wall > 2.0 && r.cold.cpu >= 0 && r.cold.wall > 1.5 * r.cold.cpu) ||
+        (r.warm.cpu > 15.0 && r.cold.cpu > 0 && r.warm.cpu > 3.0 * r.cold.cpu))
+      .sortBy(r => -(r.cold.wall)).take(12)
+    // recordErr=false: a retry is diagnostic only — a flaky failure here
+    // must not flip an all-green bench into an errored one.
+    val retries = retryCands.map(r =>
+      r.name -> run(r.name, SparkEntry.queries(r.name), recordErr = false))
+    val retryMap = retries.toMap
+    val qr = jmap(retries.map { case (n, m) => n -> m.wall })
+    val qrc = jmap(retries.map { case (n, m) => n -> m.cpu })
+    val adjudicatedTotal = good.map(r =>
+      retryMap.get(r.name).map(m => math.min(r.cold.wall, m.wall))
+        .getOrElse(r.cold.wall)).sum
+    val detail = s"""{"metric":"detail","value":$total,"unit":"sec","queries":$qs,"total_warm":$totalWarm,"queries_warm":$qw,"gc_cold_secs":$qg,"cpu_cold_secs":$qc,"cpu_warm_secs":$qcw,"load_before":$ql,"cached_gb_before":$qm,"codecache_mb_after":$qcc,"codecache_reserve_mb":$ccReserveMb,"queries_retry":$qr,"cpu_retry_secs":$qrc,"adjudicated_total":$adjudicatedTotal,"errors":$errs,"failed_secs":$failedSecs,"sf":"$sfDir"}"""
     println(detail)
     // Self-adjudication (round-7 ask #1): the detail line ALSO lands in
     // a file that survives the capture window, so every headline wall
@@ -231,7 +288,12 @@ object Bench {
     // value ≫ cpu means the process spent the round waiting — read
     // "stalled" for the per-query breakdown before calling any number a
     // plan regression.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"omitted":$omitted,"families":$famTotals,"total_warm":${r3(totalWarm)},"gc_cold":${r3(gcCold)},"gc_warm":${r3(gcWarm)},"cpu_cold":${r3(cpuCold)},"cpu_warm":${r3(cpuWarm)},"stalled":$stalled,"errors":$errsBudgeted,"errors_omitted":$errsOmitted,"sf":"$sfDir"}""")
+    // adj_total: the self-adjudicated cold total (stalled/cpu-anomalous
+    // queries re-run at end-of-bench, min(cold, retry) summed — see the
+    // detail's queries_retry). cc_mb/cc_reserve_mb: final code-cache
+    // occupancy vs reserve (occupancy at ~reserve = JIT stopped
+    // compiling; see codeCacheMb's doc).
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","adj_total":${r3(adjudicatedTotal)},"queries":$qsShort,"omitted":$omitted,"families":$famTotals,"total_warm":${r3(totalWarm)},"gc_cold":${r3(gcCold)},"gc_warm":${r3(gcWarm)},"cpu_cold":${r3(cpuCold)},"cpu_warm":${r3(cpuWarm)},"cc_mb":${r3(codeCacheMb())},"cc_reserve_mb":${r3(ccReserveMb)},"stalled":$stalled,"errors":$errsBudgeted,"errors_omitted":$errsOmitted,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1287,6 +1287,66 @@ object GraphOps {
     lbl
   }
 
+  /** Modularity census of a FOUND partition over projection `g`
+    * (q481's readout, factored for q495's Louvain partition): one row
+    * per community — size, internal edges, degree mass, exact-ppm
+    * signed contribution (q435's integer algebra, d² lifted to
+    * DECIMAL(38,0) before the divide) — plus the com = −1 total row
+    * whose contribution IS the partition's Q. `lbl` is (n, com). */
+  private[graft] def modularityCensus(g: org.apache.spark.sql.DataFrame,
+      lbl: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import g.sparkSession.implicits._
+    val sizes = lbl.groupBy($"com").agg(count(lit(1)).as("n_members"))
+    val ge = g
+      .join(lbl.select($"n".as("u"), $"com".as("cu")), Seq("u"))
+      .join(lbl.select($"n".as("v"), $"com".as("cv")), Seq("v"))
+      .select($"cu", $"cv")
+    val m = g.agg(count(lit(1)).as("m"))
+    val deg = ge.select($"cu".as("com")).unionAll(ge.select($"cv".as("com")))
+      .groupBy($"com").agg(count(lit(1)).as("d"))
+    val internal = ge.filter($"cu" === $"cv")
+      .groupBy($"cu".as("com")).agg(count(lit(1)).as("e_in"))
+    // Eager: the per-community frame feeds both the row output and
+    // the total row — tiny (|communities| rows), materialized once.
+    val per = Eager(sizes.join(deg, Seq("com"))
+      .join(internal, Seq("com"), "left")
+      .na.fill(0L, Seq("e_in"))
+      .crossJoin(broadcast(m))
+      .select($"com", $"n_members", $"e_in", $"d",
+        (expr("e_in * 1000000L div m") - expr(
+          "CAST(CAST(d AS DECIMAL(38,0)) * d * 1000000 div (CAST(m AS DECIMAL(38,0)) * m * 4) AS BIGINT)"))
+          .as("contribution_ppm")))
+    Eager(per.unionAll(
+        per.agg(lit(-1L).as("com"), sum($"n_members").as("n_members"),
+          sum($"e_in").as("e_in"), sum($"d").as("d"),
+          sum($"contribution_ppm").as("contribution_ppm")))
+      .orderBy($"com"))
+  }
+
+  /** The DuckDB mirror of [[modularityCensus]] over the materialized
+    * projection CTE `g` and a final label CTE `lblCte(n, com)` —
+    * shared by q481 (LPA labels) and q495 (Louvain labels). */
+  private def sqlModularityCensus(lblCte: String): String =
+    s"""sz AS (SELECT com, CAST(count(*) AS BIGINT) AS n_members FROM $lblCte GROUP BY 1),
+       |ge AS MATERIALIZED (SELECT lu.com AS cu, lv.com AS cv
+       |  FROM g JOIN $lblCte lu ON g.u = lu.n JOIN $lblCte lv ON g.v = lv.n),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM g),
+       |cdeg AS (SELECT com, CAST(count(*) AS BIGINT) AS d FROM (
+       |    SELECT cu AS com FROM ge UNION ALL SELECT cv FROM ge) GROUP BY com),
+       |intl AS (SELECT cu AS com, CAST(count(*) AS BIGINT) AS e_in
+       |  FROM ge WHERE cu = cv GROUP BY cu),
+       |per AS (SELECT sz.com, sz.n_members, coalesce(intl.e_in, 0) AS e_in, cdeg.d,
+       |    coalesce(intl.e_in, 0) * 1000000 // m
+       |      - CAST(CAST(d AS HUGEINT) * d * 1000000 // (CAST(m AS HUGEINT) * m * 4) AS BIGINT)
+       |      AS contribution_ppm
+       |  FROM sz JOIN cdeg USING (com) LEFT JOIN intl USING (com) CROSS JOIN m)
+       |SELECT CAST(com AS BIGINT) AS com, n_members, CAST(e_in AS BIGINT) AS e_in,
+       |  d, CAST(contribution_ppm AS BIGINT) AS contribution_ppm FROM per
+       |UNION ALL
+       |SELECT -1, CAST(sum(n_members) AS BIGINT), CAST(sum(e_in) AS BIGINT),
+       |  CAST(sum(d) AS BIGINT), CAST(sum(contribution_ppm) AS BIGINT) FROM per
+       |ORDER BY com""".stripMargin
+
   /** q481 — community DETECTION by synchronous label propagation over
     * the co-purchase projection, closing the loop q435 only scores:
     * q435 computes the modularity of a GIVEN partition (nations); this
@@ -1307,34 +1367,8 @@ object GraphOps {
       import s.implicits._
       val edges = tradeEdges(s, d).persist(StorageLevel.MEMORY_AND_DISK)
       val g = coPurchaseEdges(edges).persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        val lbl = propagateLabels(g, 4)
-        val sizes = lbl.groupBy($"lbl".as("com")).agg(count(lit(1)).as("n_members"))
-        val ge = g
-          .join(lbl.select($"n".as("u"), $"lbl".as("cu")), Seq("u"))
-          .join(lbl.select($"n".as("v"), $"lbl".as("cv")), Seq("v"))
-          .select($"cu", $"cv")
-        val m = g.agg(count(lit(1)).as("m"))
-        val deg = ge.select($"cu".as("com")).unionAll(ge.select($"cv".as("com")))
-          .groupBy($"com").agg(count(lit(1)).as("d"))
-        val internal = ge.filter($"cu" === $"cv")
-          .groupBy($"cu".as("com")).agg(count(lit(1)).as("e_in"))
-        // Eager: the per-community frame feeds both the row output and
-        // the total row — tiny (|communities| rows), materialized once.
-        val per = Eager(sizes.join(deg, Seq("com"))
-          .join(internal, Seq("com"), "left")
-          .na.fill(0L, Seq("e_in"))
-          .crossJoin(broadcast(m))
-          .select($"com", $"n_members", $"e_in", $"d",
-            (expr("e_in * 1000000L div m") - expr(
-              "CAST(CAST(d AS DECIMAL(38,0)) * d * 1000000 div (CAST(m AS DECIMAL(38,0)) * m * 4) AS BIGINT)"))
-              .as("contribution_ppm")))
-        Eager(per.unionAll(
-            per.agg(lit(-1L).as("com"), sum($"n_members").as("n_members"),
-              sum($"e_in").as("e_in"), sum($"d").as("d"),
-              sum($"contribution_ppm").as("contribution_ppm")))
-          .orderBy($"com"))
-      } finally { g.unpersist(blocking = false); edges.unpersist(blocking = false) }
+      try modularityCensus(g, propagateLabels(g, 4).select($"n", $"lbl".as("com")))
+      finally { g.unpersist(blocking = false); edges.unpersist(blocking = false) }
     },
     Some {
       // Each round MATERIALIZED: l_r is referenced by the next census
@@ -1353,25 +1387,121 @@ object GraphOps {
          |  UNION ALL SELECT v, u FROM g),
          |l0 AS MATERIALIZED (SELECT DISTINCT dst AS n, dst AS lbl FROM bi),
          |$rounds,
-         |sz AS (SELECT lbl AS com, CAST(count(*) AS BIGINT) AS n_members FROM l4 GROUP BY 1),
-         |ge AS MATERIALIZED (SELECT lu.lbl AS cu, lv.lbl AS cv
-         |  FROM g JOIN l4 lu ON g.u = lu.n JOIN l4 lv ON g.v = lv.n),
-         |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM g),
-         |deg AS (SELECT com, CAST(count(*) AS BIGINT) AS d FROM (
-         |    SELECT cu AS com FROM ge UNION ALL SELECT cv FROM ge) GROUP BY com),
-         |intl AS (SELECT cu AS com, CAST(count(*) AS BIGINT) AS e_in
-         |  FROM ge WHERE cu = cv GROUP BY cu),
-         |per AS (SELECT sz.com, sz.n_members, coalesce(intl.e_in, 0) AS e_in, deg.d,
-         |    e_in * 1000000 // m
-         |      - CAST(CAST(d AS HUGEINT) * d * 1000000 // (CAST(m AS HUGEINT) * m * 4) AS BIGINT)
-         |      AS contribution_ppm
-         |  FROM sz JOIN deg USING (com) LEFT JOIN intl USING (com) CROSS JOIN m)
-         |SELECT CAST(com AS BIGINT) AS com, n_members, CAST(e_in AS BIGINT) AS e_in,
-         |  d, CAST(contribution_ppm AS BIGINT) AS contribution_ppm FROM per
-         |UNION ALL
-         |SELECT -1, CAST(sum(n_members) AS BIGINT), CAST(sum(e_in) AS BIGINT),
-         |  CAST(sum(d) AS BIGINT), CAST(sum(contribution_ppm) AS BIGINT) FROM per
-         |ORDER BY com""".stripMargin
+         |lblf AS (SELECT n, lbl AS com FROM l4),
+         |${sqlModularityCensus("lblf")}""".stripMargin
+    },
+  )
+
+  /** q495's ascent loop, factored for edge tests: `rounds` SYNCHRONOUS
+    * one-level Louvain sweeps over an undirected edge frame (init:
+    * every node its own community; each round every node moves to the
+    * adjacent community with the best modularity GAIN, ties to the
+    * smallest community id — fully deterministic, the q481/q126
+    * fixed-round integer discipline, so the oracle unrolls the same
+    * rounds). The gain comparison is EXACT integers with no division:
+    * ΔQ(n→C) ∝ 2m·k_{n,C} − Σtot′(C)·k_n after multiplying through by
+    * 2m² — Σtot′(C) excludes n's own degree when C is n's current
+    * community, and "stay" is just the own-community candidate, so
+    * argmax(score desc, com asc) IS the Louvain move rule. Each round:
+    * one edge-sized join (k_{n,C} census), two node-sized joins (k_n,
+    * Σtot), one per-node argmax window; each round's frame
+    * localCheckpoint'ed (the q477 rule). Returns (n, com). */
+  private[graft] def louvainRounds(g: org.apache.spark.sql.DataFrame,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    import g.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val mVal = g.count()
+    val bi = g.select($"u".as("src"), $"v".as("dst"))
+      .unionAll(g.select($"v".as("src"), $"u".as("dst")))
+      .localCheckpoint()
+    val deg = bi.groupBy($"src".as("n")).agg(count(lit(1)).as("kn"))
+      .localCheckpoint()
+    var com = deg.select($"n", $"n".as("com")).localCheckpoint()
+    val w = Window.partitionBy($"n").orderBy($"score".desc, $"com")
+    for (_ <- 1 to rounds) {
+      val tot = com.join(deg, Seq("n")).groupBy($"com")
+        .agg(sum($"kn").as("tot"))
+      // k_{n,C}: edges from n into each NEIGHBOR community (the only
+      // communities a move can gain on) — plus the own community as an
+      // explicit candidate at its true k (max picks the knc row when
+      // one exists, the 0-row otherwise: staying is always on the
+      // menu, so an isolated-in-community node can stay put).
+      val knc = bi.join(com.select($"n".as("src"), $"com"), Seq("src"))
+        .groupBy($"dst", $"com").agg(count(lit(1)).as("k"))
+        .select($"dst".as("n"), $"com", $"k")
+      val cand = knc
+        .unionByName(com.select($"n", $"com").withColumn("k", lit(0L)))
+        .groupBy($"n", $"com").agg(max($"k").as("k"))
+      com = cand
+        .join(deg, Seq("n"))
+        .join(tot, Seq("com"))
+        .join(com.select($"n", $"com".as("cur")), Seq("n"))
+        .withColumn("score",
+          expr(s"2L * ${mVal}L * k - (tot - CASE WHEN com = cur THEN kn ELSE 0L END) * kn"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"n", $"com")
+        .localCheckpoint()
+    }
+    com
+  }
+
+  /** q495 — one-level LOUVAIN modularity ascent over the co-purchase
+    * projection (the OPTIMIZING community detector beside q481's LPA:
+    * LPA finds a popular-vote partition and q435/q481 merely SCORE
+    * one; this query ASCENDS Q directly — every move is chosen by its
+    * exact modularity gain, so the found partition's Q row is a local
+    * optimum of the very objective the census reports): 3 synchronous
+    * sweeps ([[louvainRounds]] — exact-integer ΔQ, no division, ties
+    * to the smallest community id), then [[modularityCensus]]'s
+    * per-community readout with the com = −1 total row whose
+    * contribution IS Q — directly comparable to q481's census over
+    * the SAME projection. Scale: identical loop discipline to q481 —
+    * the corpus is touched once (shared projection machinery), every
+    * sweep is projection-edge-sized joined against node-sized frames,
+    * the census is |communities|-row; at 100 TB the sweep keys stay
+    * (node, community) — nothing neighborhood-quadratic. Oracle:
+    * materialized-round SQL unrolling the same 3 sweeps. */
+  val q495 = QuerySpec(
+    "q495_louvain_ascent",
+    (s, d) => {
+      import s.implicits._
+      val edges = tradeEdges(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+      val g = coPurchaseEdges(edges).persist(StorageLevel.MEMORY_AND_DISK)
+      try modularityCensus(g, louvainRounds(g, 3))
+      finally { g.unpersist(blocking = false); edges.unpersist(blocking = false) }
+    },
+    Some {
+      // Each round MATERIALIZED (the q481-oracle lesson); the score is
+      // the same division-free 2m·k − Σtot′·k_n integer form the Spark
+      // side compares.
+      val rounds = (1 to 3).map { r =>
+        s"""tot$r AS (SELECT com, CAST(sum(kn) AS BIGINT) AS tot
+           |  FROM l${r - 1} JOIN nd USING (n) GROUP BY 1),
+           |knc$r AS (SELECT b.dst AS n, l.com, CAST(count(*) AS BIGINT) AS k
+           |  FROM bi b JOIN l${r - 1} l ON b.src = l.n GROUP BY 1, 2),
+           |cand$r AS (SELECT n, com, max(k) AS k FROM (
+           |    SELECT n, com, k FROM knc$r
+           |    UNION ALL SELECT n, com, CAST(0 AS BIGINT) FROM l${r - 1}) GROUP BY 1, 2),
+           |sc$r AS (SELECT c.n, c.com,
+           |    2 * m0.m * c.k
+           |      - (t.tot - CASE WHEN c.com = cur.com THEN nd.kn ELSE 0 END) * nd.kn
+           |      AS score
+           |  FROM cand$r c JOIN nd USING (n) JOIN tot$r t USING (com)
+           |  JOIN l${r - 1} cur ON cur.n = c.n CROSS JOIN m0),
+           |l$r AS MATERIALIZED (SELECT n, com FROM (
+           |    SELECT n, com, row_number() OVER (PARTITION BY n ORDER BY score DESC, com) AS rn
+           |    FROM sc$r) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $sqlCoPurchaseCtes,
+         |bi AS MATERIALIZED (SELECT u AS src, v AS dst FROM g
+         |  UNION ALL SELECT v, u FROM g),
+         |nd AS MATERIALIZED (SELECT src AS n, CAST(count(*) AS BIGINT) AS kn
+         |  FROM bi GROUP BY 1),
+         |m0 AS (SELECT CAST(count(*) AS BIGINT) AS m FROM g),
+         |l0 AS MATERIALIZED (SELECT n, n AS com FROM nd),
+         |$rounds,
+         |${sqlModularityCensus("l3")}""".stripMargin
     },
   )
 
@@ -1533,6 +1663,16 @@ object GraphOps {
       if (r == 0L) fixed = true
       else {
         removed += r
+        // Victim/decrement frames broadcast only while SMALL: round 1
+        // routinely peels a large fraction of the edge list (every
+        // support<2 edge), and at the 100 TB scale an unconditional
+        // broadcast of that fraction exceeds driver/broadcast limits.
+        // Past the cap (~4M pairs ≈ 100 MB packed) the same joins run
+        // as shuffles — the victim count is on the driver for free
+        // from the fixpoint check, so the switch costs nothing.
+        val maybeBroadcast: org.apache.spark.sql.DataFrame =>
+            org.apache.spark.sql.DataFrame =
+          if (r <= 4000000L) broadcast else identity
         // Dying triangles of the CURRENT graph: a victim (a, b)
         // closes a triangle with every w adjacent to BOTH endpoints —
         // w comes off a's adjacency (bi), membership of (b, w) is a
@@ -1542,7 +1682,7 @@ object GraphOps {
         val bi = sup.select($"u".as("src"), $"v".as("dst"))
           .unionAll(sup.select($"v".as("src"), $"u".as("dst")))
         val tri = bi
-          .join(broadcast(victims.select($"u".as("src"), $"v".as("b"))), Seq("src"))
+          .join(maybeBroadcast(victims.select($"u".as("src"), $"v".as("b"))), Seq("src"))
           .filter($"dst" =!= $"b")
           .select($"src".as("a"), $"b", $"dst".as("w"))
           .join(sup.select($"u", $"v"),
@@ -1560,7 +1700,7 @@ object GraphOps {
           .select($"e.u", $"e.v")
           .groupBy($"u", $"v").agg(count(lit(1)).as("dec"))
         sup = sup.filter($"cn" >= 2)
-          .join(broadcast(dec), Seq("u", "v"), "left")
+          .join(maybeBroadcast(dec), Seq("u", "v"), "left")
           .select($"u", $"v", ($"cn" - coalesce($"dec", lit(0L))).as("cn"))
           .localCheckpoint()
       }
@@ -1779,14 +1919,23 @@ object GraphOps {
         roundFrames = nxt :: roundFrames
         frontier = nxt
       }
+      // Scaling constant derived FROM the hop cap (not hardcoded — the
+      // r09 shape took `rounds` as a parameter but baked in 12 while
+      // only dist ≤ 3 could reach it, silently floor-dividing for any
+      // deeper call): lcm(12, 1..rounds) is divisible by every
+      // reachable dist, so the summed readout is exact integers at ANY
+      // rounds; folding in the contract's 12 keeps rounds ≤ 4 on the
+      // q490 column name (harmonic_x12) it has always had.
+      def gcd(a: Long, b: Long): Long = if (b == 0L) a else gcd(b, a % b)
+      val scale = (1L to rounds.toLong).foldLeft(12L)((a, b) => a / gcd(a, b) * b)
       Eager(roundFrames.reduce(_ unionByName _)
         .filter($"dist" > 0)
         .groupBy($"seed")
         .agg(count(lit(1)).as("n_reached"),
-          sum(expr("12L div dist")).as("harmonic_x12"),
+          sum(expr(s"${scale}L div dist")).as(s"harmonic_x$scale"),
           sum($"node").as("node_checksum"))
         .join(broadcast(seeds), Seq("seed"))
-        .select($"seed", $"seed_deg", $"n_reached", $"harmonic_x12",
+        .select($"seed", $"seed_deg", $"n_reached", col(s"harmonic_x$scale"),
           $"node_checksum")
         .orderBy($"seed"))
     }
@@ -1843,5 +1992,5 @@ object GraphOps {
 
   val all: Seq[QuerySpec] =
     Seq(q59, q94, q126, q148, q226, q304, q310, q378, q435, q448, q454,
-      q476, q477, q478, q481, q485, q486, q487, q489, q490)
+      q476, q477, q478, q481, q485, q486, q487, q489, q490, q495)
 }

@@ -398,7 +398,13 @@ object NearDup {
         .join(broadcast(cand), Seq("doc_a"))
       val withB = docs.select($"doc_id".as("doc_b"), $"text".as("tb"))
         .join(broadcast(cand), Seq("doc_b"))
-      val out = withA.join(withB, Seq("doc_a", "doc_b"))
+      // The merge hint PINS the documented plan: both sides are
+      // broadcast-join outputs whose size ESTIMATES can drift
+      // (stats/AQE), and letting one side broadcast would silently put
+      // the O(k·n) scorer back on corpus-scan partitioning (the
+      // round-6 one-task-per-split wedge). A forced shuffle join keys
+      // the scorer on (doc_a, doc_b) regardless of estimation.
+      val out = withA.hint("merge").join(withB, Seq("doc_a", "doc_b"))
         .withColumn("max_len", greatest(length($"ta"), length($"tb")))
         .filter(abs(length($"ta") - length($"tb")) * lit(100) <= $"max_len" * lit(15))
         // Banded levenshtein with the pair's own 15% bound as threshold:
@@ -1547,24 +1553,43 @@ object NearDup {
     * the oracle's transitive closure |distinct|²-bounded instead of
     * clone-quadratic (the sf1 clone structure OOM'd the uncollapsed
     * closure at 22 GB). */
+  /** q493's clone collapse, factored for the plan pin: one weighted
+    * representative per DISTINCT embedding (bitwise group-by on the raw
+    * vector) — the stage every downstream q493 cost scales by. */
+  private[graft] def collapseReps(embeddings: DataFrame): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    embeddings
+      .groupBy($"embedding")
+      .agg(min($"vec_id").as("rid"), count(lit(1)).as("g"),
+        sum($"vec_id").as("idsum"))
+      .select($"rid", asDouble($"embedding").as("emb"), $"g", $"idsum")
+      .withColumn("nrm", l2Norm($"emb"))
+  }
+
+  /** q493's ε-graph, factored for the plan pin: exact-cosine rep pairs
+    * at `minCos`, the one place a corpus-sized product could sneak in —
+    * the pin asserts the build side is the (broadcast) COLLAPSED rep
+    * frame with the collapse aggregate BELOW the join on both sides,
+    * never the raw clone-heavy corpus. */
+  private[graft] def epsPairs(reps: DataFrame, minCos: Double): DataFrame = {
+    import reps.sparkSession.implicits._
+    reps
+      .join(broadcast(reps.select($"rid".as("r2"), $"emb".as("e2"),
+        $"nrm".as("n2"))), $"rid" < $"r2")
+      .withColumn("cos", dot($"emb", $"e2") / ($"nrm" * $"n2"))
+      .filter($"cos" >= minCos)
+      .select($"rid".as("u"), $"r2".as("v"))
+  }
+
   val q493 = QuerySpec(
     "q493_dbscan_embeddings",
     (s, d) => {
       import s.implicits._
-      val reps = Tables.fanOut(Tables.embeddings(s, d), col("vec_id"))
-        .groupBy($"embedding")
-        .agg(min($"vec_id").as("rid"), count(lit(1)).as("g"),
-          sum($"vec_id").as("idsum"))
-        .select($"rid", asDouble($"embedding").as("emb"), $"g", $"idsum")
-        .withColumn("nrm", l2Norm($"emb"))
+      val reps = collapseReps(
+          Tables.fanOut(Tables.embeddings(s, d), col("vec_id")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val pairs = reps
-          .join(broadcast(reps.select($"rid".as("r2"), $"emb".as("e2"),
-            $"nrm".as("n2"))), $"rid" < $"r2")
-          .withColumn("cos", dot($"emb", $"e2") / ($"nrm" * $"n2"))
-          .filter($"cos" >= 0.35)
-          .select($"rid".as("u"), $"r2".as("v"))
+        val pairs = epsPairs(reps, 0.35)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try dbscanClusters(pairs, reps.select($"rid", $"g", $"idsum"))
         finally { pairs.unpersist(blocking = false); () }

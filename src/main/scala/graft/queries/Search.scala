@@ -1144,7 +1144,91 @@ object Search {
             |ORDER BY query_id, rank""".stripMargin),
   )
 
+  /** q496 — MaxSim LATE-INTERACTION retrieval (ColBERT-shaped; the
+    * embedding-side analogue of q494's best-passage BM25, completing
+    * the retrieval family beside dense whole-doc cosine q28 and
+    * lexical q278): every 256/192 chunk gets a stub 8-dim embedding
+    * (md5-derived per-dim ints — the q111 deterministic stand-in for a
+    * per-passage encoder), every query TOKEN gets one the same way,
+    * and score(q, doc) = Σ over q's tokens of max over doc's chunks of
+    * cosine(token, chunk) — a long doc wins only through its best
+    * passages per token, never through accumulated mass. Top-5 docs
+    * per query by (score, doc_id). Determinism: cosines are
+    * sequential-fold doubles (bit-identical both engines), each
+    * per-token max is over identical doubles, and the SUM happens
+    * after round(·10⁴)→long — exact integer addition, no float-order
+    * flake. Scale: the query-token vectors fold to LITERALS (stronger
+    * than a broadcast — nothing ships at all), so the plan is ONE
+    * corpus scan with per-chunk token cosines computed in-row, a
+    * map-side-combined per-doc max aggregate (|docs| rows × |tokens|
+    * maxes shuffle — never chunks, never a corpus×query product), and
+    * a WindowGroupLimit top-5; swap the scan for the q28/q81 IVF
+    * probes when the chunk store is indexed. */
+  val q496 = QuerySpec(
+    "q496_maxsim_late_interaction",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.VectorOps.cosine
+      def hexVec(h: String): org.apache.spark.sql.Column = expr(
+        s"transform(sequence(1, 8), i -> CAST(instr('0123456789abcdef', substring($h, i, 1)) - 9 AS DOUBLE))")
+      val terms = QueryTerms.map(_._2).distinct
+      val cv = graft.queries.TextMedia.chunkRows(
+          Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+            .select($"doc_id", $"lang", $"text"))
+        .select($"doc_id", hexVec("h").as("cv"))
+      // Per-chunk cosine against every query-token vector, in-row: the
+      // token vectors are constant-folded md5 literals.
+      val withCos = cv.select($"doc_id" +: terms.zipWithIndex.map {
+        case (t, i) =>
+          cosine(hexVec(s"md5(cast('$t' AS BINARY))"), $"cv").as(s"c_$i")
+      }: _*)
+      val perDoc = withCos.groupBy($"doc_id").agg(
+        max(col(s"c_0")).as("m_0"),
+        terms.indices.tail.map(i => max(col(s"c_$i")).as(s"m_$i")): _*)
+      // Melt to (query_id, doc_id, score): each query's score is the
+      // exact-integer sum of its tokens' rounded maxes.
+      val byQuery = QueryTerms.groupBy(_._1).toSeq.sortBy(_._1)
+      val scoreStructs = array(byQuery.map { case (qid, qts) =>
+        struct(lit(qid).as("query_id"),
+          lit(qts.size.toLong).as("n_terms"),
+          qts.map { case (_, t) =>
+            expr(s"CAST(round(m_${terms.indexOf(t)} * 10000) AS BIGINT)")
+          }.reduce(_ + _).as("score_x4"))
+      }: _*)
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"score_x4".desc, $"doc_id")
+      perDoc.select($"doc_id", explode(scoreStructs).as("s"))
+        .select($"s.query_id".as("query_id"), $"doc_id",
+          $"s.n_terms".as("n_terms"), $"s.score_x4".as("score_x4"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"rank", $"doc_id", $"n_terms", $"score_x4")
+        .orderBy($"query_id", $"rank")
+    },
+    Some(s"""WITH q(query_id, term) AS (VALUES $sqlQueryTerms),
+            |qv AS (SELECT query_id, term, list_transform(generate_series(1, 8),
+            |    i -> CAST(strpos('0123456789abcdef', substr(md5(term), i, 1)) - 9 AS DOUBLE)) AS qv
+            |  FROM q),
+            |d AS (SELECT doc_id, text, length(text) AS len
+            |  FROM documents WHERE length(text) > 0),
+            |ch AS (SELECT doc_id, md5(substr(text, CAST(i * 192 + 1 AS BIGINT), 256)) AS h
+            |  FROM (SELECT doc_id, text, unnest(range(0, (len - 1) // 192 + 1)) AS i FROM d)),
+            |cv AS (SELECT doc_id, list_transform(generate_series(1, 8),
+            |    i -> CAST(strpos('0123456789abcdef', substr(h, i, 1)) - 9 AS DOUBLE)) AS cv
+            |  FROM ch),
+            |mc AS (SELECT query_id, term, doc_id, max(${Det.sqlCosine("qv", "cv")}) AS mc
+            |  FROM cv CROSS JOIN qv GROUP BY 1, 2, 3),
+            |sc AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+            |    CAST(sum(CAST(round(mc * 10000) AS BIGINT)) AS BIGINT) AS score_x4
+            |  FROM mc GROUP BY 1, 2)
+            |SELECT query_id, rank, doc_id, n_terms, score_x4 FROM (
+            |  SELECT *, CAST(row_number() OVER
+            |      (PARTITION BY query_id ORDER BY score_x4 DESC, doc_id) AS INT) AS rank
+            |  FROM sc) WHERE rank <= 5
+            |ORDER BY query_id, rank""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q278, q279, q290, q404, q405, q406, q407, q421, q428, q449, q466,
-      q479, q484, q494)
+      q479, q484, q494, q496)
 }

@@ -78,10 +78,10 @@ object StreamBm25Cdc {
       if (vparts.nonEmpty) {
         // Exact (batch_id, tb) pairs — partition-prunable AND precise
         // (the q475 rule: the cross product would stage partitions the
-        // swap then discards).
-        val pairPred = vparts
-          .map { case (b, t) => $"batch_id" === b && $"tb" === t }
-          .reduce(_ || _)
+        // swap then discards), via one In/InSet node so the expression
+        // tree stays O(1)-depth at any victim count (see [[CdcVictims]]).
+        val pairPred = CdcVictims.pairPredicate("batch_id", "tb",
+          vparts.toSeq)
         val vpost = st.spark.read.parquet(s"${st.tmp}/post")
           .filter(pairPred)
           .join(broadcast(dels), Seq("doc_id"), "left_semi")

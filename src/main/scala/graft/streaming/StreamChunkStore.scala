@@ -95,6 +95,18 @@ object StreamChunkStore {
       .option("checkpointLocation", s"${st.tmp}/ckpt")
   }
 
+  /** Dedup-on-arrival probe — the read path the hb bucketing exists
+    * for: all stored chunk rows in the bucket of the incoming chunk's
+    * hash. The predicate references only the `hb` partition column
+    * (the bucket id folds to a constant for a literal hash), so every
+    * batch partition's other NB−1 buckets are pruned at planning time:
+    * a 1/16 slice read, however many batches the stream has appended.
+    * Pinned by PlanAuditSpec against a live store layout. */
+  def bucketProbe(spark: SparkSession, storeTmp: String,
+      chunkHash: org.apache.spark.sql.Column): DataFrame =
+    spark.read.parquet(s"$storeTmp/chunks")
+      .filter(col("hb") === pmod(xxhash64(chunkHash), lit(NB)))
+
   /** The q491 census computed from the maintained files alone —
     * byte-identical readout to a from-scratch batch chunking of the
     * full corpus. Severed from tmp state before cleanup. */
@@ -129,14 +141,33 @@ object StreamChunkStore {
     try {
       val q1 = writer(st).trigger(Trigger.ProcessingTime("50 milliseconds")).start()
       val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-      def streamed(): Boolean = {
-        val d = new java.io.File(s"${st.tmp}/chunks")
-        d.exists && d.listFiles != null &&
-          d.listFiles.exists(f => f.getName.startsWith("batch_id=") &&
-            !f.getName.endsWith("=-1"))
+      // Streamed (id >= 0) batch partitions present under a store table,
+      // parsed NUMERICALLY — the r09 string test (startsWith/endsWith)
+      // could not distinguish a fully-committed batch from the
+      // partial-commit window this test exists to replay.
+      def batchIds(sub: String): Set[Long] = {
+        val fs = Option(new java.io.File(s"${st.tmp}/$sub").listFiles)
+          .getOrElse(Array.empty[java.io.File])
+        fs.iterator.map(_.getName).filter(_.startsWith("batch_id="))
+          .flatMap(n =>
+            scala.util.Try(n.stripPrefix("batch_id=").toLong).toOption)
+          .filter(_ >= 0L).toSet
       }
-      while (!streamed() && q1.isActive && System.nanoTime() < deadline)
-        Thread.sleep(20)
+      // The kill AIMS for the mid-batch window — chunk rows committed,
+      // the batch's doc census not yet (writeBatchTo commits chunks
+      // first): a streamed chunks partition with no matching census
+      // partition. Falling through to "every staged file fully
+      // committed" keeps the test bounded if both commits always land
+      // between polls — the restart then replays from a clean seam,
+      // the weaker but still valid exactly-once check.
+      def midBatch(): Boolean = (batchIds("chunks") -- batchIds("docs")).nonEmpty
+      def allDone(): Boolean = {
+        val c = batchIds("chunks")
+        c.size >= 2 && c.subsetOf(batchIds("docs"))
+      }
+      while (!midBatch() && !allDone() && q1.isActive &&
+          System.nanoTime() < deadline)
+        Thread.sleep(1)
       q1.stop()
       try q1.awaitTermination()
       catch { case scala.util.control.NonFatal(_) => () }

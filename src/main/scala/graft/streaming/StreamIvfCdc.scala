@@ -135,14 +135,16 @@ object StreamIvfCdc {
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       if (victims.nonEmpty) {
         val stage = s"${st.tmp}/ivf.__cdc_delete_stage"
-        // Exact (cid, batch_id) victim PAIRS as an OR-of-literals
-        // predicate — partition-prunable AND precise. The cross product
-        // (cid IN ... AND batch_id IN ...) would also read non-victim
-        // partitions that share a cid with one victim and a batch_id
-        // with another, staging rows only the swap then discards.
-        val pairPred = victims
-          .map { case (c, b) => $"cid" === c && $"batch_id" === b }
-          .reduce(_ || _)
+        // Exact (cid, batch_id) victim PAIRS — partition-prunable AND
+        // precise, via one In/InSet node (see [[CdcVictims]]; the r09
+        // OR-of-literals chain grew the expression tree linearly with
+        // victim count, making planning the bottleneck for a large
+        // delete sweep). The cross product (cid IN ... AND batch_id IN
+        // ...) would also read non-victim partitions that share a cid
+        // with one victim and a batch_id with another, staging rows
+        // only the swap then discards.
+        val pairPred = CdcVictims.pairPredicate("cid", "batch_id",
+          victims.toSeq)
         st.spark.read.parquet(s"${st.tmp}/ivf")
           .filter(pairPred)
           .join(broadcast(dels), Seq("vec_id"), "left_anti")

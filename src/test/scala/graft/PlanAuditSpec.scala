@@ -648,6 +648,11 @@ class PlanAuditSpec extends SparkTestBase {
     val p = plan("q52_dedup_edit_verify")
     assert(p.contains("hashpartitioning(doc_a"),
       "candidate-stream repartition before the scorer is gone\n" + p)
+    // The pair join is HINTED to merge (r10): estimation drift must
+    // never broadcast one side and put the scorer back on the corpus
+    // scan's partitioning.
+    assert(p.contains("SortMergeJoin"),
+      "pair join lost its merge hint\n" + p)
   }
 
   test("q302/q329: ER pairing goes through the chunked neighborhood explode") {
@@ -1105,5 +1110,142 @@ class PlanAuditSpec extends SparkTestBase {
     // The chunk text itself never shuffles: every exchange below the
     // hash census carries md5 output (h), never a 256-char chunk column.
     assert(!p.contains("chunk#"), "raw chunk text must not be a named column\n" + p)
+  }
+
+  test("CDC victim predicate: exact partition pruning at O(1) expression depth") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_victims").toString + "/ivf"
+    spark.range(0, 200)
+      .select($"id".as("vec_id"), ($"id" % 10).as("cid"), ($"id" % 5).as("batch_id"))
+      .write.partitionBy("cid", "batch_id").parquet(tmp)
+    val victims = Seq((1L, 1L), (3L, 3L), (7L, 2L))
+    val df = spark.read.parquet(tmp)
+      .filter(graft.streaming.CdcVictims.pairPredicate("cid", "batch_id", victims))
+    // (a) the scan lists ONLY the victim partitions — planning-time
+    // pruning, not a post-scan filter (50 leaf dirs exist).
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, df.queryExecution.sparkPlan.toString)
+    assert(scans.head.selectedPartitions.partitionCount === victims.size,
+      s"expected ${victims.size} pruned partitions, " +
+        s"got ${scans.head.selectedPartitions.partitionCount}")
+    // (b) exact pairs: lcm(10,5)=10, so each (cid,batch_id) pair with
+    // cid%5==batch_id holds 200/10 rows; these three qualify.
+    assert(df.count() === 60)
+    // (c) O(1) expression depth at any victim count — one In/InSet node,
+    // never the r09 OR-chain linear in victims.
+    def depth(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+      if (e.children.isEmpty) 1 else 1 + e.children.map(depth).max
+    def predExpr(c: org.apache.spark.sql.Column) =
+      spark.range(1)
+        .select(($"id" % 10).as("cid"), ($"id" % 5).as("batch_id"))
+        .filter(c).queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }.get
+    val small = predExpr(
+      graft.streaming.CdcVictims.pairPredicate("cid", "batch_id", victims))
+    val big = predExpr(graft.streaming.CdcVictims.pairPredicate("cid", "batch_id",
+      (0L until 5000L).map(i => (i, i % 7))))
+    assert(depth(big) === depth(small),
+      s"victim predicate depth grew with victim count: ${depth(big)} vs ${depth(small)}")
+    assert(!small.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Or]),
+      "victim predicate is an Or-chain again")
+  }
+
+  test("q492 (factored): bucketProbe reads one hb slice of every batch partition") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // The store layout StreamChunkStore writes: batch_id=N/hb=M leaves.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chunkstore").toString
+    spark.range(0, 320)
+      .select(md5($"id".cast("string")).as("h"), ($"id" % 2 - 1).as("batch_id"))
+      .withColumn("hb", pmod(xxhash64($"h"), lit(16)))
+      .write.partitionBy("batch_id", "hb").parquet(s"$tmp/chunks")
+    val nBatches = 2
+    val probe = graft.streaming.StreamChunkStore.bucketProbe(
+      spark, tmp, lit("incoming-chunk-hash"))
+    val scans = probe.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, probe.queryExecution.sparkPlan.toString)
+    val read = scans.head.selectedPartitions.partitionCount
+    // One hb bucket per batch partition — a 1/16 slice, NOT
+    // batches × 16 leaves (32 exist here).
+    assert(read <= nBatches,
+      s"bucket probe read $read leaf partitions, expected <= $nBatches\n" +
+        probe.queryExecution.explainString(ExplainMode.fromString("formatted")))
+    // The probe's bucket must agree with the writer's bucketing rule.
+    val expected = spark.range(1)
+      .select(pmod(xxhash64(lit("incoming-chunk-hash")), lit(16)))
+      .head.getLong(0)
+    // Partition-dir values read back as INT — cast for a stable type.
+    val hbs = probe.select($"hb".cast("long")).distinct().collect().map(_.getLong(0))
+    assert(hbs.forall(_ == expected), hbs.mkString(","))
+  }
+
+  test("q493 (factored): ε-pairs join broadcast COLLAPSED reps, collapse below the join") {
+    val reps = graft.queries.NearDup.collapseReps(
+      Tables.embeddings(spark, sf))
+    val p = graft.queries.NearDup.epsPairs(reps, 0.35)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // The rid < r2 theta join must be the broadcast NLJ over rep-sized
+    // frames — never a shuffle product of the raw clone-heavy corpus.
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), "ε-pair join degraded to a cartesian\n" + p)
+    assert(!p.contains("SortMergeJoin"), "rep frame re-shuffled for the pair join\n" + p)
+    // Clone collapse BEFORE the join on both sides: the group-by-
+    // embedding aggregates print BELOW the BNLJ (children print after
+    // parents), so the product is |distinct|², not clone-quadratic.
+    val b = p.indexOf("BroadcastNestedLoopJoin")
+    val aggsBelow = "HashAggregate|ObjectHashAggregate|SortAggregate".r
+      .findAllIn(p.substring(b)).size
+    assert(aggsBelow >= 2, "clone collapse not below the pair join on both sides\n" + p)
+  }
+
+  test("q494: token explode pruned to the query-term set before any shuffle") {
+    import org.apache.spark.sql.execution.{FilterExec, GenerateExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // Exchanges are inserted by EnsureRequirements (executedPlan); AQE
+    // off for the capture so the tree is walkable (BucketingSpec's
+    // pattern).
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (df, plan) =
+      try {
+        val d = SparkEntry.queries("q494_max_passage_retrieval")(spark, sf)
+        (d, d.queryExecution.executedPlan)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    // Root-first path down to the Generate that emits the term column.
+    def isTermGen(p: SparkPlan) = p match {
+      case g: GenerateExec => g.generatorOutput.exists(_.name == "term")
+      case _ => false
+    }
+    def pathTo(p: SparkPlan): Option[List[SparkPlan]] =
+      if (isTermGen(p)) Some(List(p))
+      else p.children.view.flatMap(pathTo).headOption.map(p :: _)
+    val path = pathTo(plan).getOrElse(
+      fail("no Generate producing `term` in the plan\n" + plan))
+    // Walking UP from the explode, the IN-query-terms filter must come
+    // BEFORE the first exchange: the tf table is |query-terms|-bounded
+    // by the time anything shuffles.
+    val up = path.reverse
+    val firstShuffle = up.indexWhere(_.isInstanceOf[ShuffleExchangeExec])
+    assert(firstShuffle > 0, "no shuffle above the explode?\n" + plan)
+    val pruned = up.take(firstShuffle).exists {
+      case f: FilterExec =>
+        val c = f.condition.toString
+        c.contains("term") && (c.contains(" IN ") || c.contains("INSET"))
+      case _ => false
+    }
+    assert(pruned,
+      "token explode not pruned to the query-term set before the first shuffle\n" + plan)
+    // And the ranking stays broadcast-shaped: no sort-merge join, no
+    // cartesian anywhere in q494.
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 }
