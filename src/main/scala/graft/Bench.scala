@@ -112,8 +112,12 @@ object Bench {
     // Optional subset (comma-separated name prefixes, same contract as
     // Verify's third arg) — e.g. SPARK_GRAFT_QUERIES=q24,q59 for the
     // scale-curve smoke. Unset = the full contract (driver mode).
+    // An EMPTY/blank value means "no subset" (full contract), same as
+    // unset — an empty prefix list must never silently select zero
+    // queries and print an all-green 0-second bench.
     val prefixes = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
     def selected(name: String): Boolean =
       prefixes.forall(_.exists(name.startsWith))
     // Execution ORDER is part of the methodology: the q01–q23 anchor set

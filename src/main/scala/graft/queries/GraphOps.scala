@@ -1392,19 +1392,25 @@ object GraphOps {
     },
   )
 
-  /** q495's ascent loop, factored for edge tests: `rounds` SYNCHRONOUS
-    * one-level Louvain sweeps over an undirected edge frame (init:
-    * every node its own community; each round every node moves to the
-    * adjacent community with the best modularity GAIN, ties to the
-    * smallest community id — fully deterministic, the q481/q126
-    * fixed-round integer discipline, so the oracle unrolls the same
-    * rounds). The gain comparison is EXACT integers with no division:
+  /** q495's ascent loop, factored for edge tests: `rounds`
+    * SEMI-SYNCHRONOUS one-level Louvain sweeps over an undirected edge
+    * frame (init: every node its own community; each round the
+    * ELIGIBLE nodes move to the adjacent community with the best
+    * modularity GAIN, ties to the smallest community id — fully
+    * deterministic, the q481/q126 fixed-round integer discipline, so
+    * the oracle unrolls the same rounds). Eligibility alternates by
+    * node-id parity (round r moves only n ≡ r (mod 2)) — the
+    * semi-synchronous coloring fix for the classic fully-synchronous
+    * pathology where two symmetric neighbors endlessly SWAP
+    * communities (a lone edge never merges under all-move rounds; the
+    * parity round merges it immediately and the edge test pins that).
+    * The gain comparison is EXACT integers with no division:
     * ΔQ(n→C) ∝ 2m·k_{n,C} − Σtot′(C)·k_n after multiplying through by
     * 2m² — Σtot′(C) excludes n's own degree when C is n's current
     * community, and "stay" is just the own-community candidate, so
     * argmax(score desc, com asc) IS the Louvain move rule. Each round:
     * one edge-sized join (k_{n,C} census), two node-sized joins (k_n,
-    * Σtot), one per-node argmax window; each round's frame
+    * Σtot), one per-mover argmax window; each round's frame
     * localCheckpoint'ed (the q477 rule). Returns (n, com). */
   private[graft] def louvainRounds(g: org.apache.spark.sql.DataFrame,
       rounds: Int): org.apache.spark.sql.DataFrame = {
@@ -1418,7 +1424,7 @@ object GraphOps {
       .localCheckpoint()
     var com = deg.select($"n", $"n".as("com")).localCheckpoint()
     val w = Window.partitionBy($"n").orderBy($"score".desc, $"com")
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val tot = com.join(deg, Seq("n")).groupBy($"com")
         .agg(sum($"kn").as("tot"))
       // k_{n,C}: edges from n into each NEIGHBOR community (the only
@@ -1432,7 +1438,8 @@ object GraphOps {
       val cand = knc
         .unionByName(com.select($"n", $"com").withColumn("k", lit(0L)))
         .groupBy($"n", $"com").agg(max($"k").as("k"))
-      com = cand
+      val moved = cand
+        .filter(pmod($"n", lit(2)) === lit(r % 2))
         .join(deg, Seq("n"))
         .join(tot, Seq("com"))
         .join(com.select($"n", $"com".as("cur")), Seq("n"))
@@ -1441,6 +1448,8 @@ object GraphOps {
         .withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
         .select($"n", $"com")
+      com = com.filter(pmod($"n", lit(2)) =!= lit(r % 2))
+        .unionByName(moved)
         .localCheckpoint()
     }
     com
@@ -1451,9 +1460,10 @@ object GraphOps {
     * LPA finds a popular-vote partition and q435/q481 merely SCORE
     * one; this query ASCENDS Q directly — every move is chosen by its
     * exact modularity gain, so the found partition's Q row is a local
-    * optimum of the very objective the census reports): 3 synchronous
-    * sweeps ([[louvainRounds]] — exact-integer ΔQ, no division, ties
-    * to the smallest community id), then [[modularityCensus]]'s
+    * optimum of the very objective the census reports): 4
+    * semi-synchronous parity sweeps ([[louvainRounds]] —
+    * exact-integer ΔQ, no division, ties to the smallest community
+    * id), then [[modularityCensus]]'s
     * per-community readout with the com = −1 total row whose
     * contribution IS Q — directly comparable to q481's census over
     * the SAME projection. Scale: identical loop discipline to q481 —
@@ -1468,14 +1478,15 @@ object GraphOps {
       import s.implicits._
       val edges = tradeEdges(s, d).persist(StorageLevel.MEMORY_AND_DISK)
       val g = coPurchaseEdges(edges).persist(StorageLevel.MEMORY_AND_DISK)
-      try modularityCensus(g, louvainRounds(g, 3))
+      try modularityCensus(g, louvainRounds(g, 4))
       finally { g.unpersist(blocking = false); edges.unpersist(blocking = false) }
     },
     Some {
       // Each round MATERIALIZED (the q481-oracle lesson); the score is
       // the same division-free 2m·k − Σtot′·k_n integer form the Spark
-      // side compares.
-      val rounds = (1 to 3).map { r =>
+      // side compares, and each round moves only the n ≡ r (mod 2)
+      // parity class (louvainRounds' semi-synchronous coloring).
+      val rounds = (1 to 4).map { r =>
         s"""tot$r AS (SELECT com, CAST(sum(kn) AS BIGINT) AS tot
            |  FROM l${r - 1} JOIN nd USING (n) GROUP BY 1),
            |knc$r AS (SELECT b.dst AS n, l.com, CAST(count(*) AS BIGINT) AS k
@@ -1488,10 +1499,14 @@ object GraphOps {
            |      - (t.tot - CASE WHEN c.com = cur.com THEN nd.kn ELSE 0 END) * nd.kn
            |      AS score
            |  FROM cand$r c JOIN nd USING (n) JOIN tot$r t USING (com)
-           |  JOIN l${r - 1} cur ON cur.n = c.n CROSS JOIN m0),
-           |l$r AS MATERIALIZED (SELECT n, com FROM (
+           |  JOIN l${r - 1} cur ON cur.n = c.n CROSS JOIN m0
+           |  WHERE c.n % 2 = ${r % 2}),
+           |l$r AS MATERIALIZED (
+           |  SELECT n, com FROM (
            |    SELECT n, com, row_number() OVER (PARTITION BY n ORDER BY score DESC, com) AS rn
-           |    FROM sc$r) WHERE rn = 1)""".stripMargin
+           |    FROM sc$r) WHERE rn = 1
+           |  UNION ALL
+           |  SELECT n, com FROM l${r - 1} WHERE n % 2 <> ${r % 2})""".stripMargin
       }.mkString(",\n")
       s"""WITH $sqlCoPurchaseCtes,
          |bi AS MATERIALIZED (SELECT u AS src, v AS dst FROM g
@@ -1501,7 +1516,7 @@ object GraphOps {
          |m0 AS (SELECT CAST(count(*) AS BIGINT) AS m FROM g),
          |l0 AS MATERIALIZED (SELECT n, n AS com FROM nd),
          |$rounds,
-         |${sqlModularityCensus("l3")}""".stripMargin
+         |${sqlModularityCensus("l4")}""".stripMargin
     },
   )
 
