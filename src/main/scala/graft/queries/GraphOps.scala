@@ -1520,6 +1520,94 @@ object GraphOps {
     },
   )
 
+  /** q497 — PERSONALIZED PageRank over the co-purchase projection (the
+    * seed-anchored centrality beside q126's global PageRank and q490's
+    * hop-bounded harmonic: "important FROM these hubs' point of view" —
+    * the similar-supplier readout a recommender wants, where global PR
+    * answers a different question entirely): teleport mass concentrated
+    * on the top-2 hubs by (degree, id) — q490's deterministic seed
+    * pick — PPR₀ = e, PPRₖ₊₁ = 0.15·e + 0.85·A·PPRₖ, 3 damped sweeps,
+    * top-15 nodes by (rank, id) with their seed flag. Determinism is
+    * q126's fixed-point discipline verbatim: rank lives in integer
+    * units of 10⁻¹⁵ of the total mass, every step BIGINT mul/div with
+    * identical truncation on both engines — unconditional hash match.
+    * Scale: q126's sweep shape on the projection — the degree-attached
+    * edge frame is built once and localCheckpoint'ed, each sweep
+    * broadcasts the node-sized rank frame onto it (no edge bytes move),
+    * and the readout is a TakeOrdered top-15, no global sort. */
+  val q497 = QuerySpec(
+    "q497_personalized_pagerank",
+    (s, d) => {
+      import s.implicits._
+      val edges0 = tradeEdges(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+      val g = coPurchaseEdges(edges0).persist(StorageLevel.MEMORY_AND_DISK)
+      try graft.Confs.withShufflePartitions(s, 8) {
+        val bi = g.select($"u".as("src"), $"v".as("dst"))
+          .unionAll(g.select($"v".as("src"), $"u".as("dst")))
+          .localCheckpoint()
+        val deg = bi.groupBy($"src".as("n")).agg(count(lit(1)).as("deg"))
+          .localCheckpoint()
+        val seeds = deg.orderBy($"deg".desc, $"n").limit(2)
+          .select($"n", lit(1L).as("is_seed")).localCheckpoint()
+        val seedUnits = PrUnits / 2L
+        // e(v): the personalization vector — all mass on the seeds.
+        val e = deg.select($"n").join(seeds, Seq("n"), "left")
+          .select($"n",
+            (coalesce($"is_seed", lit(0L)) * lit(seedUnits)).as("e_units"))
+          .localCheckpoint()
+        var pr = e.select($"n", $"e_units".as("pr_units"))
+          .localCheckpoint()
+        val edgesDeg = bi.join(deg.select($"n".as("src"), $"deg"), Seq("src"))
+          .localCheckpoint()
+        for (_ <- 1 to PrIters) {
+          val contribs = edgesDeg
+            .join(broadcast(pr.select($"n".as("src"), $"pr_units")), Seq("src"))
+            .select($"dst", expr("pr_units DIV deg").as("c"))
+            .groupBy($"dst").agg(sum($"c").as("csum"))
+          pr = e
+            .join(contribs.select($"dst".as("n"), $"csum"), Seq("n"), "left")
+            .select($"n",
+              (expr("(15 * e_units) DIV 100") +
+                expr("(85 * coalesce(csum, 0L)) DIV 100")).as("pr_units"))
+            .localCheckpoint()
+        }
+        Eager(pr.join(e.select($"n", ($"e_units" > 0).cast("long").as("is_seed")),
+            Seq("n"))
+          .orderBy($"pr_units".desc, $"n").limit(15)
+          .select($"n".as("node"), $"is_seed", $"pr_units"))
+      } finally { g.unpersist(blocking = false); edges0.unpersist(blocking = false) }
+    },
+    Some {
+      val sweeps = (1 to 3).map { r =>
+        s"""c$r AS (SELECT ed.dst AS n, sum(p.pr_units // ed.deg) AS csum
+           |  FROM pr${r - 1} p JOIN edj ed ON p.n = ed.src GROUP BY 1),
+           |pr$r AS MATERIALIZED (SELECT e.n,
+           |    (15 * e.e_units) // 100 + (85 * coalesce(c.csum, 0)) // 100 AS pr_units
+           |  FROM e LEFT JOIN c$r c USING (n))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $sqlCoPurchaseCtes,
+         |bi AS MATERIALIZED (SELECT u AS src, v AS dst FROM g
+         |  UNION ALL SELECT v, u FROM g),
+         |nd AS MATERIALIZED (SELECT src AS n, CAST(count(*) AS BIGINT) AS deg
+         |  FROM bi GROUP BY 1),
+         |seeds AS (SELECT n FROM (
+         |    SELECT n, row_number() OVER (ORDER BY deg DESC, n) AS rn FROM nd)
+         |  WHERE rn <= 2),
+         |e AS MATERIALIZED (SELECT nd.n,
+         |    CASE WHEN nd.n IN (SELECT n FROM seeds)
+         |      THEN 500000000000000 ELSE 0 END AS e_units
+         |  FROM nd),
+         |edj AS MATERIALIZED (SELECT bi.src, bi.dst, nd.deg
+         |  FROM bi JOIN nd ON bi.src = nd.n),
+         |pr0 AS (SELECT n, e_units AS pr_units FROM e),
+         |$sweeps
+         |SELECT n AS node, CAST(e_units > 0 AS BIGINT) AS is_seed,
+         |  CAST(pr_units AS BIGINT) AS pr_units
+         |FROM pr3 JOIN e USING (n)
+         |ORDER BY pr_units DESC, n LIMIT 15""".stripMargin
+    },
+  )
+
   /** q485 — connected components of the co-purchase projection (the
     * CONNECTIVITY readout beside q481's density communities — LPA can
     * split a connected graph, components never do; comparing the two
@@ -2007,5 +2095,5 @@ object GraphOps {
 
   val all: Seq[QuerySpec] =
     Seq(q59, q94, q126, q148, q226, q304, q310, q378, q435, q448, q454,
-      q476, q477, q478, q481, q485, q486, q487, q489, q490, q495)
+      q476, q477, q478, q481, q485, q486, q487, q489, q490, q495, q497)
 }

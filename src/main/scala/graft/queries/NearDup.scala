@@ -505,6 +505,92 @@ object NearDup {
     },
   )
 
+  /** q498 — MULTI-PROBE SRP-LSH retrieval (the recall lever on q55's
+    * hash tables that costs probes instead of tables: a near-neighbor
+    * whose signature differs from the query's in ONE bit of a chunk
+    * lands in a hamming-1 bucket, so probing each chunk's 8 one-bit
+    * flips beside the exact bucket — 18 buckets total — recovers most
+    * of what a second/third hash table would, without building or
+    * storing one; Lv et al.'s multi-probe argument, on q55's exact
+    * signature machinery): corpus → 16-bit SRP signatures → two 8-bit
+    * chunk buckets (capped — an over-cap bucket is dropped, the q55
+    * degenerate-data guard), query (vec_id 1) probes its 2 exact + 16
+    * hamming-1 buckets, candidates dedupe to their MINIMUM probe
+    * distance, exact-cosine verify, top-10 by (cos, id). Scale: the
+    * bucket build is q55's one-pass broadcast shape; the probe set is
+    * 18 literal (k, cv) rows broadcast onto the bucket table —
+    * bucket-cap-bounded candidates, never a corpus scan per probe —
+    * and verification joins the candidate list (broadcast) against
+    * the corpus once. */
+  val q498 = QuerySpec(
+    "q498_ann_multiprobe_lsh",
+    (s, d) => {
+      import s.implicits._
+      val base = Tables.embeddings(s, d)
+        .select($"vec_id", asDouble($"embedding").as("emb"))
+        .withColumn("nrm", l2Norm($"emb"))
+      val e = Tables.fanOut(base, col("vec_id"))
+      val hyp = base.filter($"vec_id".between(2, 17))
+        .select($"vec_id".as("hid"), $"emb".as("hemb"))
+      val sig = e.crossJoin(broadcast(hyp))
+        .groupBy($"vec_id")
+        .agg(sum(when(dot($"emb", $"hemb") > 0,
+          expr("shiftleft(1L, cast(hid - 2 as int))")).otherwise(0L)).as("sig"))
+      val chunk = sig
+        .select($"vec_id", $"sig", explode(sequence(lit(0), lit(1))).as("k"))
+        .withColumn("cv", expr("shiftright(sig, 8*k) % 256"))
+      val buckets = chunk.groupBy($"k", $"cv")
+        .agg(sort_array(collectCapped($"vec_id", MaxSimhashBucket)).as("ids"))
+        .filter(size($"ids") <= MaxSimhashBucket)
+      // The query's probe sequence: exact bucket (distance 0) + the 8
+      // one-bit flips (distance 1) per chunk.
+      val probes = chunk.filter($"vec_id" === 1)
+        .select($"k", explode(expr(
+          """transform(sequence(-1, 7), b -> named_struct(
+            |  'cv', CASE WHEN b < 0 THEN cv
+            |        ELSE cast(cv ^ shiftleft(1L, cast(b AS INT)) AS BIGINT) END,
+            |  'probe_dist', CASE WHEN b < 0 THEN 0L ELSE 1L END))"""
+            .stripMargin.replaceAll("\n", ""))).as("p"))
+        .select($"k", $"p.cv".as("cv"), $"p.probe_dist".as("probe_dist"))
+      val cand = buckets.join(broadcast(probes), Seq("k", "cv"))
+        .select(explode($"ids").as("vec_id"), $"probe_dist")
+        .filter($"vec_id" =!= 1)
+        .groupBy($"vec_id").agg(min($"probe_dist").as("probe_dist"))
+      val qv = base.filter($"vec_id" === 1)
+        .select($"emb".as("qemb"), $"nrm".as("qnrm"))
+      base.join(broadcast(cand), Seq("vec_id"))
+        .crossJoin(broadcast(qv))
+        .withColumn("cos", dot($"emb", $"qemb") / ($"nrm" * $"qnrm"))
+        .select($"vec_id", $"probe_dist", round($"cos", 4).as("cos_sim"))
+        .orderBy($"cos_sim".desc, $"vec_id")
+        .limit(10)
+    },
+    Some {
+      Seq(
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),",
+        "hyp AS (SELECT vec_id AS hid, emb AS hemb FROM e WHERE vec_id BETWEEN 2 AND 17),",
+        "sig AS (SELECT vec_id,",
+        s"  CAST(sum(CASE WHEN ${sqlDot("v.emb", "hemb")} > 0 THEN (1::BIGINT << (hid - 2)) ELSE 0 END) AS BIGINT) AS sig",
+        "  FROM e v, hyp GROUP BY vec_id),",
+        "chunk AS (SELECT vec_id, sig, k, (sig >> (8*k)) & 255 AS cv FROM sig, generate_series(0,1) g(k)),",
+        "buckets AS (SELECT vec_id, k, cv FROM (",
+        "  SELECT vec_id, k, cv, count(*) OVER (PARTITION BY k, cv) AS bn FROM chunk)",
+        "  WHERE bn <= 128),",
+        "probes AS (SELECT k,",
+        "    CASE WHEN b < 0 THEN cv ELSE xor(cv, 1::BIGINT << b) END AS cv,",
+        "    CASE WHEN b < 0 THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS probe_dist",
+        "  FROM chunk, generate_series(-1, 7) g(b) WHERE vec_id = 1),",
+        "cand AS (SELECT bu.vec_id, CAST(min(p.probe_dist) AS BIGINT) AS probe_dist",
+        "  FROM buckets bu JOIN probes p ON bu.k = p.k AND bu.cv = p.cv",
+        "  WHERE bu.vec_id <> 1 GROUP BY 1),",
+        "qv AS (SELECT emb AS qemb FROM e WHERE vec_id = 1),",
+        s"v AS (SELECT c.vec_id, c.probe_dist, ${sqlCosine("x.emb", "qemb")} AS cos",
+        "      FROM cand c JOIN e x ON x.vec_id = c.vec_id CROSS JOIN qv)",
+        "SELECT vec_id, probe_dist, round(cos, 4) AS cos_sim FROM v",
+        "ORDER BY round(cos, 4) DESC, vec_id LIMIT 10").mkString("\n")
+    },
+  )
+
   /** q81 — IVF + int8 asymmetric distance (the PQ-style compressed-ANN
     * composition of q28's probe path and q68's quantization): the corpus
     * is held int8-quantized (4× smaller — at 100 TB the difference
@@ -1641,5 +1727,6 @@ object NearDup {
   )
 
   val all: Seq[QuerySpec] = Seq(q24, q25, q26, q27, q28, q52, q55, q81, q125,
-    q138, q296, q302, q320, q329, q383, q385, q389, q391, q393, q464, q493)
+    q138, q296, q302, q320, q329, q383, q385, q389, q391, q393, q464, q493,
+    q498)
 }

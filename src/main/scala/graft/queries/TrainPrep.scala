@@ -2392,9 +2392,126 @@ object TrainPrep {
            |ORDER BY pf.segment, pf.fold""".stripMargin),
   )
 
+  /** q499 — VOCABULARY-GROWTH census (the Heaps-law curve a tokenizer
+    * budget is planned against: how fast do new types and hapax
+    * legomena accumulate as the corpus is ingested in doc-id order —
+    * the saturation readout that says whether more data still buys
+    * vocabulary coverage): the corpus is cut into 10 doc-id deciles
+    * (integer cutoffs — dec(doc) = ⌈10·doc_id/mx⌉, the same floor
+    * algebra on both engines) and each checkpoint reports cumulative
+    * docs, tokens, distinct types, NEW types first seen in that
+    * decile, and hapax count (types with cumulative frequency exactly
+    * 1 — the classic tail gauge). Scale: the only corpus-sized shuffle
+    * is the (term, decile) census, map-side combined; everything after
+    * is vocabulary×10-sized (at web scale that is the vocabulary
+    * table any tokenizer trainer materializes anyway — q463's BPE
+    * trainer reads the same census). */
+  val q499 = QuerySpec(
+    "q499_vocab_growth_census",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"doc_id",
+          filter(graft.functions.TextFns.tokens($"text"),
+            t => char_length(t) > 0).as("t"))
+      val mx = docs.agg(max($"doc_id").as("mx"))
+      val tok = docs.select($"doc_id", explode($"t").as("term"))
+        .crossJoin(broadcast(mx))
+        .select($"term", expr("(10L * doc_id + mx - 1L) div mx").as("dec"))
+      val td = tok.groupBy($"term", $"dec").agg(count(lit(1)).as("cnt"))
+      val grid = td.select($"term").distinct()
+        .select($"term", explode(sequence(lit(1L), lit(10L))).as("c"))
+      val w = Window.partitionBy($"term").orderBy($"c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = grid
+        .join(td.withColumnRenamed("dec", "c"), Seq("term", "c"), "left")
+        .na.fill(0L, Seq("cnt"))
+        .withColumn("cum", sum($"cnt").over(w))
+      val perC = cum.filter($"cum" > 0).groupBy($"c")
+        .agg(count(lit(1)).as("vocab_size"),
+          sum(when($"cum" === 1L, 1L).otherwise(0L)).as("hapax_count"),
+          sum(when($"cum" === $"cnt", 1L).otherwise(0L)).as("new_types"))
+      val dd = docs.crossJoin(broadcast(mx))
+        .select(expr("(10L * doc_id + mx - 1L) div mx").as("dec"),
+          size($"t").cast("long").as("ntok"))
+        .groupBy($"dec").agg(count(lit(1)).as("nd"), sum($"ntok").as("nt"))
+      val cg = s.range(1, 11).select($"id".as("c"))
+      cg.join(dd, $"dec" <= $"c", "left")
+        .groupBy($"c")
+        .agg(coalesce(sum($"nd"), lit(0L)).as("n_docs"),
+          coalesce(sum($"nt"), lit(0L)).as("n_tokens"))
+        .join(perC, Seq("c"), "left")
+        .na.fill(0L, Seq("vocab_size", "new_types", "hapax_count"))
+        .select($"c".as("checkpoint"), $"n_docs", $"n_tokens",
+          $"vocab_size", $"new_types", $"hapax_count")
+        .orderBy($"checkpoint")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+           |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+           |      x -> len(x) > 0) AS t
+           |  FROM documents),
+           |mx AS (SELECT max(doc_id) AS mx FROM documents),
+           |tok AS (SELECT term, (10 * doc_id + mx - 1) // mx AS dec
+           |  FROM (SELECT doc_id, unnest(t) AS term FROM d), mx),
+           |td AS (SELECT term, dec, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM tok GROUP BY 1, 2),
+           |grid AS (SELECT term, c
+           |  FROM (SELECT DISTINCT term FROM td), generate_series(1, 10) g(c)),
+           |cum AS (SELECT grid.term, grid.c, coalesce(td.cnt, 0) AS cnt,
+           |    sum(coalesce(td.cnt, 0)) OVER
+           |      (PARTITION BY grid.term ORDER BY grid.c) AS cum
+           |  FROM grid LEFT JOIN td ON td.term = grid.term AND td.dec = grid.c),
+           |perc AS (SELECT c, CAST(count(*) AS BIGINT) AS vocab_size,
+           |    CAST(sum(CASE WHEN cum = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+           |    CAST(sum(CASE WHEN cum = cnt THEN 1 ELSE 0 END) AS BIGINT) AS new_types
+           |  FROM cum WHERE cum > 0 GROUP BY 1),
+           |dd AS (SELECT (10 * doc_id + mx - 1) // mx AS dec,
+           |    CAST(count(*) AS BIGINT) AS nd, CAST(sum(len(t)) AS BIGINT) AS nt
+           |  FROM d, mx GROUP BY 1),
+           |cg AS (SELECT c FROM generate_series(1, 10) g(c)),
+           |dcum AS (SELECT c, CAST(coalesce(sum(nd), 0) AS BIGINT) AS n_docs,
+           |    CAST(coalesce(sum(nt), 0) AS BIGINT) AS n_tokens
+           |  FROM cg LEFT JOIN dd ON dd.dec <= cg.c GROUP BY 1)
+           |SELECT CAST(c AS BIGINT) AS checkpoint, n_docs, n_tokens,
+           |  coalesce(vocab_size, 0) AS vocab_size,
+           |  coalesce(new_types, 0) AS new_types,
+           |  coalesce(hapax_count, 0) AS hapax_count
+           |FROM dcum LEFT JOIN perc USING (c)
+           |ORDER BY checkpoint""".stripMargin),
+  )
+
+  /** q500 — the vocabulary census maintained BY the stream (q499's
+    * table as continuous ingest — the q372/q492 foreachBatch discipline
+    * applied to a PURELY ADDITIVE artifact: term counts merge by sum,
+    * so the maintainer only ever appends its own batch_id partition
+    * and a probe aggregates merged state without locking writers; see
+    * [[graft.streaming.StreamVocabCensus]]). Readout: the Zipf head
+    * (top-10 terms by frequency) beside the totals a tokenizer budget
+    * reads (types, tokens, hapax count). Kill-and-restart exactly-once
+    * is pinned by Round10EdgeSpec. Oracle: the from-scratch census of
+    * the full corpus — stream-maintained ≡ rebuilt. */
+  val q500 = QuerySpec(
+    "q500_stream_vocab_census",
+    (s, d) => graft.streaming.StreamVocabCensus.runOnce(s, d),
+    Some("""WITH d AS (SELECT doc_id,
+           |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+           |      x -> len(x) > 0) AS t
+           |  FROM documents),
+           |tc AS (SELECT term, CAST(count(*) AS BIGINT) AS freq
+           |  FROM (SELECT unnest(t) AS term FROM d) GROUP BY 1),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+           |    CAST(sum(freq) AS BIGINT) AS n_tokens,
+           |    CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+           |  FROM tc),
+           |rk AS (SELECT CAST(row_number() OVER (ORDER BY freq DESC, term) AS INT) AS rank,
+           |    term, freq FROM tc)
+           |SELECT rank, term, freq, n_types, n_tokens, n_hapax
+           |FROM rk, tot WHERE rank <= 10 ORDER BY rank""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] = Seq(q60, q61, q62, q63, q64, q65, q67, q68, q69, q70,
     q86, q87, q88, q89, q90, q96, q100, q101, q106, q110, q149, q150, q160,
     q192, q194, q200, q214, q215, q236, q243, q263, q274, q275, q317, q318,
     q328, q330, q347, q348, q351, q387, q397, q403, q409, q411, q412, q440,
-    q447, q456)
+    q447, q456, q499, q500)
 }

@@ -1,0 +1,150 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+import graft.Tables
+
+/** Streaming MAINTENANCE of the vocabulary census (q500 — q499's
+  * tokenizer-planning table kept current by ingest instead of rebuilt
+  * per release): epoch-0 documents build the per-term census in batch,
+  * then epoch-1 documents arrive as a rate-limited file stream and
+  * every micro-batch appends its own (term, cnt) partial census —
+  * ADDITIVE, which is the whole design: term counts merge by sum, so a
+  * probe reads merged state without locking writers and the maintainer
+  * never rewrites old partitions (contrast the CDC index families,
+  * whose delete verb must rewrite).
+  *
+  * Restart safety (`foreachBatch` is at-least-once): census rows carry
+  * COUNT MASS, so a replayed plain append would double-count — every
+  * per-batch write lands under the batch's OWN `batch_id` partition
+  * with dynamic-partition OVERWRITE (the q372/q492 meta rule): a
+  * replay replaces its previous, possibly partial, output.
+  *
+  * At 100 TB this is the vocabulary table a BPE trainer (q463) reads:
+  * per-batch partials are vocabulary-sized (map-side combined before
+  * the write), the merge is one sum-aggregate over hash-partitioned
+  * term keys, and nothing is ever corpus-quadratic. Oracle: the Zipf
+  * head + totals computed from scratch over the full corpus —
+  * stream-maintained ≡ rebuilt. */
+object StreamVocabCensus {
+
+  private final case class Staged(spark: SparkSession, sfDir: String, tmp: String)
+
+  private def termCounts(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(explode(filter(graft.functions.TextFns.tokens($"text"),
+        t => char_length(t) > 0)).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("cnt"))
+  }
+
+  private[streaming] def writeBatchTo(tmp: String, docs: DataFrame,
+      batchId: Long): Unit = {
+    termCounts(docs)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$tmp/census")
+  }
+
+  /** Epoch-0 batch build + epoch-1 files staged into the stream inbox
+    * (the q492 staging shape: even ids batch, odd ids in two files). */
+  private def stage(spark: SparkSession, sfDir: String): Staged = {
+    import spark.implicits._
+    val st = Staged(spark, sfDir,
+      s"${System.getProperty("java.io.tmpdir")}/graft_svocab_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(12))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"${st.tmp}/in"))
+    writeBatchTo(st.tmp,
+      Tables.fanOut(Tables.documents(spark, sfDir), col("doc_id"))
+        .filter($"doc_id" % 2 === 0)
+        .select($"doc_id", $"text"),
+      batchId = -1L)
+    Seq($"doc_id" % 4 === 1, $"doc_id" % 4 === 3).zipWithIndex.foreach {
+      case (pred, i) =>
+        val stg = s"${st.tmp}/stage_$i"
+        Tables.documents(spark, sfDir).filter(pred)
+          .select($"doc_id", $"text")
+          .coalesce(1).write.parquet(stg)
+        val ls = java.nio.file.Files.list(java.nio.file.Paths.get(stg))
+        try ls.filter(_.toString.endsWith(".parquet")).findFirst.ifPresent { p =>
+          java.nio.file.Files.move(p,
+            java.nio.file.Paths.get(s"${st.tmp}/in/docs_$i.parquet"))
+          ()
+        }
+        finally ls.close()
+    }
+    st
+  }
+
+  private def writer(st: Staged): DataStreamWriter[Row] = {
+    val schema = st.spark.read.parquet(s"${st.tmp}/in").schema
+    st.spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"${st.tmp}/in")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchTo(st.tmp, batch, batchId)
+      }
+      .option("checkpointLocation", s"${st.tmp}/ckpt")
+  }
+
+  /** Zipf head + totals from the maintained partials alone — the q500
+    * readout, byte-identical to a from-scratch census of the full
+    * corpus. Severed from tmp state before cleanup. */
+  private def probe(st: Staged): DataFrame = {
+    import st.spark.implicits._
+    val merged = st.spark.read.parquet(s"${st.tmp}/census")
+      .groupBy($"term").agg(sum($"cnt").as("freq"))
+    val totals = merged.agg(count(lit(1)).as("n_types"),
+      sum($"freq").as("n_tokens"),
+      sum(when($"freq" === 1L, 1L).otherwise(0L)).as("n_hapax"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"freq".desc, $"term")
+    graft.queries.Eager(merged
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .crossJoin(broadcast(totals))
+      .select($"rank", $"term", $"freq", $"n_types", $"n_tokens", $"n_hapax")
+      .orderBy($"rank"))
+  }
+
+  private def cleanup(st: Staged): Unit = graft.Fs.deleteTree(st.tmp)
+
+  def runOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = stage(spark, sfDir)
+    try {
+      val q = writer(st).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      probe(st)
+    } finally cleanup(st)
+  }
+
+  /** Kill after the first streamed batch partition commits, restart on
+    * the SAME checkpoint, drain, probe: the replayed batch dynamically
+    * overwrites its own batch_id partition, so the drained census must
+    * answer exactly like an uninterrupted run. */
+  def runWithRestart(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = stage(spark, sfDir)
+    try {
+      val q1 = writer(st).trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      def streamed(): Boolean = {
+        val fs = Option(new java.io.File(s"${st.tmp}/census").listFiles)
+          .getOrElse(Array.empty[java.io.File])
+        fs.iterator.map(_.getName).filter(_.startsWith("batch_id="))
+          .flatMap(n =>
+            scala.util.Try(n.stripPrefix("batch_id=").toLong).toOption)
+          .exists(_ >= 0L)
+      }
+      while (!streamed() && q1.isActive && System.nanoTime() < deadline)
+        Thread.sleep(1)
+      q1.stop()
+      try q1.awaitTermination()
+      catch { case scala.util.control.NonFatal(_) => () }
+      val q2 = writer(st).trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination()
+      probe(st)
+    } finally cleanup(st)
+  }
+}

@@ -71,6 +71,16 @@ class Round10EdgeSpec extends SparkTestBase {
     assert(rows.head.getAs[Long]("harmonic_x60") === 185L)
   }
 
+  test("q500: vocab-census maintainer killed mid-stream + restarted answers exactly-once") {
+    // Census rows carry count mass (the probe sums them), so a
+    // plain-append replay would double-count; every replayed write
+    // dynamically overwrites its own batch_id partition instead.
+    val uninterrupted = graft.queries.TrainPrep.q500.run(spark, sf).collect().toSeq
+    val restarted = graft.streaming.StreamVocabCensus
+      .runWithRestart(spark, sf).collect().toSeq
+    assert(restarted === uninterrupted)
+  }
+
   test("CdcVictims.pairPredicate: exact pairs, never the cross product") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
