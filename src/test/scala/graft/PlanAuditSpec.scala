@@ -1206,6 +1206,50 @@ class PlanAuditSpec extends SparkTestBase {
     assert(aggsBelow >= 2, "clone collapse not below the pair join on both sides\n" + p)
   }
 
+  test("q496: join-free MaxSim — one corpus scan, per-doc max agg, bounded exchanges") {
+    val p = plan("q496_maxsim_late_interaction")
+    // The query-token vectors are constant-folded literals: scoring a
+    // chunk is pure in-row math, so the whole plan carries NO join of
+    // any kind — the strongest possible form of "no corpus×query
+    // shuffle".
+    assert(!p.contains("Join"), "MaxSim grew a join — token vectors no longer fold\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    // Exactly three exchanges: the fan-out repartition (whose doc_id
+    // partitioning the per-doc max aggregate then REUSES — no
+    // aggregation exchange at all), the |docs|×|queries| ranking
+    // window, and the final order. Counted on the formatted detail
+    // headers (the tree prints each node a second time).
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3, s"expected <= 3 exchange nodes, got $exchanges\n$p")
+  }
+
+  test("q498: probes broadcast onto the bucket table; no product; top-k without global sort") {
+    val p = plan("q498_ann_multiprobe_lsh")
+    // 18 probe literals join the bucket table as a broadcast hash join —
+    // never a shuffle of the buckets toward the probes, never a product.
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), "probe join degraded to a cartesian\n" + p)
+    assert(!p.contains("SortMergeJoin"), "bucket table re-shuffled for the probe join\n" + p)
+    // Top-10 rides per-partition heaps + driver merge.
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q499: corpus shuffles once on (term, decile); documents scan pruned to id+text") {
+    val p = plan("q499_vocab_growth_census")
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toList
+    assert(reads.exists(r => r.contains("doc_id") && r.contains("text")), p)
+    assert(reads.forall(r => !r.contains("lang") && !r.contains("source")),
+      "documents scan reads unused columns\n" + p)
+    // The (term, dec) census is the only corpus-sized exchange; the
+    // vocabulary×10 grid work downstream may add vocabulary-sized ones,
+    // but nothing should ever re-shuffle raw token rows a second time —
+    // pinned by bounding total hash exchanges.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 6, s"expected <= 6 hash exchanges, got $exchanges\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "decile cutoff join degraded to a cartesian\n" + p)
+  }
+
   test("q494: token explode pruned to the query-term set before any shuffle") {
     import org.apache.spark.sql.execution.{FilterExec, GenerateExec, SparkPlan}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
