@@ -1438,11 +1438,15 @@ object GraphOps {
       val cand = knc
         .unionByName(com.select($"n", $"com").withColumn("k", lit(0L)))
         .groupBy($"n", $"com").agg(max($"k").as("k"))
+      // deg / tot / current-label frames are node-sized (tot is
+      // community-sized, ≤ nodes) — broadcast them onto the candidate
+      // stream (q126's rank-frame discipline): a sweep's only
+      // shuffles are the knc census and the per-mover argmax window.
       val moved = cand
         .filter(pmod($"n", lit(2)) === lit(r % 2))
-        .join(deg, Seq("n"))
-        .join(tot, Seq("com"))
-        .join(com.select($"n", $"com".as("cur")), Seq("n"))
+        .join(broadcast(deg), Seq("n"))
+        .join(broadcast(tot), Seq("com"))
+        .join(broadcast(com.select($"n", $"com".as("cur"))), Seq("n"))
         .withColumn("score",
           expr(s"2L * ${mVal}L * k - (tot - CASE WHEN com = cur THEN kn ELSE 0L END) * kn"))
         .withColumn("rn", row_number().over(w))
