@@ -1018,6 +1018,21 @@ object GraphOps {
       |    FROM capped a JOIN capped b ON a.cust = b.cust AND a.supp < b.supp
       |    GROUP BY 1, 2) WHERE sup >= 8)""".stripMargin
 
+  /** [[sqlCoPurchaseCtes]] with the support WEIGHT kept on the final
+    * projection CTE (`gw(u, v, sup)`) — q497's weighted walk consumes
+    * the column the thresholded `g` drops. */
+  private val sqlCoPurchaseWeightedCtes: String =
+    """ed AS (
+      |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |capped AS (SELECT cust, supp FROM (
+      |    SELECT cust, supp, row_number() OVER (PARTITION BY cust ORDER BY supp) AS rn
+      |    FROM ed) WHERE rn <= 16),
+      |gw AS MATERIALIZED (SELECT u, v, sup FROM (
+      |    SELECT a.supp AS u, b.supp AS v, CAST(count(*) AS BIGINT) AS sup
+      |    FROM capped a JOIN capped b ON a.cust = b.cust AND a.supp < b.supp
+      |    GROUP BY 1, 2) WHERE sup >= 8)""".stripMargin
+
   /** q476's pipeline over an already-persisted projection, factored so
     * PlanAuditSpec can pin the orientation shape: triangles via the
     * DEGREE-ORDERED two-path join — each undirected edge is oriented
@@ -1524,49 +1539,56 @@ object GraphOps {
     },
   )
 
-  /** q497 — PERSONALIZED PageRank over the co-purchase projection (the
-    * seed-anchored centrality beside q126's global PageRank and q490's
-    * hop-bounded harmonic: "important FROM these hubs' point of view" —
-    * the similar-supplier readout a recommender wants, where global PR
-    * answers a different question entirely): teleport mass concentrated
-    * on the top-2 hubs by (degree, id) — q490's deterministic seed
-    * pick — PPR₀ = e, PPRₖ₊₁ = 0.15·e + 0.85·A·PPRₖ, 3 damped sweeps,
-    * top-15 nodes by (rank, id) with their seed flag. Determinism is
-    * q126's fixed-point discipline verbatim: rank lives in integer
-    * units of 10⁻¹⁵ of the total mass, every step BIGINT mul/div with
-    * identical truncation on both engines — unconditional hash match.
-    * Scale: q126's sweep shape on the projection — the degree-attached
-    * edge frame is built once and localCheckpoint'ed, each sweep
-    * broadcasts the node-sized rank frame onto it (no edge bytes move),
-    * and the readout is a TakeOrdered top-15, no global sort. */
+  /** q497 — WEIGHTED personalized PageRank over the co-purchase
+    * projection (the walk both q126 and q378 cannot express: those are
+    * UNWEIGHTED walks on the trade bipartite graph — here the random
+    * surfer leaves a supplier along each tie with probability
+    * proportional to the tie's SUPPORT (shared-customer count, the
+    * `sup` column the q476-family threshold consumes and then drops),
+    * so rank flows along STRONG co-purchase relationships instead of
+    * treating a support-8 and a support-200 edge alike — the
+    * "suppliers most reachable from these hubs through heavy ties"
+    * recommendation readout): teleport mass on the top-2 hubs by
+    * (strength, id), 3 damped sweeps, PRₖ₊₁ = 0.15·e + 0.85·Wᵀ·PRₖ
+    * with W the strength-normalized weight matrix. Determinism is
+    * q126's fixed-point discipline with one extension: the per-edge
+    * term pr·w/strength would overflow BIGINT at 10⁻¹⁵ units × large
+    * weights, so it is lifted through DECIMAL(38,0)/HUGEINT before the
+    * floor-divide (q435's d² discipline) — identical truncation on
+    * both engines, unconditional hash match. Scale: the
+    * strength-attached weighted edge frame is built once and
+    * localCheckpoint'ed; each sweep broadcasts the node-sized rank
+    * frame onto it (no edge bytes move); TakeOrdered top-15 readout. */
   val q497 = QuerySpec(
-    "q497_personalized_pagerank",
+    "q497_weighted_pagerank",
     (s, d) => {
       import s.implicits._
       val edges0 = tradeEdges(s, d).persist(StorageLevel.MEMORY_AND_DISK)
-      val g = coPurchaseEdges(edges0).persist(StorageLevel.MEMORY_AND_DISK)
+      val g = basketPairCounts(edges0).filter($"sup" >= 8)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       try graft.Confs.withShufflePartitions(s, 8) {
-        val bi = g.select($"u".as("src"), $"v".as("dst"))
-          .unionAll(g.select($"v".as("src"), $"u".as("dst")))
+        val bi = g.select($"u".as("src"), $"v".as("dst"), $"sup".as("w"))
+          .unionAll(g.select($"v".as("src"), $"u".as("dst"), $"sup".as("w")))
           .localCheckpoint()
-        val deg = bi.groupBy($"src".as("n")).agg(count(lit(1)).as("deg"))
+        val strength = bi.groupBy($"src".as("n")).agg(sum($"w").as("str"))
           .localCheckpoint()
-        val seeds = deg.orderBy($"deg".desc, $"n").limit(2)
+        val seeds = strength.orderBy($"str".desc, $"n").limit(2)
           .select($"n", lit(1L).as("is_seed")).localCheckpoint()
         val seedUnits = PrUnits / 2L
         // e(v): the personalization vector — all mass on the seeds.
-        val e = deg.select($"n").join(seeds, Seq("n"), "left")
+        val e = strength.select($"n").join(seeds, Seq("n"), "left")
           .select($"n",
             (coalesce($"is_seed", lit(0L)) * lit(seedUnits)).as("e_units"))
           .localCheckpoint()
         var pr = e.select($"n", $"e_units".as("pr_units"))
           .localCheckpoint()
-        val edgesDeg = bi.join(deg.select($"n".as("src"), $"deg"), Seq("src"))
+        val edgesW = bi.join(strength.select($"n".as("src"), $"str"), Seq("src"))
           .localCheckpoint()
         for (_ <- 1 to PrIters) {
-          val contribs = edgesDeg
+          val contribs = edgesW
             .join(broadcast(pr.select($"n".as("src"), $"pr_units")), Seq("src"))
-            .select($"dst", expr("pr_units DIV deg").as("c"))
+            .select($"dst", expr(
+              "CAST(CAST(pr_units AS DECIMAL(38,0)) * w DIV str AS BIGINT)").as("c"))
             .groupBy($"dst").agg(sum($"c").as("csum"))
           pr = e
             .join(contribs.select($"dst".as("n"), $"csum"), Seq("n"), "left")
@@ -1583,26 +1605,27 @@ object GraphOps {
     },
     Some {
       val sweeps = (1 to 3).map { r =>
-        s"""c$r AS (SELECT ed.dst AS n, sum(p.pr_units // ed.deg) AS csum
+        s"""c$r AS (SELECT ed.dst AS n,
+           |    sum(CAST(CAST(p.pr_units AS HUGEINT) * ed.w // ed.str AS BIGINT)) AS csum
            |  FROM pr${r - 1} p JOIN edj ed ON p.n = ed.src GROUP BY 1),
            |pr$r AS MATERIALIZED (SELECT e.n,
            |    (15 * e.e_units) // 100 + (85 * coalesce(c.csum, 0)) // 100 AS pr_units
            |  FROM e LEFT JOIN c$r c USING (n))""".stripMargin
       }.mkString(",\n")
-      s"""WITH $sqlCoPurchaseCtes,
-         |bi AS MATERIALIZED (SELECT u AS src, v AS dst FROM g
-         |  UNION ALL SELECT v, u FROM g),
-         |nd AS MATERIALIZED (SELECT src AS n, CAST(count(*) AS BIGINT) AS deg
+      s"""WITH $sqlCoPurchaseWeightedCtes,
+         |bi AS MATERIALIZED (SELECT u AS src, v AS dst, sup AS w FROM gw
+         |  UNION ALL SELECT v, u, sup FROM gw),
+         |st AS MATERIALIZED (SELECT src AS n, CAST(sum(w) AS BIGINT) AS str
          |  FROM bi GROUP BY 1),
          |seeds AS (SELECT n FROM (
-         |    SELECT n, row_number() OVER (ORDER BY deg DESC, n) AS rn FROM nd)
+         |    SELECT n, row_number() OVER (ORDER BY str DESC, n) AS rn FROM st)
          |  WHERE rn <= 2),
-         |e AS MATERIALIZED (SELECT nd.n,
-         |    CASE WHEN nd.n IN (SELECT n FROM seeds)
+         |e AS MATERIALIZED (SELECT st.n,
+         |    CASE WHEN st.n IN (SELECT n FROM seeds)
          |      THEN 500000000000000 ELSE 0 END AS e_units
-         |  FROM nd),
-         |edj AS MATERIALIZED (SELECT bi.src, bi.dst, nd.deg
-         |  FROM bi JOIN nd ON bi.src = nd.n),
+         |  FROM st),
+         |edj AS MATERIALIZED (SELECT bi.src, bi.dst, bi.w, st.str
+         |  FROM bi JOIN st ON bi.src = st.n),
          |pr0 AS (SELECT n, e_units AS pr_units FROM e),
          |$sweeps
          |SELECT n AS node, CAST(e_units > 0 AS BIGINT) AS is_seed,

@@ -2396,7 +2396,13 @@ object TrainPrep {
     * budget is planned against: how fast do new types and hapax
     * legomena accumulate as the corpus is ingested in doc-id order —
     * the saturation readout that says whether more data still buys
-    * vocabulary coverage): the corpus is cut into 10 doc-id deciles
+    * vocabulary coverage). Complements q397, which tracks distinct
+    * 3-SHINGLE vocabulary at 4 halving checkpoints via the
+    * first-occurrence trick: q397's trick cannot produce the HAPAX
+    * tail (that needs per-checkpoint cumulative FREQUENCIES, not first
+    * occurrences), and this census works at the TOKEN level — the unit
+    * the tokenizer trainer (q463) and the q500 streaming maintainer
+    * actually consume. The corpus is cut into 10 doc-id deciles
     * (integer cutoffs — dec(doc) = ⌈10·doc_id/mx⌉, the same floor
     * algebra on both engines) and each checkpoint reports cumulative
     * docs, tokens, distinct types, NEW types first seen in that
