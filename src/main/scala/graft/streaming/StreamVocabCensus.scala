@@ -99,11 +99,15 @@ object StreamVocabCensus {
     val totals = merged.agg(count(lit(1)).as("n_types"),
       sum($"freq").as("n_tokens"),
       sum(when($"freq" === 1L, 1L).otherwise(0L)).as("n_hapax"))
+    // Top-10 FIRST via orderBy+limit (per-partition heaps + driver
+    // merge — TakeOrderedAndProject), THEN the rank window over the
+    // 10 surviving rows: a bare global row_number window would sort
+    // the whole vocabulary through one partition.
     val w = org.apache.spark.sql.expressions.Window
       .orderBy($"freq".desc, $"term")
     graft.queries.Eager(merged
+      .orderBy($"freq".desc, $"term").limit(10)
       .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 10)
       .crossJoin(broadcast(totals))
       .select($"rank", $"term", $"freq", $"n_types", $"n_tokens", $"n_hapax")
       .orderBy($"rank"))
