@@ -591,6 +591,99 @@ object NearDup {
     },
   )
 
+  /** q503 — multi-probe RECALL SWEEP (q384's nprobe cost/recall audit
+    * applied to q498's probe radius: what does each extra hamming ring
+    * BUY — the number that decides how many probes production runs):
+    * for radius 0 (exact buckets only) and radius 1 (+ all one-bit
+    * flips), candidate volume and recall@10 against the exact
+    * brute-force top-10 (q22's cosine order, query excluded), in exact
+    * ppm. Scale: signatures/buckets/candidates are computed ONCE
+    * (q498's shape) and both radii aggregate from the same min-
+    * probe-distance candidate table; the exact baseline is the one
+    * deliberate corpus scan, broadcast-query + TakeOrdered. */
+  val q503 = QuerySpec(
+    "q503_multiprobe_recall_sweep",
+    (s, d) => {
+      import s.implicits._
+      val base = Tables.embeddings(s, d)
+        .select($"vec_id", asDouble($"embedding").as("emb"))
+        .withColumn("nrm", l2Norm($"emb"))
+      val e = Tables.fanOut(base, col("vec_id"))
+      val hyp = base.filter($"vec_id".between(2, 17))
+        .select($"vec_id".as("hid"), $"emb".as("hemb"))
+      val sig = e.crossJoin(broadcast(hyp))
+        .groupBy($"vec_id")
+        .agg(sum(when(dot($"emb", $"hemb") > 0,
+          expr("shiftleft(1L, cast(hid - 2 as int))")).otherwise(0L)).as("sig"))
+      val chunk = sig
+        .select($"vec_id", $"sig", explode(sequence(lit(0), lit(1))).as("k"))
+        .withColumn("cv", expr("shiftright(sig, 8*k) % 256"))
+      val buckets = chunk.groupBy($"k", $"cv")
+        .agg(sort_array(collectCapped($"vec_id", MaxSimhashBucket)).as("ids"))
+        .filter(size($"ids") <= MaxSimhashBucket)
+      val probes = chunk.filter($"vec_id" === 1)
+        .select($"k", explode(expr(
+          """transform(sequence(-1, 7), b -> named_struct(
+            |  'cv', CASE WHEN b < 0 THEN cv
+            |        ELSE cast(cv ^ shiftleft(1L, cast(b AS INT)) AS BIGINT) END,
+            |  'probe_dist', CASE WHEN b < 0 THEN 0L ELSE 1L END))"""
+            .stripMargin.replaceAll("\n", ""))).as("p"))
+        .select($"k", $"p.cv".as("cv"), $"p.probe_dist".as("probe_dist"))
+      val cand = buckets.join(broadcast(probes), Seq("k", "cv"))
+        .select(explode($"ids").as("vec_id"), $"probe_dist")
+        .filter($"vec_id" =!= 1)
+        .groupBy($"vec_id").agg(min($"probe_dist").as("probe_dist"))
+      val qv = base.filter($"vec_id" === 1)
+        .select($"emb".as("qemb"), $"nrm".as("qnrm"))
+      val top10 = e.filter($"vec_id" =!= 1).crossJoin(broadcast(qv))
+        .withColumn("cos", dot($"emb", $"qemb") / ($"nrm" * $"qnrm"))
+        .orderBy($"cos".desc, $"vec_id").limit(10)
+        .select($"vec_id")
+      val hit = cand.join(broadcast(top10.withColumn("hit", lit(1L))),
+        Seq("vec_id"), "left")
+      val radii = Seq(0L, 1L).map { r =>
+        hit.filter($"probe_dist" <= r)
+          .agg(count(lit(1)).as("n_candidates"),
+            coalesce(sum($"hit"), lit(0L)).as("n_hits10"))
+          .select(lit(r).as("radius"), $"n_candidates", $"n_hits10",
+            expr("n_hits10 * 1000000L div 10").as("recall_ppm"))
+      }
+      Eager(radii.reduce(_ unionByName _).orderBy($"radius"))
+    },
+    Some {
+      Seq(
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),",
+        "hyp AS (SELECT vec_id AS hid, emb AS hemb FROM e WHERE vec_id BETWEEN 2 AND 17),",
+        "sig AS (SELECT vec_id,",
+        s"  CAST(sum(CASE WHEN ${sqlDot("v.emb", "hemb")} > 0 THEN (1::BIGINT << (hid - 2)) ELSE 0 END) AS BIGINT) AS sig",
+        "  FROM e v, hyp GROUP BY vec_id),",
+        "chunk AS (SELECT vec_id, sig, k, (sig >> (8*k)) & 255 AS cv FROM sig, generate_series(0,1) g(k)),",
+        "buckets AS (SELECT vec_id, k, cv FROM (",
+        "  SELECT vec_id, k, cv, count(*) OVER (PARTITION BY k, cv) AS bn FROM chunk)",
+        "  WHERE bn <= 128),",
+        "probes AS (SELECT k,",
+        "    CASE WHEN b < 0 THEN cv ELSE xor(cv, 1::BIGINT << b) END AS cv,",
+        "    CASE WHEN b < 0 THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS probe_dist",
+        "  FROM chunk, generate_series(-1, 7) g(b) WHERE vec_id = 1),",
+        "cand AS (SELECT bu.vec_id, CAST(min(p.probe_dist) AS BIGINT) AS probe_dist",
+        "  FROM buckets bu JOIN probes p ON bu.k = p.k AND bu.cv = p.cv",
+        "  WHERE bu.vec_id <> 1 GROUP BY 1),",
+        "qv AS (SELECT emb AS qemb FROM e WHERE vec_id = 1),",
+        s"top10 AS (SELECT vec_id FROM (SELECT x.vec_id, ${sqlCosine("x.emb", "qemb")} AS cos",
+        "    FROM e x CROSS JOIN qv WHERE x.vec_id <> 1)",
+        "  ORDER BY cos DESC, vec_id LIMIT 10),",
+        "hit AS (SELECT c.vec_id, c.probe_dist,",
+        "    CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit",
+        "  FROM cand c LEFT JOIN top10 t USING (vec_id))",
+        "SELECT CAST(r AS BIGINT) AS radius,",
+        "  CAST(count(CASE WHEN probe_dist <= r THEN 1 END) AS BIGINT) AS n_candidates,",
+        "  CAST(coalesce(sum(CASE WHEN probe_dist <= r THEN hit END), 0) AS BIGINT) AS n_hits10,",
+        "  CAST(coalesce(sum(CASE WHEN probe_dist <= r THEN hit END), 0) * 1000000 // 10 AS BIGINT) AS recall_ppm",
+        "FROM hit CROSS JOIN generate_series(0, 1) g(r)",
+        "GROUP BY r ORDER BY radius").mkString("\n")
+    },
+  )
+
   /** q81 — IVF + int8 asymmetric distance (the PQ-style compressed-ANN
     * composition of q28's probe path and q68's quantization): the corpus
     * is held int8-quantized (4× smaller — at 100 TB the difference
@@ -1728,5 +1821,5 @@ object NearDup {
 
   val all: Seq[QuerySpec] = Seq(q24, q25, q26, q27, q28, q52, q55, q81, q125,
     q138, q296, q302, q320, q329, q383, q385, q389, q391, q393, q464, q493,
-    q498)
+    q498, q503)
 }

@@ -1228,7 +1228,119 @@ object Search {
             |ORDER BY query_id, rank""".stripMargin),
   )
 
+  /** q502 — RM3-style LEXICAL query expansion (pseudo-relevance
+    * feedback on the term side, completing the PRF family beside
+    * q404's dense-PRF hybrid: there the feedback doc donates a query
+    * VECTOR; here the top-3 BM25 docs donate expansion TERMS): each
+    * query's top-3 first-pass docs are tokenized, candidate terms
+    * weighted by Σ_D tf(t,D)·10⁶ div dl(D) (the relevance-model
+    * p(t|D) estimate in exact ppm), the top-2 non-original terms join
+    * the query at half weight (λ = 0.5 interpolation), and the corpus
+    * is re-ranked with WEIGHTED BM25 — per-term contribution scaled by
+    * weight_ppm div 10⁶, q278's exact fixed-point formula otherwise
+    * verbatim. Top-5 per query with the matched-term count. Scale:
+    * stage 1 is [[bm25Scored]] (query-term-pruned); the feedback pass
+    * tokenizes only 3×|queries| docs; stage 2's explode prunes against
+    * the BROADCAST expanded-term frame (a dynamic term set, so a
+    * semi-join replaces the literal isin — same |terms|-bounded tf
+    * table, one corpus-keyed shuffle). */
+  val q502 = QuerySpec(
+    "q502_rm3_query_expansion",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"doc_id", toks(s).as("t"))
+      val queries = s.createDataFrame(QueryTerms).toDF("query_id", "term")
+      val wR = Window.partitionBy($"query_id").orderBy($"score_ppm".desc, $"doc_id")
+      val fb = bm25Scored(s, d)
+        .withColumn("r", row_number().over(wR)).filter($"r" <= 3)
+        .select($"query_id", $"doc_id")
+      val wexp = docs.join(broadcast(fb), Seq("doc_id"))
+        .select($"query_id", $"doc_id", size($"t").as("dl"), explode($"t").as("term"))
+        .groupBy($"query_id", $"doc_id", $"dl", $"term")
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("w", expr("tf * 1000000L div dl"))
+        .groupBy($"query_id", $"term").agg(sum($"w").as("w_ppm"))
+      val wE = Window.partitionBy($"query_id").orderBy($"w_ppm".desc, $"term")
+      val expTerms = wexp
+        .join(queries, Seq("query_id", "term"), "left_anti")
+        .withColumn("r", row_number().over(wE)).filter($"r" <= 2)
+        .select($"query_id", $"term", lit(500000L).as("weight_ppm"))
+      val expanded = queries
+        .select($"query_id", $"term", lit(1000000L).as("weight_ppm"))
+        .unionByName(expTerms)
+      val allTerms = expanded.select($"term").distinct()
+      val globals = docs.agg(
+        count(lit(1)).as("n_docs"), sum(size($"t")).as("len_sum"))
+        .select($"n_docs", expr("len_sum * 1000000L div n_docs").as("avgdl_ppm"))
+      val tf2 = docs
+        .select($"doc_id", size($"t").as("dl"), explode($"t").as("term"))
+        .join(broadcast(allTerms), Seq("term"))
+        .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+      val df2 = tf2.groupBy($"term").agg(count(lit(1)).as("df"))
+      val w5 = Window.partitionBy($"query_id").orderBy($"score_ppm".desc, $"doc_id")
+      tf2
+        .join(broadcast(df2), "term")
+        .join(broadcast(expanded), "term")
+        .crossJoin(broadcast(globals))
+        .withColumn("dl_norm_ppm",
+          expr("250000L + (750000L * dl * 1000000L) div avgdl_ppm"))
+        .withColumn("tf_sat_ppm",
+          expr("(tf * 2200000L * 1000000L) div (tf * 1000000L + (12L * dl_norm_ppm) div 10L)"))
+        .withColumn("idf_ppm",
+          expr("((n_docs - df + 1) * 1000000L) div (df + 1)"))
+        .withColumn("contrib_ppm",
+          expr("(weight_ppm * ((idf_ppm * (tf_sat_ppm div 1000L)) div 1000L)) div 1000000L"))
+        .groupBy($"query_id", $"doc_id")
+        .agg(count(lit(1)).as("n_terms_matched"),
+          sum($"contrib_ppm").as("score_ppm"))
+        .withColumn("rank", row_number().over(w5))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"rank", $"doc_id", $"n_terms_matched", $"score_ppm")
+        .orderBy($"query_id", $"rank")
+    },
+    Some(s"""${sqlScoredCtesWhere("")},
+            |fb AS (SELECT query_id, doc_id FROM (
+            |    SELECT query_id, doc_id, row_number() OVER
+            |        (PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) AS r
+            |    FROM scored) WHERE r <= 3),
+            |fbt AS (SELECT query_id, doc_id, dl, term FROM (
+            |    SELECT f.query_id, t.doc_id, len(t.t) AS dl, unnest(t.t) AS term
+            |    FROM fb f JOIN toks t USING (doc_id))),
+            |we1 AS (SELECT query_id, doc_id, dl, term, count(*) AS tf
+            |  FROM fbt GROUP BY 1, 2, 3, 4),
+            |wexp AS (SELECT query_id, term,
+            |    CAST(sum(tf * 1000000 // dl) AS BIGINT) AS w_ppm
+            |  FROM we1 GROUP BY 1, 2),
+            |expn AS (SELECT query_id, term, CAST(500000 AS BIGINT) AS weight_ppm FROM (
+            |    SELECT w.query_id, w.term, row_number() OVER
+            |        (PARTITION BY w.query_id ORDER BY w.w_ppm DESC, w.term) AS r
+            |    FROM wexp w WHERE NOT EXISTS (SELECT 1 FROM q
+            |      WHERE q.query_id = w.query_id AND q.term = w.term))
+            |  WHERE r <= 2),
+            |eq AS (SELECT query_id, term, CAST(1000000 AS BIGINT) AS weight_ppm FROM q
+            |  UNION ALL SELECT query_id, term, weight_ppm FROM expn),
+            |tf2 AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
+            |    SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks)
+            |  WHERE term IN (SELECT DISTINCT term FROM eq)
+            |  GROUP BY 1, 2, 3),
+            |df2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
+            |sc2 AS (SELECT query_id, doc_id,
+            |    CAST(count(*) AS BIGINT) AS n_terms_matched,
+            |    CAST(sum((weight_ppm * (((CAST(n_docs AS BIGINT) - df + 1) * 1000000 // (df + 1))
+            |      * ((tf * 2200000 * 1000000
+            |          // (tf * 1000000 + (12 * (250000 + (750000 * dl * 1000000) // avgdl_ppm)) // 10))
+            |         // 1000) // 1000)) // 1000000) AS BIGINT) AS score_ppm
+            |  FROM tf2 JOIN df2 USING (term) JOIN eq USING (term) CROSS JOIN g
+            |  GROUP BY 1, 2)
+            |SELECT query_id, rank, doc_id, n_terms_matched, score_ppm FROM (
+            |  SELECT *, CAST(row_number() OVER
+            |      (PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) AS INT) AS rank
+            |  FROM sc2) WHERE rank <= 5
+            |ORDER BY query_id, rank""".stripMargin),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q278, q279, q290, q404, q405, q406, q407, q421, q428, q449, q466,
-      q479, q484, q494, q496)
+      q479, q484, q494, q496, q502)
 }

@@ -1318,6 +1318,127 @@ object TrainPrep {
            |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin),
   )
 
+  /** q501 — INCREMENTAL k-means centroid maintenance (the q489/q379
+    * delta discipline extended to the ML clustering artifact q236
+    * builds: a centroid store in production is refreshed by arriving
+    * vectors, not re-Lloyd'ed from scratch): epoch 0 (even vec_ids)
+    * runs q236's two Lloyd iterations and persists the per-(cluster,
+    * dim) SUFFICIENT STATISTICS — exact DECIMAL(30,6) coordinate sums
+    * plus counts, the mergeable form; the epoch-1 delta (odd vec_ids)
+    * is assigned to its nearest epoch-0 centroid (q236's decimal
+    * distance + row_number argmin) and folded in by STATS ADDITION —
+    * decimal sums are associative, so the merged centroids are
+    * bit-identical to computing the same means over the union from
+    * scratch, which is exactly what the oracle does. Readout per
+    * cluster: member/added counts, id checksum, and the squared
+    * centroid drift the delta caused (per-dim doubles squared into
+    * DECIMAL(30,12), summed exactly — q236's residual discipline).
+    * Scale: the delta pass touches only delta rows + a broadcast
+    * k×dims centroid frame; the merge is a (cluster, dim)-sized
+    * aggregate — nothing rescans epoch 0. */
+  val q501 = QuerySpec(
+    "q501_incremental_kmeans_update",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val long = Tables.fanOut(Tables.embeddings(s, d), col("vec_id"))
+        .select($"vec_id", posexplode($"embedding").as(Seq("dim", "xf")))
+        .select($"vec_id", $"dim", $"xf".cast("double").as("x"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val evens = long.filter($"vec_id" % 2 === 0)
+        val odds = long.filter($"vec_id" % 2 === 1)
+        val byVec = Window.partitionBy($"vec_id").orderBy($"dist", $"cid")
+        def assignTo(pts: org.apache.spark.sql.DataFrame,
+            cent: org.apache.spark.sql.DataFrame) =
+          pts.join(broadcast(cent), Seq("dim"))
+            .groupBy($"vec_id", $"cid")
+            .agg(sum((($"x" - $"c") * ($"x" - $"c")).cast("decimal(30,12)"))
+              .as("dist"))
+            .withColumn("rn", row_number().over(byVec))
+            .where($"rn" === 1)
+            .select($"vec_id", $"cid")
+        def meansOf(pts: org.apache.spark.sql.DataFrame,
+            assign: org.apache.spark.sql.DataFrame) =
+          pts.join(assign, Seq("vec_id"))
+            .groupBy($"cid", $"dim")
+            .agg((Det.dsum($"x", 6) / count($"x")).as("c"))
+        // Epoch 0: q236's two Lloyd iterations over the evens.
+        val init = Tables.embeddings(s, d).filter($"vec_id" % 2 === 0)
+          .select($"vec_id", ($"vec_id" % 4).as("cid"))
+        val aEven = assignTo(evens, meansOf(evens, assignTo(evens, meansOf(evens, init))))
+        // The MAINTAINED state: mergeable per-(cluster, dim) stats.
+        val statsEven = evens.join(aEven, Seq("vec_id"))
+          .groupBy($"cid", $"dim")
+          .agg(sum($"x".cast("decimal(30,6)")).as("sx"),
+            count($"x").as("n"))
+        val cEven = statsEven
+          .select($"cid", $"dim", ($"sx".cast("double") / $"n").as("c"))
+        // Delta: assign odds to the FROZEN epoch-0 centroids, fold in
+        // by stats addition.
+        val aOdd = assignTo(odds, cEven)
+        val statsOdd = odds.join(aOdd, Seq("vec_id"))
+          .groupBy($"cid", $"dim")
+          .agg(sum($"x".cast("decimal(30,6)")).as("sx"), count($"x").as("n"))
+        val merged = statsEven.unionByName(statsOdd)
+          .groupBy($"cid", $"dim")
+          .agg(sum($"sx").as("sx"), sum($"n").as("n"))
+          .select($"cid", $"dim", ($"sx".cast("double") / $"n").as("cn"))
+        val drift = merged.join(cEven, Seq("cid", "dim"))
+          .groupBy($"cid")
+          .agg(sum((($"cn" - $"c") * ($"cn" - $"c")).cast("decimal(30,12)"))
+            .cast("double").as("drift"))
+        val members = aEven.unionByName(aOdd)
+        Eager(members.groupBy($"cid")
+          .agg(count(lit(1)).as("n_vecs"), sum($"vec_id").as("id_checksum"))
+          .join(aOdd.groupBy($"cid").agg(count(lit(1)).as("n_added")), Seq("cid"), "left")
+          .na.fill(0L, Seq("n_added"))
+          .join(drift, Seq("cid"))
+          .select($"cid".cast("long").as("cid"), $"n_vecs", $"n_added",
+            $"id_checksum", $"drift")
+          .orderBy($"cid"))
+      } finally { long.unpersist(); () }
+    },
+    Some("""WITH long AS (
+           |  SELECT vec_id, CAST(unnest(range(len(v))) AS INT) AS dim, unnest(v) AS x
+           |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+           |ev AS (SELECT * FROM long WHERE vec_id % 2 = 0),
+           |od AS (SELECT * FROM long WHERE vec_id % 2 = 1),
+           |a0 AS (SELECT vec_id, vec_id % 4 AS cid FROM embeddings WHERE vec_id % 2 = 0),
+           |c1 AS (SELECT cid, dim, CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / count(x) AS c
+           |  FROM ev JOIN a0 USING (vec_id) GROUP BY cid, dim),
+           |d1 AS (SELECT vec_id, cid, sum(CAST((x - c) * (x - c) AS DECIMAL(30,12))) AS dist
+           |  FROM ev JOIN c1 USING (dim) GROUP BY vec_id, cid),
+           |a1 AS (SELECT vec_id, cid FROM (
+           |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |    FROM d1) WHERE rn = 1),
+           |c2 AS (SELECT cid, dim, CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / count(x) AS c
+           |  FROM ev JOIN a1 USING (vec_id) GROUP BY cid, dim),
+           |d2 AS (SELECT vec_id, cid, sum(CAST((x - c) * (x - c) AS DECIMAL(30,12))) AS dist
+           |  FROM ev JOIN c2 USING (dim) GROUP BY vec_id, cid),
+           |a2 AS (SELECT vec_id, cid FROM (
+           |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |    FROM d2) WHERE rn = 1),
+           |ce AS (SELECT cid, dim, CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / count(x) AS c
+           |  FROM ev JOIN a2 USING (vec_id) GROUP BY cid, dim),
+           |dd AS (SELECT vec_id, cid, sum(CAST((x - c) * (x - c) AS DECIMAL(30,12))) AS dist
+           |  FROM od JOIN ce USING (dim) GROUP BY vec_id, cid),
+           |ao AS (SELECT vec_id, cid FROM (
+           |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |    FROM dd) WHERE rn = 1),
+           |au AS (SELECT vec_id, cid FROM a2 UNION ALL SELECT vec_id, cid FROM ao),
+           |cn AS (SELECT cid, dim, CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / count(x) AS cn
+           |  FROM long JOIN au USING (vec_id) GROUP BY cid, dim),
+           |dr AS (SELECT cid, CAST(sum(CAST((cn - c) * (cn - c) AS DECIMAL(30,12))) AS DOUBLE) AS drift
+           |  FROM cn JOIN ce USING (cid, dim) GROUP BY cid)
+           |SELECT CAST(au.cid AS BIGINT) AS cid, count(*) AS n_vecs,
+           |  CAST(coalesce(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_added,
+           |  CAST(sum(vec_id) AS BIGINT) AS id_checksum,
+           |  any_value(drift) AS drift
+           |FROM au JOIN dr ON dr.cid = au.cid
+           |GROUP BY au.cid ORDER BY cid""".stripMargin),
+  )
+
   /** q243 — recent-history feature assembly: each user's LAST-3 event
     * types in recency order, materialized as one feature string — the
     * "short-term behavior context" column every sequence model's
@@ -2519,5 +2640,5 @@ object TrainPrep {
     q86, q87, q88, q89, q90, q96, q100, q101, q106, q110, q149, q150, q160,
     q192, q194, q200, q214, q215, q236, q243, q263, q274, q275, q317, q318,
     q328, q330, q347, q348, q351, q387, q397, q403, q409, q411, q412, q440,
-    q447, q456, q499, q500)
+    q447, q456, q499, q500, q501)
 }
