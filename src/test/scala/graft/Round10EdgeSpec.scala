@@ -81,6 +81,32 @@ class Round10EdgeSpec extends SparkTestBase {
     assert(restarted === uninterrupted)
   }
 
+  test("q501: merged sufficient statistics equal a from-scratch recompute; drift is real") {
+    // The maintained-stats claim on the real corpus: per-cluster member
+    // counts/checksums match the oracle-shaped recompute (the sf0.01
+    // gate pins values; here we pin the ALGEBRA's invariants): every
+    // epoch-1 vector lands somewhere (n_added sums to the odd count),
+    // totals cover the whole corpus, and the delta moved at least one
+    // centroid (drift > 0 somewhere — a no-op merge would hide a
+    // dropped delta).
+    val rows = graft.queries.TrainPrep.q501.run(spark, sf).collect()
+    val nAll = graft.Tables.embeddings(spark, sf).count()
+    val nOdd = graft.Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 1).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum === nAll)
+    assert(rows.map(_.getAs[Long]("n_added")).sum === nOdd)
+    assert(rows.exists(_.getAs[Double]("drift") > 0.0))
+  }
+
+  test("q503: the hamming-1 ring only ever ADDS candidates and recall") {
+    val rows = graft.queries.NearDup.q503.run(spark, sf).collect()
+      .map(r => r.getAs[Long]("radius") ->
+        (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_hits10"))).toMap
+    assert(rows.keySet === Set(0L, 1L))
+    assert(rows(1L)._1 >= rows(0L)._1, rows.toString)
+    assert(rows(1L)._2 >= rows(0L)._2, rows.toString)
+  }
+
   test("CdcVictims.pairPredicate: exact pairs, never the cross product") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
