@@ -176,7 +176,7 @@ object Bench {
     // local diagnosis; too long for the driver's capture window.
     // Self-adjudicating retries (round-9 verdict ask #7: the official
     // artifact should settle its own wall swings instead of needing a
-    // per-round adjudication table). Two pathologies get an automatic
+    // per-round adjudication table). Three pathologies get an automatic
     // third run at the END of the bench, recorded separately:
     //  - STALLED (wall ≫ cpu): the process was descheduled by neighbor
     //    load — the retry under the then-current load bounds the plan's
@@ -184,25 +184,62 @@ object Bench {
     //  - CPU-ANOMALOUS (warm cpu > 3× cold cpu and > 15 s): real extra
     //    compute appeared between two runs of identical code — the r09
     //    trio signature; the retry (plus the code-cache gauge) says
-    //    whether the state persisted.
+    //    whether the state persisted;
+    //  - COLD-OUTLIER (cold wall > 3× its committed idle-host record):
+    //    cold inflation that slips past both gauges — see the
+    //    BENCH_REF.json block below.
     // "adjudicated_total" = cold total with each retried query's wall
     // replaced by min(cold, retry) — the number to read when the
-    // headline total moved on a loaded host.
+    // headline total moved on a loaded host. Only SUCCESSFUL retries
+    // participate (a fast-failing retry must not deflate the total).
+    // COLD-outlier reference (round-10 verdict ask #6: the warm-cpu
+    // trigger below self-adjudicates warm anomalies, but COLD-run
+    // inflation — the r10 official artifact's q320 at 513 cpu-s cold vs
+    // 28 idle — passed straight into adj_total). The committed
+    // idle-host per-query record (BENCH_REF.json, regenerated per round
+    // from the local detail run) gives every query a load-free cold
+    // wall to compare against; a cold wall past 3× its record is a
+    // loaded-host artifact candidate and earns the same end-of-run
+    // retry. Records only apply at the sf they were measured at, and a
+    // missing/unreadable file just disables this trigger (best-effort —
+    // the bench must run on a bare checkout of the jar alone).
+    val (refWalls, refSf) = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_REF.json")
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+        val walls = "\"(q[^\"]+)\":([0-9.eE+-]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val sf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+        (walls, sf)
+      } catch { case scala.util.control.NonFatal(_) =>
+        (Map.empty[String, Double], None) }
+    }
+    val refApplies = refSf.contains(sfDir)
     val retryCands = good.filter(r =>
         (r.cold.wall > 2.0 && r.cold.cpu >= 0 && r.cold.wall > 1.5 * r.cold.cpu) ||
-        (r.warm.cpu > 15.0 && r.cold.cpu > 0 && r.warm.cpu > 3.0 * r.cold.cpu))
+        (r.warm.cpu > 15.0 && r.cold.cpu > 0 && r.warm.cpu > 3.0 * r.cold.cpu) ||
+        (refApplies && r.cold.wall > 2.0 &&
+          refWalls.get(r.name).exists(rec => r.cold.wall > 3.0 * rec)))
       .sortBy(r => -(r.cold.wall)).take(12)
     // recordErr=false: a retry is diagnostic only — a flaky failure here
     // must not flip an all-green bench into an errored one.
     val retries = retryCands.map(r =>
       r.name -> run(r.name, SparkEntry.queries(r.name), recordErr = false))
-    val retryMap = retries.toMap
-    val qr = jmap(retries.map { case (n, m) => n -> m.wall })
-    val qrc = jmap(retries.map { case (n, m) => n -> m.cpu })
+    // Only SUCCESSFUL retries adjudicate: a retry that fails fast would
+    // contribute a near-zero wall and silently deflate adj_total — the
+    // exact headline the docs say to read on a loaded host. Failed
+    // retries are named in retry_failed instead of folded into any sum.
+    val okRetries = retries.filter(_._2.ok)
+    val retryMap = okRetries.toMap
+    val retryFailed = retries.collect { case (n, m) if !m.ok => "\"" + n + "\"" }
+      .mkString("[", ",", "]")
+    val qr = jmap(okRetries.map { case (n, m) => n -> m.wall })
+    val qrc = jmap(okRetries.map { case (n, m) => n -> m.cpu })
     val adjudicatedTotal = good.map(r =>
       retryMap.get(r.name).map(m => math.min(r.cold.wall, m.wall))
         .getOrElse(r.cold.wall)).sum
-    val detail = s"""{"metric":"detail","value":$total,"unit":"sec","queries":$qs,"total_warm":$totalWarm,"queries_warm":$qw,"gc_cold_secs":$qg,"cpu_cold_secs":$qc,"cpu_warm_secs":$qcw,"load_before":$ql,"cached_gb_before":$qm,"codecache_mb_after":$qcc,"codecache_reserve_mb":$ccReserveMb,"queries_retry":$qr,"cpu_retry_secs":$qrc,"adjudicated_total":$adjudicatedTotal,"errors":$errs,"failed_secs":$failedSecs,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"detail","value":$total,"unit":"sec","queries":$qs,"total_warm":$totalWarm,"queries_warm":$qw,"gc_cold_secs":$qg,"cpu_cold_secs":$qc,"cpu_warm_secs":$qcw,"load_before":$ql,"cached_gb_before":$qm,"codecache_mb_after":$qcc,"codecache_reserve_mb":$ccReserveMb,"queries_retry":$qr,"cpu_retry_secs":$qrc,"retry_failed":$retryFailed,"adjudicated_total":$adjudicatedTotal,"errors":$errs,"failed_secs":$failedSecs,"sf":"$sfDir"}"""
     println(detail)
     // Self-adjudication (round-7 ask #1): the detail line ALSO lands in
     // a file that survives the capture window, so every headline wall

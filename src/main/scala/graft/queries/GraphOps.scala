@@ -24,6 +24,26 @@ object GraphOps {
     * instead of an unbounded driver loop. */
   private val MaxIters = 25
 
+  /** Row cap under which an iterative loop's per-round side frame gets
+    * the explicit broadcast hint (~4M rows ≈ 100 MB packed — inside the
+    * driver/executor broadcast comfort zone). The hint matters because
+    * checkpointed RDD frames carry no stats, so without it every round
+    * plans a sort-merge join of the edge frame against a node-sized
+    * dimension; but UNCONDITIONAL broadcast is the opposite failure at
+    * the 100 TB design point — a billion-node label/rank/degree frame
+    * broadcast every round kills the driver (the round-10 trussPeel
+    * lesson, generalized here per the r10 verdict). Every caller
+    * already holds a row count the loop computed for free (node census,
+    * fixpoint victim count), so the switch costs nothing: past the cap
+    * the same join runs as a shuffle — correct at any scale, merely no
+    * longer hinted. */
+  private[graft] val BroadcastRowCap = 4000000L
+
+  /** Broadcast hint gated on a driver-known row count — see
+    * [[BroadcastRowCap]]. */
+  private[graft] def maybeBroadcast(rows: Long): DataFrame => DataFrame =
+    if (rows <= BroadcastRowCap) broadcast else identity
+
   /** Minimum reachable label per node of an undirected edge list.
     * One round = one shuffle-join of labels onto edges + one min-agg;
     * rounds needed = component diameter. At 100 TB-scale graphs with
@@ -77,7 +97,12 @@ object GraphOps {
       if (cell.isNullAt(0)) 0L else cell.getLong(0)
     }
     var prevSum = labelSum(labels)
-    var converged = labels.isEmpty // nothing to propagate on an empty graph
+    // Node census for the broadcast gate below — replaces the old
+    // isEmpty probe (count == 0 IS "nothing to propagate"), so the loop
+    // still pays exactly one setup action.
+    val nNodes = labels.count()
+    val mb = maybeBroadcast(nNodes)
+    var converged = nNodes == 0L
     var iters = 0
     // Frames persisted by the loop that an exception must release: the
     // current `labels` plus (transiently) the round's `next` before the
@@ -93,8 +118,9 @@ object GraphOps {
         // projected dimension — MBs even at 100 TB corpora) and a
         // checkpointed RDD carries no stats, so without the hint every
         // round plans a sort-merge join of the edge frame against a
-        // dimension — broadcast it explicitly.
-        val prop = sym.join(broadcast(labels), $"dst" === $"node")
+        // dimension — hint it, gated on the node census (maybeBroadcast:
+        // a component graph past the cap shuffles instead).
+        val prop = sym.join(mb(labels), $"dst" === $"node")
           .select($"src".as("node"), $"label")
         val next = labels.unionAll(prop)
           .groupBy($"node").agg(min($"label").as("label"))
@@ -274,6 +300,10 @@ object GraphOps {
         val nodes = edges.select($"src".as("node")).distinct()
           .persist(StorageLevel.MEMORY_AND_DISK)
         val n = nodes.count()
+        // Rank-frame hint gated on the node census already in hand —
+        // maybeBroadcast's cap story (a billion-node rank frame must
+        // shuffle, not flood the driver every sweep).
+        val mb = maybeBroadcast(n)
         val teleportUnits = (15L * (PrUnits / n)) / 100L
         // Rank frames persist LAZILY: with a fixed sweep count the one
         // final collect materializes each sweep exactly once through its
@@ -284,7 +314,7 @@ object GraphOps {
           nodes.withColumn("pr_units", lit(PrUnits / n))
             .persist(StorageLevel.MEMORY_AND_DISK),
           PrIters + 1) { pr =>
-          val contribs = edgesDeg.join(broadcast(pr), $"src" === $"node")
+          val contribs = edgesDeg.join(mb(pr), $"src" === $"node")
             .select($"dst", expr("pr_units DIV deg").as("c"))
             .groupBy($"dst").agg(sum($"c").as("csum"))
           nodes.join(contribs, $"node" === $"dst", "left")
@@ -671,6 +701,9 @@ object GraphOps {
           .withColumn("is_seed", seedCol)
           .persist(StorageLevel.MEMORY_AND_DISK)
         val nSeeds = nodes.filter($"is_seed").count()
+        // Same gated rank-frame hint as q126 — the node frame is
+        // persisted, so this census is a cheap second pass over it.
+        val mb = maybeBroadcast(nodes.count())
         val seedShare = PrUnits / nSeeds
         val teleportUnits = (15L * seedShare) / 100L
         val sweeps = Seq.iterate(
@@ -678,7 +711,7 @@ object GraphOps {
               when($"is_seed", lit(seedShare)).otherwise(lit(0L)))
             .persist(StorageLevel.MEMORY_AND_DISK),
           PrIters + 1) { pr =>
-          val contribs = edgesDeg.join(broadcast(pr), $"src" === $"node")
+          val contribs = edgesDeg.join(mb(pr), $"src" === $"node")
             .select($"dst", expr("pr_units DIV deg").as("c"))
             .groupBy($"dst").agg(sum($"c").as("csum"))
           nodes.join(contribs, $"node" === $"dst", "left")
@@ -1437,6 +1470,10 @@ object GraphOps {
       .localCheckpoint()
     val deg = bi.groupBy($"src".as("n")).agg(count(lit(1)).as("kn"))
       .localCheckpoint()
+    // Node census once (the checkpoint is already materialized, so this
+    // count is metadata-cheap) — gates every sweep's side-frame
+    // broadcast below.
+    val mb = maybeBroadcast(deg.count())
     var com = deg.select($"n", $"n".as("com")).localCheckpoint()
     val w = Window.partitionBy($"n").orderBy($"score".desc, $"com")
     for (r <- 1 to rounds) {
@@ -1454,14 +1491,17 @@ object GraphOps {
         .unionByName(com.select($"n", $"com").withColumn("k", lit(0L)))
         .groupBy($"n", $"com").agg(max($"k").as("k"))
       // deg / tot / current-label frames are node-sized (tot is
-      // community-sized, ≤ nodes) — broadcast them onto the candidate
-      // stream (q126's rank-frame discipline): a sweep's only
-      // shuffles are the knc census and the per-mover argmax window.
+      // community-sized, ≤ nodes) — hint them onto the candidate
+      // stream (q126's rank-frame discipline) GATED on the node census
+      // (maybeBroadcast: past BroadcastRowCap a billion-node graph
+      // shuffles these joins instead of flooding the driver): below the
+      // cap a sweep's only shuffles are the knc census and the
+      // per-mover argmax window.
       val moved = cand
         .filter(pmod($"n", lit(2)) === lit(r % 2))
-        .join(broadcast(deg), Seq("n"))
-        .join(broadcast(tot), Seq("com"))
-        .join(broadcast(com.select($"n", $"com".as("cur"))), Seq("n"))
+        .join(mb(deg), Seq("n"))
+        .join(mb(tot), Seq("com"))
+        .join(mb(com.select($"n", $"com".as("cur"))), Seq("n"))
         .withColumn("score",
           expr(s"2L * ${mVal}L * k - (tot - CASE WHEN com = cur THEN kn ELSE 0L END) * kn"))
         .withColumn("rn", row_number().over(w))
@@ -1490,7 +1530,7 @@ object GraphOps {
     * sweep is projection-edge-sized joined against node-sized frames,
     * the census is |communities|-row; at 100 TB the sweep keys stay
     * (node, community) — nothing neighborhood-quadratic. Oracle:
-    * materialized-round SQL unrolling the same 3 sweeps. */
+    * materialized-round SQL unrolling the same 4 sweeps. */
   val q495 = QuerySpec(
     "q495_louvain_ascent",
     (s, d) => {
@@ -1557,8 +1597,11 @@ object GraphOps {
     * floor-divide (q435's d² discipline) — identical truncation on
     * both engines, unconditional hash match. Scale: the
     * strength-attached weighted edge frame is built once and
-    * localCheckpoint'ed; each sweep broadcasts the node-sized rank
-    * frame onto it (no edge bytes move); TakeOrdered top-15 readout. */
+    * localCheckpoint'ed; each sweep hints the node-sized rank frame
+    * onto it (no edge bytes move), gated on the node census
+    * ([[maybeBroadcast]] — past [[BroadcastRowCap]] the sweep join
+    * shuffles instead of broadcasting a billion-node frame);
+    * TakeOrdered top-15 readout. */
   val q497 = QuerySpec(
     "q497_weighted_pagerank",
     (s, d) => {
@@ -1572,6 +1615,9 @@ object GraphOps {
           .localCheckpoint()
         val strength = bi.groupBy($"src".as("n")).agg(sum($"w").as("str"))
           .localCheckpoint()
+        // Node census once (checkpoint already materialized) — gates
+        // every sweep's rank-frame broadcast.
+        val mb = maybeBroadcast(strength.count())
         val seeds = strength.orderBy($"str".desc, $"n").limit(2)
           .select($"n", lit(1L).as("is_seed")).localCheckpoint()
         val seedUnits = PrUnits / 2L
@@ -1586,7 +1632,7 @@ object GraphOps {
           .localCheckpoint()
         for (_ <- 1 to PrIters) {
           val contribs = edgesW
-            .join(broadcast(pr.select($"n".as("src"), $"pr_units")), Seq("src"))
+            .join(mb(pr.select($"n".as("src"), $"pr_units")), Seq("src"))
             .select($"dst", expr(
               "CAST(CAST(pr_units AS DECIMAL(38,0)) * w DIV str AS BIGINT)").as("c"))
             .groupBy($"dst").agg(sum($"c").as("csum"))
@@ -1797,12 +1843,11 @@ object GraphOps {
         // routinely peels a large fraction of the edge list (every
         // support<2 edge), and at the 100 TB scale an unconditional
         // broadcast of that fraction exceeds driver/broadcast limits.
-        // Past the cap (~4M pairs ≈ 100 MB packed) the same joins run
-        // as shuffles — the victim count is on the driver for free
-        // from the fixpoint check, so the switch costs nothing.
-        val maybeBroadcast: org.apache.spark.sql.DataFrame =>
-            org.apache.spark.sql.DataFrame =
-          if (r <= 4000000L) broadcast else identity
+        // Past BroadcastRowCap the same joins run as shuffles — the
+        // victim count is on the driver for free from the fixpoint
+        // check, so the switch costs nothing (the shared helper; same
+        // gate as the minLabel/louvain/PageRank loops).
+        val mbv = maybeBroadcast(r)
         // Dying triangles of the CURRENT graph: a victim (a, b)
         // closes a triangle with every w adjacent to BOTH endpoints —
         // w comes off a's adjacency (bi), membership of (b, w) is a
@@ -1812,7 +1857,7 @@ object GraphOps {
         val bi = sup.select($"u".as("src"), $"v".as("dst"))
           .unionAll(sup.select($"v".as("src"), $"u".as("dst")))
         val tri = bi
-          .join(maybeBroadcast(victims.select($"u".as("src"), $"v".as("b"))), Seq("src"))
+          .join(mbv(victims.select($"u".as("src"), $"v".as("b"))), Seq("src"))
           .filter($"dst" =!= $"b")
           .select($"src".as("a"), $"b", $"dst".as("w"))
           .join(sup.select($"u", $"v"),
@@ -1830,7 +1875,7 @@ object GraphOps {
           .select($"e.u", $"e.v")
           .groupBy($"u", $"v").agg(count(lit(1)).as("dec"))
         sup = sup.filter($"cn" >= 2)
-          .join(maybeBroadcast(dec), Seq("u", "v"), "left")
+          .join(mbv(dec), Seq("u", "v"), "left")
           .select($"u", $"v", ($"cn" - coalesce($"dec", lit(0L))).as("cn"))
           .localCheckpoint()
       }

@@ -675,12 +675,18 @@ object NearDup {
         "hit AS (SELECT c.vec_id, c.probe_dist,",
         "    CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit",
         "  FROM cand c LEFT JOIN top10 t USING (vec_id))",
-        "SELECT CAST(r AS BIGINT) AS radius,",
-        "  CAST(count(CASE WHEN probe_dist <= r THEN 1 END) AS BIGINT) AS n_candidates,",
-        "  CAST(coalesce(sum(CASE WHEN probe_dist <= r THEN hit END), 0) AS BIGINT) AS n_hits10,",
-        "  CAST(coalesce(sum(CASE WHEN probe_dist <= r THEN hit END), 0) * 1000000 // 10 AS BIGINT) AS recall_ppm",
-        "FROM hit CROSS JOIN generate_series(0, 1) g(r)",
-        "GROUP BY r ORDER BY radius").mkString("\n")
+        // Driven from generate_series LEFT JOIN hit (not hit CROSS JOIN
+        // series): the Spark side's per-radius global aggregates emit a
+        // row per radius even when the candidate set is EMPTY (every
+        // bucket over cap), and a cross join against an empty hit CTE
+        // would return 0 rows — the left join keeps both engines at
+        // exactly one row per radius in that state.
+        "SELECT CAST(g.r AS BIGINT) AS radius,",
+        "  CAST(count(h.vec_id) AS BIGINT) AS n_candidates,",
+        "  CAST(coalesce(sum(h.hit), 0) AS BIGINT) AS n_hits10,",
+        "  CAST(coalesce(sum(h.hit), 0) * 1000000 // 10 AS BIGINT) AS recall_ppm",
+        "FROM generate_series(0, 1) g(r) LEFT JOIN hit h ON h.probe_dist <= g.r",
+        "GROUP BY g.r ORDER BY radius").mkString("\n")
     },
   )
 

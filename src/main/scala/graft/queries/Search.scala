@@ -1188,10 +1188,16 @@ object Search {
       // Melt to (query_id, doc_id, score): each query's score is the
       // exact-integer sum of its tokens' rounded maxes.
       val byQuery = QueryTerms.groupBy(_._1).toSeq.sortBy(_._1)
+      // Per-query terms DEDUPED before scoring: the oracle's mc GROUP BY
+      // (query_id, term, doc_id) collapses a duplicate (query_id, term)
+      // pair to one max, so summing per OCCURRENCE here would diverge
+      // the engines the day QueryTerms gains a repeated term — score
+      // and n_terms both count distinct terms.
       val scoreStructs = array(byQuery.map { case (qid, qts) =>
+        val qterms = qts.map(_._2).distinct
         struct(lit(qid).as("query_id"),
-          lit(qts.size.toLong).as("n_terms"),
-          qts.map { case (_, t) =>
+          lit(qterms.size.toLong).as("n_terms"),
+          qterms.map { t =>
             expr(s"CAST(round(m_${terms.indexOf(t)} * 10000) AS BIGINT)")
           }.reduce(_ + _).as("score_x4"))
       }: _*)

@@ -37,10 +37,16 @@ import org.apache.spark.sql.functions._
   */
 object CdcVictims {
   /** Exact membership of `(colA, colB)` in `pairs`, partition-prunable
-    * and O(1)-depth at any victim count. */
+    * and O(1)-depth at any victim count. NULL-safe by construction:
+    * plain `concat` (NOT `concat_ws`, which SKIPS null inputs and would
+    * render a null `a` beside `b` as just "b" — a silent-mismatch trap)
+    * propagates a null partition value to a NULL key, which `isin`
+    * evaluates to null → the row never matches — the correct outcome,
+    * since a victim list of concrete pairs can never name a null
+    * partition. */
   def pairPredicate(colA: String, colB: String, pairs: Seq[(Long, Long)]): Column = {
     require(pairs.nonEmpty, "victim pair list must be non-empty")
-    concat_ws("/", col(colA), col(colB))
+    concat(col(colA).cast("string"), lit("/"), col(colB).cast("string"))
       .isin(pairs.map { case (a, b) => s"$a/$b" }: _*)
   }
 }
