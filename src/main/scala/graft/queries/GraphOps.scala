@@ -1475,43 +1475,55 @@ object GraphOps {
     // broadcast below.
     val mb = maybeBroadcast(deg.count())
     var com = deg.select($"n", $"n".as("com")).localCheckpoint()
-    val w = Window.partitionBy($"n").orderBy($"score".desc, $"com")
-    for (r <- 1 to rounds) {
-      val tot = com.join(deg, Seq("n")).groupBy($"com")
-        .agg(sum($"kn").as("tot"))
-      // k_{n,C}: edges from n into each NEIGHBOR community (the only
-      // communities a move can gain on) — plus the own community as an
-      // explicit candidate at its true k (max picks the knc row when
-      // one exists, the 0-row otherwise: staying is always on the
-      // menu, so an isolated-in-community node can stay put).
-      val knc = bi.join(com.select($"n".as("src"), $"com"), Seq("src"))
-        .groupBy($"dst", $"com").agg(count(lit(1)).as("k"))
-        .select($"dst".as("n"), $"com", $"k")
-      val cand = knc
-        .unionByName(com.select($"n", $"com").withColumn("k", lit(0L)))
-        .groupBy($"n", $"com").agg(max($"k").as("k"))
-      // deg / tot / current-label frames are node-sized (tot is
-      // community-sized, ≤ nodes) — hint them onto the candidate
-      // stream (q126's rank-frame discipline) GATED on the node census
-      // (maybeBroadcast: past BroadcastRowCap a billion-node graph
-      // shuffles these joins instead of flooding the driver): below the
-      // cap a sweep's only shuffles are the knc census and the
-      // per-mover argmax window.
-      val moved = cand
-        .filter(pmod($"n", lit(2)) === lit(r % 2))
-        .join(mb(deg), Seq("n"))
-        .join(mb(tot), Seq("com"))
-        .join(mb(com.select($"n", $"com".as("cur"))), Seq("n"))
-        .withColumn("score",
-          expr(s"2L * ${mVal}L * k - (tot - CASE WHEN com = cur THEN kn ELSE 0L END) * kn"))
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
-        .select($"n", $"com")
-      com = com.filter(pmod($"n", lit(2)) =!= lit(r % 2))
-        .unionByName(moved)
-        .localCheckpoint()
-    }
+    for (r <- 1 to rounds)
+      com = louvainSweep(bi, deg, com, mVal, r, mb).localCheckpoint()
     com
+  }
+
+  /** One semi-synchronous Louvain sweep, factored from
+    * [[louvainRounds]] so its PLAN shape is pinnable (PlanAuditSpec):
+    * returns the next label frame pre-checkpoint. Every node-sized
+    * side frame (deg, Σtot, current labels — tot is community-sized,
+    * ≤ nodes) joins through `mb` (q126's rank-frame discipline gated
+    * on the node census — past [[BroadcastRowCap]] these joins shuffle
+    * instead of flooding the driver), INCLUDING the label frame the
+    * knc census attaches to the edge list: below the cap the edge
+    * frame is never pre-shuffled, so a sweep's only exchanges are the
+    * knc census aggregate, the candidate max-merge, and the per-mover
+    * argmax window. */
+  private[graft] def louvainSweep(bi: org.apache.spark.sql.DataFrame,
+      deg: org.apache.spark.sql.DataFrame, com: org.apache.spark.sql.DataFrame,
+      mVal: Long, r: Int,
+      mb: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import bi.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"n").orderBy($"score".desc, $"com")
+    val tot = com.join(mb(deg), Seq("n")).groupBy($"com")
+      .agg(sum($"kn").as("tot"))
+    // k_{n,C}: edges from n into each NEIGHBOR community (the only
+    // communities a move can gain on) — plus the own community as an
+    // explicit candidate at its true k (max picks the knc row when
+    // one exists, the 0-row otherwise: staying is always on the
+    // menu, so an isolated-in-community node can stay put).
+    val knc = bi.join(mb(com.select($"n".as("src"), $"com")), Seq("src"))
+      .groupBy($"dst", $"com").agg(count(lit(1)).as("k"))
+      .select($"dst".as("n"), $"com", $"k")
+    val cand = knc
+      .unionByName(com.select($"n", $"com").withColumn("k", lit(0L)))
+      .groupBy($"n", $"com").agg(max($"k").as("k"))
+    val moved = cand
+      .filter(pmod($"n", lit(2)) === lit(r % 2))
+      .join(mb(deg), Seq("n"))
+      .join(mb(tot), Seq("com"))
+      .join(mb(com.select($"n", $"com".as("cur"))), Seq("n"))
+      .withColumn("score",
+        expr(s"2L * ${mVal}L * k - (tot - CASE WHEN com = cur THEN kn ELSE 0L END) * kn"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"n", $"com")
+    com.filter(pmod($"n", lit(2)) =!= lit(r % 2))
+      .unionByName(moved)
   }
 
   /** q495 — one-level LOUVAIN modularity ascent over the co-purchase
@@ -1602,6 +1614,29 @@ object GraphOps {
     * ([[maybeBroadcast]] — past [[BroadcastRowCap]] the sweep join
     * shuffles instead of broadcasting a billion-node frame);
     * TakeOrdered top-15 readout. */
+  /** One damped weighted-PPR sweep, factored from q497 so its PLAN
+    * shape is pinnable (PlanAuditSpec): PRₖ₊₁ = 0.15·e + 0.85·Wᵀ·PRₖ
+    * over the strength-attached edge frame, returned pre-checkpoint.
+    * The rank frame joins the edge list through `mb` (no edge bytes
+    * move below [[BroadcastRowCap]]) and the node-sized contribution
+    * frame joins `e` through `mb` too — below the cap a sweep's only
+    * exchange is the contribution aggregate. */
+  private[graft] def pprSweep(edgesW: org.apache.spark.sql.DataFrame,
+      e: org.apache.spark.sql.DataFrame, pr: org.apache.spark.sql.DataFrame,
+      mb: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import edgesW.sparkSession.implicits._
+    val contribs = edgesW
+      .join(mb(pr.select($"n".as("src"), $"pr_units")), Seq("src"))
+      .select($"dst", expr(
+        "CAST(CAST(pr_units AS DECIMAL(38,0)) * w DIV str AS BIGINT)").as("c"))
+      .groupBy($"dst").agg(sum($"c").as("csum"))
+    e.join(mb(contribs.select($"dst".as("n"), $"csum")), Seq("n"), "left")
+      .select($"n",
+        (expr("(15 * e_units) DIV 100") +
+          expr("(85 * coalesce(csum, 0L)) DIV 100")).as("pr_units"))
+  }
+
   val q497 = QuerySpec(
     "q497_weighted_pagerank",
     (s, d) => {
@@ -1630,19 +1665,8 @@ object GraphOps {
           .localCheckpoint()
         val edgesW = bi.join(strength.select($"n".as("src"), $"str"), Seq("src"))
           .localCheckpoint()
-        for (_ <- 1 to PrIters) {
-          val contribs = edgesW
-            .join(mb(pr.select($"n".as("src"), $"pr_units")), Seq("src"))
-            .select($"dst", expr(
-              "CAST(CAST(pr_units AS DECIMAL(38,0)) * w DIV str AS BIGINT)").as("c"))
-            .groupBy($"dst").agg(sum($"c").as("csum"))
-          pr = e
-            .join(contribs.select($"dst".as("n"), $"csum"), Seq("n"), "left")
-            .select($"n",
-              (expr("(15 * e_units) DIV 100") +
-                expr("(85 * coalesce(csum, 0L)) DIV 100")).as("pr_units"))
-            .localCheckpoint()
-        }
+        for (_ <- 1 to PrIters)
+          pr = pprSweep(edgesW, e, pr, mb).localCheckpoint()
         Eager(pr.join(e.select($"n", ($"e_units" > 0).cast("long").as("is_seed")),
             Seq("n"))
           .orderBy($"pr_units".desc, $"n").limit(15)

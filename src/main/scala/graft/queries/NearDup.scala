@@ -648,7 +648,9 @@ object NearDup {
           .select(lit(r).as("radius"), $"n_candidates", $"n_hits10",
             expr("n_hits10 * 1000000L div 10").as("recall_ppm"))
       }
-      Eager(radii.reduce(_ unionByName _).orderBy($"radius"))
+      // No scratch state to sever (nothing persisted or staged), so the
+      // frame is returned lazy — which also keeps the plan pinnable.
+      radii.reduce(_ unionByName _).orderBy($"radius")
     },
     Some {
       Seq(

@@ -1336,6 +1336,28 @@ object TrainPrep {
     * Scale: the delta pass touches only delta rows + a broadcast
     * k×dims centroid frame; the merge is a (cluster, dim)-sized
     * aggregate — nothing rescans epoch 0. */
+  /** One Lloyd assignment pass, factored from q501 so its PLAN shape is
+    * pinnable (PlanAuditSpec): nearest centroid per vector by exact
+    * DECIMAL distance, deterministic argmin (dist, cid). The k×dims
+    * centroid frame is an explicit unconditional broadcast — it is
+    * bounded by the cluster count, never by the corpus — so the only
+    * exchanges are the per-(vec, cid) distance aggregate and the
+    * per-vec argmin window; the point stream itself never pre-shuffles
+    * for the centroid join. */
+  private[graft] def kmeansAssign(pts: org.apache.spark.sql.DataFrame,
+      cent: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import pts.sparkSession.implicits._
+    val byVec = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"dist", $"cid")
+    pts.join(broadcast(cent), Seq("dim"))
+      .groupBy($"vec_id", $"cid")
+      .agg(sum((($"x" - $"c") * ($"x" - $"c")).cast("decimal(30,12)"))
+        .as("dist"))
+      .withColumn("rn", row_number().over(byVec))
+      .where($"rn" === 1)
+      .select($"vec_id", $"cid")
+  }
+
   val q501 = QuerySpec(
     "q501_incremental_kmeans_update",
     (s, d) => {
@@ -1348,16 +1370,8 @@ object TrainPrep {
       try {
         val evens = long.filter($"vec_id" % 2 === 0)
         val odds = long.filter($"vec_id" % 2 === 1)
-        val byVec = Window.partitionBy($"vec_id").orderBy($"dist", $"cid")
         def assignTo(pts: org.apache.spark.sql.DataFrame,
-            cent: org.apache.spark.sql.DataFrame) =
-          pts.join(broadcast(cent), Seq("dim"))
-            .groupBy($"vec_id", $"cid")
-            .agg(sum((($"x" - $"c") * ($"x" - $"c")).cast("decimal(30,12)"))
-              .as("dist"))
-            .withColumn("rn", row_number().over(byVec))
-            .where($"rn" === 1)
-            .select($"vec_id", $"cid")
+            cent: org.apache.spark.sql.DataFrame) = kmeansAssign(pts, cent)
         def meansOf(pts: org.apache.spark.sql.DataFrame,
             assign: org.apache.spark.sql.DataFrame) =
           pts.join(assign, Seq("vec_id"))

@@ -1292,4 +1292,172 @@ class PlanAuditSpec extends SparkTestBase {
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  /** Capture a frame's formatted plan with stats-driven auto-broadcast
+    * OFF — the 100 TB simulation for the gated-hint pins: tiny fixture
+    * frames carry size estimates through localCheckpoint, so without
+    * this Catalyst would broadcast them on stats alone and the pin
+    * couldn't tell the explicit gate from an estimate. */
+  private def planNoAutoBroadcast(df: => DataFrame): String = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q495 (factored): a Louvain sweep broadcasts every node-sized side frame below the cap") {
+    import org.apache.spark.sql.functions._
+    val bi = spark.range(0, 60)
+      .select((col("id") % 12).as("src"), ((col("id") + 5) % 12).as("dst"))
+      .localCheckpoint()
+    val deg = bi.groupBy(col("src").as("n")).agg(count(lit(1)).as("kn"))
+      .localCheckpoint()
+    val com = deg.select(col("n"), col("n").as("com")).localCheckpoint()
+    val p = planNoAutoBroadcast(graft.queries.GraphOps.louvainSweep(
+      bi, deg, com, 30L, 1, graft.queries.GraphOps.maybeBroadcast(12)))
+    // Below BroadcastRowCap the knc census attaches labels to the edge
+    // list by broadcast — the edge frame is never pre-shuffled — and
+    // deg/tot/cur join the candidate stream the same way; with
+    // auto-broadcast off, every one of these is the explicit gated hint.
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "a Louvain sweep shuffled a node-sized side frame below the cap\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "a sweep join degraded to a non-equi form\n" + p)
+    // Bounded exchanges: the knc census, the candidate max-merge, the
+    // Σtot aggregate, and the per-mover argmax window — nothing else.
+    val ex = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(ex <= 4, s"expected <= 4 exchange nodes in a sweep, got $ex\n$p")
+    // Past the cap the SAME sweep must drop every hint: the gate is the
+    // plan's only source of broadcasts at scale.
+    val pBig = planNoAutoBroadcast(graft.queries.GraphOps.louvainSweep(
+      bi, deg, com, 30L, 1,
+      graft.queries.GraphOps.maybeBroadcast(
+        graft.queries.GraphOps.BroadcastRowCap + 1)))
+    assert(!pBig.contains("BroadcastHashJoin"),
+      "past-cap sweep still broadcasts a node frame\n" + pBig)
+  }
+
+  test("q497 (factored): a PPR sweep moves no edge bytes — rank and contribution frames broadcast") {
+    import org.apache.spark.sql.functions._
+    val edgesW = spark.range(0, 60)
+      .select((col("id") % 12).as("src"), ((col("id") + 5) % 12).as("dst"),
+        lit(3L).as("w"), lit(15L).as("str"))
+      .localCheckpoint()
+    val e = spark.range(0, 12)
+      .select(col("id").as("n"), lit(0L).as("e_units")).localCheckpoint()
+    val pr = e.select(col("n"), lit(1000L).as("pr_units")).localCheckpoint()
+    val p = planNoAutoBroadcast(graft.queries.GraphOps.pprSweep(
+      edgesW, e, pr, graft.queries.GraphOps.maybeBroadcast(12)))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "a PPR sweep shuffled the edge or contribution frame below the cap\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // One exchange only: the per-dst contribution aggregate. The rank
+    // frame rides the broadcast into the edge join; the node-sized
+    // contribution frame broadcasts back onto e.
+    val ex = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(ex <= 1, s"expected <= 1 exchange node in a sweep, got $ex\n$p")
+    val pBig = planNoAutoBroadcast(graft.queries.GraphOps.pprSweep(
+      edgesW, e, pr,
+      graft.queries.GraphOps.maybeBroadcast(
+        graft.queries.GraphOps.BroadcastRowCap + 1)))
+    assert(!pBig.contains("BroadcastHashJoin"),
+      "past-cap sweep still broadcasts the rank frame\n" + pBig)
+  }
+
+  test("q495 (factored): Louvain loop output stays one checkpoint scan deep") {
+    // The q477 discipline for the heaviest iterative loop: each round
+    // localCheckpoints, so everything downstream of the sweeps must
+    // plan over ExistingRDD scans, never a replayed projection lineage.
+    // (q497's full query is Eager-severed — its sweep shape is pinned
+    // above instead.)
+    val edges = graft.queries.GraphOps.tradeEdges(spark, sf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val g = graft.queries.GraphOps.coPurchaseEdges(edges)
+      val com = graft.queries.GraphOps.louvainRounds(g, 2)
+      val p = com.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("Scan ExistingRDD"),
+        "Louvain round output is not a checkpoint scan\n" + p)
+      assert(!p.contains("WindowGroupLimit"),
+        "Louvain output replays the projection build\n" + p)
+    } finally edges.unpersist(blocking = false)
+  }
+
+  test("q500 (factored): the compacted census probe reads O(generations) leaf dirs") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_census_pin").toString
+    try {
+      // Five maintained partitions: the epoch-0 build plus 4 streamed
+      // batches.
+      val docs = spark.range(0, 40)
+        .select($"id".as("doc_id"),
+          concat(lit("tok"), ($"id" % 7).cast("string"), lit(" x")).as("text"))
+      graft.streaming.StreamVocabCensus.writeBatchTo(tmp, docs, -1L)
+      (0L to 3L).foreach(b =>
+        graft.streaming.StreamVocabCensus.writeBatchTo(
+          tmp, docs.filter($"doc_id" % 4 === b), b))
+      val before = graft.streaming.StreamVocabCensus.mergedCensus(spark, tmp)
+        .orderBy($"term").collect().toSeq
+      graft.streaming.StreamVocabCensus.compact(spark, tmp)
+      val merged = graft.streaming.StreamVocabCensus.mergedCensus(spark, tmp)
+      val scans = merged.queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, merged.queryExecution.sparkPlan.toString)
+      val read = scans.map(_.selectedPartitions.partitionCount).sum
+      assert(read == 1,
+        s"compacted census probe read $read leaf partitions, expected 1 generation")
+      // And the fold is answer-invariant: counts merge by sum.
+      assert(merged.orderBy($"term").collect().toSeq === before)
+    } finally graft.Fs.deleteTree(tmp)
+  }
+
+  test("q501 (factored): Lloyd assignment broadcasts the centroid frame; two bounded exchanges") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val pts = spark.range(0, 120)
+      .select(($"id" / 8).cast("long").as("vec_id"), ($"id" % 8).cast("int").as("dim"),
+        ($"id" % 5).cast("double").as("x"))
+      .localCheckpoint()
+    val cent = spark.range(0, 32)
+      .select(($"id" / 8).as("cid"), ($"id" % 8).cast("int").as("dim"),
+        ($"id" % 3).cast("double").as("c"))
+      .localCheckpoint()
+    val p = graft.queries.TrainPrep.kmeansAssign(pts, cent)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // The k×dims centroid frame broadcasts onto the point stream — the
+    // corpus never pre-shuffles for the centroid join.
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // Distance aggregate + per-vec argmin window: two exchanges, no more.
+    val ex = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(ex <= 2, s"expected <= 2 exchange nodes, got $ex\n$p")
+  }
+
+  test("q502: expansion scoring is broadcast-shaped end to end — no product, no corpus sort-merge") {
+    val p = plan("q502_rm3_query_expansion")
+    // Stage-2's token explode prunes against the broadcast dynamic term
+    // set; df/weight/global frames broadcast onto the pruned tf table.
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"),
+      "an RM3 join degraded to a cartesian\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus re-shuffled for a term/dim frame join\n" + p)
+  }
+
+  test("q503: probes broadcast onto capped buckets; the exact mirror is the only scan product") {
+    val p = plan("q503_multiprobe_recall_sweep")
+    // The 18 probe rows join the bucket table as a broadcast hash join.
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"),
+      "probe join degraded to a cartesian\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "bucket table re-shuffled for the probe join\n" + p)
+    // The deliberate exact-baseline top-10 rides per-partition heaps.
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamVocabCensus
+
+/** Named edge cases for the round-11 additions, led by the census-store
+  * compaction lifecycle (q500 + the round-10 verdict's ask #5): the fold
+  * must survive a kill at EVERY protocol stage — mid-stage (no marker →
+  * the garbage stage is discarded and the store never lost a row),
+  * immediately after the marker (recovery completes the whole fold), and
+  * mid-commit (recovery converges the half-processed state) — with the
+  * probe's merged answer invariant throughout.
+  */
+class Round11EdgeSpec extends SparkTestBase {
+
+  /** A census store with the epoch-0 build plus `n` streamed batches,
+    * in a fresh tmp tree; term masses differ per batch so any
+    * double-count or loss shifts a frequency. */
+  private def buildStore(n: Int): String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_census_edge").toString
+    val docs = spark.range(0, 60)
+      .select($"id".as("doc_id"),
+        concat(lit("w"), ($"id" % 9).cast("string"), lit(" common")).as("text"))
+    StreamVocabCensus.writeBatchTo(tmp, docs, -1L)
+    (0 until n).foreach(b =>
+      StreamVocabCensus.writeBatchTo(
+        tmp, docs.filter($"doc_id" % n === b), b.toLong))
+    tmp
+  }
+
+  private def counts(tmp: String): Seq[(String, Long)] = {
+    import spark.implicits._
+    StreamVocabCensus.mergedCensus(spark, tmp)
+      .orderBy($"term").as[(String, Long)].collect().toSeq
+  }
+
+  private def parts(tmp: String): Seq[String] =
+    Option(new java.io.File(s"$tmp/census").listFiles)
+      .getOrElse(Array.empty[java.io.File])
+      .iterator.filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName).toList.sorted
+
+  test("census compaction: answer-invariant, idempotent, and generation ids never collide") {
+    val tmp = buildStore(3)
+    try {
+      val before = counts(tmp)
+      assert(parts(tmp).size === 4)
+      StreamVocabCensus.compact(spark, tmp)
+      assert(parts(tmp) === Seq("batch_id=-2"), parts(tmp).mkString(","))
+      assert(counts(tmp) === before)
+      // A second compaction of a single-generation store is a no-op...
+      StreamVocabCensus.compact(spark, tmp)
+      assert(parts(tmp) === Seq("batch_id=-2"))
+      // ...and a post-compaction batch (a replay or fresh ingest) lands
+      // beside the generation, then folds into a NEW, more negative one.
+      import spark.implicits._
+      StreamVocabCensus.writeBatchTo(tmp,
+        spark.range(0, 5).select($"id".as("doc_id"), lit("common x").as("text")), 7L)
+      val grown = counts(tmp)
+      StreamVocabCensus.compact(spark, tmp)
+      assert(parts(tmp) === Seq("batch_id=-3"), parts(tmp).mkString(","))
+      assert(counts(tmp) === grown)
+    } finally Fs.deleteTree(tmp)
+  }
+
+  test("census compaction: kill MID-STAGE (no marker) loses nothing — the stage is garbage") {
+    val tmp = buildStore(2)
+    try {
+      val before = counts(tmp)
+      val stage = s"$tmp/census.__compact_stage"
+      // Simulate the kill: the staged data exists (Spark even committed
+      // its own nested _SUCCESS) but the fold's TOP-LEVEL marker never
+      // landed — recovery must treat the whole stage as garbage.
+      assert(StreamVocabCensus.stageCompaction(spark, s"$tmp/census", stage))
+      java.nio.file.Files.delete(java.nio.file.Paths.get(s"$stage/_SUCCESS"))
+      assert(counts(tmp) === before)              // probe recovered-then-read
+      assert(parts(tmp).size === 3, "a partition vanished without a committed fold")
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(stage)))
+      StreamVocabCensus.compact(spark, tmp)       // replayed fold still works
+      assert(parts(tmp) === Seq("batch_id=-2"))
+      assert(counts(tmp) === before)
+    } finally Fs.deleteTree(tmp)
+  }
+
+  test("census compaction: kill AFTER the marker — recovery completes the fold") {
+    val tmp = buildStore(2)
+    try {
+      val before = counts(tmp)
+      val stage = s"$tmp/census.__compact_stage"
+      assert(StreamVocabCensus.stageCompaction(spark, s"$tmp/census", stage))
+      // Killed here: marker committed, commit never ran. The next probe
+      // must finish the fold itself.
+      assert(counts(tmp) === before)
+      assert(parts(tmp) === Seq("batch_id=-2"), parts(tmp).mkString(","))
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(stage)))
+    } finally Fs.deleteTree(tmp)
+  }
+
+  test("census compaction: kill MID-COMMIT converges — folded deletes done, generation still staged") {
+    val tmp = buildStore(2)
+    try {
+      val before = counts(tmp)
+      val stage = s"$tmp/census.__compact_stage"
+      assert(StreamVocabCensus.stageCompaction(spark, s"$tmp/census", stage))
+      // Simulate a commit killed half-way: every folded partition is
+      // already deleted but the staged generation has not moved yet —
+      // the lossiest intermediate state (the store momentarily holds NO
+      // committed data and only the stage carries the census).
+      parts(tmp).foreach(n => Fs.deleteTree(s"$tmp/census/$n"))
+      assert(parts(tmp).isEmpty)
+      assert(counts(tmp) === before)
+      assert(parts(tmp) === Seq("batch_id=-2"))
+    } finally Fs.deleteTree(tmp)
+  }
+}
