@@ -98,6 +98,38 @@ class Round11EdgeSpec extends SparkTestBase {
     } finally Fs.deleteTree(tmp)
   }
 
+  test("weighted vs unweighted Louvain disagree: one heavy tie beats many light ties") {
+    import graft.queries.GraphOps
+    // Two HEAVY PAIRS: A = (2,5) at support 9, B = (6,9) at support 9
+    // — each pair spans the parity classes, so it fuses in round 1 and
+    // nothing ever swap-oscillates. Bridge node 3 (odd) is tied to A by
+    // ONE support-5 edge and to B by TWO support-1 edges. Edge COUNT
+    // says B (2 ties beat 1, once B has fused); edge WEIGHT says A
+    // (mass 5 beats 2) — the exact evidence distinction the weighted
+    // ascent exists for: the unweighted walk moves 3 into B on the
+    // round-3 reconsideration, the weighted walk holds it in A at every
+    // round.
+    val wEdges = spark.createDataFrame(Seq(
+      (2L, 5L, 9L), (6L, 9L, 9L),
+      (3L, 2L, 5L), (3L, 6L, 1L), (3L, 9L, 1L)))
+      .toDF("u", "v", "sup")
+    val unw = GraphOps.louvainRounds(wEdges.select(col("u"), col("v")), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wtd = GraphOps.louvainRoundsWeighted(wEdges, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Both keep the pairs intact...
+    for (com <- Seq(unw, wtd)) {
+      assert(Set(2L, 5L).map(com).size === 1, com.toString)
+      assert(Set(6L, 9L).map(com).size === 1, com.toString)
+      assert(com(2L) !== com(6L), com.toString)
+    }
+    // ...and disagree exactly on the bridge node.
+    assert(unw(3L) === unw(6L),
+      s"unweighted Louvain should follow the 2 light ties into B: $unw")
+    assert(wtd(3L) === wtd(2L),
+      s"weighted Louvain should follow the heavy tie into A: $wtd")
+  }
+
   test("census compaction: kill MID-COMMIT converges — folded deletes done, generation still staged") {
     val tmp = buildStore(2)
     try {
