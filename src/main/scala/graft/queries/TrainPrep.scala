@@ -868,6 +868,107 @@ object TrainPrep {
            |FROM x ORDER BY n_dropped DESC, doc_id LIMIT 20""".stripMargin),
   )
 
+  /** q505 — duplicated-span removal under the KEEP-FIRST policy (the
+    * Lee et al. 2022 substring-dedup verb q160 approximates from the
+    * wrong side: q160 drops EVERY occurrence of a corpus-duplicated
+    * span — boilerplate scrubbing — while the dedup a training
+    * pipeline runs between q106's metric and the tokenizer must keep
+    * exactly ONE copy of each duplicated span so the corpus loses
+    * repetition, not content): docs re-tile into the same
+    * non-overlapping word 8-gram spans, each span's FIRST corpus
+    * occurrence (smallest (doc_id, position) — a total order, so the
+    * survivor is deterministic and oracle-checkable) survives, later
+    * occurrences are dropped, and every document is rebuilt from its
+    * surviving spans in position order plus the sub-span tail.
+    * Readout: top-20 docs by BYTES REMOVED (original length minus
+    * rebuilt length — the number a storage/token budget reads) with
+    * exact span counts and the rebuilt text's md5, so one mis-kept
+    * occurrence flips the gate. Shape: ONE span shuffle — the count
+    * and first-occurrence windows share the same PARTITION BY g
+    * exchange — then the rebuild is a per-doc sorted re-aggregation
+    * (order restored by array_sort on position, never shuffle order)
+    * and the reassembly is in-row. At 100 TB the span key becomes
+    * xxhash64 and survivors join back by hash — same plan. */
+  /** q505's span stage, factored so its one-shuffle claim is pinnable
+    * (PlanAuditSpec): explode the non-overlapping 8-gram spans of
+    * `docs(doc_id, w, nspan)` and mark each occurrence with the corpus
+    * duplicate count and its first-occurrence rank — both windows
+    * PARTITION BY the span text, so one exchange serves the dup census
+    * AND the keep-first rank. Emits (doc_id, k, g, keep). */
+  private[graft] def spanKeepFirst(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id",
+        posexplode(expr(
+          "transform(sequence(0, nspan - 1), k -> concat_ws(' ', slice(w, k * 8 + 1, 8)))"))
+          .as(Seq("k", "g")))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"g")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"g").orderBy($"doc_id", $"k")))
+      .withColumn("keep", $"cnt" < 2 || $"rn" === 1)
+  }
+
+  val q505 = QuerySpec(
+    "q505_span_dedup_keep_first",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+        .select($"doc_id", $"text", split($"text", " ").as("w"))
+        .filter(size($"w") >= 8)
+        .select($"doc_id", $"text", $"w", expr("size(w) div 8").as("nspan"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val rebuilt = spanKeepFirst(docs).groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(!$"keep", 1L).otherwise(0L)).as("n_removed"),
+            concat_ws(" ", expr(
+              "transform(array_sort(collect_list(CASE WHEN keep THEN struct(k, g) END)), x -> x.g)"))
+              .as("kept"))
+        val out = rebuilt.join(docs.select($"doc_id", $"text", $"w", $"nspan"), Seq("doc_id"))
+          .select($"doc_id", $"n_spans", $"n_removed",
+            concat_ws(" ",
+              when($"kept" === "", lit(null)).otherwise($"kept"),
+              expr("nullif(concat_ws(' ', slice(w, nspan * 8 + 1, size(w) - nspan * 8)), '')"))
+              .as("cleaned"),
+            length($"text").as("orig_len"))
+          .select($"doc_id", $"n_spans", $"n_removed",
+            ($"orig_len" - length($"cleaned")).cast("long").as("bytes_removed"),
+            md5($"cleaned").as("cleaned_md5"))
+          .orderBy($"bytes_removed".desc, $"doc_id")
+          .limit(20)
+        Eager(out) // sever from the persisted frame before unpersist
+      } finally { docs.unpersist(); () }
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, text, w, CAST(len(w) // 8 AS INT) AS nspan
+           |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+           |  WHERE len(w) >= 8),
+           |s AS (
+           |  SELECT doc_id, k,
+           |    array_to_string(list_slice(w, k * 8 + 1, k * 8 + 8), ' ') AS g
+           |  FROM d, unnest(generate_series(0, nspan - 1)) AS t(k)),
+           |c AS (SELECT doc_id, k, g,
+           |    count(*) OVER (PARTITION BY g) AS cnt,
+           |    row_number() OVER (PARTITION BY g ORDER BY doc_id, k) AS rn
+           |  FROM s),
+           |r AS (
+           |  SELECT doc_id, count(*) AS n_spans,
+           |    CAST(sum(CASE WHEN cnt >= 2 AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           |    string_agg(g, ' ' ORDER BY k) FILTER (WHERE cnt < 2 OR rn = 1) AS kept
+           |  FROM c GROUP BY doc_id),
+           |x AS (
+           |  SELECT r.doc_id, n_spans, n_removed,
+           |    concat_ws(' ', kept,
+           |      nullif(array_to_string(list_slice(w, nspan * 8 + 1, len(w)), ' '), ''))
+           |      AS cleaned,
+           |    length(text) AS orig_len
+           |  FROM r JOIN d ON r.doc_id = d.doc_id)
+           |SELECT doc_id, n_spans, n_removed,
+           |  CAST(orig_len - length(cleaned) AS BIGINT) AS bytes_removed,
+           |  md5(cleaned) AS cleaned_md5
+           |FROM x ORDER BY bytes_removed DESC, doc_id LIMIT 20""".stripMargin),
+  )
+
   /** q110 — temperature-weighted source mixture (the multilingual-LLM
     * sampling rule, α = 0.5: sample source s at rate ∝ n_s^(α−1), so
     * small sources are up-weighted relative to their share): per-source
@@ -2654,5 +2755,5 @@ object TrainPrep {
     q86, q87, q88, q89, q90, q96, q100, q101, q106, q110, q149, q150, q160,
     q192, q194, q200, q214, q215, q236, q243, q263, q274, q275, q317, q318,
     q328, q330, q347, q348, q351, q387, q397, q403, q409, q411, q412, q440,
-    q447, q456, q499, q500, q501)
+    q447, q456, q499, q500, q501, q505)
 }

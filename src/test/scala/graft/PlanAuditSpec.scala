@@ -1438,6 +1438,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(ex <= 2, s"expected <= 2 exchange nodes, got $ex\n$p")
   }
 
+  test("q505 (factored): dup census and keep-first rank share ONE span exchange") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = spark.range(0, 30)
+      .select($"id".as("doc_id"),
+        split(concat(lit("a b c d e f g h tail"), $"id".cast("string")), " ").as("w"))
+      .withColumn("nspan", expr("size(w) div 8"))
+      .localCheckpoint()
+    val p = graft.queries.TrainPrep.spanKeepFirst(docs)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // Both windows PARTITION BY g — the count and the first-occurrence
+    // rank ride the same hash exchange; a refactor that splits them
+    // doubles the only corpus-sized shuffle in the dedup.
+    val ex = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(ex == 1, s"expected exactly 1 exchange in the span stage, got $ex\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q502: expansion scoring is broadcast-shaped end to end — no product, no corpus sort-merge") {
     val p = plan("q502_rm3_query_expansion")
     // Stage-2's token explode prunes against the broadcast dynamic term

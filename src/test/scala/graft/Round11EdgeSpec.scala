@@ -130,6 +130,51 @@ class Round11EdgeSpec extends SparkTestBase {
       s"weighted Louvain should follow the heavy tie into A: $wtd")
   }
 
+  test("q505 keep-first vs q160 drop-all: the first occurrence survives, later ones go") {
+    import spark.implicits._
+    // Three docs sharing one 8-word span: doc 1 carries the corpus-first
+    // occurrence (plus a unique tail span), docs 2 and 3 repeat it.
+    val span = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val tail = (1 to 8).map(i => s"solo$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q505").toString
+    try {
+      Seq(
+        (1L, s"$span $tail", "en", "web", 0L),
+        (2L, s"$span extra", "en", "web", 0L),
+        (3L, span, "en", "web", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$tmp/documents.parquet")
+      val rows = SparkEntry.queries("q505_span_dedup_keep_first")(spark, tmp)
+        .orderBy($"doc_id").collect()
+      val byDoc = rows.map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+      // Doc 1: both spans kept (it owns the first occurrence) — rebuilt
+      // text is byte-identical to the original.
+      assert(byDoc(1L)._2 === 0L, byDoc.toString)
+      assert(byDoc(1L)._4 === md5Hex(s"$span $tail"), byDoc.toString)
+      // Doc 2: its copy of the span is a later occurrence — removed,
+      // leaving only the sub-span tail "extra".
+      assert(byDoc(2L)._2 === 1L, byDoc.toString)
+      assert(byDoc(2L)._4 === md5Hex("extra"), byDoc.toString)
+      assert(byDoc(2L)._3 === (span.length + 1).toLong, byDoc.toString)
+      // Doc 3: nothing but the duplicated span — rebuilt empty.
+      assert(byDoc(3L)._2 === 1L, byDoc.toString)
+      assert(byDoc(3L)._4 === md5Hex(""), byDoc.toString)
+      // q160 on the same corpus drops EVERY occurrence: doc 1 loses the
+      // span too — the two verbs differ exactly on the survivor.
+      val scrub = SparkEntry.queries("q160_span_scrub")(spark, tmp)
+        .orderBy($"doc_id").collect()
+      val s1 = scrub.find(_.getLong(0) == 1L).get
+      assert(s1.getAs[Long]("n_dropped") === 1L, s1.toString)
+      assert(s1.getAs[String]("cleaned_md5") === md5Hex(tail), s1.toString)
+    } finally Fs.deleteTree(tmp)
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
   test("census compaction: kill MID-COMMIT converges — folded deletes done, generation still staged") {
     val tmp = buildStore(2)
     try {
