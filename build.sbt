@@ -42,3 +42,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:ReservedCodeCacheSize=512m",
   "-XX:+UseCodeCacheFlushing",
 )
+// Optional ad-hoc JVM flags for forked runs without editing the build —
+// the round-11 use is the -XX:+PrintCompilation evidence capture for the
+// intermittent warm-CPU anomaly (BASELINE.md documents the findings).
+javaOptions ++= sys.env.get("SPARK_GRAFT_EXTRA_JVM_OPTS")
+  .toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -1912,9 +1912,16 @@ object GraphOps {
     * for edge tests: minLabel components + per-component node/edge
     * census. Releases the label frame before returning. */
   private[graft] def componentCensus(g: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame =
+    componentCensusFrom(g, minLabel(g.select(
+      g("u").as("src"), g("v").as("dst"))))
+
+  /** The census half of [[componentCensus]], factored so q506 can feed
+    * it star-contraction labels: one row per component (id = the label,
+    * node and edge census). Releases the label frame before returning. */
+  private[graft] def componentCensusFrom(g: org.apache.spark.sql.DataFrame,
+      labels: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import g.sparkSession.implicits._
-    val labels = minLabel(g.select($"u".as("src"), $"v".as("dst")))
     val nodes = labels.groupBy($"label".as("component_id"))
       .agg(count(lit(1)).as("n_nodes"))
     // Edge census by the u endpoint's label — u and v always share a
@@ -1935,6 +1942,144 @@ object GraphOps {
       val edges = tradeEdges(s, d).persist(StorageLevel.MEMORY_AND_DISK)
       val g = coPurchaseEdges(edges).persist(StorageLevel.MEMORY_AND_DISK)
       try Eager(componentCensus(g))
+      finally { g.unpersist(blocking = false); edges.unpersist(blocking = false) }
+    },
+    Some(s"""WITH RECURSIVE $sqlCoPurchaseCtes,
+            |bi AS (SELECT u AS a, v AS b FROM g UNION ALL SELECT v, u FROM g),
+            |reach(src, node) AS (
+            |  SELECT DISTINCT a, a FROM bi
+            |  UNION
+            |  SELECT r.src, e.b FROM reach r JOIN bi e ON r.node = e.a),
+            |lbl AS (SELECT src, min(node) AS label FROM reach GROUP BY src),
+            |nodes AS (SELECT label AS component_id, CAST(count(*) AS BIGINT) AS n_nodes
+            |  FROM lbl GROUP BY 1),
+            |ec AS (SELECT l.label AS component_id, CAST(count(*) AS BIGINT) AS n_edges
+            |  FROM g JOIN lbl l ON g.u = l.src GROUP BY 1)
+            |SELECT component_id, n_nodes, n_edges
+            |FROM nodes JOIN ec USING (component_id)
+            |ORDER BY component_id""".stripMargin),
+  )
+
+  /** One LARGE-STAR operation (Kiveris et al. 2014, "Connected
+    * Components in MapReduce and Beyond"): every node u links each
+    * STRICTLY LARGER neighbor to the minimum of its closed
+    * neighborhood. Input/output are canonical (u > v) self-loop-free
+    * edge frames; the node-sized min frame joins back through `mb`
+    * (the gated broadcast — at 100 TB it shuffles). */
+  private[graft] def largeStar(e: org.apache.spark.sql.DataFrame,
+      mb: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import e.sparkSession.implicits._
+    val bi = e.select($"u".as("src"), $"v".as("dst"))
+      .unionAll(e.select($"v".as("src"), $"u".as("dst")))
+    val mn = bi.groupBy($"src").agg(min($"dst").as("mnd"))
+      .select($"src", least($"src", $"mnd").as("m"))
+    bi.join(mb(mn), Seq("src"))
+      .filter($"dst" > $"src")
+      .select($"dst".as("u"), $"m".as("v"))
+      .distinct()
+  }
+
+  /** One SMALL-STAR operation: every node (as the LARGER endpoint of
+    * its edges) links its smaller neighbors — and itself — to their
+    * collective minimum. Same canonical-frame contract as
+    * [[largeStar]]. */
+  private[graft] def smallStar(e: org.apache.spark.sql.DataFrame,
+      mb: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import e.sparkSession.implicits._
+    val mn = e.groupBy($"u".as("big")).agg(min($"v").as("m"))
+    e.select($"u".as("big"), $"v".as("small"))
+      .join(mb(mn), Seq("big"))
+      .select($"small".as("u"), $"m".as("v"))
+      .filter($"u" =!= $"v")
+      .unionByName(mn.select($"big".as("u"), $"m".as("v")))
+      .distinct()
+  }
+
+  /** Connected-component labels by alternating LARGE-STAR/SMALL-STAR
+    * contraction — the O(log² n)-round algorithm [[minLabel]]'s doc
+    * names as the 100 TB switch and q506 delivers: plain min-label
+    * propagation pays one round per unit of component DIAMETER (a
+    * diameter-10⁴ web-graph chain needs 10⁴ shuffles and would blow
+    * the MaxIters guard), while star contraction halves path lengths
+    * every pair of rounds regardless of diameter (Round11EdgeSpec pins
+    * a 200-node path converging in a handful of rounds where
+    * propagation's cap would fail). Both converge to the SAME unique
+    * fixed point — every node labeled its component minimum — so the
+    * two algorithms are interchangeable behind the census and share
+    * q485's oracle. Per round: two edge-sized aggregates + two gated
+    * node-frame joins, each round localCheckpoint'ed (the q477 rule);
+    * convergence = the (count, Σu, Σv) probe unchanged across a full
+    * large+small pair, which is exact because neither operation can
+    * INCREASE any single edge's endpoint sum — an unchanged total
+    * forces the multiset unchanged. Input: undirected self-loop-free
+    * edges (u, v); output (node, label). */
+  private[graft] def starContractLabels(edges: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ss = edges.sparkSession
+    import ss.implicits._
+    graft.Confs.withShufflePartitions(ss, 8) {
+      var e = edges.filter($"u" =!= $"v")
+        .select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+        .distinct().localCheckpoint(false)
+      def probe(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+        val r = df.agg(count(lit(1)), sum($"u"), sum($"v")).head
+        (r.getLong(0),
+          if (r.isNullAt(1)) 0L else r.getLong(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2))
+      }
+      val nNodes = e.select($"u").unionAll(e.select($"v")).distinct().count()
+      val mb = maybeBroadcast(nNodes)
+      var prev = probe(e)
+      var iters = 0
+      var converged = prev._1 == 0L
+      var pending: org.apache.spark.sql.DataFrame = null
+      try {
+        while (!converged) {
+          iters += 1
+          require(iters <= MaxIters,
+            s"star contraction did not converge in $MaxIters rounds")
+          val next = smallStar(largeStar(e, mb), mb).localCheckpoint(false)
+          pending = next
+          val cur = probe(next)
+          e.unpersist(blocking = false)
+          e = next
+          pending = null
+          converged = cur == prev
+          prev = cur
+        }
+      } catch {
+        case t: Throwable =>
+          e.unpersist(blocking = false)
+          if (pending != null) pending.unpersist(blocking = false)
+          throw t
+      }
+      // At the fixed point the frame is a star forest: every edge points
+      // a node at its component minimum; roots label themselves.
+      e.select($"u".as("node"), $"v".as("label"))
+        .unionByName(e.select($"v".as("node"), $"v".as("label")))
+        .distinct()
+        .localCheckpoint()
+    }
+  }
+
+  /** q506 — connected components by STAR CONTRACTION over the
+    * co-purchase projection (q485's census behind the
+    * diameter-independent algorithm — the promised scale path made
+    * code, see [[starContractLabels]]): identical output to q485 on
+    * every graph, because min-label fixed points are unique — which is
+    * exactly what makes the algorithm swap oracle-checkable. Scale:
+    * O(log² n) rounds of two edge-sized aggregates; the census is the
+    * shared [[componentCensusFrom]]. Oracle: q485's recursive
+    * transitive-closure CTE. */
+  val q506 = QuerySpec(
+    "q506_components_star_contraction",
+    (s, d) => {
+      import s.implicits._
+      val edges = tradeEdges(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+      val g = coPurchaseEdges(edges).persist(StorageLevel.MEMORY_AND_DISK)
+      try Eager(componentCensusFrom(g, starContractLabels(g)))
       finally { g.unpersist(blocking = false); edges.unpersist(blocking = false) }
     },
     Some(s"""WITH RECURSIVE $sqlCoPurchaseCtes,
@@ -2383,5 +2528,5 @@ object GraphOps {
   val all: Seq[QuerySpec] =
     Seq(q59, q94, q126, q148, q226, q304, q310, q378, q435, q448, q454,
       q476, q477, q478, q481, q485, q486, q487, q489, q490, q495, q497,
-      q504)
+      q504, q506)
 }

@@ -1456,6 +1456,27 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q506 (factored): star-contraction ops join the min frame gated — no edge pre-shuffle below the cap") {
+    import org.apache.spark.sql.functions._
+    val e = spark.range(0, 60)
+      .select(greatest(col("id") % 13, (col("id") + 5) % 13).as("u"),
+        least(col("id") % 13, (col("id") + 5) % 13).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    for ((name, op) <- Seq[(String,
+        (DataFrame, DataFrame => DataFrame) => DataFrame)](
+      "largeStar" -> graft.queries.GraphOps.largeStar,
+      "smallStar" -> graft.queries.GraphOps.smallStar)) {
+      val p = planNoAutoBroadcast(op(e, graft.queries.GraphOps.maybeBroadcast(13)))
+      assert(p.contains("BroadcastHashJoin"), s"$name\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$name pre-shuffled the edge frame below the cap\n$p")
+      val pBig = planNoAutoBroadcast(op(e, graft.queries.GraphOps.maybeBroadcast(
+        graft.queries.GraphOps.BroadcastRowCap + 1)))
+      assert(!pBig.contains("BroadcastHashJoin"),
+        s"past-cap $name still broadcasts the min frame\n$pBig")
+    }
+  }
+
   test("q502: expansion scoring is broadcast-shaped end to end — no product, no corpus sort-merge") {
     val p = plan("q502_rm3_query_expansion")
     // Stage-2's token explode prunes against the broadcast dynamic term

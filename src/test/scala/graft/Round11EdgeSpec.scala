@@ -175,6 +175,45 @@ class Round11EdgeSpec extends SparkTestBase {
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
 
+  test("star contraction ≡ min-label propagation on a multi-component graph") {
+    import graft.queries.GraphOps
+    // Three components of different shapes: a 5-cycle, a star, and an
+    // edge — plus ids deliberately out of order so the minimum is not
+    // the first node written.
+    val g = spark.createDataFrame(Seq(
+      (10L, 7L), (7L, 12L), (12L, 9L), (9L, 14L), (14L, 10L),
+      (21L, 25L), (21L, 23L), (21L, 27L),
+      (31L, 30L))).toDF("u", "v")
+    val star = GraphOps.starContractLabels(g)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = GraphOps.minLabel(g.select(col("u").as("src"), col("v").as("dst")))
+    val propM = prop.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    prop.unpersist(blocking = false)
+    assert(star === propM, s"star=$star prop=$propM")
+    assert(star.values.toSet === Set(7L, 21L, 30L), star.toString)
+  }
+
+  test("star contraction beats the diameter wall: a 200-node path converges inside the cap") {
+    import graft.queries.GraphOps
+    import spark.implicits._
+    // Plain min-label propagation moves the minimum ONE hop per round —
+    // a diameter-199 path needs ~200 rounds, far past the MaxIters=25
+    // guard both loops share. Star contraction halves path lengths
+    // every pair of rounds, so the same graph converges in a handful.
+    val path = spark.range(1, 200)
+      .select($"id".as("u"), ($"id" + 1).as("v"))
+    val lbl = GraphOps.starContractLabels(path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl.size === 200)
+    assert(lbl.values.forall(_ == 1L),
+      s"non-min labels survive: ${lbl.filter(_._2 != 1L)}")
+    // And the propagation loop indeed cannot do this one.
+    val thrown = intercept[Exception] {
+      GraphOps.minLabel(path.select($"u".as("src"), $"v".as("dst"))).collect()
+    }
+    assert(thrown.getMessage.contains("did not converge"), thrown.getMessage)
+  }
+
   test("census compaction: kill MID-COMMIT converges — folded deletes done, generation still staged") {
     val tmp = buildStore(2)
     try {
