@@ -1896,6 +1896,176 @@ object GraphOps {
     },
   )
 
+  /** Louvain graph CONTRACTION, factored for q507 and its pins: given
+    * a weighted edge frame `gw(u, v, sup)` and a level-1 partition
+    * `p1(n, com)`, build the community SUPER-GRAPH — super-edges
+    * between distinct communities with summed weight (canonical
+    * u < v), and per-community SELF mass (internal weight, which moves
+    * with the super-node and cancels out of every ΔQ comparison but
+    * must still count in the super-node's STRENGTH: s₂(c) = Σ external
+    * + 2·w_in, the standard multi-level bookkeeping). Returns
+    * (superEdges(u, v, sup), strengths(n, kn)) with every community —
+    * including fully-internal ones with no super-edges — present in
+    * the strength frame, so the level-2 sweep keeps them as their own
+    * super-node. Two label joins + edge-sized aggregates; the label
+    * frame joins through `mb`. */
+  private[graft] def louvainContract(gw: org.apache.spark.sql.DataFrame,
+      p1: org.apache.spark.sql.DataFrame,
+      mb: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import gw.sparkSession.implicits._
+    val ge = gw
+      .join(mb(p1.select($"n".as("u"), $"com".as("cu"))), Seq("u"))
+      .join(mb(p1.select($"n".as("v"), $"com".as("cv"))), Seq("v"))
+      .select($"cu", $"cv", $"sup")
+    val e2 = ge.filter($"cu" =!= $"cv")
+      .select(least($"cu", $"cv").as("u"), greatest($"cu", $"cv").as("v"), $"sup")
+      .groupBy($"u", $"v").agg(sum($"sup").as("sup"))
+    val selfw = ge.filter($"cu" === $"cv")
+      .groupBy($"cu".as("n")).agg(sum($"sup").as("lw"))
+    val ext = e2.select($"u".as("n"), $"sup")
+      .unionAll(e2.select($"v".as("n"), $"sup"))
+      .groupBy($"n").agg(sum($"sup").as("s"))
+    val str2 = p1.select($"com".as("n")).distinct()
+      .join(ext, Seq("n"), "left")
+      .join(selfw, Seq("n"), "left")
+      .select($"n",
+        (coalesce($"s", lit(0L)) + lit(2L) * coalesce($"lw", lit(0L))).as("kn"))
+    (e2, str2)
+  }
+
+  /** q507 — TWO-LEVEL hierarchical Louvain over the weighted
+    * projection (the actual multi-level algorithm — q504 is its level
+    * 1: real Louvain alternates local ascent with graph CONTRACTION,
+    * and the contraction is what lets communities merge that no
+    * single-node move can reach, because moving a whole level-1
+    * community across a tie is one super-node move): 4 weighted parity
+    * sweeps → [[louvainContract]] → 2 more weighted sweeps ON THE
+    * SUPER-GRAPH (the same [[louvainSweepWeighted]] — it is already
+    * parameterized by strength frame and total, and the self-loop mass
+    * rides the strengths while canceling out of every ΔQ comparison) →
+    * labels composed back to original nodes → the weighted modularity
+    * census, whose com = −1 row IS the two-level Q, directly
+    * comparable to q504's one-level Q over the same edges
+    * (Round11EdgeSpec pins a chained-pairs fixture where level 2
+    * strictly improves Q by merging the level-1 pairs). Scale: the
+    * super-graph is |communities|-sized — contraction is the step that
+    * makes Louvain tractable on billion-node graphs, every level
+    * cheaper than the last; sweeps keep q504's gated-broadcast
+    * discipline. Oracle: materialized-round SQL unrolling both levels
+    * and the contraction. */
+  /** q507's full pipeline, factored for edge tests: 4 level-1 weighted
+    * sweeps, contraction, `l2Rounds` level-2 sweeps, labels composed
+    * back to original nodes as (n, com) with com = the level-1 label of
+    * the winning super-node. Level-2 super-nodes are RANK-REMAPPED
+    * (row_number over community id) before sweeping: level-1 labels
+    * inherit whatever parity structure the ascent's tie-breaks produce
+    * — an all-even label set would put every super-node in the same
+    * parity class and degrade the semi-synchronous sweep to the fully
+    * synchronous swap pathology — while dense ranks alternate parity by
+    * construction. The rank window is |communities|-sized (a one-task
+    * sort of a dimension frame, never corpus-sized) and identical in
+    * the oracle. */
+  private[graft] def louvainTwoLevelLabels(gw: org.apache.spark.sql.DataFrame,
+      l2Rounds: Int): org.apache.spark.sql.DataFrame = {
+    import gw.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wTot = {
+      val cell = gw.agg(sum($"sup")).head
+      if (cell.isNullAt(0)) 0L else cell.getLong(0)
+    }
+    val p1 = louvainRoundsWeighted(gw, 4)
+    val mb = maybeBroadcast(p1.count())
+    val rt = p1.select($"com".as("c1")).distinct()
+      .withColumn("rk", row_number().over(Window.orderBy($"c1")))
+      .localCheckpoint()
+    val p1rk = p1.join(mb(rt), $"com" === $"c1")
+      .select($"n", $"rk".as("com"))
+    val (e2, str2raw) = louvainContract(gw, p1rk, mb)
+    val str2 = str2raw.localCheckpoint()
+    val bi2 = e2.select($"u".as("src"), $"v".as("dst"), $"sup".as("w"))
+      .unionAll(e2.select($"v".as("src"), $"u".as("dst"), $"sup".as("w")))
+      .localCheckpoint()
+    var com2 = str2.select($"n", $"n".as("com")).localCheckpoint()
+    for (r <- 1 to l2Rounds)
+      com2 = louvainSweepWeighted(bi2, str2, com2, wTot, r, mb)
+        .localCheckpoint()
+    // Compose back: original node → its community's rank → that rank's
+    // level-2 community rank → that rank's ORIGINAL level-1 label (so
+    // the output community ids stay in the original key space).
+    p1rk.join(mb(com2.select($"n".as("com"), $"com".as("c2rk"))), Seq("com"))
+      .join(mb(rt.select($"rk".as("c2rk"), $"c1".as("com_out"))), Seq("c2rk"))
+      .select($"n", $"com_out".as("com"))
+  }
+
+  val q507 = QuerySpec(
+    "q507_louvain_two_level",
+    (s, d) => {
+      import s.implicits._
+      val edges = tradeEdges(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+      val gw = basketPairCounts(edges).filter($"sup" >= 8)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try modularityCensusWeighted(gw, louvainTwoLevelLabels(gw, 2))
+      finally { gw.unpersist(blocking = false); edges.unpersist(blocking = false) }
+    },
+    Some {
+      def sweeps(lvl: String, bi: String, nd: String, l0: String, n: Int) =
+        (1 to n).map { r =>
+          s"""${lvl}tot$r AS (SELECT com, CAST(sum(kn) AS BIGINT) AS tot
+             |  FROM ${if (r == 1) l0 else s"$lvl${r - 1}"} l JOIN $nd USING (n) GROUP BY 1),
+             |${lvl}knc$r AS (SELECT b.dst AS n, l.com, CAST(sum(b.w) AS BIGINT) AS k
+             |  FROM $bi b JOIN ${if (r == 1) l0 else s"$lvl${r - 1}"} l ON b.src = l.n GROUP BY 1, 2),
+             |${lvl}cand$r AS (SELECT n, com, max(k) AS k FROM (
+             |    SELECT n, com, k FROM ${lvl}knc$r
+             |    UNION ALL SELECT n, com, CAST(0 AS BIGINT) FROM ${if (r == 1) l0 else s"$lvl${r - 1}"}) GROUP BY 1, 2),
+             |${lvl}sc$r AS (SELECT c.n, c.com,
+             |    CAST(2 * m0.m AS HUGEINT) * c.k
+             |      - CAST(t.tot - CASE WHEN c.com = cur.com THEN nd.kn ELSE 0 END AS HUGEINT) * nd.kn
+             |      AS score
+             |  FROM ${lvl}cand$r c JOIN $nd nd USING (n) JOIN ${lvl}tot$r t USING (com)
+             |  JOIN ${if (r == 1) l0 else s"$lvl${r - 1}"} cur ON cur.n = c.n CROSS JOIN m0
+             |  WHERE c.n % 2 = ${r % 2}),
+             |$lvl$r AS MATERIALIZED (
+             |  SELECT n, com FROM (
+             |    SELECT n, com, row_number() OVER (PARTITION BY n ORDER BY score DESC, com) AS rn
+             |    FROM ${lvl}sc$r) WHERE rn = 1
+             |  UNION ALL
+             |  SELECT n, com FROM ${if (r == 1) l0 else s"$lvl${r - 1}"} WHERE n % 2 <> ${r % 2})""".stripMargin
+        }.mkString(",\n")
+      s"""WITH $sqlCoPurchaseWeightedCtes,
+         |bi AS MATERIALIZED (SELECT u AS src, v AS dst, sup AS w FROM gw
+         |  UNION ALL SELECT v, u, sup FROM gw),
+         |nd AS MATERIALIZED (SELECT src AS n, CAST(sum(w) AS BIGINT) AS kn
+         |  FROM bi GROUP BY 1),
+         |m0 AS (SELECT CAST(sum(sup) AS BIGINT) AS m FROM gw),
+         |a0 AS (SELECT n, n AS com FROM nd),
+         |${sweeps("a", "bi", "nd", "a0", 4)},
+         |rt AS MATERIALIZED (SELECT n AS c1, row_number() OVER (ORDER BY n) AS rk
+         |  FROM (SELECT DISTINCT com AS n FROM a4)),
+         |a4rk AS MATERIALIZED (SELECT a4.n, rt.rk AS com
+         |  FROM a4 JOIN rt ON a4.com = rt.c1),
+         |cge AS (SELECT lu.com AS cu, lv.com AS cv, gw.sup
+         |  FROM gw JOIN a4rk lu ON gw.u = lu.n JOIN a4rk lv ON gw.v = lv.n),
+         |e2 AS MATERIALIZED (SELECT least(cu, cv) AS u, greatest(cu, cv) AS v,
+         |    CAST(sum(sup) AS BIGINT) AS sup
+         |  FROM cge WHERE cu <> cv GROUP BY 1, 2),
+         |selfw AS (SELECT cu AS n, CAST(sum(sup) AS BIGINT) AS lw
+         |  FROM cge WHERE cu = cv GROUP BY 1),
+         |bi2 AS MATERIALIZED (SELECT u AS src, v AS dst, sup AS w FROM e2
+         |  UNION ALL SELECT v, u, sup FROM e2),
+         |ext AS (SELECT src AS n, CAST(sum(w) AS BIGINT) AS s FROM bi2 GROUP BY 1),
+         |nd2 AS MATERIALIZED (SELECT c.n,
+         |    CAST(coalesce(ext.s, 0) + 2 * coalesce(selfw.lw, 0) AS BIGINT) AS kn
+         |  FROM (SELECT DISTINCT com AS n FROM a4rk) c
+         |  LEFT JOIN ext USING (n) LEFT JOIN selfw USING (n)),
+         |b0 AS (SELECT n, n AS com FROM nd2),
+         |${sweeps("b", "bi2", "nd2", "b0", 2)},
+         |composed AS MATERIALIZED (SELECT p.n, rt2.c1 AS com
+         |  FROM a4rk p JOIN b2 ON p.com = b2.n JOIN rt rt2 ON b2.com = rt2.rk),
+         |${sqlModularityCensusWeighted("composed")}""".stripMargin
+    },
+  )
+
   /** q485 — connected components of the co-purchase projection (the
     * CONNECTIVITY readout beside q481's density communities — LPA can
     * split a connected graph, components never do; comparing the two
@@ -2528,5 +2698,5 @@ object GraphOps {
   val all: Seq[QuerySpec] =
     Seq(q59, q94, q126, q148, q226, q304, q310, q378, q435, q448, q454,
       q476, q477, q478, q481, q485, q486, q487, q489, q490, q495, q497,
-      q504, q506)
+      q504, q506, q507)
 }

@@ -175,6 +175,41 @@ class Round11EdgeSpec extends SparkTestBase {
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
 
+  test("two-level Louvain merges what one level cannot, and strictly improves Q") {
+    import graft.queries.GraphOps
+    import spark.implicits._
+    // Four heavy pairs chained by medium ties into two natural groups,
+    // with a weight-1 bridge between the groups: level 1 can only form
+    // the pairs (any single node leaving its support-10 partner loses
+    // more than a support-8 tie gains), but moving a WHOLE pair across
+    // a tie is Q-positive — exactly the move contraction unlocks.
+    val g = spark.createDataFrame(Seq(
+      (1L, 2L, 10L), (3L, 4L, 10L), (5L, 6L, 10L), (7L, 8L, 10L),
+      (2L, 3L, 8L), (6L, 7L, 8L), (4L, 5L, 1L)))
+      .toDF("u", "v", "sup")
+    val p1 = GraphOps.louvainRoundsWeighted(g, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Level 1: the four pairs, nothing more.
+    assert(p1.values.toSet.size === 4, p1.toString)
+    for (pair <- Seq(Set(1L, 2L), Set(3L, 4L), Set(5L, 6L), Set(7L, 8L)))
+      assert(pair.map(p1).size === 1, p1.toString)
+    val p2 = GraphOps.louvainTwoLevelLabels(g, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Level 2: the two chained groups, bridge left between them.
+    assert(Set(1L, 2L, 3L, 4L).map(p2).size === 1, p2.toString)
+    assert(Set(5L, 6L, 7L, 8L).map(p2).size === 1, p2.toString)
+    assert(p2(1L) !== p2(5L), p2.toString)
+    // And the ascent is real: the two-level partition's weighted Q
+    // strictly beats the one-level one on the same graph.
+    def q(lbl: Map[Long, Long]): Long = {
+      val lblDf = spark.createDataFrame(lbl.toSeq).toDF("n", "com")
+      GraphOps.modularityCensusWeighted(g, lblDf)
+        .filter($"com" === -1L).head.getAs[Long]("contribution_ppm")
+    }
+    val (q1, q2) = (q(p1), q(p2))
+    assert(q2 > q1, s"two-level Q $q2 does not beat one-level Q $q1")
+  }
+
   test("star contraction ≡ min-label propagation on a multi-component graph") {
     import graft.queries.GraphOps
     // Three components of different shapes: a 5-cycle, a star, and an
