@@ -196,26 +196,48 @@ object Bench {
     // trigger below self-adjudicates warm anomalies, but COLD-run
     // inflation — the r10 official artifact's q320 at 513 cpu-s cold vs
     // 28 idle — passed straight into adj_total). The committed
-    // idle-host per-query record (BENCH_REF.json, regenerated per round
-    // from the local detail run) gives every query a load-free cold
-    // wall to compare against; a cold wall past 3× its record is a
-    // loaded-host artifact candidate and earns the same end-of-run
-    // retry. Records only apply at the sf they were measured at, and a
-    // missing/unreadable file just disables this trigger (best-effort —
-    // the bench must run on a bare checkout of the jar alone).
-    val (refWalls, refSf) = {
-      val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_REF.json")
+    // idle-host per-query record (regenerated per round from the local
+    // detail run) gives every query a load-free cold wall to compare
+    // against; a cold wall past 3× its record is a loaded-host artifact
+    // candidate and earns the same end-of-run retry. Records are PER
+    // SCALE FACTOR (round-11 verdict ask #5 — the sf1 official run had
+    // only the warm/stall triggers): the bench picks
+    // `BENCH_REF_<sfbase>.json` first (sfbase = the sf dir's last path
+    // segment, e.g. sf1), then the legacy `BENCH_REF.json`, keeping the
+    // first whose recorded sf matches THIS run's sf by basename
+    // (basename, not full path — the same records must apply when the
+    // data dir moves hosts). A missing/unreadable/mismatched file just
+    // disables this trigger (best-effort — the bench must run on a bare
+    // checkout of the jar alone), and the detail line records which
+    // tier was armed via "ref_applied"/"ref_file" so an artifact reader
+    // knows whether cold inflation could self-adjudicate.
+    def sfBaseOf(p: String): String =
+      p.split('/').filter(_.nonEmpty).lastOption.getOrElse(p)
+    val sfBase = sfBaseOf(sfDir)
+    def readRef(path: String): Option[(Map[String, Double], String)] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
-        val walls = "\"(q[^\"]+)\":([0-9.eE+-]+)".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        val sf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
-        (walls, sf)
-      } catch { case scala.util.control.NonFatal(_) =>
-        (Map.empty[String, Double], None) }
-    }
-    val refApplies = refSf.contains(sfDir)
+        // Flat-map contract: a nested JSON (e.g. a committed detail file,
+        // whose queries_warm/cpu_cold_secs maps reuse the same qNN keys)
+        // would let the global regex silently replace cold-wall records
+        // with warm/cpu values — refuse anything with a second '{'.
+        if (txt.indexOf('{', txt.indexOf('{') + 1) >= 0) None
+        else {
+          val walls = "\"(q[^\"]+)\":([0-9.eE+-]+)".r.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+            .map(m => (walls, m.group(1)))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val refCandidates = sys.env.get("SPARK_GRAFT_BENCH_REF").map(Seq(_))
+      .getOrElse(Seq(s"BENCH_REF_$sfBase.json", "BENCH_REF.json"))
+    val refPick = refCandidates.iterator
+      .flatMap(p => readRef(p).map(p -> _))
+      .find { case (_, (_, recSf)) => sfBaseOf(recSf) == sfBase }
+    val refWalls = refPick.map(_._2._1).getOrElse(Map.empty[String, Double])
+    val refApplies = refPick.isDefined
+    val refFile = refPick.map(_._1).getOrElse("")
     val retryCands = good.filter(r =>
         (r.cold.wall > 2.0 && r.cold.cpu >= 0 && r.cold.wall > 1.5 * r.cold.cpu) ||
         (r.warm.cpu > 15.0 && r.cold.cpu > 0 && r.warm.cpu > 3.0 * r.cold.cpu) ||
@@ -239,7 +261,7 @@ object Bench {
     val adjudicatedTotal = good.map(r =>
       retryMap.get(r.name).map(m => math.min(r.cold.wall, m.wall))
         .getOrElse(r.cold.wall)).sum
-    val detail = s"""{"metric":"detail","value":$total,"unit":"sec","queries":$qs,"total_warm":$totalWarm,"queries_warm":$qw,"gc_cold_secs":$qg,"cpu_cold_secs":$qc,"cpu_warm_secs":$qcw,"load_before":$ql,"cached_gb_before":$qm,"codecache_mb_after":$qcc,"codecache_reserve_mb":$ccReserveMb,"queries_retry":$qr,"cpu_retry_secs":$qrc,"retry_failed":$retryFailed,"adjudicated_total":$adjudicatedTotal,"errors":$errs,"failed_secs":$failedSecs,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"detail","value":$total,"unit":"sec","queries":$qs,"total_warm":$totalWarm,"queries_warm":$qw,"gc_cold_secs":$qg,"cpu_cold_secs":$qc,"cpu_warm_secs":$qcw,"load_before":$ql,"cached_gb_before":$qm,"codecache_mb_after":$qcc,"codecache_reserve_mb":$ccReserveMb,"queries_retry":$qr,"cpu_retry_secs":$qrc,"retry_failed":$retryFailed,"adjudicated_total":$adjudicatedTotal,"ref_applied":$refApplies,"ref_file":"$refFile","errors":$errs,"failed_secs":$failedSecs,"sf":"$sfDir"}"""
     println(detail)
     // Self-adjudication (round-7 ask #1): the detail line ALSO lands in
     // a file that survives the capture window, so every headline wall

@@ -42,6 +42,17 @@ object Fs {
       }
     }
 
+  /** The leaf partition dirs under `base` as relative names — public
+    * face of [[leafPartDirs]] for the compaction protocol
+    * ([[graft.streaming.StoreCompaction]]), which must enumerate a
+    * store's `batch_id=N` leaves at ANY partition depth (top-level for
+    * batch-first layouts, "cid=3/batch_id=7" for cluster-first). Empty
+    * when `base` does not exist. */
+  def leafPartitionDirs(base: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(base)
+    if (Files.isDirectory(p)) leafPartDirs(p, p) else Nil
+  }
+
   /** The partition dirs staged under `base`: every directory reached
     * through `name=value` components only, deepest level (e.g.
     * "cid=3/batch_id=1"), relative to `base`. */

@@ -1461,9 +1461,17 @@ object GraphOps {
     * Σtot), one per-mover argmax window; each round's frame
     * localCheckpoint'ed (the q477 rule). Returns (n, com). */
   private[graft] def louvainRounds(g: org.apache.spark.sql.DataFrame,
-      rounds: Int): org.apache.spark.sql.DataFrame = {
+      rounds: Int): org.apache.spark.sql.DataFrame =
+    louvainRoundsCounted(g, rounds)._1
+
+  /** [[louvainRounds]] plus the number of sweeps actually EXECUTED,
+    * factored so the convergence edge test can assert the fixpoint
+    * short-circuit fired (round-11 verdict ask #4: `trussPeel` and
+    * `starContractLabels` short-circuit on a result-invariant probe
+    * while the Louvain loops always paid their full sweep budget). */
+  private[graft] def louvainRoundsCounted(g: org.apache.spark.sql.DataFrame,
+      rounds: Int): (org.apache.spark.sql.DataFrame, Int) = {
     import g.sparkSession.implicits._
-    import org.apache.spark.sql.expressions.Window
     val mVal = g.count()
     val bi = g.select($"u".as("src"), $"v".as("dst"))
       .unionAll(g.select($"v".as("src"), $"u".as("dst")))
@@ -1474,10 +1482,57 @@ object GraphOps {
     // count is metadata-cheap) — gates every sweep's side-frame
     // broadcast below.
     val mb = maybeBroadcast(deg.count())
-    var com = deg.select($"n", $"n".as("com")).localCheckpoint()
-    for (r <- 1 to rounds)
-      com = louvainSweep(bi, deg, com, mVal, r, mb).localCheckpoint()
-    com
+    val out = louvainLoop(rounds,
+      deg.select($"n", $"n".as("com")).localCheckpoint(),
+      (com, r) => louvainSweep(bi, deg, com, mVal, r, mb))
+    bi.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    out
+  }
+
+  /** The shared semi-synchronous ascent loop with its FIXPOINT
+    * SHORT-CIRCUIT, factored for [[louvainRoundsCounted]],
+    * [[louvainRoundsWeighted]] and q507's level-2 loop: run `sweep`
+    * up to `rounds` times, checkpointing and releasing each superseded
+    * round's frame, and stop early after TWO consecutive zero-mover
+    * sweeps. Why two, and why it is exact: one quiet sweep only proves
+    * ITS parity class is settled — the next round moves the OTHER
+    * class and may still find gains; after two consecutive quiet
+    * sweeps the state is unchanged across both parities, so sweep r+1
+    * sees exactly the state sweep r−1 saw and, by induction, every
+    * remaining sweep is the identity. Result-invariant against the
+    * oracles, which UNROLL the full budget: an identity sweep is the
+    * identity on both engines, so stopping early returns the same
+    * labels the unrolled SQL computes. The probe is one node-sized
+    * join + limit-1 emptiness check per non-final sweep — never
+    * edge-sized. Returns (labels, sweepsExecuted). */
+  private def louvainLoop(rounds: Int, init: org.apache.spark.sql.DataFrame,
+      sweep: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Int) = {
+    import init.sparkSession.implicits._
+    var com = init
+    var quiet = 0
+    var executed = 0
+    var r = 1
+    while (r <= rounds && quiet < 2) {
+      val prev = com
+      com = sweep(prev, r).localCheckpoint()
+      executed += 1
+      // Probing the FINAL budgeted sweep buys nothing — skip its job.
+      if (r < rounds) {
+        val movedAny = !com
+          .join(prev.select($"n", $"com".as("prev_com")), Seq("n"))
+          .filter($"com" =!= $"prev_com").isEmpty
+        quiet = if (movedAny) 0 else quiet + 1
+      }
+      // Superseded round's checkpoint blocks released eagerly (the
+      // starContractLabels cleanup discipline — this loop's frames are
+      // node-sized, but a 4M-node label frame × 6 sweeps is real block
+      // -manager mass at scale).
+      prev.unpersist(blocking = false)
+      r += 1
+    }
+    (com, executed)
   }
 
   /** One semi-synchronous Louvain sweep, factored from
@@ -1754,7 +1809,15 @@ object GraphOps {
     * sup)` — [[louvainRounds]]' discipline with [[louvainSweepWeighted]]
     * in the sweep seat. Returns (n, com). */
   private[graft] def louvainRoundsWeighted(gw: org.apache.spark.sql.DataFrame,
-      rounds: Int): org.apache.spark.sql.DataFrame = {
+      rounds: Int): org.apache.spark.sql.DataFrame =
+    louvainRoundsWeightedCounted(gw, rounds)._1
+
+  /** [[louvainRoundsWeighted]] plus the executed-sweep count — the
+    * weighted sibling of [[louvainRoundsCounted]], sharing
+    * [[louvainLoop]]'s fixpoint short-circuit. */
+  private[graft] def louvainRoundsWeightedCounted(
+      gw: org.apache.spark.sql.DataFrame, rounds: Int)
+      : (org.apache.spark.sql.DataFrame, Int) = {
     import gw.sparkSession.implicits._
     val wTot = {
       val cell = gw.agg(sum($"sup")).head
@@ -1766,10 +1829,12 @@ object GraphOps {
     val str = bi.groupBy($"src".as("n")).agg(sum($"w").as("kn"))
       .localCheckpoint()
     val mb = maybeBroadcast(str.count())
-    var com = str.select($"n", $"n".as("com")).localCheckpoint()
-    for (r <- 1 to rounds)
-      com = louvainSweepWeighted(bi, str, com, wTot, r, mb).localCheckpoint()
-    com
+    val out = louvainLoop(rounds,
+      str.select($"n", $"n".as("com")).localCheckpoint(),
+      (com, r) => louvainSweepWeighted(bi, str, com, wTot, r, mb))
+    bi.unpersist(blocking = false)
+    str.unpersist(blocking = false)
+    out
   }
 
   /** WEIGHTED modularity census of a found partition over the weighted
@@ -1799,7 +1864,11 @@ object GraphOps {
       .na.fill(0L, Seq("w_in"))
       .crossJoin(broadcast(m))
       .select($"com", $"n_members", $"w_in", $"d",
-        (expr("w_in * 1000000L div m") - expr(
+        // The w_in·10⁶ term rides the same DECIMAL(38,0)/HUGEINT lift as
+        // the d² term: w_in is a weight SUM, and raw BIGINT×10⁶ wraps
+        // silently on Spark (non-ANSI) past w_in ≈ 9.2e12 while the
+        // DuckDB mirror raises — lifted, both engines stay exact.
+        (expr("CAST(CAST(w_in AS DECIMAL(38,0)) * 1000000 div m AS BIGINT)") - expr(
           "CAST(CAST(d AS DECIMAL(38,0)) * d * 1000000 div (CAST(m AS DECIMAL(38,0)) * m * 4) AS BIGINT)"))
           .as("contribution_ppm")))
     Eager(per.unionAll(
@@ -1822,7 +1891,7 @@ object GraphOps {
        |intl AS (SELECT cu AS com, CAST(sum(sup) AS BIGINT) AS w_in
        |  FROM ge WHERE cu = cv GROUP BY cu),
        |per AS (SELECT sz.com, sz.n_members, coalesce(intl.w_in, 0) AS w_in, cdeg.d,
-       |    coalesce(intl.w_in, 0) * 1000000 // m
+       |    CAST(CAST(coalesce(intl.w_in, 0) AS HUGEINT) * 1000000 // m AS BIGINT)
        |      - CAST(CAST(d AS HUGEINT) * d * 1000000 // (CAST(m AS HUGEINT) * m * 4) AS BIGINT)
        |      AS contribution_ppm
        |  FROM sz JOIN cdeg USING (com) LEFT JOIN intl USING (com) CROSS JOIN m)
@@ -1986,16 +2055,76 @@ object GraphOps {
     val bi2 = e2.select($"u".as("src"), $"v".as("dst"), $"sup".as("w"))
       .unionAll(e2.select($"v".as("src"), $"u".as("dst"), $"sup".as("w")))
       .localCheckpoint()
-    var com2 = str2.select($"n", $"n".as("com")).localCheckpoint()
-    for (r <- 1 to l2Rounds)
-      com2 = louvainSweepWeighted(bi2, str2, com2, wTot, r, mb)
-        .localCheckpoint()
+    val (com2, _) = louvainLoop(l2Rounds,
+      str2.select($"n", $"n".as("com")).localCheckpoint(),
+      (com, r) => louvainSweepWeighted(bi2, str2, com, wTot, r, mb))
     // Compose back: original node → its community's rank → that rank's
     // level-2 community rank → that rank's ORIGINAL level-1 label (so
     // the output community ids stay in the original key space).
     p1rk.join(mb(com2.select($"n".as("com"), $"com".as("c2rk"))), Seq("com"))
       .join(mb(rt.select($"rk".as("c2rk"), $"c1".as("com_out"))), Seq("c2rk"))
       .select($"n", $"com_out".as("com"))
+  }
+
+  /** The q507 oracle's CTE chain up to `composed(n, com)` — the
+    * two-level labels over the weighted projection — factored so
+    * q508's connectivity audit unrolls the IDENTICAL label computation
+    * before its own refinement CTEs. Also defines `gw` (the weighted
+    * projection) and `m0(m)` (total weight) for downstream reuse. */
+  private def sqlTwoLevelLabelCtes: String = {
+    def sweeps(lvl: String, bi: String, nd: String, l0: String, n: Int) =
+      (1 to n).map { r =>
+        s"""${lvl}tot$r AS (SELECT com, CAST(sum(kn) AS BIGINT) AS tot
+           |  FROM ${if (r == 1) l0 else s"$lvl${r - 1}"} l JOIN $nd USING (n) GROUP BY 1),
+           |${lvl}knc$r AS (SELECT b.dst AS n, l.com, CAST(sum(b.w) AS BIGINT) AS k
+           |  FROM $bi b JOIN ${if (r == 1) l0 else s"$lvl${r - 1}"} l ON b.src = l.n GROUP BY 1, 2),
+           |${lvl}cand$r AS (SELECT n, com, max(k) AS k FROM (
+           |    SELECT n, com, k FROM ${lvl}knc$r
+           |    UNION ALL SELECT n, com, CAST(0 AS BIGINT) FROM ${if (r == 1) l0 else s"$lvl${r - 1}"}) GROUP BY 1, 2),
+           |${lvl}sc$r AS (SELECT c.n, c.com,
+           |    CAST(2 * m0.m AS HUGEINT) * c.k
+           |      - CAST(t.tot - CASE WHEN c.com = cur.com THEN nd.kn ELSE 0 END AS HUGEINT) * nd.kn
+           |      AS score
+           |  FROM ${lvl}cand$r c JOIN $nd nd USING (n) JOIN ${lvl}tot$r t USING (com)
+           |  JOIN ${if (r == 1) l0 else s"$lvl${r - 1}"} cur ON cur.n = c.n CROSS JOIN m0
+           |  WHERE c.n % 2 = ${r % 2}),
+           |$lvl$r AS MATERIALIZED (
+           |  SELECT n, com FROM (
+           |    SELECT n, com, row_number() OVER (PARTITION BY n ORDER BY score DESC, com) AS rn
+           |    FROM ${lvl}sc$r) WHERE rn = 1
+           |  UNION ALL
+           |  SELECT n, com FROM ${if (r == 1) l0 else s"$lvl${r - 1}"} WHERE n % 2 <> ${r % 2})""".stripMargin
+      }.mkString(",\n")
+    s"""$sqlCoPurchaseWeightedCtes,
+       |bi AS MATERIALIZED (SELECT u AS src, v AS dst, sup AS w FROM gw
+       |  UNION ALL SELECT v, u, sup FROM gw),
+       |nd AS MATERIALIZED (SELECT src AS n, CAST(sum(w) AS BIGINT) AS kn
+       |  FROM bi GROUP BY 1),
+       |m0 AS (SELECT CAST(sum(sup) AS BIGINT) AS m FROM gw),
+       |a0 AS (SELECT n, n AS com FROM nd),
+       |${sweeps("a", "bi", "nd", "a0", 4)},
+       |rt AS MATERIALIZED (SELECT n AS c1, row_number() OVER (ORDER BY n) AS rk
+       |  FROM (SELECT DISTINCT com AS n FROM a4)),
+       |a4rk AS MATERIALIZED (SELECT a4.n, rt.rk AS com
+       |  FROM a4 JOIN rt ON a4.com = rt.c1),
+       |cge AS (SELECT lu.com AS cu, lv.com AS cv, gw.sup
+       |  FROM gw JOIN a4rk lu ON gw.u = lu.n JOIN a4rk lv ON gw.v = lv.n),
+       |e2 AS MATERIALIZED (SELECT least(cu, cv) AS u, greatest(cu, cv) AS v,
+       |    CAST(sum(sup) AS BIGINT) AS sup
+       |  FROM cge WHERE cu <> cv GROUP BY 1, 2),
+       |selfw AS (SELECT cu AS n, CAST(sum(sup) AS BIGINT) AS lw
+       |  FROM cge WHERE cu = cv GROUP BY 1),
+       |bi2 AS MATERIALIZED (SELECT u AS src, v AS dst, sup AS w FROM e2
+       |  UNION ALL SELECT v, u, sup FROM e2),
+       |ext AS (SELECT src AS n, CAST(sum(w) AS BIGINT) AS s FROM bi2 GROUP BY 1),
+       |nd2 AS MATERIALIZED (SELECT c.n,
+       |    CAST(coalesce(ext.s, 0) + 2 * coalesce(selfw.lw, 0) AS BIGINT) AS kn
+       |  FROM (SELECT DISTINCT com AS n FROM a4rk) c
+       |  LEFT JOIN ext USING (n) LEFT JOIN selfw USING (n)),
+       |b0 AS (SELECT n, n AS com FROM nd2),
+       |${sweeps("b", "bi2", "nd2", "b0", 2)},
+       |composed AS MATERIALIZED (SELECT p.n, rt2.c1 AS com
+       |  FROM a4rk p JOIN b2 ON p.com = b2.n JOIN rt rt2 ON b2.com = rt2.rk)""".stripMargin
   }
 
   val q507 = QuerySpec(
@@ -2008,62 +2137,147 @@ object GraphOps {
       try modularityCensusWeighted(gw, louvainTwoLevelLabels(gw, 2))
       finally { gw.unpersist(blocking = false); edges.unpersist(blocking = false) }
     },
-    Some {
-      def sweeps(lvl: String, bi: String, nd: String, l0: String, n: Int) =
-        (1 to n).map { r =>
-          s"""${lvl}tot$r AS (SELECT com, CAST(sum(kn) AS BIGINT) AS tot
-             |  FROM ${if (r == 1) l0 else s"$lvl${r - 1}"} l JOIN $nd USING (n) GROUP BY 1),
-             |${lvl}knc$r AS (SELECT b.dst AS n, l.com, CAST(sum(b.w) AS BIGINT) AS k
-             |  FROM $bi b JOIN ${if (r == 1) l0 else s"$lvl${r - 1}"} l ON b.src = l.n GROUP BY 1, 2),
-             |${lvl}cand$r AS (SELECT n, com, max(k) AS k FROM (
-             |    SELECT n, com, k FROM ${lvl}knc$r
-             |    UNION ALL SELECT n, com, CAST(0 AS BIGINT) FROM ${if (r == 1) l0 else s"$lvl${r - 1}"}) GROUP BY 1, 2),
-             |${lvl}sc$r AS (SELECT c.n, c.com,
-             |    CAST(2 * m0.m AS HUGEINT) * c.k
-             |      - CAST(t.tot - CASE WHEN c.com = cur.com THEN nd.kn ELSE 0 END AS HUGEINT) * nd.kn
-             |      AS score
-             |  FROM ${lvl}cand$r c JOIN $nd nd USING (n) JOIN ${lvl}tot$r t USING (com)
-             |  JOIN ${if (r == 1) l0 else s"$lvl${r - 1}"} cur ON cur.n = c.n CROSS JOIN m0
-             |  WHERE c.n % 2 = ${r % 2}),
-             |$lvl$r AS MATERIALIZED (
-             |  SELECT n, com FROM (
-             |    SELECT n, com, row_number() OVER (PARTITION BY n ORDER BY score DESC, com) AS rn
-             |    FROM ${lvl}sc$r) WHERE rn = 1
-             |  UNION ALL
-             |  SELECT n, com FROM ${if (r == 1) l0 else s"$lvl${r - 1}"} WHERE n % 2 <> ${r % 2})""".stripMargin
-        }.mkString(",\n")
-      s"""WITH $sqlCoPurchaseWeightedCtes,
-         |bi AS MATERIALIZED (SELECT u AS src, v AS dst, sup AS w FROM gw
-         |  UNION ALL SELECT v, u, sup FROM gw),
-         |nd AS MATERIALIZED (SELECT src AS n, CAST(sum(w) AS BIGINT) AS kn
-         |  FROM bi GROUP BY 1),
-         |m0 AS (SELECT CAST(sum(sup) AS BIGINT) AS m FROM gw),
-         |a0 AS (SELECT n, n AS com FROM nd),
-         |${sweeps("a", "bi", "nd", "a0", 4)},
-         |rt AS MATERIALIZED (SELECT n AS c1, row_number() OVER (ORDER BY n) AS rk
-         |  FROM (SELECT DISTINCT com AS n FROM a4)),
-         |a4rk AS MATERIALIZED (SELECT a4.n, rt.rk AS com
-         |  FROM a4 JOIN rt ON a4.com = rt.c1),
-         |cge AS (SELECT lu.com AS cu, lv.com AS cv, gw.sup
-         |  FROM gw JOIN a4rk lu ON gw.u = lu.n JOIN a4rk lv ON gw.v = lv.n),
-         |e2 AS MATERIALIZED (SELECT least(cu, cv) AS u, greatest(cu, cv) AS v,
-         |    CAST(sum(sup) AS BIGINT) AS sup
-         |  FROM cge WHERE cu <> cv GROUP BY 1, 2),
-         |selfw AS (SELECT cu AS n, CAST(sum(sup) AS BIGINT) AS lw
-         |  FROM cge WHERE cu = cv GROUP BY 1),
-         |bi2 AS MATERIALIZED (SELECT u AS src, v AS dst, sup AS w FROM e2
-         |  UNION ALL SELECT v, u, sup FROM e2),
-         |ext AS (SELECT src AS n, CAST(sum(w) AS BIGINT) AS s FROM bi2 GROUP BY 1),
-         |nd2 AS MATERIALIZED (SELECT c.n,
-         |    CAST(coalesce(ext.s, 0) + 2 * coalesce(selfw.lw, 0) AS BIGINT) AS kn
-         |  FROM (SELECT DISTINCT com AS n FROM a4rk) c
-         |  LEFT JOIN ext USING (n) LEFT JOIN selfw USING (n)),
-         |b0 AS (SELECT n, n AS com FROM nd2),
-         |${sweeps("b", "bi2", "nd2", "b0", 2)},
-         |composed AS MATERIALIZED (SELECT p.n, rt2.c1 AS com
-         |  FROM a4rk p JOIN b2 ON p.com = b2.n JOIN rt rt2 ON b2.com = rt2.rk),
-         |${sqlModularityCensusWeighted("composed")}""".stripMargin
+    Some(s"""WITH $sqlTwoLevelLabelCtes,
+            |${sqlModularityCensusWeighted("composed")}""".stripMargin),
+  )
+
+  /** q508's audit pipeline, factored for edge tests (feed it ANY
+    * partition — the bar-bell fixture hands it a merged disconnected
+    * community directly): given the weighted projection `gw(u, v,
+    * sup)` and a found partition `labels(n, com)`, split every
+    * community into the CONNECTED COMPONENTS of its internal subgraph
+    * ([[starContractLabels]] over the intra-community edges —
+    * diameter-independent, the q506 algorithm; nodes with no internal
+    * edge are their own singleton part, so part ids = min node id are
+    * unique across communities) and report each community that is NOT
+    * internally connected: member count, part count, largest part,
+    * and the exact-ppm modularity GAIN from adopting the split
+    * (refined parts keep every internal edge — components never cut
+    * one — while the degree mass divides, so Q never loses; this is
+    * the Leiden refinement's acceptance direction). The com = −1 row
+    * totals the audit: members/parts across split communities, the
+    * SPLIT-COMMUNITY COUNT in largest_part's seat, and the total Q
+    * gain — all zeros is the connectivity-clean bill of health.
+    * Scale: two gated label joins carve the intra edges, components
+    * are O(log² n) edge-sized rounds, both censuses are label joins +
+    * |communities|-row aggregates — nothing touches the corpus twice. */
+  private[graft] def louvainConnectivityAudit(gw: org.apache.spark.sql.DataFrame,
+      labels: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import gw.sparkSession.implicits._
+    val lbl = labels.localCheckpoint()
+    val mb = maybeBroadcast(lbl.count())
+    val intra = gw
+      .join(mb(lbl.select($"n".as("u"), $"com".as("cu"))), Seq("u"))
+      .join(mb(lbl.select($"n".as("v"), $"com".as("cv"))), Seq("v"))
+      .filter($"cu" === $"cv")
+      .select($"u", $"v")
+    val comps = starContractLabels(intra)
+    val refined = lbl
+      .join(comps.select($"node".as("n"), $"label"), Seq("n"), "left")
+      .select($"n", coalesce($"label", $"n").as("part"), $"com")
+      .localCheckpoint()
+    comps.unpersist(blocking = false)
+    val cenO = modularityCensusWeighted(gw, lbl.select($"n", $"com"))
+    val cenR = modularityCensusWeighted(gw, refined.select($"n", $"part".as("com")))
+    val perPart = refined.select($"com", $"part").distinct()
+      .join(cenR.filter($"com" =!= -1L)
+        .select($"com".as("part"), $"n_members".as("psz"),
+          $"contribution_ppm".as("cpart")), Seq("part"))
+    val agg = perPart.groupBy($"com").agg(
+      sum($"psz").as("n_members"),
+      count(lit(1)).as("n_parts"),
+      max($"psz").as("largest_part"),
+      sum($"cpart").as("cref"))
+    val split = agg
+      .join(cenO.filter($"com" =!= -1L)
+        .select($"com", $"contribution_ppm".as("corig")), Seq("com"))
+      .filter($"n_parts" > 1)
+      .select($"com", $"n_members", $"n_parts", $"largest_part",
+        ($"cref" - $"corig").as("q_gain_ppm"))
+    val out = Eager(split.unionAll(split.agg(
+        lit(-1L).as("com"),
+        coalesce(sum($"n_members"), lit(0L)).as("n_members"),
+        coalesce(sum($"n_parts"), lit(0L)).as("n_parts"),
+        count(lit(1)).as("largest_part"),
+        coalesce(sum($"q_gain_ppm"), lit(0L)).as("q_gain_ppm")))
+      .orderBy($"com"))
+    lbl.unpersist(blocking = false)
+    refined.unpersist(blocking = false)
+    out
+  }
+
+  /** q508 — CONNECTIVITY audit of the two-level Louvain partition (the
+    * round-11 verdict's north-star ask #7: modularity ascent can leave
+    * a community internally DISCONNECTED — a bridge node joins a
+    * community and later moves away, stranding the two sides with no
+    * internal path; the defect the Leiden algorithm exists to fix —
+    * and the repo already owned the checker, [[starContractLabels]]
+    * within each community): audits q507's found partition, reporting
+    * every internally-disconnected community with its exact-ppm Q gain
+    * from splitting, plus the com = −1 audit totals (all zeros =
+    * clean). Completes the detector family the way q503 completed
+    * q498: the optimizer's output is now itself quality-gated. Oracle:
+    * the identical two-level label chain + a recursive-CTE component
+    * refinement and the same integer census algebra. */
+  val q508 = QuerySpec(
+    "q508_louvain_connectivity_audit",
+    (s, d) => {
+      import s.implicits._
+      val edges = tradeEdges(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+      val gw = basketPairCounts(edges).filter($"sup" >= 8)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try louvainConnectivityAudit(gw, louvainTwoLevelLabels(gw, 2))
+      finally { gw.unpersist(blocking = false); edges.unpersist(blocking = false) }
     },
+    Some(s"""WITH RECURSIVE $sqlTwoLevelLabelCtes,
+            |intra AS MATERIALIZED (SELECT gw.u, gw.v FROM gw
+            |  JOIN composed lu ON gw.u = lu.n
+            |  JOIN composed lv ON gw.v = lv.n
+            |  WHERE lu.com = lv.com),
+            |bii AS (SELECT u AS a, v AS b FROM intra UNION ALL SELECT v, u FROM intra),
+            |reach(src, node) AS (
+            |  SELECT DISTINCT a, a FROM bii
+            |  UNION
+            |  SELECT r.src, e.b FROM reach r JOIN bii e ON r.node = e.a),
+            |clbl AS MATERIALIZED (SELECT src AS n, min(node) AS part FROM reach GROUP BY src),
+            |refined AS MATERIALIZED (SELECT c.n, coalesce(cl.part, c.n) AS part, c.com
+            |  FROM composed c LEFT JOIN clbl cl ON c.n = cl.n),
+            |geo AS MATERIALIZED (SELECT lu.com AS cu, lv.com AS cv, gw.sup
+            |  FROM gw JOIN composed lu ON gw.u = lu.n JOIN composed lv ON gw.v = lv.n),
+            |dgo AS (SELECT com, CAST(sum(sup) AS BIGINT) AS d FROM (
+            |    SELECT cu AS com, sup FROM geo UNION ALL SELECT cv, sup FROM geo) GROUP BY com),
+            |wio AS (SELECT cu AS com, CAST(sum(sup) AS BIGINT) AS w_in FROM geo WHERE cu = cv GROUP BY cu),
+            |pco AS (SELECT dgo.com,
+            |    CAST(CAST(coalesce(wio.w_in, 0) AS HUGEINT) * 1000000 // m AS BIGINT)
+            |      - CAST(CAST(d AS HUGEINT) * d * 1000000 // (CAST(m AS HUGEINT) * m * 4) AS BIGINT)
+            |      AS c_ppm
+            |  FROM dgo LEFT JOIN wio USING (com) CROSS JOIN m0),
+            |ger AS MATERIALIZED (SELECT lu.part AS cu, lv.part AS cv, gw.sup
+            |  FROM gw JOIN refined lu ON gw.u = lu.n JOIN refined lv ON gw.v = lv.n),
+            |dgr AS (SELECT part, CAST(sum(sup) AS BIGINT) AS d FROM (
+            |    SELECT cu AS part, sup FROM ger UNION ALL SELECT cv, sup FROM ger) GROUP BY part),
+            |wir AS (SELECT cu AS part, CAST(sum(sup) AS BIGINT) AS w_in FROM ger WHERE cu = cv GROUP BY cu),
+            |pcr AS (SELECT dgr.part,
+            |    CAST(CAST(coalesce(wir.w_in, 0) AS HUGEINT) * 1000000 // m AS BIGINT)
+            |      - CAST(CAST(d AS HUGEINT) * d * 1000000 // (CAST(m AS HUGEINT) * m * 4) AS BIGINT)
+            |      AS c_ppm
+            |  FROM dgr LEFT JOIN wir USING (part) CROSS JOIN m0),
+            |psz AS (SELECT com, part, CAST(count(*) AS BIGINT) AS psz FROM refined GROUP BY 1, 2),
+            |ag AS (SELECT p.com, CAST(sum(p.psz) AS BIGINT) AS n_members,
+            |    CAST(count(*) AS BIGINT) AS n_parts, CAST(max(p.psz) AS BIGINT) AS largest_part,
+            |    CAST(sum(r.c_ppm) AS BIGINT) AS cref
+            |  FROM psz p JOIN pcr r USING (part) GROUP BY 1),
+            |spl AS MATERIALIZED (SELECT ag.com, n_members, n_parts, largest_part,
+            |    CAST(cref - pco.c_ppm AS BIGINT) AS q_gain_ppm
+            |  FROM ag JOIN pco USING (com)
+            |  WHERE n_parts > 1)
+            |SELECT com, n_members, n_parts, largest_part, q_gain_ppm FROM spl
+            |UNION ALL
+            |SELECT -1, coalesce(CAST(sum(n_members) AS BIGINT), 0),
+            |  coalesce(CAST(sum(n_parts) AS BIGINT), 0), CAST(count(*) AS BIGINT),
+            |  coalesce(CAST(sum(q_gain_ppm) AS BIGINT), 0)
+            |FROM spl
+            |ORDER BY com""".stripMargin),
   )
 
   /** q485 — connected components of the co-purchase projection (the
@@ -2227,10 +2441,15 @@ object GraphOps {
       }
       // At the fixed point the frame is a star forest: every edge points
       // a node at its component minimum; roots label themselves.
-      e.select($"u".as("node"), $"v".as("label"))
+      val out = e.select($"u".as("node"), $"v".as("label"))
         .unionByName(e.select($"v".as("node"), $"v".as("label")))
         .distinct()
         .localCheckpoint()
+      // The labels checkpoint above is eager, so the fixed-point edge
+      // frame is no longer needed — release it like every superseded
+      // round's frame (the loop's own cleanup discipline).
+      e.unpersist(blocking = false)
+      out
     }
   }
 
@@ -2698,5 +2917,5 @@ object GraphOps {
   val all: Seq[QuerySpec] =
     Seq(q59, q94, q126, q148, q226, q304, q310, q378, q435, q448, q454,
       q476, q477, q478, q481, q485, q486, q487, q489, q490, q495, q497,
-      q504, q506, q507)
+      q504, q506, q507, q508)
 }

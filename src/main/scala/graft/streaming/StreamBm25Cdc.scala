@@ -161,10 +161,27 @@ object StreamBm25Cdc {
       .option("checkpointLocation", s"${st.tmp}/ckpt")
   }
 
+  /** CDC-store compaction: the maintain-side fold (postings pass
+    * through, stats SUM — which merges this feed's NEGATIVE df/globals
+    * epochs into net values, the exactly-the-merge-on-read invariance
+    * [[StreamBm25Maintain.compact]] documents) plus the tombstone
+    * table folded to its distinct ids (the audit reads it distinct, so
+    * the fold is its pre-aggregation). */
+  private def compactAll(spark: SparkSession, tmp: String): Unit = {
+    StreamBm25Maintain.compact(spark, tmp)
+    StoreCompaction.compact(spark, s"$tmp/deleted", (all, gen, out) =>
+      all.select(col("doc_id")).distinct()
+        .withColumn("batch_id", lit(gen))
+        .write.partitionBy("batch_id").parquet(out))
+    ()
+  }
+
   /** PROBE the CDC-maintained files (q479's shape, df>0 now
     * load-bearing) plus the erased-postings audit. */
   private def probe(st: Staged): DataFrame = {
     import st.spark.implicits._
+    StoreCompaction.recover(s"${st.tmp}/deleted",
+      StoreCompaction.stageDirFor(s"${st.tmp}/deleted"))
     val erased = st.spark.read.parquet(s"${st.tmp}/deleted")
       .select($"doc_id").distinct()
     val audit = st.spark.read.parquet(s"${st.tmp}/post")
@@ -183,6 +200,11 @@ object StreamBm25Cdc {
     try {
       val q = writer(st).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      // Compaction AFTER the delete feed drained: the fold nets the
+      // negative df/globals epochs against their positives, and the
+      // oracle (from-scratch BM25 on the reduced corpus) gates the
+      // consolidated store.
+      compactAll(spark, st.tmp)
       probe(st)
     } finally cleanup(st)
   }

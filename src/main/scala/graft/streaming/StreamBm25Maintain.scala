@@ -32,10 +32,12 @@ import graft.functions.TextFns._
   * At 100 TB this is continuous ingest for a text index: builders
   * append partition-locally with replay-idempotent commits, the probe
   * fleet reads merged stats without ever locking the builders, and
-  * compaction of the per-batch postings slivers is the same periodic
-  * job q361 models for LSH. Oracle: the from-scratch q278 BM25 over
-  * the full corpus (q405's contract) — the stream-maintained files
-  * must answer identically to a rebuild.
+  * the per-batch postings slivers fold on [[compact]]'s schedule (the
+  * [[StoreCompaction]] protocol — round-11 ask #3 delivered; runOnce
+  * runs it post-drain so the oracle gates the consolidated index).
+  * Oracle: the from-scratch q278 BM25 over the full corpus (q405's
+  * contract) — the stream-maintained files must answer identically to
+  * a rebuild.
   */
 object StreamBm25Maintain {
 
@@ -45,7 +47,7 @@ object StreamBm25Maintain {
 
   /** (doc_id, text) → (doc_id, dl, t): the fixed tokenization every
     * BM25 surface shares (q278's non-empty lowercase tokens). */
-  private[streaming] def tokenize(df: DataFrame): DataFrame = {
+  private[graft] def tokenize(df: DataFrame): DataFrame = {
     import df.sparkSession.implicits._
     df.select($"doc_id",
         filter(tokens($"text"), t => char_length(t) > 0).as("t"))
@@ -56,7 +58,7 @@ object StreamBm25Maintain {
     tokenize(Tables.fanOut(Tables.documents(st.spark, st.sfDir), col("doc_id"))
       .select(col("doc_id"), col("text")))
 
-  private[streaming] def postings(e: DataFrame): DataFrame = {
+  private[graft] def postings(e: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
     e.select($"doc_id", $"dl", explode($"t").as("term"))
       .groupBy($"doc_id", $"dl", $"term")
@@ -72,7 +74,7 @@ object StreamBm25Maintain {
   private def writeBatch(st: Staged, e: DataFrame, batchId: Long): Unit =
     writeBatchTo(st.tmp, e, batchId)
 
-  private[streaming] def writeBatchTo(tmp: String, e: DataFrame,
+  private[graft] def writeBatchTo(tmp: String, e: DataFrame,
       batchId: Long): Unit = {
     import e.sparkSession.implicits._
     val post = postings(e)
@@ -92,6 +94,51 @@ object StreamBm25Maintain {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(s"$tmp/globals")
   }
+
+  /** Postings-sliver COMPACTION (round-11 verdict ask #3 — the
+    * periodic job this object's 100 TB paragraph always named, now
+    * code): the [[StoreCompaction]] staged-manifest fold over all
+    * three tables. Postings rows keep their identity — a doc's tf
+    * rows exist exactly once across batches — so they PASS THROUGH
+    * under one generation keeping the `tb` bucket level (the probe's
+    * term-bucket pruning composes unchanged: |query buckets| ×
+    * O(generations) leaf dirs instead of × O(batches)). The df stats
+    * re-aggregate by term, which folds the CDC family's NEGATIVE
+    * epoch rows straight in — the fold IS the merge-on-read sum the
+    * probe already does, so a term fully erased folds to df ≤ 0 and
+    * keeps failing the probe's df > 0 guard. Globals fold to one
+    * summed epoch row. Run with the maintainer and probes stopped
+    * (the shared quiesce contract).
+    *
+    * The postings fold: pass-through under the generation, keeping the
+    * tb bucket level. */
+  private[graft] def postFold(all: DataFrame, gen: Long, out: String): Unit =
+    all.drop("batch_id").withColumn("batch_id", lit(gen))
+      .repartition(col("tb"))
+      .write.partitionBy("batch_id", "tb").parquet(out)
+
+  /** The df-stats fold: SUM by term — nets negative CDC epochs. */
+  private[graft] def statsFold(all: DataFrame, gen: Long, out: String): Unit =
+    all.groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .withColumn("batch_id", lit(gen))
+      .write.partitionBy("batch_id").parquet(out)
+
+  /** The globals fold: one summed epoch row. */
+  private[graft] def globalsFold(all: DataFrame, gen: Long, out: String): Unit =
+    all.agg(sum(col("n_docs")).as("n_docs"), sum(col("len_sum")).as("len_sum"))
+      .withColumn("batch_id", lit(gen))
+      .write.partitionBy("batch_id").parquet(out)
+
+  private[graft] def compact(spark: SparkSession, tmp: String): Unit = {
+    StoreCompaction.compact(spark, s"$tmp/post", postFold)
+    StoreCompaction.compact(spark, s"$tmp/stats", statsFold)
+    StoreCompaction.compact(spark, s"$tmp/globals", globalsFold)
+    ()
+  }
+
+  private[graft] def recoverStores(tmp: String): Unit =
+    Seq(s"$tmp/post", s"$tmp/stats", s"$tmp/globals").foreach(r =>
+      StoreCompaction.recover(r, StoreCompaction.stageDirFor(r)))
 
   /** Epoch-0 batch build + epoch-1 files staged into the stream inbox. */
   private def stage(spark: SparkSession, sfDir: String): Staged = {
@@ -147,9 +194,10 @@ object StreamBm25Maintain {
     * the stream appended), df/avgdl merged across every epoch row. The
     * df > 0 guard drops terms whose postings were entirely deleted
     * (q466's rule; vacuous for the append-only q479). */
-  private[streaming] def topKFromFiles(spark: SparkSession, tmp: String)
+  private[graft] def topKFromFiles(spark: SparkSession, tmp: String)
       : DataFrame = {
     import spark.implicits._
+    recoverStores(tmp)
     import org.apache.spark.sql.expressions.Window
     val queries = spark.createDataFrame(graft.queries.Search.QueryTerms)
       .toDF("query_id", "term")
@@ -196,6 +244,10 @@ object StreamBm25Maintain {
     try {
       val q = writer(st).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      // Maintenance-job compaction with the maintainer drained (the
+      // q500 lifecycle rule): the probe answers from the CONSOLIDATED
+      // index, so the oracle gates build → stream → compact → probe.
+      compact(spark, st.tmp)
       probe(st)
     } finally cleanup(st)
   }

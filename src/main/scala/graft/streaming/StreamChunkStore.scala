@@ -38,7 +38,7 @@ object StreamChunkStore {
 
   private final case class Staged(spark: SparkSession, sfDir: String, tmp: String)
 
-  private[streaming] def writeBatchTo(tmp: String, docs: DataFrame,
+  private[graft] def writeBatchTo(tmp: String, docs: DataFrame,
       batchId: Long): Unit = {
     import docs.sparkSession.implicits._
     graft.queries.TextMedia.chunkRows(docs)
@@ -95,23 +95,61 @@ object StreamChunkStore {
       .option("checkpointLocation", s"${st.tmp}/ckpt")
   }
 
+  /** Chunk-store COMPACTION — the census store's staged-manifest fold
+    * applied verbatim (round-11 verdict ask #3: this store is PURELY
+    * ADDITIVE, so the [[StoreCompaction]] protocol needs no new
+    * semantics): chunk rows keep their identity — the census COUNTS
+    * rows, so the fold is a pass-through rewrite under one generation
+    * that keeps the `hb` bucket level (probe pruning composes
+    * unchanged: one generation × one bucket instead of O(batches)
+    * buckets) — and the per-batch doc census folds by sum. Run with
+    * the maintainer and probes stopped (the shared quiesce contract). */
+  /** The chunk-row fold: pass-through under the generation, keeping
+    * the hb bucket level so probe pruning composes unchanged. */
+  private[graft] def chunksFold(all: DataFrame, gen: Long, out: String): Unit =
+    all.drop("batch_id").withColumn("batch_id", lit(gen))
+      .repartition(col("hb"))
+      .write.partitionBy("batch_id", "hb").parquet(out)
+
+  /** The doc-census fold: counts merge by sum. */
+  private[graft] def docsFold(all: DataFrame, gen: Long, out: String): Unit =
+    all.groupBy(col("lang")).agg(sum(col("n_docs")).as("n_docs"))
+      .withColumn("batch_id", lit(gen))
+      .write.partitionBy("batch_id").parquet(out)
+
+  private[graft] def compact(spark: SparkSession, tmp: String): Unit = {
+    StoreCompaction.compact(spark, s"$tmp/chunks", chunksFold)
+    StoreCompaction.compact(spark, s"$tmp/docs", docsFold)
+    ()
+  }
+
+  private def recoverBoth(tmp: String): Unit =
+    Seq(s"$tmp/chunks", s"$tmp/docs").foreach(r =>
+      StoreCompaction.recover(r, StoreCompaction.stageDirFor(r)))
+
   /** Dedup-on-arrival probe — the read path the hb bucketing exists
     * for: all stored chunk rows in the bucket of the incoming chunk's
     * hash. The predicate references only the `hb` partition column
     * (the bucket id folds to a constant for a literal hash), so every
     * batch partition's other NB−1 buckets are pruned at planning time:
-    * a 1/16 slice read, however many batches the stream has appended.
-    * Pinned by PlanAuditSpec against a live store layout. */
+    * a 1/16 slice read, however many batches the stream has appended —
+    * and after [[compact]], O(generations) leaf dirs total. Pinned by
+    * PlanAuditSpec against a live store layout. Recovers any
+    * interrupted compaction before reading. */
   def bucketProbe(spark: SparkSession, storeTmp: String,
-      chunkHash: org.apache.spark.sql.Column): DataFrame =
+      chunkHash: org.apache.spark.sql.Column): DataFrame = {
+    StoreCompaction.recover(s"$storeTmp/chunks",
+      StoreCompaction.stageDirFor(s"$storeTmp/chunks"))
     spark.read.parquet(s"$storeTmp/chunks")
       .filter(col("hb") === pmod(xxhash64(chunkHash), lit(NB)))
+  }
 
   /** The q491 census computed from the maintained files alone —
     * byte-identical readout to a from-scratch batch chunking of the
     * full corpus. Severed from tmp state before cleanup. */
   private def probe(st: Staged): DataFrame = {
     import st.spark.implicits._
+    recoverBoth(st.tmp)
     val ch = st.spark.read.parquet(s"${st.tmp}/chunks")
       .select($"doc_id", $"lang", $"h")
     val dc = st.spark.read.parquet(s"${st.tmp}/docs")
@@ -126,6 +164,10 @@ object StreamChunkStore {
     try {
       val q = writer(st).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      // Maintenance-job compaction with the maintainer drained (the
+      // q500 lifecycle rule): the probe answers from the CONSOLIDATED
+      // store, so the oracle gates build → stream → compact → probe.
+      compact(spark, st.tmp)
       probe(st)
     } finally cleanup(st)
   }

@@ -128,10 +128,33 @@ object StreamIndexMaintain {
       .option("checkpointLocation", s"${st.tmp}/ckpt")
   }
 
+  /** Meta-sliver COMPACTION (round-11 verdict ask #3): the per-batch
+    * bucket counts fold by SUM — liveness is decided from the lifetime
+    * Σk, so the fold IS the probe's merge (a bucket over the cap stays
+    * tombstoned, one under it stays live, batch granularity gone). The
+    * MEMBER table is a bucketed Hive table of plain appends, not
+    * batch_id partitions — its sliver problem is FILE count, and its
+    * rewrite (re-bucket minus tombstoned history) is exactly the q361
+    * compaction job; the [[StoreCompaction]] protocol only covers the
+    * batch-partitioned epoch tables. Run with the maintainer and
+    * probes stopped (the shared quiesce contract). */
+  /** The meta fold: lifetime Σk per bucket — nets negative CDC epochs. */
+  private[graft] def metaFold(all: DataFrame, gen: Long, out: String): Unit =
+    all.groupBy(col("b"), col("band_key")).agg(sum(col("k")).as("k"))
+      .withColumn("batch_id", lit(gen))
+      .write.partitionBy("batch_id").parquet(out)
+
+  private[graft] def compact(spark: SparkSession, tmp: String): Unit = {
+    StoreCompaction.compact(spark, s"$tmp/meta", metaFold)
+    ()
+  }
+
   /** PROBE the stream-maintained files exactly as q359 probes its
     * batch-maintained ones, then sever from tmp state. */
   private def probe(st: Staged): DataFrame = {
     import st.spark.implicits._
+    StoreCompaction.recover(s"${st.tmp}/meta",
+      StoreCompaction.stageDirFor(s"${st.tmp}/meta"))
     val docs = docsOf(st)
     val matches = graft.queries.Indexes.maintainedLshProbe(
       st.spark, st.tbl, s"${st.tmp}/meta",
@@ -152,6 +175,10 @@ object StreamIndexMaintain {
     try {
       val q = writer(st).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      // Maintenance-job compaction with the maintainer drained: the
+      // probe re-caps from the consolidated meta, so the oracle gates
+      // build → stream → compact → probe.
+      compact(spark, st.tmp)
       probe(st)
     } finally cleanup(st)
   }

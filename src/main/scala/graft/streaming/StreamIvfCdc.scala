@@ -198,6 +198,11 @@ object StreamIvfCdc {
     try {
       val q = writer(st).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      // Post-drain compaction (the delete feed already physically
+      // erased its victims, so the member fold is the same
+      // pass-through as the append-only maintainer's); the oracle
+      // gates the consolidated inverted file.
+      StreamIvfMaintain.compact(spark, st.tmp)
       probe(st)
     } finally cleanup(st)
   }

@@ -104,9 +104,31 @@ object StreamIvfMaintain {
       .option("checkpointLocation", s"${st.tmp}/ckpt")
   }
 
+  /** Member-sliver COMPACTION (round-11 verdict ask #3): the inverted
+    * file's rows keep their identity — each vector is assigned exactly
+    * once — so the [[StoreCompaction]] fold is a pass-through rewrite
+    * under one generation per cluster (`cid=X/batch_id=gen`), and the
+    * probe's cluster pruning composes unchanged: |probed clusters| ×
+    * O(generations) leaf dirs instead of × O(batches). The cid level
+    * stays OUTER, so the two-level leaf names ride the same manifest
+    * and per-leaf swap the protocol already speaks. Run with the
+    * maintainer and probes stopped (the shared quiesce contract). */
+  /** The member fold: pass-through under one generation per cluster. */
+  private[graft] def memberFold(all: DataFrame, gen: Long, out: String): Unit =
+    all.drop("batch_id").withColumn("batch_id", lit(gen))
+      .repartition(col("cid"))
+      .write.partitionBy("cid", "batch_id").parquet(out)
+
+  private[graft] def compact(spark: SparkSession, tmp: String): Unit = {
+    StoreCompaction.compact(spark, s"$tmp/ivf", memberFold)
+    ()
+  }
+
   /** PROBE the stream-maintained inverted file exactly as q341/q360. */
   private def probe(st: Staged): DataFrame = {
     import st.spark.implicits._
+    StoreCompaction.recover(s"${st.tmp}/ivf",
+      StoreCompaction.stageDirFor(s"${st.tmp}/ivf"))
     val qv = baseOf(st).filter($"vec_id" === 1)
       .select($"emb".as("qemb"), $"nrm".as("qnrm"))
     val probeCids = centOf(st).crossJoin(broadcast(qv))
@@ -129,6 +151,10 @@ object StreamIvfMaintain {
     try {
       val q = writer(st).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      // Maintenance-job compaction with the maintainer drained: the
+      // probe answers from the consolidated inverted file, so the
+      // oracle gates build → stream → compact → probe.
+      compact(spark, st.tmp)
       probe(st)
     } finally graft.Fs.deleteTree(st.tmp)
   }

@@ -185,8 +185,23 @@ object StreamLshCdc {
   /** PROBE the CDC-maintained index: liveness from lifetime meta
     * (deletes included via the negative epochs), deleted ids masked,
     * plus the erased-ids-visible audit. Severed from tmp state. */
+  /** CDC-store compaction: meta epochs fold by SUM (netting the delete
+    * feed's negative rows — liveness is a lifetime total either way),
+    * tombstones fold to their distinct ids; the bucketed member table
+    * stays q361's rewrite job (see [[StreamIndexMaintain.compact]]). */
+  private def compactStores(spark: SparkSession, tmp: String): Unit = {
+    StreamIndexMaintain.compact(spark, tmp)
+    StoreCompaction.compact(spark, s"$tmp/deleted", (all, gen, out) =>
+      all.select(col("doc_id")).distinct()
+        .withColumn("batch_id", lit(gen))
+        .write.partitionBy("batch_id").parquet(out))
+    ()
+  }
+
   private[graft] def probe(st: Staged): DataFrame = {
     import st.spark.implicits._
+    Seq(s"${st.tmp}/meta", s"${st.tmp}/deleted").foreach(r =>
+      StoreCompaction.recover(r, StoreCompaction.stageDirFor(r)))
     val docs = docsOf(st)
     val allDeleted = st.spark.read.parquet(s"${st.tmp}/deleted")
       .select($"doc_id".as("corpus_id")).distinct()
@@ -221,6 +236,9 @@ object StreamLshCdc {
     try {
       val q = writer(st).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      // Post-drain compaction: the meta fold nets the negative delete
+      // epochs, and the oracle gates the consolidated index.
+      compactStores(spark, st.tmp)
       probe(st)
     } finally cleanup(st)
   }

@@ -93,13 +93,6 @@ object StreamVocabCensus {
       .option("checkpointLocation", s"${st.tmp}/ckpt")
   }
 
-  /** The census store's partition-dir names (`batch_id=N`), the unit
-    * both the compactor folds and its manifest records. */
-  private def listParts(root: String): Seq[String] =
-    Option(new java.io.File(root).listFiles).getOrElse(Array.empty[java.io.File])
-      .iterator.filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
-      .map(_.getName).toList.sorted
-
   /** Census-store COMPACTION (round-10 verdict ask #5: purely additive
     * is the right WRITE path, but one `batch_id=N` partition per
     * micro-batch forever makes the partition count itself the probe's
@@ -123,71 +116,49 @@ object StreamVocabCensus {
     * discards the garbage stage (the store is intact — Spark's own
     * `data/_SUCCESS` lives a level deeper and never commits the fold);
     * a kill mid-commit leaves the marker → recovery re-runs the commit,
-    * every step of which is idempotent. Run with the maintainer
-    * STOPPED (between stream runs — the maintenance-job shape); probes
-    * recover-then-read, so they are safe at any point. */
+    * every step of which is idempotent. Run with the maintainer AND
+    * the probes stopped (between stream runs — the maintenance-job
+    * shape): probes recover-then-read, which makes them safe at any
+    * point EXCEPT concurrent with a live compact() — recovery treats a
+    * stage without the top-level marker as a crashed compaction's
+    * garbage and deletes it, so a probe racing a mid-stage compactor
+    * would pull the in-flight stage out from under it (the fold then
+    * fails on the missing dir; no data is lost, but the compaction
+    * must be re-run). The quiesce window is per-STORE and seconds
+    * long; at 100 TB the same rule is "one compactor at a time, probes
+    * drain around it", the standard maintenance-window contract. */
   private[graft] def compact(spark: SparkSession, tmp: String): Unit = {
-    val root = s"$tmp/census"
-    val stage = s"$tmp/census.__compact_stage"
-    recoverCompaction(root, stage)
-    if (stageCompaction(spark, root, stage)) commitCompaction(root, stage)
+    StoreCompaction.compact(spark, s"$tmp/census", foldWrite)
+    ()
   }
 
-  /** The staging half of [[compact]], factored so the crash tests can
-    * kill between stage and commit. Returns false (staging nothing)
-    * when the store is already a single generation. */
+  /** The census FOLD for [[StoreCompaction]]: term counts merge by
+    * sum, so the consolidated generation is just the pre-aggregated
+    * census. */
+  private def foldWrite(all: DataFrame, gen: Long, out: String): Unit = {
+    import all.sparkSession.implicits._
+    all.groupBy($"term").agg(sum($"cnt").as("cnt"))
+      .withColumn("batch_id", lit(gen))
+      .write.partitionBy("batch_id").parquet(out)
+  }
+
+  /** The staging half of [[compact]], kept as the crash tests' kill
+    * point between stage and commit (protocol in [[StoreCompaction]]). */
   private[graft] def stageCompaction(spark: SparkSession, root: String,
-      stage: String): Boolean = {
-    import spark.implicits._
-    val parts = listParts(root)
-    if (parts.length <= 1) false
-    else {
-      val gen = parts.map(_.stripPrefix("batch_id=").toLong).min - 1L
-      spark.read.parquet(root)
-        .groupBy($"term").agg(sum($"cnt").as("cnt"))
-        .withColumn("batch_id", lit(gen))
-        .write.partitionBy("batch_id").parquet(s"$stage/data")
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(s"$stage/folded.txt"),
-        parts.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$stage/_SUCCESS"))
-      true
-    }
-  }
+      stage: String): Boolean =
+    StoreCompaction.stageCompaction(spark, root, stage, foldWrite)
 
-  /** The commit half of [[compact]]: folded-partition deletes are
-    * idempotent, the staged generation moves only while still present
-    * under the stage (so a re-run after a mid-commit kill never
-    * deletes an already-moved generation), and the stage tree goes
-    * last. */
-  private def commitCompaction(root: String, stage: String): Unit = {
-    val manifest = java.nio.file.Paths.get(s"$stage/folded.txt")
-    val folded =
-      if (java.nio.file.Files.exists(manifest))
-        new String(java.nio.file.Files.readAllBytes(manifest),
-          java.nio.charset.StandardCharsets.UTF_8)
-          .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toList
-      else Nil
-    folded.foreach(n => graft.Fs.deleteTree(s"$root/$n"))
-    listParts(s"$stage/data").foreach(n =>
-      graft.Fs.swapPartitionDirs(root, s"$stage/data", Seq(n)))
-    graft.Fs.deleteTree(stage)
-  }
-
-  /** Crash recovery for an interrupted [[compact]] — the
-    * [[graft.Fs.recoverStagedSwap]] contract specialized to the
-    * manifested fold: no stage → no-op; a stage without the TOP-LEVEL
-    * `_SUCCESS` marker is garbage (discard — the store never lost a
-    * row); a committed stage re-runs the idempotent commit. Readers
-    * ([[mergedCensus]]) call this before listing the store. */
-  private[graft] def recoverCompaction(root: String, stage: String): Unit = {
-    val sp = java.nio.file.Paths.get(stage)
-    if (java.nio.file.Files.exists(sp)) {
-      if (java.nio.file.Files.exists(sp.resolve("_SUCCESS")))
-        commitCompaction(root, stage)
-      else graft.Fs.deleteTree(stage)
-    }
-  }
+  /** Crash recovery for an interrupted [[compact]] — now the shared
+    * [[StoreCompaction.recover]]: no stage → no-op; a stage without
+    * the TOP-LEVEL `_SUCCESS` marker is garbage (discard — the store
+    * never lost a row); a committed stage re-runs the idempotent
+    * commit. Readers ([[mergedCensus]]) call this before listing the
+    * store — which is only safe because [[compact]]'s contract
+    * quiesces probes for its window: against a LIVE mid-stage
+    * compactor the no-marker branch would discard the in-flight stage
+    * (see [[compact]]'s doc). */
+  private[graft] def recoverCompaction(root: String, stage: String): Unit =
+    StoreCompaction.recover(root, stage)
 
   /** Recover-then-read of the maintained store, merged to per-term
     * totals: the frame every probe aggregates from, factored so the

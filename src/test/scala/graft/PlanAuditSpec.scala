@@ -1416,6 +1416,59 @@ class PlanAuditSpec extends SparkTestBase {
     } finally graft.Fs.deleteTree(tmp)
   }
 
+  test("q492 (factored): compacted chunk-store bucket probe reads ONE leaf dir") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chunk_pin").toString
+    try {
+      val docs = spark.range(0, 30)
+        .select($"id".as("doc_id"), lit("en").as("lang"),
+          concat(lit("the quick brown fox jumps over the lazy dog body "),
+            $"id".cast("string")).as("text"))
+      graft.streaming.StreamChunkStore.writeBatchTo(tmp, docs, -1L)
+      (0L to 3L).foreach(b =>
+        graft.streaming.StreamChunkStore.writeBatchTo(
+          tmp, docs.filter($"doc_id" % 4 === b), b))
+      graft.streaming.StreamChunkStore.compact(spark, tmp)
+      // Probe the bucket of a hash that is actually in the store: after
+      // the fold there is ONE generation, so the pruned read is one
+      // leaf dir — however many batches the stream had appended.
+      val h0 = spark.read.parquet(s"$tmp/chunks").select($"h").head.getString(0)
+      val probe = graft.streaming.StreamChunkStore.bucketProbe(spark, tmp, lit(h0))
+      val scans = probe.queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, probe.queryExecution.sparkPlan.toString)
+      val read = scans.map(_.selectedPartitions.partitionCount).sum
+      assert(read == 1,
+        s"compacted chunk probe read $read leaf partitions, expected 1")
+    } finally graft.Fs.deleteTree(tmp)
+  }
+
+  test("q479 (factored): compacted BM25 stats/globals read O(generations) leaf dirs") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bm25_pin").toString
+    try {
+      (Seq(("alpha", 3L, -1L), ("beta", 2L, -1L), ("alpha", 1L, 0L),
+        ("beta", 5L, 1L), ("gamma", 1L, 2L)))
+        .toDF("term", "df", "batch_id")
+        .write.partitionBy("batch_id").parquet(s"$tmp/stats")
+      assert(graft.streaming.StoreCompaction.compact(spark, s"$tmp/stats",
+        graft.streaming.StreamBm25Maintain.statsFold))
+      val merged = spark.read.parquet(s"$tmp/stats")
+        .groupBy($"term").agg(org.apache.spark.sql.functions.sum($"df").as("df"))
+      val scans = merged.queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty)
+      val read = scans.map(_.selectedPartitions.partitionCount).sum
+      assert(read == 1,
+        s"compacted stats read $read leaf partitions, expected 1 generation")
+    } finally graft.Fs.deleteTree(tmp)
+  }
+
   test("q501 (factored): Lloyd assignment broadcasts the centroid frame; two bounded exchanges") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -1438,7 +1491,7 @@ class PlanAuditSpec extends SparkTestBase {
     assert(ex <= 2, s"expected <= 2 exchange nodes, got $ex\n$p")
   }
 
-  test("q505 (factored): dup census and keep-first rank share ONE span exchange") {
+  test("q505 (factored): span census partial-aggregates below its exchange; no window over the span key") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val docs = spark.range(0, 30)
@@ -1448,12 +1501,22 @@ class PlanAuditSpec extends SparkTestBase {
       .localCheckpoint()
     val p = graft.queries.TrainPrep.spanKeepFirst(docs)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
-    // Both windows PARTITION BY g — the count and the first-occurrence
-    // rank ride the same hash exchange; a refactor that splits them
-    // doubles the only corpus-sized shuffle in the dedup.
+    // The round-11 window form put every occurrence of a hot span into
+    // ONE window partition (AQE splits skewed joins, never windows).
+    // The aggregate+join form must (a) carry NO window over g, and
+    // (b) PARTIAL-aggregate the census below its exchange — that is
+    // the map-side combine that collapses a 10⁹-occurrence span to one
+    // row per map task before any data moves.
+    assert(!p.contains("Window"),
+      "the span stage regressed to a window over the span key\n" + p)
+    assert(p.contains("partial_min") && p.contains("partial_count"),
+      "span census is not partial-aggregated below its exchange\n" + p)
+    // Two corpus-sized exchanges max: the census aggregate (moving only
+    // map-combined span rows) and the occurrence side of the residual
+    // join; the census side reuses its aggregate partitioning.
     val ex = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
-    assert(ex == 1, s"expected exactly 1 exchange in the span stage, got $ex\n$p")
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(ex <= 2, s"expected <= 2 exchanges in the span stage, got $ex\n$p")
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("q506 (factored): star-contraction ops join the min frame gated — no edge pre-shuffle below the cap") {
@@ -1475,6 +1538,84 @@ class PlanAuditSpec extends SparkTestBase {
       assert(!pBig.contains("BroadcastHashJoin"),
         s"past-cap $name still broadcasts the min frame\n$pBig")
     }
+  }
+
+  test("q504 (factored): a WEIGHTED Louvain sweep broadcasts every node-sized side frame below the cap") {
+    import org.apache.spark.sql.functions._
+    val bi = spark.range(0, 60)
+      .select((col("id") % 12).as("src"), ((col("id") + 5) % 12).as("dst"),
+        (col("id") % 7 + 1L).as("w"))
+      .localCheckpoint()
+    val str = bi.groupBy(col("src").as("n")).agg(sum(col("w")).as("kn"))
+      .localCheckpoint()
+    val com = str.select(col("n"), col("n").as("com")).localCheckpoint()
+    val p = planNoAutoBroadcast(graft.queries.GraphOps.louvainSweepWeighted(
+      bi, str, com, 150L, 1, graft.queries.GraphOps.maybeBroadcast(12)))
+    // The weighted sweep keeps the unweighted pin's contract (q495 pin
+    // above is the template): below BroadcastRowCap the knc census
+    // attaches labels to the weighted edge list by broadcast — the
+    // edge frame is never pre-shuffled — and str/tot/cur join the
+    // candidate stream the same way; with auto-broadcast off, every
+    // one of these is the explicit gated hint.
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "a weighted Louvain sweep shuffled a node-sized side frame below the cap\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "a weighted sweep join degraded to a non-equi form\n" + p)
+    // Bounded exchanges: the weighted knc census, the candidate
+    // max-merge, the Σtot aggregate, and the per-mover argmax window.
+    val ex = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(ex <= 4, s"expected <= 4 exchange nodes in a weighted sweep, got $ex\n$p")
+    // Past the cap the SAME sweep must drop every hint: the gate is the
+    // plan's only source of broadcasts at scale.
+    val pBig = planNoAutoBroadcast(graft.queries.GraphOps.louvainSweepWeighted(
+      bi, str, com, 150L, 1,
+      graft.queries.GraphOps.maybeBroadcast(
+        graft.queries.GraphOps.BroadcastRowCap + 1)))
+    assert(!pBig.contains("BroadcastHashJoin"),
+      "past-cap weighted sweep still broadcasts a node frame\n" + pBig)
+  }
+
+  test("q507 (factored): contraction attaches level-1 labels by broadcast — the weighted edge frame never pre-shuffles below the cap") {
+    import org.apache.spark.sql.functions._
+    val gw = spark.range(0, 60)
+      .select(greatest(col("id") % 13, (col("id") + 5) % 13).as("u"),
+        least(col("id") % 13, (col("id") + 5) % 13).as("v"),
+        (col("id") % 7 + 1L).as("sup"))
+      .filter(col("u") =!= col("v")).localCheckpoint()
+    val p1 = gw.select(col("u").as("n")).unionAll(gw.select(col("v").as("n")))
+      .distinct()
+      .select(col("n"), (col("n") % 4).as("com")).localCheckpoint()
+    val (e2, str2) = graft.queries.GraphOps.louvainContract(
+      gw, p1, graft.queries.GraphOps.maybeBroadcast(13))
+    // Super-edge half: both label attachments ride the gated broadcast
+    // (the edge frame never pre-shuffles below the cap) and the only
+    // exchange is the super-edge weight aggregate.
+    val pe = planNoAutoBroadcast(e2)
+    assert(pe.contains("BroadcastHashJoin"), pe)
+    assert(!pe.contains("SortMergeJoin") && !pe.contains("ShuffledHashJoin"),
+      "contraction pre-shuffled the weighted edge frame below the cap\n" + pe)
+    assert(!pe.contains("CartesianProduct") && !pe.contains("BroadcastNestedLoopJoin"), pe)
+    val ex = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(pe).size
+    assert(ex <= 1, s"expected <= 1 exchange in the super-edge build, got $ex\n$pe")
+    // Strength half: the gw⋈label attachments are still the gated
+    // broadcast; the remaining joins merge |communities|-sized
+    // aggregate frames (self mass, external mass onto the community
+    // id list — dimension-sized by construction, so their exchange
+    // form is not the scale risk) and nothing may degrade to a
+    // product.
+    val ps = planNoAutoBroadcast(str2)
+    assert(ps.contains("BroadcastHashJoin"), ps)
+    assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoopJoin"), ps)
+    // Past the cap the gate must be the only broadcast source in BOTH
+    // halves.
+    val (e2Big, str2Big) = graft.queries.GraphOps.louvainContract(
+      gw, p1, graft.queries.GraphOps.maybeBroadcast(
+        graft.queries.GraphOps.BroadcastRowCap + 1))
+    assert(!planNoAutoBroadcast(e2Big).contains("BroadcastHashJoin"),
+      "past-cap contraction still broadcasts the label frame")
+    assert(!planNoAutoBroadcast(str2Big).contains("BroadcastHashJoin"),
+      "past-cap strength build still broadcasts the label frame")
   }
 
   test("q502: expansion scoring is broadcast-shaped end to end — no product, no corpus sort-merge") {
