@@ -2071,8 +2071,10 @@ object GraphOps {
     * q508's connectivity audit unrolls the IDENTICAL label computation
     * before its own refinement CTEs. Also defines `gw` (the weighted
     * projection) and `m0(m)` (total weight) for downstream reuse. */
-  private def sqlTwoLevelLabelCtes: String = {
-    def sweeps(lvl: String, bi: String, nd: String, l0: String, n: Int) =
+  /** The oracle's weighted parity-sweep unroll, shared by the q507
+    * two-level chain and q509's Leiden chain. */
+  private def sqlWeightedSweeps(lvl: String, bi: String, nd: String,
+      l0: String, n: Int): String =
       (1 to n).map { r =>
         s"""${lvl}tot$r AS (SELECT com, CAST(sum(kn) AS BIGINT) AS tot
            |  FROM ${if (r == 1) l0 else s"$lvl${r - 1}"} l JOIN $nd USING (n) GROUP BY 1),
@@ -2095,6 +2097,30 @@ object GraphOps {
            |  UNION ALL
            |  SELECT n, com FROM ${if (r == 1) l0 else s"$lvl${r - 1}"} WHERE n % 2 <> ${r % 2})""".stripMargin
       }.mkString(",\n")
+
+  /** The oracle's connectivity-refinement CTE block, shared by q508
+    * (detector) and q509 (repair): components of `lbl`'s
+    * intra-community edges via a recursive closure, emitted as
+    * `${px}ref(n, part, com)` with part = component-minimum node id
+    * (singletons fall back to their own id) — [[splitByComponents]]'s
+    * exact semantics. */
+  private def sqlRefineCtes(px: String, lbl: String): String =
+    s"""${px}intra AS MATERIALIZED (SELECT gw.u, gw.v FROM gw
+       |  JOIN $lbl lu ON gw.u = lu.n
+       |  JOIN $lbl lv ON gw.v = lv.n
+       |  WHERE lu.com = lv.com),
+       |${px}bii AS (SELECT u AS a, v AS b FROM ${px}intra UNION ALL SELECT v, u FROM ${px}intra),
+       |${px}reach(src, node) AS (
+       |  SELECT DISTINCT a, a FROM ${px}bii
+       |  UNION
+       |  SELECT r.src, e.b FROM ${px}reach r JOIN ${px}bii e ON r.node = e.a),
+       |${px}clbl AS MATERIALIZED (SELECT src AS n, min(node) AS part FROM ${px}reach GROUP BY src),
+       |${px}ref AS MATERIALIZED (SELECT c.n, coalesce(cl.part, c.n) AS part, c.com
+       |  FROM $lbl c LEFT JOIN ${px}clbl cl ON c.n = cl.n)""".stripMargin
+
+  private def sqlTwoLevelLabelCtes: String = {
+    def sweeps(lvl: String, bi: String, nd: String, l0: String, n: Int) =
+      sqlWeightedSweeps(lvl, bi, nd, l0, n)
     s"""$sqlCoPurchaseWeightedCtes,
        |bi AS MATERIALIZED (SELECT u AS src, v AS dst, sup AS w FROM gw
        |  UNION ALL SELECT v, u, sup FROM gw),
@@ -2161,22 +2187,50 @@ object GraphOps {
     * Scale: two gated label joins carve the intra edges, components
     * are O(log² n) edge-sized rounds, both censuses are label joins +
     * |communities|-row aggregates — nothing touches the corpus twice. */
-  private[graft] def louvainConnectivityAudit(gw: org.apache.spark.sql.DataFrame,
-      labels: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  /** A partition's INTRA-community edges — both label attachments ride
+    * the gated broadcast `mb`, so the corpus-sized edge frame never
+    * pre-shuffles below the cap (pinned). Factored from
+    * [[splitByComponents]] for the plan pin. */
+  private[graft] def intraEdges(gw: org.apache.spark.sql.DataFrame,
+      lbl: org.apache.spark.sql.DataFrame,
+      mb: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     import gw.sparkSession.implicits._
-    val lbl = labels.localCheckpoint()
-    val mb = maybeBroadcast(lbl.count())
-    val intra = gw
-      .join(mb(lbl.select($"n".as("u"), $"com".as("cu"))), Seq("u"))
+    gw.join(mb(lbl.select($"n".as("u"), $"com".as("cu"))), Seq("u"))
       .join(mb(lbl.select($"n".as("v"), $"com".as("cv"))), Seq("v"))
       .filter($"cu" === $"cv")
       .select($"u", $"v")
-    val comps = starContractLabels(intra)
+  }
+
+  /** The CONNECTIVITY REFINEMENT shared by q508 (as a detector) and
+    * q509 (as a repair step): split every community of `lbl(n, com)`
+    * into the connected components of its internal subgraph
+    * ([[starContractLabels]] over the intra edges — diameter-
+    * independent; nodes with no internal edge become their own
+    * singleton part). Part ids are component-minimum node ids —
+    * unique across communities because components are disjoint node
+    * sets, so the refined labeling is deterministic and
+    * oracle-checkable. Returns the checkpointed (n, part, com). */
+  private[graft] def splitByComponents(gw: org.apache.spark.sql.DataFrame,
+      lbl: org.apache.spark.sql.DataFrame,
+      mb: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import gw.sparkSession.implicits._
+    val comps = starContractLabels(intraEdges(gw, lbl, mb))
     val refined = lbl
       .join(comps.select($"node".as("n"), $"label"), Seq("n"), "left")
       .select($"n", coalesce($"label", $"n").as("part"), $"com")
       .localCheckpoint()
     comps.unpersist(blocking = false)
+    refined
+  }
+
+  private[graft] def louvainConnectivityAudit(gw: org.apache.spark.sql.DataFrame,
+      labels: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import gw.sparkSession.implicits._
+    val lbl = labels.localCheckpoint()
+    val mb = maybeBroadcast(lbl.count())
+    val refined = splitByComponents(gw, lbl, mb)
     val cenO = modularityCensusWeighted(gw, lbl.select($"n", $"com"))
     val cenR = modularityCensusWeighted(gw, refined.select($"n", $"part".as("com")))
     val perPart = refined.select($"com", $"part").distinct()
@@ -2278,6 +2332,118 @@ object GraphOps {
             |  coalesce(CAST(sum(q_gain_ppm) AS BIGINT), 0)
             |FROM spl
             |ORDER BY com""".stripMargin),
+  )
+
+  /** q509's full pipeline, factored for edge tests: the LEIDEN
+    * two-level shape (Traag, Waltman & van Eck 2019 — "From Louvain to
+    * Leiden") over the weighted projection. Leiden's fix for the
+    * disconnected-community defect is a REFINEMENT pass between
+    * ascent and contraction: 4 weighted parity sweeps →
+    * [[splitByComponents]] (refine₁: every level-1 community splits
+    * into its internal connected components, so contraction operates
+    * on connected super-nodes) → rank-remap → [[louvainContract]] →
+    * `l2Rounds` sweeps on the super-graph → labels composed back (in
+    * rank space — the ids only need consistency, the final refinement
+    * relabels) → [[splitByComponents]] again (refine₂: the terminal
+    * connectivity repair). Final community ids are component-minimum
+    * node ids — deterministic, and the output is internally connected
+    * BY CONSTRUCTION: [[louvainConnectivityAudit]] of this partition
+    * is all-zeros on every graph (the edge test pins it), which is
+    * exactly the guarantee the Leiden paper proves for its refinement
+    * and the q508 audit exists to check. Simplifications vs the full
+    * paper, documented: the ascent is our deterministic
+    * semi-synchronous parity sweep (not randomized queue order), the
+    * refinement is the connectivity split (not the randomized
+    * constrained merge), and the hierarchy is two levels. Scale: q507's
+    * loop discipline plus two O(log² n) component passes over
+    * intra-community edges — every stage edge-sized or
+    * |communities|-sized, labels through the gated broadcast. */
+  private[graft] def leidenTwoLevelLabels(gw: org.apache.spark.sql.DataFrame,
+      l2Rounds: Int): org.apache.spark.sql.DataFrame = {
+    import gw.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wTot = {
+      val cell = gw.agg(sum($"sup")).head
+      if (cell.isNullAt(0)) 0L else cell.getLong(0)
+    }
+    val p1 = louvainRoundsWeighted(gw, 4)
+    val mb = maybeBroadcast(p1.count())
+    val r1 = splitByComponents(gw, p1, mb)
+    val rt = r1.select($"part".as("c1")).distinct()
+      .withColumn("rk", row_number().over(Window.orderBy($"c1")))
+      .localCheckpoint()
+    val p1rk = r1.join(mb(rt), $"part" === $"c1")
+      .select($"n", $"rk".as("com"))
+    val (e2, str2raw) = louvainContract(gw, p1rk, mb)
+    val str2 = str2raw.localCheckpoint()
+    val bi2 = e2.select($"u".as("src"), $"v".as("dst"), $"sup".as("w"))
+      .unionAll(e2.select($"v".as("src"), $"u".as("dst"), $"sup".as("w")))
+      .localCheckpoint()
+    val (com2, _) = louvainLoop(l2Rounds,
+      str2.select($"n", $"n".as("com")).localCheckpoint(),
+      (com, r) => louvainSweepWeighted(bi2, str2, com, wTot, r, mb))
+    val composed = p1rk
+      .join(mb(com2.select($"n".as("com"), $"com".as("c2"))), Seq("com"))
+      .select($"n", $"c2".as("com"))
+    splitByComponents(gw, composed, mb).select($"n", $"part".as("com"))
+  }
+
+  /** q509 — LEIDEN two-level community detection over the weighted
+    * projection (the ladder's completion: q481 votes, q495/q504
+    * ascend, q507 ascends hierarchically, q508 DETECTS the ascent's
+    * connectivity defect — this one FIXES it): the two-level Louvain
+    * shape with [[splitByComponents]] refinement before contraction
+    * and after composition (see [[leidenTwoLevelLabels]]), then the
+    * weighted modularity census whose com = −1 row IS the Leiden Q —
+    * directly comparable to q507's over the same edges, with the
+    * guarantee q507 lacks: every reported community is internally
+    * connected (q508's audit of this output is all-zeros by
+    * construction, pinned). Oracle: the same sweep unroll with the
+    * recursive-closure refinement CTEs spliced in at both seams. */
+  val q509 = QuerySpec(
+    "q509_leiden_two_level",
+    (s, d) => {
+      import s.implicits._
+      val edges = tradeEdges(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+      val gw = basketPairCounts(edges).filter($"sup" >= 8)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try modularityCensusWeighted(gw, leidenTwoLevelLabels(gw, 2))
+      finally { gw.unpersist(blocking = false); edges.unpersist(blocking = false) }
+    },
+    Some(s"""WITH RECURSIVE $sqlCoPurchaseWeightedCtes,
+            |bi AS MATERIALIZED (SELECT u AS src, v AS dst, sup AS w FROM gw
+            |  UNION ALL SELECT v, u, sup FROM gw),
+            |nd AS MATERIALIZED (SELECT src AS n, CAST(sum(w) AS BIGINT) AS kn
+            |  FROM bi GROUP BY 1),
+            |m0 AS (SELECT CAST(sum(sup) AS BIGINT) AS m FROM gw),
+            |a0 AS (SELECT n, n AS com FROM nd),
+            |${sqlWeightedSweeps("a", "bi", "nd", "a0", 4)},
+            |${sqlRefineCtes("r1", "a4")},
+            |rt AS MATERIALIZED (SELECT part AS c1, row_number() OVER (ORDER BY part) AS rk
+            |  FROM (SELECT DISTINCT part FROM r1ref)),
+            |a4rk AS MATERIALIZED (SELECT r.n, rt.rk AS com
+            |  FROM r1ref r JOIN rt ON r.part = rt.c1),
+            |cge AS (SELECT lu.com AS cu, lv.com AS cv, gw.sup
+            |  FROM gw JOIN a4rk lu ON gw.u = lu.n JOIN a4rk lv ON gw.v = lv.n),
+            |e2 AS MATERIALIZED (SELECT least(cu, cv) AS u, greatest(cu, cv) AS v,
+            |    CAST(sum(sup) AS BIGINT) AS sup
+            |  FROM cge WHERE cu <> cv GROUP BY 1, 2),
+            |selfw AS (SELECT cu AS n, CAST(sum(sup) AS BIGINT) AS lw
+            |  FROM cge WHERE cu = cv GROUP BY 1),
+            |bi2 AS MATERIALIZED (SELECT u AS src, v AS dst, sup AS w FROM e2
+            |  UNION ALL SELECT v, u, sup FROM e2),
+            |ext AS (SELECT src AS n, CAST(sum(w) AS BIGINT) AS s FROM bi2 GROUP BY 1),
+            |nd2 AS MATERIALIZED (SELECT c.n,
+            |    CAST(coalesce(ext.s, 0) + 2 * coalesce(selfw.lw, 0) AS BIGINT) AS kn
+            |  FROM (SELECT DISTINCT com AS n FROM a4rk) c
+            |  LEFT JOIN ext USING (n) LEFT JOIN selfw USING (n)),
+            |b0 AS (SELECT n, n AS com FROM nd2),
+            |${sqlWeightedSweeps("b", "bi2", "nd2", "b0", 2)},
+            |composed AS MATERIALIZED (SELECT p.n, b2.com
+            |  FROM a4rk p JOIN b2 ON p.com = b2.n),
+            |${sqlRefineCtes("r2", "composed")},
+            |final AS MATERIALIZED (SELECT n, part AS com FROM r2ref),
+            |${sqlModularityCensusWeighted("final")}""".stripMargin),
   )
 
   /** q485 — connected components of the co-purchase projection (the
@@ -2917,5 +3083,5 @@ object GraphOps {
   val all: Seq[QuerySpec] =
     Seq(q59, q94, q126, q148, q226, q304, q310, q378, q435, q448, q454,
       q476, q477, q478, q481, q485, q486, q487, q489, q490, q495, q497,
-      q504, q506, q507, q508)
+      q504, q506, q507, q508, q509)
 }

@@ -1618,6 +1618,35 @@ class PlanAuditSpec extends SparkTestBase {
       "past-cap strength build still broadcasts the label frame")
   }
 
+  test("q508/q509 (factored): the refinement's intra-community carve attaches labels through the gate") {
+    import org.apache.spark.sql.functions._
+    val gw = spark.range(0, 60)
+      .select(greatest(col("id") % 13, (col("id") + 5) % 13).as("u"),
+        least(col("id") % 13, (col("id") + 5) % 13).as("v"),
+        (col("id") % 7 + 1L).as("sup"))
+      .filter(col("u") =!= col("v")).localCheckpoint()
+    val lbl = gw.select(col("u").as("n")).unionAll(gw.select(col("v").as("n")))
+      .distinct()
+      .select(col("n"), (col("n") % 3).as("com")).localCheckpoint()
+    val p = planNoAutoBroadcast(graft.queries.GraphOps.intraEdges(
+      gw, lbl, graft.queries.GraphOps.maybeBroadcast(13)))
+    // Both endpoint label attachments ride the gated broadcast — the
+    // corpus-sized edge frame never pre-shuffles below the cap, and
+    // the carve is exchange-free (pure map-side filter after the
+    // broadcasts).
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the intra carve pre-shuffled the edge frame below the cap\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val ex = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(ex == 0, s"expected an exchange-free carve, got $ex\n$p")
+    val pBig = planNoAutoBroadcast(graft.queries.GraphOps.intraEdges(
+      gw, lbl, graft.queries.GraphOps.maybeBroadcast(
+        graft.queries.GraphOps.BroadcastRowCap + 1)))
+    assert(!pBig.contains("BroadcastHashJoin"),
+      "past-cap carve still broadcasts the label frame\n" + pBig)
+  }
+
   test("q502: expansion scoring is broadcast-shaped end to end — no product, no corpus sort-merge") {
     val p = plan("q502_rm3_query_expansion")
     // Stage-2's token explode prunes against the broadcast dynamic term

@@ -94,6 +94,42 @@ class Round12EdgeSpec extends SparkTestBase {
     assert(out === Seq((-1L, 0L, 0L, 0L, 0L)), out.mkString(","))
   }
 
+  test("q509 leiden on disconnected triangles: two connected communities with exact census") {
+    import spark.implicits._
+    val gw = Seq(
+      (1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 10L),
+      (5L, 6L, 10L), (6L, 7L, 10L), (5L, 7L, 10L)).toDF("u", "v", "sup")
+    val labels = graft.queries.GraphOps.leidenTwoLevelLabels(gw, 2)
+    val census = graft.queries.GraphOps.modularityCensusWeighted(gw, labels)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // Each triangle: w_in 30, degree mass 60, contribution 250000 ppm;
+    // community ids are component minima (1 and 5).
+    assert(census === Seq(
+      (-1L, 6L, 60L, 120L, 500000L),
+      (1L, 3L, 30L, 60L, 250000L),
+      (5L, 3L, 30L, 60L, 250000L)), census.mkString(","))
+  }
+
+  test("q509 leiden output is internally connected BY CONSTRUCTION: the q508 audit reads all-zeros") {
+    import spark.implicits._
+    // The real projection at sf0.001 — where plain two-level Louvain
+    // (q507) is exactly what q508 catches stranding communities; the
+    // Leiden refinement must leave nothing to report.
+    val edges = graft.queries.GraphOps.tradeEdges(spark, sf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val gw = graft.queries.GraphOps.basketPairCounts(edges)
+        .filter($"sup" >= 8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val labels = graft.queries.GraphOps.leidenTwoLevelLabels(gw, 2)
+        val audit = graft.queries.GraphOps.louvainConnectivityAudit(gw, labels)
+          .as[(Long, Long, Long, Long, Long)].collect().toSeq
+        assert(audit === Seq((-1L, 0L, 0L, 0L, 0L)), audit.mkString(","))
+      } finally { gw.unpersist(blocking = false); () }
+    } finally { edges.unpersist(blocking = false); () }
+  }
+
   // ---- StoreCompaction generalization (round-11 verdict ask #3) ----
 
   private def leafNames(root: String): Seq[String] =
