@@ -264,6 +264,46 @@ class Round12EdgeSpec extends SparkTestBase {
     } finally Fs.deleteTree(tmp)
   }
 
+  test("IVF compaction crash windows on the two-level layout: mid-stage discards, post-marker completes, mid-commit converges") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_crash").toString
+    try {
+      def rows(b: Long, ids: Seq[Long]) = ids.toDF("vec_id")
+        .select($"vec_id", ($"vec_id" % 3).as("cid"), lit(b).as("batch_id"))
+      rows(-1L, Seq(1L, 2L, 3L, 4L))
+        .write.partitionBy("cid", "batch_id").parquet(s"$tmp/ivf")
+      rows(0L, Seq(5L, 6L))
+        .write.mode("append").partitionBy("cid", "batch_id").parquet(s"$tmp/ivf")
+      val root = s"$tmp/ivf"
+      val stage = StoreCompaction.stageDirFor(root)
+      def members(): Set[Long] =
+        spark.read.parquet(root).select($"vec_id").as[Long].collect().toSet
+      val before = members()
+      // MID-STAGE: no marker → recovery discards the stage, store intact.
+      assert(StoreCompaction.stageCompaction(spark, root, stage,
+        StreamIvfMaintain.memberFold))
+      java.nio.file.Files.delete(java.nio.file.Paths.get(s"$stage/_SUCCESS"))
+      StoreCompaction.recover(root, stage)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(stage)))
+      assert(members() === before)
+      assert(StoreCompaction.batchIds(root).sorted === Seq(-1L, 0L))
+      // MID-COMMIT on the TWO-LEVEL layout: marker landed, then the
+      // kill hit after SOME folded leaves were deleted (one leaf gone,
+      // its parent shell pruned) — recovery must re-run the idempotent
+      // commit and converge, including the ancestor pruning.
+      assert(StoreCompaction.stageCompaction(spark, root, stage,
+        StreamIvfMaintain.memberFold))
+      val victim = graft.Fs.leafPartitionDirs(root).head
+      graft.Fs.deleteTree(s"$root/$victim")
+      StoreCompaction.recover(root, stage)
+      assert(StoreCompaction.batchIds(root) === Seq(-2L),
+        graft.Fs.leafPartitionDirs(root).mkString(","))
+      assert(graft.Fs.leafPartitionDirs(root).forall(_.endsWith("/batch_id=-2")))
+      assert(members() === before)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(stage)))
+    } finally Fs.deleteTree(tmp)
+  }
+
   test("LSH meta fold: lifetime Σk per bucket survives the fold, tombstoning decisions unchanged") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_fold").toString
