@@ -283,9 +283,18 @@ object GraphOps {
       import s.implicits._
       val li = graft.Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey")
       val ord = graft.Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
+      // r12 (guide §2.3 narrower types): the sweeps used to run on the
+      // CONCATENATED STRING node ids ('c:123' / 's:45') — every
+      // distinct, join, and contribution aggregate keyed and hashed on
+      // strings for 3 rounds. The bipartite id space is two disjoint
+      // long ranges, so customers ride 2·key and suppliers 2·key+1
+      // (bijective — the distinct set, degrees, and every pr_units
+      // value are unchanged integers), and the strings are RENDERED
+      // once at the readout, before the final orderBy on the decoded
+      // column (same output order as always).
       val pairs = li.join(ord, $"l_orderkey" === $"o_orderkey")
-        .select(concat(lit("c:"), $"o_custkey").as("cust"),
-          concat(lit("s:"), $"l_suppkey").as("supp"))
+        .select(($"o_custkey" * 2L).as("cust"),
+          ($"l_suppkey" * 2L + 1L).as("supp"))
         .distinct()
       val edges = pairs.select($"cust".as("src"), $"supp".as("dst"))
         .unionAll(pairs.select($"supp".as("src"), $"cust".as("dst")))
@@ -323,7 +332,12 @@ object GraphOps {
                 expr("(85 * coalesce(csum, 0L)) DIV 100")).as("pr_units"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         }
-        val out = sweeps.last.orderBy($"node")
+        val out = sweeps.last
+          .select(concat(
+              when(pmod($"node", lit(2)) === 0, lit("c:")).otherwise(lit("s:")),
+              expr("node div 2").cast("string")).as("node"),
+            $"pr_units")
+          .orderBy($"node")
         val result = Eager(out)
         (Seq(edgesDeg, nodes) ++ sweeps).foreach(_.unpersist(blocking = false))
         result
@@ -684,9 +698,12 @@ object GraphOps {
       import s.implicits._
       val li = graft.Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey")
       val ord = graft.Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
+      // r12: same long-surrogate keying as q126 (2·custkey / 2·suppkey
+      // + 1) — the walk's joins and aggregates never touch a string;
+      // the seed set 'c:1'..'c:10' is the even ids 2..20.
       val pairs = li.join(ord, $"l_orderkey" === $"o_orderkey")
-        .select(concat(lit("c:"), $"o_custkey").as("cust"),
-          concat(lit("s:"), $"l_suppkey").as("supp"))
+        .select(($"o_custkey" * 2L).as("cust"),
+          ($"l_suppkey" * 2L + 1L).as("supp"))
         .distinct()
       val edges = pairs.select($"cust".as("src"), $"supp".as("dst"))
         .unionAll(pairs.select($"supp".as("src"), $"cust".as("dst")))
@@ -696,7 +713,7 @@ object GraphOps {
         val edgesDeg = edges.join(deg, "src")
           .repartition(16, $"dst")
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val seedCol = $"node".isin((1 to 10).map(i => s"c:$i"): _*)
+        val seedCol = $"node".isin((1 to 10).map(i => 2L * i): _*)
         val nodes = edges.select($"src".as("node")).distinct()
           .withColumn("is_seed", seedCol)
           .persist(StorageLevel.MEMORY_AND_DISK)
@@ -720,7 +737,11 @@ object GraphOps {
                 expr("(85 * coalesce(csum, 0L)) DIV 100")).as("pr_units"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         }
-        val out = sweeps.last.select($"node", $"pr_units")
+        val out = sweeps.last
+          .select(concat(
+              when(pmod($"node", lit(2)) === 0, lit("c:")).otherwise(lit("s:")),
+              expr("node div 2").cast("string")).as("node"),
+            $"pr_units")
           .orderBy($"pr_units".desc, $"node").limit(20)
         val result = Eager(out)
         (Seq(edgesDeg, nodes) ++ sweeps).foreach(_.unpersist(blocking = false))
@@ -1013,21 +1034,28 @@ object GraphOps {
   private[graft] def basketPairCounts(edges: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import edges.sparkSession.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val capped = edges
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"cust").orderBy($"supp")))
-      .filter($"rn" <= 16)
-      .select($"cust", $"supp")
     // Pairs via a per-customer basket + in-row C(k,2) expansion (q24's
-    // bucket pair emit) instead of a capped self-join: the basket
-    // aggregate reuses the window's cust clustering with NO new
-    // exchange, and the ordered expansion gives u < v for free — one
-    // shuffle total where the self-join form paid the cust shuffle
-    // twice plus a join. ~40% of every projection consumer's build
-    // time at sf0.1.
-    capped.groupBy($"cust")
-      .agg(sort_array(collect_list($"supp")).as("ss"))
+    // bucket pair emit) instead of a capped self-join — one shuffle
+    // where the self-join form paid the cust shuffle twice plus a join.
+    //
+    // r12 (guide §2.3 "aggregate before you shuffle"): the 16-smallest
+    // basket cap IS the bounded aggregate [[graft.functions
+    // .BottomKLongAgg]] — the old row_number window + collect_list
+    // pair paid a per-partition sort, the rank filter, and a second
+    // aggregate over the survivors; bottom-k folds cap and basket into
+    // ONE hash aggregate with an O(16) primitive buffer at every
+    // stage, so a hub customer's rows partial-aggregate to 16 ids per
+    // map task BEFORE the cust exchange (the window form shuffled and
+    // sorted every row of the hub's partition — a window partition is
+    // the one thing AQE skew handling cannot split). k-smallest-by-
+    // supp is deterministic, so the basket — and every downstream
+    // support count — is bit-identical to the rn <= 16 form the
+    // oracle mirrors. (The typed-Aggregator BottomKLong udaf was
+    // measured first and LOST to the window — immutable-Vector
+    // rebuilds per row; the TypedImperativeAggregate form is the one
+    // that wins. See OPTIMIZATION_r12.md §B.)
+    edges.groupBy($"cust")
+      .agg(graft.functions.BottomKLongAgg.bottomKLong($"supp", 16).as("ss"))
       // 1-supplier baskets carry no pairs — and guard Spark's
       // DESCENDING sequence(0, -1) corner in the expansion.
       .filter(size($"ss") >= 2)
@@ -1350,15 +1378,20 @@ object GraphOps {
       .join(lbl.select($"n".as("v"), $"com".as("cv")), Seq("v"))
       .select($"cu", $"cv")
     val m = g.agg(count(lit(1)).as("m"))
-    val deg = ge.select($"cu".as("com")).unionAll(ge.select($"cv".as("com")))
-      .groupBy($"com").agg(count(lit(1)).as("d"))
-    val internal = ge.filter($"cu" === $"cv")
-      .groupBy($"cu".as("com")).agg(count(lit(1)).as("e_in"))
+    // r12: degree mass and internal edges in ONE pass over the
+    // labeled edge frame (the old shape aggregated ge twice — a 2|E|
+    // union for d and a second filtered |E| scan for e_in): the cu leg
+    // carries the own-community flag, the cv leg never does (an
+    // internal edge counts once for e_in, twice for d — unchanged
+    // algebra), and the left-join + 0-fill disappears because every
+    // community in `deg`'s old inner join also has ≥ 1 union row here.
+    val dw = ge.select($"cu".as("com"), ($"cu" === $"cv").as("own"))
+      .unionAll(ge.select($"cv".as("com"), lit(false).as("own")))
+      .groupBy($"com").agg(count(lit(1)).as("d"),
+        sum(when($"own", 1L).otherwise(0L)).as("e_in"))
     // Eager: the per-community frame feeds both the row output and
     // the total row — tiny (|communities| rows), materialized once.
-    val per = Eager(sizes.join(deg, Seq("com"))
-      .join(internal, Seq("com"), "left")
-      .na.fill(0L, Seq("e_in"))
+    val per = Eager(sizes.join(dw, Seq("com"))
       .crossJoin(broadcast(m))
       .select($"com", $"n_members", $"e_in", $"d",
         (expr("e_in * 1000000L div m") - expr(
@@ -1503,9 +1536,12 @@ object GraphOps {
     * remaining sweep is the identity. Result-invariant against the
     * oracles, which UNROLL the full budget: an identity sweep is the
     * identity on both engines, so stopping early returns the same
-    * labels the unrolled SQL computes. The probe is one node-sized
-    * join + limit-1 emptiness check per non-final sweep — never
-    * edge-sized. Returns (labels, sweepsExecuted). */
+    * labels the unrolled SQL computes. The probe reads the sweep's own
+    * `chg` flag off the materialized checkpoint — a filter + limit-1
+    * emptiness scan of a node-sized frame, no join (r12: the sweep
+    * knows cur vs next at argmax time, so the old join-against-
+    * previous probe job was recomputing information the sweep already
+    * had). Returns (labels as (n, com), sweepsExecuted). */
   private def louvainLoop(rounds: Int, init: org.apache.spark.sql.DataFrame,
       sweep: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, Int) = {
@@ -1520,9 +1556,7 @@ object GraphOps {
       executed += 1
       // Probing the FINAL budgeted sweep buys nothing — skip its job.
       if (r < rounds) {
-        val movedAny = !com
-          .join(prev.select($"n", $"com".as("prev_com")), Seq("n"))
-          .filter($"com" =!= $"prev_com").isEmpty
+        val movedAny = !com.filter($"chg").isEmpty
         quiet = if (movedAny) 0 else quiet + 1
       }
       // Superseded round's checkpoint blocks released eagerly (the
@@ -1532,52 +1566,79 @@ object GraphOps {
       prev.unpersist(blocking = false)
       r += 1
     }
-    (com, executed)
+    (com.select($"n", $"com"), executed)
   }
 
   /** One semi-synchronous Louvain sweep, factored from
     * [[louvainRounds]] so its PLAN shape is pinnable (PlanAuditSpec):
-    * returns the next label frame pre-checkpoint. Every node-sized
+    * returns the next label frame pre-checkpoint, as (n, com, chg)
+    * where chg marks nodes whose label CHANGED this sweep (false for
+    * the resting parity class) — [[louvainLoop]]'s fixpoint probe
+    * reads the flag off the materialized checkpoint instead of paying
+    * a separate join-against-previous job per sweep. Every node-sized
     * side frame (deg, Σtot, current labels — tot is community-sized,
     * ≤ nodes) joins through `mb` (q126's rank-frame discipline gated
     * on the node census — past [[BroadcastRowCap]] these joins shuffle
     * instead of flooding the driver), INCLUDING the label frame the
     * knc census attaches to the edge list: below the cap the edge
-    * frame is never pre-shuffled, so a sweep's only exchanges are the
-    * knc census aggregate, the candidate max-merge, and the per-mover
-    * argmax window. */
+    * frame is never pre-shuffled.
+    *
+    * r12 optimization (guide §2.3/§2.4), oracle-equivalence argued
+    * term by term:
+    *  - PARITY PUSHDOWN: only n ≡ r (mod 2) nodes may move, so the
+    *    knc census filters the bidirected edge list to that dst class
+    *    BEFORE the aggregate — half the edge rows per sweep feed the
+    *    one edge-sized exchange (the resting class's knc rows were
+    *    discarded by the old post-aggregate parity filter anyway).
+    *  - ARGMAX AS AGGREGATE: the per-mover winner was row_number()
+    *    OVER (PARTITION BY n ORDER BY score DESC, com) = 1 — a full
+    *    sort-exchange of every candidate row. max(struct(score, −com))
+    *    is the SAME total order (max struct compares score first, then
+    *    −com, i.e. ties to the smallest community id), computed as a
+    *    partially-aggregable per-n max: map-side combine shrinks the
+    *    shuffle to one best-so-far row per (map task, n).
+    *  - the old candidate max-merge (groupBy(n, com).agg(max(k)))
+    *    disappears: its only duplicate was the own-community 0-row
+    *    beside a knc row at k ≥ 1, and the score is strictly
+    *    increasing in k (2m·k dominates, m ≥ 1 whenever edges exist),
+    *    so the max-struct argmax picks the knc row over the 0-row
+    *    without the pre-merge. A sweep's exchanges: the halved knc
+    *    census, the Σtot aggregate, the argmax aggregate — the
+    *    candidate-merge exchange and the window sort are gone. */
   private[graft] def louvainSweep(bi: org.apache.spark.sql.DataFrame,
       deg: org.apache.spark.sql.DataFrame, com: org.apache.spark.sql.DataFrame,
       mVal: Long, r: Int,
       mb: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import bi.sparkSession.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"n").orderBy($"score".desc, $"com")
     val tot = com.join(mb(deg), Seq("n")).groupBy($"com")
       .agg(sum($"kn").as("tot"))
     // k_{n,C}: edges from n into each NEIGHBOR community (the only
     // communities a move can gain on) — plus the own community as an
-    // explicit candidate at its true k (max picks the knc row when
-    // one exists, the 0-row otherwise: staying is always on the
-    // menu, so an isolated-in-community node can stay put).
-    val knc = bi.join(mb(com.select($"n".as("src"), $"com")), Seq("src"))
+    // explicit candidate at k = 0 (the argmax picks the knc row when
+    // one exists — score grows with k — and the 0-row otherwise:
+    // staying is always on the menu, so an isolated-in-community node
+    // can stay put).
+    val knc = bi.filter(pmod($"dst", lit(2)) === lit(r % 2))
+      .join(mb(com.select($"n".as("src"), $"com")), Seq("src"))
       .groupBy($"dst", $"com").agg(count(lit(1)).as("k"))
       .select($"dst".as("n"), $"com", $"k")
-    val cand = knc
-      .unionByName(com.select($"n", $"com").withColumn("k", lit(0L)))
-      .groupBy($"n", $"com").agg(max($"k").as("k"))
+    val cand = knc.unionByName(
+      com.filter(pmod($"n", lit(2)) === lit(r % 2))
+        .select($"n", $"com").withColumn("k", lit(0L)))
     val moved = cand
-      .filter(pmod($"n", lit(2)) === lit(r % 2))
       .join(mb(deg), Seq("n"))
       .join(mb(tot), Seq("com"))
       .join(mb(com.select($"n", $"com".as("cur"))), Seq("n"))
       .withColumn("score",
         expr(s"2L * ${mVal}L * k - (tot - CASE WHEN com = cur THEN kn ELSE 0L END) * kn"))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"n", $"com")
+      .groupBy($"n")
+      .agg(max(struct($"score", negate($"com").as("nc"))).as("best"),
+        min($"cur").as("cur"))
+      .select($"n", negate($"best.nc").as("com"),
+        ($"best.nc" =!= negate($"cur")).as("chg"))
     com.filter(pmod($"n", lit(2)) =!= lit(r % 2))
+      .select($"n", $"com", lit(false).as("chg"))
       .unionByName(moved)
   }
 
@@ -1779,28 +1840,35 @@ object GraphOps {
       mb: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import bi.sparkSession.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"n").orderBy($"score".desc, $"com")
+    // r12: same three-step rewrite as [[louvainSweep]] (parity pushdown
+    // below the knc census, candidate-merge dropped — the weighted
+    // score is strictly increasing in k too, weights are ≥ 1 — and the
+    // per-mover argmax window replaced by the partially-aggregable
+    // max(struct(score, −com)), identical (score DESC, com ASC) order
+    // with the DECIMAL score compared first). Returns (n, com, chg).
     val tot = com.join(mb(str), Seq("n")).groupBy($"com")
       .agg(sum($"kn").as("tot"))
-    val knc = bi.join(mb(com.select($"n".as("src"), $"com")), Seq("src"))
+    val knc = bi.filter(pmod($"dst", lit(2)) === lit(r % 2))
+      .join(mb(com.select($"n".as("src"), $"com")), Seq("src"))
       .groupBy($"dst", $"com").agg(sum($"w").as("k"))
       .select($"dst".as("n"), $"com", $"k")
-    val cand = knc
-      .unionByName(com.select($"n", $"com").withColumn("k", lit(0L)))
-      .groupBy($"n", $"com").agg(max($"k").as("k"))
+    val cand = knc.unionByName(
+      com.filter(pmod($"n", lit(2)) === lit(r % 2))
+        .select($"n", $"com").withColumn("k", lit(0L)))
     val moved = cand
-      .filter(pmod($"n", lit(2)) === lit(r % 2))
       .join(mb(str), Seq("n"))
       .join(mb(tot), Seq("com"))
       .join(mb(com.select($"n", $"com".as("cur"))), Seq("n"))
       .withColumn("score",
         expr(s"CAST(2 * ${wTot}L AS DECIMAL(20,0)) * k" +
           " - CAST(tot - CASE WHEN com = cur THEN kn ELSE 0L END AS DECIMAL(20,0)) * kn"))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"n", $"com")
+      .groupBy($"n")
+      .agg(max(struct($"score", negate($"com").as("nc"))).as("best"),
+        min($"cur").as("cur"))
+      .select($"n", negate($"best.nc").as("com"),
+        ($"best.nc" =!= negate($"cur")).as("chg"))
     com.filter(pmod($"n", lit(2)) =!= lit(r % 2))
+      .select($"n", $"com", lit(false).as("chg"))
       .unionByName(moved)
   }
 
@@ -1854,14 +1922,15 @@ object GraphOps {
       .join(lbl.select($"n".as("v"), $"com".as("cv")), Seq("v"))
       .select($"cu", $"cv", $"sup")
     val m = gw.agg(sum($"sup").as("m"))
-    val deg = ge.select($"cu".as("com"), $"sup")
-      .unionAll(ge.select($"cv".as("com"), $"sup"))
-      .groupBy($"com").agg(sum($"sup").as("d"))
-    val internal = ge.filter($"cu" === $"cv")
-      .groupBy($"cu".as("com")).agg(sum($"sup").as("w_in"))
-    val per = Eager(sizes.join(deg, Seq("com"))
-      .join(internal, Seq("com"), "left")
-      .na.fill(0L, Seq("w_in"))
+    // r12: one fused pass for degree mass + internal weight (see
+    // [[modularityCensus]] — same rewrite, weight sums in place of
+    // counts; sum(when(own, sup)) over a non-empty group is 0-defaulted
+    // via coalesce because sum(CASE) is null when no own row exists).
+    val dw = ge.select($"cu".as("com"), $"sup", ($"cu" === $"cv").as("own"))
+      .unionAll(ge.select($"cv".as("com"), $"sup", lit(false).as("own")))
+      .groupBy($"com").agg(sum($"sup").as("d"),
+        coalesce(sum(when($"own", $"sup")), lit(0L)).as("w_in"))
+    val per = Eager(sizes.join(dw, Seq("com"))
       .crossJoin(broadcast(m))
       .select($"com", $"n_members", $"w_in", $"d",
         // The w_in·10⁶ term rides the same DECIMAL(38,0)/HUGEINT lift as
@@ -2914,10 +2983,40 @@ object GraphOps {
         val e0A = edgesOf(o0.select($"o_orderkey", $"o_custkey"))
           .join(affected, Seq("cust"), "left_semi")
         val e1 = edgesOf(o1.select($"o_orderkey", $"o_custkey"))
-        val eFullA = e0A.unionAll(e1).distinct()
+        // r12 (guide §2.3/§2.4): the delta used to run basketPairCounts
+        // TWICE over overlapping edge sets — once over e0A (negative
+        // pass) and once over e0A ∪ e1 (positive pass, with e0A
+        // recomputed under it and an extra distinct) — ~6 exchanges.
+        // An affected customer's OLD basket and FULL basket come out of
+        // ONE tagged pass instead: dedup (cust, supp) across epochs
+        // keeping the is-epoch-0 flag, then per customer the bounded
+        // 16-smallest baskets ([[graft.functions.BottomKLongAgg]] — the
+        // basketPairCounts cap discipline; the old side rides a
+        // Long.MaxValue sentinel for non-epoch-0 rows, stripped after,
+        // so one aggregate caps both lists) and the in-row ±pair emit.
+        // k-smallest-by-supp ≡ the rn <= 16 cap, so +pairs(full₁₆)
+        // −pairs(old₁₆) sums to exactly what the two projection passes
+        // computed, support by support.
+        def pairsArr(a: String, d: Long) = expr(
+          s"""CASE WHEN size($a) >= 2 THEN
+             |  flatten(transform(sequence(0, size($a)-2),
+             |    i -> transform(sequence(i+1, size($a)-1),
+             |      j -> struct($a[i] AS u, $a[j] AS v, ${d}L AS d))))
+             |ELSE CAST(array() AS ARRAY<STRUCT<u: BIGINT, v: BIGINT, d: BIGINT>>)
+             |END""".stripMargin)
+        val baskets = e0A.select($"cust", $"supp", lit(1).as("old"))
+          .unionByName(e1.select($"cust", $"supp", lit(0).as("old")))
+          .groupBy($"cust", $"supp").agg(max($"old").as("old"))
+          .groupBy($"cust").agg(
+            graft.functions.BottomKLongAgg.bottomKLong($"supp", 16).as("fs"),
+            graft.functions.BottomKLongAgg.bottomKLong(when($"old" === 1, $"supp")
+              .otherwise(lit(Long.MaxValue)), 16).as("os0"))
+          .withColumn("os", filter($"os0", x => x =!= lit(Long.MaxValue)))
+        val delta = baskets
+          .select(explode(concat(pairsArr("fs", 1L), pairsArr("os", -1L))).as("p"))
+          .select($"p.u", $"p.v", $"p.d")
         val v2 = v1.select($"u", $"v", $"sup".as("d"))
-          .unionAll(basketPairCounts(e0A).select($"u", $"v", (-$"sup").as("d")))
-          .unionAll(basketPairCounts(eFullA).select($"u", $"v", $"sup".as("d")))
+          .unionAll(delta)
           .groupBy($"u", $"v").agg(sum($"d").as("sup"))
           .filter($"sup" >= 8)
         val nodes = v2.select($"u".as("n")).unionAll(v2.select($"v".as("n")))
