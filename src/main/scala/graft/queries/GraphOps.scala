@@ -44,6 +44,25 @@ object GraphOps {
   private[graft] def maybeBroadcast(rows: Long): DataFrame => DataFrame =
     if (rows <= BroadcastRowCap) broadcast else identity
 
+  /** Exchange width for an iterative loop over NODE-sized frames,
+    * derived from the node census the loop already holds for its
+    * [[maybeBroadcast]] gate (r12, guide §2.2/§2.4): a label-frame
+    * sweep's exchanges carry a few dozen bytes per node, so scheduling
+    * them at the session's scan-width partitioning just multiplies
+    * per-sweep fixed cost (task launch, AQE stage barriers, shuffle
+    * files) — the q497/q490/starContract loops already sweep at 8 for
+    * exactly this reason. Derived, not pinned: ~500k node-rows per
+    * partition, floored at 8 and capped at the session width, so a
+    * billion-node frame keeps the session's (cluster-sized) width and
+    * the driver's scale-curve runs (SPARK_GRAFT_CPUS) stay
+    * comparable. */
+  private[graft] def loopWidth(s: org.apache.spark.sql.SparkSession,
+      rows: Long): Int = {
+    val session = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val byVolume = ((rows + 499999L) / 500000L).toInt
+    math.min(session, math.max(8, byVolume))
+  }
+
   /** Minimum reachable label per node of an undirected edge list.
     * One round = one shuffle-join of labels onto edges + one min-agg;
     * rounds needed = component diameter. At 100 TB-scale graphs with
@@ -1113,6 +1132,12 @@ object GraphOps {
   private[graft] def triangleCensus(g: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import g.sparkSession.implicits._
+    // r12: same wedge-stage rewrite as [[edgeSupport]] — the oriented
+    // list checkpoints once (three join references used to re-derive
+    // it) and the two-path/closing build sides ride the gated
+    // broadcast; past [[BroadcastRowCap]] the joins keep their
+    // shuffled shape.
+    val mb = maybeBroadcast(g.count())
     val deg = g.select($"u".as("n")).unionAll(g.select($"v".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("deg"))
     val wedges = deg.agg(
@@ -1125,9 +1150,10 @@ object GraphOps {
       .join(broadcast(deg.select($"n".as("v"), $"deg".as("dv"))), Seq("v"))
       .select(when(du < dv, $"u").otherwise($"v").as("lo"),
         when(du < dv, $"v").otherwise($"u").as("hi"))
+      .localCheckpoint()
     val tri = oriented.as("e1")
-      .join(oriented.as("e2"), $"e1.hi" === $"e2.lo")
-      .join(oriented.as("e3"),
+      .join(mb(oriented).as("e2"), $"e1.hi" === $"e2.lo")
+      .join(mb(oriented).as("e3"),
         $"e1.lo" === $"e3.lo" && $"e2.hi" === $"e3.hi", "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
     val nEdges = g.agg(count(lit(1)).as("n_edges"))
@@ -1513,11 +1539,16 @@ object GraphOps {
       .localCheckpoint()
     // Node census once (the checkpoint is already materialized, so this
     // count is metadata-cheap) — gates every sweep's side-frame
-    // broadcast below.
-    val mb = maybeBroadcast(deg.count())
-    val out = louvainLoop(rounds,
-      deg.select($"n", $"n".as("com")).localCheckpoint(),
-      (com, r) => louvainSweep(bi, deg, com, mVal, r, mb))
+    // broadcast below AND sizes the loop's exchange width (r12,
+    // [[loopWidth]]).
+    val nNodes = deg.count()
+    val mb = maybeBroadcast(nNodes)
+    val out = graft.Confs.withShufflePartitions(g.sparkSession,
+        loopWidth(g.sparkSession, nNodes)) {
+      louvainLoop(rounds,
+        deg.select($"n", $"n".as("com")).localCheckpoint(),
+        (com, r) => louvainSweep(bi, deg, com, mVal, r, mb))
+    }
     bi.unpersist(blocking = false)
     deg.unpersist(blocking = false)
     out
@@ -1896,10 +1927,15 @@ object GraphOps {
       .localCheckpoint()
     val str = bi.groupBy($"src".as("n")).agg(sum($"w").as("kn"))
       .localCheckpoint()
-    val mb = maybeBroadcast(str.count())
-    val out = louvainLoop(rounds,
-      str.select($"n", $"n".as("com")).localCheckpoint(),
-      (com, r) => louvainSweepWeighted(bi, str, com, wTot, r, mb))
+    val nNodes = str.count()
+    val mb = maybeBroadcast(nNodes)
+    // r12: loop exchanges sized to the node census ([[loopWidth]]).
+    val out = graft.Confs.withShufflePartitions(gw.sparkSession,
+        loopWidth(gw.sparkSession, nNodes)) {
+      louvainLoop(rounds,
+        str.select($"n", $"n".as("com")).localCheckpoint(),
+        (com, r) => louvainSweepWeighted(bi, str, com, wTot, r, mb))
+    }
     bi.unpersist(blocking = false)
     str.unpersist(blocking = false)
     out
@@ -2113,7 +2149,8 @@ object GraphOps {
       if (cell.isNullAt(0)) 0L else cell.getLong(0)
     }
     val p1 = louvainRoundsWeighted(gw, 4)
-    val mb = maybeBroadcast(p1.count())
+    val nNodes = p1.count()
+    val mb = maybeBroadcast(nNodes)
     val rt = p1.select($"com".as("c1")).distinct()
       .withColumn("rk", row_number().over(Window.orderBy($"c1")))
       .localCheckpoint()
@@ -2124,9 +2161,16 @@ object GraphOps {
     val bi2 = e2.select($"u".as("src"), $"v".as("dst"), $"sup".as("w"))
       .unionAll(e2.select($"v".as("src"), $"u".as("dst"), $"sup".as("w")))
       .localCheckpoint()
-    val (com2, _) = louvainLoop(l2Rounds,
-      str2.select($"n", $"n".as("com")).localCheckpoint(),
-      (com, r) => louvainSweepWeighted(bi2, str2, com, wTot, r, mb))
+    // r12: the level-2 loop runs over |communities|-sized frames —
+    // its exchanges ride the node-census-derived width ([[loopWidth]];
+    // the contraction above keeps the session width, its aggregates
+    // are edge-sized).
+    val (com2, _) = graft.Confs.withShufflePartitions(gw.sparkSession,
+        loopWidth(gw.sparkSession, nNodes)) {
+      louvainLoop(l2Rounds,
+        str2.select($"n", $"n".as("com")).localCheckpoint(),
+        (com, r) => louvainSweepWeighted(bi2, str2, com, wTot, r, mb))
+    }
     // Compose back: original node → its community's rank → that rank's
     // level-2 community rank → that rank's ORIGINAL level-1 label (so
     // the output community ids stay in the original key space).
@@ -2436,7 +2480,8 @@ object GraphOps {
       if (cell.isNullAt(0)) 0L else cell.getLong(0)
     }
     val p1 = louvainRoundsWeighted(gw, 4)
-    val mb = maybeBroadcast(p1.count())
+    val nNodes = p1.count()
+    val mb = maybeBroadcast(nNodes)
     val r1 = splitByComponents(gw, p1, mb)
     val rt = r1.select($"part".as("c1")).distinct()
       .withColumn("rk", row_number().over(Window.orderBy($"c1")))
@@ -2448,9 +2493,14 @@ object GraphOps {
     val bi2 = e2.select($"u".as("src"), $"v".as("dst"), $"sup".as("w"))
       .unionAll(e2.select($"v".as("src"), $"u".as("dst"), $"sup".as("w")))
       .localCheckpoint()
-    val (com2, _) = louvainLoop(l2Rounds,
-      str2.select($"n", $"n".as("com")).localCheckpoint(),
-      (com, r) => louvainSweepWeighted(bi2, str2, com, wTot, r, mb))
+    // r12: level-2 loop at the node-census-derived exchange width
+    // (see [[louvainTwoLevelLabels]]).
+    val (com2, _) = graft.Confs.withShufflePartitions(gw.sparkSession,
+        loopWidth(gw.sparkSession, nNodes)) {
+      louvainLoop(l2Rounds,
+        str2.select($"n", $"n".as("com")).localCheckpoint(),
+        (com, r) => louvainSweepWeighted(bi2, str2, com, wTot, r, mb))
+    }
     val composed = p1rk
       .join(mb(com2.select($"n".as("com"), $"com".as("c2"))), Seq("com"))
       .select($"n", $"c2".as("com"))
@@ -2767,6 +2817,16 @@ object GraphOps {
     // this is decisively cheaper than fanning every edge by a full
     // endpoint adjacency (Σ C(outdeg,2) wedges, outdeg bounded by the
     // SMALLER endpoint's degree, vs Σ deg(u) edge-neighbor rows).
+    //
+    // r12 (guide §3.1): the oriented list is CHECKPOINTED once (it was
+    // re-derived for each of its three join references) and the
+    // two-path + closing-probe build sides ride the gated broadcast —
+    // below [[BroadcastRowCap]] the wedge join and the semi probe need
+    // NO exchange or sort at all (checkpointed RDD frames carry no
+    // stats, so the planner otherwise sort-merges both); past the cap
+    // the joins keep their shuffled shape. Interleaved A/B at sf0.1:
+    // ~6.9 s → ~3.8 s per edgeSupport pass.
+    val mb = maybeBroadcast(g.count())
     val deg = g.select($"u".as("n")).unionAll(g.select($"v".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("deg"))
     val du = struct($"du", $"u")
@@ -2776,10 +2836,11 @@ object GraphOps {
       .join(broadcast(deg.select($"n".as("v"), $"deg".as("dv"))), Seq("v"))
       .select(when(du < dv, $"u").otherwise($"v").as("lo"),
         when(du < dv, $"v").otherwise($"u").as("hi"))
+      .localCheckpoint()
     val tri = or.as("e1")
-      .join(or.select($"lo".as("hi"), $"hi".as("z")).as("e2"), Seq("hi"))
+      .join(mb(or.select($"lo".as("hi"), $"hi".as("z"))).as("e2"), Seq("hi"))
       .select($"lo".as("x"), $"hi".as("y"), $"z")
-      .join(or.select($"lo".as("x"), $"hi".as("z")), Seq("x", "z"), "left_semi")
+      .join(mb(or.select($"lo".as("x"), $"hi".as("z"))), Seq("x", "z"), "left_semi")
     val cn = tri.select(explode(array(
         struct(least($"x", $"y").as("u"), greatest($"x", $"y").as("v")),
         struct(least($"y", $"z").as("u"), greatest($"y", $"z").as("v")),
@@ -3015,17 +3076,23 @@ object GraphOps {
         val delta = baskets
           .select(explode(concat(pairsArr("fs", 1L), pairsArr("os", -1L))).as("p"))
           .select($"p.u", $"p.v", $"p.d")
+        // r12: v2 feeds BOTH the node census and the edge readout —
+        // checkpoint it so the maintained-projection merge runs once,
+        // not twice (same missed-reuse the q501 fix closes).
         val v2 = v1.select($"u", $"v", $"sup".as("d"))
           .unionAll(delta)
           .groupBy($"u", $"v").agg(sum($"d").as("sup"))
           .filter($"sup" >= 8)
+          .localCheckpoint()
         val nodes = v2.select($"u".as("n")).unionAll(v2.select($"v".as("n")))
           .distinct().agg(count(lit(1)).as("n_nodes"))
-        Eager(v2.agg(count(lit(1)).as("n_edges"),
+        val out = Eager(v2.agg(count(lit(1)).as("n_edges"),
             sum($"sup").as("sup_sum"),
             sum(($"u" * 131071L + $"v") * $"sup").as("chk"))
           .crossJoin(broadcast(nodes))
           .select($"n_nodes", $"n_edges", $"sup_sum", $"chk"))
+        v2.unpersist(blocking = false)
+        out
       } finally { v1.unpersist(blocking = false); () }
     },
     // From-scratch projection over ALL orders — maintained ≡ rebuilt,

@@ -1494,19 +1494,32 @@ object TrainPrep {
             .groupBy($"cid", $"dim")
             .agg((Det.dsum($"x", 6) / count($"x")).as("c"))
         // Epoch 0: q236's two Lloyd iterations over the evens.
+        // r12 (guide §5 caching/lineage): the assignment and centroid
+        // frames each feed MULTIPLE consumers below (aEven → stats +
+        // membership census; cEven → delta assign + drift; aOdd →
+        // delta stats + census + n_added), and none were materialized
+        // — every consumer re-ran the whole Lloyd chain, so the two
+        // epoch-0 iterations executed up to three times per query.
+        // localCheckpoint each hand-off frame (all are tiny: |vecs| or
+        // k×dims rows) so the chain runs once; values unchanged — the
+        // assignment is deterministic (exact DECIMAL distance, argmin
+        // by (dist, cid)) so even the uncheckpointed form was
+        // value-stable, just wasteful.
         val init = Tables.embeddings(s, d).filter($"vec_id" % 2 === 0)
           .select($"vec_id", ($"vec_id" % 4).as("cid"))
         val aEven = assignTo(evens, meansOf(evens, assignTo(evens, meansOf(evens, init))))
+          .localCheckpoint()
         // The MAINTAINED state: mergeable per-(cluster, dim) stats.
         val statsEven = evens.join(aEven, Seq("vec_id"))
           .groupBy($"cid", $"dim")
           .agg(sum($"x".cast("decimal(30,6)")).as("sx"),
             count($"x").as("n"))
+          .localCheckpoint()
         val cEven = statsEven
           .select($"cid", $"dim", ($"sx".cast("double") / $"n").as("c"))
         // Delta: assign odds to the FROZEN epoch-0 centroids, fold in
         // by stats addition.
-        val aOdd = assignTo(odds, cEven)
+        val aOdd = assignTo(odds, cEven).localCheckpoint()
         val statsOdd = odds.join(aOdd, Seq("vec_id"))
           .groupBy($"cid", $"dim")
           .agg(sum($"x".cast("decimal(30,6)")).as("sx"), count($"x").as("n"))
@@ -1519,7 +1532,7 @@ object TrainPrep {
           .agg(sum((($"cn" - $"c") * ($"cn" - $"c")).cast("decimal(30,12)"))
             .cast("double").as("drift"))
         val members = aEven.unionByName(aOdd)
-        Eager(members.groupBy($"cid")
+        val out = Eager(members.groupBy($"cid")
           .agg(count(lit(1)).as("n_vecs"), sum($"vec_id").as("id_checksum"))
           .join(aOdd.groupBy($"cid").agg(count(lit(1)).as("n_added")), Seq("cid"), "left")
           .na.fill(0L, Seq("n_added"))
@@ -1527,6 +1540,10 @@ object TrainPrep {
           .select($"cid".cast("long").as("cid"), $"n_vecs", $"n_added",
             $"id_checksum", $"drift")
           .orderBy($"cid"))
+        // Eager above materialized the readout — release the hand-off
+        // checkpoints (the louvainLoop cleanup discipline).
+        Seq(aEven, statsEven, aOdd).foreach(_.unpersist(blocking = false))
+        out
       } finally { long.unpersist(); () }
     },
     Some("""WITH long AS (
