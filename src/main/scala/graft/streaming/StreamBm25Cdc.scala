@@ -195,7 +195,10 @@ object StreamBm25Cdc {
 
   private def cleanup(st: Staged): Unit = graft.Fs.deleteTree(st.tmp)
 
-  def runOnce(spark: SparkSession, sfDir: String): DataFrame = {
+  def runOnce(spark: SparkSession, sfDir: String): DataFrame =
+      // r12: per-batch frames here are thousands of rows — exchanges
+      // ride the harness's state-volume width (StreamHarness doc).
+      StreamHarness.withStreamingPartitions(spark, 8) {
     val st = stage(spark, sfDir)
     try {
       val q = writer(st).trigger(Trigger.AvailableNow()).start()
@@ -214,7 +217,10 @@ object StreamBm25Cdc {
     * drain, probe — upsert replays overwrite their own partitions;
     * delete replays recover any pending swap, rewrite identical (or
     * vacuously empty) negative epochs, and erase nothing twice. */
-  def runWithRestart(spark: SparkSession, sfDir: String): DataFrame = {
+  def runWithRestart(spark: SparkSession, sfDir: String): DataFrame =
+      // r12: per-batch frames here are thousands of rows — exchanges
+      // ride the harness's state-volume width (StreamHarness doc).
+      StreamHarness.withStreamingPartitions(spark, 8) {
     val st = stage(spark, sfDir)
     try {
       val q1 = writer(st).trigger(Trigger.ProcessingTime("50 milliseconds")).start()

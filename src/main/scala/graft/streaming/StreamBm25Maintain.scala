@@ -239,7 +239,10 @@ object StreamBm25Maintain {
 
   private def cleanup(st: Staged): Unit = graft.Fs.deleteTree(st.tmp)
 
-  def runOnce(spark: SparkSession, sfDir: String): DataFrame = {
+  def runOnce(spark: SparkSession, sfDir: String): DataFrame =
+      // r12: per-batch frames here are thousands of rows — exchanges
+      // ride the harness's state-volume width (StreamHarness doc).
+      StreamHarness.withStreamingPartitions(spark, 8) {
     val st = stage(spark, sfDir)
     try {
       val q = writer(st).trigger(Trigger.AvailableNow()).start()
@@ -258,7 +261,10 @@ object StreamBm25Maintain {
     * probe: every replayed write dynamically overwrites its own
     * batch_id partition, so the drained index must answer exactly like
     * an uninterrupted run. */
-  def runWithRestart(spark: SparkSession, sfDir: String): DataFrame = {
+  def runWithRestart(spark: SparkSession, sfDir: String): DataFrame =
+      // r12: per-batch frames here are thousands of rows — exchanges
+      // ride the harness's state-volume width (StreamHarness doc).
+      StreamHarness.withStreamingPartitions(spark, 8) {
     val st = stage(spark, sfDir)
     try {
       val q1 = writer(st).trigger(Trigger.ProcessingTime("50 milliseconds")).start()

@@ -159,7 +159,10 @@ object StreamChunkStore {
 
   private def cleanup(st: Staged): Unit = graft.Fs.deleteTree(st.tmp)
 
-  def runOnce(spark: SparkSession, sfDir: String): DataFrame = {
+  def runOnce(spark: SparkSession, sfDir: String): DataFrame =
+      // r12: per-batch frames here are thousands of rows — exchanges
+      // ride the harness's state-volume width (StreamHarness doc).
+      StreamHarness.withStreamingPartitions(spark, 8) {
     val st = stage(spark, sfDir)
     try {
       val q = writer(st).trigger(Trigger.AvailableNow()).start()
@@ -178,7 +181,10 @@ object StreamChunkStore {
     * replayed write dynamically overwrites its own batch_id partition,
     * so the drained store must answer exactly like an uninterrupted
     * run. */
-  def runWithRestart(spark: SparkSession, sfDir: String): DataFrame = {
+  def runWithRestart(spark: SparkSession, sfDir: String): DataFrame =
+      // r12: per-batch frames here are thousands of rows — exchanges
+      // ride the harness's state-volume width (StreamHarness doc).
+      StreamHarness.withStreamingPartitions(spark, 8) {
     val st = stage(spark, sfDir)
     try {
       val q1 = writer(st).trigger(Trigger.ProcessingTime("50 milliseconds")).start()

@@ -170,7 +170,10 @@ object StreamIndexMaintain {
     graft.Fs.deleteTree(st.tmp)
   }
 
-  def runOnce(spark: SparkSession, sfDir: String): DataFrame = {
+  def runOnce(spark: SparkSession, sfDir: String): DataFrame =
+      // r12: per-batch frames here are thousands of rows — exchanges
+      // ride the harness's state-volume width (StreamHarness doc).
+      StreamHarness.withStreamingPartitions(spark, 8) {
     val st = stage(spark, sfDir)
     try {
       val q = writer(st).trigger(Trigger.AvailableNow()).start()
@@ -187,7 +190,10 @@ object StreamIndexMaintain {
     * appears (possibly mid-batch), restart on the SAME checkpoint,
     * drain, probe — the replayed append must leave the index answering
     * exactly like an uninterrupted run (≡ from-scratch rebuild). */
-  def runWithRestart(spark: SparkSession, sfDir: String): DataFrame = {
+  def runWithRestart(spark: SparkSession, sfDir: String): DataFrame =
+      // r12: per-batch frames here are thousands of rows — exchanges
+      // ride the harness's state-volume width (StreamHarness doc).
+      StreamHarness.withStreamingPartitions(spark, 8) {
     val st = stage(spark, sfDir)
     try {
       val q1 = writer(st).trigger(Trigger.ProcessingTime("50 milliseconds")).start()

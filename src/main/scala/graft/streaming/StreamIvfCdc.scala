@@ -193,7 +193,10 @@ object StreamIvfCdc {
 
   private def cleanup(st: Staged): Unit = graft.Fs.deleteTree(st.tmp)
 
-  def runOnce(spark: SparkSession, sfDir: String): DataFrame = {
+  def runOnce(spark: SparkSession, sfDir: String): DataFrame =
+      // r12: per-batch frames here are thousands of rows — exchanges
+      // ride the harness's state-volume width (StreamHarness doc).
+      StreamHarness.withStreamingPartitions(spark, 8) {
     val st = stage(spark, sfDir)
     try {
       val q = writer(st).trigger(Trigger.AvailableNow()).start()
@@ -212,7 +215,10 @@ object StreamIvfCdc {
     * probe — upsert replays overwrite their own partitions and delete
     * replays find nothing left to erase, so the answer must equal an
     * uninterrupted run's. */
-  def runWithRestart(spark: SparkSession, sfDir: String): DataFrame = {
+  def runWithRestart(spark: SparkSession, sfDir: String): DataFrame =
+      // r12: per-batch frames here are thousands of rows — exchanges
+      // ride the harness's state-volume width (StreamHarness doc).
+      StreamHarness.withStreamingPartitions(spark, 8) {
     val st = stage(spark, sfDir)
     try {
       val q1 = writer(st).trigger(Trigger.ProcessingTime("50 milliseconds")).start()
